@@ -1,0 +1,78 @@
+"""Text-analysis column functions for the LLM-data-pipeline surface.
+
+These are extension operators (SURVEY.md §2.11, driver mandate): the
+reference has no text processing, so the semantics here are defined by
+this engine and checked against the DuckDB oracle. Everything is a pure
+Column expression (JVM-side, codegen-friendly): tokenization, shingling,
+stopword/quality stats, fingerprints, and a heuristic language guess.
+
+Scale posture: all per-row expressions — embarrassingly parallel, no
+shuffle, no Python. At 100 TB these run at parquet-scan speed inside
+WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny function-word list used by the quality score and the heuristic
+# language guess. Deliberately small and fixed so the DuckDB oracle can
+# mirror it verbatim.
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpus → exact split)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS
+    quoted = ", ".join(f"'{w}'" for w in sw)
+    return F.expr(f"size(filter(split(trim({text}), '\\\\s+'), t -> t IN ({quoted})))")
+
+
+def stopword_ratio(text: str) -> Column:
+    """stopword tokens / all tokens as DOUBLE (no rounding — the ratio
+    of two identical ints is bit-identical across engines)."""
+    return stopword_count(text) / token_count(text).cast("double")
+
+
+def quality_flag(text: str, min_tokens: int = 20, max_stop_ratio: float = 0.5) -> Column:
+    """Boolean keep/drop signal: long enough and not stopword-soup."""
+    return (token_count(text) >= F.lit(min_tokens)) & (stopword_ratio(text) <= F.lit(max_stop_ratio))
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """128-bit content fingerprint of the normalized text (md5 hex)."""
+    return F.md5(normalized_text(text))
+
+
+def shingles(text: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the unit of near-dup similarity."""
+    return F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size(split(trim({text}), '\\\\s+')) - {n}, -1)),"
+        f" i -> concat_ws(' ', slice(split(trim({text}), '\\\\s+'), i + 1, {n}))))"
+    )
+
+
+def lang_guess(text: str) -> Column:
+    """Heuristic language ID: function-word density → 'en' vs 'other'.
+
+    A real deployment would use character n-gram profiles per language;
+    the fixture corpus shares one vocabulary across langs, so the
+    operator's value here is its deterministic, oracle-checkable shape.
+    """
+    return F.when(stopword_ratio(text) > F.lit(0.03), F.lit("en")).otherwise(F.lit("other"))

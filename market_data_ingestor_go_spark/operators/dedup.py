@@ -1,0 +1,237 @@
+"""Deduplication operators for document corpora (SURVEY.md §2.11).
+
+Extension operators (driver mandate; the reference — a market-data
+ingestor — has no document processing). Five dedup strategies, ordered
+by cost/recall:
+
+- exact_dedup           : hash-groupBy on raw text — one shuffle.
+- fingerprint_dedup     : md5 of normalized text — catches
+                          case/whitespace variants, same cost.
+- ngram_jaccard_pairs   : exact all-pairs n-gram Jaccard — the ground
+                          truth, O(n²); for oracles and small blocks only.
+- minhash_near_dup_pairs: MinHash + LSH banding — the 100 TB path;
+                          O(n·perms) + a bucket equi-join, candidates
+                          verified with exact Jaccard so precision is 1.
+- simhash_pairs         : 64-bit SimHash + block probing on Hamming
+                          distance — cheapest near-dup signal.
+
+Scale notes (100 TB posture):
+- MinHash signatures are computed with partial aggregation (min per
+  seed) — only one 128-value row per doc crosses the shuffle.
+- LSH banding turns all-pairs into an equi-join on (band, band_hash):
+  shuffle is proportional to docs×bands, and AQE's skew-join splitting
+  handles degenerate buckets (e.g. boilerplate-heavy corpora).
+- Verification joins shingle arrays back only for candidate pairs.
+- No Python UDFs anywhere — xxhash64/murmur are JVM built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | str) -> DataFrame:
+    """Exact dedup: first row per distinct value of ``cols`` dropped
+    arbitrarily — use ``exact_dedup_groups`` for deterministic keepers."""
+    if isinstance(cols, str):
+        cols = [cols]
+    return df.dropDuplicates(cols)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Deterministic exact dedup: per distinct text, keep min id and
+    count copies. One hash-shuffle on the text (map-side combined)."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+        .select("keeper_id", "n_copies")
+    )
+
+
+def fingerprint_dedup_groups(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Dedup on the md5 fingerprint of normalized text.
+
+    Shuffles the 32-byte fingerprint instead of the document body —
+    at 100 TB this is the difference between shuffling the corpus and
+    shuffling ~3 GB of digests."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+        .select("fp", "keeper_id", "n_copies")
+    )
+
+
+def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               n: int = 3) -> DataFrame:
+    """(id, sh ARRAY<STRING>) with at least one full shingle per doc."""
+    return (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.6) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold → (doc_a, doc_b, jacc).
+
+    O(n²) by construction — this is the correctness oracle / small-block
+    engine. The scalable equivalent is ``minhash_near_dup_pairs``.
+    Jaccard is |∩| / |∪| over distinct shingle sets (integer counts, so
+    the DOUBLE ratio is bit-deterministic across engines).
+    """
+    s = shingle_df(df, text_col, id_col, n)
+    a = s.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.select(
+            "doc_a", "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jacc"))
+        .filter(F.col("jacc") >= F.lit(threshold))
+    )
+
+
+def minhash_signatures(sh_df: DataFrame, num_perms: int = 128) -> DataFrame:
+    """(id, mh ARRAY<BIGINT>[num_perms]) MinHash signature per doc.
+
+    Permutation j is simulated by seeding xxhash64 with j; the per-doc
+    minimum is a declarative agg → partial (map-side) combine, so only
+    one signature row per doc per partition reaches the shuffle.
+    """
+    exploded = sh_df.select("id", F.explode("sh").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"mh_{j}")
+        for j in range(num_perms)
+    ]
+    sig = exploded.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[f"mh_{j}" for j in range(num_perms)]).alias("mh"))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, num_bands: int = 32,
+                        rows_per_band: int = 4) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+
+    Shuffle key is (band, band_hash) — an equi-join, never a cross
+    product. Distinct() collapses pairs that collide in several bands.
+    """
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("mh")[b * rows_per_band + r]
+                         for r in range(rows_per_band)]).alias("bh"))
+        for b in range(num_bands)
+    ])
+    bucketed = sig_df.select("id", F.explode(bands).alias("bb")) \
+                     .select("id", "bb.band", "bb.bh")
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           threshold: float = 0.6, num_perms: int = 128,
+                           num_bands: int = 32) -> DataFrame:
+    """MinHash→LSH→verify near-dup pairs ≥ threshold (same output
+    contract as ``ngram_jaccard_pairs``: doc_a, doc_b, jacc).
+
+    Candidates from banding are verified with exact Jaccard, so
+    precision is exact; recall at threshold 0.6 with 32×4 bands is
+    1 - (1 - 0.6⁴)³² ≈ 0.99, and ≈ 1.0 for the ≥0.9 true-dup band.
+    """
+    rows_per_band = num_perms // num_bands
+    s = shingle_df(df, text_col, id_col, n)
+    sig = minhash_signatures(s, num_perms)
+    cand = lsh_candidate_pairs(sig, num_bands, rows_per_band)
+    a = s.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b",
+                (inter.cast("double") / union.cast("double")).alias("jacc"))
+        .filter(F.col("jacc") >= F.lit(threshold))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """(id, simhash BIGINT): sign-aggregated 64-bit token-hash sketch.
+
+    Per token, bit j contributes +1 if set in xxhash64(token) else -1;
+    the sketch sets bit j iff the sum is positive. All JVM bit math,
+    partial-aggregated — one shuffle of 64 small ints per doc.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+
+    def mask(j: int) -> int:
+        # bit 63 is the sign bit of a JVM long — 1<<63 overflows, so
+        # use its signed two's-complement value
+        return (1 << j) if j < 63 else -(1 << 63)
+
+    sums = [
+        F.sum(F.when(h.bitwiseAND(F.lit(mask(j))) != 0, 1).otherwise(-1)).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*sums)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(mask(j))).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  num_blocks: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole blocking: split 64 bits into ``num_blocks`` blocks; any
+    pair within Hamming ≤ num_blocks-1 shares at least one intact block,
+    so candidates come from an equi-join on (block_idx, block_value) —
+    never an all-pairs scan.
+    """
+    sig = simhash(df, text_col, id_col)
+    width = 64 // num_blocks
+    mask = (1 << width) - 1
+    blocks = F.array(*[
+        F.struct(F.lit(i).alias("blk"),
+                 F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("bv"))
+        for i in range(num_blocks)
+    ])
+    bucketed = sig.select("id", "simhash", F.explode(blocks).alias("b")) \
+                  .select("id", "simhash", "b.blk", "b.bv")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )

@@ -1,0 +1,67 @@
+"""Lookup-join shapes J1/J2/J3 + P9 enrichment (SURVEY.md §2.4).
+
+The reference has no general join executor — only three lookup shapes:
+
+- J1/P9: stream × tiny static dim, left-outer with a default
+  (symbol→exchange map probe, ingestor.go:116-122; map built at
+  constants/exchanges_symbols.go:317-347, miss → "unknown").
+- J2/S3: auth point semi-join (``WHERE key_hash=? AND is_active``,
+  postgres.go:138-163) with sha256 hashing (utils/helper.go:8-11).
+- J3: per-client config join (server.go:112-115) — realized in
+  streaming/serve.py via an exploded config table.
+
+Scale posture: every shape here broadcasts the dimension side
+explicitly (``F.broadcast``) so the fact stream never shuffles for
+enrichment — at 100 TB the fact side stays map-side-only. Spark's
+general joins (inner/outer/semi/anti/range) are exposed untouched;
+Catalyst + AQE pick broadcast vs sort-merge per real sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.market import hash_api_key
+
+
+def enrich_exchange(df: DataFrame, symbols_dim: DataFrame,
+                    name_col: str = "name",
+                    default: str = "unknown") -> DataFrame:
+    """P9/J1: broadcast-left-join symbol→exchange; miss → ``default``.
+
+    ``symbols_dim`` must have columns (name, exchange).
+    """
+    dim = F.broadcast(symbols_dim.select(
+        F.col("name").alias("_dim_name"), F.col("exchange").alias("_dim_exchange")))
+    joined = df.drop("exchange").join(
+        dim, F.col(name_col) == F.col("_dim_name"), "left")
+    return (
+        joined.withColumn("exchange", F.coalesce(F.col("_dim_exchange"), F.lit(default)))
+        .drop("_dim_name", "_dim_exchange")
+    )
+
+
+def authenticate(api_keys: DataFrame, presented_key: str) -> DataFrame:
+    """S3/J2: resolve a presented plaintext key to a client_id.
+
+    ``SELECT client_id FROM api_keys WHERE key_hash=sha256(k) AND is_active``
+    — a filtered point read on a small dimension; the filter is pushed
+    down to the scan by Catalyst.
+    """
+    return (
+        api_keys.filter(
+            (F.col("key_hash") == hash_api_key(F.lit(presented_key)))
+            & F.col("is_active")
+        ).select("client_id")
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Rows of ``left`` with at least one match in ``right`` (J2 shape)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Rows of ``left`` with no match in ``right``."""
+    return left.join(right, on, "left_anti")

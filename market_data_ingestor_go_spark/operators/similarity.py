@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+Extension operators (driver mandate). The embedding column is
+``ARRAY<FLOAT>``; all math casts to DOUBLE first so results are
+engine-exact (float→double widening is lossless, and the sequential
+left-fold of ``aggregate`` matches the oracle's vector kernels).
+
+Three tiers:
+- cosine_pairs / knn_bruteforce : exact, O(n²) — the correctness
+  baseline and the per-bucket kernel.
+- random_hyperplane_ann          : LSH-bucketed ANN — sign-bit
+  signatures from deterministic pseudo-random hyperplanes turn top-k
+  into an equi-join on the bucket id. The 100 TB path: shuffle is
+  docs×1, buckets are balanced by construction (each bit ~50/50).
+- ivf_ann                        : IVF-style — assign vectors to the
+  nearest of k sampled centroids (broadcast), search within the cell.
+
+No Python in the hot path: dot products are ``aggregate(zip_with(...))``
+column expressions evaluated in the JVM.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    col = F.col(vec) if isinstance(vec, str) else vec
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (left-to-right, bit-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot(a,b)/sqrt(dot(a,a)*dot(b,b)) — association chosen to match
+    the oracle expression exactly (sqrt of the product, not product of
+    sqrts)."""
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def _pairs(df: DataFrame, id_col: str, vec_col: str):
+    a = df.select(F.col(id_col).alias("a_id"), as_double(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b_id"), as_double(vec_col).alias("vb"))
+    return a, b
+
+
+def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 threshold: float = 0.4) -> DataFrame:
+    """All pairs (a_id < b_id) with cosine ≥ threshold — exact O(n²)."""
+    a, b = _pairs(df, id_col, vec_col)
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select("a_id", "b_id", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+
+
+def knn_bruteforce(df: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine.
+
+    Queries are broadcast (the small side) so the corpus never
+    shuffles for the scoring pass; the only shuffle is the per-query
+    top-k, which moves ≤ n_queries × corpus-partition rows after the
+    rank-pushdown (Spark's WindowGroupLimit applies the rn ≤ k filter
+    before the sort's exchange).
+    """
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("q_id"), as_double(vec_col).alias("qv")))
+    c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
+    scored = (
+        q.join(c, F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(k))
+        .select("q_id", "n_id", "cos", "rn")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG at runtime):
+    component (j, d) is derived from sha256(j, d) → [-1, 1)."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(f"plane:{j}:{d}".encode()).digest()
+            v = int.from_bytes(h[:8], "big") / float(1 << 64)  # [0, 1)
+            row.append(2.0 * v - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id: one sign bit per hyperplane projection."""
+    sig = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(x) for x in p]))
+        sig = sig.bitwiseOR(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long"))
+    return sig
+
+
+def random_hyperplane_ann(df: DataFrame, queries: DataFrame, k: int = 5,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          dim: int = 64, n_planes: int = 8) -> DataFrame:
+    """ANN top-k: exact scoring restricted to the query's LSH bucket.
+
+    2^n_planes buckets; corpus is signed once (narrow, no shuffle),
+    candidates come from an equi-join on the bucket id, and the exact
+    kernel ranks within bucket. Recall is tunable by n_planes (fewer
+    planes → bigger buckets → higher recall/cost); multiprobe would
+    flip signature bits to raise recall without rebuilding.
+    """
+    from pyspark.sql.window import Window
+
+    planes = _hyperplanes(dim, n_planes)
+    c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
+    c = c.withColumn("bucket", hyperplane_signature(F.col("nv"), planes))
+    q = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("qv"))
+    q = F.broadcast(q.withColumn("bucket", hyperplane_signature(F.col("qv"), planes)))
+    scored = (
+        q.join(c, (F.col("q_id") != F.col("n_id")) & (q.bucket == c.bucket))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(k))
+        .select("q_id", "n_id", "cos", "rn")
+    )
+
+
+def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: centroids = a deterministic sample of the corpus
+    (every ceil(n/n_cells)-th vector by id — no RNG), vectors assigned
+    to their max-cosine centroid via a broadcast join, search within
+    the cell. At scale the centroid list is k-means output; assignment
+    stays a broadcast join either way.
+    """
+    from pyspark.sql.window import Window
+
+    c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
+    cents = (
+        c.withColumn("rn", F.row_number().over(Window.orderBy("n_id")))
+        .filter((F.col("rn") % F.greatest(F.lit(1), (F.count("*").over(Window.partitionBy()) / n_cells).cast("int"))) == 0)
+        .limit(n_cells)
+        .select(F.col("n_id").alias("cent_id"), F.col("nv").alias("cv"))
+    )
+    cents = F.broadcast(cents)
+
+    def assign(side: DataFrame, vcol: str, out: str) -> DataFrame:
+        scored = side.join(cents, F.lit(True)) \
+            .withColumn("ccos", cosine(F.col(vcol), F.col("cv")))
+        w = Window.partitionBy(*side.columns).orderBy(F.col("ccos").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") == 1)
+            .select(*side.columns, F.col("cent_id").alias(out))
+        )
+
+    c_assigned = assign(c, "nv", "cell")
+    q = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("qv"))
+    q_assigned = F.broadcast(assign(q, "qv", "cell"))
+    scored = (
+        q_assigned.join(c_assigned, (F.col("q_id") != F.col("n_id"))
+                        & (q_assigned.cell == c_assigned.cell))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(k))
+        .select("q_id", "n_id", "cos", "rn")
+    )

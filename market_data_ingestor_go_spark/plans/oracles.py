@@ -1,0 +1,395 @@
+"""DuckDB oracle SQL twins for plans/queries.py.
+
+Each statement runs against pre-registered views (region nation customer
+supplier part orders lineitem events documents embeddings) and must
+match the Spark result on row-count + schema + order-insensitive
+value-hash. See queries.py module doc for the cross-engine determinism
+rules (decimal-cast sums, epoch-millis timestamps, unique tiebreaks).
+
+Queries intentionally absent (rows-only driver check):
+- simhash_neardup, knn_ann_hyperplane : depend on Spark's xxhash64 /
+  engine-side LSH bucketing — not SQL-expressible.
+- approx_distinct_sketch              : HLL estimates are
+  engine-specific by construction.
+"""
+
+DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+def _dsum(expr: str) -> str:
+    return DSUM.format(expr=expr)
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')} AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_base_price,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+       {_dsum('l_extendedprice')} / COUNT(*) AS avg_price,
+       {_dsum('l_discount')} / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q3_top_revenue_orders"] = f"""
+SELECT o_orderkey, o_orderpriority,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       epoch_ms(o_orderdate) AS o_orderdate_ms
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderpriority, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+ORACLES["q5_region_nation_revenue"] = f"""
+SELECT r_name, n_name,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY r_name, n_name
+"""
+
+ORACLES["q6_revenue_delta"] = f"""
+SELECT {_dsum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""
+
+ORACLES["p1_validation_filter"] = """
+SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+FROM events
+WHERE event_type <> '' AND user_id IS NOT NULL
+  AND value > 0 AND epoch_ms(ts) > 0
+"""
+
+ORACLES["p3_flatten_payload"] = """
+SELECT event_id, event_type, value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+ORACLES["p4_value_rules"] = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice + 10.0 AS price_add,
+       l_extendedprice - 5.0  AS price_sub,
+       l_quantity * 2.0       AS qty_mul,
+       CASE WHEN l_discount <> 0 THEN l_extendedprice / l_discount
+            ELSE l_extendedprice END AS price_div_guarded
+FROM lineitem
+"""
+
+ORACLES["p5p6p7_config_pipeline"] = """
+SELECT event_id, event_type, value * 1.1 AS price, user_id,
+       'replay' AS source_tag, epoch_ms(ts) AS ts_ms
+FROM events
+"""
+
+ORACLES["p8_conditional_gate"] = """
+SELECT event_id, event_type,
+       CASE WHEN event_type IN ('click', 'view') THEN value * 2.0
+            ELSE value END AS value_t
+FROM events
+"""
+
+ORACLES["p9_exchange_enrichment"] = """
+SELECT c_custkey, COALESCE(d.exchange, 'unknown') AS exchange
+FROM customer
+LEFT JOIN (
+  SELECT n_nationkey, r_name AS exchange
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name IN ('ASIA', 'EUROPE')
+) d ON c_nationkey = d.n_nationkey
+"""
+
+ORACLES["p10_api_key_hash"] = """
+SELECT c_custkey, sha256(c_name) AS key_hash
+FROM customer
+WHERE c_acctbal > 0
+"""
+
+ORACLES["p11_wire_json"] = """
+SELECT n_nationkey,
+       to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name)) AS wire
+FROM nation
+"""
+
+ORACLES["j2_semi_join_auth"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+ORACLES["j2_anti_join_unmatched"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+ORACLES["a1_latest_per_key"] = """
+SELECT user_id, ts_ms, event_id, event_type, value FROM (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+ORACLES["a1_latest_with_ttl"] = """
+SELECT user_id, ts_ms, event_id, event_type, value FROM (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+  WHERE epoch_ms(ts) >= (SELECT MAX(epoch_ms(ts)) FROM events) - 86400000
+) WHERE rn = 1
+"""
+
+ORACLES["agg_orders_stats"] = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {_dsum('o_totalprice')} AS sum_total,
+       MIN(o_totalprice) AS min_total,
+       MAX(o_totalprice) AS max_total,
+       {_dsum('o_totalprice')} / COUNT(*) AS avg_total
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+ORACLES["agg_rollup"] = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {_dsum('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+ORACLES["distinct_count_exact"] = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+ORACLES["window_topk_per_group"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+ORACLES["order_limit_topk"] = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 20
+"""
+
+ORACLES["set_ops_status_migration"] = """
+SELECT o_custkey, 'only_open' AS tag FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT o_custkey, 'both' AS tag FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+ORACLES["pivot_event_matrix"] = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+ORACLES["events_tumbling_window"] = """
+SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES["events_sessionization"] = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_in_session
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_in_session) AS BIGINT) AS n_events,
+       CAST(SUM(n_in_session) AS DOUBLE) / COUNT(*) AS avg_events_per_session
+FROM per_session
+GROUP BY user_id
+"""
+
+ORACLES["dedup_exact"] = """
+SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+"""
+
+ORACLES["dedup_fingerprint"] = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+_SHINGLES = """
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3
+"""
+
+_JACCARD_PAIRS = f"""
+WITH s AS ({_SHINGLES})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jacc
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+"""
+
+ORACLES["ngram_jaccard_neardup"] = f"""
+SELECT doc_a, doc_b, jacc FROM ({_JACCARD_PAIRS}) WHERE jacc >= 0.6
+"""
+
+# MinHash+LSH verifies candidates with exact Jaccard, and banding
+# recall at this threshold/data is 1.0 (asserted in tests at sf0.01) —
+# so the exact-Jaccard SQL is a valid oracle for the LSH path too.
+ORACLES["minhash_neardup"] = ORACLES["ngram_jaccard_neardup"]
+
+_COS = ("list_inner_product({a}, {b}) / "
+        "sqrt(list_inner_product({a}, {a}) * list_inner_product({b}, {b}))")
+
+ORACLES["embedding_cosine_neardup"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_COS.format(a='a.v', b='b.v')} AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4
+"""
+
+ORACLES["knn_bruteforce"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         {_COS.format(a='q.v', b='c.v')} AS cos
+  FROM q JOIN e c ON q.vec_id <> c.vec_id)
+SELECT q_id, n_id, cos, rn FROM (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+ORACLES["embedding_norm_stats"] = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(nrm AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS avg_norm,
+       MIN(nrm) AS min_norm,
+       MAX(nrm) AS max_norm
+FROM n GROUP BY label
+"""
+
+_STOP = "['the', 'a', 'and', 'of', 'to']"
+
+ORACLES["text_token_stats"] = """
+WITH t AS (
+  SELECT lang, n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM t GROUP BY lang
+"""
+
+ORACLES["text_quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> list_contains({_STOP}, x))) AS n_stop
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       (n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5) AS keep
+FROM t
+"""
+
+ORACLES["text_langid"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> list_contains({_STOP}, x))) AS n_stop
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.03
+            THEN 'en' ELSE 'other' END AS lang_pred,
+       (CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.03
+             THEN 'en' ELSE 'other' END = lang) AS agree
+FROM t
+"""
+
+ORACLES["multimodal_binary_meta"] = """
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       sha256(text) AS content_sha256,  -- this DuckDB's sha256 is VARCHAR-only; hashes the same UTF-8 bytes
+       lower(substring(hex(encode(text)), 1, 16)) AS prefix_hex
+FROM documents
+"""

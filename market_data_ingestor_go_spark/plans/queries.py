@@ -1,0 +1,544 @@
+"""The declared query corpus — one entry per operator from SURVEY.md §2.
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose
+column names/types match the DuckDB oracle twin in ``oracles.py``
+(driver compares row-count + schema + order-insensitive value-hash).
+
+Cross-engine determinism rules used throughout:
+- SUM over doubles goes through ``CAST(expr AS DECIMAL(p,s))`` — the
+  row-level double expression is bit-identical in both engines, the
+  cast is exact, and decimal summation is order-independent. The final
+  result casts back to DOUBLE.
+- Averages are exact-decimal sums divided by counts in double.
+- Timestamps are emitted as epoch milliseconds (BIGINT) to dodge
+  timezone/precision mapping differences.
+- Orderings that feed LIMIT/row_number always carry a unique tiebreak
+  key.
+
+Scale notes are attached per query; dimension joins broadcast
+explicitly and every scan-side predicate is expressed so Catalyst can
+push it into the parquet reader.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import market as M
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..operators.enrich import anti_join, enrich_exchange, semi_join
+from ..operators.latest import latest_per_key
+from ..sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(expr, alias: str, scale: str = "decimal(27,6)"):
+    """Order-independent sum of a double expression (see module doc)."""
+    return F.sum(expr.cast(scale)).cast("double").alias(alias)
+
+
+def _davg(expr, count_col, alias: str, scale: str = "decimal(27,6)"):
+    return (F.sum(expr.cast(scale)).cast("double") / count_col).alias(alias)
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in parquet → read as int64 nanos
+    (legacy.parquet.nanosAsLong) and floor to micros, matching the
+    oracle's epoch_us truncation of the same nanos."""
+    e = _t(spark, sf_dir, "events")
+    if dict(e.dtypes)["ts"] == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    return e.withColumn("ts_ms", F.unix_millis(F.col("ts")))
+
+
+# ---------------------------------------------------------------- core TPC-H-ish
+
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H Q1 shape — scan-heavy groupBy with 8 aggregates.
+    One shuffle on two low-cardinality keys; partial aggregation does
+    ~all the work map-side, so it scales linearly to 100 TB."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+    price, disc, tax, qty = (F.col(c) for c in
+                             ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
+    n = F.count("*")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(qty, "sum_qty"),
+            _dsum(price, "sum_base_price"),
+            _dsum(price * (1 - disc), "sum_disc_price"),
+            _dsum(price * (1 - disc) * (1 + tax), "sum_charge"),
+            _davg(qty, n, "avg_qty"),
+            _davg(price, n, "avg_price"),
+            _davg(disc, n, "avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+    customer is broadcast; orders⋈lineitem is the real shuffle."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01")))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(_dsum(revenue, "revenue"),
+             F.unix_millis(F.first("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join; all dims broadcast, lineitem only
+    shuffles for the final agg."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))))
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(revenue, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q6_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter+agg — the pushdown showcase; every
+    predicate reaches the parquet scan, zero joins, one-row result."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24))
+    return li.agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+                  F.count("*").alias("n_items"))
+
+
+# ------------------------------------------------------- reference operators §2.3
+
+def p1_validation_filter(spark, sf_dir):
+    """P1 (models/market_data.go:12-20): drop empty-name / bad-ts rows —
+    here: events with blank type, non-positive value or null user."""
+    e = _events(spark, sf_dir)
+    return (
+        e.filter((F.col("event_type") != "") & F.col("user_id").isNotNull()
+                 & (F.col("value") > 0) & (F.col("ts_ms") > 0))
+        .select("event_id", "user_id", "event_type", "value", "ts_ms")
+    )
+
+
+def p3_flatten_payload(spark, sf_dir):
+    """P3 (server.go:176-188): promote the JSON payload's inner keys to
+    top-level columns (schema-on-read json_get on the props envelope)."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id", "event_type", "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+
+
+def p4_value_rules(spark, sf_dir):
+    """P4 (server.go:224-238): add/subtract/multiply/divide value rules;
+    divide-by-zero → identity (server.go:232-236)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price, qty, disc = F.col("l_extendedprice"), F.col("l_quantity"), F.col("l_discount")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (price + 10.0).alias("price_add"),
+        (price - 5.0).alias("price_sub"),
+        (qty * 2.0).alias("qty_mul"),
+        F.when(disc != 0, price / disc).otherwise(price).alias("price_div_guarded"),
+    )
+
+
+def p5p6p7_config_pipeline(spark, sf_dir):
+    """P5/P6/P7 (server.go:199-219) in stage order: value rule →
+    rename(value→price) → remove(props) → override(source_tag)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.withColumn("value", F.col("value") * 1.1)        # 1. value rule
+        .withColumnRenamed("value", "price")               # 2. rename
+        .drop("props")                                     # 3. remove
+        .withColumn("source_tag", F.lit("replay"))         # 4. override
+        .select("event_id", "event_type", "price", "user_id", "source_tag", "ts_ms")
+    )
+
+
+def p8_conditional_gate(spark, sf_dir):
+    """P8 (server.go:112-115): transform only configured symbols; others
+    pass through untouched."""
+    e = _events(spark, sf_dir)
+    gated = F.when(F.col("event_type").isin("click", "view"),
+                   F.col("value") * 2.0).otherwise(F.col("value"))
+    return e.select("event_id", "event_type", gated.alias("value_t"))
+
+
+def p9_exchange_enrichment(spark, sf_dir):
+    """P9/J1 (ingestor.go:116-122): broadcast-left-join a small dim;
+    probe miss → 'unknown' (exchanges_symbols.go:317-347)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    dim = (n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+           .select(F.col("n_nationkey").alias("name"), F.col("r_name").alias("exchange")))
+    out = enrich_exchange(c.select(F.col("c_custkey"), F.col("c_nationkey").alias("name")),
+                          dim, name_col="name")
+    return out.select(F.col("c_custkey"), F.col("exchange"))
+
+
+def p10_api_key_hash(spark, sf_dir):
+    """P10 (utils/helper.go:8-11) + S3 shape: sha256 digest feeding the
+    is_active-filtered auth lookup."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return c.select("c_custkey", M.hash_api_key("c_name").alias("key_hash"))
+
+
+def p11_wire_json(spark, sf_dir):
+    """P11 (postgres.go:121, server.go:117): struct → JSON wire string."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select("n_nationkey", M.to_wire_json("n_nationkey", "n_name").alias("wire"))
+
+
+# ------------------------------------------------------------------ joins §2.4
+
+def j2_semi_join_auth(spark, sf_dir):
+    """J2 (postgres.go:138-163): semi-join shape — customers holding at
+    least one order (valid API keys)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return semi_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+def j2_anti_join_unmatched(spark, sf_dir):
+    """Anti-join twin of J2: customers with no orders (rejected keys)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+# ------------------------------------------------------------ aggregations §2.5
+
+def a1_latest_per_key(spark, sf_dir):
+    """A1 (cache_service.go:45-52): keyed latest-value cache as a batch
+    aggregation — timestamp-max last-write-wins with event_id tiebreak
+    (documented divergence from the reference's arrival-order LWW,
+    SURVEY.md §2.5). max_by partial-aggregates map-side."""
+    e = _events(spark, sf_dir).select("user_id", "ts_ms", "event_id", "event_type", "value")
+    return latest_per_key(e, "user_id", "ts_ms", tiebreak_cols=["event_id"])
+
+
+def a1_latest_with_ttl(spark, sf_dir):
+    """A1 + TTL eviction (Redis EX 24h, config.go:37): latest per key
+    restricted to a 24 h horizon ending at the corpus max timestamp."""
+    e = _events(spark, sf_dir).select("user_id", "ts_ms", "event_id", "event_type", "value")
+    now = e.agg(F.max("ts_ms").alias("now_ms"))
+    live = e.join(F.broadcast(now), F.col("ts_ms") >= F.col("now_ms") - F.lit(86_400_000)) \
+            .drop("now_ms")
+    return latest_per_key(live, "user_id", "ts_ms", tiebreak_cols=["event_id"])
+
+
+def agg_orders_stats(spark, sf_dir):
+    """Grouped multi-aggregate surface (Spark-native, SURVEY §2.5 'not
+    present in reference, exposed by engine')."""
+    o = _t(spark, sf_dir, "orders")
+    n = F.count("*")
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(n.alias("n_orders"),
+             _dsum(F.col("o_totalprice"), "sum_total"),
+             F.min("o_totalprice").alias("min_total"),
+             F.max("o_totalprice").alias("max_total"),
+             _davg(F.col("o_totalprice"), n, "avg_total"))
+    )
+
+
+def agg_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (status, priority) → subtotals + grand total."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), _dsum(F.col("o_totalprice"), "sum_total"))
+    )
+
+
+def distinct_count_exact(spark, sf_dir):
+    """Exact distinct counts per group (expand + two-phase agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"),
+             F.countDistinct("l_suppkey").alias("n_supps"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+def approx_distinct_sketch(spark, sf_dir):
+    """HLL sketch surface (approx_count_distinct) — rows-only check:
+    approximate values are engine-specific by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+# ------------------------------------------- windows / sort / limit / set §2.6
+
+def window_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer — rank pushdown keeps the window cheap."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def order_limit_topk(spark, sf_dir):
+    """Global deterministic top-20 (orderBy+limit → TakeOrderedAndProject,
+    no full sort)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(20)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+def set_ops_status_migration(spark, sf_dir):
+    """UNION/EXCEPT/INTERSECT surface: customers with only-open vs
+    both open-and-finished orders."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    only_open = open_c.subtract(fin_c).select(F.col("o_custkey"), F.lit("only_open").alias("tag"))
+    both = open_c.intersect(fin_c).select(F.col("o_custkey"), F.lit("both").alias("tag"))
+    return only_open.unionAll(both)
+
+
+def pivot_event_matrix(spark, sf_dir):
+    """Pivot: per-user event-type count matrix (explicit pivot values →
+    no extra distinct-scan pass)."""
+    e = _events(spark, sf_dir)
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    piv = e.groupBy("user_id").pivot("event_type", kinds).count()
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds])
+
+
+def events_tumbling_window(spark, sf_dir):
+    """Event-time tumbling window (native window()); epoch-aligned
+    hourly buckets emitted as epoch millis."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"),
+             _dsum(F.col("value"), "sum_value", "decimal(27,10)"))
+        .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def events_sessionization(spark, sf_dir):
+    """Sessionization via native session_window (30 min gap) — new
+    session iff gap ≥ 30 min (window end exclusive), matching the
+    oracle's gaps-and-islands formulation at microsecond precision."""
+    e = _events(spark, sf_dir)
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_in_session"))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.sum("n_in_session").alias("n_events"),
+             (F.sum("n_in_session").cast("double") / F.count("*")).alias("avg_events_per_session"))
+    )
+
+
+# --------------------------------------------------------- extensions §2.11
+
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(d)
+
+
+def dedup_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.fingerprint_dedup_groups(d)
+
+
+def ngram_jaccard_neardup(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (≥0.6) — the ground truth
+    for the MinHash path; O(n²), correctness scale only."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, threshold=0.6)
+
+
+def minhash_neardup(spark, sf_dir):
+    """MinHash+LSH near-dup (≥0.6) with exact verification — the 100 TB
+    dedup path; same contract (and oracle) as ngram_jaccard_neardup
+    since verification makes precision exact and banding recall ≈ 1
+    at this threshold."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_near_dup_pairs(d, threshold=0.6)
+
+
+def simhash_neardup(spark, sf_dir):
+    """SimHash near-dup (Hamming ≤ 3, pigeonhole-blocked) — rows-only:
+    signatures depend on Spark's xxhash64, not SQL-expressible."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(d)
+
+
+def text_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n = F.count("*")
+    return (
+        d.withColumn("n_tokens", TX.token_count("text"))
+        .groupBy("lang")
+        .agg(n.alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             (F.sum("n_chars").cast("double") / n).alias("avg_chars"),
+             (F.sum("n_tokens").cast("double") / n).alias("avg_tokens"))
+    )
+
+
+def text_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.stopword_ratio("text").alias("stop_ratio"),
+        TX.quality_flag("text").alias("keep"),
+    )
+
+
+def text_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pred = TX.lang_guess("text")
+    return d.select("doc_id", "lang", pred.alias("lang_pred"),
+                    (pred == F.col("lang")).alias("agree"))
+
+
+def embedding_cosine_neardup(spark, sf_dir):
+    """Embedding near-dup pairs, exact cosine ≥ 0.4 (O(n²) baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_pairs(e, threshold=0.4)
+
+
+def knn_bruteforce(spark, sf_dir):
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 10)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return SIM.knn_bruteforce(e, q, k=5)
+
+
+def knn_ann_hyperplane(spark, sf_dir):
+    """Random-hyperplane LSH ANN — rows-only (bucketing is engine-side);
+    recall vs knn_bruteforce is asserted in tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return SIM.random_hyperplane_ann(e, q, k=5)
+
+
+def embedding_norm_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = SIM.as_double("embedding")
+    n = F.count("*")
+    return (
+        e.select("label", SIM.norm(v).alias("nrm"))
+        .groupBy("label")
+        .agg(n.alias("n_vecs"),
+             _davg(F.col("nrm"), n, "avg_norm", "decimal(27,12)"),
+             F.min("nrm").alias("min_norm"),
+             F.max("nrm").alias("max_norm"))
+    )
+
+
+def multimodal_binary_meta(spark, sf_dir):
+    """Multimodal plumbing, oracle-checkable slice: treat text bytes as
+    an opaque blob → byte length, content sha256, hex prefix. (Real
+    decode kernels live in operators/multimodal.py behind mapInPandas.)"""
+    d = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).cast("long").alias("byte_len"),
+        F.sha2(blob, 256).alias("content_sha256"),
+        F.lower(F.substring(F.hex(blob), 1, 16)).alias("prefix_hex"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_region_nation_revenue": q5_region_nation_revenue,
+    "q6_revenue_delta": q6_revenue_delta,
+    "p1_validation_filter": p1_validation_filter,
+    "p3_flatten_payload": p3_flatten_payload,
+    "p4_value_rules": p4_value_rules,
+    "p5p6p7_config_pipeline": p5p6p7_config_pipeline,
+    "p8_conditional_gate": p8_conditional_gate,
+    "p9_exchange_enrichment": p9_exchange_enrichment,
+    "p10_api_key_hash": p10_api_key_hash,
+    "p11_wire_json": p11_wire_json,
+    "j2_semi_join_auth": j2_semi_join_auth,
+    "j2_anti_join_unmatched": j2_anti_join_unmatched,
+    "a1_latest_per_key": a1_latest_per_key,
+    "a1_latest_with_ttl": a1_latest_with_ttl,
+    "agg_orders_stats": agg_orders_stats,
+    "agg_rollup": agg_rollup,
+    "distinct_count_exact": distinct_count_exact,
+    "approx_distinct_sketch": approx_distinct_sketch,
+    "window_topk_per_group": window_topk_per_group,
+    "order_limit_topk": order_limit_topk,
+    "set_ops_status_migration": set_ops_status_migration,
+    "pivot_event_matrix": pivot_event_matrix,
+    "events_tumbling_window": events_tumbling_window,
+    "events_sessionization": events_sessionization,
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint": dedup_fingerprint,
+    "ngram_jaccard_neardup": ngram_jaccard_neardup,
+    "minhash_neardup": minhash_neardup,
+    "simhash_neardup": simhash_neardup,
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_langid": text_langid,
+    "embedding_cosine_neardup": embedding_cosine_neardup,
+    "knn_bruteforce": knn_bruteforce,
+    "knn_ann_hyperplane": knn_ann_hyperplane,
+    "embedding_norm_stats": embedding_norm_stats,
+    "multimodal_binary_meta": multimodal_binary_meta,
+}

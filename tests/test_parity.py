@@ -1,0 +1,77 @@
+"""Strict Spark↔DuckDB parity over the whole declared query corpus.
+
+This mirrors (and is stricter than) the driver's t2 gate: for every
+query with an oracle, compare row count, column names, and **exact**
+values (doubles bit-compared after a round-trip through repr, i.e. no
+tolerance). If this passes at sf0.001/sf0.01, the driver's
+order-insensitive value-hash must also match.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from market_data_ingestor_go_spark.plans.oracles import ORACLES
+from market_data_ingestor_go_spark.plans.queries import QUERIES
+from market_data_ingestor_go_spark.sources.tables import TABLES
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return repr(v)
+
+
+def _rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_parity(spark, name):
+    assert name in QUERIES, f"oracle {name} has no Spark query"
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    con = _duck(SF_DIR)
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}")
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}")
+    ms_spark = _rows_to_multiset(spark_cols, spark_rows)
+    ms_duck = _rows_to_multiset(duck_cols, duck_rows)
+    if ms_spark != ms_duck:
+        diffs = [(a, b) for a, b in zip(ms_spark, ms_duck) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_all_queries_have_schema_and_run(spark):
+    """Queries without oracles still must run and return a stable schema."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        assert df.columns, name
+        df.limit(1).collect()
