@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Headline set = the scale-representative queries: scan-heavy aggs
+(q1/q6), shuffle joins (q3/q5), keyed latest-state (a1), event-time
+windows/sessions, and the 100 TB-path extension operators (fingerprint
+dedup, MinHash LSH near-dup, brute-force + LSH kNN). The O(n²)
+exact-pair queries are deliberately absent — their scalable twins
+(minhash, hyperplane ANN) stand in, which is the whole point.
+
+Results materialize through the noop sink (full execution, no driver
+collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from market_data_ingestor_go_spark.plans.queries import QUERIES  # noqa: E402
+from market_data_ingestor_go_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "q6_revenue_delta",
+    "p1_validation_filter",
+    "a1_latest_per_key",
+    "agg_orders_stats",
+    "window_topk_per_group",
+    "events_tumbling_window",
+    "events_sessionization",
+    "dedup_fingerprint",
+    "minhash_neardup",
+    "simhash_neardup",
+    "embedding_cosine_neardup",
+    "knn_bruteforce",
+    "knn_ann_hyperplane",
+    "text_token_stats",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file-system caches with a trivial scan
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -189,37 +189,51 @@ def apply_client_config_map(df: DataFrame, client_cfg: dict[str, SymbolConfig],
     ts_override = None
     for symbol in sorted(client_cfg):
         cfg = client_cfg[symbol]
-        expr = fields
-        # 1. value rules inside the map
-        if cfg.value_rules:
-            def rule_case(k, v, rules=cfg.value_rules):
+        # NOTE: higher-order-function lambdas must take exactly the
+        # positional args Spark passes — a default arg would be counted
+        # as an extra lambda parameter and bound to a Column. Use
+        # factory functions to close over config values instead.
+        def _rules_fn(rules):
+            def fn(k, v):
                 out = v
                 for fname in sorted(rules):
                     out = F.when(k == F.lit(fname), _rule_expr(v, rules[fname])).otherwise(out)
                 return out
-            expr = F.transform_values(expr, rule_case)
+            return fn
+
+        def _drop_key_fn(name):
+            return lambda k, v: k != F.lit(name)
+
+        def _relabel_fn(old, new):
+            return lambda e: F.struct(
+                F.when(e.key == F.lit(old), F.lit(new)).otherwise(e.key).alias("key"),
+                e.value.alias("value"))
+
+        expr = fields
+        # 1. value rules inside the map
+        if cfg.value_rules:
+            expr = F.transform_values(expr, _rules_fn(cfg.value_rules))
         # 2. renames sequentially in sorted(old) order
         for old in sorted(cfg.rename_fields):
             new = cfg.rename_fields[old]
             if old == new:
                 continue
             # drop any existing target key, then relabel old → new
-            expr = F.map_filter(expr, lambda k, v, new=new: k != F.lit(new))
-            expr = F.map_from_entries(F.transform(
-                F.map_entries(expr),
-                lambda e, old=old, new=new: F.struct(
-                    F.when(e.key == F.lit(old), F.lit(new)).otherwise(e.key).alias("key"),
-                    e.value.alias("value"))))
+            expr = F.map_filter(expr, _drop_key_fn(new))
+            expr = F.map_from_entries(F.transform(F.map_entries(expr),
+                                                  _relabel_fn(old, new)))
+        def _not_in_fn(names):
+            return lambda k, v: ~k.isin(*names)
+
         # 3. removes
         if cfg.remove_fields:
-            keys = [F.lit(k) for k in cfg.remove_fields]
-            expr = F.map_filter(expr, lambda k, v: ~k.isin(*cfg.remove_fields))
+            expr = F.map_filter(expr, _not_in_fn(list(cfg.remove_fields)))
         # 4. overrides (numeric payload overrides only on the map path)
         num_over = {k: v for k, v in cfg.override_fields.items()
                     if isinstance(v, (int, float)) and not isinstance(v, bool)}
         if num_over:
             expr = F.map_concat(
-                F.map_filter(expr, lambda k, v: ~k.isin(*list(num_over))),
+                F.map_filter(expr, _not_in_fn(list(num_over))),
                 F.create_map(*[x for k in sorted(num_over)
                                for x in (F.lit(k), F.lit(float(num_over[k])).cast("double"))]))
         gate = F.col(symbol_col) == F.lit(symbol)

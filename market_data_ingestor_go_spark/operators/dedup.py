@@ -87,7 +87,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     the DOUBLE ratio is bit-deterministic across engines).
     """
     s = shingle_df(df, text_col, id_col, n)
-    a = s.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = s.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")) \
+         .repartition(n_parts)  # parallelize the nested-loop pair join
     b = s.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

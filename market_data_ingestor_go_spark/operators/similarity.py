@@ -52,20 +52,29 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def _pairs(df: DataFrame, id_col: str, vec_col: str):
-    a = df.select(F.col(id_col).alias("a_id"), as_double(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("b_id"), as_double(vec_col).alias("vb"))
-    return a, b
-
-
 def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding",
                  threshold: float = 0.4) -> DataFrame:
-    """All pairs (a_id < b_id) with cosine ≥ threshold — exact O(n²)."""
-    a, b = _pairs(df, id_col, vec_col)
+    """All pairs (a_id < b_id) with cosine ≥ threshold — exact O(n²).
+
+    The self-dot of each vector is computed once per row *before* the
+    pair join (O(n) higher-order-fn evals instead of O(n²)·2) — the
+    per-pair work is a single dot product plus scalar math, and the
+    value is bit-identical to inlining dot(a,a)/dot(b,b) per pair.
+    """
+    base = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    base = base.withColumn("sd", dot(F.col("v"), F.col("v")))
+    # small corpora arrive as one parquet split → spread the probe side
+    # so the pair join parallelizes across all cores
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = base.select(F.col("id").alias("a_id"), F.col("v").alias("va"),
+                    F.col("sd").alias("sda")).repartition(n_parts)
+    b = base.select(F.col("id").alias("b_id"), F.col("v").alias("vb"),
+                    F.col("sd").alias("sdb"))
     pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    cos = dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("sda") * F.col("sdb"))
     return (
-        pairs.select("a_id", "b_id", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        pairs.select("a_id", "b_id", cos.alias("cos"))
         .filter(F.col("cos") >= F.lit(threshold))
     )
 
@@ -122,14 +131,16 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
 
 def random_hyperplane_ann(df: DataFrame, queries: DataFrame, k: int = 5,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          dim: int = 64, n_planes: int = 8) -> DataFrame:
-    """ANN top-k: exact scoring restricted to the query's LSH bucket.
+                          dim: int = 64, n_planes: int = 6,
+                          multiprobe: int = 1) -> DataFrame:
+    """ANN top-k: exact scoring restricted to the query's LSH bucket(s).
 
-    2^n_planes buckets; corpus is signed once (narrow, no shuffle),
-    candidates come from an equi-join on the bucket id, and the exact
-    kernel ranks within bucket. Recall is tunable by n_planes (fewer
-    planes → bigger buckets → higher recall/cost); multiprobe would
-    flip signature bits to raise recall without rebuilding.
+    2^n_planes buckets; the corpus is signed once (narrow projection,
+    no shuffle), candidates come from an equi-join on the bucket id,
+    and the exact kernel ranks within bucket. ``multiprobe=1`` also
+    probes every bucket at Hamming distance 1 from the query signature
+    (flip one sign bit) — the standard recall lever that costs only
+    n_planes extra probe keys per query, not a rebuild.
     """
     from pyspark.sql.window import Window
 
@@ -137,10 +148,16 @@ def random_hyperplane_ann(df: DataFrame, queries: DataFrame, k: int = 5,
     c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
     c = c.withColumn("bucket", hyperplane_signature(F.col("nv"), planes))
     q = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("qv"))
-    q = F.broadcast(q.withColumn("bucket", hyperplane_signature(F.col("qv"), planes)))
+    q = q.withColumn("sig", hyperplane_signature(F.col("qv"), planes))
+    probe_cols = [F.col("sig")]
+    if multiprobe >= 1:
+        probe_cols += [F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    q = F.broadcast(
+        q.select("q_id", "qv", F.explode(F.array(*probe_cols)).alias("bucket")))
     scored = (
         q.join(c, (F.col("q_id") != F.col("n_id")) & (q.bucket == c.bucket))
         .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .distinct()  # a neighbor can appear via several probes
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
@@ -151,41 +168,41 @@ def random_hyperplane_ann(df: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF-style ANN: centroids = a deterministic sample of the corpus
-    (every ceil(n/n_cells)-th vector by id — no RNG), vectors assigned
-    to their max-cosine centroid via a broadcast join, search within
-    the cell. At scale the centroid list is k-means output; assignment
-    stays a broadcast join either way.
+            n_probe_cells: int = 2, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: centroids = a deterministic stride-sample of the
+    corpus by id (no RNG; at scale you'd feed k-means centroids here —
+    assignment stays a broadcast join either way). Vectors are assigned
+    to their max-cosine centroid; queries probe their ``n_probe_cells``
+    nearest cells, then the exact kernel ranks within those cells.
     """
     from pyspark.sql.window import Window
 
     c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
-    cents = (
-        c.withColumn("rn", F.row_number().over(Window.orderBy("n_id")))
-        .filter((F.col("rn") % F.greatest(F.lit(1), (F.count("*").over(Window.partitionBy()) / n_cells).cast("int"))) == 0)
-        .limit(n_cells)
-        .select(F.col("n_id").alias("cent_id"), F.col("nv").alias("cv"))
-    )
-    cents = F.broadcast(cents)
+    cnt = c.count()  # metadata-cheap; centroid sampling is a setup step
+    stride = max(1, cnt // n_cells)
+    cents = F.broadcast(
+        c.filter(F.col("n_id") % stride == 0).limit(n_cells)
+        .select(F.col("n_id").alias("cent_id"), F.col("nv").alias("cv")))
 
-    def assign(side: DataFrame, vcol: str, out: str) -> DataFrame:
+    def assign(side: DataFrame, key: str, vcol: str, n_best: int) -> DataFrame:
         scored = side.join(cents, F.lit(True)) \
             .withColumn("ccos", cosine(F.col(vcol), F.col("cv")))
-        w = Window.partitionBy(*side.columns).orderBy(F.col("ccos").desc(), F.col("cent_id"))
+        w = Window.partitionBy(key).orderBy(F.col("ccos").desc(), F.col("cent_id"))
         return (
             scored.withColumn("crn", F.row_number().over(w))
-            .filter(F.col("crn") == 1)
-            .select(*side.columns, F.col("cent_id").alias(out))
+            .filter(F.col("crn") <= n_best)
+            .select(key, vcol, F.col("cent_id").alias("cell"))
         )
 
-    c_assigned = assign(c, "nv", "cell")
+    c_assigned = assign(c, "n_id", "nv", 1)
     q = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("qv"))
-    q_assigned = F.broadcast(assign(q, "qv", "cell"))
+    q_assigned = F.broadcast(assign(q, "q_id", "qv", n_probe_cells))
     scored = (
         q_assigned.join(c_assigned, (F.col("q_id") != F.col("n_id"))
                         & (q_assigned.cell == c_assigned.cell))
         .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .distinct()
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (

@@ -1,0 +1,111 @@
+"""E2 — the serve/broadcast path (SURVEY.md §3 E2).
+
+Reference: every second, snapshot the cache, and for *every client ×
+conn × record* flatten + apply the per-client transform + WriteJSON
+(server.go:88-130). That is O(clients × symbols) recompute per tick
+with zero sharing — the reference's own documented weakness.
+
+Engine realization: one shared flatten per trigger, then per-client
+compiled transform pipelines over the same scan, published by a
+foreachBatch sink. Auth (S3/J2) and config fetch (S4) are dimension
+lookups; the conditional gate (P8) and the §2.8 stage order live in
+operators/config_transform.py.
+
+Scale posture: the snapshot is ~|symbols| rows (tiny); the cost driver
+is clients. Per-client work is a Column-expression pipeline over the
+shared snapshot — no extra scans, no shuffles, no Python. A thousand
+clients = a thousand cheap projections of one cached DataFrame.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.market import PAYLOAD_SCHEMA
+from ..operators.config_transform import (
+    SymbolConfig,
+    apply_client_config_map,
+    parse_client_config,
+)
+from ..operators.enrich import authenticate
+
+
+def flatten_snapshot(latest: DataFrame) -> DataFrame:
+    """P3 once per trigger (shared scan): decode the double-nested wire
+    payload (`data.data`, server.go:180) into a MAP fields column +
+    envelope columns — the flat record D5."""
+    parsed = latest.withColumn("_payload", F.from_json(F.col("data"), PAYLOAD_SCHEMA))
+    return parsed.select(
+        F.col("_payload.data").alias("fields"),
+        F.col("name").alias("symbol"),
+        F.col("timestamp"),
+        F.col("exchange"),
+    )
+
+
+def load_client_configs(configs_df: DataFrame) -> dict[str, dict[str, SymbolConfig]]:
+    """S4: clients_configs(id, config JSONB) → compiled per-client maps.
+
+    Config tables are tiny (one row per client) — collected once and
+    compiled to Column pipelines, mirroring the reference's
+    fetch-at-connect-time (server.go:69).
+    """
+    out = {}
+    for row in configs_df.select("id", "config").collect():
+        try:
+            cfg = json.loads(row["config"]) if row["config"] else {}
+        except (TypeError, ValueError):
+            cfg = {}
+        out[row["id"]] = parse_client_config(cfg)
+    return out
+
+
+def per_client_views(flat: DataFrame,
+                     client_cfgs: dict[str, dict[str, SymbolConfig]]) -> dict[str, DataFrame]:
+    """One transformed view per client over the shared flat snapshot.
+
+    Clients without a config (or with empty config) get the identity
+    pass-through — the reference's missing-config default
+    (postgres.go:180-182 returns nil → no transform)."""
+    views = {}
+    for client_id, cfg in client_cfgs.items():
+        views[client_id] = apply_client_config_map(flat, cfg) if cfg else flat
+    return views
+
+
+def wire_payload(df: DataFrame) -> DataFrame:
+    """P11: flat record → JSON wire string per record (server.go:117)."""
+    return df.select(
+        F.col("symbol"),
+        F.to_json(F.struct("symbol", "timestamp", "exchange", "fields")).alias("wire"))
+
+
+def serve_tick(spark: SparkSession, latest: DataFrame, configs_df: DataFrame,
+               api_keys: DataFrame, presented_keys: dict[str, str]) -> dict[str, DataFrame]:
+    """One broadcast tick: auth each presented key (S3), fetch configs
+    (S4), flatten once (P3), emit per-client wire views (P4-P8 + P11).
+
+    Returns {client_id: wire DataFrame}; the caller (WebSocket layer /
+    foreachBatch publisher) pushes each to its connections.
+    """
+    flat = flatten_snapshot(latest).cache()
+    client_cfgs = load_client_configs(configs_df)
+    views = {}
+    for conn_id, key in presented_keys.items():
+        rows = authenticate(api_keys, key).collect()
+        if not rows:  # invalid/inactive key → reject (server.go:63-67)
+            continue
+        client_id = rows[0]["client_id"]
+        cfg = client_cfgs.get(client_id, {})
+        view = apply_client_config_map(flat, cfg) if cfg else flat
+        views[conn_id] = wire_payload(view)
+    return views
+
+
+def build_serve_snapshot(latest: DataFrame, configs_df: DataFrame) -> dict[str, DataFrame]:
+    """Convenience: flatten + all per-client views (no auth layer)."""
+    flat = flatten_snapshot(latest)
+    return per_client_views(flat, load_client_configs(configs_df))

@@ -1,0 +1,136 @@
+"""§2.8 config-driven transform engine: stage-order semantics + a
+hypothesis property test against the pure-Python interpreter of
+server.go:190-238 (SURVEY.md §5 item 5)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from market_data_ingestor_go_spark.operators.config_transform import (
+    SymbolConfig,
+    ValueRule,
+    apply_client_config_map,
+    compile_symbol_config,
+    interpret_flat_record,
+    parse_client_config,
+)
+
+FIELDS = ["bid", "ask", "ltp", "volume"]
+
+
+def _apply_spark(spark, cfg: SymbolConfig, record: dict) -> dict:
+    df = spark.createDataFrame([Row(**record)])
+    out = compile_symbol_config(cfg)(df)
+    row = out.collect()[0].asDict()
+    return row
+
+
+def test_stage_order_rules_then_rename(spark):
+    # value rules address PRE-rename names (server.go:193-205)
+    cfg = SymbolConfig(
+        value_rules={"bid": ValueRule("add", 5.0)},
+        rename_fields={"bid": "buy"},
+    )
+    out = _apply_spark(spark, cfg, {"bid": 10.0, "ask": 11.0})
+    assert out == {"buy": 15.0, "ask": 11.0}
+
+
+def test_override_resurrects_removed(spark):
+    # overrides run after removes (server.go:207-219)
+    cfg = SymbolConfig(remove_fields=["ask"], override_fields={"ask": 99.0})
+    out = _apply_spark(spark, cfg, {"bid": 1.0, "ask": 2.0})
+    assert out == {"bid": 1.0, "ask": 99.0}
+
+
+def test_divide_by_zero_identity(spark):
+    # server.go:232-236
+    cfg = SymbolConfig(value_rules={"bid": ValueRule("divide", 0.0)})
+    out = _apply_spark(spark, cfg, {"bid": 7.0})
+    assert out == {"bid": 7.0}
+
+
+def test_non_numeric_field_identity(spark):
+    # Go type assert .(float64) fails on strings → identity (server.go:194)
+    cfg = SymbolConfig(value_rules={"note": ValueRule("add", 1.0)})
+    out = _apply_spark(spark, cfg, {"note": "hello", "bid": 2.0})
+    assert out == {"note": "hello", "bid": 2.0}
+
+
+def test_rename_collision_overwrites(spark):
+    cfg = SymbolConfig(rename_fields={"bid": "ask"})
+    out = _apply_spark(spark, cfg, {"bid": 1.0, "ask": 2.0})
+    assert out == {"ask": 1.0}
+
+
+def test_timestamp_current_override(spark):
+    import time
+    cfg = SymbolConfig(override_fields={"timestamp": "current"})
+    before = int(time.time() * 1000)
+    out = _apply_spark(spark, cfg, {"bid": 1.0, "timestamp": 123})
+    after = int(time.time() * 1000)
+    assert before <= out["timestamp"] <= after + 1000
+
+
+@st.composite
+def symbol_configs(draw):
+    ops = st.sampled_from(["add", "subtract", "multiply", "divide"])
+    vals = st.one_of(st.just(0.0), st.floats(-100, 100, allow_nan=False))
+    value_rules = draw(st.dictionaries(
+        st.sampled_from(FIELDS), st.builds(ValueRule, ops, vals), max_size=3))
+    renames = draw(st.dictionaries(
+        st.sampled_from(FIELDS), st.sampled_from(["x1", "x2", "ask"]), max_size=2))
+    removes = draw(st.lists(st.sampled_from(FIELDS + ["x1"]), max_size=2, unique=True))
+    overrides = draw(st.dictionaries(
+        st.sampled_from(["bid", "x1", "tag"]),
+        st.one_of(st.floats(-10, 10, allow_nan=False), st.just(42.0)),
+        max_size=2))
+    return SymbolConfig(rename_fields=renames, value_rules=value_rules,
+                        override_fields=overrides, remove_fields=removes)
+
+
+@st.composite
+def records(draw):
+    return {f: draw(st.floats(-1000, 1000, allow_nan=False)) for f in FIELDS}
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cfg=symbol_configs(), record=records())
+def test_property_compiled_equals_interpreter(spark, cfg, record):
+    """The compiled Column pipeline must agree with the dict
+    interpreter of the reference semantics on random configs/records."""
+    expected = interpret_flat_record(cfg, record)
+    got = _apply_spark(spark, cfg, record)
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        g = got[k]
+        if isinstance(v, float) and isinstance(g, float):
+            assert math.isclose(g, v, rel_tol=0, abs_tol=0) or g == v, (k, g, v)
+        else:
+            assert g == v, (k, g, v)
+
+
+def test_map_path_gate_and_rules(spark):
+    """P8 gate on the dynamic MAP payload shape: only configured
+    symbols transform; others pass through."""
+    rows = [
+        Row(symbol="AAPL", timestamp=1, exchange="usstock",
+            fields={"bid": 10.0, "ask": 11.0}),
+        Row(symbol="MSFT", timestamp=2, exchange="usstock",
+            fields={"bid": 20.0, "ask": 21.0}),
+    ]
+    df = spark.createDataFrame(rows)
+    client_cfg = parse_client_config({
+        "symbols": {"AAPL": {
+            "value_rules": {"bid": {"op": "multiply", "value": 2}},
+            "rename_fields": {"ask": "offer"},
+            "override_fields": {"src": 7},
+        }}})
+    out = {r["symbol"]: dict(r["fields"])
+           for r in apply_client_config_map(df, client_cfg).collect()}
+    assert out["AAPL"] == {"bid": 20.0, "offer": 11.0, "src": 7.0}
+    assert out["MSFT"] == {"bid": 20.0, "ask": 21.0}

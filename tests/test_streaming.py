@@ -1,0 +1,176 @@
+"""Streaming pipeline tests (SURVEY.md §5 item 4): file-source-driven
+micro-batches through the E1 dual sink, latest-state semantics, serve
+path shared-scan + per-client transforms."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from market_data_ingestor_go_spark.functions.market import MARKET_DATA_SCHEMA
+from market_data_ingestor_go_spark.streaming.pipeline import (
+    IngestPipeline, build_ingest_stream)
+from market_data_ingestor_go_spark.streaming.serve import (
+    build_serve_snapshot, flatten_snapshot, serve_tick, wire_payload)
+from market_data_ingestor_go_spark.streaming import sources as ws_sources
+
+
+def _frame(name, ts, bid=None, ask=None):
+    data = {"data": {}}
+    if bid is not None:
+        data["data"]["bid"] = bid
+    if ask is not None:
+        data["data"]["ask"] = ask
+    return {"name": name, "timestamp": ts, "exchange": None, "data": data}
+
+
+def _write_wire_files(spark, path, frames, n_files=2):
+    os.makedirs(path, exist_ok=True)
+    chunk = max(1, len(frames) // n_files)
+    for i in range(0, len(frames), chunk):
+        with open(os.path.join(path, f"frames_{i}.json"), "w") as fh:
+            for f in frames[i:i + chunk]:
+                fh.write(json.dumps(f) + "\n")
+
+
+@pytest.fixture
+def symbols_dim(spark):
+    return spark.createDataFrame([
+        Row(name="AAPL", exchange="usstock"),
+        Row(name="BTCUSD", exchange="crypto"),
+    ])
+
+
+def test_ingest_dual_sink_end_to_end(spark, symbols_dim, tmp_path):
+    """E1: wire frames → validate → enrich → history append + latest
+    merge, driven by the file source through real micro-batches."""
+    import time
+    now = int(time.time() * 1000)  # recent → survives the 24 h TTL
+    frames = [
+        _frame("AAPL", now - 1000, bid=10.0), _frame("AAPL", now, bid=11.0),
+        _frame("BTCUSD", now - 500, bid=9.0), _frame("ZZZ", now - 800, bid=1.0),
+        _frame("", now - 700, bid=2.0),  # P1: dropped
+        _frame("AAPL", 0, bid=3.0),      # P1/P2: dropped
+        _frame("AAPL", now - 100_000_000_000, bid=4.0),  # > 24 h old → TTL-evicted from latest
+    ]
+    src_dir = str(tmp_path / "wire")
+    _write_wire_files(spark, src_dir, frames)
+
+    raw = (spark.readStream.schema("value STRING").text(src_dir)
+           .withColumnRenamed("value", "value"))
+    pipe = IngestPipeline(spark, str(tmp_path / "out"), symbols_dim,
+                          trigger_seconds=1)
+    q = pipe.start(raw)
+    q.processAllAvailable()
+    q.stop()
+
+    hist = spark.read.parquet(pipe.history_path)
+    assert hist.count() == 5  # 7 frames - 2 invalid (history keeps old rows)
+    got = {r["name"]: r["exchange"] for r in hist.collect()}
+    assert got["AAPL"] == "usstock" and got["ZZZ"] == "unknown"
+
+    latest = pipe.latest_snapshot()
+    by_name = {r["name"]: r["timestamp"] for r in latest.collect()}
+    assert by_name["AAPL"] == now  # timestamp-max last-write-wins
+    assert set(by_name) == {"AAPL", "BTCUSD", "ZZZ"}
+
+
+def test_ingest_exactly_once_on_restart(spark, symbols_dim, tmp_path):
+    """Restarting from the checkpoint must not duplicate history rows
+    (the upgrade over the reference's at-most-once, SURVEY §2.9)."""
+    import time
+    now = int(time.time() * 1000)
+    src_dir = str(tmp_path / "wire")
+    _write_wire_files(spark, src_dir, [_frame("AAPL", now - 1000, bid=1.0)], n_files=1)
+    pipe = IngestPipeline(spark, str(tmp_path / "out"), symbols_dim)
+
+    raw = spark.readStream.schema("value STRING").text(src_dir)
+    q = pipe.start(raw)
+    q.processAllAvailable(); q.stop()
+    assert spark.read.parquet(pipe.history_path).count() == 1
+
+    # restart same checkpoint, add one new file
+    with open(os.path.join(src_dir, "frames_new.json"), "w") as fh:
+        fh.write(json.dumps(_frame("AAPL", now, bid=2.0)) + "\n")
+    raw2 = spark.readStream.schema("value STRING").text(src_dir)
+    q2 = pipe.start(raw2)
+    q2.processAllAvailable(); q2.stop()
+    hist = spark.read.parquet(pipe.history_path)
+    assert hist.count() == 2  # old file not reprocessed
+    assert pipe.latest_snapshot().filter(F.col("name") == "AAPL") \
+        .collect()[0]["timestamp"] == now
+
+
+def test_serve_path_flatten_and_client_views(spark, tmp_path):
+    """E2: shared flatten + per-client compiled transforms + wire JSON."""
+    latest = spark.createDataFrame([
+        Row(name="AAPL", timestamp=2000, exchange="usstock",
+            data=json.dumps({"data": {"bid": 10.0, "ask": 11.0}})),
+        Row(name="BTCUSD", timestamp=1500, exchange="crypto",
+            data=json.dumps({"data": {"bid": 9.0, "ask": 9.5}})),
+    ])
+    configs = spark.createDataFrame([
+        Row(id="c1", config=json.dumps({"symbols": {"AAPL": {
+            "value_rules": {"bid": {"op": "add", "value": 1}},
+            "remove_fields": ["ask"]}}})),
+        Row(id="c2", config=None),
+    ])
+    views = build_serve_snapshot(latest, configs)
+    c1 = {r["symbol"]: dict(r["fields"]) for r in views["c1"].collect()}
+    assert c1["AAPL"] == {"bid": 11.0}          # transformed
+    assert c1["BTCUSD"] == {"bid": 9.0, "ask": 9.5}  # P8 passthrough
+    c2 = {r["symbol"]: dict(r["fields"]) for r in views["c2"].collect()}
+    assert c2["AAPL"] == {"bid": 10.0, "ask": 11.0}  # no config → identity
+
+    wire = wire_payload(views["c1"]).collect()
+    parsed = {r["symbol"]: json.loads(r["wire"]) for r in wire}
+    assert parsed["AAPL"]["fields"] == {"bid": 11.0}
+
+
+def test_serve_tick_auth_gate(spark):
+    import hashlib
+    latest = spark.createDataFrame([
+        Row(name="AAPL", timestamp=1, exchange="usstock",
+            data=json.dumps({"data": {"bid": 1.0}}))])
+    configs = spark.createDataFrame([Row(id="c1", config=None)],
+                                    schema="id string, config string")
+    keys = spark.createDataFrame([
+        Row(client_id="c1", key_hash=hashlib.sha256(b"good").hexdigest(),
+            is_active=True),
+        Row(client_id="c2", key_hash=hashlib.sha256(b"dead").hexdigest(),
+            is_active=False),
+    ])
+    views = serve_tick(spark, latest, configs, keys,
+                       {"conn1": "good", "conn2": "dead", "conn3": "nope"})
+    assert set(views) == {"conn1"}  # inactive + unknown keys rejected
+
+
+def test_ws_source_contract(spark):
+    """WS source skeleton: offsets/partitions/read contract with
+    injected frames (no network in this container)."""
+    reader = ws_sources.WebSocketStreamReader(
+        {"symbols": json.dumps(["AAPL"]), "maxFramesPerTrigger": "100"})
+    assert reader.initialOffset() == {"count": 0}
+    reader.prefetched_frames([
+        {"name": "AAPL", "timestamp": 1, "data": {"data": {"bid": 1.0}}},
+        {"name": "MSFT", "timestamp": 2, "data": {"data": {"bid": 2.0}}},
+    ])
+    end = reader.latestOffset()
+    assert end == {"count": 2}
+    parts = reader.partitions({"count": 0}, end)
+    rows = [r for p in parts for r in reader.read(p)]
+    assert len(rows) == 2 and rows[0][0] == "AAPL"
+    reader.commit(end)
+    assert ws_sources.register(spark) in (True, False)
+
+
+def test_build_ingest_stream_batch_equivalence(spark, symbols_dim):
+    """The same logical plan runs in batch mode (backfill path)."""
+    frames = spark.createDataFrame(
+        [Row(value=json.dumps(_frame("AAPL", 1000, bid=5.0))),
+         Row(value=json.dumps(_frame("", 900, bid=1.0)))])
+    out = build_ingest_stream(frames, symbols_dim).collect()
+    assert len(out) == 1 and out[0]["exchange"] == "usstock"
