@@ -69,9 +69,23 @@ def fingerprint_dedup_groups(df: DataFrame, text_col: str = "text",
 
 def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                n: int = 3) -> DataFrame:
-    """(id, sh ARRAY<STRING>) with at least one full shingle per doc."""
+    """(id, sh ARRAY<STRING>) with at least one full shingle per doc.
+
+    Tokenizes in a separate projection so the regex split runs once per
+    ROW — inlining it into the transform lambda would re-split the full
+    text once per shingle (O(tokens²) per doc; measured 4× slower).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
+    # single-file corpora arrive as one split — spread the CPU-heavy
+    # shingling/hashing across all cores
+    toks = toks.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    grams = F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size(w) - {n}, -1)),"
+        f" i -> concat_ws(' ', {', '.join(f'w[i + {k}]' for k in range(n))})))")
     return (
-        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        toks.select("id", grams.alias("sh"))
         .filter(F.size("sh") > 0)
     )
 
@@ -105,16 +119,35 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def minhash_signatures(sh_df: DataFrame, num_perms: int = 128) -> DataFrame:
     """(id, mh ARRAY<BIGINT>[num_perms]) MinHash signature per doc.
 
-    Permutation j is simulated by seeding xxhash64 with j; the per-doc
-    minimum is a declarative agg → partial (map-side) combine, so only
-    one signature row per doc per partition reaches the shuffle.
+    Permutation j is the universal-hash family
+    ``perm_j(s) = (a_j·h(s) + b_j) mod p`` over a single 31-bit base
+    hash (p = 2³¹-1, Mersenne prime; a_j/b_j derived deterministically
+    from sha256, no runtime RNG) — each shingle string is hashed ONCE,
+    the permutations are long multiply-add-mods that stay inside a
+    64-bit long under ANSI mode. The per-doc minimum is a declarative
+    agg → partial (map-side) combine, so only one signature row per doc
+    per partition reaches the shuffle.
     """
-    exploded = sh_df.select("id", F.explode("sh").alias("shingle"))
+    import hashlib
+
+    p = (1 << 31) - 1
+
+    def _const(j: int, which: str, lo: int) -> int:
+        digest = hashlib.sha256(f"minhash:{which}:{j}".encode()).digest()
+        return lo + int.from_bytes(digest[:8], "big") % (p - lo)
+
+    hashed = sh_df.select(
+        "id", F.explode("sh").alias("shingle")
+    ).select(
+        "id",
+        F.pmod(F.xxhash64("shingle"), F.lit(p)).alias("h"),
+    )
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"mh_{j}")
+        F.min(F.pmod(F.lit(_const(j, "a", 1)) * F.col("h") + F.lit(_const(j, "b", 0)),
+                     F.lit(p))).alias(f"mh_{j}")
         for j in range(num_perms)
     ]
-    sig = exploded.groupBy("id").agg(*mins)
+    sig = hashed.groupBy("id").agg(*mins)
     return sig.select(
         "id", F.array(*[f"mh_{j}" for j in range(num_perms)]).alias("mh"))
 
@@ -158,8 +191,12 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     1 - (1 - 0.6⁴)³² ≈ 0.99, and ≈ 1.0 for the ≥0.9 true-dup band.
     """
     rows_per_band = num_perms // num_bands
-    s = shingle_df(df, text_col, id_col, n)
-    sig = minhash_signatures(s, num_perms)
+    # shingles feed the signature pipeline once and the verification
+    # join twice; signatures feed both sides of the banding self-join.
+    # Persist both (tiny vs the corpus: one row per doc) — the same
+    # materialize-the-signature-table choice you'd make at 100 TB.
+    s = shingle_df(df, text_col, id_col, n).persist()
+    sig = minhash_signatures(s, num_perms).persist()
     cand = lsh_candidate_pairs(sig, num_bands, rows_per_band)
     a = s.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -184,6 +221,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+    # spread the 64-column bit aggregation across cores (single-file input)
+    toks = toks.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
     h = F.xxhash64(F.col("tok"))
 
     def mask(j: int) -> int:
@@ -213,7 +252,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     so candidates come from an equi-join on (block_idx, block_value) —
     never an all-pairs scan.
     """
-    sig = simhash(df, text_col, id_col)
+    sig = simhash(df, text_col, id_col).persist()
     width = 64 // num_blocks
     mask = (1 << width) - 1
     blocks = F.array(*[

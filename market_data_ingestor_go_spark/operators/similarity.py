@@ -63,7 +63,7 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     value is bit-identical to inlining dot(a,a)/dot(b,b) per pair.
     """
     base = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
-    base = base.withColumn("sd", dot(F.col("v"), F.col("v")))
+    base = base.withColumn("sd", dot(F.col("v"), F.col("v"))).persist()
     # small corpora arrive as one parquet split → spread the probe side
     # so the pair join parallelizes across all cores
     n_parts = df.sparkSession.sparkContext.defaultParallelism
@@ -79,24 +79,41 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def _query_side(queries: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    q = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("qv"))
+    return q.withColumn("qsd", dot(F.col("qv"), F.col("qv")))
+
+
+def _corpus_side(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
+    c = c.withColumn("nsd", dot(F.col("nv"), F.col("nv")))
+    # spread single-file corpora across cores for the scoring join
+    return c.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+# per-pair cosine from precomputed self-dots: one dot product per pair,
+# bit-identical to the inline dot(a,a)/dot(b,b) form
+_PAIR_COS = lambda: dot(F.col("qv"), F.col("nv")) / F.sqrt(F.col("qsd") * F.col("nsd"))  # noqa: E731
+
+
 def knn_bruteforce(df: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query vector by cosine.
 
     Queries are broadcast (the small side) so the corpus never
-    shuffles for the scoring pass; the only shuffle is the per-query
-    top-k, which moves ≤ n_queries × corpus-partition rows after the
-    rank-pushdown (Spark's WindowGroupLimit applies the rn ≤ k filter
-    before the sort's exchange).
+    shuffles for the scoring pass; self-dots are computed once per row
+    before the join (O(n+q) higher-order-fn evals, one per pair after).
+    The only shuffle is the per-query top-k, which moves ≤ n_queries ×
+    corpus-partition rows after the rank-pushdown (WindowGroupLimit
+    applies rn ≤ k before the sort's exchange).
     """
     from pyspark.sql.window import Window
 
-    q = F.broadcast(queries.select(
-        F.col(id_col).alias("q_id"), as_double(vec_col).alias("qv")))
-    c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
+    q = F.broadcast(_query_side(queries, id_col, vec_col))
+    c = _corpus_side(df, id_col, vec_col)
     scored = (
         q.join(c, F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .select("q_id", "n_id", _PAIR_COS().alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
@@ -145,18 +162,18 @@ def random_hyperplane_ann(df: DataFrame, queries: DataFrame, k: int = 5,
     from pyspark.sql.window import Window
 
     planes = _hyperplanes(dim, n_planes)
-    c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
+    c = _corpus_side(df, id_col, vec_col)
     c = c.withColumn("bucket", hyperplane_signature(F.col("nv"), planes))
-    q = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("qv"))
+    q = _query_side(queries, id_col, vec_col)
     q = q.withColumn("sig", hyperplane_signature(F.col("qv"), planes))
     probe_cols = [F.col("sig")]
     if multiprobe >= 1:
         probe_cols += [F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
     q = F.broadcast(
-        q.select("q_id", "qv", F.explode(F.array(*probe_cols)).alias("bucket")))
+        q.select("q_id", "qv", "qsd", F.explode(F.array(*probe_cols)).alias("bucket")))
     scored = (
         q.join(c, (F.col("q_id") != F.col("n_id")) & (q.bucket == c.bucket))
-        .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .select("q_id", "n_id", _PAIR_COS().alias("cos"))
         .distinct()  # a neighbor can appear via several probes
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
@@ -178,30 +195,32 @@ def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
     """
     from pyspark.sql.window import Window
 
-    c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
+    c = _corpus_side(df, id_col, vec_col)
     cnt = c.count()  # metadata-cheap; centroid sampling is a setup step
     stride = max(1, cnt // n_cells)
     cents = F.broadcast(
         c.filter(F.col("n_id") % stride == 0).limit(n_cells)
         .select(F.col("n_id").alias("cent_id"), F.col("nv").alias("cv")))
 
-    def assign(side: DataFrame, key: str, vcol: str, n_best: int) -> DataFrame:
+    def assign(side: DataFrame, key: str, keep: list, vcol: str,
+               n_best: int) -> DataFrame:
         scored = side.join(cents, F.lit(True)) \
             .withColumn("ccos", cosine(F.col(vcol), F.col("cv")))
         w = Window.partitionBy(key).orderBy(F.col("ccos").desc(), F.col("cent_id"))
         return (
             scored.withColumn("crn", F.row_number().over(w))
             .filter(F.col("crn") <= n_best)
-            .select(key, vcol, F.col("cent_id").alias("cell"))
+            .select(*keep, F.col("cent_id").alias("cell"))
         )
 
-    c_assigned = assign(c, "n_id", "nv", 1)
-    q = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("qv"))
-    q_assigned = F.broadcast(assign(q, "q_id", "qv", n_probe_cells))
+    c_assigned = assign(c, "n_id", ["n_id", "nv", "nsd"], "nv", 1)
+    q = _query_side(queries, id_col, vec_col)
+    q_assigned = F.broadcast(assign(q, "q_id", ["q_id", "qv", "qsd"], "qv",
+                                    n_probe_cells))
     scored = (
         q_assigned.join(c_assigned, (F.col("q_id") != F.col("n_id"))
                         & (q_assigned.cell == c_assigned.cell))
-        .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .select("q_id", "n_id", _PAIR_COS().alias("cos"))
         .distinct()
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))

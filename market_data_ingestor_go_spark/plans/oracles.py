@@ -267,6 +267,92 @@ FROM per_session
 GROUP BY user_id
 """
 
+ORACLES["asof_join_purchase_click"] = """
+WITH c AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+  WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+  WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         p.ts_ms AS purchase_ts_ms, c.ts_ms AS click_ts_ms,
+         c.event_id AS click_event_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts_ms DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id AND c.ts_ms <= p.ts_ms)
+SELECT purchase_id, user_id, purchase_ts_ms, click_ts_ms, click_event_id
+FROM j WHERE rn = 1
+"""
+
+ORACLES["value_percentiles"] = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+ORACLES["agg_cube_year_status"] = f"""
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {_dsum('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY CUBE (order_year, o_orderstatus)
+"""
+
+ORACLES["token_frequencies"] = """
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+ORACLES["window_running_total"] = """
+SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+ORACLES["event_gaps"] = """
+WITH g AS (
+  SELECT user_id,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+  FROM events)
+SELECT user_id, COUNT(*) AS n_gaps,
+       CAST(SUM(gap_ms) AS BIGINT) AS total_gap_ms,
+       MAX(gap_ms) AS max_gap_ms,
+       CAST(SUM(gap_ms) AS DOUBLE) / COUNT(*) AS avg_gap_ms
+FROM g WHERE gap_ms IS NOT NULL
+GROUP BY user_id
+"""
+
+ORACLES["orders_by_year"] = f"""
+SELECT year(o_orderdate) AS order_year,
+       quarter(o_orderdate) AS order_quarter,
+       COUNT(*) AS n_orders,
+       {_dsum('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY 1, 2
+"""
+
+ORACLES["string_functions"] = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_type, 1, 5) AS type_prefix,
+       length(p_name) AS name_len,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       replace(p_brand, '#', '_') AS brand_safe
+FROM part
+WHERE p_size >= 25
+"""
+
 ORACLES["dedup_exact"] = """
 SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
 FROM documents

@@ -387,6 +387,124 @@ def events_sessionization(spark, sf_dir):
     )
 
 
+def asof_join_purchase_click(spark, sf_dir):
+    """As-of join (Spark has no native one — SURVEY §2.4 'exposed'):
+    for each purchase, the latest click by the same user at or before
+    the purchase time. Implemented with the scalable union+window
+    pattern (one shuffle on user, no range-join explosion): interleave
+    both streams ordered by (ts, kind, id) and carry the last click
+    struct forward. Ties: a click at the purchase's exact ts counts;
+    equal-ts clicks resolve to max event_id."""
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts_ms", "event_id", F.lit(0).alias("kind"))
+    purchases = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts_ms", "event_id", F.lit(1).alias("kind"))
+    both = clicks.unionByName(purchases)
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts_ms", "kind", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = both.withColumn(
+        "last_click",
+        F.last(F.when(F.col("kind") == 0,
+                      F.struct(F.col("ts_ms"), F.col("event_id"))),
+               ignorenulls=True).over(w))
+    return (
+        carried.filter((F.col("kind") == 1) & F.col("last_click").isNotNull())
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts_ms").alias("purchase_ts_ms"),
+                F.col("last_click.ts_ms").alias("click_ts_ms"),
+                F.col("last_click.event_id").alias("click_event_id"))
+    )
+
+
+def value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (median + p90)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(F.percentile("value", 0.5).alias("p50"),
+             F.percentile("value", 0.9).alias("p90"),
+             F.count("*").alias("n"))
+    )
+
+
+def agg_cube_year_status(spark, sf_dir):
+    """CUBE grouping sets over (order year, status)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year(F.col("o_orderdate")))
+    return (
+        o.cube("order_year", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), _dsum(F.col("o_totalprice"), "sum_total"))
+    )
+
+
+def token_frequencies(spark, sf_dir):
+    """Explode/unnest surface: corpus-wide top-20 token counts
+    (deterministic tiebreak on the token itself)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+def window_running_total(spark, sf_dir):
+    """Running (cumulative) revenue per customer over order date —
+    ROWS frame with a unique ordering so the prefix sums are exact."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = F.sum(F.col("o_totalprice").cast("decimal(27,6)")).over(w)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+        running.cast("double").alias("running_total"))
+
+
+def event_gaps(spark, sf_dir):
+    """lag/lead surface: inter-event gap stats per user (integer gap
+    sums stay exact; the average divides in double at the end)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gapped = e.withColumn("gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w))
+    return (
+        gapped.filter(F.col("gap_ms").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_gaps"),
+             F.sum("gap_ms").alias("total_gap_ms"),
+             F.max("gap_ms").alias("max_gap_ms"),
+             (F.sum("gap_ms").cast("double") / F.count("*")).alias("avg_gap_ms"))
+    )
+
+
+def orders_by_year(spark, sf_dir):
+    """Date-function surface: year/quarter extraction + grouped agg."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year"),
+                  F.quarter("o_orderdate").alias("order_quarter"))
+        .agg(F.count("*").alias("n_orders"), _dsum(F.col("o_totalprice"), "sum_total"))
+    )
+
+
+def string_functions(spark, sf_dir):
+    """String-function surface over part: case, substring, length,
+    concat, trim/replace — all JVM-side codegen expressions."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.substring(F.col("p_type"), 1, 5).alias("type_prefix"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("_")).alias("brand_safe"),
+    )
+
+
 # --------------------------------------------------------- extensions §2.11
 
 def dedup_exact(spark, sf_dir):
@@ -528,6 +646,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_matrix": pivot_event_matrix,
     "events_tumbling_window": events_tumbling_window,
     "events_sessionization": events_sessionization,
+    "asof_join_purchase_click": asof_join_purchase_click,
+    "value_percentiles": value_percentiles,
+    "agg_cube_year_status": agg_cube_year_status,
+    "token_frequencies": token_frequencies,
+    "window_running_total": window_running_total,
+    "event_gaps": event_gaps,
+    "orders_by_year": orders_by_year,
+    "string_functions": string_functions,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
