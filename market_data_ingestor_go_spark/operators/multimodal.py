@@ -56,16 +56,26 @@ def attach_media_metadata(df: DataFrame, binary_col: str = "content",
     ))
 
 
-def _decode_image_stub(blob: bytes) -> tuple[int, int, int, float]:
-    """STUB — the real kernel would use PIL/opencv (absent from this
-    container). Deterministic fake: dimensions derived from the blob
-    length so tests exercise the full Arrow round-trip."""
-    n = len(blob)
-    width = 16 + (n % 64)
-    height = 16 + ((n // 64) % 64)
-    channels = 3
-    mean_luma = float((sum(blob[:64]) % 256)) / 255.0 if n else 0.0
-    return width, height, channels, mean_luma
+def _make_decode_stub():
+    """STUB factory — the real kernel would use PIL/opencv (absent from
+    this container). Deterministic fake: dimensions derived from the
+    blob length so tests exercise the full Arrow round-trip.
+
+    Built as a closure so cloudpickle ships it BY VALUE to python
+    workers (a plain module-level function pickles by module reference
+    and fails to import on workers that don't have this package on
+    their path)."""
+    def decode(blob: bytes) -> tuple[int, int, int, float]:
+        n = len(blob)
+        width = 16 + (n % 64)
+        height = 16 + ((n // 64) % 64)
+        channels = 3
+        mean_luma = float((sum(blob[:64]) % 256)) / 255.0 if n else 0.0
+        return width, height, channels, mean_luma
+    return decode
+
+
+_decode_image_stub = _make_decode_stub()
 
 
 def extract_image_features(df: DataFrame, binary_col: str = "content") -> DataFrame:
@@ -76,13 +86,15 @@ def extract_image_features(df: DataFrame, binary_col: str = "content") -> DataFr
     stubbed. Swap ``_decode_image_stub`` for a PIL/opencv kernel in a
     container that ships the codecs.
     """
+    decode = _decode_image_stub  # closure-built → pickled by value
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         for pdf in batches:
             rows = []
             for blob in pdf[binary_col]:
                 blob = bytes(blob) if blob is not None else b""
-                w, h, c, luma = _decode_image_stub(blob)
+                w, h, c, luma = decode(blob)
                 rows.append((hashlib.sha256(blob).hexdigest(), w, h, c, luma))
             yield pd.DataFrame(rows, columns=[
                 "content_sha256", "width", "height", "n_channels", "mean_luma"])

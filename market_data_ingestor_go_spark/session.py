@@ -41,6 +41,9 @@ def get_spark(app_name: str = "market_data_ingestor_go_spark",
         # fixture events.parquet stores TIMESTAMP(NANOS); read as raw
         # int64 nanos and convert explicitly (see plans/queries._events)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.1's checkpoint file checksums deadlock HDFSBackedStateStore
+        # commits on the local filesystem (stateful streaming hangs forever)
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

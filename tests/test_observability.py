@@ -1,0 +1,96 @@
+"""A2 observability + §2.10 stateful operator tests: observed metrics
+through a real streaming query with the listener attached, and the
+applyInPandasWithState latest-state change stream."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import Row, functions as F
+
+from market_data_ingestor_go_spark.streaming.observability import (
+    MetricsListener, MetricsRegistry, observe_ingest)
+from market_data_ingestor_go_spark.streaming.stateful import streaming_latest_state
+
+
+def test_listener_collects_observed_metrics(spark, tmp_path):
+    src = str(tmp_path / "src")
+    import os
+    os.makedirs(src)
+    with open(src + "/a.json", "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({"name": "AAPL" if i < 4 else "",
+                                 "timestamp": i + 1}) + "\n")
+
+    registry = MetricsRegistry()
+    listener = MetricsListener(registry)
+    spark.streams.addListener(listener)
+    try:
+        raw = (spark.readStream.schema("name STRING, timestamp LONG")
+               .json(src))
+        validated = observe_ingest(
+            raw, lambda df: df.filter((F.col("name") != "")
+                                      & (F.col("timestamp") > 0)))
+        q = (validated.writeStream.format("noop")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+        # listener events are async — poll briefly
+        deadline = time.time() + 10
+        while time.time() < deadline and "processed.messages_processed" not in registry.counters:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert registry.counters.get("batch_inserts", 0) >= 1
+    assert registry.counters.get("received.messages_received") == 5
+    assert registry.counters.get("processed.messages_processed") == 4
+
+
+def test_streaming_latest_state_change_stream(spark, tmp_path):
+    """applyInPandasWithState: emits per-key updates, keeps the max
+    timestamp, ignores ts==0, and only emits on change."""
+    import os
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = int(time.time() * 1000)  # recent → not lazily TTL-evicted
+    rows = [
+        {"name": "AAPL", "timestamp": now + 100, "exchange": "usstock", "data": "{\"bid\":1}"},
+        {"name": "AAPL", "timestamp": now + 90, "exchange": "usstock", "data": "{\"bid\":0}"},
+        {"name": "BTC", "timestamp": now + 50, "exchange": "crypto", "data": "{}"},
+        {"name": "BTC", "timestamp": 0, "exchange": "crypto", "data": "{}"},
+    ]
+    with open(src + "/a.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    stream = (spark.readStream
+              .schema("name STRING, timestamp LONG, exchange STRING, data STRING")
+              .json(src))
+    out = streaming_latest_state(stream)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("latest_updates")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+
+    first = {r["name"]: r["timestamp"]
+             for r in spark.sql("SELECT * FROM latest_updates").collect()}
+    assert first == {"AAPL": now + 100, "BTC": now + 50}
+
+    # second batch: one real update, one stale record (no emit)
+    with open(src + "/b.json", "w") as fh:
+        fh.write(json.dumps({"name": "AAPL", "timestamp": now + 200,
+                             "exchange": "usstock", "data": "{}"}) + "\n")
+        fh.write(json.dumps({"name": "BTC", "timestamp": now + 10,
+                             "exchange": "crypto", "data": "{}"}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    all_updates = spark.sql("SELECT * FROM latest_updates").collect()
+    aapl = [r["timestamp"] for r in all_updates if r["name"] == "AAPL"]
+    btc = [r["timestamp"] for r in all_updates if r["name"] == "BTC"]
+    assert sorted(aapl) == [now + 100, now + 200]  # emitted twice (changed twice)
+    assert btc == [now + 50]            # stale row produced no update
