@@ -57,6 +57,26 @@ def authenticate(api_keys: DataFrame, presented_key: str) -> DataFrame:
     )
 
 
+def audit_key_usage(api_keys: DataFrame, used_hashes: DataFrame) -> DataFrame:
+    """K5 (postgres.go:156-160): best-effort ``last_used_at`` touch.
+
+    The reference fires ``UPDATE api_keys SET last_used_at=now()`` in a
+    goroutine and ignores the result. Engine shape: merge the used-hash
+    set into the dimension (broadcast — the used set per tick is tiny)
+    and let the caller persist it best-effort, outside any transaction
+    with the serve path (explicitly non-atomic, like the reference).
+
+    ``used_hashes`` needs a single ``key_hash`` column.
+    """
+    used = F.broadcast(used_hashes.select("key_hash").distinct()
+                       .withColumn("_used", F.lit(True)))
+    merged = api_keys.join(used, "key_hash", "left")
+    return merged.withColumn(
+        "last_used_at",
+        F.when(F.col("_used"), F.current_timestamp()).otherwise(F.col("last_used_at"))
+    ).drop("_used")
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """Rows of ``left`` with at least one match in ``right`` (J2 shape)."""
     return left.join(right, on, "left_semi")

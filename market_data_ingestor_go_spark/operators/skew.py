@@ -1,0 +1,67 @@
+"""Skew-handling aggregation — the salting pattern for hot keys.
+
+At 100 TB a symbol-keyed market stream is Zipfian: a handful of hot
+symbols (indexes, BTC) dominate. A plain ``groupBy(key)`` sends every
+hot-key row to one reducer. Two mitigations ship here:
+
+1. AQE skew handling (on by default in session.py) — splits skewed
+   *join* partitions at runtime.
+2. ``salted_agg`` — two-phase aggregation for *group-bys* whose
+   per-key state is algebraic: phase 1 groups on (key, salt) spreading
+   each hot key over N reducers, phase 2 merges the partials. For
+   sums/counts/min/max the result is exactly the plain groupBy (the
+   oracle-checked query `skew_salted_agg` proves it); for avg the
+   merge carries (sum, count) pairs.
+
+Note Spark already does map-side partial aggregation, which handles
+most skew for algebraic aggs; explicit salting matters when the
+reduce-side state itself is the bottleneck (huge distinct keys per
+reducer, or memory-heavy buffers like collect_list/HLL at high
+cardinality per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt derived from the whole row hash (no RNG —
+    reruns produce identical partitioning)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)))
+
+
+def salted_agg(df: DataFrame, key_cols: list[str], n_salts: int = 16,
+               **aggs: tuple[str, str]) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` maps output name → (function, column) with function in
+    {sum, count, min, max}. Example::
+
+        salted_agg(li, ["l_returnflag"], 16,
+                   total_qty=("sum", "l_quantity"),
+                   n_rows=("count", "*"))
+    """
+    phase1_exprs = []
+    phase2_exprs = []
+    for out, (fn, col) in aggs.items():
+        part = f"_p_{out}"
+        if fn == "count":
+            phase1_exprs.append(F.count(F.lit(1) if col == "*" else F.col(col)).alias(part))
+            phase2_exprs.append(F.sum(part).alias(out))
+        elif fn == "sum":
+            phase1_exprs.append(F.sum(col).alias(part))
+            phase2_exprs.append(F.sum(part).alias(out))
+        elif fn == "min":
+            phase1_exprs.append(F.min(col).alias(part))
+            phase2_exprs.append(F.min(part).alias(out))
+        elif fn == "max":
+            phase1_exprs.append(F.max(col).alias(part))
+            phase2_exprs.append(F.max(part).alias(out))
+        else:
+            raise ValueError(f"unsupported salted agg fn: {fn}")
+    salted = with_salt(df, n_salts)
+    partials = salted.groupBy(*key_cols, "_salt").agg(*phase1_exprs)
+    return partials.groupBy(*key_cols).agg(*phase2_exprs)

@@ -353,6 +353,15 @@ FROM part
 WHERE p_size >= 25
 """
 
+ORACLES["skew_salted_agg"] = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS total_qty,
+       COUNT(*) AS n_rows,
+       CAST(MAX(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
 ORACLES["dedup_exact"] = """
 SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
 FROM documents

@@ -491,6 +491,24 @@ def orders_by_year(spark, sf_dir):
     )
 
 
+def skew_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation for hot keys (operators/skew.py) —
+    the oracle is the PLAIN group-by, proving the salting is exact.
+    l_returnflag has only 3 values → maximal skew for a 600k-row scan,
+    the shape where reduce-side salting matters at 100 TB."""
+    from ..operators.skew import salted_agg
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(27,6)").alias("qty"))
+    out = salted_agg(li, ["l_returnflag"], n_salts=16,
+                     total_qty=("sum", "qty"), n_rows=("count", "*"),
+                     max_qty=("max", "qty"))
+    return out.select(
+        "l_returnflag",
+        F.col("total_qty").cast("double").alias("total_qty"),
+        F.col("n_rows"),
+        F.col("max_qty").cast("double").alias("max_qty"))
+
+
 def string_functions(spark, sf_dir):
     """String-function surface over part: case, substring, length,
     concat, trim/replace — all JVM-side codegen expressions."""
@@ -654,6 +672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_gaps": event_gaps,
     "orders_by_year": orders_by_year,
     "string_functions": string_functions,
+    "skew_salted_agg": skew_salted_agg,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,

@@ -66,6 +66,19 @@ def test_authenticate_active_only(spark):
     assert authenticate(keys, "wrong").count() == 0
 
 
+def test_audit_key_usage_touches_used_only(spark):
+    # K5 (postgres.go:156-160): only presented keys get last_used_at
+    from market_data_ingestor_go_spark.operators.enrich import audit_key_usage
+    keys = spark.createDataFrame(
+        [Row(client_id="c1", key_hash="h1", is_active=True, last_used_at=None),
+         Row(client_id="c2", key_hash="h2", is_active=True, last_used_at=None)],
+        schema="client_id string, key_hash string, is_active boolean, last_used_at timestamp")
+    used = spark.createDataFrame([Row(key_hash="h1")])
+    out = {r["key_hash"]: r["last_used_at"]
+           for r in audit_key_usage(keys, used).collect()}
+    assert out["h1"] is not None and out["h2"] is None
+
+
 def test_hash_and_wire_json(spark):
     df = spark.createDataFrame([Row(k="abc", n=1)])
     out = df.select(hash_api_key("k").alias("h"),

@@ -1,0 +1,56 @@
+"""§2.9 late-data semantics: event-time tumbling windows with a
+watermark through a real streaming query — late rows beyond the
+watermark are dropped, closed windows emit exactly once (append mode).
+
+The reference has NO event-time logic (anything with ts>0 is accepted
+forever, SURVEY.md §2.6); this is engine-surface coverage the driver
+mandates, tested at the streaming level (batch twin: events_tumbling_window).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+BASE = "2030-01-01T00:00:"
+
+
+def _write(src, fname, seconds):
+    with open(os.path.join(src, fname), "w") as fh:
+        for s in seconds:
+            fh.write(json.dumps({"ts": f"{BASE}{s:02d}", "k": "a"}) + "\n")
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write(src, "b1.json", [1, 3, 5])          # window [0,10)
+
+    stream = (spark.readStream.schema("ts TIMESTAMP, k STRING").json(src)
+              .withWatermark("ts", "10 seconds")
+              .groupBy(F.window("ts", "10 seconds").alias("w"), "k")
+              .agg(F.count("*").alias("n")))
+    q = (stream.select(F.unix_millis("w.start").alias("ws"), "k", "n")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("wm")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()   # watermark after b1: 00:05 - 10s → nothing closed
+    assert spark.sql("SELECT * FROM wm").count() == 0
+
+    _write(src, "b2.json", [25])               # advances watermark to 00:15
+    q.processAllAvailable()                    # [0,10) closes: emits n=3
+    rows = {(r["ws"], r["n"]) for r in spark.sql("SELECT * FROM wm").collect()}
+    base_ms = 1893456000000  # 2030-01-01T00:00:00Z
+    assert rows == {(base_ms, 3)}
+
+    # late row at 00:02 — watermark is 00:15, so it must be DROPPED,
+    # and a new row at 00:40 closes [20,30)
+    _write(src, "b3.json", [2, 40])
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r["ws"], r["n"]) for r in spark.sql("SELECT * FROM wm").collect()}
+    assert rows == {(base_ms, 3), (base_ms + 20_000, 1)}  # late 00:02 ignored,
+    # [0,10) emitted exactly once (count unchanged by the late row)
