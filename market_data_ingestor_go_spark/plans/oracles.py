@@ -353,6 +353,25 @@ FROM part
 WHERE p_size >= 25
 """
 
+ORACLES["q18_large_orders"] = """
+SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+       CAST(qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(27,6))) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING qty > 300
+) b ON o_orderkey = b.l_orderkey
+"""
+
+ORACLES["q2_min_cost_supplier"] = """
+SELECT s_suppkey, s_name, n_name, s_acctbal
+FROM supplier
+JOIN (SELECT s_nationkey, MIN(s_acctbal) AS min_bal
+      FROM supplier GROUP BY s_nationkey) m USING (s_nationkey)
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = min_bal
+"""
+
 ORACLES["skew_salted_agg"] = """
 SELECT l_returnflag,
        CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS total_qty,

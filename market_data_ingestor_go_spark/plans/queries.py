@@ -491,6 +491,37 @@ def orders_by_year(spark, sf_dir):
     )
 
 
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a grouped sum, joined back to the
+    dimension rows — agg-then-join keeps the big side pre-shrunk."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("qty"))
+           .filter(F.col("qty") > 300))
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_custkey",
+                F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+                F.col("qty").cast("double").alias("total_qty"))
+    )
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated-min — suppliers whose account balance
+    equals the minimum within their nation (min computed once per
+    group, broadcast back; no correlated re-scan)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    mins = s.groupBy("s_nationkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        s.join(F.broadcast(mins), "s_nationkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+
+
 def skew_salted_agg(spark, sf_dir):
     """Salted two-phase aggregation for hot keys (operators/skew.py) —
     the oracle is the PLAIN group-by, proving the salting is exact.
@@ -673,6 +704,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_by_year": orders_by_year,
     "string_functions": string_functions,
     "skew_salted_agg": skew_salted_agg,
+    "q18_large_orders": q18_large_orders,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
