@@ -78,16 +78,20 @@ def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     toks = df.select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
+    # Filter on TOKEN count (≥ n tokens ⟺ ≥ 1 shingle) rather than on
+    # size(sh): a post-projection size(sh)>0 filter gets pushed below
+    # the repartition by Catalyst with the whole shingle expression
+    # inlined into its condition — putting the O(tokens²) re-split work
+    # back on the single pre-shuffle task (measured: a 7 s single-task
+    # stage on 5k docs).
+    toks = toks.filter(F.size("w") >= n)
     # single-file corpora arrive as one split — spread the CPU-heavy
     # shingling/hashing across all cores
     toks = toks.repartition(df.sparkSession.sparkContext.defaultParallelism)
     grams = F.expr(
-        f"array_distinct(transform(sequence(0, greatest(size(w) - {n}, -1)),"
+        f"array_distinct(transform(sequence(0, size(w) - {n}),"
         f" i -> concat_ws(' ', {', '.join(f'w[i + {k}]' for k in range(n))})))")
-    return (
-        toks.select("id", grams.alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
+    return toks.select("id", grams.alias("sh"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -353,6 +353,20 @@ FROM part
 WHERE p_size >= 25
 """
 
+ORACLES["range_join_click_context"] = """
+WITH c AS (
+  SELECT user_id, epoch_ms(ts) AS c_ts FROM events WHERE event_type = 'click'),
+e AS (
+  SELECT event_id AS error_id, user_id, epoch_ms(ts) AS e_ts
+  FROM events WHERE event_type = 'error')
+SELECT e.error_id, e.user_id, e.e_ts,
+       CAST(COUNT(c.c_ts) AS BIGINT) AS n_clicks_prior_hour
+FROM e LEFT JOIN c
+  ON e.user_id = c.user_id
+ AND c.c_ts <= e.e_ts AND c.c_ts > e.e_ts - 3600000
+GROUP BY e.error_id, e.user_id, e.e_ts
+"""
+
 ORACLES["q18_large_orders"] = """
 SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
        CAST(qty AS DOUBLE) AS total_qty

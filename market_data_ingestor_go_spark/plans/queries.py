@@ -491,6 +491,40 @@ def orders_by_year(spark, sf_dir):
     )
 
 
+def range_join_click_context(spark, sf_dir):
+    """Range join, the scale pattern: for each error event, count the
+    same user's clicks in the preceding hour.
+
+    A naive `a.ts BETWEEN b.ts-1h AND b.ts` join plans as a nested
+    loop. The scalable shape bucketizes time: clicks land in their
+    hour bucket, each error probes its own and the previous hour
+    bucket (explode of 2 keys) — an equi-join on (user, bucket) whose
+    shuffle is linear in events — then the exact range predicate
+    filters within the tiny candidate set.
+    """
+    e = _events(spark, sf_dir)
+    hour = 3_600_000
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts_ms").alias("c_ts"),
+                      (F.col("ts_ms") / hour).cast("long").alias("bucket")))
+    errors = (e.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"), "user_id",
+                      F.col("ts_ms").alias("e_ts")))
+    probes = errors.withColumn(
+        "bucket", F.explode(F.array(
+            (F.col("e_ts") / hour).cast("long"),
+            (F.col("e_ts") / hour).cast("long") - 1)))
+    joined = probes.join(clicks, ["user_id", "bucket"]).filter(
+        (F.col("c_ts") <= F.col("e_ts"))
+        & (F.col("c_ts") > F.col("e_ts") - hour))
+    counts = joined.groupBy("error_id").agg(F.count("*").alias("n_clicks_prior_hour"))
+    return (
+        errors.join(counts, "error_id", "left")
+        .select("error_id", "user_id", "e_ts",
+                F.coalesce("n_clicks_prior_hour", F.lit(0)).alias("n_clicks_prior_hour"))
+    )
+
+
 def q18_large_orders(spark, sf_dir):
     """TPC-H Q18 shape: HAVING over a grouped sum, joined back to the
     dimension rows — agg-then-join keeps the big side pre-shrunk."""
@@ -705,6 +739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_functions": string_functions,
     "skew_salted_agg": skew_salted_agg,
     "q18_large_orders": q18_large_orders,
+    "range_join_click_context": range_join_click_context,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
