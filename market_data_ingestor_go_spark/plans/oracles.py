@@ -220,6 +220,36 @@ SELECT o_custkey, 'both' AS tag FROM (
   SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
 """
 
+ORACLES["set_ops_all_variants"] = """
+SELECT o_custkey, 'open_minus_fin_all' AS tag FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT o_custkey, 'both_all' AS tag FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+ORACLES["unpivot_event_matrix"] = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+GROUP BY user_id, event_type
+"""
+
+ORACLES["window_rank_stats"] = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
 ORACLES["pivot_event_matrix"] = """
 SELECT user_id,
        COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,

@@ -347,6 +347,50 @@ def set_ops_status_migration(spark, sf_dir):
     return only_open.unionAll(both)
 
 
+def set_ops_all_variants(spark, sf_dir):
+    """Multiset set-ops (UNION ALL / EXCEPT ALL / INTERSECT ALL) over
+    order-status keys — duplicates preserved, unlike the distinct
+    variants in set_ops_status_migration."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        open_c.exceptAll(fin_c).select("o_custkey", F.lit("open_minus_fin_all").alias("tag"))
+        .unionAll(open_c.intersectAll(fin_c)
+                  .select("o_custkey", F.lit("both_all").alias("tag")))
+    )
+
+
+def unpivot_event_matrix(spark, sf_dir):
+    """Unpivot/melt: the per-user event-type count matrix back to long
+    form — (user_id, event_type, n) rows, zero counts dropped."""
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    wide = pivot_event_matrix(spark, sf_dir)
+    long = wide.unpivot(
+        "user_id", [f"n_{k}" for k in kinds], "kind", "n")
+    return (
+        long.filter(F.col("n") > 0)
+        .select("user_id", F.expr("substring(kind, 3)").alias("event_type"), "n")
+    )
+
+
+def window_rank_stats(spark, sf_dir):
+    """Ranking-function surface: rank, dense_rank, percent_rank and
+    ntile over per-customer order prices (ties on price are real data
+    → rank vs dense_rank diverge; percent_rank's double division is
+    identical arithmetic in both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def pivot_event_matrix(spark, sf_dir):
     """Pivot: per-user event-type count matrix (explicit pivot values →
     no extra distinct-scan pass)."""
@@ -726,6 +770,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_topk_per_group": window_topk_per_group,
     "order_limit_topk": order_limit_topk,
     "set_ops_status_migration": set_ops_status_migration,
+    "set_ops_all_variants": set_ops_all_variants,
+    "unpivot_event_matrix": unpivot_event_matrix,
+    "window_rank_stats": window_rank_stats,
     "pivot_event_matrix": pivot_event_matrix,
     "events_tumbling_window": events_tumbling_window,
     "events_sessionization": events_sessionization,

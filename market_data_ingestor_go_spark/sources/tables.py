@@ -48,3 +48,39 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql()."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# K3 — table bootstrap (postgres.go:46-97): create-if-absent DDL for the
+# engine's three persistent tables, run once at engine init. Parquet
+# catalog tables here; the DDL mirrors §1.4 of SURVEY.md (SERIAL ids
+# become engine-generated monotonically_increasing_id at write time —
+# non-contiguous, documented divergence).
+BOOTSTRAP_DDL = {
+    "market_data": """
+        CREATE TABLE IF NOT EXISTS {db}market_data (
+          id BIGINT, name STRING NOT NULL, timestamp BIGINT NOT NULL,
+          exchange STRING, data STRING) USING parquet
+    """,
+    "clients_configs": """
+        CREATE TABLE IF NOT EXISTS {db}clients_configs (
+          id STRING NOT NULL, config STRING) USING parquet
+    """,
+    "api_keys": """
+        CREATE TABLE IF NOT EXISTS {db}api_keys (
+          id BIGINT, client_id STRING NOT NULL, key_hash STRING NOT NULL,
+          is_active BOOLEAN, last_used_at TIMESTAMP) USING parquet
+    """,
+}
+
+
+def bootstrap_tables(spark: SparkSession, database: str | None = None) -> list[str]:
+    """Create the engine's persistent tables if absent; returns the
+    table names touched (idempotent — second call is a no-op)."""
+    prefix = f"{database}." if database else ""
+    if database:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    created = []
+    for name, ddl in BOOTSTRAP_DDL.items():
+        spark.sql(ddl.format(db=prefix))
+        created.append(f"{prefix}{name}")
+    return created

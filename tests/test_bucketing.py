@@ -43,6 +43,23 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_bootstrap_tables_idempotent(spark):
+    # K3 (postgres.go:46-97): create-if-absent, safe to call twice
+    from market_data_ingestor_go_spark.sources.tables import bootstrap_tables
+    try:
+        first = bootstrap_tables(spark, database="mdingest")
+        second = bootstrap_tables(spark, database="mdingest")
+        assert first == second
+        cols = [f.name for f in spark.table("mdingest.market_data").schema.fields]
+        assert cols == ["id", "name", "timestamp", "exchange", "data"]
+        spark.sql("INSERT INTO mdingest.api_keys VALUES (1, 'c1', 'h', true, NULL)")
+        assert spark.table("mdingest.api_keys").count() == 1
+        bootstrap_tables(spark, database="mdingest")  # must not wipe data
+        assert spark.table("mdingest.api_keys").count() == 1
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS mdingest CASCADE")
+
+
 def test_connectors_degrade_explicitly(spark):
     """Connectors must either work or raise NotImplementedError with a
     pointer to the fallback — never fail obscurely at runtime."""
