@@ -184,6 +184,45 @@ def random_hyperplane_ann(df: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", threshold: float = 0.4,
+                     dim: int = 64, n_planes: int = 4,
+                     multiprobe: int = 1) -> DataFrame:
+    """Scalable near-dup pairs: hyperplane-LSH candidates (+Hamming-1
+    multiprobe) verified with exact cosine ≥ threshold.
+
+    The scale twin of ``cosine_pairs`` exactly as minhash is to exact
+    Jaccard: candidate generation is an equi-join on bucket ids (shuffle
+    linear in corpus), verification makes precision exact. Recall
+    depends on how far ``threshold`` sits above random — for barely-
+    correlated vectors (cos≈0.4 ⇒ p(same side)≈0.64 per plane) a
+    4-plane/1-probe config recalls ~half the pairs; tighter thresholds
+    (true near-dups, cos≥0.9 ⇒ p≈0.9) recall ≈1. Tune n_planes down /
+    multiprobe up for recall, up for cost.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    base = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    base = base.withColumn("sd", dot(F.col("v"), F.col("v")))
+    base = base.withColumn("sig", hyperplane_signature(F.col("v"), planes))
+    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism).persist()
+    probe_cols = [F.col("sig")]
+    if multiprobe >= 1:
+        probe_cols += [F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    probes = base.select("id", "v", "sd",
+                         F.explode(F.array(*probe_cols)).alias("bucket"))
+    a = probes.select(F.col("id").alias("a_id"), F.col("v").alias("qv"),
+                      F.col("sd").alias("qsd"), "bucket")
+    b = base.select(F.col("id").alias("b_id"), F.col("v").alias("nv"),
+                    F.col("sd").alias("nsd"), F.col("sig").alias("bucket"))
+    cand = (
+        a.join(b, ["bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", _PAIR_COS().alias("cos"))
+        .distinct()
+    )
+    return cand.filter(F.col("cos") >= F.lit(threshold))
+
+
 def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
             n_probe_cells: int = 2, id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:

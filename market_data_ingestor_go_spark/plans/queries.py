@@ -302,12 +302,16 @@ def distinct_count_exact(spark, sf_dir):
 
 
 def approx_distinct_sketch(spark, sf_dir):
-    """HLL sketch surface (approx_count_distinct) — rows-only check:
-    approximate values are engine-specific by construction."""
+    """Sketch surface (HLL approx-distinct + t-digest approx
+    percentiles) — rows-only check: sketch estimates are
+    engine-specific by construction (the exact twins are
+    distinct_count_exact and value_percentiles)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+             F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+             F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
              F.count("*").alias("n_rows"))
     )
 
@@ -710,6 +714,15 @@ def knn_bruteforce(spark, sf_dir):
     return SIM.knn_bruteforce(e, q, k=5)
 
 
+def embedding_lsh_neardup(spark, sf_dir):
+    """LSH-bucketed near-dup pairs over embeddings — rows-only (bucket
+    recall is probabilistic at this threshold; the exact twin
+    embedding_cosine_neardup is the oracle-checked ground truth, and
+    tests assert recall against it)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_cosine_pairs(e, threshold=0.4)
+
+
 def knn_ann_hyperplane(spark, sf_dir):
     """Random-hyperplane LSH ANN — rows-only (bucketing is engine-side);
     recall vs knn_bruteforce is asserted in tests."""
@@ -799,6 +812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_neardup": embedding_cosine_neardup,
     "knn_bruteforce": knn_bruteforce,
     "knn_ann_hyperplane": knn_ann_hyperplane,
+    "embedding_lsh_neardup": embedding_lsh_neardup,
     "embedding_norm_stats": embedding_norm_stats,
     "multimodal_binary_meta": multimodal_binary_meta,
 }

@@ -143,6 +143,35 @@ class IngestPipeline:
         return self.spark.read.parquet(self.latest_path)
 
 
+def compact_history(spark: SparkSession, history_path: str,
+                    target_partitions: int | None = None) -> int:
+    """Compact the append-only history table's small files.
+
+    Every micro-batch appends a few files; at a 2 s trigger that is
+    ~43k files/day — the classic streaming-sink small-files problem
+    that degrades scan planning and NameNode/liststatus at scale. This
+    rewrites the table at ``target_partitions`` (default: size-based,
+    ~128 MB per file) via a staging directory, preserving every row
+    (append-only ⇒ a plain rewrite is safe; run it between micro-batch
+    windows or on a snapshot copy). Returns the new file count.
+    """
+    import shutil
+
+    df = spark.read.parquet(history_path)
+    if target_partitions is None:
+        total_bytes = sum(
+            f.stat().st_size for f in __import__("pathlib").Path(history_path).rglob("*.parquet"))
+        target_partitions = max(1, total_bytes // (128 * 1024 * 1024))
+    staging = history_path + ".compact"
+    df.repartition(int(target_partitions)).write.mode("overwrite").parquet(staging)
+    backup = history_path + ".old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(history_path, backup)
+    os.rename(staging, history_path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return len(list(__import__("pathlib").Path(history_path).glob("*.parquet")))
+
+
 def rate_frames(spark: SparkSession, rows_per_second: int = 100,
                 symbols: list[str] | None = None) -> DataFrame:
     """Synthetic wire-frame stream for smoke tests: the `rate` source

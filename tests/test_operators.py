@@ -124,6 +124,53 @@ def test_ann_recall_vs_bruteforce(spark):
     assert ivf_recall >= 0.3, f"IVF ANN recall too low: {ivf_recall}"
 
 
+def test_udtf_split_passages(spark):
+    """§2.10 UDTF surface: document → overlapping passage rows, usable
+    from both the DataFrame API and SQL LATERAL."""
+    from market_data_ingestor_go_spark.functions.udtf import (
+        make_split_passages, register_udtfs)
+    SplitPassages = make_split_passages(window=4, stride=2)
+    out = SplitPassages(F.lit("a b c d e f g")).collect()
+    passages = [(r["passage_idx"], r["passage"]) for r in out]
+    assert passages == [(0, "a b c d"), (1, "c d e f"), (2, "e f g")]
+
+    assert register_udtfs(spark, window=8, stride=6)
+    docs = load_table(spark, SF, "documents").limit(5)
+    docs.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, p.passage_idx, p.n_tokens "
+        "FROM udtf_docs d, LATERAL split_passages(d.text) p").collect()
+    assert len(rows) > 5  # fan-out happened
+    assert all(r["n_tokens"] <= 8 for r in rows)
+
+
+def test_lsh_cosine_pairs_recall_and_precision(spark):
+    from market_data_ingestor_go_spark.operators.similarity import (
+        cosine_pairs, lsh_cosine_pairs)
+    emb = load_table(spark, SF, "embeddings")
+    exact = {(r["a_id"], r["b_id"]) for r in cosine_pairs(emb, threshold=0.4).collect()}
+    lsh = {(r["a_id"], r["b_id"]) for r in
+           lsh_cosine_pairs(emb, threshold=0.4, n_planes=4, multiprobe=1).collect()}
+    assert lsh <= exact            # verification ⇒ precision exact
+    assert len(lsh) / len(exact) >= 0.3   # probabilistic recall floor
+
+
+def test_compact_history(spark, tmp_path):
+    from market_data_ingestor_go_spark.streaming.pipeline import compact_history
+    import pathlib
+    path = str(tmp_path / "hist")
+    for i in range(5):  # five "micro-batch" appends → many small files
+        spark.range(100).withColumn("batch", F.lit(i)) \
+            .repartition(4).write.mode("append").parquet(path)
+    before = len(list(pathlib.Path(path).glob("*.parquet")))
+    assert before >= 20
+    n_files = compact_history(spark, path, target_partitions=2)
+    assert n_files == 2
+    df = spark.read.parquet(path)
+    assert df.count() == 500  # every row preserved
+    assert df.groupBy("batch").count().count() == 5
+
+
 def test_multimodal_plumbing(spark):
     blobs = spark.createDataFrame(
         [Row(content=bytes(range(100))), Row(content=b"x" * 5000)])
