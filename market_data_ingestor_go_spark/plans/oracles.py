@@ -416,6 +416,44 @@ JOIN nation ON s_nationkey = n_nationkey
 WHERE s_acctbal = min_bal
 """
 
+ORACLES["q7_nation_volume"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS ship_year,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["q21_sole_late_supplier"] = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supps
+  FROM j GROUP BY l_orderkey),
+late_lines AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM j WHERE late)
+SELECT l.l_suppkey, COUNT(*) AS n_sole_late_orders
+FROM late_lines l
+JOIN per_order p ON l.l_orderkey = p.l_orderkey
+WHERE p.n_supps > 1 AND p.n_late_supps = 1
+GROUP BY l.l_suppkey
+"""
+
 ORACLES["skew_salted_agg"] = """
 SELECT l_returnflag,
        CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS total_qty,

@@ -604,6 +604,57 @@ def q2_min_cost_supplier(spark, sf_dir):
     )
 
 
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bi-directional nation-pair trade volume by ship
+    year. Two broadcast probes of the same nation dim under different
+    aliases; the pair filter prunes before the aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01"))))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("ship_year"))
+        .agg(_dsum(revenue, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q21_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (exists + not-exists), adapted to this schema
+    (no receipt/commit dates): suppliers who were the ONLY late shipper
+    (shipdate > orderdate + 90 days) on a multi-supplier finished
+    order. Expressed as per-order aggregates instead of correlated
+    subqueries — one pass, no re-scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supps"))
+    qualifying = per_order.filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+    late_lines = joined.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    return (
+        late_lines.join(qualifying, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_sole_late_orders"))
+    )
+
+
 def skew_salted_agg(spark, sf_dir):
     """Salted two-phase aggregation for hot keys (operators/skew.py) —
     the oracle is the PLAIN group-by, proving the salting is exact.
@@ -801,6 +852,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_orders": q18_large_orders,
     "range_join_click_context": range_join_click_context,
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q7_nation_volume": q7_nation_volume,
+    "q21_sole_late_supplier": q21_sole_late_supplier,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
