@@ -454,6 +454,49 @@ WHERE p.n_supps > 1 AND p.n_late_supps = 1
 GROUP BY l.l_suppkey
 """
 
+ORACLES["q12_late_shipment_priority"] = """
+SELECT year(o_orderdate) AS order_year,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS late_critical,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS late_other
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+ORACLES["q14_promo_revenue_share"] = """
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
+                     ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+       * 100.0 AS promo_share_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-07-01'
+"""
+
+ORACLES["q19_disjunctive_filter"] = f"""
+SELECT {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size <= 30 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 45 AND l_quantity >= 30)
+"""
+
+ORACLES["q22_idle_customers"] = f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       {_dsum('c_acctbal')} AS total_balance
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal.v
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
 ORACLES["skew_salted_agg"] = """
 SELECT l_returnflag,
        CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS total_qty,

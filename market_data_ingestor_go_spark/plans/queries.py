@@ -655,6 +655,71 @@ def q21_sole_late_supplier(spark, sf_dir):
     )
 
 
+def q12_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape: conditional CASE counts per group — how many
+    critical (1-URGENT/2-HIGH) vs other orders shipped late per year."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(F.count(F.when(critical, 1)).alias("late_critical"),
+             F.count(F.when(~critical, 1)).alias("late_other"))
+    )
+
+
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: ratio of conditional decimal sums (promo parts'
+    share of revenue) — both sums exact, the division in double."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-07-01"))))
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+    promo = F.col("p_type").startswith("PROMO")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(27,6)"))).cast("double")
+         / F.sum(rev).cast("double") * 100.0).alias("promo_share_pct"),
+        F.count("*").alias("n_items"))
+
+
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate — the pushdown stress
+    test (each disjunct combines brand/size/quantity ranges)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    d1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 10)
+    d2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20)
+    d3 = (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 45) & (F.col("l_quantity") >= 30)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(d1 | d2 | d3).agg(
+        _dsum(rev, "revenue"), F.count("*").alias("n_items"))
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-subquery threshold + anti-join —
+    above-average-balance customers with no orders, per market
+    segment. The average is a broadcast one-row DF, the no-orders
+    predicate a left_anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double")
+         / F.count("*")).alias("avg_bal"))
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal")).drop("avg_bal")
+    idle = anti_join(rich, o, "c_custkey")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"),
+             _dsum(F.col("c_acctbal"), "total_balance"))
+    )
+
+
 def skew_salted_agg(spark, sf_dir):
     """Salted two-phase aggregation for hot keys (operators/skew.py) —
     the oracle is the PLAIN group-by, proving the salting is exact.
@@ -854,6 +919,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q7_nation_volume": q7_nation_volume,
     "q21_sole_late_supplier": q21_sole_late_supplier,
+    "q12_late_shipment_priority": q12_late_shipment_priority,
+    "q14_promo_revenue_share": q14_promo_revenue_share,
+    "q19_disjunctive_filter": q19_disjunctive_filter,
+    "q22_idle_customers": q22_idle_customers,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
