@@ -454,6 +454,30 @@ WHERE p.n_supps > 1 AND p.n_late_supps = 1
 GROUP BY l.l_suppkey
 """
 
+ORACLES["sql_api_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q8_nation_market_share"] = """
+SELECT year(o_orderdate) AS order_year,
+       CAST(SUM(CASE WHEN n_name = 'NATION_1'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
+                     ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+       AS nation1_share,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
 ORACLES["q12_late_shipment_priority"] = """
 SELECT year(o_orderdate) AS order_year,
        COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS late_critical,

@@ -655,6 +655,42 @@ def q21_sole_late_supplier(spark, sf_dir):
     )
 
 
+def sql_api_pricing_summary(spark, sf_dir):
+    """The engine's SQL surface: the same logical plan as the flagship
+    q1, declared as SQL text over registered views — Catalyst planning
+    is identical either way, which is the point."""
+    from ..sources.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+def q8_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: a nation's share of revenue per order year —
+    conditional decimal sum over total decimal sum, divided in double."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+    target = F.col("n_name") == "NATION_1"
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg((F.sum(F.when(target, rev).otherwise(F.lit(0).cast("decimal(27,6)"))).cast("double")
+              / F.sum(rev).cast("double")).alias("nation1_share"),
+             F.count("*").alias("n_items"))
+    )
+
+
 def q12_late_shipment_priority(spark, sf_dir):
     """TPC-H Q12 shape: conditional CASE counts per group — how many
     critical (1-URGENT/2-HIGH) vs other orders shipped late per year."""
@@ -920,6 +956,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q7_nation_volume": q7_nation_volume,
     "q21_sole_late_supplier": q21_sole_late_supplier,
     "q12_late_shipment_priority": q12_late_shipment_priority,
+    "sql_api_pricing_summary": sql_api_pricing_summary,
+    "q8_nation_market_share": q8_nation_market_share,
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q19_disjunctive_filter": q19_disjunctive_filter,
     "q22_idle_customers": q22_idle_customers,
