@@ -26,6 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from market_data_ingestor_go_spark.operators.cache import release_pinned  # noqa: E402
 from market_data_ingestor_go_spark.plans.queries import QUERIES  # noqa: E402
 from market_data_ingestor_go_spark.session import get_spark  # noqa: E402
 
@@ -43,9 +44,10 @@ HEADLINE = [
     "dedup_fingerprint",
     "minhash_neardup",
     "simhash_neardup",
-    "embedding_cosine_neardup",
+    "embedding_lsh_neardup",
     "knn_bruteforce",
     "knn_ann_hyperplane",
+    "knn_ann_ivf",
     "text_token_stats",
 ]
 
@@ -71,12 +73,13 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
-    spark.catalog.clearCache()  # drop operator-internal persists: no
-    # cross-run data reuse, only warm JIT/page cache
+        release_pinned()  # drop operator-internal persists: no
+        # cross-run data reuse, only warm JIT/page cache
     for name in HEADLINE:
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         steady[name] = round(min(cold[name], time.perf_counter() - t0), 3)
+        release_pinned()
 
     total = round(sum(steady.values()), 3)
     print(json.dumps({

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles
+from .cache import pin
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | str) -> DataFrame:
@@ -199,8 +200,10 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     # join twice; signatures feed both sides of the banding self-join.
     # Persist both (tiny vs the corpus: one row per doc) — the same
     # materialize-the-signature-table choice you'd make at 100 TB.
-    s = shingle_df(df, text_col, id_col, n).persist()
-    sig = minhash_signatures(s, num_perms).persist()
+    # pin() registers the handles so long-lived callers can
+    # release_pinned() after the consuming action.
+    s = pin(shingle_df(df, text_col, id_col, n))
+    sig = pin(minhash_signatures(s, num_perms))
     cand = lsh_candidate_pairs(sig, num_bands, rows_per_band)
     a = s.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -256,7 +259,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     so candidates come from an equi-join on (block_idx, block_value) —
     never an all-pairs scan.
     """
-    sig = simhash(df, text_col, id_col).persist()
+    sig = pin(simhash(df, text_col, id_col))
     width = 64 // num_blocks
     mask = (1 << width) - 1
     blocks = F.array(*[

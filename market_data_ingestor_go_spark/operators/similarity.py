@@ -26,6 +26,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cache import pin
+
 
 def as_double(vec: Column | str) -> Column:
     col = F.col(vec) if isinstance(vec, str) else vec
@@ -63,7 +65,7 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     value is bit-identical to inlining dot(a,a)/dot(b,b) per pair.
     """
     base = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
-    base = base.withColumn("sd", dot(F.col("v"), F.col("v"))).persist()
+    base = pin(base.withColumn("sd", dot(F.col("v"), F.col("v"))))
     # small corpora arrive as one parquet split → spread the probe side
     # so the pair join parallelizes across all cores
     n_parts = df.sparkSession.sparkContext.defaultParallelism
@@ -204,7 +206,7 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     base = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
     base = base.withColumn("sd", dot(F.col("v"), F.col("v")))
     base = base.withColumn("sig", hyperplane_signature(F.col("v"), planes))
-    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism).persist()
+    base = pin(base.repartition(df.sparkSession.sparkContext.defaultParallelism))
     probe_cols = [F.col("sig")]
     if multiprobe >= 1:
         probe_cols += [F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
@@ -225,21 +227,32 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
 
 def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
             n_probe_cells: int = 2, id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
-    """IVF-style ANN: centroids = a deterministic stride-sample of the
-    corpus by id (no RNG; at scale you'd feed k-means centroids here —
-    assignment stays a broadcast join either way). Vectors are assigned
-    to their max-cosine centroid; queries probe their ``n_probe_cells``
-    nearest cells, then the exact kernel ranks within those cells.
+            vec_col: str = "embedding",
+            centroids: DataFrame | None = None) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their max-cosine centroid
+    (broadcast join), queries probe their ``n_probe_cells`` nearest
+    cells, then the exact kernel ranks within those cells.
+
+    ``centroids`` (schema: any id col + the vector col, same names as
+    ``df``) is the k-means/trained codebook input; when omitted, a
+    deterministic pseudo-random sample stands in: the ``n_cells``
+    corpus rows with the smallest ``xxhash64(id)``. That is a single
+    map-side partial top-k (TakeOrdered) — no ``count()``, no full
+    materialization, and the plan stays lazy end to end.
     """
     from pyspark.sql.window import Window
 
     c = _corpus_side(df, id_col, vec_col)
-    cnt = c.count()  # metadata-cheap; centroid sampling is a setup step
-    stride = max(1, cnt // n_cells)
-    cents = F.broadcast(
-        c.filter(F.col("n_id") % stride == 0).limit(n_cells)
-        .select(F.col("n_id").alias("cent_id"), F.col("nv").alias("cv")))
+    if centroids is None:
+        cent_src = (
+            c.orderBy(F.xxhash64(F.col("n_id")), F.col("n_id"))
+            .limit(n_cells)
+            .select(F.col("n_id").alias("cent_id"), F.col("nv").alias("cv")))
+    else:
+        cent_src = centroids.select(
+            F.col(id_col).alias("cent_id"),
+            as_double(vec_col).alias("cv"))
+    cents = F.broadcast(cent_src)
 
     def assign(side: DataFrame, key: str, keep: list, vcol: str,
                n_best: int) -> DataFrame:

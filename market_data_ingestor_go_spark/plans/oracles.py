@@ -656,3 +656,27 @@ SELECT doc_id,
        lower(substring(hex(encode(text)), 1, 16)) AS prefix_hex
 FROM documents
 """
+
+# ------------------------------------------------------------------
+# Oracles for EXTRA_QUERIES (plans/queries.py): shapes pruned from the
+# driver's 50-entry correctness window but still parity-tested locally
+# (tests/test_parity.py runs ORACLES ∪ EXTRA_ORACLES). oracle_sql()
+# exposes only ORACLES, matching the declared queries() window.
+EXTRA_ORACLES: dict[str, str] = {
+    k: ORACLES.pop(k) for k in [
+        "q7_nation_volume",
+        "q12_late_shipment_priority",
+        "q14_promo_revenue_share",
+        "q19_disjunctive_filter",
+        "q22_idle_customers",
+        "sql_api_pricing_summary",
+        "orders_by_year",
+        "set_ops_all_variants",
+        "unpivot_event_matrix",
+        "window_running_total",
+        "event_gaps",
+        "token_frequencies",
+        "string_functions",
+        "agg_cube_year_status",
+    ]
+}

@@ -15,11 +15,13 @@ import os
 import duckdb
 import pytest
 
-from market_data_ingestor_go_spark.plans.oracles import ORACLES
-from market_data_ingestor_go_spark.plans.queries import QUERIES
+from market_data_ingestor_go_spark.plans.oracles import EXTRA_ORACLES, ORACLES
+from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES, QUERIES
 from market_data_ingestor_go_spark.sources.tables import TABLES
 
 SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+
+ALL_ORACLES = {**ORACLES, **EXTRA_ORACLES}
 
 
 def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -45,15 +47,15 @@ def _rows_to_multiset(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_parity(spark, name):
-    assert name in QUERIES, f"oracle {name} has no Spark query"
-    sdf = QUERIES[name](spark, SF_DIR)
+    assert name in ALL_QUERIES, f"oracle {name} has no Spark query"
+    sdf = ALL_QUERIES[name](spark, SF_DIR)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
     con = _duck(SF_DIR)
-    res = con.execute(ORACLES[name])
+    res = con.execute(ALL_ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
     con.close()
@@ -71,7 +73,15 @@ def test_parity(spark, name):
 
 def test_all_queries_have_schema_and_run(spark):
     """Queries without oracles still must run and return a stable schema."""
-    for name, fn in QUERIES.items():
+    for name, fn in ALL_QUERIES.items():
         df = fn(spark, SF_DIR)
         assert df.columns, name
         df.limit(1).collect()
+
+
+def test_driver_window_is_at_most_50():
+    """The driver's CORRECTNESS gate checks only the first 50 entries of
+    queries(); every declared query (and its oracle) must fit inside."""
+    assert len(QUERIES) <= 50
+    oracle_only = set(ORACLES) - set(QUERIES)
+    assert not oracle_only, f"oracles outside the declared window: {oracle_only}"
