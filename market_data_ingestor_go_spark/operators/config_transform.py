@@ -218,10 +218,16 @@ def apply_client_config_map(df: DataFrame, client_cfg: dict[str, SymbolConfig],
             new = cfg.rename_fields[old]
             if old == new:
                 continue
-            # drop any existing target key, then relabel old → new
-            expr = F.map_filter(expr, _drop_key_fn(new))
-            expr = F.map_from_entries(F.transform(F.map_entries(expr),
-                                                  _relabel_fn(old, new)))
+            # Only rows that actually carry the source key are touched
+            # (server.go:199-205 checks existence first): drop any
+            # existing target key, then relabel old → new. Rows
+            # without the source key keep their map — including a
+            # pre-existing target key — untouched.
+            renamed = F.map_filter(expr, _drop_key_fn(new))
+            renamed = F.map_from_entries(
+                F.transform(F.map_entries(renamed), _relabel_fn(old, new)))
+            expr = F.when(F.map_contains_key(expr, F.lit(old)), renamed) \
+                .otherwise(expr)
         def _not_in_fn(names):
             return lambda k, v: ~k.isin(*names)
 

@@ -27,10 +27,19 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic salt derived from the whole row hash (no RNG —
-    reruns produce identical partitioning)."""
+    """Deterministic salt (no RNG — reruns over the same input layout
+    produce identical partitioning) that spreads even *identical* rows.
+
+    A content-only hash would put every repeat of a hot tick (same
+    symbol, same price — the typical hot-key shape) in one salt
+    bucket, defeating the spread. Mixing in the per-row position
+    (``monotonically_increasing_id`` = partition id ⟪33 + row index)
+    round-robins duplicates across buckets while staying fully
+    deterministic for a fixed input partitioning.
+    """
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)))
+        salt_col,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
 
 
 def salted_agg(df: DataFrame, key_cols: list[str], n_salts: int = 16,

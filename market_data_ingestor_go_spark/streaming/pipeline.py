@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 from ..functions.market import MARKET_DATA_SCHEMA, validate
 from ..operators.enrich import enrich_exchange
 from ..operators.latest import latest_per_key
+from ..sources import fs
 
 DEFAULT_TTL_MILLIS = 24 * 3600 * 1000  # REDIS_TTL default 24h, config.go:37
 
@@ -73,15 +74,21 @@ class IngestPipeline:
     """Checkpointed dual-sink ingest runner (K1 + K2 in one foreachBatch).
 
     - history: append-only parquet table (market_data DDL semantics,
-      postgres.go:52-58 — duplicates allowed, ts==0 rows skipped)
+      postgres.go:52-58 — duplicates allowed, ts==0 rows skipped).
+      Each micro-batch lands in its own ``epoch=<id>`` partition
+      directory written with mode=overwrite, so replaying an epoch
+      after a crash rewrites the same directory instead of appending
+      duplicates — idempotent, hence exactly-once end to end.
     - latest : per-symbol latest-value state table (the Redis cache,
-      cache_service.go:37-61), TTL-evicted like `EX ttl`
+      cache_service.go:37-61), TTL-evicted like `EX ttl`. The merge
+      itself is idempotent (timestamp-max), and the table is replaced
+      via an atomic rename swap with a ``.old`` backup
+      (sources/fs.py) — a crash mid-swap never loses the table.
 
-    The two writes share one micro-batch (one scan); per-target
-    idempotence replaces the reference's independent retry loops
-    (processor.go:87-114). Cross-sink atomicity is still per-target —
-    same as the reference — but replay-on-failure makes it
-    effectively-once instead of at-most-once.
+    The two writes share one micro-batch (one scan). ``base_dir`` owns
+    the checkpoint AND both sinks as one unit: deleting the checkpoint
+    but keeping the sinks (or vice versa) breaks the epoch/replay
+    contract, exactly as it would for any exactly-once sink.
     """
 
     spark: SparkSession
@@ -103,26 +110,29 @@ class IngestPipeline:
         batch = batch.filter(F.col("timestamp") != 0)  # P2 sink guard
         batch.persist()
         try:
-            # K1: transactional-append history (atomic per micro-batch)
-            batch.write.mode("append").parquet(self.history_path)
-            # K2/A1: merge latest-per-key into the state table
-            new_latest = latest_per_key(batch, "name", "timestamp")
             spark = batch.sparkSession
-            try:
-                old = spark.read.parquet(self.latest_path)
-            except Exception:
-                old = None
+            # K1: history append, idempotent per epoch — replaying a
+            # crashed epoch overwrites its own partition directory
+            # instead of duplicating rows.
+            epoch_dir = os.path.join(self.history_path, f"epoch={int(epoch_id)}")
+            batch.write.mode("overwrite").parquet(epoch_dir)
+            # K2/A1: merge latest-per-key into the state table. Only a
+            # missing table (first epoch, or crash mid-swap → backup)
+            # is tolerated; real IO errors propagate and fail the
+            # epoch rather than silently dropping old keys.
+            new_latest = latest_per_key(batch, "name", "timestamp")
+            old = fs.read_with_backup(spark, self.latest_path)
             merged = new_latest if old is None else latest_per_key(
                 old.select(*new_latest.columns).unionByName(new_latest),
                 "name", "timestamp")
             # TTL eviction ≈ Redis EX (cache_service.go:45-52)
             horizon = F.unix_millis(F.current_timestamp()) - F.lit(self.ttl_millis)
             merged = merged.filter(F.col("timestamp") >= horizon)
-            # micro-batches are sequential → one reusable staging dir
-            tmp = self.latest_path + ".staging"
-            merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-            final = spark.read.parquet(tmp)
-            final.write.mode("overwrite").parquet(self.latest_path)
+            # micro-batches are sequential → one reusable staging dir;
+            # coalesce(1) is sized for the reference's ~500-key space
+            staging = self.latest_path + ".staging"
+            merged.coalesce(1).write.mode("overwrite").parquet(staging)
+            fs.atomic_swap(spark, staging, self.latest_path)
         finally:
             batch.unpersist()
 
@@ -139,37 +149,56 @@ class IngestPipeline:
         return q
 
     def latest_snapshot(self) -> DataFrame:
-        """S5: the cache full-scan read (cache_service.go:67-93)."""
-        return self.spark.read.parquet(self.latest_path)
+        """S5: the cache full-scan read (cache_service.go:67-93).
+        Falls back to the ``.old`` backup if a crash mid-swap left the
+        live path missing (sources/fs.py::atomic_swap contract)."""
+        df = fs.read_with_backup(self.spark, self.latest_path)
+        if df is None:  # no write yet — surface the normal reader error
+            return self.spark.read.parquet(self.latest_path)
+        return df
+
+    def history(self) -> DataFrame:
+        """The append-only history table without the epoch partition
+        bookkeeping column."""
+        return read_history(self.spark, self.history_path)
+
+
+def read_history(spark: SparkSession, history_path: str) -> DataFrame:
+    """Read the epoch-partitioned history table, dropping the
+    ``epoch`` bookkeeping partition column."""
+    df = spark.read.parquet(history_path)
+    return df.drop("epoch") if "epoch" in df.columns else df
 
 
 def compact_history(spark: SparkSession, history_path: str,
                     target_partitions: int | None = None) -> int:
     """Compact the append-only history table's small files.
 
-    Every micro-batch appends a few files; at a 2 s trigger that is
-    ~43k files/day — the classic streaming-sink small-files problem
-    that degrades scan planning and NameNode/liststatus at scale. This
-    rewrites the table at ``target_partitions`` (default: size-based,
-    ~128 MB per file) via a staging directory, preserving every row
-    (append-only ⇒ a plain rewrite is safe; run it between micro-batch
-    windows or on a snapshot copy). Returns the new file count.
-    """
-    import shutil
+    Every micro-batch writes its own ``epoch=<id>`` directory with a
+    few files; at a 2 s trigger that is ~43k files/day — the classic
+    streaming-sink small-files problem that degrades scan planning and
+    NameNode/liststatus at scale. This rewrites the table at
+    ``target_partitions`` (default: size-based, ~128 MB per file) into
+    a single ``epoch=-1`` partition via a staging directory + atomic
+    rename swap (sources/fs.py — storage-agnostic, no local ``os``
+    calls), preserving every row. Returns the new file count.
 
-    df = spark.read.parquet(history_path)
+    Run it only while the stream is stopped with its checkpoint fully
+    committed (no epoch pending replay): compaction folds epochs
+    together, so a replay after compaction would re-create its epoch
+    directory and duplicate those rows.
+    """
+    df = read_history(spark, history_path)
     if target_partitions is None:
-        total_bytes = sum(
-            f.stat().st_size for f in __import__("pathlib").Path(history_path).rglob("*.parquet"))
+        total_bytes = fs.total_size(spark, history_path)
         target_partitions = max(1, total_bytes // (128 * 1024 * 1024))
     staging = history_path + ".compact"
-    df.repartition(int(target_partitions)).write.mode("overwrite").parquet(staging)
-    backup = history_path + ".old"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(history_path, backup)
-    os.rename(staging, history_path)
-    shutil.rmtree(backup, ignore_errors=True)
-    return len(list(__import__("pathlib").Path(history_path).glob("*.parquet")))
+    # keep the epoch=<id> directory layout (mixing bare files and
+    # partition dirs under one root breaks partition discovery)
+    df.repartition(int(target_partitions)) \
+        .write.mode("overwrite").parquet(os.path.join(staging, "epoch=-1"))
+    fs.atomic_swap(spark, staging, history_path)
+    return len(fs.list_files(spark, history_path))
 
 
 def rate_frames(spark: SparkSession, rows_per_second: int = 100,

@@ -134,3 +134,25 @@ def test_map_path_gate_and_rules(spark):
            for r in apply_client_config_map(df, client_cfg).collect()}
     assert out["AAPL"] == {"bid": 20.0, "offer": 11.0, "src": 7.0}
     assert out["MSFT"] == {"bid": 20.0, "ask": 21.0}
+
+
+def test_map_path_rename_missing_source_keeps_target(spark):
+    """Rename only fires when the source key exists (server.go:199-205):
+    a sparse payload that already has the target key but lacks the
+    source must keep its target value, not lose it."""
+    rows = [
+        Row(symbol="AAPL", timestamp=1, exchange="usstock",
+            fields={"bid": 10.0, "ask": 11.0}),       # both keys
+        Row(symbol="AAPL", timestamp=2, exchange="usstock",
+            fields={"offer": 9.5}),                   # target only, no source
+        Row(symbol="AAPL", timestamp=3, exchange="usstock",
+            fields={"bid": 12.0}),                    # source absent entirely
+    ]
+    df = spark.createDataFrame(rows)
+    client_cfg = parse_client_config({
+        "symbols": {"AAPL": {"rename_fields": {"ask": "offer"}}}})
+    out = {r["timestamp"]: dict(r["fields"])
+           for r in apply_client_config_map(df, client_cfg).collect()}
+    assert out[1] == {"bid": 10.0, "offer": 11.0}  # renamed (clobbers target)
+    assert out[2] == {"offer": 9.5}                # untouched — was dropped before
+    assert out[3] == {"bid": 12.0}                 # untouched

@@ -4,6 +4,8 @@ behavior on the fixture corpus."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import Row, functions as F
 
@@ -156,19 +158,25 @@ def test_lsh_cosine_pairs_recall_and_precision(spark):
 
 
 def test_compact_history(spark, tmp_path):
-    from market_data_ingestor_go_spark.streaming.pipeline import compact_history
+    from market_data_ingestor_go_spark.streaming.pipeline import (
+        compact_history, read_history)
     import pathlib
     path = str(tmp_path / "hist")
-    for i in range(5):  # five "micro-batch" appends → many small files
+    for i in range(5):  # five micro-batch epoch dirs → many small files
         spark.range(100).withColumn("batch", F.lit(i)) \
-            .repartition(4).write.mode("append").parquet(path)
-    before = len(list(pathlib.Path(path).glob("*.parquet")))
+            .repartition(4).write.mode("overwrite") \
+            .parquet(os.path.join(path, f"epoch={i}"))
+    before = len(list(pathlib.Path(path).rglob("*.parquet")))
     assert before >= 20
     n_files = compact_history(spark, path, target_partitions=2)
     assert n_files == 2
-    df = spark.read.parquet(path)
+    df = read_history(spark, path)
+    assert "epoch" not in df.columns
     assert df.count() == 500  # every row preserved
     assert df.groupBy("batch").count().count() == 5
+    # a second compaction over the already-compacted (epoch=-1) layout
+    assert compact_history(spark, path, target_partitions=1) == 1
+    assert read_history(spark, path).count() == 500
 
 
 def test_multimodal_plumbing(spark):

@@ -104,6 +104,27 @@ def test_ingest_exactly_once_on_restart(spark, symbols_dim, tmp_path):
         .collect()[0]["timestamp"] == now
 
 
+def test_history_epoch_replay_idempotent(spark, symbols_dim, tmp_path):
+    """Replaying a crashed epoch (same epoch_id) must not duplicate
+    history rows: each epoch overwrites its own partition directory
+    (the foreachBatch idempotence contract)."""
+    import time
+    now = int(time.time() * 1000)
+    frames = spark.createDataFrame([
+        Row(value=json.dumps(_frame("AAPL", now, bid=10.0))),
+        Row(value=json.dumps(_frame("BTCUSD", now, bid=9.0))),
+    ])
+    batch = build_ingest_stream(frames, symbols_dim)
+    pipe = IngestPipeline(spark, str(tmp_path / "out"), symbols_dim)
+    pipe._write_batch(batch, 7)
+    pipe._write_batch(batch, 7)  # crash-replay of the same epoch
+    assert pipe.history().count() == 2
+    assert pipe.latest_snapshot().count() == 2
+    pipe._write_batch(batch, 8)  # a new epoch appends
+    assert pipe.history().count() == 4
+    assert pipe.latest_snapshot().count() == 2  # ts-max merge unchanged
+
+
 def test_serve_path_flatten_and_client_views(spark, tmp_path):
     """E2: shared flatten + per-client compiled transforms + wire JSON."""
     latest = spark.createDataFrame([
