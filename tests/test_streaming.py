@@ -170,8 +170,8 @@ def test_serve_tick_auth_gate(spark):
 
 
 def test_ws_source_contract(spark):
-    """WS source skeleton: offsets/partitions/read contract with
-    injected frames (no network in this container)."""
+    """WS source offset/read/commit contract with injected frames
+    (pure-contract path, no socket)."""
     reader = ws_sources.WebSocketStreamReader(
         {"symbols": json.dumps(["AAPL"]), "maxFramesPerTrigger": "100"})
     assert reader.initialOffset() == {"count": 0}
@@ -179,13 +179,152 @@ def test_ws_source_contract(spark):
         {"name": "AAPL", "timestamp": 1, "data": {"data": {"bid": 1.0}}},
         {"name": "MSFT", "timestamp": 2, "data": {"data": {"bid": 2.0}}},
     ])
-    end = reader.latestOffset()
+    it, end = reader.read({"count": 0})
+    rows = list(it)
     assert end == {"count": 2}
-    parts = reader.partitions({"count": 0}, end)
-    rows = [r for p in parts for r in reader.read(p)]
     assert len(rows) == 2 and rows[0][0] == "AAPL"
+    # in-flight replay before commit sees the same slice
+    assert len(list(reader.readBetweenOffsets({"count": 0}, end))) == 2
     reader.commit(end)
+    assert reader._base == 2 and reader._buffer == []  # buffer trimmed
+    # next read starts where we left off
+    reader.prefetched_frames([
+        {"name": "AAPL", "timestamp": 3, "data": {"data": {"bid": 3.0}}}])
+    it2, end2 = reader.read(end)
+    assert end2 == {"count": 3} and len(list(it2)) == 1
     assert ws_sources.register(spark) in (True, False)
+
+
+def test_ws_minimal_loopback():
+    """RFC 6455 stdlib client/server: handshake, text echo, ping/pong,
+    headers, masked payloads >125 bytes, close."""
+    from market_data_ingestor_go_spark.streaming import ws_minimal as wm
+
+    echoed = []
+
+    def on_connect(conn):
+        try:
+            while True:
+                echoed.append(conn.recv(timeout=5.0))
+                conn.send("ack:" + echoed[-1][:10])
+        except (wm.ConnectionClosed, TimeoutError):
+            pass
+
+    server = wm.WSServer(on_connect=on_connect).start()
+    try:
+        client = wm.connect(server.url, headers={"x-api-key": "k1"})
+        client.send("hello")
+        assert client.recv(timeout=5.0) == "ack:hello"
+        big = "x" * 70000  # 64-bit length frame path
+        client.send(big)
+        assert client.recv(timeout=5.0) == "ack:" + "x" * 10
+        assert echoed == ["hello", big]
+        # server saw the auth header from the upgrade request
+        srv_conn = server.connections()[0]
+        assert srv_conn.headers.get("x-api-key") == "k1"
+        # idle recv raises TimeoutError, not ConnectionClosed
+        with pytest.raises(TimeoutError):
+            client.recv(timeout=0.1)
+        client.close()
+    finally:
+        server.stop()
+
+
+def _frame_feed_server(wm, frames_per_conn):
+    """WS server that reads the subscribe handshake then replays a
+    batch of frames per connection (one batch per connect cycle)."""
+    handshakes = []
+
+    def on_connect(conn):
+        try:
+            handshakes.append(json.loads(conn.recv(timeout=5.0)))
+            batch = frames_per_conn.pop(0) if frames_per_conn else []
+            for f in batch:
+                conn.send(f if isinstance(f, str) else json.dumps(f))
+        except (wm.ConnectionClosed, TimeoutError):
+            pass
+
+    return wm.WSServer(on_connect=on_connect).start(), handshakes
+
+
+def test_ws_reader_live_poll_and_reconnect(monkeypatch):
+    """S1/X7 e2e over a real socket: subscribe handshake, frame decode,
+    drop-on-unmarshal-error, idle-vs-disconnect distinction, reconnect
+    with backoff after the server drops the connection
+    (ingestor.go:31-127)."""
+    from market_data_ingestor_go_spark.streaming import ws_minimal as wm
+    monkeypatch.setattr(ws_sources, "RECONNECT_INITIAL_S", 0.05)
+
+    batches = [
+        [_frame("AAPL", 1, bid=1.0), "not json {{{", _frame("MSFT", 2, bid=2.0)],
+        [_frame("AAPL", 3, bid=3.0)],
+    ]
+    server, handshakes = _frame_feed_server(wm, batches)
+    try:
+        reader = ws_sources.WebSocketStreamReader({
+            "url": server.url, "api_key": "k1",
+            "symbols": json.dumps(["AAPL", "MSFT"]),
+            "pollBudgetSecs": "3.0"})
+        it, end = reader.read(reader.initialOffset())
+        rows = list(it)
+        assert [r[0] for r in rows] == ["AAPL", "MSFT"]  # bad JSON dropped
+        assert end == {"count": 2}
+        assert handshakes[0] == {"event": "subscribe",
+                                 "symbols": ["AAPL", "MSFT"]}
+        reader.commit(end)
+
+        # server drops the connection (close all live conns); the next
+        # read must reconnect (fresh subscribe handshake) and get batch 2
+        for c in server.connections():
+            c.close()
+        it2, end2 = reader.read(end)
+        rows2 = list(it2)
+        assert [r[0] for r in rows2] == ["AAPL"] and rows2[0][1] == 3
+        assert end2 == {"count": 3}
+        assert reader.reconnects >= 1
+        assert len(handshakes) == 2  # re-subscribe on reconnect
+    finally:
+        server.stop()
+
+
+def test_ws_source_readstream_e2e(spark, tmp_path):
+    """Full Structured Streaming path: readStream.format("ws_market_data")
+    against a live local WS server → memory sink. The reader runs in
+    Spark's Python source-runner process and dials back over TCP."""
+    import time
+    from market_data_ingestor_go_spark.streaming import ws_minimal as wm
+
+    if not ws_sources.register(spark):  # pragma: no cover
+        pytest.skip("pyspark build lacks the Python DataSource API")
+
+    frames = [_frame("AAPL", i, bid=float(i)) for i in range(1, 21)]
+    server, _ = _frame_feed_server(wm, [frames])
+    try:
+        q = (spark.readStream.format("ws_market_data")
+             .option("url", server.url)
+             .option("api_key", "k1")
+             .option("symbols", json.dumps(["AAPL"]))
+             .option("pollBudgetSecs", "2.0")
+             .load()
+             .writeStream.format("memory").queryName("ws_e2e")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(processingTime="1 second")
+             .start())
+        deadline = time.monotonic() + 30
+        n = 0
+        while time.monotonic() < deadline:
+            n = spark.sql("SELECT count(*) c FROM ws_e2e").first()["c"]
+            if n >= len(frames):
+                break
+            time.sleep(0.5)
+        q.stop()
+        assert n == len(frames)
+        got = spark.sql(
+            "SELECT name, timestamp FROM ws_e2e ORDER BY timestamp").collect()
+        assert [r["timestamp"] for r in got] == list(range(1, 21))
+        assert got[0]["name"] == "AAPL"
+    finally:
+        server.stop()
 
 
 def test_stream_stream_join_with_watermarks(spark, tmp_path):
