@@ -57,6 +57,34 @@ def authenticate(api_keys: DataFrame, presented_key: str) -> DataFrame:
     )
 
 
+def authenticate_many(api_keys: DataFrame, presented_keys: list[str]) -> DataFrame:
+    """Batched S3/J2: resolve MANY presented keys in ONE broadcast join.
+
+    The reference authenticates each connection with its own point
+    query (postgres.go:142-147) — fine per connect, but the serve tick
+    re-checks every live connection, so per-key lookups become N round
+    trips per second. One inner join of the active key dimension
+    against the (tiny, deduplicated) presented-key set costs the same
+    as a single lookup and scales to thousands of connections.
+
+    Returns (key_hash, client_id) for every presented key that matches
+    an active credential.
+    """
+    spark = api_keys.sparkSession
+    hashes = sorted({_sha256_hex(k) for k in presented_keys})
+    if not hashes:
+        return api_keys.select("key_hash", "client_id").limit(0)
+    presented = spark.createDataFrame([(h,) for h in hashes], "key_hash string")
+    return (api_keys.filter(F.col("is_active"))
+            .join(F.broadcast(presented), "key_hash", "inner")
+            .select("key_hash", "client_id"))
+
+
+def _sha256_hex(key: str) -> str:
+    import hashlib
+    return hashlib.sha256(key.encode()).hexdigest()
+
+
 def audit_key_usage(api_keys: DataFrame, used_hashes: DataFrame) -> DataFrame:
     """K5 (postgres.go:156-160): best-effort ``last_used_at`` touch.
 

@@ -1,0 +1,167 @@
+"""K4 — the live WebSocket broadcast sink (server.go:43-130).
+
+The reference runs a WS server: clients connect with an x-api-key
+header, the server authenticates and loads their transform config,
+and a 1 s ticker snapshots the cache and writes every record to every
+connection through its per-client transform (server.go:88-130).
+
+Engine realization: ``ServePublisher`` wraps the stdlib WS server
+(streaming/ws_minimal.py — production swaps in the ``websockets``
+package), registers connections with their presented key, and on each
+tick:
+
+1. authenticates ALL live connections with ONE broadcast semi-join
+   (``serve.resolve_connections`` — not N point reads per tick),
+2. builds one wire view per DISTINCT client config over a single
+   shared flattened snapshot (``serve.client_wire_views``),
+3. unions the per-client views with a client_id tag and collects the
+   tick in ONE Spark action, then fans the pre-serialized JSON rows
+   out over the sockets.
+
+Scale posture: tick cost is one job over ~|symbols| × |distinct
+configs| rows regardless of connection count; the per-connection work
+is a socket write of already-serialized bytes. The reference's own
+loop is O(connections × symbols) marshalling per tick — this is the
+sharing it couldn't do.
+
+Delivery is best-effort per tick, matching the reference: a dead
+connection is dropped on write failure (server.go:82-87), and a
+client that connects mid-tick starts receiving on the next tick.
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cache import release_pinned
+from .serve import client_wire_views, resolve_connections
+from .ws_minimal import ConnectionClosed, WSServer
+
+
+class ServePublisher:
+    """Auth-gated per-client broadcast over live WS connections."""
+
+    def __init__(self, spark: SparkSession, api_keys: DataFrame,
+                 configs_df: DataFrame, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.spark = spark
+        self.api_keys = api_keys
+        self.configs_df = configs_df
+        self._conns: dict[str, tuple] = {}  # conn_id -> (WSConnection, key)
+        self._ids = itertools.count(1)
+        self._lock = threading.Lock()
+        self._ticker: threading.Timer | None = None
+        self._stopping = threading.Event()
+        self.ticks = 0          # observability
+        self.records_sent = 0
+        self.server = WSServer(host, port, on_connect=self._on_connect)
+
+    # -- connection registry (server.go:43-61) ------------------------
+
+    def _on_connect(self, conn) -> None:
+        key = conn.headers.get("x-api-key", "")
+        conn_id = f"conn-{next(self._ids)}"
+        with self._lock:
+            self._conns[conn_id] = (conn, key)
+        # Broadcast-only server: drain (and ignore) client frames so
+        # ping/close are serviced; deregister when the peer goes away.
+        try:
+            while not self._stopping.is_set():
+                try:
+                    conn.recv(timeout=1.0)
+                except TimeoutError:
+                    continue
+        except ConnectionClosed:
+            pass
+        finally:
+            conn.close()
+            with self._lock:
+                self._conns.pop(conn_id, None)
+
+    def presented_keys(self) -> dict[str, str]:
+        with self._lock:
+            return {cid: key for cid, (conn, key) in self._conns.items()
+                    if not conn._closed}
+
+    # -- the tick (server.go:88-130) ----------------------------------
+
+    def tick(self, latest: DataFrame) -> int:
+        """One broadcast tick; returns records sent across all conns."""
+        presented = self.presented_keys()
+        if not presented:
+            self.ticks += 1
+            return 0
+        conn2client = resolve_connections(self.api_keys, presented)
+        client_ids = set(conn2client.values())
+        if not client_ids:
+            self.ticks += 1
+            return 0
+        views = client_wire_views(latest, self.configs_df, client_ids)
+        # ONE action for the whole tick: tag + union the per-client
+        # views (all cheap projections of the shared pinned snapshot).
+        tagged = [v.select(F.lit(cid).alias("client_id"), "wire")
+                  for cid, v in views.items()]
+        union = tagged[0]
+        for t in tagged[1:]:
+            union = union.unionAll(t)
+        try:
+            by_client: dict[str, list[str]] = {}
+            for row in union.collect():
+                by_client.setdefault(row["client_id"], []).append(row["wire"])
+        finally:
+            release_pinned()
+        sent = 0
+        for conn_id, client_id in conn2client.items():
+            with self._lock:
+                entry = self._conns.get(conn_id)
+            if entry is None:
+                continue
+            conn = entry[0]
+            try:
+                for wire in by_client.get(client_id, ()):
+                    conn.send(wire)
+                    sent += 1
+            except OSError:  # dead conn → drop (server.go:82-87)
+                conn.close()
+        self.ticks += 1
+        self.records_sent += sent
+        return sent
+
+    # -- lifecycle -----------------------------------------------------
+
+    def start(self, latest_provider=None, interval_s: float = 1.0) -> "ServePublisher":
+        """Start accepting connections; with ``latest_provider`` (a
+        zero-arg callable returning the latest-state DataFrame — e.g.
+        ``pipeline.latest_snapshot``) also start the 1 s tick loop
+        (server.go:88, the reference's ticker)."""
+        self.server.start()
+        if latest_provider is not None:
+            def _loop():
+                if self._stopping.is_set():
+                    return
+                try:
+                    self.tick(latest_provider())
+                except Exception:  # pragma: no cover - keep ticking
+                    pass
+                if not self._stopping.is_set():
+                    self._ticker = threading.Timer(interval_s, _loop)
+                    self._ticker.daemon = True
+                    self._ticker.start()
+            self._ticker = threading.Timer(interval_s, _loop)
+            self._ticker.daemon = True
+            self._ticker.start()
+        return self
+
+    @property
+    def url(self) -> str:
+        return self.server.url
+
+    def stop(self) -> None:
+        self._stopping.set()
+        if self._ticker is not None:
+            self._ticker.cancel()
+        self.server.stop()

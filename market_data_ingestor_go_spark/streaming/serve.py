@@ -25,12 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.market import PAYLOAD_SCHEMA
+from ..operators.cache import pin
 from ..operators.config_transform import (
     SymbolConfig,
     apply_client_config_map,
     parse_client_config,
 )
-from ..operators.enrich import authenticate
+from ..operators.enrich import authenticate_many, _sha256_hex
 
 
 def flatten_snapshot(latest: DataFrame) -> DataFrame:
@@ -83,26 +84,56 @@ def wire_payload(df: DataFrame) -> DataFrame:
         F.to_json(F.struct("symbol", "timestamp", "exchange", "fields")).alias("wire"))
 
 
-def serve_tick(spark: SparkSession, latest: DataFrame, configs_df: DataFrame,
-               api_keys: DataFrame, presented_keys: dict[str, str]) -> dict[str, DataFrame]:
-    """One broadcast tick: auth each presented key (S3), fetch configs
-    (S4), flatten once (P3), emit per-client wire views (P4-P8 + P11).
+def resolve_connections(api_keys: DataFrame,
+                        presented_keys: dict[str, str]) -> dict[str, str]:
+    """Auth every live connection in ONE broadcast join per tick
+    (server.go:63-67 semantics, batched): {conn_id: client_id} for
+    connections whose key matched an active credential; invalid /
+    inactive keys are simply absent."""
+    hash2client = {r["key_hash"]: r["client_id"]
+                   for r in authenticate_many(
+                       api_keys, list(presented_keys.values())).collect()}
+    return {conn_id: hash2client[_sha256_hex(key)]
+            for conn_id, key in presented_keys.items()
+            if _sha256_hex(key) in hash2client}
 
-    Returns {client_id: wire DataFrame}; the caller (WebSocket layer /
-    foreachBatch publisher) pushes each to its connections.
-    """
-    flat = flatten_snapshot(latest).cache()
+
+def client_wire_views(latest: DataFrame, configs_df: DataFrame,
+                      client_ids: set[str]) -> dict[str, DataFrame]:
+    """Per-CLIENT (not per-connection) wire views over one shared
+    flattened snapshot: compute each distinct config's transform once
+    and fan the bytes out to every connection of that client. The
+    reference recomputes per connection (server.go:88-130) — its own
+    documented weakness; sharing makes tick cost O(distinct configs),
+    not O(connections).
+
+    The shared flat snapshot is pinned via the cache registry; callers
+    running many ticks in one session release it with
+    ``operators.cache.release_pinned()`` after pushing the tick."""
+    flat = pin(flatten_snapshot(latest))
     client_cfgs = load_client_configs(configs_df)
     views = {}
-    for conn_id, key in presented_keys.items():
-        rows = authenticate(api_keys, key).collect()
-        if not rows:  # invalid/inactive key → reject (server.go:63-67)
-            continue
-        client_id = rows[0]["client_id"]
+    for client_id in client_ids:
         cfg = client_cfgs.get(client_id, {})
         view = apply_client_config_map(flat, cfg) if cfg else flat
-        views[conn_id] = wire_payload(view)
+        views[client_id] = wire_payload(view)
     return views
+
+
+def serve_tick(spark: SparkSession, latest: DataFrame, configs_df: DataFrame,
+               api_keys: DataFrame, presented_keys: dict[str, str]) -> dict[str, DataFrame]:
+    """One broadcast tick: auth ALL presented keys with one batched
+    join (S3), fetch configs (S4), flatten once (P3), emit per-client
+    wire views (P4-P8 + P11) shared across same-client connections.
+
+    Returns {conn_id: wire DataFrame}; the caller (WebSocket layer /
+    foreachBatch publisher) pushes each to its connection.
+    """
+    conn2client = resolve_connections(api_keys, presented_keys)
+    views = client_wire_views(latest, configs_df,
+                              set(conn2client.values()))
+    return {conn_id: views[client_id]
+            for conn_id, client_id in conn2client.items()}
 
 
 def build_serve_snapshot(latest: DataFrame, configs_df: DataFrame) -> dict[str, DataFrame]:

@@ -9,12 +9,18 @@ import time
 
 from pyspark.sql import Row, functions as F
 
+from market_data_ingestor_go_spark.streaming.endpoints import MetricsServer
 from market_data_ingestor_go_spark.streaming.observability import (
     MetricsListener, MetricsRegistry, observe_ingest)
 from market_data_ingestor_go_spark.streaming.stateful import streaming_latest_state
 
 
 def test_listener_collects_observed_metrics(spark, tmp_path):
+    """A2 + X9: observed metrics flow listener → registry → the
+    /metrics HTTP endpoint, scraped while the query is live
+    (main.go:47-59)."""
+    from urllib.request import urlopen
+
     src = str(tmp_path / "src")
     import os
     os.makedirs(src)
@@ -26,6 +32,7 @@ def test_listener_collects_observed_metrics(spark, tmp_path):
     registry = MetricsRegistry()
     listener = MetricsListener(registry)
     spark.streams.addListener(listener)
+    server = MetricsServer(registry).start()
     try:
         raw = (spark.readStream.schema("name STRING, timestamp LONG")
                .json(src))
@@ -36,17 +43,27 @@ def test_listener_collects_observed_metrics(spark, tmp_path):
              .option("checkpointLocation", str(tmp_path / "ckpt"))
              .start())
         q.processAllAvailable()
-        q.stop()
-        # listener events are async — poll briefly
+        # listener events are async — poll before stopping the query
         deadline = time.time() + 10
         while time.time() < deadline and "processed.messages_processed" not in registry.counters:
             time.sleep(0.2)
+
+        # scrape while the query is still running
+        health = json.loads(urlopen(server.url + "/health", timeout=5).read())
+        assert health == {"status": "ok"}
+        metrics = urlopen(server.url + "/metrics", timeout=5).read().decode()
+        q.stop()
     finally:
+        server.stop()
         spark.streams.removeListener(listener)
 
     assert registry.counters.get("batch_inserts", 0) >= 1
     assert registry.counters.get("received.messages_received") == 5
     assert registry.counters.get("processed.messages_processed") == 4
+    assert "received_messages_received 5" in metrics
+    assert "processed_messages_processed 4" in metrics
+    assert "# TYPE batch_inserts counter" in metrics
+    assert "last_batch_id" in metrics
 
 
 def test_streaming_latest_state_change_stream(spark, tmp_path):

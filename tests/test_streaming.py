@@ -195,6 +195,65 @@ def test_ws_source_contract(spark):
     assert ws_sources.register(spark) in (True, False)
 
 
+def test_ws_publisher_broadcast_e2e(spark):
+    """K4 e2e (server.go:43-130): two live WS clients with different
+    configs receive differently-transformed JSON for the SAME snapshot
+    in one tick; a client with a dead key receives nothing."""
+    import hashlib
+    import time
+    from market_data_ingestor_go_spark.streaming import ws_minimal as wm
+    from market_data_ingestor_go_spark.streaming.publisher import ServePublisher
+
+    latest = spark.createDataFrame([
+        Row(name="AAPL", timestamp=2000, exchange="usstock",
+            data=json.dumps({"data": {"bid": 10.0, "ask": 11.0}})),
+        Row(name="BTCUSD", timestamp=1500, exchange="crypto",
+            data=json.dumps({"data": {"bid": 9.0, "ask": 9.5}})),
+    ])
+    configs = spark.createDataFrame([
+        Row(id="c1", config=json.dumps({"symbols": {"AAPL": {
+            "value_rules": {"bid": {"op": "add", "value": 1}},
+            "remove_fields": ["ask"]}}})),
+        Row(id="c2", config=None),
+    ])
+    keys = spark.createDataFrame([
+        Row(client_id="c1", key_hash=hashlib.sha256(b"k1").hexdigest(),
+            is_active=True),
+        Row(client_id="c2", key_hash=hashlib.sha256(b"k2").hexdigest(),
+            is_active=True),
+        Row(client_id="c3", key_hash=hashlib.sha256(b"dead").hexdigest(),
+            is_active=False),
+    ])
+    pub = ServePublisher(spark, keys, configs).start()
+    try:
+        c1 = wm.connect(pub.url, headers={"x-api-key": "k1"})
+        c2 = wm.connect(pub.url, headers={"x-api-key": "k2"})
+        c3 = wm.connect(pub.url, headers={"x-api-key": "dead"})
+        deadline = time.monotonic() + 5
+        while len(pub.presented_keys()) < 3 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        sent = pub.tick(latest)
+        assert sent == 4  # 2 records × 2 authorized clients
+
+        got1 = {}
+        for _ in range(2):
+            m = json.loads(c1.recv(timeout=5.0))
+            got1[m["symbol"]] = m
+        got2 = {}
+        for _ in range(2):
+            m = json.loads(c2.recv(timeout=5.0))
+            got2[m["symbol"]] = m
+        assert got1["AAPL"]["fields"] == {"bid": 11.0}          # transformed
+        assert got2["AAPL"]["fields"] == {"bid": 10.0, "ask": 11.0}  # identity
+        assert got1["BTCUSD"]["fields"] == got2["BTCUSD"]["fields"]  # P8 gate
+        with pytest.raises(TimeoutError):
+            c3.recv(timeout=0.3)  # inactive key → no broadcast
+        for c in (c1, c2, c3):
+            c.close()
+    finally:
+        pub.stop()
+
+
 def test_ws_minimal_loopback():
     """RFC 6455 stdlib client/server: handshake, text echo, ping/pong,
     headers, masked payloads >125 bytes, close."""
