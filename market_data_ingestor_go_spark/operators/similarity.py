@@ -175,12 +175,37 @@ def random_hyperplane_ann(df: DataFrame, queries: DataFrame, k: int = 5,
         q.select("q_id", "qv", "qsd", F.explode(F.array(*probe_cols)).alias("bucket")))
     scored = (
         q.join(c, (F.col("q_id") != F.col("n_id")) & (q.bucket == c.bucket))
-        .select("q_id", "n_id", _PAIR_COS().alias("cos"))
-        .distinct()  # a neighbor can appear via several probes
+        .select("q_id", c["bucket"].alias("probe"), "n_id",
+                _PAIR_COS().alias("cos"))
     )
+    return _bucketed_topk(scored, k)
+
+
+def _bucketed_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-bucket top-k → dedupe → global top-k.
+
+    ``scored`` is (q_id, probe, n_id, cos) candidate rows. A true
+    global top-k candidate is by definition in the top-k of every
+    probe bucket that contains it, so ranking within (q_id, probe)
+    first is lossless — and WindowGroupLimit prunes each map task's
+    output to k rows per (query, bucket) BEFORE the exchange. At
+    corpus scale that bounds the shuffle at (probes+1)·k rows per
+    query instead of every candidate in every probed bucket; the
+    dedupe (a neighbor can appear via several probes) and the global
+    rank then run over that tiny set.
+    """
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("q_id", "probe").orderBy(
+        F.col("cos").desc(), F.col("n_id"))
+    local = (
+        scored.withColumn("lrn", F.row_number().over(wb))
+        .filter(F.col("lrn") <= F.lit(k))
+    )
+    deduped = local.groupBy("q_id", "n_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        deduped.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.lit(k))
         .select("q_id", "n_id", "cos", "rn")
     )
@@ -272,12 +297,7 @@ def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
     scored = (
         q_assigned.join(c_assigned, (F.col("q_id") != F.col("n_id"))
                         & (q_assigned.cell == c_assigned.cell))
-        .select("q_id", "n_id", _PAIR_COS().alias("cos"))
-        .distinct()
+        .select("q_id", c_assigned["cell"].alias("probe"), "n_id",
+                _PAIR_COS().alias("cos"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.lit(k))
-        .select("q_id", "n_id", "cos", "rn")
-    )
+    return _bucketed_topk(scored, k)
