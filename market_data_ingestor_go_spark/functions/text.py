@@ -76,3 +76,31 @@ def lang_guess(text: str) -> Column:
     operator's value here is its deterministic, oracle-checkable shape.
     """
     return F.when(stopword_ratio(text) > F.lit(0.03), F.lit("en")).otherwise(F.lit("other"))
+
+
+# PII patterns deliberately use only syntax shared by Java regex and
+# RE2-family engines (no lookbehind) so the DuckDB oracle can run the
+# same pattern strings verbatim.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+}
+
+
+def pii_count(text: Column | str, pattern: str) -> Column:
+    """Matches of one PII pattern per row (JVM regexp, scan-speed)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def scrub_pii(text: Column | str, token: str = "[PII]") -> Column:
+    """Redact every PII pattern with ``token`` — the content-filter
+    step of a training pipeline. Chained regexp_replace stays inside
+    codegen; order is fixed (email → phone → ipv4) so engines agree
+    when patterns overlap."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pat in (PII_PATTERNS["email"], PII_PATTERNS["phone"],
+                PII_PATTERNS["ipv4"]):
+        col = F.regexp_replace(col, pat, token)
+    return col

@@ -1,0 +1,173 @@
+"""Training-data pipeline operators (SURVEY.md §2.11 extensions).
+
+The dedup/similarity/text operators cover corpus cleaning; this module
+adds the steps between a clean corpus and a training run:
+
+- hash_split          : deterministic train/val/test assignment from a
+                        content-independent key hash — stable across
+                        runs, engines, and partitionings; no RNG state
+                        to coordinate across 1000 executors.
+- corpus_mix_weights  : per-group sampling weights that reshape the
+                        corpus toward a target mixture (uniform by
+                        default) — the "data mixing" step of LLM
+                        pretraining, computed as one tiny aggregate.
+- pack_chunks         : concatenate-and-chunk sequence packing — the
+                        standard pretraining packing (documents are
+                        concatenated in a deterministic stream order
+                        and split into fixed-token context windows; a
+                        document belongs to the chunk where it starts).
+                        A windowed running sum, so it scales as one
+                        shuffle on the stream bucket.
+- pack_greedy         : first-fit greedy packing within hash buckets
+                        via applyInPandas — the no-straddle variant for
+                        fine-tuning-style packing where documents must
+                        not cross pack boundaries.
+
+All but pack_greedy are pure Column/window expressions (JVM-side,
+engine-exact against a SQL oracle); pack_greedy is an inherently
+sequential per-bucket algorithm, kept Arrow-batched and bounded by the
+bucket partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import token_count
+
+
+def hash_bucket(key, n_buckets: int = 100):
+    """Deterministic bucket in [0, n_buckets) from md5 of the key's
+    string form. md5 (not xxhash64) so any engine can reproduce the
+    assignment bit-for-bit; the first 8 hex chars (32 bits) are far
+    beyond what bucket assignment needs."""
+    col = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               train_pct: int = 80, val_pct: int = 10) -> DataFrame:
+    """Assign each row to train/val/test by its id-hash bucket.
+
+    Content-independent (id, not text) so near-duplicate leakage
+    between splits is a dedup concern, not a split concern; stable
+    under repartitioning because nothing depends on row order.
+    """
+    b = hash_bucket(id_col, 100)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+         .when(b < train_pct + val_pct, F.lit("val"))
+         .otherwise(F.lit("test")))
+
+
+def split_summary(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-split doc/token counts — the sanity check run after every
+    split: one tiny aggregate, partial map-side."""
+    return (
+        hash_split(df, id_col)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(token_count(text_col)).alias("n_tokens"))
+    )
+
+
+def corpus_mix_weights(df: DataFrame, group_col: str = "lang",
+                       text_col: str = "text") -> DataFrame:
+    """Per-group sampling weight to reshape the corpus toward a
+    uniform token mixture across groups.
+
+    weight_g = target_share / actual_share, where actual_share is the
+    group's fraction of total tokens. Sampling each group's documents
+    with probability proportional to its weight yields the target mix
+    in expectation. One aggregate + a broadcast-size result (|groups|
+    rows) — at 100 TB the scan dominates and the mixture math is free.
+    """
+    per_group = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"))
+    w = Window.partitionBy()  # |groups| rows — a driver-size aggregate
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    n_groups = F.count("*").over(w)
+    return per_group.select(
+        group_col, "n_docs", "n_tokens",
+        share.alias("token_share"),
+        ((F.lit(1.0) / n_groups) / share).alias("mix_weight"))
+
+
+def pack_chunks(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", cap: int = 2048,
+                n_streams: int = 32) -> DataFrame:
+    """Concatenate-and-chunk packing: documents are laid out in a
+    deterministic stream order and cut into ``cap``-token windows; a
+    document belongs to the chunk where its first token lands (the
+    GPT-style packing where documents may straddle chunk boundaries).
+
+    Streams are id-hash buckets, so layout is reproducible across runs
+    and engines and each stream packs independently — the only shuffle
+    is the window sort per stream, and n_streams bounds the
+    parallelism exactly like log-structured writers at 100 TB.
+    """
+    toks = df.select(
+        F.col(id_col), hash_bucket(id_col, n_streams).alias("stream"),
+        token_count(text_col).alias("n_tokens"))
+    w = (Window.partitionBy("stream").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return toks.select(
+        id_col, "stream", "n_tokens",
+        start.alias("start_offset"),
+        (start / F.lit(cap)).cast("long").alias("chunk_id"))
+
+
+def pack_greedy(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", cap: int = 2048,
+                n_buckets: int = 32) -> DataFrame:
+    """First-fit greedy packing (no document straddles a pack): within
+    each id-hash bucket, walk documents in id order and open a new
+    pack when the current one can't fit the document. Documents longer
+    than ``cap`` get a pack of their own (truncation is the
+    tokenizer's job, not the packer's).
+
+    Sequential by nature, so it runs as applyInPandas per bucket —
+    Arrow-batched, deterministic (sorted input), parallel across
+    buckets. Output: (doc_id, bucket, n_tokens, pack_id, pack_fill).
+    """
+    toks = df.select(
+        F.col(id_col), hash_bucket(id_col, n_buckets).alias("bucket"),
+        token_count(text_col).alias("n_tokens"))
+
+    # worker-side fn MUST be a closure (module-level defs pickle by
+    # reference and the executor can't import this repo package when
+    # the driver runs from another cwd)
+    def _pack(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values(id_col.replace("`", ""))
+        packs, fills = [], []
+        pack_id, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > cap:
+                pack_id, fill = pack_id + 1, 0
+            packs.append(pack_id)
+            fill += n
+            fills.append(fill)
+        return pd.DataFrame({
+            "doc_id_out": pdf[pdf.columns[0]],
+            "bucket": pdf["bucket"],
+            "n_tokens": pdf["n_tokens"],
+            "pack_id": packs,
+            "pack_fill": fills,
+        })
+
+    out = toks.groupBy("bucket").applyInPandas(
+        _pack,
+        schema=("doc_id_out long, bucket long, n_tokens long, "
+                "pack_id long, pack_fill long"))
+    return out.withColumnRenamed("doc_id_out", id_col)

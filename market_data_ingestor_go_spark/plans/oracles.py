@@ -660,6 +660,91 @@ FROM documents
 # ------------------------------------------------------------------
 # Oracles for EXTRA_QUERIES (plans/queries.py): shapes pruned from the
 # driver's 50-entry correctness window but still parity-tested locally
+# hash-bucket fragment shared by the training-pipeline oracles
+# (mirrors operators/training.py::hash_bucket — md5 so both engines
+# agree bit-for-bit)
+_BUCKET = ("CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+           "AS BIGINT) % {n}")
+_NTOK = "len(regexp_split_to_array(trim(text), '\\s+'))"
+
+ORACLES["events_ohlc_bars"] = """
+WITH e AS (
+  SELECT epoch_ms(ts) AS ts_ms, event_id, event_type, value FROM events),
+r AS (
+  SELECT (ts_ms // 900000) * 900000 AS bar_start_ms, event_type, value,
+         row_number() OVER (PARTITION BY ts_ms // 900000, event_type
+                            ORDER BY ts_ms, event_id) AS rna,
+         row_number() OVER (PARTITION BY ts_ms // 900000, event_type
+                            ORDER BY ts_ms DESC, event_id DESC) AS rnd
+  FROM e)
+SELECT bar_start_ms, event_type,
+       MAX(CASE WHEN rna = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,10))) AS DOUBLE) AS sum_value
+FROM r GROUP BY 1, 2
+"""
+
+ORACLES["pack_sequences_chunked"] = f"""
+WITH t AS (
+  SELECT doc_id, {_BUCKET.format(n=32)} AS stream,
+         CAST({_NTOK} AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, stream, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM t)
+SELECT doc_id, stream, CAST(n_tokens AS INTEGER) AS n_tokens, start_offset,
+       CAST(start_offset // 2048 AS BIGINT) AS chunk_id
+FROM s
+"""
+
+ORACLES["train_test_split_hash"] = f"""
+WITH b AS (
+  SELECT {_BUCKET.format(n=100)} AS bk, CAST({_NTOK} AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1
+"""
+
+ORACLES["corpus_mix"] = f"""
+WITH g AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM({_NTOK}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang)
+SELECT lang, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS BIGINT)
+         AS token_share,
+       (CAST(1.0 AS DOUBLE) / COUNT(*) OVER ())
+         / (CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS BIGINT))
+         AS mix_weight
+FROM g
+"""
+
+# patterns mirror functions/text.py::PII_PATTERNS verbatim (both are
+# Java-regex ∩ RE2-safe); DuckDB regexp_replace needs the 'g' flag
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+_PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+ORACLES["pii_scrub_stats"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INTEGER) AS n_phone,
+       length(regexp_replace(regexp_replace(regexp_replace(text,
+              '{_PII_EMAIL}', '[PII]', 'g'),
+              '{_PII_PHONE}', '[PII]', 'g'),
+              '{_PII_IPV4}', '[PII]', 'g')) AS clean_len
+FROM documents
+"""
+
 # (tests/test_parity.py runs ORACLES ∪ EXTRA_ORACLES). oracle_sql()
 # exposes only ORACLES, matching the declared queries() window.
 EXTRA_ORACLES: dict[str, str] = {
@@ -678,5 +763,10 @@ EXTRA_ORACLES: dict[str, str] = {
         "token_frequencies",
         "string_functions",
         "agg_cube_year_status",
+        "order_limit_topk",
+        "window_rank_stats",
+        "train_test_split_hash",
+        "corpus_mix",
+        "pii_scrub_stats",
     ]
 }

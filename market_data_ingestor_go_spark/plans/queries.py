@@ -32,6 +32,7 @@ from ..functions import market as M
 from ..functions import text as TX
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
+from ..operators import training as TRAIN
 from ..operators.enrich import anti_join, enrich_exchange, semi_join
 from ..operators.latest import latest_per_key
 from ..sources.tables import load_table
@@ -921,6 +922,69 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
+# --------------------------------- training-pipeline + market rollup §2.11
+
+def events_ohlc_bars(spark, sf_dir):
+    """Hypertable-style OHLC rollup: 15-min bars per event type —
+    open/close via min_by/max_by on a unique (ts, id) order key, so
+    the whole bar is ONE map-side-combined aggregate (no window pass
+    over the raw stream; at 100 TB only one row per bar per partition
+    reaches the shuffle). The oracle reproduces open/close with a
+    row_number window — same values, Spark just gets the cheaper plan."""
+    e = _events(spark, sf_dir)
+    ord_key = F.struct(F.col("ts_ms"), F.col("event_id"))
+    return (
+        e.groupBy((F.expr("ts_ms div 900000") * 900000).alias("bar_start_ms"),
+                  F.col("event_type"))
+        .agg(F.min_by("value", ord_key).alias("open"),
+             F.max("value").alias("high"),
+             F.min("value").alias("low"),
+             F.max_by("value", ord_key).alias("close"),
+             F.count("*").alias("n_events"),
+             _dsum(F.col("value"), "sum_value", "decimal(27,10)"))
+    )
+
+
+def pack_sequences_chunked(spark, sf_dir):
+    """LLM pretraining sequence packing (concatenate-and-chunk): a
+    windowed running sum per hash stream — one shuffle, SQL-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return TRAIN.pack_chunks(d, cap=2048, n_streams=32)
+
+
+def train_test_split_hash(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test split + per-split stats."""
+    d = _t(spark, sf_dir, "documents")
+    return TRAIN.split_summary(d)
+
+
+def corpus_mix(spark, sf_dir):
+    """Data-mixing weights toward a uniform per-language token share."""
+    d = _t(spark, sf_dir, "documents")
+    return TRAIN.corpus_mix_weights(d)
+
+
+def pii_scrub_stats(spark, sf_dir):
+    """Content filtering: PII match counts + redacted length per doc
+    (the fixture corpus is synthetic word-salad, so counts are zero —
+    the oracle still proves both engines compile the same patterns)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.pii_count("text", TX.PII_PATTERNS["email"]).alias("n_email"),
+        TX.pii_count("text", TX.PII_PATTERNS["phone"]).alias("n_phone"),
+        F.length(TX.scrub_pii("text")).alias("clean_len"),
+    )
+
+
+def pack_greedy_packing(spark, sf_dir):
+    """First-fit greedy packing (no straddle) via applyInPandas — the
+    non-SQL-expressible twin of pack_sequences_chunked; invariants are
+    property-tested in tests/test_operators.py."""
+    d = _t(spark, sf_dir, "documents")
+    return TRAIN.pack_greedy(d, cap=2048, n_buckets=32)
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # queries() (CORRECTNESS_r01 stopped at exactly entry 50, leaving the
 # whole §2.11 extension surface unverified). QUERIES is therefore a
@@ -974,11 +1038,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_count_exact": distinct_count_exact,
     "approx_distinct_sketch": approx_distinct_sketch,
     "window_topk_per_group": window_topk_per_group,
-    "order_limit_topk": order_limit_topk,
     "set_ops_status_migration": set_ops_status_migration,
     "pivot_event_matrix": pivot_event_matrix,
-    "window_rank_stats": window_rank_stats,
     "events_tumbling_window": events_tumbling_window,
+    # -- training-pipeline + market-rollup extensions (§2.11)
+    "events_ohlc_bars": events_ohlc_bars,
+    "pack_sequences_chunked": pack_sequences_chunked,
     "events_sessionization": events_sessionization,
     "asof_join_purchase_click": asof_join_purchase_click,
     "range_join_click_context": range_join_click_context,
@@ -1006,6 +1071,13 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_frequencies": token_frequencies,          # ⊂ text_token_stats
     "string_functions": string_functions,            # fn surface, unit-tested
     "agg_cube_year_status": agg_cube_year_status,    # grouping-sets ⊂ rollup
+    "order_limit_topk": order_limit_topk,            # top-k ⊂ window_topk_per_group
+    "window_rank_stats": window_rank_stats,          # rank fns ⊂ window_topk_per_group
+    # training-pipeline ops outside the 50-window (parity-tested here)
+    "train_test_split_hash": train_test_split_hash,
+    "corpus_mix": corpus_mix,
+    "pii_scrub_stats": pii_scrub_stats,
+    "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -201,3 +201,58 @@ def test_multimodal_decode_is_stubbed():
     from market_data_ingestor_go_spark.operators.multimodal import _decode_image_stub
     w1 = _decode_image_stub(b"abc")
     assert w1 == _decode_image_stub(b"abc")
+
+
+def test_pack_greedy_invariants(spark):
+    """First-fit greedy packing: capacity respected (unless a single
+    doc exceeds cap), pack ids dense per bucket, deterministic, and
+    every document packed exactly once."""
+    from market_data_ingestor_go_spark.operators.training import pack_greedy
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = pack_greedy(docs, cap=512, n_buckets=8).collect()
+    assert len(out) == docs.count()  # every doc packed once
+    assert len({r["doc_id"] for r in out}) == len(out)
+
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault((r["bucket"], r["pack_id"]), []).append(r)
+    for (_, _), rows in by_pack.items():
+        total = sum(r["n_tokens"] for r in rows)
+        assert total <= 512 or len(rows) == 1  # oversize doc → own pack
+        assert max(r["pack_fill"] for r in rows) == total
+    # pack ids dense from 0 per bucket
+    for b in {r["bucket"] for r in out}:
+        ids = sorted({r["pack_id"] for r in out if r["bucket"] == b})
+        assert ids == list(range(len(ids)))
+
+    out2 = pack_greedy(docs, cap=512, n_buckets=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))  # deterministic
+
+
+def test_pii_scrub_synthetic(spark):
+    """PII scrub on rows that actually contain PII (the fixture corpus
+    is word-salad, so the oracle parity run exercises only the
+    zero-match path)."""
+    from market_data_ingestor_go_spark.functions.text import (
+        PII_PATTERNS, pii_count, scrub_pii)
+
+    rows = [
+        Row(text="contact bob.smith+x@corp.example.com or call +1 (415) 555-0199"),
+        Row(text="server at 192.168.0.1 handles auth"),
+        Row(text="no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = df.select(
+        pii_count("text", PII_PATTERNS["email"]).alias("em"),
+        pii_count("text", PII_PATTERNS["phone"]).alias("ph"),
+        pii_count("text", PII_PATTERNS["ipv4"]).alias("ip"),
+        scrub_pii("text").alias("clean")).collect()
+    assert [r["em"] for r in got] == [1, 0, 0]
+    assert [r["ph"] for r in got] == [1, 0, 0]
+    assert [r["ip"] for r in got] == [0, 1, 0]
+    assert "[PII]" in got[0]["clean"] and "@" not in got[0]["clean"]
+    assert "555" not in got[0]["clean"]
+    assert "192.168.0.1" not in got[1]["clean"]
+    assert got[2]["clean"] == "no pii here at all"
