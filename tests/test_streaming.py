@@ -431,3 +431,55 @@ def test_build_ingest_stream_batch_equivalence(spark, symbols_dim):
          Row(value=json.dumps(_frame("", 900, bid=1.0)))])
     out = build_ingest_stream(frames, symbols_dim).collect()
     assert len(out) == 1 and out[0]["exchange"] == "usstock"
+
+
+def test_streaming_ohlc_matches_batch_rollup(spark, tmp_path):
+    """Continuous aggregate (streaming OHLC bars) over file-source
+    micro-batches converges to exactly the batch rollup of the same
+    events, including a second batch refining an open bar."""
+    import os
+    from market_data_ingestor_go_spark.streaming.rollup import streaming_ohlc_bars
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    base = "2030-01-01T10:"
+    rows1 = [
+        {"event_id": 1, "ts": f"{base}00:05", "event_type": "trade", "value": 10.0},
+        {"event_id": 2, "ts": f"{base}01:00", "event_type": "trade", "value": 12.0},
+        {"event_id": 3, "ts": f"{base}16:00", "event_type": "trade", "value": 9.0},
+        {"event_id": 4, "ts": f"{base}00:30", "event_type": "quote", "value": 5.0},
+    ]
+    rows2 = [  # second micro-batch refines the first trade bar
+        {"event_id": 5, "ts": f"{base}14:59", "event_type": "trade", "value": 20.0},
+        {"event_id": 6, "ts": f"{base}00:01", "event_type": "trade", "value": 1.0},
+    ]
+    with open(src + "/a.json", "w") as fh:
+        for r in rows1:
+            fh.write(json.dumps(r) + "\n")
+
+    schema = "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    stream = spark.readStream.schema(schema).json(src)
+    q = (streaming_ohlc_bars(stream).writeStream
+         .outputMode("complete").format("memory").queryName("ohlc_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    with open(src + "/b.json", "w") as fh:
+        for r in rows2:
+            fh.write(json.dumps(r) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r["bar_start_ms"], r["event_type"]): r
+           for r in spark.sql("SELECT * FROM ohlc_stream").collect()}
+    batch = spark.createDataFrame([Row(**r) for r in rows1 + rows2])
+    from market_data_ingestor_go_spark.streaming.rollup import streaming_ohlc_bars as _s
+    expect = {(r["bar_start_ms"], r["event_type"]): r
+              for r in _s(batch.withColumn("ts", F.col("ts").cast("timestamp")))
+              .collect()}
+    assert set(got) == set(expect) and len(got) == 3
+    for k in expect:
+        for c in ("open", "high", "low", "close", "n_events", "sum_value"):
+            assert got[k][c] == expect[k][c], (k, c)
+    tbar = got[(1893492000000, "trade")]
+    assert (tbar["open"], tbar["close"], tbar["n_events"]) == (1.0, 20.0, 4)
