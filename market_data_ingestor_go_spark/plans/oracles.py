@@ -660,6 +660,57 @@ FROM documents
 # ------------------------------------------------------------------
 # Oracles for EXTRA_QUERIES (plans/queries.py): shapes pruned from the
 # driver's 50-entry correctness window but still parity-tested locally
+ORACLES["q4_order_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q10_returned_items"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLES["q13_customer_distribution"] = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus <> 'F') o
+    ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+ORACLES["q17_small_qty_revenue"] = """
+WITH t AS (
+  SELECT l_partkey,
+         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                / COUNT(*)) AS qty_threshold
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+  GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN t ON lineitem.l_partkey = t.l_partkey
+WHERE l_quantity < qty_threshold
+"""
+
+
 # hash-bucket fragment shared by the training-pipeline oracles
 # (mirrors operators/training.py::hash_bucket — md5 so both engines
 # agree bit-for-bit)
@@ -768,5 +819,9 @@ EXTRA_ORACLES: dict[str, str] = {
         "train_test_split_hash",
         "corpus_mix",
         "pii_scrub_stats",
+        "q4_order_priority",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        "q17_small_qty_revenue",
     ]
 }

@@ -922,6 +922,86 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
+# ---------------- additional TPC-H plan shapes (EXTRA window, §2.6 breadth)
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join feeding an aggregate (adapted:
+    the fixture lacks commit/receipt dates, so 'late' = has a returned
+    line). The semi-join shuffles only (orderkey) pairs; the agg is a
+    2-key partial."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-10-01"))))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        semi_join(o, li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way join, revenue agg per customer, top 20.
+    nation broadcasts; orders⋈lineitem is the only real shuffle; the
+    deterministic top-20 runs as TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01"))))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join preserving zero-order
+    customers, per-customer count, then a count-of-counts histogram —
+    two aggregates, the second over |distinct counts| rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: per-part average threshold (the correlated
+    scalar subquery) as an aggregate-then-join — the avg table is one
+    row per part and broadcasts; lineitem never shuffles twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    thresholds = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * (F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+                            .cast("double") / F.count("*"))).alias("qty_threshold"))
+        .select(F.col("l_partkey").alias("t_partkey"), "qty_threshold")
+    )
+    small = (
+        li.join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return small.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+         .cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count("*").alias("n_lines"))
+
+
 # --------------------------------- training-pipeline + market rollup §2.11
 
 def events_ohlc_bars(spark, sf_dir):
@@ -1078,6 +1158,12 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix": corpus_mix,
     "pii_scrub_stats": pii_scrub_stats,
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
+    # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,
+    # correlated-threshold, returned-items top-k)
+    "q4_order_priority": q4_order_priority,
+    "q10_returned_items": q10_returned_items,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
