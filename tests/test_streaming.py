@@ -346,6 +346,34 @@ def test_ws_reader_live_poll_and_reconnect(monkeypatch):
         server.stop()
 
 
+def test_ws_reader_backpressure_cap(monkeypatch):
+    """X1: maxFramesPerTrigger caps a trigger's batch even when the
+    feed has more buffered — the remainder arrives next trigger."""
+    from market_data_ingestor_go_spark.streaming import ws_minimal as wm
+    monkeypatch.setattr(ws_sources, "RECONNECT_INITIAL_S", 0.05)
+
+    frames = [_frame("AAPL", i, bid=float(i)) for i in range(1, 26)]
+    server, _ = _frame_feed_server(wm, [frames])
+    try:
+        reader = ws_sources.WebSocketStreamReader({
+            "url": server.url, "api_key": "k",
+            "symbols": json.dumps(["AAPL"]),
+            "maxFramesPerTrigger": "10", "pollBudgetSecs": "3.0"})
+        it1, end1 = reader.read(reader.initialOffset())
+        n1 = len(list(it1))
+        assert n1 <= 10 and end1["count"] == n1
+        reader.commit(end1)
+        it2, end2 = reader.read(end1)
+        n2 = len(list(it2))
+        assert n2 <= 10
+        reader.commit(end2)
+        it3, end3 = reader.read(end2)
+        total = n1 + n2 + len(list(it3))
+        assert total == 25  # nothing lost under the cap
+    finally:
+        server.stop()
+
+
 def test_ws_source_readstream_e2e(spark, tmp_path):
     """Full Structured Streaming path: readStream.format("ws_market_data")
     against a live local WS server → memory sink. The reader runs in
