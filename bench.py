@@ -62,20 +62,22 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Two passes per query at the target SF; report steady-state (min).
-    # Pass 1 pays one-time whole-stage-codegen compilation (seconds for
+    # Two runs per query, back-to-back; report steady-state (min).
+    # Run 1 pays one-time whole-stage-codegen compilation (seconds for
     # the 128-column LSH aggregates) and page-cache warming — real, but
-    # amortized to zero on any long-lived cluster. The cold total is
-    # still reported alongside.
+    # amortized to zero on any long-lived cluster. Back-to-back (not
+    # two full passes) so the steady number measures THIS query's
+    # plan, not cross-query JIT/GC interference. The cold total is
+    # still reported alongside. release_pinned() between runs drops
+    # operator-internal persists: no cross-run data reuse, only warm
+    # JIT/page cache.
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
-        release_pinned()  # drop operator-internal persists: no
-        # cross-run data reuse, only warm JIT/page cache
-    for name in HEADLINE:
+        release_pinned()
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         steady[name] = round(min(cold[name], time.perf_counter() - t0), 3)

@@ -279,21 +279,39 @@ def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
             as_double(vec_col).alias("cv"))
     cents = F.broadcast(cent_src)
 
-    def assign(side: DataFrame, key: str, keep: list, vcol: str,
-               n_best: int) -> DataFrame:
-        scored = side.join(cents, F.lit(True)) \
-            .withColumn("ccos", cosine(F.col(vcol), F.col("cv")))
-        w = Window.partitionBy(key).orderBy(F.col("ccos").desc(), F.col("cent_id"))
-        return (
-            scored.withColumn("crn", F.row_number().over(w))
-            .filter(F.col("crn") <= n_best)
-            .select(*keep, F.col("cent_id").alias("cell"))
-        )
+    # Cell assignment is a PER-ROW argmax over the broadcast codebook,
+    # not a window or an aggregate: the codebook collapses to a single
+    # array-of-structs row, each vector scores all cells inside one
+    # higher-order expression, and array_max picks the best (ccos,
+    # cent_id) struct — ties take the larger cent_id. Zero shuffle and
+    # zero row blowup for the assignment (the row_number formulation
+    # shuffled n_cells× the corpus, vectors included; the max_by
+    # formulation paid an agg plus a join-back).
+    cent_row = F.broadcast(
+        cents.agg(F.collect_list(F.struct("cent_id", "cv")).alias("cb")))
 
-    c_assigned = assign(c, "n_id", ["n_id", "nv", "nsd"], "nv", 1)
+    def scored_cells(vec: Column) -> Column:
+        return F.transform(
+            F.col("cb"),
+            lambda ct: F.struct(cosine(vec, ct["cv"]).alias("ccos"),
+                                ct["cent_id"].alias("cent_id")))
+
+    c_assigned = (
+        c.join(cent_row, F.lit(True))
+        .withColumn("cell", F.array_max(scored_cells(F.col("nv")))["cent_id"])
+        .drop("cb")
+    )
+
+    # Query side probes its n_probe_cells best cells: sort the scored
+    # codebook descending, slice the prefix, explode to probe rows —
+    # still per-row expressions on the broadcast-small query set.
     q = _query_side(queries, id_col, vec_col)
-    q_assigned = F.broadcast(assign(q, "q_id", ["q_id", "qv", "qsd"], "qv",
-                                    n_probe_cells))
+    q_assigned = F.broadcast(
+        q.join(cent_row, F.lit(True))
+        .withColumn("best", F.slice(F.reverse(F.array_sort(
+            scored_cells(F.col("qv")))), 1, n_probe_cells))
+        .select("q_id", "qv", "qsd",
+                F.explode(F.col("best")["cent_id"]).alias("cell")))
     scored = (
         q_assigned.join(c_assigned, (F.col("q_id") != F.col("n_id"))
                         & (q_assigned.cell == c_assigned.cell))
