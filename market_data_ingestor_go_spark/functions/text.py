@@ -78,6 +78,23 @@ def lang_guess(text: str) -> Column:
     return F.when(stopword_ratio(text) > F.lit(0.03), F.lit("en")).otherwise(F.lit("other"))
 
 
+def ngram_total(text: str, n: int = 3) -> Column:
+    """How many word n-grams the document yields (with repeats)."""
+    return F.greatest(token_count(text) - F.lit(n - 1), F.lit(0))
+
+
+def repetition_ratio(text: str, n: int = 3) -> Column:
+    """1 − distinct/total n-grams — the boilerplate/repetition quality
+    signal (0 = no repeated n-grams, →1 = loops of the same phrase).
+    Pure Column arithmetic over the shingle machinery; scan-speed."""
+    total = ngram_total(text, n)
+    distinct = F.size(shingles(text, n))
+    return F.when(
+        total > 0,
+        F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 # PII patterns deliberately use only syntax shared by Java regex and
 # RE2-family engines (no lookbehind) so the DuckDB oracle can run the
 # same pattern strings verbatim.

@@ -74,6 +74,12 @@ def authenticate_many(api_keys: DataFrame, presented_keys: list[str]) -> DataFra
     hashes = sorted({_sha256_hex(k) for k in presented_keys})
     if not hashes:
         return api_keys.select("key_hash", "client_id").limit(0)
+    if len(hashes) <= 128:
+        # small tick: an IN-list filter pushes to the dimension scan
+        # with no extra DataFrame/join machinery (sub-job-cost path)
+        return (api_keys.filter(F.col("is_active")
+                                & F.col("key_hash").isin(hashes))
+                .select("key_hash", "client_id"))
     presented = spark.createDataFrame([(h,) for h in hashes], "key_hash string")
     return (api_keys.filter(F.col("is_active"))
             .join(F.broadcast(presented), "key_hash", "inner")

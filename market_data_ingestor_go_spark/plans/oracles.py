@@ -711,6 +711,28 @@ WHERE l_quantity < qty_threshold
 """
 
 
+ORACLES["text_repetition"] = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         greatest(len(w) - 2, 0) AS n_ngrams,
+         CASE WHEN len(w) >= 3 THEN
+           len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]))
+         ELSE 0 END AS n_distinct
+  FROM t)
+SELECT doc_id,
+       CAST(n_ngrams AS INTEGER) AS n_ngrams,
+       CAST(n_distinct AS INTEGER) AS n_distinct,
+       CASE WHEN n_ngrams > 0 THEN
+         CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_ngrams
+       ELSE CAST(0.0 AS DOUBLE) END AS rep_ratio
+FROM s
+"""
+
+
 # hash-bucket fragment shared by the training-pipeline oracles
 # (mirrors operators/training.py::hash_bucket — md5 so both engines
 # agree bit-for-bit)
@@ -823,5 +845,6 @@ EXTRA_ORACLES: dict[str, str] = {
         "q10_returned_items",
         "q13_customer_distribution",
         "q17_small_qty_revenue",
+        "text_repetition",
     ]
 }

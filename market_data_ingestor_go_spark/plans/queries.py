@@ -922,6 +922,18 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
+def text_repetition(spark, sf_dir):
+    """Repetition/boilerplate quality signal: distinct vs total word
+    3-grams per document (1 − distinct/total)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.ngram_total("text").alias("n_ngrams"),
+        F.size(TX.shingles("text")).alias("n_distinct"),
+        TX.repetition_ratio("text").alias("rep_ratio"),
+    )
+
+
 # ---------------- additional TPC-H plan shapes (EXTRA window, §2.6 breadth)
 
 def q4_order_priority(spark, sf_dir):
@@ -1164,6 +1176,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_items": q10_returned_items,
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_qty_revenue": q17_small_qty_revenue,
+    "text_repetition": text_repetition,              # quality ⊂ text_quality_score family
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cache import release_pinned
-from .serve import client_wire_views, resolve_connections
+from .serve import distinct_wire_views, resolve_connections
 from .ws_minimal import ConnectionClosed, WSServer
 
 
@@ -100,18 +100,22 @@ class ServePublisher:
         if not client_ids:
             self.ticks += 1
             return 0
-        views = client_wire_views(latest, self.configs_df, client_ids)
-        # ONE action for the whole tick: tag + union the per-client
-        # views (all cheap projections of the shared pinned snapshot).
-        tagged = [v.select(F.lit(cid).alias("client_id"), "wire")
-                  for cid, v in views.items()]
+        views = distinct_wire_views(latest, self.configs_df, client_ids)
+        # ONE action for the whole tick: union the per-distinct-config
+        # views tagged with their STABLE config-hash key (id()-based
+        # keys would change every tick and bust Spark's analysis and
+        # codegen caches — measured as seconds of replanning per tick
+        # for large configs).
+        view_key = {cid: k for k, (_, cids) in views.items() for cid in cids}
+        tagged = [v.select(F.lit(k).alias("vk"), "wire")
+                  for k, (v, _) in sorted(views.items())]
         union = tagged[0]
         for t in tagged[1:]:
             union = union.unionAll(t)
         try:
-            by_client: dict[str, list[str]] = {}
+            by_view: dict[str, list[str]] = {}
             for row in union.collect():
-                by_client.setdefault(row["client_id"], []).append(row["wire"])
+                by_view.setdefault(row["vk"], []).append(row["wire"])
         finally:
             release_pinned()
         sent = 0
@@ -122,7 +126,7 @@ class ServePublisher:
                 continue
             conn = entry[0]
             try:
-                for wire in by_client.get(client_id, ()):
+                for wire in by_view.get(view_key[client_id], ()):
                     conn.send(wire)
                     sent += 1
             except OSError:  # dead conn → drop (server.go:82-87)

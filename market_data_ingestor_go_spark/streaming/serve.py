@@ -34,17 +34,21 @@ from ..operators.config_transform import (
 from ..operators.enrich import authenticate_many, _sha256_hex
 
 
-def flatten_snapshot(latest: DataFrame) -> DataFrame:
+def flatten_snapshot(latest: DataFrame, n_parts: int = 2) -> DataFrame:
     """P3 once per trigger (shared scan): decode the double-nested wire
     payload (`data.data`, server.go:180) into a MAP fields column +
-    envelope columns — the flat record D5."""
+    envelope columns — the flat record D5.
+
+    The snapshot is ~|symbols| rows (hundreds), so it coalesces to a
+    couple of partitions: per-tick collects otherwise pay 32 task
+    launches to move 500 rows (measured ~3× the tick's total cost)."""
     parsed = latest.withColumn("_payload", F.from_json(F.col("data"), PAYLOAD_SCHEMA))
     return parsed.select(
         F.col("_payload.data").alias("fields"),
         F.col("name").alias("symbol"),
         F.col("timestamp"),
         F.col("exchange"),
-    )
+    ).coalesce(n_parts)
 
 
 def load_client_configs(configs_df: DataFrame) -> dict[str, dict[str, SymbolConfig]]:
@@ -98,25 +102,51 @@ def resolve_connections(api_keys: DataFrame,
             if _sha256_hex(key) in hash2client}
 
 
+def distinct_wire_views(latest: DataFrame, configs_df: DataFrame,
+                        client_ids: set[str]
+                        ) -> dict[str, tuple[DataFrame, list[str]]]:
+    """Per-DISTINCT-CONFIG wire views over one shared flattened
+    snapshot: clients group by their canonical config text, each
+    distinct config compiles to ONE Column pipeline, and the returned
+    key is the config text's md5 — STABLE across ticks, so downstream
+    plans built from it (tags, unions) hash identically tick-to-tick
+    and Spark's analysis/codegen caches hit. The reference recomputes
+    per connection (server.go:88-130) — its own documented weakness;
+    here tick compute is O(distinct configs).
+
+    Returns {cfg_key: (wire view, [client_ids sharing it])}. The
+    shared flat snapshot is pinned via the cache registry; callers
+    running many ticks release it with ``release_pinned()`` after
+    pushing the tick."""
+    import hashlib as _hashlib
+
+    flat = pin(flatten_snapshot(latest))
+    raw = {}
+    for row in configs_df.select("id", "config").collect():
+        raw[row["id"]] = row["config"] or ""
+    by_cfg: dict[str, list[str]] = {}
+    for client_id in client_ids:
+        by_cfg.setdefault(raw.get(client_id, ""), []).append(client_id)
+    out = {}
+    for cfg_text, cids in by_cfg.items():
+        try:
+            cfg = parse_client_config(json.loads(cfg_text)) if cfg_text else {}
+        except (TypeError, ValueError):
+            cfg = {}
+        view = wire_payload(apply_client_config_map(flat, cfg) if cfg else flat)
+        out[_hashlib.md5(cfg_text.encode()).hexdigest()] = (view, cids)
+    return out
+
+
 def client_wire_views(latest: DataFrame, configs_df: DataFrame,
                       client_ids: set[str]) -> dict[str, DataFrame]:
-    """Per-CLIENT (not per-connection) wire views over one shared
-    flattened snapshot: compute each distinct config's transform once
-    and fan the bytes out to every connection of that client. The
-    reference recomputes per connection (server.go:88-130) — its own
-    documented weakness; sharing makes tick cost O(distinct configs),
-    not O(connections).
-
-    The shared flat snapshot is pinned via the cache registry; callers
-    running many ticks in one session release it with
-    ``operators.cache.release_pinned()`` after pushing the tick."""
-    flat = pin(flatten_snapshot(latest))
-    client_cfgs = load_client_configs(configs_df)
+    """{client_id: wire view}; same-config clients share one view
+    object (see distinct_wire_views)."""
     views = {}
-    for client_id in client_ids:
-        cfg = client_cfgs.get(client_id, {})
-        view = apply_client_config_map(flat, cfg) if cfg else flat
-        views[client_id] = wire_payload(view)
+    for _, (view, cids) in distinct_wire_views(
+            latest, configs_df, client_ids).items():
+        for client_id in cids:
+            views[client_id] = view
     return views
 
 

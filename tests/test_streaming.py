@@ -511,3 +511,51 @@ def test_streaming_ohlc_matches_batch_rollup(spark, tmp_path):
             assert got[k][c] == expect[k][c], (k, c)
     tbar = got[(1893492000000, "trade")]
     assert (tbar["open"], tbar["close"], tbar["n_events"]) == (1.0, 20.0, 4)
+
+
+def test_serve_tick_envelope(spark, tmp_path):
+    """E2 envelope (server.go:88 — 1 s tick): steady-state publisher
+    tick over a parquet-backed 500-symbol snapshot with 10 live
+    connections across 2 distinct configs. Bound is 2.5 s (generous
+    for shared-host noise; measured steady ~0.6-1.0 s on local[32]) —
+    catches order-of-magnitude regressions like per-client view
+    compilation or per-connection auth lookups."""
+    import hashlib
+    import time
+    from market_data_ingestor_go_spark.streaming.publisher import ServePublisher
+    from market_data_ingestor_go_spark.streaming import ws_minimal as wm
+
+    spark.createDataFrame([
+        Row(name=f"SYM{i}", timestamp=1000 + i, exchange="x",
+            data=json.dumps({"data": {"bid": float(i), "ask": float(i) + 0.5}}))
+        for i in range(500)]).write.mode("overwrite").parquet(str(tmp_path / "latest"))
+    cfg = json.dumps({"symbols": {
+        "SYM1": {"value_rules": {"bid": {"op": "mul", "value": 2}}},
+        "SYM2": {"remove_fields": ["ask"]}}})
+    configs = spark.createDataFrame(
+        [Row(id=f"c{j}", config=cfg if j % 2 else None) for j in range(10)]).cache()
+    keys = spark.createDataFrame(
+        [Row(client_id=f"c{j}",
+             key_hash=hashlib.sha256(f"k{j}".encode()).hexdigest(),
+             is_active=True) for j in range(10)]).cache()
+    configs.count(), keys.count()
+
+    pub = ServePublisher(spark, keys, configs).start()
+    try:
+        conns = [wm.connect(pub.url, headers={"x-api-key": f"k{j}"})
+                 for j in range(10)]
+        deadline = time.monotonic() + 5
+        while len(pub.presented_keys()) < 10 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            sent = pub.tick(spark.read.parquet(str(tmp_path / "latest")))
+            times.append(time.perf_counter() - t0)
+            assert sent == 5000  # 500 symbols × 10 authorized conns
+        steady = sorted(times[1:])[len(times[1:]) // 2]  # median of warm ticks
+        assert steady < 2.5, f"serve tick envelope blown: {times}"
+        for c in conns:
+            c.close()
+    finally:
+        pub.stop()
