@@ -711,6 +711,21 @@ WHERE l_quantity < qty_threshold
 """
 
 
+ORACLES["events_moving_stats"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events)
+SELECT user_id, event_id, ts_ms,
+       CAST(SUM(CAST(value AS DECIMAL(27,10))) OVER w AS DOUBLE) AS mov_sum,
+       CAST(SUM(CAST(value AS DECIMAL(27,10))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS mov_avg,
+       MIN(value) OVER w AS mov_min,
+       MAX(value) OVER w AS mov_max,
+       COUNT(*) OVER w AS frame_n
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
 ORACLES["text_repetition"] = """
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
@@ -846,5 +861,6 @@ EXTRA_ORACLES: dict[str, str] = {
         "q13_customer_distribution",
         "q17_small_qty_revenue",
         "text_repetition",
+        "events_moving_stats",
     ]
 }

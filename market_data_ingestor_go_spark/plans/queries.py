@@ -922,6 +922,28 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
+def events_moving_stats(spark, sf_dir):
+    """Rolling-frame window surface (ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW): per-user moving sum/avg/min/max of value over the
+    last 5 events — the time-series feature shape (moving averages,
+    rolling vol) the batch corpus lacked. Exact-decimal rolling sum so
+    the frame arithmetic is engine-identical."""
+    e = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts_ms", "event_id")
+         .rowsBetween(-4, Window.currentRow))
+    return e.select(
+        "user_id", "event_id", "ts_ms",
+        F.sum(F.col("value").cast("decimal(27,10)")).over(w)
+         .cast("double").alias("mov_sum"),
+        (F.sum(F.col("value").cast("decimal(27,10)")).over(w).cast("double")
+         / F.count("*").over(w)).alias("mov_avg"),
+        F.min("value").over(w).alias("mov_min"),
+        F.max("value").over(w).alias("mov_max"),
+        F.count("*").over(w).alias("frame_n"),
+    )
+
+
 def text_repetition(spark, sf_dir):
     """Repetition/boilerplate quality signal: distinct vs total word
     3-grams per document (1 − distinct/total)."""
@@ -1177,6 +1199,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "text_repetition": text_repetition,              # quality ⊂ text_quality_score family
+    "events_moving_stats": events_moving_stats,      # rolling frame ⊂ window family
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
