@@ -251,3 +251,111 @@ def apply_client_config_map(df: DataFrame, client_cfg: dict[str, SymbolConfig],
     if ts_override is not None:
         out = out.withColumn("timestamp", ts_override.otherwise(F.col("timestamp")))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Config-as-DATA path: the same §2.8 semantics with the config joined in
+# as a broadcast table instead of compiled into the expression tree.
+# apply_client_config_map's chained per-symbol CASE is ideal for the
+# reference's few-symbol configs (everything inlines into codegen), but
+# its expression tree — and therefore per-tick analysis cost and
+# per-row eval depth — grows O(configured symbols). For wide configs
+# (hundreds of symbols) the join form keeps the expression CONSTANT
+# size: per-symbol rules arrive as map/array columns from a broadcast
+# join, and one fixed expression interprets them.
+
+def config_join_table(spark, client_cfg: dict[str, SymbolConfig]):
+    """Explode one client's config into a per-symbol rule table, or
+    return None when the config isn't join-safe: the join form applies
+    renames simultaneously, which matches the sequential sorted(old)
+    semantics only when targets are unique and no target is itself a
+    source (no chained renames). Unsafe configs fall back to the
+    compiled path.
+    """
+    rows = []
+    for sym in sorted(client_cfg):
+        cfg = client_cfg[sym]
+        renames = {o: n for o, n in cfg.rename_fields.items() if o != n}
+        targets = list(renames.values())
+        if len(set(targets)) != len(targets) or any(t in renames for t in targets):
+            return None
+        num_over = {k: float(v) for k, v in cfg.override_fields.items()
+                    if isinstance(v, (int, float)) and not isinstance(v, bool)}
+        rows.append((
+            sym,
+            {k: (r.op, float(r.value)) for k, r in cfg.value_rules.items()} or None,
+            renames or None,
+            {n: o for o, n in renames.items()} or None,
+            list(cfg.remove_fields) or None,
+            num_over or None,
+            cfg.override_fields.get("timestamp") == "current",
+        ))
+    schema = ("cfg_symbol STRING, "
+              "rules MAP<STRING, STRUCT<op: STRING, value: DOUBLE>>, "
+              "renames MAP<STRING, STRING>, rename_src MAP<STRING, STRING>, "
+              "removes ARRAY<STRING>, overrides MAP<STRING, DOUBLE>, "
+              "ts_current BOOLEAN")
+    return spark.createDataFrame(rows, schema)
+
+
+def apply_client_config_join(df: DataFrame, cfg_table: DataFrame,
+                             fields_col: str = "fields",
+                             symbol_col: str = "symbol") -> DataFrame:
+    """§2.8 on the dynamic payload shape via broadcast join — see
+    ``config_join_table``. Stage order and edge semantics match
+    ``apply_client_config_map`` exactly (agreement-tested): rules on
+    pre-rename names with ÷0→identity, renames only where the source
+    key exists (dropping an overwritten target), removes post-rename,
+    numeric overrides may resurrect removed keys, and unconfigured
+    symbols pass through untouched (P8 gate = null config columns
+    from the left join)."""
+    j = df.join(F.broadcast(cfg_table),
+                F.col(symbol_col) == F.col("cfg_symbol"), "left")
+    m = F.col(fields_col)
+    rules, renames = F.col("rules"), F.col("renames")
+    rsrc, removes, overrides = (F.col("rename_src"), F.col("removes"),
+                                F.col("overrides"))
+
+    def _rule_fn(k, v):
+        r = rules[k]
+        return (
+            F.when(r.isNull(), v)
+            .when(r["op"] == "add", v + r["value"])
+            .when(r["op"] == "subtract", v - r["value"])
+            .when(r["op"] == "multiply", v * r["value"])
+            .when((r["op"] == "divide") & (r["value"] != F.lit(0.0)), v / r["value"])
+            .otherwise(v))
+
+    m1 = F.when(rules.isNull(), m).otherwise(F.transform_values(m, _rule_fn))
+
+    def _drop_overwritten(k, v):
+        src = rsrc[k]
+        return src.isNull() | ~F.map_contains_key(m1, src)
+
+    def _relabel(e):
+        return F.struct(F.coalesce(renames[e.key], e.key).alias("key"),
+                        e.value.alias("value"))
+
+    m2 = F.when(renames.isNull(), m1).otherwise(
+        F.map_from_entries(F.transform(
+            F.map_entries(F.map_filter(m1, _drop_overwritten)), _relabel)))
+
+    def _not_removed(k, v):
+        return ~F.array_contains(removes, k)
+
+    m3 = F.when(removes.isNull(), m2).otherwise(F.map_filter(m2, _not_removed))
+
+    def _not_overridden(k, v):
+        return ~F.map_contains_key(overrides, k)
+
+    m4 = F.when(overrides.isNull(), m3).otherwise(
+        F.map_concat(F.map_filter(m3, _not_overridden), overrides))
+
+    out = j.withColumn(fields_col, m4)
+    out = out.withColumn(
+        "timestamp",
+        F.when(F.coalesce(F.col("ts_current"), F.lit(False)),
+               F.unix_millis(F.current_timestamp()))
+        .otherwise(F.col("timestamp")))
+    return out.drop("cfg_symbol", "rules", "renames", "rename_src",
+                    "removes", "overrides", "ts_current")

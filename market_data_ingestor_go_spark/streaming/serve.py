@@ -28,7 +28,9 @@ from ..functions.market import PAYLOAD_SCHEMA
 from ..operators.cache import pin
 from ..operators.config_transform import (
     SymbolConfig,
+    apply_client_config_join,
     apply_client_config_map,
+    config_join_table,
     parse_client_config,
 )
 from ..operators.enrich import authenticate_many, _sha256_hex
@@ -127,15 +129,34 @@ def distinct_wire_views(latest: DataFrame, configs_df: DataFrame,
     by_cfg: dict[str, list[str]] = {}
     for client_id in client_ids:
         by_cfg.setdefault(raw.get(client_id, ""), []).append(client_id)
+    spark = latest.sparkSession
     out = {}
     for cfg_text, cids in by_cfg.items():
         try:
             cfg = parse_client_config(json.loads(cfg_text)) if cfg_text else {}
         except (TypeError, ValueError):
             cfg = {}
-        view = wire_payload(apply_client_config_map(flat, cfg) if cfg else flat)
+        view = wire_payload(_apply_config(spark, flat, cfg))
         out[_hashlib.md5(cfg_text.encode()).hexdigest()] = (view, cids)
     return out
+
+
+# Above this many configured symbols, the compiled-Column form's
+# expression tree (O(symbols) chained CASEs) costs more in per-tick
+# analysis + per-row eval than a broadcast join of the config as data
+# (constant-size expression). Below it, inlined literals win (and
+# small configs are the reference's actual shape).
+JOIN_CONFIG_THRESHOLD = 16
+
+
+def _apply_config(spark, flat: DataFrame, cfg) -> DataFrame:
+    if not cfg:
+        return flat
+    if len(cfg) > JOIN_CONFIG_THRESHOLD:
+        tbl = config_join_table(spark, cfg)
+        if tbl is not None:  # join-safe (no chained/conflicting renames)
+            return apply_client_config_join(flat, tbl)
+    return apply_client_config_map(flat, cfg)
 
 
 def client_wire_views(latest: DataFrame, configs_df: DataFrame,

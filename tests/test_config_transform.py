@@ -156,3 +156,54 @@ def test_map_path_rename_missing_source_keeps_target(spark):
     assert out[1] == {"bid": 10.0, "offer": 11.0}  # renamed (clobbers target)
     assert out[2] == {"offer": 9.5}                # untouched — was dropped before
     assert out[3] == {"bid": 12.0}                 # untouched
+
+
+def test_config_join_path_agrees_with_compiled(spark):
+    """apply_client_config_join (config-as-data broadcast join) must
+    produce exactly what apply_client_config_map (compiled Columns)
+    produces, across the edge cases: sparse payloads missing the
+    rename source, pre-existing rename targets, divide-by-zero rules,
+    overrides resurrecting removed keys, ts 'current' override, and
+    unconfigured symbols (P8 pass-through)."""
+    import json as _json
+    from pyspark.sql import Row
+    from market_data_ingestor_go_spark.operators.config_transform import (
+        apply_client_config_join, apply_client_config_map,
+        config_join_table, parse_client_config)
+
+    flat = spark.createDataFrame([
+        Row(fields={"bid": 10.0, "ask": 11.0}, symbol="A", timestamp=1000, exchange="x"),
+        Row(fields={"ask": 7.0}, symbol="A", timestamp=1001, exchange="x"),   # no rename source
+        Row(fields={"bid": 5.0, "b": 99.0}, symbol="B", timestamp=1002, exchange="x"),  # target exists
+        Row(fields={"bid": 3.0}, symbol="C", timestamp=1003, exchange="x"),   # ÷0 + remove + override
+        Row(fields={"bid": 1.0}, symbol="Z", timestamp=1004, exchange="x"),   # unconfigured
+    ])
+    cfg = parse_client_config(_json.loads(_json.dumps({"symbols": {
+        "A": {"value_rules": {"bid": {"op": "multiply", "value": 2}},
+              "rename_fields": {"bid": "price"}},
+        "B": {"rename_fields": {"bid": "b"}},
+        "C": {"value_rules": {"bid": {"op": "divide", "value": 0}},
+              "remove_fields": ["bid"],
+              "override_fields": {"bid": 42, "timestamp": "current"}},
+    }})))
+    tbl = config_join_table(spark, cfg)
+    assert tbl is not None
+
+    def canon(df):
+        rows = sorted(df.collect(), key=lambda r: (r["symbol"], r["timestamp"]))
+        # ts 'current' is wall-clock — compare presence, not value
+        return [(r["symbol"], dict(r["fields"]),
+                 r["timestamp"] > 1_000_000 or r["timestamp"]) for r in rows]
+
+    got_join = canon(apply_client_config_join(flat, tbl))
+    got_map = canon(apply_client_config_map(flat, cfg))
+    assert got_join == got_map
+    # spot-check the semantics themselves
+    by_key = {(s, ts if isinstance(ts, int) else "now"): f for s, f, ts in got_join}
+    assert by_key[("A", 1000)] == {"price": 20.0, "ask": 11.0}  # rule, then rename
+    assert by_key[("Z", 1004)] == {"bid": 1.0}             # pass-through
+
+    # chained renames are NOT join-safe → table builder refuses
+    chained = parse_client_config({"symbols": {
+        "A": {"rename_fields": {"a": "b", "b": "c"}}}})
+    assert config_join_table(spark, chained) is None
