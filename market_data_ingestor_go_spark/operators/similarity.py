@@ -319,3 +319,60 @@ def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
                 _PAIR_COS().alias("cos"))
     )
     return _bucketed_topk(scored, k)
+
+
+def train_kmeans_codebook(df: DataFrame, k: int = 16, n_iters: int = 5,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means codebook for ``ivf_ann(centroids=...)``.
+
+    Each iteration: assign every vector to its max-cosine centroid with
+    the same zero-shuffle per-row argmax ivf_ann uses, then recompute
+    centroids as the element-wise mean of their members (posexplode →
+    (cell, dim) partial-agg — shuffle is k×dim rows, not the corpus).
+    The k×dim codebook collects to the driver between iterations (it
+    is a model artifact, not data), so each iteration plans against a
+    literal codebook instead of a growing lineage.
+
+    Deterministic end to end: hash-sample init (smallest xxhash64(id)),
+    decimal-exact means (double avg would depend on partition order),
+    ties in the argmax broken by cent_id. Empty cells keep their
+    previous centroid.
+    """
+    from pyspark.sql import Row
+
+    spark = df.sparkSession
+    c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
+    init = (c.orderBy(F.xxhash64(F.col("n_id")), F.col("n_id")).limit(k)
+            .select("nv").collect())
+    codebook = [list(r["nv"]) for r in init]
+
+    for _ in range(n_iters):
+        cents = spark.createDataFrame(
+            [Row(cent_id=i, cv=v) for i, v in enumerate(codebook)],
+            "cent_id INT, cv ARRAY<DOUBLE>")
+        cent_row = F.broadcast(
+            cents.agg(F.collect_list(F.struct("cent_id", "cv")).alias("cb")))
+        assigned = (
+            c.join(cent_row, F.lit(True))
+            .withColumn("cell", F.array_max(F.transform(
+                F.col("cb"),
+                lambda ct: F.struct(cosine(F.col("nv"), ct["cv"]).alias("ccos"),
+                                    ct["cent_id"].alias("cent_id"))))["cent_id"])
+            .select("cell", F.posexplode("nv").alias("dim", "x")))
+        means = (
+            assigned.groupBy("cell", "dim")
+            .agg((F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+                  / F.count("*")).alias("mu"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("dm"))
+            .select("cell", F.col("dm.mu").alias("cv"))
+            .collect())
+        new_codebook = list(codebook)  # empty cells keep old centroid
+        for r in means:
+            new_codebook[r["cell"]] = list(r["cv"])
+        codebook = new_codebook
+
+    return spark.createDataFrame(
+        [Row(**{id_col: i, vec_col: v}) for i, v in enumerate(codebook)],
+        f"{id_col} INT, {vec_col} ARRAY<DOUBLE>")

@@ -207,3 +207,56 @@ def test_config_join_path_agrees_with_compiled(spark):
     chained = parse_client_config({"symbols": {
         "A": {"rename_fields": {"a": "b", "b": "c"}}}})
     assert config_join_table(spark, chained) is None
+
+
+def test_join_path_random_agreement_batched(spark):
+    """Randomized agreement sweep (fixed seed): 20 symbols with random
+    join-safe configs × sparse random payloads, compiled path vs
+    config-as-data join path compared in one batch."""
+    import random
+    from pyspark.sql import Row
+    from market_data_ingestor_go_spark.operators.config_transform import (
+        apply_client_config_join, apply_client_config_map, config_join_table)
+
+    rng = random.Random(7)
+    fields = ["bid", "ask", "last", "vol"]
+    targets = ["x1", "x2"]  # disjoint from sources → always join-safe
+    cfg = {}
+    for i in range(20):
+        n_rules = rng.randint(0, 3)
+        rules = {rng.choice(fields): ValueRule(
+            rng.choice(["add", "subtract", "multiply", "divide"]),
+            rng.choice([0.0, 2.0, -3.5])) for _ in range(n_rules)}
+        renames = {}
+        if rng.random() < 0.7:
+            renames[rng.choice(fields)] = rng.choice(targets)
+        removes = rng.sample(fields + targets, rng.randint(0, 2))
+        overrides = {}
+        if rng.random() < 0.5:
+            overrides[rng.choice(fields + ["tag"])] = float(rng.randint(-5, 5))
+        cfg[f"S{i}"] = SymbolConfig(rename_fields=renames, value_rules=rules,
+                                    override_fields=overrides,
+                                    remove_fields=removes)
+    tbl = config_join_table(spark, cfg)
+    assert tbl is not None
+
+    rows = []
+    ts = 0
+    for i in range(20):
+        for _ in range(3):
+            present = rng.sample(fields + targets,
+                                 rng.randint(1, len(fields)))
+            rows.append(Row(
+                fields={f: float(rng.randint(-100, 100)) for f in present},
+                symbol=f"S{i}", timestamp=(ts := ts + 1), exchange="x"))
+    rows.append(Row(fields={"bid": 1.0}, symbol="UNCONFIGURED",
+                    timestamp=(ts := ts + 1), exchange="x"))
+    flat = spark.createDataFrame(rows)
+
+    def canon(df):
+        return {r["timestamp"]: (r["symbol"], dict(r["fields"]))
+                for r in df.collect()}
+
+    a = canon(apply_client_config_map(flat, cfg))
+    b = canon(apply_client_config_join(flat, tbl))
+    assert a == b

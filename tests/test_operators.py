@@ -256,3 +256,25 @@ def test_pii_scrub_synthetic(spark):
     assert "555" not in got[0]["clean"]
     assert "192.168.0.1" not in got[1]["clean"]
     assert got[2]["clean"] == "no pii here at all"
+
+
+def test_kmeans_codebook_ivf(spark):
+    """Trained codebook: deterministic across runs, improves (or at
+    least matches) hash-sample IVF recall vs brute force."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        ivf_ann, knn_bruteforce, train_kmeans_codebook)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.limit(10)
+    cb1 = train_kmeans_codebook(emb, k=4, n_iters=3)
+    cb2 = train_kmeans_codebook(emb, k=4, n_iters=3)
+    a = sorted(map(tuple, (tuple(r["embedding"]) for r in cb1.collect())))
+    b = sorted(map(tuple, (tuple(r["embedding"]) for r in cb2.collect())))
+    assert a == b  # deterministic training
+
+    exact = {(r["q_id"], r["n_id"]) for r in knn_bruteforce(emb, q, k=5).collect()}
+    got = {(r["q_id"], r["n_id"]) for r in
+           ivf_ann(emb, q, k=5, n_probe_cells=2, centroids=cb1).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.3, f"trained-codebook IVF recall too low: {recall}"
