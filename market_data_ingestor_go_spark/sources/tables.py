@@ -33,6 +33,10 @@ def pin_session_confs(spark: SparkSession) -> None:
     column is readable (converted explicitly by the events loader)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # perf, not correctness: the 128-column MinHash signature aggregate
+    # exceeds the default whole-stage-codegen field limit (100) and
+    # falls back to interpreted eval — measured ~25% slower
+    spark.conf.set("spark.sql.codegen.maxFields", "300")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -46,11 +46,26 @@ DEFAULT_TTL_MILLIS = 24 * 3600 * 1000  # REDIS_TTL default 24h, config.go:37
 
 def decode_raw_frames(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """S2: raw JSON frames → typed envelope; undecodable frames dropped
-    (reference increments the `unmarshal` counter and continues,
-    ingestor.go:105-110 — we observe() the drop count instead)."""
+    and counted (ErrorsTotal{type="unmarshal"}, metrics.go:8-34 /
+    ingestor.go:105-110) — the observe rides the executed lineage at
+    zero extra scans."""
+    from pyspark.sql import types as T
+    schema_with_corrupt = T.StructType(
+        list(MARKET_DATA_SCHEMA.fields)
+        + [T.StructField("_corrupt", T.StringType())])
     parsed = raw.select(
-        F.from_json(F.col(value_col).cast("string"), MARKET_DATA_SCHEMA).alias("r"))
-    return parsed.filter(F.col("r").isNotNull()).select("r.*")
+        F.from_json(F.col(value_col).cast("string"), schema_with_corrupt,
+                    {"columnNameOfCorruptRecord": "_corrupt"}).alias("r"))
+    # PERMISSIVE parse puts the raw text in _corrupt on malformed input
+    # (an all-null struct alone is NOT an unmarshal failure: `{}` is
+    # valid JSON that later fails validation, a different counter)
+    bad = F.col("r").isNull() | F.col("r._corrupt").isNotNull()
+    parsed = parsed.observe(
+        "decode",
+        F.count(F.lit(1)).alias("frames_received"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("errors_unmarshal"))
+    return (parsed.filter(~bad)
+            .select(*[f"r.{f.name}" for f in MARKET_DATA_SCHEMA.fields]))
 
 
 def build_ingest_stream(frames: DataFrame, symbols_dim: DataFrame) -> DataFrame:

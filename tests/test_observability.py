@@ -111,3 +111,75 @@ def test_streaming_latest_state_change_stream(spark, tmp_path):
     btc = [r["timestamp"] for r in all_updates if r["name"] == "BTC"]
     assert sorted(aapl) == [now + 100, now + 200]  # emitted twice (changed twice)
     assert btc == [now + 50]            # stale row produced no update
+
+
+def test_unmarshal_error_counter(spark, tmp_path):
+    """ErrorsTotal{type=unmarshal} (ingestor.go:105-110): undecodable
+    frames drop AND count, observed on the executed ingest lineage."""
+    import os
+    from pyspark.sql import Row
+    from market_data_ingestor_go_spark.streaming.pipeline import IngestPipeline
+
+    src = str(tmp_path / "wire")
+    os.makedirs(src)
+    good = {"name": "AAPL", "timestamp": int(time.time() * 1000),
+            "exchange": None, "data": {"data": {"bid": 1.0}}}
+    with open(src + "/a.json", "w") as fh:
+        fh.write(json.dumps(good) + "\n")
+        fh.write("not json at all {{{\n")
+        fh.write("}} also broken\n")
+
+    registry = MetricsRegistry()
+    listener = MetricsListener(registry)
+    spark.streams.addListener(listener)
+    try:
+        symbols = spark.createDataFrame([Row(name="AAPL", exchange="usstock")])
+        raw = spark.readStream.schema("value STRING").text(src)
+        pipe = IngestPipeline(spark, str(tmp_path / "out"), symbols)
+        q = pipe.start(raw)
+        q.processAllAvailable()
+        q.stop()
+        deadline = time.time() + 10
+        while time.time() < deadline and "decode.errors_unmarshal" not in registry.counters:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert registry.counters.get("decode.frames_received") == 3
+    assert registry.counters.get("decode.errors_unmarshal") == 2
+
+
+def test_publisher_ticker_loop(spark, tmp_path):
+    """K4 ticker (server.go:88): the publisher's interval loop drives
+    ticks without manual calls; a live client receives snapshots."""
+    import hashlib
+    from pyspark.sql import Row
+    from market_data_ingestor_go_spark.streaming.publisher import ServePublisher
+    from market_data_ingestor_go_spark.streaming import ws_minimal as wm
+
+    spark.createDataFrame([
+        Row(name="AAPL", timestamp=1, exchange="x",
+            data=json.dumps({"data": {"bid": 1.0}}))]) \
+        .write.mode("overwrite").parquet(str(tmp_path / "latest"))
+    configs = spark.createDataFrame(
+        [Row(id="c1", config=None)], schema="id string, config string")
+    keys = spark.createDataFrame([
+        Row(client_id="c1", key_hash=hashlib.sha256(b"k1").hexdigest(),
+            is_active=True)])
+    pub = ServePublisher(spark, keys, configs).start(
+        latest_provider=lambda: spark.read.parquet(str(tmp_path / "latest")),
+        interval_s=0.5)
+    try:
+        client = wm.connect(pub.url, headers={"x-api-key": "k1"})
+        msgs = []
+        deadline = time.time() + 20
+        while len(msgs) < 2 and time.time() < deadline:
+            try:
+                msgs.append(json.loads(client.recv(timeout=2.0)))
+            except TimeoutError:
+                continue
+        assert len(msgs) >= 2  # at least two tick deliveries
+        assert all(m["symbol"] == "AAPL" for m in msgs)
+        assert pub.ticks >= 2 and pub.records_sent >= 2
+        client.close()
+    finally:
+        pub.stop()
