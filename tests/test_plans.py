@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: the scale properties SCALING.md
+claims must be visible in the plan, so they can't silently regress.
+
+Each assertion pins the property that matters at 100 TB — shuffle
+count, map-side rank pruning, column pruning, broadcast placement —
+not the full plan text (which AQE is free to rearrange).
+"""
+
+from __future__ import annotations
+
+import re
+
+from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _count(plan: str, token: str) -> int:
+    # exclude broadcast exchanges when counting shuffle exchanges
+    if token == "Exchange":
+        return len(re.findall(r"(?<!Broadcast)Exchange", plan))
+    return plan.count(token)
+
+
+def _scan_columns(plan: str, table: str) -> set[str]:
+    """Columns actually read by the FileScan of ``table`` (ReadSchema
+    is truncated in toString; the bracket list is not)."""
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\][^\n]*?([A-Za-z0-9_./-]+\.parquet)", plan):
+        if table in m.group(2):
+            return {c.split("#")[0] for c in m.group(1).split(",") if c}
+    raise AssertionError(f"no FileScan of {table} in:\n{plan}")
+
+
+def test_ohlc_is_one_shuffle_aggregate(spark):
+    """events_ohlc_bars: open/close via min_by/max_by → ONE exchange,
+    no Window/Sort over the raw events, and a pruned 4-column scan."""
+    plan = _plan(ALL_QUERIES["events_ohlc_bars"](spark, SF))
+    assert _count(plan, "Exchange") == 1, plan
+    assert "Window" not in plan, plan
+    assert "min_by" in plan and "max_by" in plan
+    assert _scan_columns(plan, "events") == {
+        "event_id", "ts", "event_type", "value"}
+
+
+def test_ann_has_mapside_rank_pruning(spark):
+    """knn_ann_hyperplane: WindowGroupLimit must appear BELOW each
+    exchange (map-side top-k before the shuffle)."""
+    plan = _plan(ALL_QUERIES["knn_ann_hyperplane"](spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_pack_chunks_single_shuffle(spark):
+    """pack_sequences_chunked: one exchange (the stream partition) and
+    a 2-column scan."""
+    plan = _plan(ALL_QUERIES["pack_sequences_chunked"](spark, SF))
+    assert _count(plan, "Exchange") == 1, plan
+    assert _scan_columns(plan, "documents") == {"doc_id", "text"}
+
+
+def test_q5_dims_broadcast(spark):
+    """q5: every dimension joins as a broadcast; the only shuffle
+    exchanges feed the aggregate, never a dim join."""
+    plan = _plan(ALL_QUERIES["q5_region_nation_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q1_scan_prunes_columns(spark):
+    """q1 reads exactly the 7 columns it needs from lineitem."""
+    plan = _plan(ALL_QUERIES["q1_pricing_summary"](spark, SF))
+    cols = _scan_columns(plan, "lineitem")
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                    "l_returnflag", "l_linestatus", "l_shipdate"}, cols
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+
+
+def test_minhash_signature_partial_agg(spark):
+    """MinHash signatures partial-aggregate map-side: two
+    HashAggregates around one exchange, no sort-based fallback."""
+    from market_data_ingestor_go_spark.operators import dedup
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    docs = load_table(spark, SF, "documents")
+    sig = dedup.minhash_signatures(dedup.shingle_df(docs, "text", "doc_id"), 16)
+    plan = _plan(sig)
+    assert plan.count("HashAggregate") == 2, plan
+    assert "SortAggregate" not in plan, plan
+    assert "partial_min" in plan, plan
