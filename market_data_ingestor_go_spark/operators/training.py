@@ -101,6 +101,29 @@ def corpus_mix_weights(df: DataFrame, group_col: str = "lang",
         ((F.lit(1.0) / n_groups) / share).alias("mix_weight"))
 
 
+def weighted_resample(df: DataFrame, weights: dict[str, float],
+                      group_col: str = "lang", id_col: str = "doc_id",
+                      seed: str = "resample:v1") -> DataFrame:
+    """Down-sample each group toward the ``corpus_mix_weights`` target:
+    keep a row iff its deterministic id-hash coin lands under the
+    group's weight (weights > 1 mean the group is under-represented —
+    kept whole here; true up-sampling is the training loader's job).
+
+    Seeded by content-independent md5(seed, id) so the sample is
+    reproducible across runs, engines, and partitionings — no RNG
+    state to coordinate across 1000 executors, and changing ``seed``
+    draws a fresh sample. One scan, no shuffle.
+    """
+    w = F.create_map(*[F.lit(x) for kv in weights.items()
+                       for x in (kv[0], float(min(kv[1], 1.0)))])
+    col = F.col(id_col)
+    coin = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed + ":"), col.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1_000_000) / 1_000_000.0
+    keep = coin < F.coalesce(w[F.col(group_col)], F.lit(1.0))
+    return df.filter(keep)
+
+
 def pack_chunks(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", cap: int = 2048,
                 n_streams: int = 32) -> DataFrame:

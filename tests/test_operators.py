@@ -278,3 +278,37 @@ def test_kmeans_codebook_ivf(spark):
            ivf_ann(emb, q, k=5, n_probe_cells=2, centroids=cb1).collect()}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.3, f"trained-codebook IVF recall too low: {recall}"
+
+
+def test_weighted_resample_invariants(spark):
+    """Seeded stratified resampling: deterministic, subset of input,
+    per-group keep rates within tolerance of the weights, and a
+    different seed draws a different sample."""
+    from market_data_ingestor_go_spark.operators.training import weighted_resample
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    weights = {"en": 0.5, "de": 1.0, "fr": 0.25}
+    s1 = weighted_resample(docs, weights)
+    s2 = weighted_resample(docs, weights)
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # deterministic
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert ids1 <= all_ids  # strict subset of the corpus
+
+    base = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in
+           s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, w in weights.items():
+        if lang in base:
+            rate = got.get(lang, 0) / base[lang]
+            assert abs(rate - min(w, 1.0)) < 0.15, (lang, rate, w)
+    # unlisted groups are kept whole
+    for lang in set(base) - set(weights):
+        assert got.get(lang, 0) == base[lang], lang
+
+    s3 = weighted_resample(docs, weights, seed="resample:v2")
+    ids3 = {r["doc_id"] for r in s3.select("doc_id").collect()}
+    assert ids3 != ids1  # new seed, new draw
