@@ -711,6 +711,23 @@ WHERE l_quantity < qty_threshold
 """
 
 
+ORACLES["embedding_quantize_stats"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS max_abs
+  FROM e)
+SELECT vec_id, max_abs,
+       list_max([abs(v[i] - CAST(floor(v[i] * (127.0 / max_abs) + 0.5)
+                                 AS INTEGER) / (127.0 / max_abs))
+                 for i in range(1, len(v) + 1)]) AS max_quant_err,
+       CAST(list_sum([abs(CAST(floor(v[i] * (127.0 / max_abs) + 0.5)
+                                AS INTEGER))
+                      for i in range(1, len(v) + 1)]) AS BIGINT) AS l1_q
+FROM s
+"""
+
 ORACLES["events_moving_stats"] = """
 WITH e AS (
   SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events)
@@ -862,5 +879,6 @@ EXTRA_ORACLES: dict[str, str] = {
         "q17_small_qty_revenue",
         "text_repetition",
         "events_moving_stats",
+        "embedding_quantize_stats",
     ]
 }

@@ -944,6 +944,28 @@ def events_moving_stats(spark, sf_dir):
     )
 
 
+def embedding_quantize_stats(spark, sf_dir):
+    """Vector-storage primitive: symmetric int8 quantization per
+    embedding (scale = 127/max|x|, floor(x·s + 0.5) — floor-based so
+    rounding is identical across engines) with reconstruction-error
+    stats. At 100 TB this is the 4× storage/IO lever for ANN corpora;
+    pure per-row array math, scan-speed."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = SIM.as_double("embedding")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    sc = F.lit(127.0) / mx
+    q = F.transform(v, lambda x: F.floor(x * sc + F.lit(0.5)).cast("int"))
+    err = F.array_max(F.zip_with(
+        v, q, lambda x, qi: F.abs(x - qi.cast("double") / sc)))
+    return e.select(
+        "vec_id",
+        mx.alias("max_abs"),
+        err.alias("max_quant_err"),
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda acc, qi: acc + F.abs(qi).cast("long")).alias("l1_q"),
+    )
+
+
 def text_repetition(spark, sf_dir):
     """Repetition/boilerplate quality signal: distinct vs total word
     3-grams per document (1 − distinct/total)."""
@@ -1200,6 +1222,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "text_repetition": text_repetition,              # quality ⊂ text_quality_score family
     "events_moving_stats": events_moving_stats,      # rolling frame ⊂ window family
+    "embedding_quantize_stats": embedding_quantize_stats,  # vector storage
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
