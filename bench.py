@@ -41,6 +41,8 @@ HEADLINE = [
     "window_topk_per_group",
     "events_tumbling_window",
     "events_sessionization",
+    "events_ohlc_bars",
+    "pack_sequences_chunked",
     "dedup_fingerprint",
     "minhash_neardup",
     "simhash_neardup",
