@@ -76,19 +76,20 @@ def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ROW — inlining it into the transform lambda would re-split the full
     text once per shingle (O(tokens²) per doc; measured 4× slower).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
-    # Filter on TOKEN count (≥ n tokens ⟺ ≥ 1 shingle) rather than on
-    # size(sh): a post-projection size(sh)>0 filter gets pushed below
-    # the repartition by Catalyst with the whole shingle expression
-    # inlined into its condition — putting the O(tokens²) re-split work
-    # back on the single pre-shuffle task (measured: a 7 s single-task
-    # stage on 5k docs).
+    # Repartition the RAW (id, text) rows first, then tokenize: this
+    # way the split and the shingle transform both run post-shuffle
+    # across all cores (single-file fixtures arrive as one split; a
+    # real table's scan is parallel already and the repartition only
+    # rebalances). Filtering on TOKEN count (≥ n tokens ⟺ ≥ 1
+    # shingle) rather than size(sh) keeps the pushed-down scan-stage
+    # predicate to one cheap split per row — a size(sh)>0 filter would
+    # inline the whole O(tokens²) shingle expression into it
+    # (measured: a 7 s single-task stage on 5k docs).
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")) \
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = base.select(
+        "id", F.split(F.trim(F.col("t")), r"\s+").alias("w"))
     toks = toks.filter(F.size("w") >= n)
-    # single-file corpora arrive as one split — spread the CPU-heavy
-    # shingling/hashing across all cores
-    toks = toks.repartition(df.sparkSession.sparkContext.defaultParallelism)
     grams = F.expr(
         f"array_distinct(transform(sequence(0, size(w) - {n}),"
         f" i -> concat_ws(' ', {', '.join(f'w[i + {k}]' for k in range(n))})))")
