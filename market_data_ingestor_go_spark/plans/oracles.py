@@ -711,6 +711,39 @@ WHERE l_quantity < qty_threshold
 """
 
 
+ORACLES["events_funnel_conversion"] = """
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END)
+           AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+           AS first_purchase
+  FROM events GROUP BY user_id)
+SELECT COUNT(CASE WHEN first_click IS NOT NULL THEN 1 END) AS n_clickers,
+       COUNT(CASE WHEN first_click IS NOT NULL
+                   AND first_purchase IS NOT NULL
+                   AND first_purchase >= first_click THEN 1 END)
+         AS n_converted,
+       CAST(COUNT(CASE WHEN first_click IS NOT NULL
+                        AND first_purchase IS NOT NULL
+                        AND first_purchase >= first_click THEN 1 END)
+            AS DOUBLE)
+         / COUNT(CASE WHEN first_click IS NOT NULL THEN 1 END)
+         AS conversion_rate
+FROM u
+"""
+
+ORACLES["orders_cohort_matrix"] = """
+WITH f AS (
+  SELECT o_custkey, year(MIN(o_orderdate)) AS cohort_year
+  FROM orders GROUP BY o_custkey)
+SELECT cohort_year, year(o_orderdate) AS order_year,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT orders.o_custkey) AS n_active_custs
+FROM orders JOIN f ON orders.o_custkey = f.o_custkey
+GROUP BY cohort_year, year(o_orderdate)
+"""
+
 ORACLES["embedding_quantize_stats"] = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -880,5 +913,7 @@ EXTRA_ORACLES: dict[str, str] = {
         "text_repetition",
         "events_moving_stats",
         "embedding_quantize_stats",
+        "events_funnel_conversion",
+        "orders_cohort_matrix",
     ]
 }

@@ -944,6 +944,43 @@ def events_moving_stats(spark, sf_dir):
     )
 
 
+def events_funnel_conversion(spark, sf_dir):
+    """Funnel shape without self-joins: first click / first purchase
+    per user as conditional MIN aggregates, conversion = purchase at
+    or after the first click — one shuffle on user_id, then a scalar
+    rollup."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_ms")))
+         .alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ms")))
+         .alias("first_purchase"))
+    clicked = F.col("first_click").isNotNull()
+    converted = clicked & F.col("first_purchase").isNotNull() \
+        & (F.col("first_purchase") >= F.col("first_click"))
+    return per_user.agg(
+        F.count(F.when(clicked, 1)).alias("n_clickers"),
+        F.count(F.when(converted, 1)).alias("n_converted"),
+        (F.count(F.when(converted, 1)).cast("double")
+         / F.count(F.when(clicked, 1))).alias("conversion_rate"))
+
+
+def orders_cohort_matrix(spark, sf_dir):
+    """Cohort retention: customers grouped by first-order year, order
+    counts per (cohort_year, order_year). Two-level temporal agg —
+    the first agg's output re-joins the fact table (broadcast: one row
+    per customer)."""
+    o = _t(spark, sf_dir, "orders")
+    first = (o.groupBy("o_custkey")
+             .agg(F.year(F.min("o_orderdate")).alias("cohort_year")))
+    return (
+        o.join(F.broadcast(first), "o_custkey")
+        .groupBy("cohort_year", F.year("o_orderdate").alias("order_year"))
+        .agg(F.count("*").alias("n_orders"),
+             F.countDistinct("o_custkey").alias("n_active_custs"))
+    )
+
+
 def embedding_quantize_stats(spark, sf_dir):
     """Vector-storage primitive: symmetric int8 quantization per
     embedding (scale = 127/max|x|, floor(x·s + 0.5) — floor-based so
@@ -1223,6 +1260,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": text_repetition,              # quality ⊂ text_quality_score family
     "events_moving_stats": events_moving_stats,      # rolling frame ⊂ window family
     "embedding_quantize_stats": embedding_quantize_stats,  # vector storage
+    "events_funnel_conversion": events_funnel_conversion,  # funnel shape
+    "orders_cohort_matrix": orders_cohort_matrix,          # cohort retention
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
