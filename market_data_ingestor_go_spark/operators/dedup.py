@@ -226,11 +226,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     the sketch sets bit j iff the sum is positive. All JVM bit math,
     partial-aggregated — one shuffle of 64 small ints per doc.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
-    # spread the 64-column bit aggregation across cores (single-file input)
-    toks = toks.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    # Spread the RAW docs round-robin before exploding: the 64-column
+    # bit aggregation partial-combines map-side, so the groupBy only
+    # shuffles one 64-int row per doc per partition — repartitioning
+    # the exploded token rows by id (the old layout) paid a full
+    # token-row shuffle the aggregate never needed.
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")) \
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = base.select(
+        "id", F.explode(F.split(F.trim(F.col("t")), r"\s+")).alias("tok"))
     h = F.xxhash64(F.col("tok"))
 
     def mask(j: int) -> int:
