@@ -111,6 +111,13 @@ class IngestPipeline:
     symbols_dim: DataFrame
     ttl_millis: int = DEFAULT_TTL_MILLIS
     trigger_seconds: int = 2  # FLUSH_INTERVAL default, config.go:38
+    # Opt-in 100 TB layout: nest ds=<event date> partitions inside each
+    # epoch dir, so time-range history scans prune at the directory
+    # level (epoch stays OUTER — overwriting one epoch dir keeps the
+    # crash-replay idempotence contract regardless of which dates the
+    # batch touched). Off by default: tiny local tables don't need the
+    # extra directory fan-out.
+    partition_by_date: bool = False
     queries: list = field(default_factory=list)
 
     @property
@@ -130,7 +137,12 @@ class IngestPipeline:
             # crashed epoch overwrites its own partition directory
             # instead of duplicating rows.
             epoch_dir = os.path.join(self.history_path, f"epoch={int(epoch_id)}")
-            batch.write.mode("overwrite").parquet(epoch_dir)
+            if self.partition_by_date:
+                (batch.withColumn(
+                    "ds", F.to_date(F.timestamp_millis(F.col("timestamp"))))
+                 .write.mode("overwrite").partitionBy("ds").parquet(epoch_dir))
+            else:
+                batch.write.mode("overwrite").parquet(epoch_dir)
             # K2/A1: merge latest-per-key into the state table. Only a
             # missing table (first epoch, or crash mid-swap → backup)
             # is tolerated; real IO errors propagate and fail the
@@ -209,9 +221,18 @@ def compact_history(spark: SparkSession, history_path: str,
         target_partitions = max(1, total_bytes // (128 * 1024 * 1024))
     staging = history_path + ".compact"
     # keep the epoch=<id> directory layout (mixing bare files and
-    # partition dirs under one root breaks partition discovery)
-    df.repartition(int(target_partitions)) \
-        .write.mode("overwrite").parquet(os.path.join(staging, "epoch=-1"))
+    # partition dirs under one root breaks partition discovery); a
+    # date-partitioned table likewise must KEEP ds as a partition
+    # column — new epochs will write ds=<date> dirs, and a column
+    # can't be partition-dir in some files and data in others.
+    if "ds" in df.columns:
+        # cluster by ds so each date dir gets dense files instead of
+        # one sliver per (task × date)
+        writer = df.repartition(int(target_partitions), "ds") \
+            .write.mode("overwrite").partitionBy("ds")
+    else:
+        writer = df.repartition(int(target_partitions)).write.mode("overwrite")
+    writer.parquet(os.path.join(staging, "epoch=-1"))
     fs.atomic_swap(spark, staging, history_path)
     return len(fs.list_files(spark, history_path))
 

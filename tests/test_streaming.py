@@ -559,3 +559,46 @@ def test_serve_tick_envelope(spark, tmp_path):
             c.close()
     finally:
         pub.stop()
+
+
+def test_history_date_partitioned_layout(spark, symbols_dim, tmp_path):
+    """Opt-in ds=<date> partitioning inside each epoch dir: time-range
+    scans prune at the directory level, epoch replay stays idempotent,
+    and compaction preserves the partition layout."""
+    frames1 = spark.createDataFrame([
+        Row(value=json.dumps(_frame("AAPL", 1735689600000, bid=1.0))),  # 2025-01-01
+        Row(value=json.dumps(_frame("AAPL", 1735776000000, bid=2.0))),  # 2025-01-02
+    ])
+    frames2 = spark.createDataFrame([
+        Row(value=json.dumps(_frame("BTCUSD", 1735862400000, bid=3.0)))  # 2025-01-03
+    ])
+    from market_data_ingestor_go_spark.streaming.pipeline import (
+        IngestPipeline, build_ingest_stream, compact_history, read_history)
+    pipe = IngestPipeline(spark, str(tmp_path / "out"), symbols_dim,
+                          ttl_millis=1 << 60, partition_by_date=True)
+    pipe._write_batch(build_ingest_stream(frames1, symbols_dim), 0)
+    pipe._write_batch(build_ingest_stream(frames1, symbols_dim), 0)  # replay
+    pipe._write_batch(build_ingest_stream(frames2, symbols_dim), 1)
+
+    import pathlib
+    ds_dirs = {p.name for p in pathlib.Path(pipe.history_path).rglob("ds=*")}
+    assert ds_dirs == {"ds=2025-01-01", "ds=2025-01-02", "ds=2025-01-03"}
+
+    hist = pipe.history()
+    assert hist.count() == 3  # replay did not duplicate
+    assert "ds" in hist.columns and "epoch" not in hist.columns
+
+    # a ds filter reaches the scan as a PartitionFilter (directory prune)
+    plan = (hist.filter(F.col("ds") == "2025-01-02")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [isnotnull(ds" in plan, plan
+
+    n_files = compact_history(spark, pipe.history_path, target_partitions=1)
+    assert n_files >= 3  # ≥ one file per date partition
+    hist2 = read_history(spark, pipe.history_path)
+    assert hist2.count() == 3
+    assert {r["ds"].isoformat() for r in hist2.select("ds").collect()} == {
+        "2025-01-01", "2025-01-02", "2025-01-03"}
+    # post-compaction epochs keep writing cleanly into the same table
+    pipe._write_batch(build_ingest_stream(frames2, symbols_dim), 2)
+    assert read_history(spark, pipe.history_path).count() == 4
