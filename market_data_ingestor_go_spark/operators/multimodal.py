@@ -131,3 +131,40 @@ def sample_frames(df: DataFrame, binary_col: str = "content",
             yield pd.DataFrame(rows, columns=["content_sha256", "frame_idx", "frame"])
 
     return df.select(binary_col).mapInPandas(kernel, out_schema)
+
+
+def extract_audio_features(df: DataFrame, binary_col: str = "content",
+                           window_ms: int = 1000) -> DataFrame:
+    """Audio feature extraction — STUB kernel, real plumbing.
+
+    Emits one row per analysis window (content_sha256, window_idx,
+    duration_ms, rms): fan-out over mapInPandas like frame sampling.
+    The STUB derives deterministic fake duration/energy from the raw
+    bytes (16-bit PCM framing assumed); a real kernel swaps in
+    soundfile/librosa decode — absent from this container.
+    """
+    out_schema = T.StructType([
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            rows = []
+            for blob in pdf[binary_col]:
+                blob = bytes(blob) if blob is not None else b""
+                digest = hashlib.sha256(blob).hexdigest()
+                # STUB framing: 16 kHz mono 16-bit PCM → 32 bytes/ms
+                duration_ms = max(1, len(blob) // 32)
+                n_windows = max(1, duration_ms // window_ms)
+                for idx in range(n_windows):
+                    seg = blob[idx * 64:(idx + 1) * 64] or b"\0"
+                    rms = (sum(b * b for b in seg) / len(seg)) ** 0.5
+                    rows.append((digest, idx, duration_ms, rms))
+            yield pd.DataFrame(rows, columns=[
+                "content_sha256", "window_idx", "duration_ms", "rms"])
+
+    return df.select(binary_col).mapInPandas(kernel, out_schema)

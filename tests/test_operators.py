@@ -312,3 +312,24 @@ def test_weighted_resample_invariants(spark):
     s3 = weighted_resample(docs, weights, seed="resample:v2")
     ids3 = {r["doc_id"] for r in s3.select("doc_id").collect()}
     assert ids3 != ids1  # new seed, new draw
+
+
+def test_multimodal_audio_plumbing(spark):
+    """Audio kernel (STUB decode, real Arrow fan-out): one window row
+    per second of stub-framed audio, deterministic."""
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        extract_audio_features)
+    blobs = spark.createDataFrame(
+        [Row(content=bytes(range(256)) * 500),   # 128000 B → 4000 ms
+         Row(content=b"\x01" * 64)])             # tiny → 1 window
+    out = extract_audio_features(blobs).collect()
+    by_digest = {}
+    for r in out:
+        by_digest.setdefault(r["content_sha256"], []).append(r)
+    assert len(by_digest) == 2
+    big = max(by_digest.values(), key=len)
+    assert len(big) == 4  # 4000 ms / 1000 ms windows
+    assert all(r["duration_ms"] == 4000 for r in big)
+    assert all(r["rms"] > 0 for r in out)
+    out2 = extract_audio_features(blobs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
