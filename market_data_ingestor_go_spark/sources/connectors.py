@@ -107,3 +107,82 @@ def read_kafka_stream(spark: SparkSession, brokers: str, topic: str) -> DataFram
     return (spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", brokers)
             .option("subscribe", topic).load())
+
+
+# -- live PostgreSQL over the minimal wire client (sources/pg_minimal) --
+
+MARKET_DATA_DDL = """
+CREATE TABLE IF NOT EXISTS market_data (
+    id BIGSERIAL PRIMARY KEY,
+    name TEXT NOT NULL,
+    timestamp BIGINT NOT NULL,
+    exchange TEXT,
+    data JSONB,
+    created_at TIMESTAMPTZ DEFAULT now()
+)"""
+
+
+def pg_wire_available(host: str = "127.0.0.1", port: int = 5432,
+                      user: str = "app", database: str = "postgres") -> bool:
+    """True if a trust-auth Postgres answers on (host, port)."""
+    from .pg_minimal import PGConnection
+    try:
+        conn = PGConnection(host, port, user, database, timeout=2.0)
+        conn.close()
+        return True
+    except Exception:
+        return False
+
+
+def pg_bootstrap(host: str, port: int, user: str = "app",
+                 database: str = "postgres") -> None:
+    """K3 (postgres.go:46-97): create-if-absent DDL over the wire
+    client — idempotent, safe to call at every startup."""
+    from .pg_minimal import PGConnection
+    conn = PGConnection(host, port, user, database)
+    try:
+        conn.query(MARKET_DATA_DDL)
+    finally:
+        conn.close()
+
+
+def pg_wire_append(batch: DataFrame, host: str, port: int,
+                   user: str = "app", database: str = "postgres",
+                   table: str = "market_data",
+                   cols: tuple = ("name", "timestamp", "exchange", "data")) -> None:
+    """K1 live (postgres.go:103-136): per-partition transactional batch
+    INSERT over the wire client — each task opens one connection and
+    commits its rows in one transaction, so a task retry replaces a
+    cleanly-rolled-back attempt (same per-batch atomicity as the
+    reference's tx.Commit)."""
+    col_list = ", ".join(cols)
+    # captured at driver time so executors launched from any cwd can
+    # import this repo (cloudpickle serializes module fns by reference)
+    import os as _os
+    pkg_root = _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+
+    # closure, not a module-level def: executors can't import this repo
+    def _write(rows) -> None:
+        import sys
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from market_data_ingestor_go_spark.sources.pg_minimal import (
+            PGConnection, quote_literal)
+        vals = []
+        for row in rows:
+            d = row.asDict()
+            if d.get("timestamp", 0) == 0:
+                continue  # P2 sink guard
+            vals.append("(" + ", ".join(
+                quote_literal(d.get(c)) for c in cols) + ")")
+        if not vals:
+            return
+        conn = PGConnection(host, port, user, database)
+        try:
+            conn.query("BEGIN; INSERT INTO %s (%s) VALUES %s; COMMIT;"
+                       % (table, col_list, ", ".join(vals)))
+        finally:
+            conn.close()
+
+    batch.foreachPartition(_write)

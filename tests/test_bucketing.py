@@ -68,3 +68,88 @@ def test_connectors_degrade_explicitly(spark):
             read_jdbc_dim(spark, "jdbc:postgresql://x/y", "api_keys")
     assert isinstance(redis_available(), bool)
     assert isinstance(kafka_available(spark), bool)
+
+
+def _boot_postgres(tmp_path):
+    """Throwaway PG 15 cluster as user nobody (the server refuses
+    root), trust auth, random port. Returns (port, stop_fn) or None if
+    the server binaries are absent."""
+    import random
+    import shutil
+    import subprocess
+
+    if not (shutil.which("initdb") and shutil.which("pg_ctl")):
+        return None
+    # NOT pytest's tmp_path: that tree is root-owned mode 0700 and the
+    # server must run as nobody (postgres refuses root)
+    import tempfile
+    base = tempfile.mkdtemp(prefix="pgtest_")
+    import os
+    os.chmod(base, 0o755)
+    shutil.chown(base, user="nobody")
+    port = random.randint(54000, 54999)
+    run = lambda cmd: subprocess.run(  # noqa: E731
+        ["su", "nobody", "-s", "/bin/bash", "-c", cmd],
+        cwd="/tmp", capture_output=True, text=True, timeout=60)
+    r = run(f"initdb -D {base}/data --auth=trust --no-sync -U app")
+    if r.returncode != 0:
+        return None
+    r = run(f"pg_ctl -D {base}/data -l {base}/log "
+            f"-o '-p {port} -k {base}' start")
+    if r.returncode != 0:
+        return None
+
+    def stop():
+        run(f"pg_ctl -D {base}/data -m immediate stop")
+
+    return port, stop
+
+
+def test_postgres_live_ddl_append_and_read(spark, tmp_path):
+    """K1/K3 against a REAL PostgreSQL server over the minimal wire
+    client (no driver jars in this container): bootstrap DDL
+    idempotently, append a micro-batch transactionally from executors
+    via foreachPartition, and read it back (postgres.go:46-136)."""
+    import json
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from market_data_ingestor_go_spark.sources.connectors import (
+        pg_bootstrap, pg_wire_append, pg_wire_available)
+    from market_data_ingestor_go_spark.sources.pg_minimal import PGConnection
+
+    booted = _boot_postgres(tmp_path)
+    if booted is None:  # pragma: no cover - environment without PG
+        _pytest.skip("PostgreSQL server binaries not available")
+    port, stop = booted
+    try:
+        import time
+        deadline = time.time() + 15
+        while not pg_wire_available(port=port) and time.time() < deadline:
+            time.sleep(0.5)
+        assert pg_wire_available(port=port)
+
+        pg_bootstrap("127.0.0.1", port)
+        pg_bootstrap("127.0.0.1", port)  # K3: idempotent
+
+        batch = spark.createDataFrame([
+            Row(name="AAPL", timestamp=1000, exchange="usstock",
+                data=json.dumps({"bid": 1.5})),
+            Row(name="O'Neil&Co", timestamp=2000, exchange=None,
+                data=None),
+            Row(name="SKIP", timestamp=0, exchange="x", data=None),  # P2 guard
+        ]).repartition(4)
+        pg_wire_append(batch, "127.0.0.1", port)
+
+        conn = PGConnection("127.0.0.1", port)
+        try:
+            _, rows = conn.query(
+                "SELECT name, timestamp, exchange, data FROM market_data "
+                "ORDER BY timestamp")
+        finally:
+            conn.close()
+        assert [(r[0], r[1]) for r in rows] == [("AAPL", "1000"),
+                                                ("O'Neil&Co", "2000")]
+        assert json.loads(rows[0][3]) == {"bid": 1.5}   # JSONB round-trip
+        assert rows[1][2] is None and rows[1][3] is None
+    finally:
+        stop()
