@@ -186,3 +186,31 @@ def pg_wire_append(batch: DataFrame, host: str, port: int,
             conn.close()
 
     batch.foreachPartition(_write)
+
+
+def read_pg_dim(spark: SparkSession, sql: str, schema: str,
+                host: str = "127.0.0.1", port: int = 5432,
+                user: str = "app", database: str = "postgres") -> DataFrame:
+    """S3/S4 live (postgres.go:138-185): load a DIMENSION query result
+    over the wire client into a DataFrame.
+
+    Dimensions are tiny (api_keys, clients_configs — one row per
+    client), so a driver-side fetch + createDataFrame is the right
+    shape; fact-scale tables go through JDBC partitioned reads when
+    the driver jar is present. Text-protocol values are cast through
+    the caller's schema string."""
+    from .pg_minimal import PGConnection
+    conn = PGConnection(host, port, user, database)
+    try:
+        cols, rows = conn.query(sql)
+    finally:
+        conn.close()
+    raw = spark.createDataFrame(
+        [tuple(r) for r in rows] or [],
+        ", ".join(f"{c} string" for c in cols) if cols else schema)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    from pyspark.sql import functions as F  # local: keep module surface lean
+    target = spark.createDataFrame([], schema).schema
+    return raw.select(*[
+        F.col(f.name).cast(f.dataType).alias(f.name) for f in target])

@@ -153,3 +153,48 @@ def test_postgres_live_ddl_append_and_read(spark, tmp_path):
         assert rows[1][2] is None and rows[1][3] is None
     finally:
         stop()
+
+
+def test_postgres_live_dim_read_auth(spark, tmp_path):
+    """S3 live: api_keys dimension read over the wire client feeds the
+    batched auth join (postgres.go:138-163)."""
+    import hashlib
+    import pytest as _pytest
+    from market_data_ingestor_go_spark.operators.enrich import authenticate_many
+    from market_data_ingestor_go_spark.sources.connectors import (
+        pg_wire_available, read_pg_dim)
+    from market_data_ingestor_go_spark.sources.pg_minimal import PGConnection
+
+    booted = _boot_postgres(tmp_path)
+    if booted is None:  # pragma: no cover
+        _pytest.skip("PostgreSQL server binaries not available")
+    port, stop = booted
+    try:
+        import time
+        deadline = time.time() + 15
+        while not pg_wire_available(port=port) and time.time() < deadline:
+            time.sleep(0.5)
+        conn = PGConnection("127.0.0.1", port)
+        try:
+            conn.query(
+                "CREATE TABLE api_keys (client_id TEXT, key_hash TEXT, "
+                "is_active BOOLEAN)")
+            h1 = hashlib.sha256(b"k-good").hexdigest()
+            h2 = hashlib.sha256(b"k-dead").hexdigest()
+            conn.query("BEGIN; INSERT INTO api_keys VALUES "
+                       f"('c1', '{h1}', TRUE), ('c2', '{h2}', FALSE); COMMIT;")
+        finally:
+            conn.close()
+
+        dim = read_pg_dim(
+            spark,
+            "SELECT client_id, key_hash, is_active FROM api_keys",
+            "client_id string, key_hash string, is_active boolean",
+            port=port)
+        assert dim.count() == 2
+        got = {r["client_id"]
+               for r in authenticate_many(dim, ["k-good", "k-dead", "k-?"])
+               .collect()}
+        assert got == {"c1"}  # inactive + unknown rejected
+    finally:
+        stop()
