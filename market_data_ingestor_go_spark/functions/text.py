@@ -61,10 +61,20 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def shingles(text: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles — the unit of near-dup similarity."""
+    """Distinct word n-gram shingles — the unit of near-dup similarity.
+
+    Docs with fewer than ``n`` tokens yield an EMPTY array, matching the
+    oracle's ``len(w) >= n`` CASE. Without the guard the old
+    ``sequence(0, greatest(size(w)-n, -1))`` form produced ``[0, -1]``
+    for short docs and ``slice(w, 0, n)`` threw
+    INVALID_PARAMETER_VALUE.START at runtime.
+    """
+    w = f"split(trim({text}), '\\\\s+')"
     return F.expr(
-        f"array_distinct(transform(sequence(0, greatest(size(split(trim({text}), '\\\\s+')) - {n}, -1)),"
-        f" i -> concat_ws(' ', slice(split(trim({text}), '\\\\s+'), i + 1, {n}))))"
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({w}) - {n}),"
+        f" i -> concat_ws(' ', slice({w}, i + 1, {n})))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
 
 

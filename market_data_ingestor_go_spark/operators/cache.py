@@ -11,26 +11,43 @@ blanket ``catalog.clearCache()``).
 unpersists everything registered since the last release. Callers that
 run many queries in one session (benchmarks, services, notebooks)
 call ``release_pinned()`` after each consuming action.
+
+The registry is THREAD-LOCAL: a query built and released on the serve
+ticker thread can never unpersist pins created concurrently by another
+driver thread (e.g. a dedup job running beside the publisher). Pin and
+release must therefore happen on the same thread — which is already
+the registry's contract (release after *your* consuming action).
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_PINNED: list[DataFrame] = []
+_LOCAL = threading.local()
+
+
+def _pins() -> list[DataFrame]:
+    pins = getattr(_LOCAL, "pins", None)
+    if pins is None:
+        pins = _LOCAL.pins = []
+    return pins
 
 
 def pin(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register the handle for later release."""
     df.persist()
-    _PINNED.append(df)
+    _pins().append(df)
     return df
 
 
 def release_pinned() -> int:
-    """Unpersist every pinned DataFrame; returns how many were released."""
+    """Unpersist every DataFrame pinned ON THIS THREAD; returns how
+    many were released."""
+    pins = _pins()
     n = 0
-    while _PINNED:
-        _PINNED.pop().unpersist()
+    while pins:
+        pins.pop().unpersist()
         n += 1
     return n

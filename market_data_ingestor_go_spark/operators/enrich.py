@@ -111,6 +111,20 @@ def audit_key_usage(api_keys: DataFrame, used_hashes: DataFrame) -> DataFrame:
     ).drop("_used")
 
 
+def audit_key_usage_inline(api_keys: DataFrame,
+                           used_hashes: list[str]) -> DataFrame:
+    """K5, IN-list form for the serve tick's tiny used-key set: no join
+    machinery, the predicate pushes straight into the dimension scan.
+    Same semantics as ``audit_key_usage`` (touched rows get
+    ``current_timestamp()``, others keep their value)."""
+    if not used_hashes:
+        return api_keys
+    return api_keys.withColumn(
+        "last_used_at",
+        F.when(F.col("key_hash").isin(list(used_hashes)),
+               F.current_timestamp()).otherwise(F.col("last_used_at")))
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """Rows of ``left`` with at least one match in ``right`` (J2 shape)."""
     return left.join(right, on, "left_semi")

@@ -156,11 +156,15 @@ def random_hyperplane_ann(df: DataFrame, queries: DataFrame, k: int = 5,
 
     2^n_planes buckets; the corpus is signed once (narrow projection,
     no shuffle), candidates come from an equi-join on the bucket id,
-    and the exact kernel ranks within bucket. ``multiprobe=1`` also
-    probes every bucket at Hamming distance 1 from the query signature
-    (flip one sign bit) — the standard recall lever that costs only
-    n_planes extra probe keys per query, not a rebuild.
+    and the exact kernel ranks within bucket. ``multiprobe=m`` also
+    probes every bucket within Hamming distance m of the query
+    signature (flip up to m sign bits) — the standard recall lever
+    that costs only extra probe keys per query (C(n_planes,1) + … +
+    C(n_planes,m)), not a rebuild. Recall of a neighbor at angle θ
+    (p = 1-θ/π per plane) is Σ_{i≤m} C(n,i)·p^(n-i)·(1-p)^i.
     """
+    from itertools import combinations
+
     from pyspark.sql.window import Window
 
     planes = _hyperplanes(dim, n_planes)
@@ -169,8 +173,10 @@ def random_hyperplane_ann(df: DataFrame, queries: DataFrame, k: int = 5,
     q = _query_side(queries, id_col, vec_col)
     q = q.withColumn("sig", hyperplane_signature(F.col("qv"), planes))
     probe_cols = [F.col("sig")]
-    if multiprobe >= 1:
-        probe_cols += [F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    for m in range(1, min(multiprobe, n_planes) + 1):
+        probe_cols += [
+            F.col("sig").bitwiseXOR(F.lit(sum(1 << j for j in flips)))
+            for flips in combinations(range(n_planes), m)]
     q = F.broadcast(
         q.select("q_id", "qv", "qsd", F.explode(F.array(*probe_cols)).alias("bucket")))
     scored = (
@@ -211,43 +217,87 @@ def _bucketed_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _banded_hyperplanes(dim: int, n_bands: int,
+                        planes_per_band: int) -> list[list[list[float]]]:
+    """Independent hyperplane sets per band (seeds disjoint from
+    ``_hyperplanes`` — three colon fields vs two)."""
+    out = []
+    for band in range(n_bands):
+        planes = []
+        for j in range(planes_per_band):
+            row = []
+            for d in range(dim):
+                h = hashlib.sha256(f"plane:{band}:{j}:{d}".encode()).digest()
+                v = int.from_bytes(h[:8], "big") / float(1 << 64)
+                row.append(2.0 * v - 1.0)
+            planes.append(row)
+        out.append(planes)
+    return out
+
+
 def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding", threshold: float = 0.4,
-                     dim: int = 64, n_planes: int = 4,
+                     dim: int = 64, n_bands: int = 4,
+                     planes_per_band: int = 4,
                      multiprobe: int = 1) -> DataFrame:
-    """Scalable near-dup pairs: hyperplane-LSH candidates (+Hamming-1
-    multiprobe) verified with exact cosine ≥ threshold.
+    """Scalable near-dup pairs: banded hyperplane-LSH candidates
+    verified with exact cosine ≥ threshold.
 
     The scale twin of ``cosine_pairs`` exactly as minhash is to exact
-    Jaccard: candidate generation is an equi-join on bucket ids (shuffle
-    linear in corpus), verification makes precision exact. Recall
-    depends on how far ``threshold`` sits above random — for barely-
-    correlated vectors (cos≈0.4 ⇒ p(same side)≈0.64 per plane) a
-    4-plane/1-probe config recalls ~half the pairs; tighter thresholds
-    (true near-dups, cos≥0.9 ⇒ p≈0.9) recall ≈1. Tune n_planes down /
-    multiprobe up for recall, up for cost.
+    Jaccard: OR-combined independent plane sets (bands, like MinHash
+    banding) fix the single-signature recall cliff — a pair is a
+    candidate if it collides in ANY band (optionally within Hamming 1
+    of the band signature, ``multiprobe``). Verification makes
+    precision exact; recall at the declared threshold is
+    1-(1-P1)^n_bands with P1 = p^b + b·p^(b-1)(1-p), p = 1-θ/π. For
+    cos=0.4 (p≈0.631) the 4×4-band/1-probe default gives ≈0.95 —
+    asserted ≥0.9 against the exact twin in tests.
+
+    Honest scale note: at thresholds barely above random correlation
+    (the fixture's 0.4) high recall forces the candidate set toward
+    all-pairs — that is information-theoretic, not a config defect.
+    The operator's 100 TB value is at true near-dup thresholds
+    (cos ≥ 0.8-0.9, p ≥ 0.8) where the same banding keeps recall ≈1
+    while buckets thin out exponentially with planes_per_band.
+    Candidate generation stays an equi-join on (band, bucket) either
+    way — never a cross product.
     """
-    planes = _hyperplanes(dim, n_planes)
+    bandplanes = _banded_hyperplanes(dim, n_bands, planes_per_band)
     base = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
     base = base.withColumn("sd", dot(F.col("v"), F.col("v")))
-    base = base.withColumn("sig", hyperplane_signature(F.col("v"), planes))
     base = pin(base.repartition(df.sparkSession.sparkContext.defaultParallelism))
+    # (id, band, sig) — signatures only; vectors join back per unique
+    # candidate pair, so the banding shuffle moves 3 small ints per
+    # doc×band, not embeddings.
+    band_structs = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 hyperplane_signature(F.col("v"), bandplanes[i]).alias("sig"))
+        for i in range(n_bands)])
+    sig_tbl = base.select("id", F.explode(band_structs).alias("bb")) \
+                  .select("id", "bb.band", "bb.sig")
     probe_cols = [F.col("sig")]
     if multiprobe >= 1:
-        probe_cols += [F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
-    probes = base.select("id", "v", "sd",
-                         F.explode(F.array(*probe_cols)).alias("bucket"))
-    a = probes.select(F.col("id").alias("a_id"), F.col("v").alias("qv"),
-                      F.col("sd").alias("qsd"), "bucket")
-    b = base.select(F.col("id").alias("b_id"), F.col("v").alias("nv"),
-                    F.col("sd").alias("nsd"), F.col("sig").alias("bucket"))
+        probe_cols += [F.col("sig").bitwiseXOR(F.lit(1 << j))
+                       for j in range(planes_per_band)]
+    a = sig_tbl.select(F.col("id").alias("a_id"), "band",
+                       F.explode(F.array(*probe_cols)).alias("bucket"))
+    b = sig_tbl.select(F.col("id").alias("b_id"), "band",
+                       F.col("sig").alias("bucket"))
     cand = (
-        a.join(b, ["bucket"])
+        a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", _PAIR_COS().alias("cos"))
+        .select("a_id", "b_id")
         .distinct()
     )
-    return cand.filter(F.col("cos") >= F.lit(threshold))
+    va = base.select(F.col("id").alias("a_id"), F.col("v").alias("qv"),
+                     F.col("sd").alias("qsd"))
+    vb = base.select(F.col("id").alias("b_id"), F.col("v").alias("nv"),
+                     F.col("sd").alias("nsd"))
+    return (
+        cand.join(va, "a_id").join(vb, "b_id")
+        .select("a_id", "b_id", _PAIR_COS().alias("cos"))
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
 
 
 def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,

@@ -33,7 +33,8 @@ from ..operators.config_transform import (
     config_join_table,
     parse_client_config,
 )
-from ..operators.enrich import authenticate_many, _sha256_hex
+from ..operators.enrich import (authenticate_many, audit_key_usage_inline,
+                                _sha256_hex)
 
 
 def flatten_snapshot(latest: DataFrame, n_parts: int = 2) -> DataFrame:
@@ -172,15 +173,27 @@ def client_wire_views(latest: DataFrame, configs_df: DataFrame,
 
 
 def serve_tick(spark: SparkSession, latest: DataFrame, configs_df: DataFrame,
-               api_keys: DataFrame, presented_keys: dict[str, str]) -> dict[str, DataFrame]:
+               api_keys: DataFrame, presented_keys: dict[str, str],
+               audit_sink=None) -> dict[str, DataFrame]:
     """One broadcast tick: auth ALL presented keys with one batched
     join (S3), fetch configs (S4), flatten once (P3), emit per-client
     wire views (P4-P8 + P11) shared across same-client connections.
+
+    ``audit_sink`` (optional) receives the K5 last_used_at-touched
+    api_keys DataFrame for the keys that authenticated — best-effort,
+    exceptions swallowed (postgres.go:156-160 fires a goroutine and
+    ignores the result).
 
     Returns {conn_id: wire DataFrame}; the caller (WebSocket layer /
     foreachBatch publisher) pushes each to its connection.
     """
     conn2client = resolve_connections(api_keys, presented_keys)
+    if audit_sink is not None and conn2client:
+        used = sorted({_sha256_hex(presented_keys[cid]) for cid in conn2client})
+        try:
+            audit_sink(audit_key_usage_inline(api_keys, used))
+        except Exception:
+            pass
     views = client_wire_views(latest, configs_df,
                               set(conn2client.values()))
     return {conn_id: views[client_id]

@@ -162,8 +162,21 @@ class WebSocketStreamReader(SimpleDataSourceStreamReader):
         return iter(self._slice(start["count"], end["count"])), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        """Replay an in-flight (uncommitted) range after a restart."""
-        return iter(self._slice(start["count"], end["count"]))
+        """Replay an in-flight (uncommitted) range — ONLY while the
+        buffer still covers it. A restarted process has a fresh reader
+        (empty buffer, _base=0): a WS feed has no seekable log, so a
+        replay request it can't serve is DATA LOSS and must fail the
+        batch loudly instead of completing with zero rows (the silent
+        empty iterator claimed exactly-once while dropping the range)."""
+        lo, hi = start["count"], end["count"]
+        have_lo, have_hi = self._base, self._base + len(self._buffer)
+        if lo < have_lo or hi > have_hi:
+            raise RuntimeError(
+                f"ws source cannot replay offsets [{lo}, {hi}): buffer covers "
+                f"[{have_lo}, {have_hi}). A restarted process starts with an "
+                "empty buffer — the planned-but-uncommitted range is lost "
+                "(at-least-once holds only within one source process).")
+        return iter(self._slice(lo, hi))
 
     def commit(self, end: dict) -> None:
         """Trim frames at offsets below ``end`` — they are in the

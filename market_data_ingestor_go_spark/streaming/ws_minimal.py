@@ -25,6 +25,7 @@ import os
 import socket
 import struct
 import threading
+import time
 from urllib.parse import urlparse
 
 _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
@@ -34,24 +35,25 @@ OP_CLOSE = 0x8
 OP_PING = 0x9
 OP_PONG = 0xA
 
+# Absolute sanity bound on incoming frame length even when no explicit
+# read limit is configured: market frames are tiny; anything bigger is
+# a desynced or hostile stream, not data.
+DEFAULT_MAX_FRAME_BYTES = 1 << 20
+
 
 class ConnectionClosed(Exception):
     """Peer sent a close frame or the socket died."""
 
 
+class FrameTooLarge(ConnectionClosed):
+    """Incoming frame exceeded the connection's read limit — the
+    connection is closed, mirroring gorilla/websocket's SetReadLimit
+    behavior (reference server.go:161 caps client frames at 512 B)."""
+
+
 def _accept_key(key: str) -> str:
     return base64.b64encode(
         hashlib.sha1((key + _GUID).encode()).digest()).decode()
-
-
-def _recv_exact(sock: socket.socket, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
-            raise ConnectionClosed("socket closed mid-frame")
-        buf += chunk
-    return buf
 
 
 def _encode_frame(payload: bytes, opcode: int, mask: bool) -> bytes:
@@ -72,14 +74,28 @@ def _encode_frame(payload: bytes, opcode: int, mask: bool) -> bytes:
 
 
 class WSConnection:
-    """A socket after the upgrade handshake; thread-safe sends."""
+    """A socket after the upgrade handshake; thread-safe sends.
+
+    Incoming bytes accumulate in a per-connection buffer and frames are
+    parsed out of it, so a recv() timeout mid-frame keeps the partial
+    bytes for the next call instead of desyncing the stream (the old
+    per-recv ``_recv_exact`` chain lost already-consumed header/payload
+    bytes on timeout, after which payload bytes parsed as bogus frame
+    headers). ``max_frame_bytes`` bounds the declared frame length
+    BEFORE any payload read; a violation closes the connection.
+    """
 
     def __init__(self, sock: socket.socket, mask_outgoing: bool,
-                 headers: dict[str, str] | None = None, path: str = "/"):
+                 headers: dict[str, str] | None = None, path: str = "/",
+                 max_frame_bytes: int = DEFAULT_MAX_FRAME_BYTES,
+                 initial_buffer: bytes = b""):
         self.sock = sock
         self.mask_outgoing = mask_outgoing
         self.headers = headers or {}  # request headers (server side)
         self.path = path
+        self.max_frame_bytes = max_frame_bytes
+        self.last_activity = time.monotonic()  # last complete frame seen
+        self._rbuf = initial_buffer  # bytes read past the handshake / frame tail
         self._send_lock = threading.Lock()
         self._closed = False
 
@@ -88,19 +104,50 @@ class WSConnection:
         with self._send_lock:
             self.sock.sendall(frame)
 
-    def _read_frame(self) -> tuple[int, bytes]:
-        b1, b2 = _recv_exact(self.sock, 2)
+    def ping(self, payload: bytes = b"") -> None:
+        with self._send_lock:
+            self.sock.sendall(_encode_frame(payload, OP_PING, self.mask_outgoing))
+
+    def _parse_frame(self) -> tuple[int, bytes] | None:
+        """Parse one complete frame out of the receive buffer.
+
+        Returns None when the buffer holds only a partial frame (the
+        bytes stay buffered); raises FrameTooLarge on an oversized
+        declared length (before reading the payload)."""
+        buf = self._rbuf
+        if len(buf) < 2:
+            return None
+        b1, b2 = buf[0], buf[1]
         opcode = b1 & 0x0F
         masked = bool(b2 & 0x80)
         n = b2 & 0x7F
+        off = 2
         if n == 126:
-            n = struct.unpack(">H", _recv_exact(self.sock, 2))[0]
+            if len(buf) < off + 2:
+                return None
+            n = struct.unpack(">H", buf[off:off + 2])[0]
+            off += 2
         elif n == 127:
-            n = struct.unpack(">Q", _recv_exact(self.sock, 8))[0]
-        key = _recv_exact(self.sock, 4) if masked else None
-        payload = _recv_exact(self.sock, n)
+            if len(buf) < off + 8:
+                return None
+            n = struct.unpack(">Q", buf[off:off + 8])[0]
+            off += 8
+        if self.max_frame_bytes is not None and n > self.max_frame_bytes:
+            raise FrameTooLarge(
+                f"frame of {n} bytes exceeds read limit {self.max_frame_bytes}")
+        key = None
+        if masked:
+            if len(buf) < off + 4:
+                return None
+            key = buf[off:off + 4]
+            off += 4
+        if len(buf) < off + n:
+            return None
+        payload = buf[off:off + n]
+        self._rbuf = buf[off + n:]
         if key:
             payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+        self.last_activity = time.monotonic()
         return opcode, payload
 
     def recv(self, timeout: float | None = None) -> str:
@@ -112,11 +159,23 @@ class WSConnection:
         self.sock.settimeout(timeout)
         while True:
             try:
-                opcode, payload = self._read_frame()
-            except (socket.timeout, TimeoutError):
-                raise TimeoutError("recv timed out")
-            except OSError as exc:
-                raise ConnectionClosed(str(exc)) from exc
+                frame = self._parse_frame()
+            except FrameTooLarge:
+                self.close()
+                raise
+            if frame is None:
+                try:
+                    chunk = self.sock.recv(65536)
+                except (socket.timeout, TimeoutError):
+                    # partial bytes (if any) stay in _rbuf for next call
+                    raise TimeoutError("recv timed out")
+                except OSError as exc:
+                    raise ConnectionClosed(str(exc)) from exc
+                if not chunk:
+                    raise ConnectionClosed("socket closed mid-stream")
+                self._rbuf += chunk
+                continue
+            opcode, payload = frame
             if opcode == OP_TEXT:
                 return payload.decode()
             if opcode == OP_PING:
@@ -171,16 +230,19 @@ def connect(url: str, headers: dict[str, str] | None = None,
         if not chunk:
             raise ConnectionClosed("server closed during handshake")
         resp += chunk
-    status = resp.split(b"\r\n", 1)[0]
+    head, tail = resp.split(b"\r\n\r\n", 1)
+    status = head.split(b"\r\n", 1)[0]
     if b"101" not in status:
         sock.close()
         raise ConnectionClosed(f"upgrade refused: {status.decode(errors='replace')}")
-    low = resp.lower()
+    low = head.lower()
     expect = _accept_key(key).encode().lower()
     if b"sec-websocket-accept: " + expect not in low:
         sock.close()
         raise ConnectionClosed("bad Sec-WebSocket-Accept")
-    return WSConnection(sock, mask_outgoing=True)
+    # frames the server sent right after the 101 may ride the same
+    # recv — seed them into the frame buffer instead of dropping them
+    return WSConnection(sock, mask_outgoing=True, initial_buffer=tail)
 
 
 class WSServer:
@@ -193,7 +255,9 @@ class WSServer:
     """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 on_connect=None):
+                 on_connect=None,
+                 max_frame_bytes: int = DEFAULT_MAX_FRAME_BYTES):
+        self.max_frame_bytes = max_frame_bytes
         self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._listener.bind((host, port))
@@ -243,7 +307,8 @@ class WSServer:
             if not chunk:
                 raise ConnectionClosed("client closed during handshake")
             req += chunk
-        head = req.split(b"\r\n\r\n", 1)[0].decode(errors="replace")
+        rawhead, tail = req.split(b"\r\n\r\n", 1)
+        head = rawhead.decode(errors="replace")
         lines = head.split("\r\n")
         path = lines[0].split(" ")[1] if len(lines[0].split(" ")) > 1 else "/"
         headers = {}
@@ -261,7 +326,9 @@ class WSServer:
             f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n")
         sock.sendall(resp.encode())
         return WSConnection(sock, mask_outgoing=False,
-                            headers=headers, path=path)
+                            headers=headers, path=path,
+                            max_frame_bytes=self.max_frame_bytes,
+                            initial_buffer=tail)
 
     def connections(self) -> list[WSConnection]:
         with self._lock:

@@ -113,17 +113,21 @@ def test_simhash_finds_neardups(spark):
 
 
 def test_ann_recall_vs_bruteforce(spark):
+    """Recall floors are MEANINGFUL (≥0.8): the pipeline is fully
+    deterministic (hash-seeded planes/centroids, no RNG), so measured
+    recall is exactly reproducible — 0.88 hyperplane / 0.86 IVF on this
+    fixture — and any plane/probe/assignment regression fails here."""
     emb = load_table(spark, SF, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     exact = {(r["q_id"], r["n_id"]) for r in knn_bruteforce(emb, q, k=5).collect()}
     ann = {(r["q_id"], r["n_id"]) for r in
-           random_hyperplane_ann(emb, q, k=5, n_planes=4, multiprobe=1).collect()}
+           random_hyperplane_ann(emb, q, k=5, n_planes=4, multiprobe=2).collect()}
     recall = len(ann & exact) / len(exact)
-    assert recall >= 0.4, f"hyperplane ANN recall too low: {recall}"
+    assert recall >= 0.8, f"hyperplane ANN recall too low: {recall}"
     ivf = {(r["q_id"], r["n_id"]) for r in
-           ivf_ann(emb, q, k=5, n_cells=4, n_probe_cells=2).collect()}
+           ivf_ann(emb, q, k=5, n_cells=4, n_probe_cells=3).collect()}
     ivf_recall = len(ivf & exact) / len(exact)
-    assert ivf_recall >= 0.3, f"IVF ANN recall too low: {ivf_recall}"
+    assert ivf_recall >= 0.8, f"IVF ANN recall too low: {ivf_recall}"
 
 
 def test_udtf_split_passages(spark):
@@ -146,15 +150,20 @@ def test_udtf_split_passages(spark):
     assert all(r["n_tokens"] <= 8 for r in rows)
 
 
-def test_lsh_cosine_pairs_recall_and_precision(spark):
+def test_lsh_pairs_recall_and_precision(spark):
+    """The DEFAULT config (the one embedding_lsh_neardup declares) must
+    honor the operator contract at its declared threshold: ≥0.9 of the
+    exact twin's pairs (deterministic — measured 58/59 here), with
+    precision exact via verification."""
     from market_data_ingestor_go_spark.operators.similarity import (
         cosine_pairs, lsh_cosine_pairs)
     emb = load_table(spark, SF, "embeddings")
     exact = {(r["a_id"], r["b_id"]) for r in cosine_pairs(emb, threshold=0.4).collect()}
     lsh = {(r["a_id"], r["b_id"]) for r in
-           lsh_cosine_pairs(emb, threshold=0.4, n_planes=4, multiprobe=1).collect()}
+           lsh_cosine_pairs(emb, threshold=0.4).collect()}
     assert lsh <= exact            # verification ⇒ precision exact
-    assert len(lsh) / len(exact) >= 0.3   # probabilistic recall floor
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"banded LSH recall too low: {recall}"
 
 
 def test_compact_history(spark, tmp_path):
@@ -333,3 +342,23 @@ def test_multimodal_audio_plumbing(spark):
     assert all(r["rms"] > 0 for r in out)
     out2 = extract_audio_features(blobs).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_shingles_short_docs_no_crash(spark):
+    """Docs with fewer than n tokens must yield an empty shingle set
+    (matching the oracle's len(w)>=n CASE), not crash on
+    slice(w, 0, n) (advisor finding r2: sequence(0,-1) → [0,-1])."""
+    from market_data_ingestor_go_spark.functions.text import (
+        repetition_ratio, shingles)
+    rows = [Row(text="one two"), Row(text="a"), Row(text="x y z"),
+            Row(text="x y z x y z x y")]
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        shingles("text").alias("sh"),
+        repetition_ratio("text").alias("rep")).collect()
+    assert out[0]["sh"] == [] and out[0]["rep"] == 0.0
+    assert out[1]["sh"] == [] and out[1]["rep"] == 0.0
+    assert out[2]["sh"] == ["x y z"] and out[2]["rep"] == 0.0
+    # 8 tokens → 6 trigrams total, distinct {xyz, yzx, zxy} → 1 - 3/6
+    assert out[3]["sh"] == ["x y z", "y z x", "z x y"]
+    assert abs(out[3]["rep"] - 0.5) < 1e-12

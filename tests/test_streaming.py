@@ -602,3 +602,162 @@ def test_history_date_partitioned_layout(spark, symbols_dim, tmp_path):
     # post-compaction epochs keep writing cleanly into the same table
     pipe._write_batch(build_ingest_stream(frames2, symbols_dim), 2)
     assert read_history(spark, pipe.history_path).count() == 4
+
+
+# -- round 3: WS read-pump hardening + K5 audit + replay gap ----------
+
+
+def test_ws_partial_frame_buffering():
+    """A recv() timeout mid-frame must keep the partial bytes buffered:
+    the next recv returns the full message instead of desyncing on
+    payload bytes parsed as a frame header (advisor finding r2)."""
+    import time
+    from market_data_ingestor_go_spark.streaming import ws_minimal as wm
+
+    server = wm.WSServer().start()
+    try:
+        client = wm.connect(server.url)
+        deadline = time.monotonic() + 5
+        while not server.connections() and time.monotonic() < deadline:
+            time.sleep(0.02)
+        srv_conn = server.connections()[0]
+        frame = wm._encode_frame(b"split-frame-payload", wm.OP_TEXT, mask=True)
+        client.sock.sendall(frame[:5])  # header + part of the mask/payload
+        with pytest.raises(TimeoutError):
+            srv_conn.recv(timeout=0.2)  # partial frame → idle, NOT desync
+        client.sock.sendall(frame[5:])
+        assert srv_conn.recv(timeout=2.0) == "split-frame-payload"
+        # stream stays in sync for subsequent whole frames
+        client.send("next")
+        assert srv_conn.recv(timeout=2.0) == "next"
+        client.close()
+    finally:
+        server.stop()
+
+
+def test_ws_oversized_frame_drops_connection():
+    """server.go:161 SetReadLimit(512) semantics: a frame declaring a
+    length over the limit closes the connection before any payload
+    read (the declared length alone triggers it)."""
+    import time
+    from market_data_ingestor_go_spark.streaming import ws_minimal as wm
+
+    server = wm.WSServer(max_frame_bytes=64).start()
+    try:
+        client = wm.connect(server.url)
+        deadline = time.monotonic() + 5
+        while not server.connections() and time.monotonic() < deadline:
+            time.sleep(0.02)
+        srv_conn = server.connections()[0]
+        client.send("x" * 200)
+        with pytest.raises(wm.FrameTooLarge):
+            srv_conn.recv(timeout=2.0)
+        assert srv_conn._closed
+        client.close()
+    finally:
+        server.stop()
+
+
+def _publisher_fixture(spark, **kwargs):
+    import hashlib
+    from market_data_ingestor_go_spark.streaming.publisher import ServePublisher
+
+    configs = spark.createDataFrame([Row(id="c1", config=None)],
+                                    schema="id string, config string")
+    keys = spark.createDataFrame([
+        Row(client_id="c1", key_hash=hashlib.sha256(b"k1").hexdigest(),
+            is_active=True, last_used_at=None),
+        Row(client_id="c2", key_hash=hashlib.sha256(b"k2").hexdigest(),
+            is_active=True, last_used_at=None),
+    ], schema="client_id string, key_hash string, is_active boolean, "
+              "last_used_at timestamp")
+    return ServePublisher(spark, keys, configs, **kwargs)
+
+
+def test_publisher_idle_eviction_and_pong_extend(spark):
+    """server.go:161-165: a silent client is evicted past the idle
+    deadline; a client answering pings (pong) keeps extending it."""
+    import socket
+    import threading
+    import time
+    from market_data_ingestor_go_spark.streaming import ws_minimal as wm
+
+    pub = _publisher_fixture(spark, idle_deadline_s=1.2, ping_interval_s=0.4)
+    pub.server.start()  # accept loop only — no Spark ticker needed
+    try:
+        # responsive client: a recv loop auto-pongs the server's pings
+        alive = wm.connect(pub.url, headers={"x-api-key": "k1"})
+        stop = threading.Event()
+
+        def _pump():
+            while not stop.is_set():
+                try:
+                    alive.recv(timeout=0.2)
+                except TimeoutError:
+                    continue
+                except wm.ConnectionClosed:
+                    return
+
+        t = threading.Thread(target=_pump, daemon=True)
+        t.start()
+        # silent client: never reads, never writes after the handshake
+        silent = wm.connect(pub.url, headers={"x-api-key": "k2"})
+        silent.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        deadline = time.monotonic() + 5
+        while len(pub.presented_keys()) < 2 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert len(pub.presented_keys()) == 2
+        time.sleep(3.0)  # > 2 idle deadlines
+        keys_left = set(pub.presented_keys().values())
+        assert keys_left == {"k1"}, keys_left  # silent evicted, live stays
+        assert pub.evictions >= 1
+        stop.set()
+        t.join(timeout=2)
+        alive.close()
+        silent.close()
+    finally:
+        pub.stop()
+
+
+def test_publisher_audit_touches_used_key(spark):
+    """K5 wired into the live tick (postgres.go:156-160): after a tick
+    with one connected client, the audit sink sees last_used_at set for
+    THAT key only — fire-and-forget, off the tick thread."""
+    import threading
+    import time
+    from market_data_ingestor_go_spark.streaming import ws_minimal as wm
+
+    audited = {}
+    done = threading.Event()
+
+    def audit_sink(df):
+        for r in df.collect():
+            audited[r["client_id"]] = r["last_used_at"]
+        done.set()
+
+    pub = _publisher_fixture(spark, audit_sink=audit_sink)
+    pub.server.start()
+    latest = spark.createDataFrame([
+        Row(name="AAPL", timestamp=2000, exchange="usstock",
+            data=json.dumps({"data": {"bid": 10.0}}))])
+    try:
+        c1 = wm.connect(pub.url, headers={"x-api-key": "k1"})
+        deadline = time.monotonic() + 5
+        while not pub.presented_keys() and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert pub.tick(latest) == 1
+        assert done.wait(timeout=10), "audit sink never fired"
+        assert audited["c1"] is not None      # connected key touched
+        assert audited["c2"] is None          # unused key untouched
+        c1.close()
+    finally:
+        pub.stop()
+
+
+def test_ws_replay_gap_raises():
+    """A fresh reader (post-restart) asked to replay offsets it cannot
+    cover must raise, not silently complete with zero rows (advisor
+    finding r2: silent data loss)."""
+    reader = ws_sources.WebSocketStreamReader({"symbols": "[]"})
+    with pytest.raises(RuntimeError, match="cannot replay"):
+        reader.readBetweenOffsets({"count": 5}, {"count": 10})
