@@ -159,11 +159,24 @@ def minhash_signatures(sh_df: DataFrame, num_perms: int = 128) -> DataFrame:
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, num_bands: int = 32,
-                        rows_per_band: int = 4) -> DataFrame:
+                        rows_per_band: int = 4,
+                        max_bucket_size: int | None = None,
+                        cap_observation=None) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs.
 
     Shuffle key is (band, band_hash) — an equi-join, never a cross
     product. Distinct() collapses pairs that collide in several bands.
+
+    ``max_bucket_size`` is the degenerate-corpus escape hatch
+    (SCALING.md): a bucket of B members yields B²/2 candidate pairs,
+    so 10⁶ identical boilerplate docs in one bucket is a quadratic
+    blowup no equi-join structure can save. Capping keeps the
+    deterministic first ``max_bucket_size`` members per (band, hash)
+    bucket (ordered by id — the same ids survive in every band, so
+    capped candidates stay consistent across bands); members beyond
+    the cap simply don't generate pairs through that bucket. Pass a
+    ``pyspark.sql.Observation`` as ``cap_observation`` to get
+    ``dropped_members`` / ``bucket_members`` counts after the action.
     """
     bands = F.array(*[
         F.struct(
@@ -174,6 +187,17 @@ def lsh_candidate_pairs(sig_df: DataFrame, num_bands: int = 32,
     ])
     bucketed = sig_df.select("id", F.explode(bands).alias("bb")) \
                      .select("id", "bb.band", "bb.bh")
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("band", "bh").orderBy("id")
+        capped = bucketed.withColumn("_bn", F.row_number().over(w))
+        if cap_observation is not None:
+            capped = capped.observe(
+                cap_observation,
+                F.sum(F.when(F.col("_bn") > max_bucket_size, 1)
+                      .otherwise(0)).alias("dropped_members"),
+                F.count(F.lit(1)).alias("bucket_members"))
+        bucketed = capped.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (
@@ -188,13 +212,17 @@ def lsh_candidate_pairs(sig_df: DataFrame, num_bands: int = 32,
 def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n: int = 3,
                            threshold: float = 0.6, num_perms: int = 128,
-                           num_bands: int = 32) -> DataFrame:
+                           num_bands: int = 32,
+                           max_bucket_size: int | None = None,
+                           cap_observation=None) -> DataFrame:
     """MinHash→LSH→verify near-dup pairs ≥ threshold (same output
     contract as ``ngram_jaccard_pairs``: doc_a, doc_b, jacc).
 
     Candidates from banding are verified with exact Jaccard, so
     precision is exact; recall at threshold 0.6 with 32×4 bands is
     1 - (1 - 0.6⁴)³² ≈ 0.99, and ≈ 1.0 for the ≥0.9 true-dup band.
+    ``max_bucket_size`` bounds candidates per LSH bucket for
+    boilerplate-heavy corpora (see ``lsh_candidate_pairs``).
     """
     rows_per_band = num_perms // num_bands
     # shingles feed the signature pipeline once and the verification
@@ -205,7 +233,9 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     # release_pinned() after the consuming action.
     s = pin(shingle_df(df, text_col, id_col, n))
     sig = pin(minhash_signatures(s, num_perms))
-    cand = lsh_candidate_pairs(sig, num_bands, rows_per_band)
+    cand = lsh_candidate_pairs(sig, num_bands, rows_per_band,
+                               max_bucket_size=max_bucket_size,
+                               cap_observation=cap_observation)
     a = s.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -109,6 +109,92 @@ def read_kafka_stream(spark: SparkSession, brokers: str, topic: str) -> DataFram
             .option("subscribe", topic).load())
 
 
+# -- live Redis over the minimal RESP client (sources/redis_minimal) --
+
+
+def redis_wire_available(host: str = "127.0.0.1", port: int = 6379) -> bool:
+    """True if a RESP server answers PING on (host, port). Probed in
+    this container: no redis-server binary exists and 6379 refuses —
+    tests run against ``redis_minimal.MiniRedisServer`` instead."""
+    from .redis_minimal import RESPClient
+    try:
+        client = RESPClient(host, port, timeout=1.0)
+        ok = client.ping() == "PONG"
+        client.close()
+        return ok
+    except Exception:
+        return False
+
+
+def redis_wire_latest_sink(batch: DataFrame, host: str, port: int,
+                           ttl_millis: int = 24 * 3600 * 1000,
+                           key_col: str = "name") -> None:
+    """K2 live (cache_service.go:37-61): per-partition pipelined
+    ``SET name → json(record) PX ttl`` over the from-scratch RESP
+    client — each task opens one connection and sends its rows as ONE
+    pipeline (single round trip), the Spark realization of the
+    reference's per-flush pipeline.Exec. Zero-timestamp rows are
+    skipped (P2 guard, cache_service.go:41-43)."""
+    import os as _os
+    pkg_root = _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+
+    # closure, not a module-level def: executors can't import this repo
+    def _write(rows) -> None:
+        import json as _json
+        import sys
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from market_data_ingestor_go_spark.sources.redis_minimal import (
+            RESPClient)
+        cmds = []
+        for row in rows:
+            d = row.asDict()
+            if d.get("timestamp", 0) == 0:
+                continue  # P2 guard (cache_service.go:41-43)
+            cmds.append(("SET", d[key_col], _json.dumps(d, sort_keys=True),
+                         "PX", int(ttl_millis)))
+        if not cmds:
+            return
+        client = RESPClient(host, port)
+        try:
+            replies = client.pipeline(cmds)
+            assert all(r == "OK" for r in replies)
+        finally:
+            client.close()
+
+    batch.foreachPartition(_write)
+
+
+def redis_wire_scan_latest(spark: SparkSession, schema: str,
+                           host: str, port: int,
+                           match: str | None = None) -> DataFrame:
+    """S5 live (cache_service.go:67-93): SCAN the cache to cursor 0,
+    MGET every key, decode the JSON records into a DataFrame. The
+    cache is ~|symbols| rows (hundreds) — a driver-side read is the
+    right shape, same as the reference's GetAllMarketData."""
+    import json as _json
+
+    from .redis_minimal import RESPClient
+    client = RESPClient(host, port)
+    try:
+        keys = client.scan_all(match=match)
+        vals = client.mget(keys)
+    finally:
+        client.close()
+    from pyspark.sql import functions as F  # local: keep module surface lean
+    target = spark.createDataFrame([], schema).schema
+    records = [_json.loads(v) for v in vals if v is not None]
+    if not records:
+        return spark.createDataFrame([], schema)
+    raw = spark.createDataFrame(
+        [tuple(str(r.get(f.name)) if r.get(f.name) is not None else None
+               for f in target) for r in records],
+        ", ".join(f"{f.name} string" for f in target))
+    return raw.select(*[
+        F.col(f.name).cast(f.dataType).alias(f.name) for f in target])
+
+
 # -- live PostgreSQL over the minimal wire client (sources/pg_minimal) --
 
 MARKET_DATA_DDL = """

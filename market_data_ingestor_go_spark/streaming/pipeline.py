@@ -118,6 +118,19 @@ class IngestPipeline:
     # batch touched). Off by default: tiny local tables don't need the
     # extra directory fan-out.
     partition_by_date: bool = False
+    # Latest-state write parallelism. 1 (default) = single file, right
+    # for the reference's ~500-key symbol space; a large key space
+    # (10⁸ keys) sets this higher so the state write isn't one task —
+    # >1 repartitions BY KEY, so a future bucketed/merge-on-key sink
+    # reads co-located state.
+    state_partitions: int = 1
+    # Optional LIVE Redis mirror for the latest-value cache (K2,
+    # cache_service.go:37-61): when set to (host, port), each
+    # micro-batch's latest rows are pipelined SET..PX over the RESP
+    # wire client (sources/redis_minimal) alongside the parquet state
+    # table — the reference's actual cache target, best-effort like
+    # its async cache write.
+    redis_latest: tuple | None = None
     queries: list = field(default_factory=list)
 
     @property
@@ -148,6 +161,11 @@ class IngestPipeline:
             # is tolerated; real IO errors propagate and fail the
             # epoch rather than silently dropping old keys.
             new_latest = latest_per_key(batch, "name", "timestamp")
+            if self.redis_latest is not None:
+                from ..sources.connectors import redis_wire_latest_sink
+                redis_wire_latest_sink(
+                    new_latest, self.redis_latest[0], self.redis_latest[1],
+                    ttl_millis=self.ttl_millis)
             old = fs.read_with_backup(spark, self.latest_path)
             merged = new_latest if old is None else latest_per_key(
                 old.select(*new_latest.columns).unionByName(new_latest),
@@ -155,10 +173,14 @@ class IngestPipeline:
             # TTL eviction ≈ Redis EX (cache_service.go:45-52)
             horizon = F.unix_millis(F.current_timestamp()) - F.lit(self.ttl_millis)
             merged = merged.filter(F.col("timestamp") >= horizon)
-            # micro-batches are sequential → one reusable staging dir;
-            # coalesce(1) is sized for the reference's ~500-key space
+            # micro-batches are sequential → one reusable staging dir
+            if self.state_partitions <= 1:
+                merged = merged.coalesce(1)  # ~500-key reference shape
+            else:
+                merged = merged.repartition(self.state_partitions,
+                                            F.col("name"))
             staging = self.latest_path + ".staging"
-            merged.coalesce(1).write.mode("overwrite").parquet(staging)
+            merged.write.mode("overwrite").parquet(staging)
             fs.atomic_swap(spark, staging, self.latest_path)
         finally:
             batch.unpersist()

@@ -198,3 +198,89 @@ def test_postgres_live_dim_read_auth(spark, tmp_path):
         assert got == {"c1"}  # inactive + unknown rejected
     finally:
         stop()
+
+
+def test_redis_live_latest_sink_and_scan(spark):
+    """K2/S5 against a live RESP server over real sockets
+    (cache_service.go:37-61 pipelined SET PX + :67-93 SCAN read):
+    executors write one pipeline per partition, the driver scans the
+    cache back, zero-ts rows are skipped, and TTL evicts."""
+    import json
+    import time
+    from pyspark.sql import Row
+    from market_data_ingestor_go_spark.sources.connectors import (
+        redis_wire_available, redis_wire_latest_sink, redis_wire_scan_latest)
+    from market_data_ingestor_go_spark.sources.redis_minimal import (
+        MiniRedisServer, RESPClient)
+
+    server = MiniRedisServer().start()
+    try:
+        assert redis_wire_available(server.host, server.port)
+        batch = spark.createDataFrame([
+            Row(name="AAPL", timestamp=2000, exchange="usstock",
+                data=json.dumps({"data": {"bid": 10.0}})),
+            Row(name="BTCUSD", timestamp=1500, exchange="crypto", data=None),
+            Row(name="SKIP", timestamp=0, exchange="x", data=None),  # P2
+        ]).repartition(4)
+        redis_wire_latest_sink(batch, server.host, server.port,
+                               ttl_millis=60000)
+        schema = "name string, timestamp long, exchange string, data string"
+        out = {r["name"]: r for r in redis_wire_scan_latest(
+            spark, schema, server.host, server.port).collect()}
+        assert set(out) == {"AAPL", "BTCUSD"}  # zero-ts skipped
+        assert out["AAPL"]["timestamp"] == 2000
+        assert json.loads(out["AAPL"]["data"]) == {"data": {"bid": 10.0}}
+
+        # TTL eviction: a short-PX key vanishes from SCAN/GET (EX ttl,
+        # cache_service.go:45-52)
+        client = RESPClient(server.host, server.port)
+        try:
+            client.set("EPHEMERAL", "v", px=80)
+            assert client.get("EPHEMERAL") == "v"
+            time.sleep(0.15)
+            assert client.get("EPHEMERAL") is None
+            assert "EPHEMERAL" not in client.scan_all()
+            # last-write-wins overwrite, like the reference's blind SET
+            client.set("AAPL", "newer")
+            assert client.get("AAPL") == "newer"
+        finally:
+            client.close()
+    finally:
+        server.stop()
+
+
+def test_ingest_pipeline_redis_mirror(spark, tmp_path):
+    """E1 dual sink with the live Redis K2 mirror: the same micro-batch
+    lands in parquet history AND the RESP cache (the reference's actual
+    sink pair, processor.go + cache_service.go)."""
+    import json
+    from pyspark.sql import Row
+    from market_data_ingestor_go_spark.streaming.pipeline import IngestPipeline
+    from market_data_ingestor_go_spark.sources.connectors import (
+        redis_wire_scan_latest)
+    from market_data_ingestor_go_spark.sources.redis_minimal import MiniRedisServer
+
+    server = MiniRedisServer().start()
+    try:
+        symbols_dim = spark.createDataFrame(
+            [Row(name="AAPL", exchange="usstock")])
+        batch = spark.createDataFrame([
+            Row(name="AAPL", timestamp=2000, exchange=None,
+                data=json.dumps({"data": {"bid": 10.0}})),
+            Row(name="AAPL", timestamp=1000, exchange=None, data=None),
+        ], schema="name string, timestamp long, exchange string, data string")
+        pipe = IngestPipeline(spark, str(tmp_path / "out"), symbols_dim,
+                              ttl_millis=1 << 60,
+                              redis_latest=(server.host, server.port))
+        from market_data_ingestor_go_spark.streaming.pipeline import (
+            build_ingest_stream)
+        pipe._write_batch(build_ingest_stream(batch, symbols_dim), 0)
+        # parquet latest and the live cache agree on latest-per-key
+        parquet_latest = {r["name"]: r["timestamp"]
+                          for r in pipe.latest_snapshot().collect()}
+        cache = {r["name"]: r["timestamp"] for r in redis_wire_scan_latest(
+            spark, "name string, timestamp long",
+            server.host, server.port).collect()}
+        assert parquet_latest == cache == {"AAPL": 2000}
+    finally:
+        server.stop()

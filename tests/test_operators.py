@@ -362,3 +362,40 @@ def test_shingles_short_docs_no_crash(spark):
     # 8 tokens → 6 trigrams total, distinct {xyz, yzx, zxy} → 1 - 3/6
     assert out[3]["sh"] == ["x y z", "y z x", "z x y"]
     assert abs(out[3]["rep"] - 0.5) < 1e-12
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """SCALING.md escape hatch: 1k identical docs put every doc in one
+    bucket per band (quadratic candidates); the cap bounds candidates
+    to C(cap,2) and reports how many members were dropped."""
+    from pyspark.sql import Observation
+    from market_data_ingestor_go_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures, shingle_df)
+    from market_data_ingestor_go_spark.operators.cache import release_pinned
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate legal disclaimer text block").alias("text"))
+    sig = minhash_signatures(shingle_df(docs), num_perms=16)
+
+    obs = Observation("lsh_bucket_cap")
+    capped = lsh_candidate_pairs(sig, num_bands=4, rows_per_band=4,
+                                 max_bucket_size=10, cap_observation=obs)
+    n_cand = capped.count()
+    # identical docs → same 10 keepers (min ids) in every band's bucket
+    assert n_cand == 45, n_cand  # C(10,2), not C(1000,2)=499500
+    assert obs.get["dropped_members"] == 4 * 990  # 4 bands × (1000-10)
+    assert obs.get["bucket_members"] == 4 * 1000
+    release_pinned()
+
+
+def test_minhash_cap_passthrough_keeps_results(spark):
+    """A cap far above real bucket sizes must not change results on a
+    normal corpus."""
+    docs = load_table(spark, SF, "documents")
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in
+                minhash_near_dup_pairs(docs, threshold=0.6).collect()}
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              minhash_near_dup_pairs(docs, threshold=0.6,
+                                     max_bucket_size=100).collect()}
+    assert capped == uncapped
