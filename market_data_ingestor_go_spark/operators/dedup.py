@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles
 from .cache import pin
+from .partitioning import spread
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | str) -> DataFrame:
@@ -76,17 +77,19 @@ def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ROW — inlining it into the transform lambda would re-split the full
     text once per shingle (O(tokens²) per doc; measured 4× slower).
     """
-    # Repartition the RAW (id, text) rows first, then tokenize: this
-    # way the split and the shingle transform both run post-shuffle
-    # across all cores (single-file fixtures arrive as one split; a
-    # real table's scan is parallel already and the repartition only
-    # rebalances). Filtering on TOKEN count (≥ n tokens ⟺ ≥ 1
-    # shingle) rather than size(sh) keeps the pushed-down scan-stage
-    # predicate to one cheap split per row — a size(sh)>0 filter would
-    # inline the whole O(tokens²) shingle expression into it
-    # (measured: a 7 s single-task stage on 5k docs).
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")) \
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # Spread the RAW (id, text) rows first, then tokenize: this way
+    # the split and the shingle transform both run post-shuffle in
+    # parallel (single-file fixtures arrive as one split; a real
+    # table's scan is parallel already and spread() no-ops). The
+    # partition count derives from input bytes — a fixed full-core
+    # fan-out over-shards small corpora (operators/partitioning.py).
+    # Filtering on TOKEN count (≥ n tokens ⟺ ≥ 1 shingle) rather
+    # than size(sh) keeps the pushed-down scan-stage predicate to one
+    # cheap split per row — a size(sh)>0 filter would inline the whole
+    # O(tokens²) shingle expression into it (measured: a 7 s
+    # single-task stage on 5k docs).
+    base = spread(df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("t")))
     toks = base.select(
         "id", F.split(F.trim(F.col("t")), r"\s+").alias("w"))
     toks = toks.filter(F.size("w") >= n)
@@ -259,10 +262,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # Spread the RAW docs round-robin before exploding: the 64-column
     # bit aggregation partial-combines map-side, so the groupBy only
     # shuffles one 64-int row per doc per partition — repartitioning
-    # the exploded token rows by id (the old layout) paid a full
-    # token-row shuffle the aggregate never needed.
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")) \
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # the exploded token rows by id (the r1 layout) paid a full
+    # token-row shuffle the aggregate never needed. Partition count is
+    # input-size-derived: at 32 fixed partitions the wide agg paid 2.4×
+    # its 4-8-partition cost in task overhead (partitioning.py).
+    base = spread(df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("t")))
     toks = base.select(
         "id", F.explode(F.split(F.trim(F.col("t")), r"\s+")).alias("tok"))
     h = F.xxhash64(F.col("tok"))
@@ -272,14 +277,20 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         # use its signed two's-complement value
         return (1 << j) if j < 63 else -(1 << 63)
 
+    # Branch-free per-bit tally: sum((h>>j)&1) counts set bits, and
+    # "±1 sum > 0" ⟺ "2·ones > n" — identical signatures (verified
+    # bit-for-bit vs the CASE WHEN ±1 form), but the shift-and
+    # expression compiles ~3× faster in whole-stage codegen (the 64
+    # CASE branches dominated cold-start at 6.9 s vs 2.5 s).
     sums = [
-        F.sum(F.when(h.bitwiseAND(F.lit(mask(j))) != 0, 1).otherwise(-1)).alias(f"s_{j}")
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"o_{j}")
         for j in range(bits)
     ]
-    agg = toks.groupBy("id").agg(*sums)
+    agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *sums)
     sig = None
     for j in range(bits):
-        bit = F.when(F.col(f"s_{j}") > 0, F.lit(mask(j))).otherwise(F.lit(0))
+        bit = F.when(F.col(f"o_{j}") * 2 > F.col("n"), F.lit(mask(j))) \
+            .otherwise(F.lit(0))
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return agg.select("id", sig.alias("simhash"))
 

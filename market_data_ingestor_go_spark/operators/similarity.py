@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .cache import pin
+from .partitioning import spread
 
 
 def as_double(vec: Column | str) -> Column:
@@ -89,8 +90,9 @@ def _query_side(queries: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 def _corpus_side(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
     c = c.withColumn("nsd", dot(F.col("nv"), F.col("nv")))
-    # spread single-file corpora across cores for the scoring join
-    return c.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # spread single-file corpora for the scoring join (size-derived —
+    # the scoring work per corpus row is a handful of dot products)
+    return spread(c)
 
 
 # per-pair cosine from precomputed self-dots: one dot product per pair,
@@ -265,7 +267,7 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     bandplanes = _banded_hyperplanes(dim, n_bands, planes_per_band)
     base = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
     base = base.withColumn("sd", dot(F.col("v"), F.col("v")))
-    base = pin(base.repartition(df.sparkSession.sparkContext.defaultParallelism))
+    base = pin(spread(base))
     # (id, band, sig) — signatures only; vectors join back per unique
     # candidate pair, so the banding shuffle moves 3 small ints per
     # doc×band, not embeddings.
