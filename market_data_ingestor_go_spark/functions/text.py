@@ -105,6 +105,54 @@ def repetition_ratio(text: str, n: int = 3) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+# BPE-ish pre-tokenizer (GPT-2 pretokenizer shape, minus the \s+(?!\S)
+# lookahead RE2 can't do): contractions, letter runs, digit runs,
+# punctuation runs. Counting its matches estimates BPE token counts at
+# scan speed — the standard cheap proxy for "how many tokens will the
+# tokenizer emit" in corpus budgeting. Shared Java∩RE2 syntax so the
+# DuckDB oracle runs the identical pattern string.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_estimate(text: Column | str) -> Column:
+    """Estimated BPE token count per row (JVM regexp, scan-speed)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
+# Rabin-Karp rolling hash over token windows — document fingerprinting
+# for shift-tolerant content identity (winnowing's ingredient). Token
+# base hash is the md5-prefix integer (the cross-engine recipe:
+# Spark conv(substring(md5(t),1,8),16,10) ≡ DuckDB
+# CAST('0x'||substring(md5(t),1,8) AS BIGINT)); window hash is
+# Σ x_{i+k}·B^(w-1-k) mod P with every term mod-reduced so the math
+# stays inside a 64-bit long under ANSI mode.
+ROLL_BASE = 257
+ROLL_MOD = (1 << 31) - 1
+
+
+def token_hash_array(text: str) -> Column:
+    """ARRAY<BIGINT> of per-token md5-prefix hashes (32-bit range)."""
+    return F.expr(
+        f"transform(split(trim({text}), '\\\\s+'),"
+        " t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))")
+
+
+def rolling_window_hashes(hash_arr: str, window: int = 8) -> Column:
+    """ARRAY<BIGINT> of Rabin-Karp hashes, one per token window; docs
+    shorter than ``window`` yield an empty array (CASE guard — see
+    shingles() for why the unguarded sequence form crashes)."""
+    powers = [pow(ROLL_BASE, window - 1 - k, ROLL_MOD) for k in range(window)]
+    terms = " + ".join(
+        f"(element_at({hash_arr}, CAST(i + {k} AS INT)) * {powers[k]}L) % {ROLL_MOD}"
+        for k in range(window))
+    return F.expr(
+        f"CASE WHEN size({hash_arr}) >= {window} THEN "
+        f"transform(sequence(1, size({hash_arr}) - {window} + 1),"
+        f" i -> ({terms}) % {ROLL_MOD}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+
+
 # PII patterns deliberately use only syntax shared by Java regex and
 # RE2-family engines (no lookbehind) so the DuckDB oracle can run the
 # same pattern strings verbatim.

@@ -251,6 +251,65 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def neardup_clusters(pairs: DataFrame, id_a: str = "doc_a",
+                     id_b: str = "doc_b", max_iters: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    The step every dedup pipeline needs AFTER pair generation: near-dup
+    similarity is not transitive, so pairs (a,b) and (b,c) must merge
+    into one keep-group before choosing canonical keepers. cluster_id
+    is the minimum doc id reachable through the pair graph — a
+    deterministic, engine-independent labeling (the DuckDB oracle
+    computes the same fixpoint with a recursive CTE).
+
+    Engine shape: iterative min-label propagation — per round each node
+    takes the min of its label and its neighbors' labels; converges in
+    O(graph diameter) rounds (near-dup components are shallow: dup
+    clusters are cliques or short chains, so 2-3 rounds in practice).
+    Each round is one equi-join + partial-min aggregate on (node id) —
+    shuffle linear in edges, no driver-side graph state; labels persist
+    between rounds and the convergence check is a count of changed
+    labels (a scalar per round). This is the standard large-scale CC
+    recipe; at 100 TB you would add label-propagation's star
+    contraction to cut rounds, same dataflow primitives.
+    """
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")) \
+        .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                  F.col(id_a).alias("dst")))
+    sym = pin(sym)
+    labels = pin(sym.select(F.col("src").alias("id")).distinct()
+                 .withColumn("lbl", F.col("id")))
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src").agg(F.min("lbl").alias("nl")))
+        new_labels = pin(
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(labels.id.alias("id"),
+                    F.least(F.col("lbl"), F.coalesce(F.col("nl"),
+                                                     F.col("lbl"))).alias("lbl")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
+
+
+def neardup_cluster_keepers(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            threshold: float = 0.6) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash pairs → components → one row
+    per cluster with the canonical keeper (min id) and member count."""
+    pairs = minhash_near_dup_pairs(df, text_col, id_col, n, threshold)
+    clusters = neardup_clusters(pairs)
+    return (clusters.groupBy("cluster_id")
+            .agg(F.count("*").alias("n_members"))
+            .select(F.col("cluster_id").alias("keeper_id"), "n_members"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
     """(id, simhash BIGINT): sign-aggregated 64-bit token-hash sketch.

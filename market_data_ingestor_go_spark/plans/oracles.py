@@ -917,3 +917,67 @@ EXTRA_ORACLES: dict[str, str] = {
         "orders_cohort_matrix",
     ]
 }
+
+# -- round-3 EXTRA additions ------------------------------------------
+
+# Connected components over the exact-Jaccard pair graph as a
+# recursive-CTE reachability fixpoint: every node's label is the min id
+# it can reach, identical to the engine's min-label propagation.
+EXTRA_ORACLES["dedup_cluster_keepers"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) WHERE jacc >= 0.6
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+), comp AS (
+  SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+)
+SELECT cluster_id AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM comp GROUP BY 1
+"""
+
+# Same BPE-ish pattern string as functions/text.py (Java ∩ RE2).
+_BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+_BPE_ISH_SQL = _BPE_ISH.replace("'", "''")  # SQL-literal apostrophe
+
+EXTRA_ORACLES["text_bpe_token_estimate"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_ISH_SQL}')) AS BIGINT) AS n_bpe,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '{_BPE_ISH_SQL}')) AS DOUBLE)
+       / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+         AS bpe_per_ws
+FROM documents
+"""
+
+# Rabin-Karp over 8-token windows; token hash = md5-prefix integer
+# (the cross-engine recipe), every product mod-reduced before the sum.
+_ROLL_P = (1 << 31) - 1
+_ROLL_POWERS = [pow(257, 8 - 1 - k, _ROLL_P) for k in range(8)]
+_ROLL_TERMS = " + ".join(
+    f"(hs[i + {k}] * {_ROLL_POWERS[k]}) % {_ROLL_P}" for k in range(8))
+
+EXTRA_ORACLES["doc_rolling_fingerprint"] = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                        t -> CAST(concat('0x', substring(md5(t), 1, 8))
+                                  AS BIGINT)) AS hs
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         [({_ROLL_TERMS}) % {_ROLL_P}
+          for i in range(1, len(hs) - 8 + 2)] AS wh
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(wh) AS BIGINT) AS n_windows,
+       CAST(len(list_distinct(wh)) AS BIGINT) AS n_distinct,
+       list_min(wh) AS min_whash
+FROM w
+"""

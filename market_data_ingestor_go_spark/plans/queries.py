@@ -1161,6 +1161,49 @@ def pack_greedy_packing(spark, sf_dir):
     return TRAIN.pack_greedy(d, cap=2048, n_buckets=32)
 
 
+def dedup_cluster_keepers(spark, sf_dir):
+    """Near-dup COMPONENTS → canonical keepers: MinHash pairs (exact-
+    verified, = the Jaccard oracle's pair set on this corpus) are
+    clustered by iterative min-label propagation
+    (operators/dedup.py::neardup_clusters) and each cluster reports its
+    min-id keeper + member count. Near-dup similarity is not
+    transitive, so this is the step that turns pairs into keep/drop
+    decisions. Oracle: recursive-CTE reachability fixpoint over the
+    exact-Jaccard pair graph — same labeling, engine-independent."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.neardup_cluster_keepers(d, threshold=0.6)
+
+
+def text_bpe_token_estimate(spark, sf_dir):
+    """BPE-ish token counting (GPT-2 pretokenizer shape, Java∩RE2): the
+    cheap scan-speed proxy for tokenizer output size used in corpus
+    budgeting, beside the whitespace count and their ratio."""
+    d = _t(spark, sf_dir, "documents")
+    bpe = TX.bpe_token_estimate("text")
+    ws = TX.token_count("text")
+    return d.select(
+        "doc_id",
+        bpe.cast("bigint").alias("n_bpe"),
+        ws.cast("bigint").alias("n_ws"),
+        (bpe.cast("double") / ws.cast("double")).alias("bpe_per_ws"))
+
+
+def doc_rolling_fingerprint(spark, sf_dir):
+    """Document fingerprinting via Rabin-Karp rolling hashes over
+    8-token windows (winnowing's ingredient): per doc the window
+    count, distinct count, and min window hash (the shift-tolerant
+    fingerprint). Integer mod arithmetic end to end — bit-identical
+    across engines."""
+    d = _t(spark, sf_dir, "documents")
+    hs = d.select("doc_id", TX.token_hash_array("text").alias("hs"))
+    wh = hs.select("doc_id", TX.rolling_window_hashes("hs").alias("wh"))
+    return wh.select(
+        "doc_id",
+        F.size("wh").cast("bigint").alias("n_windows"),
+        F.size(F.array_distinct("wh")).cast("bigint").alias("n_distinct"),
+        F.array_min("wh").alias("min_whash"))
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # queries() (CORRECTNESS_r01 stopped at exactly entry 50, leaving the
 # whole §2.11 extension surface unverified). QUERIES is therefore a
@@ -1265,6 +1308,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize_stats": embedding_quantize_stats,  # vector storage
     "events_funnel_conversion": events_funnel_conversion,  # funnel shape
     "orders_cohort_matrix": orders_cohort_matrix,          # cohort retention
+    # round-3 additions: pairs→clusters, BPE-ish counting, rolling-hash
+    # fingerprints (all oracle-backed, parity-tested locally)
+    "dedup_cluster_keepers": dedup_cluster_keepers,
+    "text_bpe_token_estimate": text_bpe_token_estimate,
+    "doc_rolling_fingerprint": doc_rolling_fingerprint,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -399,3 +399,20 @@ def test_minhash_cap_passthrough_keeps_results(spark):
               minhash_near_dup_pairs(docs, threshold=0.6,
                                      max_bucket_size=100).collect()}
     assert capped == uncapped
+
+
+def test_neardup_clusters_transitive(spark):
+    """Pairs (a,b),(b,c) must merge into ONE cluster labeled min(id) —
+    near-dup similarity is not transitive, clustering makes it so."""
+    from market_data_ingestor_go_spark.operators.dedup import neardup_clusters
+    from market_data_ingestor_go_spark.operators.cache import release_pinned
+    pairs = spark.createDataFrame(
+        [Row(doc_a=2, doc_b=7), Row(doc_a=7, doc_b=5),   # chain {2,5,7}
+         Row(doc_a=10, doc_b=11),                         # pair {10,11}
+         Row(doc_a=20, doc_b=21), Row(doc_a=20, doc_b=22),
+         Row(doc_a=21, doc_b=22)])                        # clique {20,21,22}
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in neardup_clusters(pairs).collect()}
+    release_pinned()
+    assert got == {2: 2, 5: 2, 7: 2, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
