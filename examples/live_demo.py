@@ -6,9 +6,10 @@ Wires every moving part the reference runs in production
 
   feed (WS server replaying synthetic ticks)
     → spark.readStream.format("ws_market_data")     [S1  ingest source]
-    → validate → enrich → dual sink                 [P1/P9, K1/K2]
+    → validate → enrich → effectively-once dedup    [P1/P9]
+    → dual sink + LIVE Redis cache mirror (RESP)    [K1/K2]
     → latest-state parquet table                    [A1]
-    → ServePublisher 1 s ticker                     [E2/K4 broadcast]
+    → ServePublisher 1 s ticker + K5 audit touch    [E2/K4/K5 broadcast]
     → two WS clients with different configs         [S3/S4, §2.8]
 
 Run:  python examples/live_demo.py  (takes ~30 s, prints what each
@@ -33,6 +34,8 @@ from market_data_ingestor_go_spark.session import get_spark  # noqa: E402
 from market_data_ingestor_go_spark.streaming import sources as ws_sources  # noqa: E402
 from market_data_ingestor_go_spark.streaming.pipeline import IngestPipeline  # noqa: E402
 from market_data_ingestor_go_spark.streaming.publisher import ServePublisher  # noqa: E402
+from market_data_ingestor_go_spark.sources.redis_minimal import (  # noqa: E402
+    MiniRedisServer, RESPClient)
 from market_data_ingestor_go_spark.streaming.ws_minimal import WSServer, connect  # noqa: E402
 
 
@@ -72,6 +75,9 @@ def main() -> None:
         Row(name="MSFT", exchange="usstock"),
         Row(name="BTCUSD", exchange="crypto")])
 
+    cache = MiniRedisServer().start()  # stands in for Redis (RESP wire)
+    print(f"cache (RESP) up at {cache.host}:{cache.port}")
+
     ws_sources.register(spark)
     raw = (spark.readStream.format("ws_market_data")
            .option("url", feed.url)
@@ -79,7 +85,9 @@ def main() -> None:
            .option("pollBudgetSecs", "1.0")
            .load()
            .selectExpr("to_json(struct(name, timestamp, exchange, data)) AS value"))
-    pipe = IngestPipeline(spark, out, symbols_dim, trigger_seconds=2)
+    pipe = IngestPipeline(spark, out, symbols_dim, trigger_seconds=2,
+                          dedup_horizon="10 minutes",
+                          redis_latest=(cache.host, cache.port))
     query = pipe.start(raw)
     print("ingest running (2 s micro-batches) →", out)
 
@@ -92,13 +100,23 @@ def main() -> None:
             "value_rules": {"bid": {"op": "multiply", "value": 2}},
             "remove_fields": ["ask"]}}})),
         Row(id="viewer", config=None)])
-    keys = spark.createDataFrame([
-        Row(client_id="trader",
-            key_hash=hashlib.sha256(b"trader-key").hexdigest(), is_active=True),
-        Row(client_id="viewer",
-            key_hash=hashlib.sha256(b"viewer-key").hexdigest(), is_active=True)])
+    keys = spark.createDataFrame(
+        [Row(client_id="trader",
+             key_hash=hashlib.sha256(b"trader-key").hexdigest(),
+             is_active=True, last_used_at=None),
+         Row(client_id="viewer",
+             key_hash=hashlib.sha256(b"viewer-key").hexdigest(),
+             is_active=True, last_used_at=None)],
+        schema="client_id string, key_hash string, is_active boolean, "
+               "last_used_at timestamp")
 
-    pub = ServePublisher(spark, keys, configs).start(
+    audited: dict = {}  # K5: fire-and-forget last_used_at touches
+
+    def audit_sink(df):
+        audited.update({r["client_id"]: r["last_used_at"]
+                        for r in df.collect() if r["last_used_at"]})
+
+    pub = ServePublisher(spark, keys, configs, audit_sink=audit_sink).start(
         latest_provider=pipe.latest_snapshot, interval_s=1.0)
     print(f"broadcast server at {pub.url} (1 s ticks)")
 
@@ -117,10 +135,29 @@ def main() -> None:
         aapl = [m for m in got[name] if m["symbol"] == "AAPL"]
         print("  ", aapl[-1] if aapl else "(none yet)")
 
+    client = RESPClient(cache.host, cache.port)
+    cached = sorted(client.scan_all())
+    client.close()
+    print("\nlive Redis cache holds:", cached)
+    # the audit touch is fire-and-forget off the tick thread — give the
+    # in-flight one a moment to land before reporting
+    audit_deadline = time.time() + 10
+    while not audited and time.time() < audit_deadline:
+        time.sleep(0.2)
+    print("K5 audit touched:", sorted(audited))
+
+    # orderly shutdown: silence the feed first so no new batch starts,
+    # stop the stream and WAIT for it before tearing down the session
+    # (stopping Spark mid-batch spews scheduler/worker errors)
     stop.set()
+    feed.stop()
     pub.stop()
     query.stop()
-    feed.stop()
+    try:
+        query.awaitTermination(15)
+    except Exception:
+        pass
+    cache.stop()
     spark.stop()
     print("\ndemo complete — history at", pipe.history_path)
 

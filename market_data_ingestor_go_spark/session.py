@@ -49,6 +49,11 @@ def get_spark(app_name: str = "market_data_ingestor_go_spark",
         # codegen at the default 100-field limit — measured ~25% slower
         .config("spark.sql.codegen.maxFields", "300")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # deep regex backtracking (conf redaction over long streaming
+        # plan strings) and deep codegen both overflow the JVM's 1 MB
+        # default thread stack — observed as a StackOverflowError on
+        # the stream-execution thread at shutdown
+        .config("spark.driver.extraJavaOptions", "-Xss16m")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

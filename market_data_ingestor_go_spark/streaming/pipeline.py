@@ -68,6 +68,28 @@ def decode_raw_frames(raw: DataFrame, value_col: str = "value") -> DataFrame:
             .select(*[f"r.{f.name}" for f in MARKET_DATA_SCHEMA.fields]))
 
 
+def dedup_frames_within(df: DataFrame, horizon: str = "10 minutes",
+                        keys: tuple = ("name", "timestamp")) -> DataFrame:
+    """Effectively-once upgrade for at-least-once sources: drop exact
+    duplicate frames (same key tuple) arriving within ``horizon`` of
+    event time. The WS source replays its connection buffer after a
+    crash (at-least-once, streaming/sources.py) — this stage makes the
+    pipeline end-to-end effectively-once even when the replay crosses
+    an epoch boundary, the case epoch-idempotent sinks can't cover.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — state is bounded by
+    the watermark horizon (keys seen per horizon window), evicted by
+    event time; at 100 TB state size is |keys within horizon|, not the
+    stream's history. Batch: plain dropDuplicates (same contract)."""
+    wm = df.withColumn("_event_ts", F.timestamp_millis(F.col("timestamp")))
+    if df.isStreaming:
+        wm = wm.withWatermark("_event_ts", horizon)
+        out = wm.dropDuplicatesWithinWatermark(list(keys))
+    else:
+        out = wm.dropDuplicates(list(keys))
+    return out.drop("_event_ts")
+
+
 def build_ingest_stream(frames: DataFrame, symbols_dim: DataFrame) -> DataFrame:
     """The logical ingest plan: decode → validate → enrich.
 
@@ -131,6 +153,12 @@ class IngestPipeline:
     # table — the reference's actual cache target, best-effort like
     # its async cache write.
     redis_latest: tuple | None = None
+    # Optional effectively-once stage: drop duplicate (name, timestamp)
+    # frames within this event-time horizon (e.g. "10 minutes") before
+    # the sinks — covers at-least-once source replays that cross epoch
+    # boundaries (see dedup_frames_within). None = off (reference
+    # semantics: duplicates allowed in history, postgres.go:52-58).
+    dedup_horizon: str | None = None
     queries: list = field(default_factory=list)
 
     @property
@@ -187,6 +215,8 @@ class IngestPipeline:
 
     def start(self, frames: DataFrame):
         enriched = build_ingest_stream(frames, self.symbols_dim)
+        if self.dedup_horizon is not None:
+            enriched = dedup_frames_within(enriched, self.dedup_horizon)
         q = (
             enriched.writeStream
             .foreachBatch(self._write_batch)

@@ -416,3 +416,17 @@ def test_neardup_clusters_transitive(spark):
     release_pinned()
     assert got == {2: 2, 5: 2, 7: 2, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_spread_sizing(spark):
+    """spread() derives fan-out from input bytes: small file-backed
+    inputs get a few partitions (not defaultParallelism), non-file
+    inputs fall back to full fan-out, and the no-op threshold leaves
+    already-parallel scans untouched."""
+    from market_data_ingestor_go_spark.operators.partitioning import spread
+    docs = load_table(spark, SF, "documents")  # 65 KB at sf0.01
+    n = spread(docs).rdd.getNumPartitions()
+    par = spark.sparkContext.defaultParallelism
+    assert 1 <= n <= max(4, par // 4), n  # size-derived, not 32
+    synth = spark.range(100)  # non-file source: unknown size
+    assert spread(synth).rdd.getNumPartitions() == par

@@ -779,3 +779,25 @@ def test_latest_state_partitions_knob(spark, symbols_dim, tmp_path):
     files = [p for p in pathlib.Path(pipe.latest_path).glob("part-*.parquet")]
     assert len(files) == 4, files
     assert pipe.latest_snapshot().count() == 200
+
+
+def test_streaming_dedup_within_watermark(spark, symbols_dim, tmp_path):
+    """Effectively-once stage: duplicate (name, timestamp) frames —
+    the at-least-once WS replay shape — reach history exactly once
+    when dedup_horizon is set, across micro-batches."""
+    import time
+    now = int(time.time() * 1000)
+    dup = _frame("AAPL", now - 1000, bid=10.0)
+    frames = [dup, _frame("BTCUSD", now - 500, bid=9.0), dup,
+              dup, _frame("AAPL", now, bid=11.0)]
+    src_dir = str(tmp_path / "wire")
+    _write_wire_files(spark, src_dir, frames, n_files=3)  # dups straddle files
+    raw = spark.readStream.schema("value STRING").text(src_dir)
+    pipe = IngestPipeline(spark, str(tmp_path / "out"), symbols_dim,
+                          dedup_horizon="10 minutes", trigger_seconds=1)
+    q = pipe.start(raw)
+    q.processAllAvailable(); q.stop()
+    hist = spark.read.parquet(pipe.history_path)
+    rows = [(r["name"], r["timestamp"]) for r in hist.collect()]
+    assert len(rows) == 3 and len(set(rows)) == 3, rows
+    assert pipe.latest_snapshot().count() == 2
