@@ -262,32 +262,48 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "doc_a",
     deterministic, engine-independent labeling (the DuckDB oracle
     computes the same fixpoint with a recursive CTE).
 
-    Engine shape: iterative min-label propagation — per round each node
-    takes the min of its label and its neighbors' labels; converges in
-    O(graph diameter) rounds (near-dup components are shallow: dup
-    clusters are cliques or short chains, so 2-3 rounds in practice).
-    Each round is one equi-join + partial-min aggregate on (node id) —
-    shuffle linear in edges, no driver-side graph state; labels persist
-    between rounds and the convergence check is a count of changed
-    labels (a scalar per round). This is the standard large-scale CC
-    recipe; at 100 TB you would add label-propagation's star
-    contraction to cut rounds, same dataflow primitives.
+    Engine shape: min-label propagation with POINTER JUMPING — per
+    round each node takes the min over {its label, its neighbors'
+    labels, its label's label}. The neighbor step moves information
+    one hop; the pointer-jump step halves chain depth, so rounds are
+    O(log diameter) instead of O(diameter) — the standard large-scale
+    CC recipe (two equi-joins + a partial-min aggregate per round,
+    shuffle linear in edges, no driver-side graph state). Labels
+    persist between rounds and the convergence check is one scalar
+    count per round.
+
+    Iterative lineage MUST be truncated each round: a persisted
+    DataFrame still carries its full logical plan, and a loop that
+    references the previous round's frame twice doubles the plan tree
+    per round — exponential analysis cost (observed: OOM stringifying
+    the plan by round ~10). ``localCheckpoint(eager=True)``
+    materializes AND truncates; on a fault-tolerant cluster swap in
+    reliable ``checkpoint``.
     """
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")) \
         .unionByName(pairs.select(F.col(id_b).alias("src"),
                                   F.col(id_a).alias("dst")))
-    sym = pin(sym)
-    labels = pin(sym.select(F.col("src").alias("id")).distinct()
-                 .withColumn("lbl", F.col("id")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("lbl", F.col("id")).localCheckpoint(eager=True))
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src").agg(F.min("lbl").alias("nl")))
-        new_labels = pin(
+        stepped = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(labels.id.alias("id"),
                     F.least(F.col("lbl"), F.coalesce(F.col("nl"),
                                                      F.col("lbl"))).alias("lbl")))
+        # pointer jump: my new label ← my label's label (halves chains)
+        ptr = stepped.select(F.col("id").alias("jid"),
+                             F.col("lbl").alias("jlbl"))
+        new_labels = (
+            stepped.join(ptr, stepped.lbl == ptr.jid, "left")
+            .select(stepped.id.alias("id"),
+                    F.least(F.col("lbl"), F.coalesce(F.col("jlbl"),
+                                                     F.col("lbl"))).alias("lbl"))
+            .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.lbl") != F.col("o.lbl")).count())

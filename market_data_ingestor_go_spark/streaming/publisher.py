@@ -202,6 +202,21 @@ class ServePublisher:
 
         threading.Thread(target=_run, daemon=True).start()
 
+    # -- observability (A2: metrics.go counters for the serve side) ---
+
+    def metrics(self) -> dict:
+        with self._lock:
+            live = sum(1 for c, _ in self._conns.values() if not c._closed)
+        return {"serve_ticks": self.ticks,
+                "serve_records_sent": self.records_sent,
+                "serve_evictions": self.evictions,
+                "serve_connections": live}
+
+    def export_metrics(self, registry) -> None:
+        """Snapshot the serve-side counters into a MetricsRegistry so
+        the /metrics endpoint exports them beside the ingest counters."""
+        registry.counters.update(self.metrics())
+
     # -- lifecycle -----------------------------------------------------
 
     def start(self, latest_provider=None, interval_s: float = 1.0) -> "ServePublisher":

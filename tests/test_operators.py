@@ -430,3 +430,73 @@ def test_spread_sizing(spark):
     assert 1 <= n <= max(4, par // 4), n  # size-derived, not 32
     synth = spark.range(100)  # non-file source: unknown size
     assert spread(synth).rdd.getNumPartitions() == par
+
+
+def test_rolling_hashes_match_python_reference(spark):
+    """Rabin-Karp window hashes match a pure-Python reference over
+    varied docs (empty/short/repeating/long) — one Spark job, all
+    cases at once."""
+    import hashlib as _hl
+    import random
+    from market_data_ingestor_go_spark.functions.text import (
+        ROLL_BASE, ROLL_MOD, rolling_window_hashes, token_hash_array)
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "Y2", "z"]
+    texts = ["", "one", "a b c", " ".join("rep" for _ in range(12))] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+        for _ in range(20)]
+
+    def py_hashes(text, w=8):
+        toks = text.strip().split() if text.strip() else [""]
+        hs = [int(_hl.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        if len(hs) < w:
+            return []
+        return [sum((hs[i + k] * pow(ROLL_BASE, w - 1 - k, ROLL_MOD))
+                    % ROLL_MOD for k in range(w)) % ROLL_MOD
+                for i in range(len(hs) - w + 1)]
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    out = (df.select("i", token_hash_array("text").alias("hs"))
+           .select("i", rolling_window_hashes("hs").alias("wh"))
+           .collect())
+    got = {r["i"]: list(r["wh"]) for r in out}
+    for i, t in enumerate(texts):
+        assert got[i] == py_hashes(t), (i, t)
+
+
+def test_neardup_clusters_match_union_find(spark):
+    """Min-label propagation matches a Python union-find on seeded
+    random graphs (including multi-hop chains the fixture lacks)."""
+    import random
+    from market_data_ingestor_go_spark.operators.cache import release_pinned
+    from market_data_ingestor_go_spark.operators.dedup import neardup_clusters
+
+    for seed in (1,):
+        rng = random.Random(seed)
+        # a long chain (worst-case diameter) + random extra edges
+        edges = {(i, i + 1) for i in range(10, 22)}
+        edges |= {tuple(sorted(rng.sample(range(30), 2)))
+                  for _ in range(12)}
+        edges = sorted(edges)
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {n: find(n) for n in parent}
+
+        df = spark.createDataFrame(edges, "doc_a int, doc_b int")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in neardup_clusters(df).collect()}
+        release_pinned()
+        assert got == expected, seed

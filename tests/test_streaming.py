@@ -801,3 +801,21 @@ def test_streaming_dedup_within_watermark(spark, symbols_dim, tmp_path):
     rows = [(r["name"], r["timestamp"]) for r in hist.collect()]
     assert len(rows) == 3 and len(set(rows)) == 3, rows
     assert pipe.latest_snapshot().count() == 2
+
+
+def test_publisher_metrics_export(spark):
+    """Serve-side counters export into the shared registry and render
+    through the Prometheus endpoint beside the ingest metrics."""
+    from market_data_ingestor_go_spark.streaming.endpoints import (
+        render_prometheus)
+    from market_data_ingestor_go_spark.streaming.observability import (
+        MetricsRegistry)
+    pub = _publisher_fixture(spark)
+    pub.ticks, pub.records_sent, pub.evictions = 3, 12, 1
+    reg = MetricsRegistry()
+    pub.export_metrics(reg)
+    text = render_prometheus(reg)
+    assert "serve_ticks 3" in text
+    assert "serve_records_sent 12" in text
+    assert "serve_evictions 1" in text
+    assert "serve_connections 0" in text
