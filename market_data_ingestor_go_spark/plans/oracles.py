@@ -981,3 +981,25 @@ SELECT doc_id,
        list_min(wh) AS min_whash
 FROM w
 """
+
+EXTRA_ORACLES["rolling_fingerprint_neardup"] = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                        t -> CAST(concat('0x', substring(md5(t), 1, 8))
+                                  AS BIGINT)) AS hs
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         list_distinct([({_ROLL_TERMS}) % {_ROLL_P}
+                        for i in range(1, len(hs) - 8 + 2)]) AS wh
+  FROM h
+), x AS (
+  SELECT doc_id, UNNEST(wh) AS hsh FROM w
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM x a JOIN x b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""

@@ -1204,6 +1204,25 @@ def doc_rolling_fingerprint(spark, sf_dir):
         F.array_min("wh").alias("min_whash"))
 
 
+def rolling_fingerprint_neardup(spark, sf_dir):
+    """Shift-tolerant near-dup candidates: doc pairs sharing ≥3
+    distinct 8-token rolling-window hashes (winnowing's candidate
+    rule). Candidates come from an equi-join on the window hash —
+    shuffle linear in windows, never all-pairs; random docs share no
+    windows (2³¹ hash space), near-dups share most of them."""
+    d = _t(spark, sf_dir, "documents")
+    wh = (d.select("doc_id", TX.token_hash_array("text").alias("hs"))
+          .select("doc_id", F.explode(F.array_distinct(
+              TX.rolling_window_hashes("hs"))).alias("h")))
+    a = wh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = wh.select(F.col("doc_id").alias("doc_b"), "h")
+    return (a.join(b, "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= 3))
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # queries() (CORRECTNESS_r01 stopped at exactly entry 50, leaving the
 # whole §2.11 extension surface unverified). QUERIES is therefore a
@@ -1313,6 +1332,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_keepers": dedup_cluster_keepers,
     "text_bpe_token_estimate": text_bpe_token_estimate,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
+    "rolling_fingerprint_neardup": rolling_fingerprint_neardup,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
