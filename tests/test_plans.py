@@ -89,3 +89,22 @@ def test_minhash_signature_partial_agg(spark):
     assert plan.count("HashAggregate") == 2, plan
     assert "SortAggregate" not in plan, plan
     assert "partial_min" in plan, plan
+
+
+def test_banded_lsh_is_equi_join(spark):
+    """Banded hyperplane LSH generates candidates through an equi-join
+    on (band, bucket) — no cartesian/nested-loop pair scan anywhere in
+    the plan (the whole point of the banding)."""
+    from market_data_ingestor_go_spark.operators.cache import release_pinned
+    plan = _plan(ALL_QUERIES["embedding_lsh_neardup"](spark, SF))
+    release_pinned()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rolling_neardup_is_equi_join(spark):
+    """Shared-window near-dup candidates join on the window hash —
+    equi-join, no all-pairs scan."""
+    plan = _plan(ALL_QUERIES["rolling_fingerprint_neardup"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
