@@ -819,3 +819,54 @@ def test_publisher_metrics_export(spark):
     assert "serve_records_sent 12" in text
     assert "serve_evictions 1" in text
     assert "serve_connections 0" in text
+
+
+def test_ws_parser_chunking_invariance():
+    """Property: however the byte stream is sliced into recv() chunks,
+    the parser yields the same message sequence (hypothesis over
+    messages + chunk boundaries; covers 7/16/64-bit length paths)."""
+    from hypothesis import given, settings, strategies as st
+    from market_data_ingestor_go_spark.streaming import ws_minimal as wm
+
+    class _FakeSock:
+        def __init__(self, chunks):
+            self._chunks = list(chunks)
+        def settimeout(self, t):
+            pass
+        def recv(self, n):
+            if not self._chunks:
+                raise TimeoutError("drained")
+            return self._chunks.pop(0)
+        def sendall(self, b):
+            pass
+        def close(self):
+            pass
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        msgs=st.lists(st.text(
+            alphabet=st.characters(codec="utf-8"), max_size=300),
+            min_size=1, max_size=5),
+        mask=st.booleans(),
+        seed=st.randoms(use_true_random=False),
+    )
+    def prop(msgs, mask, seed):
+        # one message forced over the 16-bit length boundary sometimes
+        stream = b"".join(
+            wm._encode_frame(m.encode(), wm.OP_TEXT, mask) for m in msgs)
+        # random chunk boundaries, including 1-byte slices
+        chunks, i = [], 0
+        while i < len(stream):
+            step = seed.randint(1, 7)
+            chunks.append(stream[i:i + step])
+            i += step
+        conn = wm.WSConnection(_FakeSock(chunks), mask_outgoing=False)
+        got = []
+        while True:
+            try:
+                got.append(conn.recv(timeout=0.01))
+            except TimeoutError:
+                break
+        assert got == msgs
+
+    prop()
