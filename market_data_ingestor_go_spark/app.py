@@ -1,0 +1,198 @@
+"""App bootstrap — the engine twin of ``cmd/app/main.go:22-87`` and the
+env config loader (``internal/app/config/config.go:27-83``).
+
+A user of the reference runs ONE binary configured by env vars / a
+``.env`` file. This module gives the engine the same entry shape:
+``load_config()`` reads the identical variable names with the identical
+defaults, and ``run_app(spark, cfg)`` wires the whole stack in the
+reference's bootstrap order — metrics endpoint, sinks, ingest pipeline,
+WS ingest client, broadcast server — returning a handle that stops
+everything (the reference's context-cancel on SIGINT).
+
+Documented divergences:
+- ``SUBSCRIPTION_SYMBOLS`` is actually parsed (comma-separated); the
+  reference reads the variable but then keeps the default ["USDSGD"]
+  (config.go:74-78 — the parse is stubbed out).
+- ``WORKER_COUNT`` maps to ``spark.sql.shuffle.partitions`` guidance
+  only; Spark's task scheduler replaces the hand-rolled worker pool.
+- ``DATABASE_URL`` drives the live PG mirror only when a server
+  answers; the parquet history/latest tables always run (they carry
+  the exactly-once contract the reference lacks).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+_DUR_RE = re.compile(r"(\d+(?:\.\d+)?)(ms|s|m|h)")
+_DUR_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000}
+
+
+def parse_duration_millis(text: str, default_ms: int) -> int:
+    """Go-style duration strings ("24h", "2s", "1h30m", "150ms") →
+    milliseconds; unparseable input falls back to the default, exactly
+    like config.go:52-70 (ParseDuration error → default)."""
+    if not text:
+        return default_ms
+    parts = _DUR_RE.findall(text)
+    if not parts or _DUR_RE.sub("", text).strip():
+        return default_ms
+    return int(sum(float(n) * _DUR_MS[u] for n, u in parts))
+
+
+@dataclass
+class EngineConfig:
+    """config.go:12-25 field for field (durations as millis)."""
+
+    websocket_url: str = ""            # WS_URL        (required)
+    api_key: str = ""                  # WS_API_KEY    (required)
+    database_url: str = ""             # DATABASE_URL  (required)
+    batch_size: int = 100              # BATCH_SIZE
+    num_workers: int = 10              # WORKER_COUNT
+    redis_addr: str = ""               # REDIS_ADDR
+    redis_password: str = ""           # REDIS_PASSWORD
+    redis_db: int = 0                  # REDIS_DB
+    ws_server_addr: str = ""           # WS_SERVER_ADDR
+    redis_ttl_millis: int = 24 * 3_600_000       # REDIS_TTL (24h)
+    flush_interval_millis: int = 2_000           # FLUSH_INTERVAL (2s)
+    subscription_symbols: list = field(default_factory=lambda: ["USDSGD"])
+
+
+class ConfigError(ValueError):
+    """Missing required variables (config.go:80-82)."""
+
+
+def _read_dotenv(path: str) -> dict:
+    out = {}
+    try:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                k, v = line.split("=", 1)
+                out[k.strip()] = v.strip().strip('"').strip("'")
+    except OSError:
+        pass  # no .env → env only (config.go:41-43 tolerates this)
+    return out
+
+
+def load_config(env: dict | None = None,
+                dotenv_path: str = ".env") -> EngineConfig:
+    """Env vars override ``.env`` file values (viper.AutomaticEnv
+    semantics); defaults and required-var validation mirror
+    config.go:33-39 and :80-82."""
+    merged = _read_dotenv(dotenv_path)
+    merged.update(env if env is not None else os.environ)
+
+    def get(name, default=""):
+        return merged.get(name, default)
+
+    symbols_raw = get("SUBSCRIPTION_SYMBOLS")
+    symbols = ([s.strip() for s in symbols_raw.split(",") if s.strip()]
+               if symbols_raw else ["USDSGD"])
+    cfg = EngineConfig(
+        websocket_url=get("WS_URL"),
+        api_key=get("WS_API_KEY"),
+        database_url=get("DATABASE_URL"),
+        batch_size=int(get("BATCH_SIZE", "100") or 100),
+        num_workers=int(get("WORKER_COUNT", "10") or 10),
+        redis_addr=get("REDIS_ADDR"),
+        redis_password=get("REDIS_PASSWORD"),
+        redis_db=int(get("REDIS_DB", "0") or 0),
+        ws_server_addr=get("WS_SERVER_ADDR"),
+        redis_ttl_millis=parse_duration_millis(
+            get("REDIS_TTL"), 24 * 3_600_000),
+        flush_interval_millis=parse_duration_millis(
+            get("FLUSH_INTERVAL"), 2_000),
+        subscription_symbols=symbols,
+    )
+    if not cfg.websocket_url or not cfg.api_key or not cfg.database_url:
+        raise ConfigError(
+            "Missing required environment variables "
+            "(WS_URL, WS_API_KEY, DATABASE_URL)")  # config.go:80-82
+    return cfg
+
+
+@dataclass
+class AppHandle:
+    """Everything ``run_app`` started; ``stop()`` = context cancel."""
+
+    pipeline: object
+    query: object
+    publisher: object | None
+    metrics_server: object | None
+
+    def stop(self) -> None:
+        if self.publisher is not None:
+            self.publisher.stop()
+        try:
+            self.query.stop()
+            self.query.awaitTermination(15)
+        except Exception:
+            pass
+        if self.metrics_server is not None:
+            self.metrics_server.stop()
+
+
+def run_app(spark: SparkSession, cfg: EngineConfig, base_dir: str,
+            symbols_dim: DataFrame, api_keys: DataFrame | None = None,
+            client_configs: DataFrame | None = None,
+            metrics_port: int = 0) -> AppHandle:
+    """main.go:22-87 in bootstrap order: metrics endpoint → sinks →
+    processor (ingest pipeline) → WS ingest client → broadcast server.
+    Every piece is the engine component tested elsewhere; this is only
+    the wiring."""
+    import json
+
+    from .sources.connectors import redis_wire_available
+    from .streaming import sources as ws_sources
+    from .streaming.endpoints import MetricsServer
+    from .streaming.observability import MetricsListener, MetricsRegistry
+    from .streaming.pipeline import IngestPipeline
+    from .streaming.publisher import ServePublisher
+
+    registry = MetricsRegistry()
+    spark.streams.addListener(MetricsListener(registry))
+    metrics = MetricsServer(registry, port=metrics_port).start()  # :9090 twin
+
+    redis_latest = None
+    if cfg.redis_addr and ":" in cfg.redis_addr:
+        host, port = cfg.redis_addr.rsplit(":", 1)
+        if redis_wire_available(host, int(port)):
+            redis_latest = (host, int(port))
+
+    pipe = IngestPipeline(
+        spark, base_dir, symbols_dim,
+        ttl_millis=cfg.redis_ttl_millis,
+        trigger_seconds=max(1, cfg.flush_interval_millis // 1000),
+        redis_latest=redis_latest)
+
+    ws_sources.register(spark)
+    raw = (spark.readStream.format("ws_market_data")
+           .option("url", cfg.websocket_url)
+           .option("api_key", cfg.api_key)
+           .option("symbols", json.dumps(cfg.subscription_symbols))
+           .option("maxFramesPerTrigger", "10000")  # main.go:61 channel cap
+           .load()
+           .selectExpr("to_json(struct(name, timestamp, exchange, data)) AS value"))
+    query = pipe.start(raw)
+
+    publisher = None
+    if api_keys is not None:
+        if client_configs is None:  # no configs table → all passthrough
+            client_configs = spark.createDataFrame(
+                [], "id string, config string")
+        host, _, port = (cfg.ws_server_addr or ":0").rpartition(":")
+        publisher = ServePublisher(
+            spark, api_keys, client_configs, host=host or "127.0.0.1",
+            port=int(port or 0)).start(
+                latest_provider=pipe.latest_snapshot, interval_s=1.0)
+        publisher.export_metrics(registry)
+
+    return AppHandle(pipeline=pipe, query=query, publisher=publisher,
+                     metrics_server=metrics)
