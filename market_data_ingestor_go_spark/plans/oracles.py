@@ -1003,3 +1003,29 @@ FROM x a JOIN x b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= 3
 """
+
+# Log-free tf-idf-style weighting: score = tf*(N+1)/(df+1) — exact
+# integer ratio evaluated in double, bit-identical across engines
+# (ln() would differ in the last ulp across libm builds).
+EXTRA_ORACLES["doc_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * (n.n_docs + 1)
+         / CAST(df.df + 1 AS DOUBLE) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rn
+  FROM scored) WHERE rn <= 3
+"""

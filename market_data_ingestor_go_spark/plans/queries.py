@@ -1223,6 +1223,33 @@ def rolling_fingerprint_neardup(spark, sf_dir):
             .filter(F.col("n_shared") >= 3))
 
 
+def doc_top_terms(spark, sf_dir):
+    """Per-doc top-3 distinctive terms by tf·rarity — the
+    vocabulary/keyword step of corpus analytics. Weighting is LOG-FREE
+    (score = tf · (N_docs+1) / (df+1), exact integer ratio in double)
+    so both engines produce bit-identical scores — ln() would differ
+    in the last ulp across libm builds. Shuffles are one token agg +
+    one broadcast-joined doc-frequency dim + one windowed top-k."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(
+        F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    df_ = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df"))
+    n_docs = d.count()  # scalar: one job over doc ids
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term", "tf", "df",
+        (F.col("tf").cast("double") * (n_docs + 1)
+         / (F.col("df") + F.lit(1)).cast("double")).alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("doc_id", "term", "tf", "df", "score",
+                    F.col("rn").cast("bigint").alias("rn")))
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # queries() (CORRECTNESS_r01 stopped at exactly entry 50, leaving the
 # whole §2.11 extension surface unverified). QUERIES is therefore a
@@ -1333,6 +1360,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_token_estimate": text_bpe_token_estimate,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "rolling_fingerprint_neardup": rolling_fingerprint_neardup,
+    "doc_top_terms": doc_top_terms,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
