@@ -126,6 +126,8 @@ class AppHandle:
     query: object
     publisher: object | None
     metrics_server: object | None
+    spark: object | None = None
+    listener: object | None = None
 
     def stop(self) -> None:
         if self.publisher is not None:
@@ -137,6 +139,26 @@ class AppHandle:
             pass
         if self.metrics_server is not None:
             self.metrics_server.stop()
+        # remove the session-wide listener: a leaked one keeps bumping
+        # its abandoned registry on every OTHER query's micro-batches
+        if self.spark is not None and self.listener is not None:
+            try:
+                self.spark.streams.removeListener(self.listener)
+            except Exception:
+                pass
+
+
+def _parse_addr(addr: str) -> tuple[str, int]:
+    """'host:port' → (host, port); a bare host (or junk port) binds an
+    ephemeral port instead of crashing mid-bootstrap."""
+    addr = addr or ""
+    host, sep, port = addr.rpartition(":")
+    if not sep:  # bare host, no port
+        return addr or "127.0.0.1", 0
+    try:
+        return host or "127.0.0.1", int(port)
+    except ValueError:
+        return host or "127.0.0.1", 0
 
 
 def run_app(spark: SparkSession, cfg: EngineConfig, base_dir: str,
@@ -157,7 +179,8 @@ def run_app(spark: SparkSession, cfg: EngineConfig, base_dir: str,
     from .streaming.publisher import ServePublisher
 
     registry = MetricsRegistry()
-    spark.streams.addListener(MetricsListener(registry))
+    listener = MetricsListener(registry)
+    spark.streams.addListener(listener)
     metrics = MetricsServer(registry, port=metrics_port).start()  # :9090 twin
 
     redis_latest = None
@@ -187,12 +210,11 @@ def run_app(spark: SparkSession, cfg: EngineConfig, base_dir: str,
         if client_configs is None:  # no configs table → all passthrough
             client_configs = spark.createDataFrame(
                 [], "id string, config string")
-        host, _, port = (cfg.ws_server_addr or ":0").rpartition(":")
+        host, port = _parse_addr(cfg.ws_server_addr)
         publisher = ServePublisher(
-            spark, api_keys, client_configs, host=host or "127.0.0.1",
-            port=int(port or 0)).start(
+            spark, api_keys, client_configs, host=host, port=port).start(
                 latest_provider=pipe.latest_snapshot, interval_s=1.0)
-        publisher.export_metrics(registry)
+        publisher.export_metrics(registry)  # live gauge source
 
     return AppHandle(pipeline=pipe, query=query, publisher=publisher,
-                     metrics_server=metrics)
+                     metrics_server=metrics, spark=spark, listener=listener)

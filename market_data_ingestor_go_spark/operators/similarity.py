@@ -277,10 +277,14 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
         for i in range(n_bands)])
     sig_tbl = base.select("id", F.explode(band_structs).alias("bb")) \
                   .select("id", "bb.band", "bb.sig")
+    # multiprobe is a real Hamming radius (flip up to m bits), matching
+    # random_hyperplane_ann — not a boolean
+    from itertools import combinations
     probe_cols = [F.col("sig")]
-    if multiprobe >= 1:
-        probe_cols += [F.col("sig").bitwiseXOR(F.lit(1 << j))
-                       for j in range(planes_per_band)]
+    for m in range(1, min(multiprobe, planes_per_band) + 1):
+        probe_cols += [
+            F.col("sig").bitwiseXOR(F.lit(sum(1 << j for j in flips)))
+            for flips in combinations(range(planes_per_band), m)]
     a = sig_tbl.select(F.col("id").alias("a_id"), "band",
                        F.explode(F.array(*probe_cols)).alias("bucket"))
     b = sig_tbl.select(F.col("id").alias("b_id"), "band",

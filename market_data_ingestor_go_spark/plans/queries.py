@@ -1237,10 +1237,12 @@ def doc_top_terms(spark, sf_dir):
         F.count("*").cast("bigint").alias("tf"))
     df_ = toks.groupBy("term").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df"))
-    n_docs = d.count()  # scalar: one job over doc ids
-    scored = tf.join(F.broadcast(df_), "term").select(
+    # corpus size as a broadcast scalar row — the plan stays LAZY
+    # (an eager d.count() here would run a job at plan-build time)
+    n_row = F.broadcast(d.agg(F.count("*").alias("n_docs")))
+    scored = tf.join(F.broadcast(df_), "term").crossJoin(n_row).select(
         "doc_id", "term", "tf", "df",
-        (F.col("tf").cast("double") * (n_docs + 1)
+        (F.col("tf").cast("double") * (F.col("n_docs") + F.lit(1))
          / (F.col("df") + F.lit(1)).cast("double")).alias("score"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term"))

@@ -36,6 +36,10 @@ def render_prometheus(registry: MetricsRegistry) -> str:
         prom = _prom_name(name)
         lines.append(f"# TYPE {prom} counter")
         lines.append(f"{prom} {registry.counters[name]}")
+    for name, value in sorted(registry.gauges().items()):
+        prom = _prom_name(name)
+        lines.append(f"# TYPE {prom} gauge")
+        lines.append(f"{prom} {value}")
     p = registry.last_progress
     if p:
         lines.append("# TYPE last_batch_id gauge")

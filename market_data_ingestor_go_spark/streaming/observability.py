@@ -52,12 +52,26 @@ def observe_ingest(decoded: DataFrame, validate) -> DataFrame:
 
 @dataclass
 class MetricsRegistry:
-    """In-memory metric state, the shape a /metrics endpoint exports."""
+    """In-memory metric state, the shape a /metrics endpoint exports.
+
+    ``gauge_sources`` are zero-arg callables returning {name: value}
+    read at RENDER time — live gauges (e.g. the serve publisher's
+    tick/connection counters) instead of startup-frozen snapshots."""
     counters: dict = field(default_factory=dict)
     last_progress: dict = field(default_factory=dict)
+    gauge_sources: list = field(default_factory=list)
 
     def bump(self, name: str, value: float) -> None:
         self.counters[name] = self.counters.get(name, 0) + value
+
+    def gauges(self) -> dict:
+        out = {}
+        for src in self.gauge_sources:
+            try:
+                out.update(src())
+            except Exception:  # a dead source must not kill /metrics
+                pass
+        return out
 
 
 class MetricsListener(StreamingQueryListener):

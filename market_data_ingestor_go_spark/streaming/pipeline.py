@@ -160,6 +160,7 @@ class IngestPipeline:
     # semantics: duplicates allowed in history, postgres.go:52-58).
     dedup_horizon: str | None = None
     queries: list = field(default_factory=list)
+    redis_failures: int = 0  # observability: dropped cache writes
 
     @property
     def history_path(self) -> str:
@@ -190,10 +191,17 @@ class IngestPipeline:
             # epoch rather than silently dropping old keys.
             new_latest = latest_per_key(batch, "name", "timestamp")
             if self.redis_latest is not None:
+                # best-effort like the reference's cache write (a
+                # processor.go retry exhausting is LOGGED AND DROPPED,
+                # at-most-once) — a down cache must not fail the epoch
+                # and take the exactly-once parquet sinks with it
                 from ..sources.connectors import redis_wire_latest_sink
-                redis_wire_latest_sink(
-                    new_latest, self.redis_latest[0], self.redis_latest[1],
-                    ttl_millis=self.ttl_millis)
+                try:
+                    redis_wire_latest_sink(
+                        new_latest, self.redis_latest[0],
+                        self.redis_latest[1], ttl_millis=self.ttl_millis)
+                except Exception:
+                    self.redis_failures += 1
             old = fs.read_with_backup(spark, self.latest_path)
             merged = new_latest if old is None else latest_per_key(
                 old.select(*new_latest.columns).unionByName(new_latest),

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from ..operators.cache import release_pinned
 from ..operators.enrich import _sha256_hex, audit_key_usage_inline
 from .serve import distinct_wire_views, resolve_connections
-from .ws_minimal import ConnectionClosed, WSServer
+from .ws_minimal import ConnectionClosed, FrameTooLarge, WSServer
 
 # Reference read-pump limits (server.go:161-165): 512 B client frames,
 # 60 s idle deadline, pong extends. Pings go out well inside the
@@ -112,6 +112,8 @@ class ServePublisher:
                             break
                         last_ping = now
                     continue
+        except FrameTooLarge:
+            self.evictions += 1  # read-limit drop counts as an eviction
         except ConnectionClosed:
             pass
         finally:
@@ -213,9 +215,11 @@ class ServePublisher:
                 "serve_connections": live}
 
     def export_metrics(self, registry) -> None:
-        """Snapshot the serve-side counters into a MetricsRegistry so
-        the /metrics endpoint exports them beside the ingest counters."""
-        registry.counters.update(self.metrics())
+        """Register the serve-side counters as a LIVE gauge source: the
+        /metrics endpoint re-reads them at every scrape (a one-time
+        counter snapshot would report startup zeros forever)."""
+        if self.metrics not in registry.gauge_sources:
+            registry.gauge_sources.append(self.metrics)
 
     # -- lifecycle -----------------------------------------------------
 

@@ -151,12 +151,18 @@ class WSConnection:
         return opcode, payload
 
     def recv(self, timeout: float | None = None) -> str:
-        """Next text message; raises TimeoutError when idle past
-        ``timeout`` (matching websockets.sync semantics — an idle
-        connection is NOT an error) and ConnectionClosed on close."""
+        """Next text message; raises TimeoutError when no COMPLETE
+        message arrives within ``timeout`` (matching websockets.sync
+        semantics — an idle connection is NOT an error) and
+        ConnectionClosed on close.
+
+        The timeout is a per-CALL deadline, not per socket read: a
+        peer trickling one partial-frame byte per read would otherwise
+        reset the clock forever and starve the caller's timeout branch
+        (where read pumps run their idle-eviction/ping logic)."""
         if self._closed:
             raise ConnectionClosed("already closed")
-        self.sock.settimeout(timeout)
+        deadline = None if timeout is None else time.monotonic() + timeout
         while True:
             try:
                 frame = self._parse_frame()
@@ -164,10 +170,17 @@ class WSConnection:
                 self.close()
                 raise
             if frame is None:
+                if deadline is not None:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        # partial bytes stay in _rbuf for the next call
+                        raise TimeoutError("recv timed out")
+                    self.sock.settimeout(remaining)
+                else:
+                    self.sock.settimeout(None)
                 try:
                     chunk = self.sock.recv(65536)
                 except (socket.timeout, TimeoutError):
-                    # partial bytes (if any) stay in _rbuf for next call
                     raise TimeoutError("recv timed out")
                 except OSError as exc:
                     raise ConnectionClosed(str(exc)) from exc
