@@ -870,3 +870,50 @@ def test_ws_parser_chunking_invariance():
         assert got == msgs
 
     prop()
+
+
+def test_ws_recv_deadline_survives_trickle():
+    """recv(timeout) is a per-call deadline: a peer trickling one byte
+    per read cannot keep the call alive past the timeout (the read
+    pump's eviction/ping logic lives in the TimeoutError branch)."""
+    import time
+    from market_data_ingestor_go_spark.streaming import ws_minimal as wm
+
+    frame = wm._encode_frame(b"x" * 200, wm.OP_TEXT, mask=False)
+
+    class _TrickleSock:
+        def __init__(self):
+            self.i = 0
+        def settimeout(self, t):
+            pass
+        def recv(self, n):
+            time.sleep(0.05)
+            self.i += 1
+            return frame[self.i - 1:self.i]  # one byte per read, forever
+        def sendall(self, b):
+            pass
+        def close(self):
+            pass
+
+    conn = wm.WSConnection(_TrickleSock(), mask_outgoing=False)
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        conn.recv(timeout=0.3)
+    assert time.monotonic() - t0 < 1.5  # deadline held, not per-read reset
+
+
+def test_redis_mirror_failure_is_best_effort(spark, symbols_dim, tmp_path):
+    """A dead cache must not fail the epoch: parquet sinks land, the
+    drop is counted (processor.go retry-exhausted drops are logged and
+    ignored too)."""
+    batch = spark.createDataFrame(
+        [Row(name="AAPL", timestamp=2000, exchange=None, data=None)],
+        schema="name string, timestamp long, exchange string, data string")
+    pipe = IngestPipeline(spark, str(tmp_path / "out"), symbols_dim,
+                          ttl_millis=1 << 60,
+                          redis_latest=("127.0.0.1", 1))  # nothing listens
+    from market_data_ingestor_go_spark.streaming.pipeline import (
+        build_ingest_stream)
+    pipe._write_batch(build_ingest_stream(batch, symbols_dim), 0)
+    assert pipe.redis_failures == 1
+    assert pipe.latest_snapshot().count() == 1  # parquet sink unaffected
