@@ -377,6 +377,175 @@ def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
     return _bucketed_topk(scored, k)
 
 
+def train_pq_codebooks(df: DataFrame, m: int = 8, k: int = 16,
+                       n_iters: int = 3, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization codebooks: an independent k-means per
+    subspace (the vector split into ``m`` contiguous subvectors).
+
+    One DataFrame pass trains ALL subspaces per iteration: rows explode
+    to (subspace, subvector), assignment is the same zero-shuffle
+    per-row argmin ``ivf_ann`` uses (codebooks broadcast as one
+    array-of-structs row), and means partial-aggregate on
+    (subspace, cell, dim) — shuffle is m·k·(d/m) rows per iteration,
+    never the corpus. Deterministic end to end (hash-sample init,
+    decimal-exact means, min-distance ties to the smaller cell id).
+
+    Returns (subspace, cell, cv ARRAY<DOUBLE>) — the model artifact
+    ``pq_ann`` consumes.
+    """
+    from pyspark.sql import Row
+
+    spark = df.sparkSession
+    v = as_double(vec_col)
+    dim = len(df.select(v.alias("v")).first()["v"])
+    sub = dim // m
+    subs = F.array(*[
+        F.struct(F.lit(s).alias("s"),
+                 F.slice(F.col("v"), s * sub + 1, sub).alias("sv"))
+        for s in range(m)])
+    rows = spread(df.select(F.col(id_col).alias("id"), v.alias("v"))) \
+        .select("id", F.explode(subs).alias("x")) \
+        .select("id", "x.s", "x.sv")
+
+    init = (df.select(F.col(id_col).alias("id"), v.alias("v"))
+            .orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(k)
+            .collect())
+    codebooks = {s: [list(r["v"])[s * sub:(s + 1) * sub] for r in init]
+                 for s in range(m)}
+
+    for _ in range(n_iters):
+        cb_row = F.broadcast(spark.createDataFrame(
+            [Row(s=s, cell=c, cv=codebooks[s][c])
+             for s in range(m) for c in range(k)],
+            "s INT, cell INT, cv ARRAY<DOUBLE>")
+            .groupBy("s")
+            .agg(F.collect_list(F.struct("cell", "cv")).alias("cb")))
+        assigned = (
+            rows.join(cb_row, "s")
+            .withColumn("cell", F.array_min(F.transform(
+                F.col("cb"),
+                lambda ct: F.struct(
+                    (dot(ct["cv"], ct["cv"])
+                     - F.lit(2.0) * dot(F.col("sv"), ct["cv"])).alias("d"),
+                    ct["cell"].alias("cell"))))["cell"])
+            .select("s", "cell", F.posexplode("sv").alias("dim", "x")))
+        means = (
+            assigned.groupBy("s", "cell", "dim")
+            .agg((F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+                  / F.count("*")).alias("mu"))
+            .groupBy("s", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("dm"))
+            .select("s", "cell", F.col("dm.mu").alias("cv"))
+            .collect())
+        new_books = {s: list(codebooks[s]) for s in range(m)}
+        for r in means:  # empty cells keep their previous centroid
+            new_books[r["s"]][r["cell"]] = list(r["cv"])
+        codebooks = new_books
+
+    return spark.createDataFrame(
+        [Row(subspace=s, cell=c, cv=codebooks[s][c])
+         for s in range(m) for c in range(k)],
+        "subspace INT, cell INT, cv ARRAY<DOUBLE>")
+
+
+def pq_ann(df: DataFrame, queries: DataFrame, codebooks: DataFrame,
+           k: int = 5, shortlist: int = 4, id_col: str = "vec_id",
+           vec_col: str = "embedding") -> DataFrame:
+    """PQ ANN: ADC-scored shortlist + exact cosine re-rank.
+
+    The corpus is ENCODED once — m small codes per vector (nearest-L2
+    centroid per subspace, the m·k-lookup compressed index real vector
+    systems scan). A query's approximate inner product against an
+    encoded vector decomposes exactly: q·x̂ = Σ_s q_s·c_{s,code_s}, so
+    scoring is m table lookups per pair instead of a d-dim dot — the
+    scan IS the point of PQ (pair enumeration is a deliberate
+    broadcast-nested-loop of tiny-broadcast queries × encoded corpus,
+    with O(m) work per pair). The top ``k·shortlist`` ADC candidates
+    per query are then re-ranked with EXACT cosine against the raw
+    vectors (the standard shortlist+rerank deployment), so returned
+    scores are true cosines and recall failures can only come from a
+    true neighbor missing the shortlist.
+    """
+    from pyspark.sql.window import Window
+
+    m = codebooks.select(F.max("subspace")).first()[0] + 1
+    sub_dim = len(codebooks.select("cv").first()["cv"])
+
+    # one broadcast row: cb[s] = array of (cell, cv, csd) per subspace
+    cb_row = F.broadcast(
+        codebooks
+        .withColumn("csd", dot(F.col("cv"), F.col("cv")))
+        .groupBy("subspace")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("cell", "cv", "csd"))).alias("cents"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(
+            F.struct("subspace", "cents"))).alias("cb")))
+
+    c = spread(df.select(F.col(id_col).alias("n_id"),
+                         as_double(vec_col).alias("nv")))
+    subs = F.array(*[F.slice(F.col("nv"), s * sub_dim + 1, sub_dim)
+                     for s in range(m)])
+    # encode: per subspace, argmin over |c|^2 - 2 x·c (ties → smaller
+    # cell via array_min struct ordering); keep the reconstructed
+    # self-dot Σ|c_code|² for the cosine denominator
+    enc = (
+        c.join(cb_row, F.lit(True))
+        .withColumn("sv", subs)
+        .withColumn("codes", F.transform(
+            F.col("cb"),
+            lambda b: F.array_min(F.transform(
+                b["cents"],
+                lambda ct: F.struct(
+                    (ct["csd"] - F.lit(2.0) * dot(
+                        F.element_at(F.col("sv"), b["subspace"] + 1),
+                        ct["cv"])).alias("d"),
+                    ct["cell"].alias("cell"))))["cell"]))
+        .withColumn("nsd_hat", F.aggregate(
+            F.zip_with(F.col("cb"), F.col("codes"),
+                       lambda b, code: b["cents"][code]["csd"]),
+            F.lit(0.0), lambda acc, x: acc + x))
+        .select("n_id", "nv", "codes", "nsd_hat"))
+    enc = pin(enc)
+
+    # query side: per-subspace IP tables q_s · c (array of k doubles)
+    q = _query_side(queries, id_col, vec_col)
+    qsubs = F.array(*[F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
+                      for s in range(m)])
+    qt = F.broadcast(
+        q.join(cb_row, F.lit(True))
+        .withColumn("qs", qsubs)
+        .withColumn("tables", F.transform(
+            F.col("cb"),
+            lambda b: F.transform(
+                b["cents"],
+                lambda ct: dot(F.element_at(F.col("qs"),
+                                            b["subspace"] + 1), ct["cv"]))))
+        .select("q_id", "qv", "qsd", "tables"))
+
+    adc = (
+        qt.join(enc, F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "qv", "qsd", "n_id", "nv",
+            (F.aggregate(
+                F.zip_with(F.col("tables"), F.col("codes"),
+                           lambda t, code: t[code]),
+                F.lit(0.0), lambda acc, x: acc + x)
+             / F.sqrt(F.col("qsd") * F.col("nsd_hat"))).alias("adc")))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id"))
+    short = (adc.withColumn("srn", F.row_number().over(w))
+             .filter(F.col("srn") <= F.lit(k * shortlist)))
+    # exact re-rank of the shortlist
+    cos = dot(F.col("qv"), F.col("nv")) / F.sqrt(
+        F.col("qsd") * dot(F.col("nv"), F.col("nv")))
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (short.select("q_id", "n_id", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= F.lit(k))
+            .select("q_id", "n_id", "cos", "rn"))
+
+
 def train_kmeans_codebook(df: DataFrame, k: int = 16, n_iters: int = 5,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:

@@ -1252,6 +1252,19 @@ def doc_top_terms(spark, sf_dir):
                     F.col("rn").cast("bigint").alias("rn")))
 
 
+def knn_ann_pq(spark, sf_dir):
+    """Product-quantization ANN: per-subspace k-means codebooks (16
+    subspaces × 16 centroids), ADC-scored shortlist (m table lookups
+    per pair instead of a 64-dim dot), exact cosine re-rank of the
+    shortlist. Rows-only (the index is engine-side); recall ≥0.8 vs
+    knn_bruteforce asserted in tests."""
+    from ..operators.cache import pin
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    books = pin(SIM.train_pq_codebooks(e, m=16, k=16, n_iters=3))
+    return SIM.pq_ann(e, q, books, k=5, shortlist=8)
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # queries() (CORRECTNESS_r01 stopped at exactly entry 50, leaving the
 # whole §2.11 extension surface unverified). QUERIES is therefore a
@@ -1363,6 +1376,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "rolling_fingerprint_neardup": rolling_fingerprint_neardup,
     "doc_top_terms": doc_top_terms,
+    "knn_ann_pq": knn_ann_pq,                        # rows-only (PQ index)
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

