@@ -377,6 +377,55 @@ def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
     return _bucketed_topk(scored, k)
 
 
+def build_hyperplane_index(df: DataFrame, table: str, dim: int = 64,
+                           n_planes: int = 6, n_buckets: int = 16,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> None:
+    """Materialize the hyperplane-LSH index as a BUCKETED table
+    clustered on the LSH bucket id — the 100 TB deployment shape
+    (SCALING.md: "the signatures become the materialized index
+    table"). The one-time write pays the shuffle; every later probe
+    join against the index is bucket-to-bucket with NO Exchange on the
+    corpus side (asserted in tests), so recurring query batches scan
+    only their probed buckets.
+    """
+    from ..sources.bucketing import write_bucketed
+
+    planes = _hyperplanes(dim, n_planes)
+    c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
+    c = c.withColumn("nsd", dot(F.col("nv"), F.col("nv")))
+    c = c.withColumn("bucket", hyperplane_signature(F.col("nv"), planes))
+    write_bucketed(c, table, "bucket", n_buckets)
+
+
+def hyperplane_ann_from_index(spark, table: str, queries: DataFrame,
+                              k: int = 5, dim: int = 64, n_planes: int = 6,
+                              multiprobe: int = 1, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k against a materialized ``build_hyperplane_index``
+    table: same semantics as ``random_hyperplane_ann`` (identical
+    planes, probes, ranking) but the corpus side reads pre-bucketed —
+    no signature recompute, no corpus shuffle."""
+    from itertools import combinations
+
+    planes = _hyperplanes(dim, n_planes)
+    c = spark.table(table)
+    q = _query_side(queries, id_col, vec_col)
+    q = q.withColumn("sig", hyperplane_signature(F.col("qv"), planes))
+    probe_cols = [F.col("sig")]
+    for m in range(1, min(multiprobe, n_planes) + 1):
+        probe_cols += [
+            F.col("sig").bitwiseXOR(F.lit(sum(1 << j for j in flips)))
+            for flips in combinations(range(n_planes), m)]
+    q = F.broadcast(
+        q.select("q_id", "qv", "qsd", F.explode(F.array(*probe_cols)).alias("bucket")))
+    scored = (
+        q.join(c, (F.col("q_id") != F.col("n_id")) & (q.bucket == c.bucket))
+        .select("q_id", c["bucket"].alias("probe"), "n_id",
+                _PAIR_COS().alias("cos")))
+    return _bucketed_topk(scored, k)
+
+
 def train_pq_codebooks(df: DataFrame, m: int = 8, k: int = 16,
                        n_iters: int = 3, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:

@@ -284,3 +284,30 @@ def test_ingest_pipeline_redis_mirror(spark, tmp_path):
         assert parquet_latest == cache == {"AAPL": 2000}
     finally:
         server.stop()
+
+
+def test_materialized_ann_index(spark):
+    """The LSH index as a bucketed table: identical results to the
+    on-the-fly ANN, and the probe join reads the corpus side with NO
+    Exchange (the index paid the shuffle once at build time)."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        build_hyperplane_index, hyperplane_ann_from_index,
+        random_hyperplane_ann)
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter("vec_id < 10")
+    build_hyperplane_index(emb, "ann_idx")
+    try:
+        live = {(r["q_id"], r["n_id"], r["rn"]) for r in
+                random_hyperplane_ann(emb, q, k=5).collect()}
+        from_idx_df = hyperplane_ann_from_index(spark, "ann_idx", q, k=5)
+        from_idx = {(r["q_id"], r["n_id"], r["rn"])
+                    for r in from_idx_df.collect()}
+        assert from_idx == live  # same planes/probes/ranking
+        plan = _plan(from_idx_df)
+        # the index scan feeds the probe join without re-shuffling:
+        # only the top-k windows may exchange, never the corpus scan
+        before_join = plan.split("BroadcastHashJoin")[-1]
+        assert "Exchange hashpartitioning(bucket" not in before_join, plan
+        assert "SelectedBucketsCount" in plan, plan  # bucket pruning active
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_idx")
