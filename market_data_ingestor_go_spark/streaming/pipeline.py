@@ -159,8 +159,17 @@ class IngestPipeline:
     # boundaries (see dedup_frames_within). None = off (reference
     # semantics: duplicates allowed in history, postgres.go:52-58).
     dedup_horizon: str | None = None
+    # Optional LIVE PostgreSQL history mirror (K1's actual target,
+    # postgres.go:103-136): (host, port[, user[, database]]) — each
+    # micro-batch also lands as a transactional batch INSERT over the
+    # v3 wire client. Best-effort like the reference's
+    # retry-then-drop (processor.go:99-101): a down database never
+    # fails the epoch; the parquet history stays the exactly-once
+    # record.
+    pg_history: tuple | None = None
     queries: list = field(default_factory=list)
     redis_failures: int = 0  # observability: dropped cache writes
+    pg_failures: int = 0     # observability: dropped PG batch inserts
 
     @property
     def history_path(self) -> str:
@@ -185,6 +194,12 @@ class IngestPipeline:
                  .write.mode("overwrite").partitionBy("ds").parquet(epoch_dir))
             else:
                 batch.write.mode("overwrite").parquet(epoch_dir)
+            if self.pg_history is not None:
+                from ..sources.connectors import pg_wire_append
+                try:
+                    pg_wire_append(batch, *self.pg_history)
+                except Exception:
+                    self.pg_failures += 1  # retry-exhausted → drop
             # K2/A1: merge latest-per-key into the state table. Only a
             # missing table (first epoch, or crash mid-swap → backup)
             # is tolerated; real IO errors propagate and fail the

@@ -86,6 +86,9 @@ def test_run_app_end_to_end(spark, tmp_path):
     try:
         cfg = load_config(env={
             **REQUIRED, "WS_URL": feed.url,
+            # port 1 refuses instantly: exercises the PG probe's
+            # negative path without DNS stalls
+            "DATABASE_URL": "postgres://app@127.0.0.1:1/postgres",
             "REDIS_ADDR": f"{cache.host}:{cache.port}",
             "FLUSH_INTERVAL": "1s",
         }, dotenv_path=str(tmp_path / "no"))
@@ -108,9 +111,15 @@ def test_run_app_end_to_end(spark, tmp_path):
             health = urllib.request.urlopen(
                 handle.metrics_server.url + "/health", timeout=5).read()
             assert json.loads(health) == {"status": "ok"}
-            metrics = urllib.request.urlopen(
-                handle.metrics_server.url + "/metrics", timeout=5).read()
-            assert b"messages_total" in metrics
+            # the listener bus dispatches progress events async — poll
+            metrics = b""
+            while time.time() < deadline:
+                metrics = urllib.request.urlopen(
+                    handle.metrics_server.url + "/metrics", timeout=5).read()
+                if b"messages_total" in metrics:
+                    break
+                time.sleep(0.5)
+            assert b"messages_total" in metrics, metrics
         finally:
             stop_feed.set()
             handle.stop()

@@ -311,3 +311,56 @@ def test_materialized_ann_index(spark):
         assert "SelectedBucketsCount" in plan, plan  # bucket pruning active
     finally:
         spark.sql("DROP TABLE IF EXISTS ann_idx")
+
+
+def test_ingest_pipeline_pg_mirror(spark, tmp_path):
+    """E1 with the live PG history mirror: the same micro-batch lands
+    in parquet history AND the market_data table over the wire client;
+    a dead database is counted, not fatal (processor.go:99-101 drop)."""
+    import json
+    import time
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from market_data_ingestor_go_spark.sources.connectors import (
+        pg_bootstrap, pg_wire_available)
+    from market_data_ingestor_go_spark.sources.pg_minimal import PGConnection
+    from market_data_ingestor_go_spark.streaming.pipeline import (
+        IngestPipeline, build_ingest_stream)
+
+    booted = _boot_postgres(tmp_path)
+    if booted is None:  # pragma: no cover
+        _pytest.skip("PostgreSQL server binaries not available")
+    port, stop = booted
+    try:
+        deadline = time.time() + 15
+        while not pg_wire_available(port=port) and time.time() < deadline:
+            time.sleep(0.5)
+        pg_bootstrap("127.0.0.1", port)
+        symbols_dim = spark.createDataFrame(
+            [Row(name="AAPL", exchange="usstock")])
+        batch = spark.createDataFrame(
+            [Row(name="AAPL", timestamp=2000, exchange=None,
+                 data=json.dumps({"data": {"bid": 1.0}}))],
+            schema="name string, timestamp long, exchange string, data string")
+        pipe = IngestPipeline(spark, str(tmp_path / "out"), symbols_dim,
+                              ttl_millis=1 << 60,
+                              pg_history=("127.0.0.1", port))
+        pipe._write_batch(build_ingest_stream(batch, symbols_dim), 0)
+        conn = PGConnection("127.0.0.1", port)
+        try:
+            _, rows = conn.query(
+                "SELECT name, timestamp FROM market_data")
+        finally:
+            conn.close()
+        assert rows == [("AAPL", "2000")]
+        assert pipe.history().count() == 1 and pipe.pg_failures == 0
+
+        # dead database → counted drop, epoch still succeeds
+        pipe2 = IngestPipeline(spark, str(tmp_path / "out2"), symbols_dim,
+                               ttl_millis=1 << 60,
+                               pg_history=("127.0.0.1", 1))
+        pipe2._write_batch(build_ingest_stream(batch, symbols_dim), 0)
+        assert pipe2.pg_failures == 1
+        assert pipe2.history().count() == 1
+    finally:
+        stop()
