@@ -92,9 +92,17 @@ def test_run_app_end_to_end(spark, tmp_path):
             "REDIS_ADDR": f"{cache.host}:{cache.port}",
             "FLUSH_INTERVAL": "1s",
         }, dotenv_path=str(tmp_path / "no"))
+        import hashlib
         symbols_dim = spark.createDataFrame(
             [Row(name="USDSGD", exchange="forex")])
-        handle = run_app(spark, cfg, str(tmp_path / "app"), symbols_dim)
+        api_keys = spark.createDataFrame(
+            [Row(client_id="c1",
+                 key_hash=hashlib.sha256(b"k1").hexdigest(),
+                 is_active=True, last_used_at=None)],
+            schema="client_id string, key_hash string, is_active boolean,"
+                   " last_used_at timestamp")
+        handle = run_app(spark, cfg, str(tmp_path / "app"), symbols_dim,
+                         api_keys=api_keys)
         try:
             deadline = time.time() + 30
             import os
@@ -120,6 +128,19 @@ def test_run_app_end_to_end(spark, tmp_path):
                     break
                 time.sleep(0.5)
             assert b"messages_total" in metrics, metrics
+            # the broadcast server is live: an authed client receives a
+            # transformed tick, and the serve gauges are re-read at
+            # scrape time (not startup-frozen zeros)
+            from market_data_ingestor_go_spark.streaming.ws_minimal import (
+                connect)
+            c1 = connect(handle.publisher.url, headers={"x-api-key": "k1"})
+            msg = json.loads(c1.recv(timeout=15.0))
+            assert msg["symbol"] == "USDSGD"
+            c1.close()
+            metrics = urllib.request.urlopen(
+                handle.metrics_server.url + "/metrics", timeout=5).read()
+            assert b"serve_ticks" in metrics
+            assert b"serve_ticks 0\n" not in metrics  # live, not frozen
         finally:
             stop_feed.set()
             handle.stop()
