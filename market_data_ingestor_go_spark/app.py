@@ -219,6 +219,7 @@ def run_app(spark: SparkSession, cfg: EngineConfig, base_dir: str,
         ttl_millis=cfg.redis_ttl_millis,
         trigger_seconds=max(1, cfg.flush_interval_millis // 1000),
         redis_latest=redis_latest, pg_history=pg_history)
+    registry.gauge_sources.append(pipe.metrics)  # dropped-write gauges
 
     ws_sources.register(spark)
     raw = (spark.readStream.format("ws_market_data")

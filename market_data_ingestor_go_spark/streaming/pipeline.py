@@ -250,6 +250,12 @@ class IngestPipeline:
         self.queries.append(q)
         return q
 
+    def metrics(self) -> dict:
+        """Ingest-side gauges for the /metrics endpoint (register via
+        ``registry.gauge_sources.append(pipe.metrics)``)."""
+        return {"ingest_redis_dropped_writes": self.redis_failures,
+                "ingest_pg_dropped_batches": self.pg_failures}
+
     def latest_snapshot(self) -> DataFrame:
         """S5: the cache full-scan read (cache_service.go:67-93).
         Falls back to the ``.old`` backup if a crash mid-swap left the

@@ -364,3 +364,112 @@ def test_ingest_pipeline_pg_mirror(spark, tmp_path):
         assert pipe2.history().count() == 1
     finally:
         stop()
+
+
+def test_run_app_full_reference_stack_live(spark, tmp_path):
+    """The COMPLETE reference deployment in one run_app call, every
+    external live: WS feed, PostgreSQL 15 (v3 wire), RESP cache, WS
+    broadcast, /metrics. One config dict — the switch-over story."""
+    import hashlib
+    import json
+    import threading
+    import time
+    import urllib.request
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from market_data_ingestor_go_spark.app import load_config, run_app
+    from market_data_ingestor_go_spark.sources.pg_minimal import PGConnection
+    from market_data_ingestor_go_spark.sources.redis_minimal import (
+        MiniRedisServer)
+    from market_data_ingestor_go_spark.streaming.ws_minimal import (
+        WSServer, connect)
+
+    booted = _boot_postgres(tmp_path)
+    if booted is None:  # pragma: no cover
+        _pytest.skip("PostgreSQL server binaries not available")
+    pg_port, stop_pg = booted
+
+    stop_feed = threading.Event()
+
+    def on_connect(conn):
+        conn.recv(timeout=5.0)
+        i = 0
+        try:
+            while not stop_feed.is_set() and i < 200:
+                conn.send(json.dumps({
+                    "name": "USDSGD", "timestamp": int(time.time() * 1000),
+                    "exchange": None, "data": {"data": {"bid": 1.3 + i * 1e-4}}}))
+                i += 1
+                time.sleep(0.05)
+        except Exception:
+            pass
+
+    feed = WSServer(on_connect=on_connect).start()
+    cache = MiniRedisServer().start()
+    handle = None
+    try:
+        from market_data_ingestor_go_spark.sources.connectors import (
+            pg_wire_available)
+        deadline = time.time() + 15
+        while not pg_wire_available(port=pg_port) and time.time() < deadline:
+            time.sleep(0.5)
+        cfg = load_config(env={
+            "WS_URL": feed.url, "WS_API_KEY": "feed-key",
+            "DATABASE_URL": f"postgres://app@127.0.0.1:{pg_port}/postgres",
+            "REDIS_ADDR": f"{cache.host}:{cache.port}",
+            "FLUSH_INTERVAL": "1s", "SUBSCRIPTION_SYMBOLS": "USDSGD",
+        }, dotenv_path=str(tmp_path / "no"))
+        symbols_dim = spark.createDataFrame(
+            [Row(name="USDSGD", exchange="forex")])
+        api_keys = spark.createDataFrame(
+            [Row(client_id="c1", key_hash=hashlib.sha256(b"k1").hexdigest(),
+                 is_active=True, last_used_at=None)],
+            schema="client_id string, key_hash string, is_active boolean,"
+                   " last_used_at timestamp")
+        handle = run_app(spark, cfg, str(tmp_path / "app"), symbols_dim,
+                         api_keys=api_keys)
+
+        # wait for the first latest snapshot, then subscribe
+        import os
+        deadline = time.time() + 30
+        while (not os.path.exists(
+                str(tmp_path / "app" / "latest" / "_SUCCESS"))
+                and time.time() < deadline):
+            time.sleep(0.5)
+        c1 = connect(handle.publisher.url, headers={"x-api-key": "k1"})
+        msg = json.loads(c1.recv(timeout=20.0))
+        assert msg["symbol"] == "USDSGD" and msg["exchange"] == "forex"
+        c1.close()
+
+        # PG history mirror has rows (live transactional INSERTs)
+        deadline = time.time() + 20
+        n_pg = 0
+        while n_pg == 0 and time.time() < deadline:
+            conn = PGConnection("127.0.0.1", pg_port)
+            try:
+                _, rows = conn.query("SELECT COUNT(*) FROM market_data")
+                n_pg = int(rows[0][0])
+            finally:
+                conn.close()
+            time.sleep(0.5)
+        assert n_pg > 0
+
+        # RESP cache mirror holds the latest value
+        from market_data_ingestor_go_spark.sources.redis_minimal import (
+            RESPClient)
+        rc = RESPClient(cache.host, cache.port)
+        assert rc.scan_all() == ["USDSGD"]
+        rc.close()
+
+        # /metrics exports ingest counters + dropped-write gauges
+        metrics = urllib.request.urlopen(
+            handle.metrics_server.url + "/metrics", timeout=5).read()
+        assert b"ingest_pg_dropped_batches 0" in metrics
+        assert b"ingest_redis_dropped_writes 0" in metrics
+    finally:
+        stop_feed.set()
+        feed.stop()
+        if handle is not None:
+            handle.stop()
+        cache.stop()
+        stop_pg()
