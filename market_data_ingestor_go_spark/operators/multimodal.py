@@ -102,6 +102,47 @@ def extract_image_features(df: DataFrame, binary_col: str = "content") -> DataFr
     return df.select(binary_col).mapInPandas(kernel, IMAGE_FEATURE_SCHEMA)
 
 
+def resize_images(df: DataFrame, binary_col: str = "content",
+                  target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Image resize to model-input dimensions — STUB kernel, real
+    plumbing (the training-pipeline step that normalizes every image
+    to the vision encoder's input size).
+
+    Output contract: (content_sha256, width, height, resized BINARY) —
+    the resized blob REPLACES the original (this is a map, not a
+    fan-out, but it stays ``mapInPandas`` because the output blob's
+    size differs from the input's and Arrow batches the binary column
+    efficiently either way). The STUB emits a deterministic
+    ``target_w·target_h·3``-byte buffer derived from the input digest
+    so tests can assert exact output sizes and stability; a real
+    kernel swaps in PIL's ``Image.resize``.
+    """
+    out_schema = T.StructType([
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ])
+    n_bytes = target_w * target_h * 3
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            rows = []
+            for blob in pdf[binary_col]:
+                blob = bytes(blob) if blob is not None else b""
+                digest = hashlib.sha256(blob).hexdigest()
+                # STUB resample: tile the digest bytes to the target
+                # buffer size (deterministic; real kernel: PIL resize)
+                seed = bytes.fromhex(digest)
+                resized = (seed * (n_bytes // len(seed) + 1))[:n_bytes]
+                rows.append((digest, target_w, target_h, resized))
+            yield pd.DataFrame(rows, columns=[
+                "content_sha256", "width", "height", "resized"])
+
+    return df.select(binary_col).mapInPandas(kernel, out_schema)
+
+
 def sample_frames(df: DataFrame, binary_col: str = "content",
                   every_nth: int = 30) -> DataFrame:
     """Video frame sampling — STUB kernel, real plumbing.

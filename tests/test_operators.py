@@ -526,3 +526,20 @@ def test_pq_ann_recall_and_rerank(spark):
         key = (r["q_id"], r["n_id"])
         if key in true_cos:
             assert abs(r["cos"] - true_cos[key]) < 1e-12
+
+
+def test_multimodal_resize_plumbing(spark):
+    """Resize kernel: real Arrow plumbing, stubbed resample — output
+    blobs are exactly target_w*target_h*3 bytes and deterministic."""
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        resize_images)
+    df = spark.createDataFrame(
+        [Row(content=bytes([i]) * (100 + i)) for i in range(5)])
+    out = resize_images(df, target_w=8, target_h=8).collect()
+    assert len(out) == 5
+    for r in out:
+        assert len(r["resized"]) == 8 * 8 * 3
+        assert r["width"] == 8 and r["height"] == 8
+    again = {r["content_sha256"]: r["resized"]
+             for r in resize_images(df, target_w=8, target_h=8).collect()}
+    assert all(again[r["content_sha256"]] == r["resized"] for r in out)
