@@ -251,6 +251,56 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def cross_corpus_near_dup(df_a: DataFrame, df_b: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n: int = 3, threshold: float = 0.6,
+                          num_perms: int = 128,
+                          num_bands: int = 32) -> DataFrame:
+    """Near-dup pairs ACROSS two corpora — the train/test CONTAMINATION
+    check: a held-out document whose near-duplicate leaked into the
+    training corpus invalidates the eval. Same MinHash+banding+verify
+    machinery as ``minhash_near_dup_pairs``, but the banded equi-join
+    runs between the two corpora (every A-side doc against B-side
+    bucket mates; no a<b filter — the id spaces are independent).
+
+    Output: (a_id, b_id, jacc) with exact-Jaccard-verified precision.
+    Scale posture identical to the self-join path: signatures
+    partial-aggregate per corpus, candidates come from the (band,
+    hash) equi-join, verification touches candidates only.
+    """
+    rows_per_band = num_perms // num_bands
+    sa = pin(shingle_df(df_a, text_col, id_col, n))
+    sb = pin(shingle_df(df_b, text_col, id_col, n))
+    sig_a = minhash_signatures(sa, num_perms)
+    sig_b = minhash_signatures(sb, num_perms)
+
+    def banded(sig):
+        bands = F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col("mh")[b * rows_per_band + r]
+                                  for r in range(rows_per_band)]).alias("bh"))
+            for b in range(num_bands)])
+        return (sig.select("id", F.explode(bands).alias("bb"))
+                .select("id", "bb.band", "bb.bh"))
+
+    cand = (
+        banded(sig_a).alias("a")
+        .join(banded(sig_b).alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bh") == F.col("b.bh")))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct())
+    va = sa.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
+    vb = sb.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(va, "a_id").join(vb, "b_id")
+        .select("a_id", "b_id",
+                (inter.cast("double") / union.cast("double")).alias("jacc"))
+        .filter(F.col("jacc") >= F.lit(threshold)))
+
+
 def neardup_clusters(pairs: DataFrame, id_a: str = "doc_a",
                      id_b: str = "doc_b", max_iters: int = 25) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id).

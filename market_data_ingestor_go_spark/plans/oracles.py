@@ -1029,3 +1029,20 @@ SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rn FROM (
                                ORDER BY score DESC, term) AS rn
   FROM scored) WHERE rn <= 3
 """
+
+# Exact cross-corpus Jaccard between the held-out split and the
+# training remainder — the ground truth for the MinHash contamination
+# path (banding recall is 1.0 at this threshold on this corpus, same
+# argument as ORACLES["minhash_neardup"]).
+EXTRA_ORACLES["contamination_check"] = f"""
+WITH s AS ({_SHINGLES})
+SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+              AS DOUBLE) AS jacc
+FROM s a JOIN s b
+  ON a.doc_id % 20 != 0 AND b.doc_id % 20 = 0
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+             AS DOUBLE) >= 0.6
+"""

@@ -1265,6 +1265,21 @@ def knn_ann_pq(spark, sf_dir):
     return SIM.pq_ann(e, q, books, k=5, shortlist=8)
 
 
+def contamination_check(spark, sf_dir):
+    """Train/test CONTAMINATION: near-dup pairs across a disjoint
+    held-out split (doc_id % 20 == 0) and the training remainder —
+    the eval-integrity check every LLM pipeline runs before training.
+    MinHash+banding across the two corpora, exact-Jaccard verified
+    (operators/dedup.py::cross_corpus_near_dup); the oracle computes
+    the exact cross-corpus Jaccard join."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    test = d.filter(F.col("doc_id") % 20 == 0)
+    return DD.cross_corpus_near_dup(train, test, threshold=0.6) \
+        .select(F.col("a_id").alias("train_id"),
+                F.col("b_id").alias("test_id"), "jacc")
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # queries() (CORRECTNESS_r01 stopped at exactly entry 50, leaving the
 # whole §2.11 extension surface unverified). QUERIES is therefore a
@@ -1377,6 +1392,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_fingerprint_neardup": rolling_fingerprint_neardup,
     "doc_top_terms": doc_top_terms,
     "knn_ann_pq": knn_ann_pq,                        # rows-only (PQ index)
+    "contamination_check": contamination_check,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
