@@ -595,6 +595,119 @@ def pq_ann(df: DataFrame, queries: DataFrame, codebooks: DataFrame,
             .select("q_id", "n_id", "cos", "rn"))
 
 
+def ivf_pq_ann(df: DataFrame, queries: DataFrame, codebooks: DataFrame,
+               k: int = 5, n_cells: int = 16, n_probe_cells: int = 4,
+               shortlist: int = 8, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               centroids: DataFrame | None = None) -> DataFrame:
+    """Composed IVF + PQ — the production vector-index shape: the
+    coarse quantizer restricts candidates to the query's probed cells
+    (an equi-join on cell id, so the scan is |probed cells| not the
+    corpus), PQ codes score those candidates with ADC (m lookups per
+    pair), and the top ``k·shortlist`` are re-ranked with exact cosine.
+    Flat ``pq_ann`` scans every code; this bounds the scan AND keeps
+    the per-pair cost — compression × pruning, the FAISS IVFPQ layout
+    re-expressed as two broadcast joins and one equi-join.
+    """
+    from pyspark.sql.window import Window
+
+    m = codebooks.select(F.max("subspace")).first()[0] + 1
+    sub_dim = len(codebooks.select("cv").first()["cv"])
+
+    # coarse quantizer (same shape as ivf_ann): per-row argmax over a
+    # broadcast centroid row
+    c = spread(df.select(F.col(id_col).alias("n_id"),
+                         as_double(vec_col).alias("nv")))
+    if centroids is None:
+        cent_src = (
+            c.orderBy(F.xxhash64(F.col("n_id")), F.col("n_id"))
+            .limit(n_cells)
+            .select(F.col("n_id").alias("cent_id"), F.col("nv").alias("cv")))
+    else:
+        cent_src = centroids.select(
+            F.col(id_col).alias("cent_id"), as_double(vec_col).alias("cv"))
+    cent_row = F.broadcast(F.broadcast(cent_src).agg(
+        F.collect_list(F.struct("cent_id", "cv")).alias("coarse")))
+
+    def scored_cells(vec):
+        return F.transform(
+            F.col("coarse"),
+            lambda ct: F.struct(cosine(vec, ct["cv"]).alias("ccos"),
+                                ct["cent_id"].alias("cent_id")))
+
+    # PQ codebooks broadcast row (identical layout to pq_ann)
+    cb_row = F.broadcast(
+        codebooks
+        .withColumn("csd", dot(F.col("cv"), F.col("cv")))
+        .groupBy("subspace")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("cell", "cv", "csd"))).alias("cents"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(
+            F.struct("subspace", "cents"))).alias("cb")))
+
+    subs = F.array(*[F.slice(F.col("nv"), s * sub_dim + 1, sub_dim)
+                     for s in range(m)])
+    enc = (
+        c.join(cent_row, F.lit(True)).join(cb_row, F.lit(True))
+        .withColumn("cell", F.array_max(scored_cells(F.col("nv")))["cent_id"])
+        .withColumn("sv", subs)
+        .withColumn("codes", F.transform(
+            F.col("cb"),
+            lambda b: F.array_min(F.transform(
+                b["cents"],
+                lambda ct: F.struct(
+                    (ct["csd"] - F.lit(2.0) * dot(
+                        F.element_at(F.col("sv"), b["subspace"] + 1),
+                        ct["cv"])).alias("d"),
+                    ct["cell"].alias("cell"))))["cell"]))
+        .withColumn("nsd_hat", F.aggregate(
+            F.zip_with(F.col("cb"), F.col("codes"),
+                       lambda b, code: b["cents"][code]["csd"]),
+            F.lit(0.0), lambda acc, x: acc + x))
+        .select("n_id", "nv", "cell", "codes", "nsd_hat"))
+    enc = pin(enc)
+
+    # query: probe best cells + build ADC tables
+    q = _query_side(queries, id_col, vec_col)
+    qsubs = F.array(*[F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
+                      for s in range(m)])
+    qt = F.broadcast(
+        q.join(cent_row, F.lit(True)).join(cb_row, F.lit(True))
+        .withColumn("best", F.slice(F.reverse(F.array_sort(
+            scored_cells(F.col("qv")))), 1, n_probe_cells))
+        .withColumn("qs", qsubs)
+        .withColumn("tables", F.transform(
+            F.col("cb"),
+            lambda b: F.transform(
+                b["cents"],
+                lambda ct: dot(F.element_at(F.col("qs"),
+                                            b["subspace"] + 1), ct["cv"]))))
+        .select("q_id", "qv", "qsd", "tables",
+                F.explode(F.col("best")["cent_id"]).alias("cell")))
+
+    adc = (
+        qt.join(enc, (F.col("q_id") != F.col("n_id"))
+                & (qt.cell == enc.cell))            # cell equi-join
+        .select(
+            "q_id", "qv", "qsd", "n_id", "nv",
+            (F.aggregate(
+                F.zip_with(F.col("tables"), F.col("codes"),
+                           lambda t, code: t[code]),
+                F.lit(0.0), lambda acc, x: acc + x)
+             / F.sqrt(F.col("qsd") * F.col("nsd_hat"))).alias("adc")))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id"))
+    short = (adc.withColumn("srn", F.row_number().over(w))
+             .filter(F.col("srn") <= F.lit(k * shortlist)))
+    cos = dot(F.col("qv"), F.col("nv")) / F.sqrt(
+        F.col("qsd") * dot(F.col("nv"), F.col("nv")))
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (short.select("q_id", "n_id", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= F.lit(k))
+            .select("q_id", "n_id", "cos", "rn"))
+
+
 def train_kmeans_codebook(df: DataFrame, k: int = 16, n_iters: int = 5,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:

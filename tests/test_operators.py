@@ -543,3 +543,25 @@ def test_multimodal_resize_plumbing(spark):
     again = {r["content_sha256"]: r["resized"]
              for r in resize_images(df, target_w=8, target_h=8).collect()}
     assert all(again[r["content_sha256"]] == r["resized"] for r in out)
+
+
+def test_ivf_pq_composed_recall(spark):
+    """Composed IVF+PQ (the FAISS-IVFPQ layout): trained coarse
+    quantizer (3/4 cells probed) bounds candidates via a cell
+    equi-join, PQ codes ADC-score them, exact re-rank on the
+    shortlist. Deterministic recall 0.88 on the fixture — floor 0.8."""
+    from market_data_ingestor_go_spark.operators.cache import release_pinned
+    from market_data_ingestor_go_spark.operators.similarity import (
+        ivf_pq_ann, train_kmeans_codebook, train_pq_codebooks)
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["q_id"], r["n_id"]) for r in knn_bruteforce(emb, q, k=5).collect()}
+    books = train_pq_codebooks(emb, m=16, k=16, n_iters=3)
+    books.persist(); books.count()
+    coarse = train_kmeans_codebook(emb, k=4, n_iters=4)
+    got = {(r["q_id"], r["n_id"]) for r in
+           ivf_pq_ann(emb, q, books, k=5, n_cells=4, n_probe_cells=3,
+                      shortlist=8, centroids=coarse).collect()}
+    release_pinned(); books.unpersist()
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall too low: {recall}"
