@@ -473,3 +473,51 @@ def test_run_app_full_reference_stack_live(spark, tmp_path):
             handle.stop()
         cache.stop()
         stop_pg()
+
+
+def test_resp_parser_chunking_invariance():
+    """Property: RESP replies parse identically under any slicing of
+    the byte stream into recv() chunks (mirrors the WS parser fuzz)."""
+    from hypothesis import given, settings, strategies as st
+    from market_data_ingestor_go_spark.sources.redis_minimal import (
+        MiniRedisServer, _RESPStream)
+
+    class _FakeSock:
+        def __init__(self, chunks):
+            self._chunks = list(chunks)
+        def recv(self, n):
+            if not self._chunks:
+                raise AssertionError("parser over-read")
+            return self._chunks.pop(0)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        values=st.lists(st.one_of(
+            st.none(),
+            st.integers(min_value=-2**40, max_value=2**40),
+            st.text(max_size=60),
+            st.lists(st.text(max_size=10), max_size=4)),
+            min_size=1, max_size=5),
+        seed=st.randoms(use_true_random=False),
+    )
+    def prop(values, seed):
+        def enc(v):
+            if v is None:
+                return b"$-1\r\n"
+            if isinstance(v, int):
+                return b":%d\r\n" % v
+            if isinstance(v, str):
+                d = v.encode()
+                return b"$%d\r\n%s\r\n" % (len(d), d)
+            return b"*%d\r\n" % len(v) + b"".join(enc(x) for x in v)
+        stream_bytes = b"".join(enc(v) for v in values)
+        chunks, i = [], 0
+        while i < len(stream_bytes):
+            step = seed.randint(1, 5)
+            chunks.append(stream_bytes[i:i + step])
+            i += step
+        stream = _RESPStream(_FakeSock(chunks))
+        got = [stream.read_reply() for _ in values]
+        assert got == values
+
+    prop()
