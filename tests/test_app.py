@@ -147,3 +147,62 @@ def test_run_app_end_to_end(spark, tmp_path):
     finally:
         feed.stop()
         cache.stop()
+
+
+def test_module_entry_point(spark, tmp_path):
+    """python -m market_data_ingestor_go_spark (non-blocking form):
+    env-only bootstrap with parquet-pointed dims, full handle back."""
+    import json as _json
+    import os
+    import threading
+    import time
+    from market_data_ingestor_go_spark.__main__ import main
+    from market_data_ingestor_go_spark.streaming.ws_minimal import WSServer
+
+    stop_feed = threading.Event()
+
+    def on_connect(conn):
+        conn.recv(timeout=5.0)
+        try:
+            for i in range(50):
+                if stop_feed.is_set():
+                    break
+                conn.send(_json.dumps({
+                    "name": "USDSGD", "timestamp": int(time.time() * 1000),
+                    "exchange": None, "data": {"data": {"bid": 1.3}}}))
+                time.sleep(0.05)
+        except Exception:
+            pass
+
+    feed = WSServer(on_connect=on_connect).start()
+    spark.createDataFrame([Row(name="USDSGD", exchange="forex")]) \
+        .write.parquet(str(tmp_path / "symbols"))
+    env = {
+        "WS_URL": feed.url, "WS_API_KEY": "k",
+        "DATABASE_URL": "postgres://app@127.0.0.1:1/postgres",
+        "SYMBOLS_DIM_PATH": str(tmp_path / "symbols"),
+        "ENGINE_BASE_DIR": str(tmp_path / "state"),
+        "METRICS_PORT": "0", "FLUSH_INTERVAL": "1s",
+    }
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    handle = None
+    try:
+        handle = main(block=False)
+        assert handle.publisher is None  # no API_KEYS_PATH → ingest only
+        deadline = time.time() + 30
+        while (not os.path.exists(
+                str(tmp_path / "state" / "latest" / "_SUCCESS"))
+                and time.time() < deadline):
+            time.sleep(0.5)
+        assert handle.pipeline.latest_snapshot().count() == 1
+    finally:
+        stop_feed.set()
+        feed.stop()
+        if handle is not None:
+            handle.stop()
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
