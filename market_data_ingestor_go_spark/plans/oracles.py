@@ -7,10 +7,13 @@ value-hash. See queries.py module doc for the cross-engine determinism
 rules (decimal-cast sums, epoch-millis timestamps, unique tiebreaks).
 
 Queries intentionally absent (rows-only driver check):
-- simhash_neardup, knn_ann_hyperplane : depend on Spark's xxhash64 /
-  engine-side LSH bucketing — not SQL-expressible.
-- approx_distinct_sketch              : HLL estimates are
+- simhash_neardup, embedding_lsh_neardup, knn_ann_hyperplane,
+  knn_ann_ivf, knn_ann_pq : depend on Spark's xxhash64 / engine-side
+  LSH bucketing / trained codebooks — not SQL-expressible.
+- approx_distinct_sketch (EXTRA)      : HLL estimates are
   engine-specific by construction.
+- pack_greedy_packing (EXTRA)         : greedy applyInPandas packer,
+  property-tested instead.
 """
 
 DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
@@ -141,8 +144,15 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 ORACLES["j2_anti_join_unmatched"] = """
-SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WITH probes AS (
+  SELECT c_custkey, c_name FROM customer
+  UNION ALL
+  SELECT CAST(c_custkey + 1000000 AS BIGINT) AS c_custkey,
+         concat('ghost:', c_name) AS c_name
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT c_custkey, c_name FROM probes p
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = p.c_custkey)
 """
 
 ORACLES["a1_latest_per_key"] = """
@@ -885,6 +895,9 @@ FROM documents
 
 # (tests/test_parity.py runs ORACLES ∪ EXTRA_ORACLES). oracle_sql()
 # exposes only ORACLES, matching the declared queries() window.
+# Round-5 rotation: train/test split, PII scrub, repetition, quantize,
+# funnel, cohort stayed in ORACLES (promoted to the window); the 12
+# oracle-backed shapes demoted from the window moved here.
 EXTRA_ORACLES: dict[str, str] = {
     k: ORACLES.pop(k) for k in [
         "q7_nation_volume",
@@ -903,27 +916,34 @@ EXTRA_ORACLES: dict[str, str] = {
         "agg_cube_year_status",
         "order_limit_topk",
         "window_rank_stats",
-        "train_test_split_hash",
         "corpus_mix",
-        "pii_scrub_stats",
         "q4_order_priority",
         "q10_returned_items",
         "q13_customer_distribution",
         "q17_small_qty_revenue",
-        "text_repetition",
         "events_moving_stats",
-        "embedding_quantize_stats",
-        "events_funnel_conversion",
-        "orders_cohort_matrix",
+        # demoted round 5 (each keeps an in-window plan-shape twin)
+        "p11_wire_json",
+        "q2_min_cost_supplier",
+        "q3_top_revenue_orders",
+        "q6_revenue_delta",
+        "q8_nation_market_share",
+        "q18_large_orders",
+        "q21_sole_late_supplier",
+        "agg_rollup",
+        "distinct_count_exact",
+        "pivot_event_matrix",
+        "a1_latest_with_ttl",
+        "events_tumbling_window",
     ]
 }
 
-# -- round-3 EXTRA additions ------------------------------------------
+# -- round-3 additions (promoted to the declared window in round 5) ------------------------------------------
 
 # Connected components over the exact-Jaccard pair graph as a
 # recursive-CTE reachability fixpoint: every node's label is the min id
 # it can reach, identical to the engine's min-label propagation.
-EXTRA_ORACLES["dedup_cluster_keepers"] = f"""
+ORACLES["dedup_cluster_keepers"] = f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) WHERE jacc >= 0.6
 ), edges AS (
@@ -945,7 +965,7 @@ FROM comp GROUP BY 1
 _BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 _BPE_ISH_SQL = _BPE_ISH.replace("'", "''")  # SQL-literal apostrophe
 
-EXTRA_ORACLES["text_bpe_token_estimate"] = f"""
+ORACLES["text_bpe_token_estimate"] = f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{_BPE_ISH_SQL}')) AS BIGINT) AS n_bpe,
        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws,
@@ -962,7 +982,7 @@ _ROLL_POWERS = [pow(257, 8 - 1 - k, _ROLL_P) for k in range(8)]
 _ROLL_TERMS = " + ".join(
     f"(hs[i + {k}] * {_ROLL_POWERS[k]}) % {_ROLL_P}" for k in range(8))
 
-EXTRA_ORACLES["doc_rolling_fingerprint"] = f"""
+ORACLES["doc_rolling_fingerprint"] = f"""
 WITH h AS (
   SELECT doc_id,
          list_transform(regexp_split_to_array(trim(text), '\\s+'),
@@ -982,7 +1002,7 @@ SELECT doc_id,
 FROM w
 """
 
-EXTRA_ORACLES["rolling_fingerprint_neardup"] = f"""
+ORACLES["rolling_fingerprint_neardup"] = f"""
 WITH h AS (
   SELECT doc_id,
          list_transform(regexp_split_to_array(trim(text), '\\s+'),
@@ -1007,7 +1027,7 @@ HAVING COUNT(*) >= 3
 # Log-free tf-idf-style weighting: score = tf*(N+1)/(df+1) — exact
 # integer ratio evaluated in double, bit-identical across engines
 # (ln() would differ in the last ulp across libm builds).
-EXTRA_ORACLES["doc_top_terms"] = """
+ORACLES["doc_top_terms"] = """
 WITH toks AS (
   SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS term
   FROM documents
@@ -1034,7 +1054,7 @@ SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rn FROM (
 # training remainder — the ground truth for the MinHash contamination
 # path (banding recall is 1.0 at this threshold on this corpus, same
 # argument as ORACLES["minhash_neardup"]).
-EXTRA_ORACLES["contamination_check"] = f"""
+ORACLES["contamination_check"] = f"""
 WITH s AS ({_SHINGLES})
 SELECT a.doc_id AS train_id, b.doc_id AS test_id,
        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
