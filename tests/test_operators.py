@@ -208,12 +208,144 @@ def test_multimodal_plumbing(spark):
     assert all(f["frame_idx"] % 2 == 0 for f in frames)
 
 
-def test_multimodal_decode_is_stubbed():
-    """The decode kernel is explicitly a stub (no media libs in this
-    container) — documented contract, deterministic output."""
-    from market_data_ingestor_go_spark.operators.multimodal import _decode_image_stub
-    w1 = _decode_image_stub(b"abc")
-    assert w1 == _decode_image_stub(b"abc")
+def test_image_decode_fallback_deterministic():
+    """Non-PNG blobs (no jpeg/webp codec in this container) hit the
+    documented deterministic fallback."""
+    from market_data_ingestor_go_spark.operators.multimodal import _decode_image
+    w1 = _decode_image(b"abc")
+    assert w1 == _decode_image(b"abc")
+
+
+def test_png_codec_roundtrip():
+    """From-scratch stdlib PNG codec: encode→decode is the identity on
+    the pixel buffer for every supported channel count; mean_luma is
+    exact on constant images; resize_nearest preserves constants."""
+    from market_data_ingestor_go_spark.functions.png_minimal import (
+        mean_luma, png_decode, png_encode, resize_nearest)
+
+    for ch in (1, 2, 3, 4):
+        w, h = 7, 5
+        px = bytes((i * 31 + c * 7) % 256 for i in range(w * h) for c in range(ch))
+        assert png_decode(png_encode(w, h, ch, px)) == (w, h, ch, px)
+
+    gray = png_encode(4, 4, 1, bytes([128]) * 16)
+    gw, gh, gch, gpx = png_decode(gray)
+    assert (gw, gh, gch) == (4, 4, 1)
+    assert mean_luma(gch, gpx) == 128 / 255.0
+
+    # nearest-neighbor resample: constant image stays constant; exact
+    # size; identity when target == source
+    const_px = bytes([17, 34, 51]) * (6 * 4)
+    rs = resize_nearest(6, 4, 3, const_px, 3, 2)
+    assert rs == bytes([17, 34, 51]) * (3 * 2)
+    assert resize_nearest(6, 4, 3, const_px, 6, 4) == const_px
+
+
+def test_png_decode_all_filters_and_palette():
+    """Decode handles all 5 scanline filters and PLTE expansion; the
+    filter step here is an independent pure-python twin of the spec
+    (encoder side), so unfiltering is checked against ground truth."""
+    import struct
+    import zlib
+
+    from market_data_ingestor_go_spark.functions.png_minimal import (
+        PNG_SIGNATURE, _paeth, png_decode)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    # One row per filter type (0..4), RGB 4x5
+    w, h, ch = 4, 5, 3
+    stride = w * ch
+    px = bytes((i * 37 + 11) % 256 for i in range(stride * h))
+    rows = [px[y * stride:(y + 1) * stride] for y in range(h)]
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        f = y % 5
+        raw.append(f)
+        for i in range(stride):
+            left = row[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                v = row[i]
+            elif f == 1:
+                v = row[i] - left
+            elif f == 2:
+                v = row[i] - up
+            elif f == 3:
+                v = row[i] - ((left + up) >> 1)
+            else:
+                v = row[i] - _paeth(left, up, ul)
+            raw.append(v & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    assert png_decode(blob) == (w, h, ch, px)
+
+    # palette image expands to RGB
+    pal = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250])  # 3 entries
+    idx = bytes([0, 1, 2, 1])
+    praw = bytearray()
+    for y in range(2):
+        praw.append(0)
+        praw += idx[y * 2:(y + 1) * 2]
+    pihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    pblob = (PNG_SIGNATURE + chunk(b"IHDR", pihdr) + chunk(b"PLTE", pal)
+             + chunk(b"IDAT", zlib.compress(bytes(praw)))
+             + chunk(b"IEND", b""))
+    pw, ph, pch, ppx = png_decode(pblob)
+    assert (pw, ph, pch) == (2, 2, 3)
+    assert ppx == bytes([250, 0, 0, 0, 250, 0, 0, 0, 250, 0, 250, 0])
+
+    # corrupt CRC must raise, not return garbage features
+    bad = bytearray(blob)
+    bad[-5] ^= 0xFF  # inside IEND CRC
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        png_decode(bytes(bad))
+
+
+def test_multimodal_png_real_decode(spark):
+    """e2e through mapInPandas: real PNG fixtures built in-test come
+    back with TRUE dimensions/channels (not length-derived stub dims),
+    and resize_images emits a decodable PNG at target size with the
+    nearest-neighbor pixels."""
+    from market_data_ingestor_go_spark.functions.png_minimal import (
+        png_decode, png_encode)
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        resize_images)
+
+    fixtures = [
+        (12, 34, 3),  # RGB
+        (5, 9, 1),    # gray
+        (8, 8, 4),    # RGBA
+    ]
+    blobs = []
+    for i, (w, h, ch) in enumerate(fixtures):
+        px = bytes((j * 13 + i) % 256 for j in range(w * h * ch))
+        blobs.append(png_encode(w, h, ch, px))
+    df = spark.createDataFrame([Row(content=b) for b in blobs])
+
+    feats = {(f["width"], f["height"], f["n_channels"])
+             for f in extract_image_features(df).collect()}
+    assert feats == set(fixtures)
+
+    # constant-gray image → exact luma through the whole Arrow path
+    const = png_encode(4, 4, 1, bytes([128]) * 16)
+    cdf = spark.createDataFrame([Row(content=const)])
+    (crow,) = extract_image_features(cdf).collect()
+    assert crow["mean_luma"] == 128 / 255.0
+
+    # resize: valid PNG out, true target dims, constants preserved
+    out = resize_images(cdf, target_w=6, target_h=6).collect()
+    rw, rh, rch, rpx = png_decode(bytes(out[0]["resized"]))
+    assert (rw, rh, rch) == (6, 6, 1)
+    assert rpx == bytes([128]) * 36
 
 
 def test_pack_greedy_invariants(spark):
@@ -538,8 +670,9 @@ def test_pq_ann_recall_and_rerank(spark):
 
 
 def test_multimodal_resize_plumbing(spark):
-    """Resize kernel: real Arrow plumbing, stubbed resample — output
-    blobs are exactly target_w*target_h*3 bytes and deterministic."""
+    """Resize kernel, non-PNG fallback path: real Arrow plumbing,
+    deterministic digest-tiled output of exactly target_w*target_h*3
+    bytes (the real-PNG path is test_multimodal_png_real_decode)."""
     from market_data_ingestor_go_spark.operators.multimodal import (
         resize_images)
     df = spark.createDataFrame(
