@@ -428,7 +428,8 @@ def hyperplane_ann_from_index(spark, table: str, queries: DataFrame,
 
 def train_pq_codebooks(df: DataFrame, m: int = 8, k: int = 16,
                        n_iters: int = 3, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       max_train_rows: int | None = 4096) -> DataFrame:
     """Product-quantization codebooks: an independent k-means per
     subspace (the vector split into ``m`` contiguous subvectors).
 
@@ -437,8 +438,12 @@ def train_pq_codebooks(df: DataFrame, m: int = 8, k: int = 16,
     per-row argmin ``ivf_ann`` uses (codebooks broadcast as one
     array-of-structs row), and means partial-aggregate on
     (subspace, cell, dim) — shuffle is m·k·(d/m) rows per iteration,
-    never the corpus. Deterministic end to end (hash-sample init,
-    decimal-exact means, min-distance ties to the smaller cell id).
+    never the corpus. Training runs on a deterministic hash-sample of
+    ≤ ``max_train_rows`` vectors (``_train_sample`` — codebooks are
+    model artifacts; encoding still covers every row), so iteration
+    cost is bounded regardless of corpus size. Deterministic end to
+    end (hash-sample init, decimal-exact means, min-distance ties to
+    the smaller cell id).
 
     Returns (subspace, cell, cv ARRAY<DOUBLE>) — the model artifact
     ``pq_ann`` consumes.
@@ -449,16 +454,18 @@ def train_pq_codebooks(df: DataFrame, m: int = 8, k: int = 16,
     v = as_double(vec_col)
     dim = len(df.select(v.alias("v")).first()["v"])
     sub = dim // m
+    base = pin(_train_sample(
+        df.select(F.col(id_col).alias("id"), v.alias("v")),
+        "id", max_train_rows))
     subs = F.array(*[
         F.struct(F.lit(s).alias("s"),
                  F.slice(F.col("v"), s * sub + 1, sub).alias("sv"))
         for s in range(m)])
-    rows = spread(df.select(F.col(id_col).alias("id"), v.alias("v"))) \
+    rows = spread(base) \
         .select("id", F.explode(subs).alias("x")) \
         .select("id", "x.s", "x.sv")
 
-    init = (df.select(F.col(id_col).alias("id"), v.alias("v"))
-            .orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(k)
+    init = (base.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(k)
             .collect())
     codebooks = {s: [list(r["v"])[s * sub:(s + 1) * sub] for r in init]
                  for s in range(m)}
@@ -708,9 +715,24 @@ def ivf_pq_ann(df: DataFrame, queries: DataFrame, codebooks: DataFrame,
             .select("q_id", "n_id", "cos", "rn"))
 
 
+def _train_sample(c: DataFrame, id_col: str,
+                  max_train_rows: int | None) -> DataFrame:
+    """Deterministic hash-sample of the training set: the smallest
+    ``max_train_rows`` rows by xxhash64(id). k-means codebooks are
+    model artifacts — FAISS-style systems train them on a sample, and
+    full-corpus Lloyd iterations at 100 TB are a non-starter, so the
+    cap IS the scale posture (assignment/encoding still covers every
+    row). TakeOrdered (sort push-down into a top-K) — no full sort."""
+    if max_train_rows is None:
+        return c
+    return (c.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(max_train_rows))
+
+
 def train_kmeans_codebook(df: DataFrame, k: int = 16, n_iters: int = 5,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          max_train_rows: int | None = 4096) -> DataFrame:
     """Lloyd's k-means codebook for ``ivf_ann(centroids=...)``.
 
     Each iteration: assign every vector to its max-cosine centroid with
@@ -719,7 +741,10 @@ def train_kmeans_codebook(df: DataFrame, k: int = 16, n_iters: int = 5,
     (cell, dim) partial-agg — shuffle is k×dim rows, not the corpus).
     The k×dim codebook collects to the driver between iterations (it
     is a model artifact, not data), so each iteration plans against a
-    literal codebook instead of a growing lineage.
+    literal codebook instead of a growing lineage. Training runs on a
+    deterministic hash-sample of ≤ ``max_train_rows`` rows
+    (``_train_sample`` — the FAISS deployment shape; None = full
+    corpus), which bounds iteration cost independent of corpus size.
 
     Deterministic end to end: hash-sample init (smallest xxhash64(id)),
     decimal-exact means (double avg would depend on partition order),
@@ -730,6 +755,7 @@ def train_kmeans_codebook(df: DataFrame, k: int = 16, n_iters: int = 5,
 
     spark = df.sparkSession
     c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
+    c = pin(_train_sample(c, "n_id", max_train_rows))
     init = (c.orderBy(F.xxhash64(F.col("n_id")), F.col("n_id")).limit(k)
             .select("nv").collect())
     codebook = [list(r["nv"]) for r in init]

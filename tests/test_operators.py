@@ -530,6 +530,37 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     release_pinned()
 
 
+def test_minhash_cap_skew_stress_full_path(spark):
+    """Round 5: the cap exercised through the DECLARED operator API
+    (minhash_near_dup_pairs), not just the banding stage — 1k identical
+    boilerplate docs, cap 8. Candidates stay bounded at C(8,2)=28
+    through signature → banding → cap → exact-Jaccard verification,
+    the survivors are the deterministic min-id prefix (same 8 ids in
+    every band, so bands agree), every verified pair scores 1.0, and
+    the Observation reports the exact dropped membership."""
+    from pyspark.sql import Observation
+
+    from market_data_ingestor_go_spark.operators.cache import release_pinned
+    from market_data_ingestor_go_spark.operators.dedup import (
+        minhash_near_dup_pairs)
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate legal disclaimer text block "
+              "stamped on every document in the corpus").alias("text"))
+    obs = Observation("minhash_cap_skew")
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.6, num_perms=16, num_bands=4,
+        max_bucket_size=8, cap_observation=obs).collect()
+    assert len(pairs) == 28, len(pairs)  # C(8,2), not C(1000,2)=499500
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {
+        (a, b) for a in range(8) for b in range(8) if a < b}
+    assert all(r["jacc"] == 1.0 for r in pairs)
+    assert obs.get["dropped_members"] == 4 * (1000 - 8)  # bands × overflow
+    assert obs.get["bucket_members"] == 4 * 1000
+    release_pinned()
+
+
 def test_minhash_cap_passthrough_keeps_results(spark):
     """A cap far above real bucket sizes must not change results on a
     normal corpus."""
