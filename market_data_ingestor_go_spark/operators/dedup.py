@@ -161,6 +161,20 @@ def minhash_signatures(sh_df: DataFrame, num_perms: int = 128) -> DataFrame:
         "id", F.array(*[f"mh_{j}" for j in range(num_perms)]).alias("mh"))
 
 
+def banded_signatures(sig: DataFrame, num_bands: int,
+                      rows_per_band: int) -> DataFrame:
+    """(id, band, bh): LSH band hashes from a MinHash signature table —
+    the equi-join key space for candidate generation (self-join,
+    cross-corpus join, or a streaming batch probing a static side)."""
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col("mh")[b * rows_per_band + r]
+                              for r in range(rows_per_band)]).alias("bh"))
+        for b in range(num_bands)])
+    return (sig.select("id", F.explode(bands).alias("bb"))
+            .select("id", "bb.band", "bb.bh"))
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, num_bands: int = 32,
                         rows_per_band: int = 4,
                         max_bucket_size: int | None = None,
@@ -275,13 +289,7 @@ def cross_corpus_near_dup(df_a: DataFrame, df_b: DataFrame,
     sig_b = minhash_signatures(sb, num_perms)
 
     def banded(sig):
-        bands = F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("mh")[b * rows_per_band + r]
-                                  for r in range(rows_per_band)]).alias("bh"))
-            for b in range(num_bands)])
-        return (sig.select("id", F.explode(bands).alias("bb"))
-                .select("id", "bb.band", "bb.bh"))
+        return banded_signatures(sig, num_bands, rows_per_band)
 
     cand = (
         banded(sig_a).alias("a")

@@ -917,3 +917,90 @@ def test_redis_mirror_failure_is_best_effort(spark, symbols_dim, tmp_path):
     pipe._write_batch(build_ingest_stream(batch, symbols_dim), 0)
     assert pipe.redis_failures == 1
     assert pipe.latest_snapshot().count() == 1  # parquet sink unaffected
+
+
+def test_contamination_gate_streaming(spark, tmp_path):
+    """Round 5 (§2.11 streaming twin): a held-out document leaking
+    into a document stream is flagged WITHIN ONE TRIGGER by the
+    MinHash contamination gate — held-out side broadcast, zero
+    held-out shuffle per batch, flags idempotent per epoch."""
+    from market_data_ingestor_go_spark.streaming.contamination import (
+        ContaminationGate)
+
+    held_text = ("the quick brown fox jumps over the lazy dog while the "
+                 "market data ingestor streams ticks into the history "
+                 "table every two seconds without dropping frames")
+    heldout = spark.createDataFrame(
+        [Row(doc_id=1, text="completely unrelated held out evaluation "
+                            "prompt about cooking pasta with garlic "
+                            "and olive oil in a large pan tonight"),
+         Row(doc_id=2, text=held_text)])
+    gate = ContaminationGate(heldout, flags_path=str(tmp_path / "flags"),
+                             threshold=0.6, trigger_seconds=1)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    stream = spark.readStream.schema("doc_id LONG, text STRING") \
+        .json(str(src))
+    q = gate.attach(stream, str(tmp_path / "ckpt"))
+
+    def write_docs(fname, docs):
+        with open(src / fname, "w") as fh:
+            for d in docs:
+                fh.write(json.dumps(d) + "\n")
+
+    # trigger 1: clean documents only — nothing flagged
+    write_docs("b1.json", [
+        {"doc_id": 100, "text": "earnings per share rose four percent "
+                                "in the third quarter on strong demand "
+                                "for cloud services and accelerators"},
+        {"doc_id": 101, "text": "the central bank held rates steady "
+                                "citing cooling inflation and a tight "
+                                "labor market across most regions"}])
+    q.processAllAvailable()
+    assert gate.docs_flagged == 0 and gate.docs_checked == 2
+
+    # trigger 2: one near-identical leak of held-out doc 2 + one clean
+    leaked = held_text.replace("lazy dog", "sleepy dog")
+    write_docs("b2.json", [
+        {"doc_id": 200, "text": leaked},
+        {"doc_id": 201, "text": "shipping volumes through the canal "
+                                "recovered to pre disruption levels "
+                                "according to the latest port data"}])
+    checked_before = gate.docs_checked
+    q.processAllAvailable()
+    q.stop()
+
+    # flagged within the single trigger that carried the leak
+    assert gate.docs_checked == checked_before + 2
+    assert gate.docs_flagged == 1
+    flags = gate.flags(spark).collect()
+    assert {(r["doc_id"], r["heldout_id"]) for r in flags} == {(200, 2)}
+    assert all(r["jacc"] >= 0.6 for r in flags)
+    gate.stop()
+
+
+def test_contamination_gate_composes_with_ingest_history(
+        spark, symbols_dim, tmp_path):
+    """The same gate kernel audits an existing batch table (the ingest
+    pipeline's history) via check_batch — streaming and batch share
+    one code path, so the eval-integrity check composes with E1."""
+    from market_data_ingestor_go_spark.streaming.contamination import (
+        ContaminationGate)
+
+    heldout = spark.createDataFrame(
+        [Row(doc_id=7, text="alpha beta gamma delta epsilon zeta eta "
+                            "theta iota kappa lambda mu nu xi omicron "
+                            "pi rho sigma tau upsilon phi chi psi")])
+    gate = ContaminationGate(heldout, flags_path=str(tmp_path / "flags2"),
+                             threshold=0.6)
+    history_like = spark.createDataFrame(
+        [Row(doc_id=500, text="alpha beta gamma delta epsilon zeta eta "
+                              "theta iota kappa lambda mu nu xi omicron "
+                              "pi rho sigma tau upsilon phi chi omega"),
+         Row(doc_id=501, text="unrelated text about a completely "
+                              "different subject with no shared "
+                              "shingles at all in this row")])
+    hits = gate.check_batch(history_like).collect()
+    assert {(r["doc_id"], r["heldout_id"]) for r in hits} == {(500, 7)}
+    gate.stop()
