@@ -31,13 +31,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import png_minimal
+from ..functions import png_minimal, wav_minimal
 
-# Ship the PNG codec BY VALUE inside every pickled kernel: the driver
+# Ship the codecs BY VALUE inside every pickled kernel: the driver
 # may run from any cwd (the grading driver does), so python workers
 # cannot be assumed to have this package importable — a by-reference
 # pickle would die with ModuleNotFoundError on the first Arrow batch.
 _cloudpickle.register_pickle_by_value(png_minimal)
+_cloudpickle.register_pickle_by_value(wav_minimal)
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),    # image|audio|video
@@ -214,13 +215,15 @@ def sample_frames(df: DataFrame, binary_col: str = "content",
 
 def extract_audio_features(df: DataFrame, binary_col: str = "content",
                            window_ms: int = 1000) -> DataFrame:
-    """Audio feature extraction — STUB kernel, real plumbing.
+    """Audio feature extraction — REAL for WAV (round 5), stub
+    fallback for compressed formats (mp3/aac — no codec here).
 
     Emits one row per analysis window (content_sha256, window_idx,
     duration_ms, rms): fan-out over mapInPandas like frame sampling.
-    The STUB derives deterministic fake duration/energy from the raw
-    bytes (16-bit PCM framing assumed); a real kernel swaps in
-    soundfile/librosa decode — absent from this container.
+    WAV blobs decode through ``functions/wav_minimal`` (RIFF/PCM on
+    stdlib struct): true duration from sample count / rate, true RMS
+    over mono-mixed normalized samples per window. Non-WAV blobs keep
+    the deterministic length-derived stub.
     """
     out_schema = T.StructType([
         T.StructField("content_sha256", T.StringType()),
@@ -228,6 +231,10 @@ def extract_audio_features(df: DataFrame, binary_col: str = "content",
         T.StructField("duration_ms", T.IntegerType()),
         T.StructField("rms", T.DoubleType()),
     ])
+    is_wav = wav_minimal.is_wav
+    wav_decode = wav_minimal.wav_decode
+    pcm_samples = wav_minimal.pcm_samples
+    window_rms = wav_minimal.window_rms
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -236,6 +243,15 @@ def extract_audio_features(df: DataFrame, binary_col: str = "content",
             for blob in pdf[binary_col]:
                 blob = bytes(blob) if blob is not None else b""
                 digest = hashlib.sha256(blob).hexdigest()
+                if is_wav(blob):
+                    rate, n_ch, bits, pcm = wav_decode(blob)
+                    samples = pcm_samples(pcm, bits)
+                    n_frames = len(samples) // n_ch
+                    duration_ms = max(1, n_frames * 1000 // rate)
+                    for idx, rms in enumerate(
+                            window_rms(samples, n_ch, rate, window_ms)):
+                        rows.append((digest, idx, duration_ms, rms))
+                    continue
                 # STUB framing: 16 kHz mono 16-bit PCM → 32 bytes/ms
                 duration_ms = max(1, len(blob) // 32)
                 n_windows = max(1, duration_ms // window_ms)

@@ -310,6 +310,70 @@ def test_png_decode_all_filters_and_palette():
         png_decode(bytes(bad))
 
 
+def test_wav_codec_roundtrip():
+    """From-scratch RIFF/PCM codec: encode→decode identity for every
+    supported bit depth; normalized samples and window RMS are exact
+    on constant signals."""
+    import math
+
+    from market_data_ingestor_go_spark.functions.wav_minimal import (
+        pcm_samples, wav_decode, wav_encode, window_rms)
+
+    for bits in (8, 16, 24, 32):
+        full = 1 << (bits - 1)
+        samples = [0, full // 2, -full // 2, full - 1, -full]
+        blob = wav_encode(8000, 1, bits, samples)
+        rate, n_ch, got_bits, pcm = wav_decode(blob)
+        assert (rate, n_ch, got_bits) == (8000, 1, bits)
+        norm = pcm_samples(pcm, bits)
+        assert len(norm) == len(samples)
+        assert abs(norm[1] - 0.5) < 2.0 / full  # half-scale sample
+
+    # constant half-scale 16-bit signal → RMS exactly 0.5 per window
+    const = [16384] * 1600  # 0.2 s at 8 kHz
+    blob = wav_encode(8000, 1, 16, const)
+    rate, n_ch, bits, pcm = wav_decode(blob)
+    rms = window_rms(pcm_samples(pcm, bits), n_ch, rate, window_ms=100)
+    assert len(rms) == 2  # 0.2 s / 100 ms
+    assert all(abs(r - 0.5) < 1e-9 for r in rms)
+
+    # stereo mono-mix: L=+x, R=-x mixes to silence
+    stereo = []
+    for i in range(800):
+        x = int(10000 * math.sin(i / 10.0))
+        stereo += [x, -x]
+    sb = wav_encode(8000, 2, 16, stereo)
+    rate, n_ch, bits, pcm = wav_decode(sb)
+    rms = window_rms(pcm_samples(pcm, bits), n_ch, rate, window_ms=100)
+    assert all(r < 1e-4 for r in rms)
+
+    # truncated data chunk raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        wav_decode(blob[:-10])
+
+
+def test_multimodal_wav_real_decode(spark):
+    """e2e through mapInPandas: real WAV fixtures get TRUE duration
+    and RMS; non-WAV blobs still ride the deterministic fallback in
+    the same batch."""
+    from market_data_ingestor_go_spark.functions.wav_minimal import (
+        wav_encode)
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        extract_audio_features)
+
+    # 0.5 s at 16 kHz mono 16-bit, constant quarter scale
+    wav = wav_encode(16000, 1, 16, [8192] * 8000)
+    df = spark.createDataFrame(
+        [Row(content=wav), Row(content=b"not audio at all" * 10)])
+    out = extract_audio_features(df, window_ms=250).collect()
+    wav_rows = [r for r in out if r["duration_ms"] == 500]
+    assert len(wav_rows) == 2  # 500 ms / 250 ms windows
+    assert sorted(r["window_idx"] for r in wav_rows) == [0, 1]
+    assert all(abs(r["rms"] - 0.25) < 1e-9 for r in wav_rows)
+    assert len(out) > len(wav_rows)  # fallback rows present too
+
+
 def test_multimodal_png_real_decode(spark):
     """e2e through mapInPandas: real PNG fixtures built in-test come
     back with TRUE dimensions/channels (not length-derived stub dims),
