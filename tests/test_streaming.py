@@ -1004,3 +1004,70 @@ def test_contamination_gate_composes_with_ingest_history(
     hits = gate.check_batch(history_like).collect()
     assert {(r["doc_id"], r["heldout_id"]) for r in hits} == {(500, 7)}
     gate.stop()
+
+
+def test_streaming_vector_index_maintenance(spark, tmp_path):
+    """Round 5: the materialized ANN index stays fresh from an
+    embedding stream — bootstrap a half-corpus, stream the rest in two
+    micro-batches, and the probe over the maintained index equals the
+    on-the-fly ANN over the FULL corpus; epoch replay is idempotent."""
+    import shutil
+
+    from market_data_ingestor_go_spark.operators.similarity import (
+        random_hyperplane_ann)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.vector_index import (
+        StreamingVectorIndex)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    boot = emb.filter("vec_id % 2 = 0")
+    part1 = emb.filter("vec_id % 4 = 1")
+    part2 = emb.filter("vec_id % 4 = 3")
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+
+    def drop_file(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, part), str(src / f"{name}.parquet"))
+
+    ix = StreamingVectorIndex(spark, "s_ann_idx", trigger_seconds=1)
+    try:
+        ix.bootstrap(boot)
+        assert ix.epochs == 0  # bootstrap is not a stream epoch
+
+        stream = spark.readStream.schema(emb.schema).parquet(str(src))
+        q = ix.attach(stream, str(tmp_path / "ckpt"))
+        drop_file(part1, "b1")
+        q.processAllAvailable()
+        assert ix.epochs == 1
+
+        # new vectors are probe-visible within the trigger that
+        # indexed them
+        n_after_b1 = spark.table("s_ann_idx").count()
+        assert n_after_b1 == boot.count() + part1.count()
+
+        drop_file(part2, "b2")
+        q.processAllAvailable()
+        q.stop()
+        assert ix.epochs == 2
+        assert ix.rows_indexed == boot.count() + part1.count() + part2.count()
+
+        # probe over the maintained index == on-the-fly ANN over the
+        # full corpus (identical planes/probes/ranking)
+        q_vecs = emb.filter("vec_id < 10")
+        live = {(r["q_id"], r["n_id"], r["rn"]) for r in
+                random_hyperplane_ann(emb, q_vecs, k=5).collect()}
+        from_ix = {(r["q_id"], r["n_id"], r["rn"]) for r in
+                   ix.probe(q_vecs, k=5).collect()}
+        assert from_ix == live
+
+        # idempotent epoch replay: rewriting epoch 1 changes nothing
+        n_before = spark.table("s_ann_idx").count()
+        ix._index_batch(part2, epoch_id=1)
+        assert spark.table("s_ann_idx").count() == n_before
+    finally:
+        ix.stop()
+        spark.sql("DROP TABLE IF EXISTS s_ann_idx")
