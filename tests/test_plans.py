@@ -108,3 +108,30 @@ def test_rolling_neardup_is_equi_join(spark):
     plan = _plan(ALL_QUERIES["rolling_fingerprint_neardup"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_contamination_gate_broadcasts_heldout(spark):
+    """streaming/contamination.py per-batch plan: both the candidate
+    join and the verification join must BROADCAST the held-out side —
+    a shuffle of the static eval set per micro-batch would be a
+    latency regression at every trigger."""
+    from pyspark.sql import Row
+
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.contamination import (
+        ContaminationGate)
+
+    heldout = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta "
+                            "theta iota kappa lambda mu nu xi")])
+    gate = ContaminationGate(heldout, flags_path="/tmp/unused_flags")
+    try:
+        batch = load_table(spark, SF, "documents")
+        plan = _plan(gate.check_batch(batch))
+        # two explicit broadcasts: banded signatures + shingle sets
+        assert plan.count("BroadcastExchange") >= 2, plan
+        # the held-out side must never be hash-partitioned for a
+        # sort-merge join
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        gate.stop()
