@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import png_minimal, wav_minimal
+from ..functions import media_meta_minimal, png_minimal, wav_minimal
 
 # Ship the codecs BY VALUE inside every pickled kernel: the driver
 # may run from any cwd (the grading driver does), so python workers
@@ -39,6 +39,7 @@ from ..functions import png_minimal, wav_minimal
 # pickle would die with ModuleNotFoundError on the first Arrow batch.
 _cloudpickle.register_pickle_by_value(png_minimal)
 _cloudpickle.register_pickle_by_value(wav_minimal)
+_cloudpickle.register_pickle_by_value(media_meta_minimal)
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),    # image|audio|video
@@ -83,13 +84,20 @@ def _make_image_decoder():
     is_png = png_minimal.is_png
     png_decode = png_minimal.png_decode
     luma = png_minimal.mean_luma
+    is_jpeg = media_meta_minimal.is_jpeg
+    jpeg_dims = media_meta_minimal.jpeg_dimensions
 
-    def decode(blob: bytes) -> tuple[int, int, int, float]:
+    def decode(blob: bytes) -> tuple[int, int, int, float | None]:
         if is_png(blob):
             w, h, ch, px = png_decode(blob)
             return w, h, ch, luma(ch, px)
-        # STUB fallback — no jpeg/webp codec here: dimensions derived
-        # from the blob length so tests exercise the Arrow round-trip.
+        if is_jpeg(blob):
+            # TRUE dimensions from the SOF marker; luma is None —
+            # honestly not computable without an entropy decoder.
+            w, h, ch = jpeg_dims(blob)
+            return w, h, ch, None
+        # STUB fallback — unknown format: dimensions derived from the
+        # blob length so tests exercise the Arrow round-trip.
         n = len(blob)
         width = 16 + (n % 64)
         height = 16 + ((n // 64) % 64)
@@ -178,6 +186,56 @@ def resize_images(df: DataFrame, binary_col: str = "content",
                 rows.append((digest, target_w, target_h, resized))
             yield pd.DataFrame(rows, columns=[
                 "content_sha256", "width", "height", "resized"])
+
+    return df.select(binary_col).mapInPandas(kernel, out_schema)
+
+
+def extract_video_metadata(df: DataFrame,
+                           binary_col: str = "content") -> DataFrame:
+    """Container-level video metadata — REAL for MP4 (round 5).
+
+    ISO-BMFF is plain box structure: ``mvhd`` gives true duration,
+    ``tkhd`` the track dimensions, ``stts`` the frame count — no codec
+    needed (``functions/media_meta_minimal``). Non-MP4 blobs fall back
+    to the deterministic length-derived stub. Emits one row per blob:
+    (content_sha256, duration_ms, width, height, n_frames, container).
+    """
+    out_schema = T.StructType([
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("container", T.StringType()),
+    ])
+    is_mp4 = media_meta_minimal.is_mp4
+    mp4_meta = media_meta_minimal.mp4_metadata
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            rows = []
+            for blob in pdf[binary_col]:
+                blob = bytes(blob) if blob is not None else b""
+                digest = hashlib.sha256(blob).hexdigest()
+                if is_mp4(blob):
+                    meta = mp4_meta(blob)
+                    video = next(
+                        (t for t in meta["tracks"] if t["width"]), None)
+                    t = video or (meta["tracks"][0] if meta["tracks"]
+                                  else {"width": None, "height": None,
+                                        "n_samples": None})
+                    rows.append((digest, meta["duration_ms"],
+                                 t["width"], t["height"],
+                                 t["n_samples"], "mp4"))
+                else:
+                    # STUB: length-derived placeholders, marked
+                    rows.append((digest, max(1, len(blob) // 32),
+                                 320, 240, max(1, len(blob) // 1000),
+                                 "unknown-stub"))
+            yield pd.DataFrame(rows, columns=[
+                "content_sha256", "duration_ms", "width", "height",
+                "n_frames", "container"])
 
     return df.select(binary_col).mapInPandas(kernel, out_schema)
 
