@@ -101,6 +101,36 @@ class StreamingVectorIndex:
             n_planes=self.n_planes, multiprobe=multiprobe,
             id_col=self.id_col, vec_col=self.vec_col)
 
+    def compact(self) -> int:
+        """Fold all epoch partitions into epoch -1 (mirrors
+        compact_history): a long-running stream accumulates one
+        partition per trigger, which degrades listing/planning long
+        before it degrades data. Run only while the stream is stopped
+        with its checkpoint fully committed — compaction folds epochs
+        together, so a pending replay would resurrect its partition
+        and duplicate rows. Returns the compacted row count.
+
+        Staged copy: the folded index lands in ``<table>__staging``
+        first, the live table is rebuilt from it, then staging drops —
+        a full copy exists at every instant of the swap (managed-table
+        RENAME is not used: the catalog keeps the old location and
+        reads empty after it — observed on this build).
+        """
+        staging = f"{self.table}__staging"
+
+        def write_folded(src: DataFrame, dest: str) -> None:
+            (src.write.mode("overwrite").partitionBy("epoch")
+             .bucketBy(self.n_buckets, "bucket").sortBy("bucket")
+             .saveAsTable(dest))
+
+        live = self.spark.table(self.table)
+        n = live.count()
+        write_folded(live.drop("epoch").withColumn("epoch", F.lit(-1)),
+                     staging)
+        write_folded(self.spark.table(staging), self.table)
+        self.spark.sql(f"DROP TABLE {staging}")
+        return n
+
     def metrics(self) -> dict:
         return {"vector_index_rows_indexed": self.rows_indexed,
                 "vector_index_epochs": self.epochs}

@@ -1068,6 +1068,19 @@ def test_streaming_vector_index_maintenance(spark, tmp_path):
         n_before = spark.table("s_ann_idx").count()
         ix._index_batch(part2, epoch_id=1)
         assert spark.table("s_ann_idx").count() == n_before
+
+        # compaction folds epochs into one partition, preserving every
+        # row and probe results
+        assert ix.compact() == n_before
+        parts = [r["epoch"] for r in
+                 spark.table("s_ann_idx").select("epoch").distinct()
+                 .collect()]
+        assert parts == [-1]
+        assert spark.table("s_ann_idx").count() == n_before
+        compacted = {(r["q_id"], r["n_id"], r["rn"]) for r in
+                     ix.probe(q_vecs, k=5).collect()}
+        assert compacted == live
     finally:
         ix.stop()
         spark.sql("DROP TABLE IF EXISTS s_ann_idx")
+        spark.sql("DROP TABLE IF EXISTS s_ann_idx__staging")
