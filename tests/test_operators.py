@@ -386,6 +386,55 @@ def test_multimodal_header_metadata_e2e(spark):
     assert vids["unknown-stub"]["n_frames"] >= 1
 
 
+def test_png_codec_roundtrip_property():
+    """Hypothesis: encode→decode is the identity for ANY dimensions,
+    channel count and pixel content in the supported envelope."""
+    from hypothesis import given, settings, strategies as st
+
+    from market_data_ingestor_go_spark.functions.png_minimal import (
+        png_decode, png_encode)
+
+    @settings(max_examples=60, deadline=None)
+    @given(w=st.integers(1, 12), h=st.integers(1, 12),
+           ch=st.sampled_from([1, 2, 3, 4]), data=st.data())
+    def prop(w, h, ch, data):
+        px = bytes(data.draw(st.lists(
+            st.integers(0, 255), min_size=w * h * ch,
+            max_size=w * h * ch)))
+        assert png_decode(png_encode(w, h, ch, px)) == (w, h, ch, px)
+
+    prop()
+
+
+def test_wav_codec_roundtrip_property():
+    """Hypothesis: WAV encode→decode preserves format fields and the
+    sample payload for every supported bit depth."""
+    from hypothesis import given, settings, strategies as st
+
+    from market_data_ingestor_go_spark.functions.wav_minimal import (
+        pcm_samples, wav_decode, wav_encode)
+
+    @settings(max_examples=60, deadline=None)
+    @given(rate=st.sampled_from([8000, 16000, 44100]),
+           n_ch=st.integers(1, 2),
+           bits=st.sampled_from([8, 16, 24, 32]), data=st.data())
+    def prop(rate, n_ch, bits, data):
+        full = 1 << (bits - 1)
+        n = data.draw(st.integers(1, 20)) * n_ch
+        samples = data.draw(st.lists(
+            st.integers(-full, full - 1), min_size=n, max_size=n))
+        got_rate, got_ch, got_bits, pcm = wav_decode(
+            wav_encode(rate, n_ch, bits, samples))
+        assert (got_rate, got_ch, got_bits) == (rate, n_ch, bits)
+        norm = pcm_samples(pcm, bits)
+        assert len(norm) == len(samples)
+        # quantization error bounded by one LSB at this depth
+        assert all(abs(g - s / full) <= 2.0 / full
+                   for g, s in zip(norm, samples))
+
+    prop()
+
+
 def test_wav_codec_roundtrip():
     """From-scratch RIFF/PCM codec: encode→decode identity for every
     supported bit depth; normalized samples and window RMS are exact
