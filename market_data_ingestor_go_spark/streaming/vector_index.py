@@ -61,8 +61,12 @@ class StreamingVectorIndex:
     def _index_batch(self, batch: DataFrame, epoch_id: int) -> None:
         signed = self._signed(batch, epoch_id)
         # dynamic partition overwrite → replaying a crashed epoch
-        # rewrites only its own partition (idempotent)
-        self.spark.conf.set(
+        # rewrites only its own partition (idempotent). Set on the
+        # session the write runs under: foreachBatch executes in a
+        # CLONED session whose conf was snapshotted at stream start,
+        # so setting only self.spark after that point would leave the
+        # clone in static mode and wipe the table on every insert.
+        signed.sparkSession.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic")
         if not self.spark.catalog.tableExists(self.table):
             (signed.write.mode("overwrite").partitionBy("epoch")

@@ -1054,6 +1054,11 @@ def test_streaming_vector_index_maintenance(spark, tmp_path):
         q.stop()
         assert ix.epochs == 2
         assert ix.rows_indexed == boot.count() + part1.count() + part2.count()
+        # the TABLE must hold every epoch — a static (whole-table)
+        # overwrite on the cloned foreachBatch session would pass the
+        # counter check but wipe earlier epochs (regression guard for
+        # the clone-session conf bug)
+        assert spark.table("s_ann_idx").count() == ix.rows_indexed
 
         # probe over the maintained index == on-the-fly ANN over the
         # full corpus (identical planes/probes/ranking)
@@ -1084,3 +1089,68 @@ def test_streaming_vector_index_maintenance(spark, tmp_path):
         ix.stop()
         spark.sql("DROP TABLE IF EXISTS s_ann_idx")
         spark.sql("DROP TABLE IF EXISTS s_ann_idx__staging")
+
+
+def test_streaming_dedup_gate(spark, tmp_path):
+    """Round 5: online near-dup dedup at ingest — batch-internal
+    duplicates collapse to the min-id keeper, later arrivals that
+    near-duplicate ALREADY-ACCEPTED docs are rejected with an audit
+    row, unique docs accumulate in the signature/shingle state."""
+    from market_data_ingestor_go_spark.streaming.dedup_gate import (
+        StreamingDedupGate)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "ingest pipeline streams documents into training shards "
+            "every two seconds without dropping a single frame")
+    other = ("completely different prose about cooking pasta with "
+             "garlic and olive oil in a large heavy pan over medium "
+             "heat until the kitchen smells wonderful tonight")
+    third = ("a third unrelated document describing how compilers "
+             "lower intermediate representations into machine code "
+             "through a long pipeline of optimization passes")
+
+    gate = StreamingDedupGate(spark, "ddg_state",
+                              dups_dir=str(tmp_path / "dups"),
+                              threshold=0.7, trigger_seconds=1)
+    src_dir = tmp_path / "docs"
+    src_dir.mkdir()
+    stream = spark.readStream.schema("doc_id LONG, text STRING") \
+        .json(str(src_dir))
+
+    def write_docs(fname, docs):
+        with open(src_dir / fname, "w") as fh:
+            for d in docs:
+                fh.write(json.dumps(d) + "\n")
+
+    try:
+        q = gate.attach(stream, str(tmp_path / "ckpt"))
+
+        # batch 1: two near-copies of base (internal dup) + one unique
+        write_docs("b1.json", [
+            {"doc_id": 10, "text": base},
+            {"doc_id": 11, "text": base.replace("lazy", "sleepy")},
+            {"doc_id": 12, "text": other}])
+        q.processAllAvailable()
+        assert gate.docs_seen == 3
+        assert gate.docs_accepted == 2   # 10 (keeper) + 12
+        assert gate.docs_rejected == 1   # 11 -> dup_of 10
+
+        # batch 2: near-dup of an ACCEPTED doc + a fresh unique doc
+        write_docs("b2.json", [
+            {"doc_id": 20, "text": base.replace("dog", "cat")},
+            {"doc_id": 21, "text": third}])
+        q.processAllAvailable()
+        q.stop()
+        assert gate.docs_seen == 5
+        assert gate.docs_accepted == 3   # + 21
+        assert gate.docs_rejected == 2   # + (20 -> dup_of 10)
+
+        dups = {(r["doc_id"], r["dup_of"]) for r in
+                gate.duplicates().collect()}
+        assert dups == {(11, 10), (20, 10)}
+        accepted = {r["doc_id"] for r in gate.accepted_ids().collect()}
+        assert accepted == {10, 12, 21}
+    finally:
+        gate.stop()
+        spark.sql("DROP TABLE IF EXISTS ddg_state_sig")
+        spark.sql("DROP TABLE IF EXISTS ddg_state_sh")
