@@ -117,6 +117,37 @@ def main() -> None:
               f"flagged={gate.docs_flagged} (the planted leak)")
         gate.stop()
 
+    # 7. streaming dedup gate: a re-sent document is rejected online
+    from market_data_ingestor_go_spark.streaming.dedup_gate import (
+        StreamingDedupGate)
+    with tempfile.TemporaryDirectory() as tmp:
+        ddg = StreamingDedupGate(spark, "demo_ddg",
+                                 dups_dir=os.path.join(tmp, "dups"),
+                                 threshold=0.7, trigger_seconds=1)
+        src = os.path.join(tmp, "stream")
+        os.makedirs(src)
+        stream = spark.readStream.schema("doc_id LONG, text STRING") \
+            .json(src)
+        q = ddg.attach(stream, os.path.join(tmp, "ckpt"))
+        doc = clean.select("doc_id", "text").first()
+        try:
+            with open(os.path.join(src, "b1.json"), "w") as fh:
+                fh.write(json.dumps(
+                    {"doc_id": 1, "text": doc["text"]}) + "\n")
+            q.processAllAvailable()
+            with open(os.path.join(src, "b2.json"), "w") as fh:
+                fh.write(json.dumps(   # the same doc arrives again
+                    {"doc_id": 2, "text": doc["text"]}) + "\n")
+            q.processAllAvailable()
+            q.stop()
+            print(f"[7] streaming dedup gate: seen={ddg.docs_seen} "
+                  f"accepted={ddg.docs_accepted} "
+                  f"rejected={ddg.docs_rejected} (the re-sent doc)")
+        finally:
+            ddg.stop()
+            spark.sql("DROP TABLE IF EXISTS demo_ddg_sig")
+            spark.sql("DROP TABLE IF EXISTS demo_ddg_sh")
+
     spark.stop()
 
 
