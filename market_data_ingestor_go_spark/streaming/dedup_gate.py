@@ -30,6 +30,13 @@ At 100 TB the state tables ARE the dedup index real pipelines keep
 (signature store keyed by band hash); all growth is linear in
 accepted docs and every join is an equi-join with the batch side
 broadcast.
+
+Replay contract: state + audit writes are epoch-idempotent (dynamic
+partition overwrite), and the vs-corpus check excludes the current
+epoch's own partitions so a crash-replay never self-rejects. The
+in-memory counters (docs_seen/accepted/rejected) are observability
+gauges and DO double-count a replayed epoch — the tables are the
+source of truth.
 """
 
 from __future__ import annotations
@@ -134,15 +141,21 @@ class StreamingDedupGate:
 
         corpus_dups = None
         if self.spark.catalog.tableExists(self.sig_table):
-            idx_sig = self.spark.table(self.sig_table)
+            # exclude THIS epoch's partitions from the state read: a
+            # crash-replay would otherwise check the batch against the
+            # state its own failed attempt wrote and reject every doc
+            # as a duplicate of itself (found by the replay test) —
+            # partition pruning makes the exclusion a metadata filter.
+            not_self = F.col("epoch") != F.lit(int(epoch_id))
+            idx_sig = self.spark.table(self.sig_table).filter(not_self)
             cand = (F.broadcast(bands_a.withColumnRenamed("id", "a_id"))
                     .join(idx_sig, ["band", "bh"])
                     .select("a_id", F.col("id").alias("b_id"))
                     .distinct())
             sh_a = F.broadcast(sa.select(F.col("id").alias("a_id"),
                                          F.col("sh").alias("sh_a")))
-            sh_b = self.spark.table(self.sh_table).select(
-                F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
+            sh_b = self.spark.table(self.sh_table).filter(not_self) \
+                .select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
             corpus_dups = (self._verify(cand, sh_a, sh_b)
                            .groupBy("a_id")
                            .agg(F.min_by("b_id", F.struct(

@@ -1154,3 +1154,83 @@ def test_streaming_dedup_gate(spark, tmp_path):
         gate.stop()
         spark.sql("DROP TABLE IF EXISTS ddg_state_sig")
         spark.sql("DROP TABLE IF EXISTS ddg_state_sh")
+
+
+def test_streaming_dedup_gate_replay_idempotent(spark, tmp_path):
+    """Replaying a crashed epoch through the gate must leave the
+    signature/shingle state and the audit table unchanged (dynamic
+    partition overwrite per epoch — same contract as the other
+    foreachBatch sinks)."""
+    from market_data_ingestor_go_spark.streaming.dedup_gate import (
+        StreamingDedupGate)
+
+    gate = StreamingDedupGate(spark, "ddg_replay",
+                              dups_dir=str(tmp_path / "dups"),
+                              threshold=0.7)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="one unique document about compilers "
+                            "lowering intermediate representations "
+                            "through optimization passes"),
+         Row(doc_id=2, text="another unique document about cooking "
+                            "pasta with garlic and olive oil in a "
+                            "heavy pan over medium heat")])
+    try:
+        gate._gate_batch(docs, epoch_id=0)
+        n_sig = spark.table("ddg_replay_sig").count()
+        n_sh = spark.table("ddg_replay_sh").count()
+        assert n_sh == 2
+        gate._gate_batch(docs, epoch_id=0)  # crash-replay, same epoch
+        assert spark.table("ddg_replay_sig").count() == n_sig
+        assert spark.table("ddg_replay_sh").count() == n_sh
+        # audit table for the replayed epoch is also overwritten,
+        # not duplicated
+        assert gate.duplicates().count() == 0
+    finally:
+        gate.stop()
+        spark.sql("DROP TABLE IF EXISTS ddg_replay_sig")
+        spark.sql("DROP TABLE IF EXISTS ddg_replay_sh")
+
+
+def test_streaming_dedup_gate_state_not_shuffled(spark, tmp_path):
+    """The vs-corpus candidate join must broadcast the BATCH side: the
+    accumulated signature table is the big side at scale and must be
+    probed in place (no Exchange of the state table, no
+    SortMergeJoin)."""
+    import re
+
+    from market_data_ingestor_go_spark.operators.dedup import (
+        banded_signatures, minhash_signatures, shingle_df)
+    from market_data_ingestor_go_spark.streaming.dedup_gate import (
+        StreamingDedupGate)
+
+    gate = StreamingDedupGate(spark, "ddg_plan",
+                              dups_dir=str(tmp_path / "dups"),
+                              threshold=0.7)
+    seed = spark.createDataFrame(
+        [Row(doc_id=1, text="seed document establishing the accepted "
+                            "corpus state for the plan assertion "
+                            "below with enough words to shingle")])
+    probe = spark.createDataFrame(
+        [Row(doc_id=2, text="a probing document that is entirely "
+                            "different from the seed so nothing "
+                            "matches during this plan check")])
+    try:
+        gate._gate_batch(seed, epoch_id=0)
+        sa = shingle_df(probe, "text", "doc_id", 3)
+        bands_a = banded_signatures(
+            minhash_signatures(sa, gate.num_perms),
+            gate.num_bands, gate.num_perms // gate.num_bands)
+        cand = (F.broadcast(bands_a.withColumnRenamed("id", "a_id"))
+                .join(spark.table(gate.sig_table), ["band", "bh"])
+                .select("a_id", F.col("id").alias("b_id")).distinct())
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+        # the state-table scan must not sit under a hash-partitioning
+        # exchange (broadcast of the batch side probes it in place)
+        assert not re.search(
+            r"Exchange hashpartitioning[^\n]*\n[^\n]*ddg_plan_sig",
+            plan), plan
+    finally:
+        gate.stop()
+        spark.sql("DROP TABLE IF EXISTS ddg_plan_sig")
+        spark.sql("DROP TABLE IF EXISTS ddg_plan_sh")
