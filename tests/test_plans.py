@@ -135,3 +135,38 @@ def test_contamination_gate_broadcasts_heldout(spark):
         assert "SortMergeJoin" not in plan, plan
     finally:
         gate.stop()
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """Spark's InjectRuntimeFilter plants a bloom-filter reduction on
+    the fact side of a shuffle join when the other side is small and
+    selectively filtered — the q3/q18-shaped join at cluster scale.
+    At the 100 TB defaults (creation side < 10 MB after filtering,
+    application scan > 10 GB) the rule fires automatically; the size
+    thresholds are lowered here so the fixture crosses them, pinning
+    that the capability exists and our plans are shaped to receive it
+    (equi-join + selective dim filter, nothing blocking injection)."""
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )}
+    try:
+        # force a shuffle join (broadcast joins don't need the filter)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "1KB")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet") \
+            .filter("o_orderpriority = '1-URGENT'")
+        joined = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey) \
+            .groupBy("o_orderpriority").count()
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, optimized
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
