@@ -938,6 +938,21 @@ EXTRA_ORACLES: dict[str, str] = {
     ]
 }
 
+# weighted_resample's keep-coin is md5('resample:v1:' || id) — the same
+# engine-independent construction as _BUCKET, so the sampled SET (not
+# just its size) matches bit-for-bit across engines.
+EXTRA_ORACLES["stratified_resample_stats"] = f"""
+WITH kept AS (
+  SELECT lang, text FROM documents
+  WHERE (CAST(concat('0x', substring(md5(concat('resample:v1:',
+            CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000)
+        / 1000000.0
+        < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 1.0 END)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM({_NTOK}) AS BIGINT) AS n_tokens
+FROM kept GROUP BY lang
+"""
+
 # -- round-3 additions (promoted to the declared window in round 5) ------------------------------------------
 
 # Connected components over the exact-Jaccard pair graph as a

@@ -1152,6 +1152,18 @@ def corpus_mix(spark, sf_dir):
     return TRAIN.corpus_mix_weights(d)
 
 
+def stratified_resample_stats(spark, sf_dir):
+    """Apply ``weighted_resample`` down-weights (en halved, zh
+    quartered — the corpus-mix step actually executed, not just its
+    weights) and report the surviving per-language doc/token counts.
+    Deterministic md5-coin keep decision → bit-exact oracle twin."""
+    d = _t(spark, sf_dir, "documents")
+    kept = TRAIN.weighted_resample(d, {"en": 0.5, "zh": 0.25})
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(TX.token_count("text")).alias("n_tokens")))
+
+
 def pii_scrub_stats(spark, sf_dir):
     """Content filtering: PII match counts + redacted length per doc
     (the fixture corpus is synthetic word-salad, so counts are zero —
@@ -1388,6 +1400,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_limit_topk": order_limit_topk,            # top-k ⊂ window_topk_per_group
     "window_rank_stats": window_rank_stats,          # rank fns ⊂ window_topk_per_group
     "corpus_mix": corpus_mix,                        # weighting ⊂ split/langid
+    "stratified_resample_stats": stratified_resample_stats,  # ⊂ corpus_mix exec
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,
     # correlated-threshold, returned-items top-k)
