@@ -351,6 +351,7 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "doc_a",
         stepped = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(labels.id.alias("id"),
+                    F.col("lbl").alias("prev"),
                     F.least(F.col("lbl"), F.coalesce(F.col("nl"),
                                                      F.col("lbl"))).alias("lbl")))
         # pointer jump: my new label ← my label's label (halves chains)
@@ -358,14 +359,15 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "doc_a",
                              F.col("lbl").alias("jlbl"))
         new_labels = (
             stepped.join(ptr, stepped.lbl == ptr.jid, "left")
-            .select(stepped.id.alias("id"),
+            .select(stepped.id.alias("id"), F.col("prev"),
                     F.least(F.col("lbl"), F.coalesce(F.col("jlbl"),
                                                      F.col("lbl"))).alias("lbl"))
             .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new_labels
+        # convergence: the round's start label rode along, so this is a
+        # filter-count over the frame just materialized — no extra join
+        # against the previous round (one driver action saved per round)
+        changed = new_labels.filter(F.col("lbl") != F.col("prev")).count()
+        labels = new_labels.select("id", "lbl")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"),

@@ -279,7 +279,8 @@ def read_history(spark: SparkSession, history_path: str) -> DataFrame:
 
 
 def compact_history(spark: SparkSession, history_path: str,
-                    target_partitions: int | None = None) -> int:
+                    target_partitions: int | None = None,
+                    zorder_by: list[str] | None = None) -> int:
     """Compact the append-only history table's small files.
 
     Every micro-batch writes its own ``epoch=<id>`` directory with a
@@ -291,6 +292,14 @@ def compact_history(spark: SparkSession, history_path: str,
     rename swap (sources/fs.py — storage-agnostic, no local ``os``
     calls), preserving every row. Returns the new file count.
 
+    ``zorder_by`` (numeric columns) additionally Z-orders the rewrite
+    (sources/layout.py): the compaction shuffle it already pays becomes
+    a range shuffle on the Morton code, so post-compaction files carry
+    tight min/max footer stats on EVERY listed column — this is when
+    layout optimization belongs in a streaming table's lifecycle
+    (Delta's OPTIMIZE ZORDER BY does exactly this), since per-trigger
+    micro-batches are too small to lay out well.
+
     Run it only while the stream is stopped with its checkpoint fully
     committed (no epoch pending replay): compaction folds epochs
     together, so a replay after compaction would re-create its epoch
@@ -301,6 +310,10 @@ def compact_history(spark: SparkSession, history_path: str,
         total_bytes = fs.total_size(spark, history_path)
         target_partitions = max(1, total_bytes // (128 * 1024 * 1024))
     staging = history_path + ".compact"
+    if zorder_by:
+        from ..sources.layout import bucket_rank, quantile_boundaries, z_value
+        ranks = [bucket_rank(c, quantile_boundaries(df, c)) for c in zorder_by]
+        df = df.withColumn("_z", z_value(ranks))
     # keep the epoch=<id> directory layout (mixing bare files and
     # partition dirs under one root breaks partition discovery); a
     # date-partitioned table likewise must KEEP ds as a partition
@@ -308,9 +321,16 @@ def compact_history(spark: SparkSession, history_path: str,
     # can't be partition-dir in some files and data in others.
     if "ds" in df.columns:
         # cluster by ds so each date dir gets dense files instead of
-        # one sliver per (task × date)
-        writer = df.repartition(int(target_partitions), "ds") \
-            .write.mode("overwrite").partitionBy("ds")
+        # one sliver per (task × date); with zorder_by, range-cluster
+        # (ds, z) so each date's files tile its own Z-curve
+        keys = ["ds", "_z"] if zorder_by else ["ds"]
+        clustered = df.repartitionByRange(int(target_partitions), *keys) \
+            .sortWithinPartitions(*keys) if zorder_by \
+            else df.repartition(int(target_partitions), "ds")
+        writer = clustered.drop("_z").write.mode("overwrite").partitionBy("ds")
+    elif zorder_by:
+        writer = df.repartitionByRange(int(target_partitions), "_z") \
+            .sortWithinPartitions("_z").drop("_z").write.mode("overwrite")
     else:
         writer = df.repartition(int(target_partitions)).write.mode("overwrite")
     writer.parquet(os.path.join(staging, "epoch=-1"))

@@ -108,3 +108,33 @@ def test_quantile_boundaries_are_monotone(spark, lineitem):
     bs = quantile_boundaries(lineitem, "l_extendedprice", bits=4)
     assert len(bs) == 15
     assert bs == sorted(bs)
+
+
+def test_compact_history_zorder(spark, tmp_path):
+    """Z-ordered compaction: the rewrite the compactor already pays
+    doubles as layout optimization — post-compaction files get tight
+    footer stats on every zorder column, rows and layout invariants
+    preserved."""
+    import os
+
+    from market_data_ingestor_go_spark.streaming.pipeline import (
+        compact_history, read_history)
+
+    path = str(tmp_path / "hist")
+    for i in range(5):  # five epoch dirs of randomly-interleaved keys
+        (spark.range(2000)
+         .select((F.xxhash64("id") % 1000).alias("k"),
+                 (F.xxhash64("id", F.lit(i)) % 500).alias("v"))
+         .repartition(4).write.mode("overwrite")
+         .parquet(os.path.join(path, f"epoch={i}")))
+    n_files = compact_history(spark, path, target_partitions=8,
+                              zorder_by=["k", "v"])
+    assert n_files == 8
+    back = read_history(spark, path)
+    assert back.count() == 10000
+    stats = file_column_stats(path, ["k", "v"])
+    spans = {c: 2000.0 for c in ("k", "v")}  # xxhash64 % n spans ±n
+    area = mean_bbox_area(stats, ["k", "v"], spans)
+    # unordered files would each cover ~the full (k, v) space (area ~1);
+    # 8 Z-ordered files must tile it
+    assert area < 0.4, area
