@@ -953,6 +953,30 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM kept GROUP BY lang
 """
 
+# same reachability fixpoint as dedup_cluster_keepers, over the exact
+# cosine pair graph instead of the Jaccard one
+EXTRA_ORACLES["semantic_dedup_clusters"] = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+), comp AS (
+  SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+)
+SELECT cluster_id AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM comp GROUP BY cluster_id
+"""
+
 # -- round-3 additions (promoted to the declared window in round 5) ------------------------------------------
 
 # Connected components over the exact-Jaccard pair graph as a

@@ -872,6 +872,20 @@ def embedding_cosine_neardup(spark, sf_dir):
     return SIM.cosine_pairs(e, threshold=0.4)
 
 
+def semantic_dedup_clusters(spark, sf_dir):
+    """Semantic (embedding-space) dedup keep-groups: exact-cosine pair
+    graph ≥ 0.4 → connected components → one keeper per cluster.
+    Shows the CC stage composes with ANY pair source (MinHash text
+    pairs in dedup_cluster_keepers, cosine pairs here); at scale the
+    pair source swaps to the banded-LSH twin unchanged."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.cosine_pairs(e, threshold=0.4)
+    clusters = DD.neardup_clusters(pairs, id_a="a_id", id_b="b_id")
+    return (clusters.groupBy("cluster_id")
+            .agg(F.count("*").alias("n_members"))
+            .select(F.col("cluster_id").alias("keeper_id"), "n_members"))
+
+
 def knn_bruteforce(spark, sf_dir):
     """Exact top-5 cosine neighbors for query vectors (vec_id < 10)."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1401,6 +1415,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank_stats": window_rank_stats,          # rank fns ⊂ window_topk_per_group
     "corpus_mix": corpus_mix,                        # weighting ⊂ split/langid
     "stratified_resample_stats": stratified_resample_stats,  # ⊂ corpus_mix exec
+    "semantic_dedup_clusters": semantic_dedup_clusters,  # CC ⊂ dedup_cluster_keepers
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,
     # correlated-threshold, returned-items top-k)

@@ -138,3 +138,19 @@ def test_compact_history_zorder(spark, tmp_path):
     # unordered files would each cover ~the full (k, v) space (area ~1);
     # 8 Z-ordered files must tile it
     assert area < 0.4, area
+
+
+def test_z_value_bijection_and_quadrant_locality(spark):
+    """On a full 4x4 rank grid at 2 bits/dim: the Morton code is a
+    bijection onto [0,16) and its top two bits identify the 2x2
+    quadrant — the property that makes file ranges align with
+    rectangular regions of the value space."""
+    grid = spark.range(4).selectExpr("id AS x") \
+        .crossJoin(spark.range(4).selectExpr("id AS y"))
+    rows = grid.select(
+        "x", "y", z_value([F.col("x"), F.col("y")], bits=2).alias("z")) \
+        .collect()
+    zs = sorted(r.z for r in rows)
+    assert zs == list(range(16))
+    for r in rows:
+        assert r.z >> 2 == ((r.y >> 1) << 1 | (r.x >> 1))
