@@ -1,0 +1,74 @@
+"""Time-series regularization: dense grids + gap filling (LOCF).
+
+The canonical market-data query the reference's consumers run
+downstream of its history table (reference stores sparse ticks:
+internal/app/postgres.go batch-appends observations as they arrive):
+resample irregular observations onto a fixed step and carry the last
+observation forward through empty buckets — TimescaleDB's
+``time_bucket_gapfill`` + ``locf``, Pandas' ``resample().ffill()``.
+
+Engine shape (one declarative plan, no UDFs, no driver loops):
+
+1. Per (key, bucket): keep the LAST observation by a caller-supplied
+   unique order key — `max_by`, so the rollup is ONE map-side-combined
+   aggregate (only a row per bucket per partition reaches the shuffle).
+2. Per key: explode `sequence(min_bucket, max_bucket, step)` into the
+   dense grid — rows created are exactly the output size, never joined
+   against the raw stream.
+3. Grid LEFT JOIN observed buckets (equi on key+bucket), then
+   ``last(value, ignorenulls=True)`` over the per-key ordered window
+   fills gaps forward.
+
+100 TB posture: the raw stream is touched once (the bucket aggregate);
+everything after operates on bucket-grain rows (|keys| × |grid|, data-
+independent). The LOCF window partitions by key — a single
+monster-hot key serializes its own fill (documented; split by
+calendar range per key if a key's grid alone exceeds one task's
+memory). Dedicated tiebreak column keeps results deterministic under
+any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .cache import pin
+
+
+def gap_fill_locf(df: DataFrame, key_col: str, ts_ms_col: str,
+                  value_col: str, step_ms: int,
+                  ord_col: Column | None = None) -> DataFrame:
+    """Dense per-key time grid at ``step_ms`` with LOCF-filled values.
+
+    Output: (key, bucket_start_ms, value_locf, is_gap) — one row per
+    grid bucket from the key's first observation to its last; buckets
+    before the first observation don't exist (LOCF has nothing to
+    carry), matching time_bucket_gapfill over the observed range.
+    """
+    ord_key = ord_col if ord_col is not None \
+        else F.struct(F.col(ts_ms_col))
+    # integer `div` (not double /) — at epoch-ms magnitudes a double
+    # quotient can truncate into the wrong bucket
+    bucket = F.expr(f"cast({ts_ms_col} as bigint) div {int(step_ms)}") \
+        * F.lit(int(step_ms))
+    # pinned: it feeds both the grid bounds and the fill join — without
+    # reuse the raw stream would be aggregated twice (bucket-grain rows,
+    # tiny vs the corpus; release via operators.cache.release_pinned)
+    per_bucket = pin(
+        df.groupBy(F.col(key_col).alias("k"), bucket.alias("b"))
+        .agg(F.max_by(F.col(value_col), ord_key).alias("v_obs")))
+    grid = (
+        per_bucket.groupBy("k")
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .select("k", F.explode(
+            F.sequence("lo", "hi", F.lit(step_ms))).alias("b")))
+    joined = grid.join(per_bucket, ["k", "b"], "left")
+    w = (Window.partitionBy("k").orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        F.col("k").alias(key_col),
+        F.col("b").alias("bucket_start_ms"),
+        F.last("v_obs", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("v_obs").isNull().alias("is_gap"))

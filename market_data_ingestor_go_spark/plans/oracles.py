@@ -977,6 +977,64 @@ SELECT cluster_id AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_members
 FROM comp GROUP BY cluster_id
 """
 
+# gapfill + LOCF: same last-observation convention as the OHLC close
+# (row_number desc), grid via generate_series, fill via IGNORE NULLS
+EXTRA_ORACLES["events_gapfill_locf"] = """
+WITH e AS (
+  SELECT epoch_ms(ts) AS ts_ms, event_id, event_type, value FROM events),
+r AS (
+  SELECT event_type, (ts_ms // 900000) * 900000 AS b, value,
+         row_number() OVER (PARTITION BY event_type, ts_ms // 900000
+                            ORDER BY ts_ms DESC, event_id DESC) AS rn
+  FROM e),
+pb AS (
+  SELECT event_type, b, MAX(CASE WHEN rn = 1 THEN value END) AS v_obs
+  FROM r GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM pb GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, 900000)) AS b
+  FROM bounds),
+j AS (
+  SELECT g.event_type, g.b, pb.v_obs
+  FROM grid g LEFT JOIN pb ON g.event_type = pb.event_type AND g.b = pb.b)
+SELECT event_type, b AS bucket_start_ms,
+       last_value(v_obs IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value_locf,
+       v_obs IS NULL AS is_gap
+FROM j
+"""
+
+# the curation funnel composed end-to-end: quality gate → exact dedup
+# (min-id keeper) → md5-bucket split → per-split stats
+EXTRA_ORACLES["curation_pipeline_summary"] = f"""
+WITH q AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> list_contains({_STOP}, x))) AS n_stop
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, n_tokens FROM q
+  WHERE n_tokens >= 20
+    AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+  FROM kept GROUP BY text),
+s AS (
+  SELECT n_tokens,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS bk
+  FROM dedup)
+SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM s GROUP BY 1
+"""
+
 # -- round-3 additions (promoted to the declared window in round 5) ------------------------------------------
 
 # Connected components over the exact-Jaccard pair graph as a

@@ -872,6 +872,34 @@ def embedding_cosine_neardup(spark, sf_dir):
     return SIM.cosine_pairs(e, threshold=0.4)
 
 
+def events_gapfill_locf(spark, sf_dir):
+    """Dense 15-min grid per event type with last-observation-carried-
+    forward — the hypertable gapfill+locf query over the sparse event
+    stream (~50% of buckets are empty at this step). One raw-stream
+    aggregate, then bucket-grain grid/join/window only."""
+    from ..operators.timeseries import gap_fill_locf
+    e = _events(spark, sf_dir)
+    return gap_fill_locf(e, "event_type", "ts_ms", "value",
+                         step_ms=900000,
+                         ord_col=F.struct(F.col("ts_ms"),
+                                          F.col("event_id")))
+
+
+def curation_pipeline_summary(spark, sf_dir):
+    """The batch curation funnel as ONE oracle-verifiable composition:
+    quality gate → exact dedup (min-id keeper per distinct text) →
+    deterministic split → per-split doc/token counts. The demo script
+    runs this flow imperatively; this query proves the composed
+    DataFrame program stays engine-exact end to end."""
+    d = _t(spark, sf_dir, "documents")
+    kept = d.filter(TX.quality_flag("text"))
+    keeper = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    split = TRAIN.hash_split(keeper, "doc_id")
+    return (split.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(TX.token_count("text")).alias("n_tokens")))
+
+
 def semantic_dedup_clusters(spark, sf_dir):
     """Semantic (embedding-space) dedup keep-groups: exact-cosine pair
     graph ≥ 0.4 → connected components → one keeper per cluster.
@@ -1416,6 +1444,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix": corpus_mix,                        # weighting ⊂ split/langid
     "stratified_resample_stats": stratified_resample_stats,  # ⊂ corpus_mix exec
     "semantic_dedup_clusters": semantic_dedup_clusters,  # CC ⊂ dedup_cluster_keepers
+    "curation_pipeline_summary": curation_pipeline_summary,  # composition of the above
+    "events_gapfill_locf": events_gapfill_locf,      # grid ⊂ ohlc/window family
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,
     # correlated-threshold, returned-items top-k)

@@ -927,3 +927,22 @@ def test_ivf_pq_composed_recall(spark):
     release_pinned(); books.unpersist()
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, f"IVF-PQ recall too low: {recall}"
+
+
+def test_gap_fill_locf_semantics(spark):
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        gap_fill_locf)
+    step = 10
+    df = spark.createDataFrame(
+        [("A", 0, 1.0), ("A", 3, 2.0),    # bucket 0: last obs wins
+         ("A", 21, 5.0),                   # bucket 20; bucket 10 is a gap
+         ("B", 35, 7.0)],                  # single-point key: 1-row grid
+        "k string, ts_ms long, v double")
+    out = {(r.k, r.bucket_start_ms): (r.value_locf, r.is_gap)
+           for r in gap_fill_locf(df, "k", "ts_ms", "v", step).collect()}
+    assert out == {
+        ("A", 0): (2.0, False),    # max_by tiebreak: later ts wins
+        ("A", 10): (2.0, True),    # gap carried forward
+        ("A", 20): (5.0, False),
+        ("B", 30): (7.0, False),
+    }
