@@ -72,3 +72,51 @@ def gap_fill_locf(df: DataFrame, key_col: str, ts_ms_col: str,
         F.col("b").alias("bucket_start_ms"),
         F.last("v_obs", ignorenulls=True).over(w).alias("value_locf"),
         F.col("v_obs").isNull().alias("is_gap"))
+
+
+def gap_fill_interpolate(df: DataFrame, key_col: str, ts_ms_col: str,
+                         value_col: str, step_ms: int,
+                         ord_col: Column | None = None) -> DataFrame:
+    """Dense per-key grid with LINEARLY interpolated gaps (the
+    ``interpolate`` companion to :func:`gap_fill_locf`).
+
+    A gap bucket between observations at (b_prev, v_prev) and
+    (b_next, v_next) gets ``v_prev + (v_next - v_prev) * (b - b_prev)
+    / (b_next - b_prev)``; trailing gaps (no next observation) fall
+    back to LOCF. Two window passes over bucket-grain rows — the raw
+    stream is still aggregated exactly once; the expression order is
+    fixed so results are IEEE-double bit-exact against the SQL oracle.
+    """
+    ord_key = ord_col if ord_col is not None \
+        else F.struct(F.col(ts_ms_col))
+    bucket = F.expr(f"cast({ts_ms_col} as bigint) div {int(step_ms)}") \
+        * F.lit(int(step_ms))
+    per_bucket = pin(
+        df.groupBy(F.col(key_col).alias("k"), bucket.alias("b"))
+        .agg(F.max_by(F.col(value_col), ord_key).alias("v_obs")))
+    grid = (
+        per_bucket.groupBy("k")
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .select("k", F.explode(
+            F.sequence("lo", "hi", F.lit(step_ms))).alias("b")))
+    joined = grid.join(per_bucket, ["k", "b"], "left")
+    back = (Window.partitionBy("k").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fwd = (Window.partitionBy("k").orderBy("b")
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_b = F.when(F.col("v_obs").isNotNull(), F.col("b"))
+    prev_v = F.last("v_obs", ignorenulls=True).over(back)
+    prev_b = F.last(obs_b, ignorenulls=True).over(back)
+    next_v = F.first("v_obs", ignorenulls=True).over(fwd)
+    next_b = F.first(obs_b, ignorenulls=True).over(fwd)
+    frac = (F.col("b") - prev_b).cast("double") \
+        / (next_b - prev_b).cast("double")
+    interp = (
+        F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
+        .when(next_b.isNull(), prev_v)  # trailing gap → LOCF
+        .otherwise(prev_v + (next_v - prev_v) * frac))
+    return joined.select(
+        F.col("k").alias(key_col),
+        F.col("b").alias("bucket_start_ms"),
+        interp.alias("value_interp"),
+        F.col("v_obs").isNull().alias("is_gap"))

@@ -1007,6 +1007,53 @@ SELECT event_type, b AS bucket_start_ms,
 FROM j
 """
 
+# linear interpolation twin — identical expression ORDER to the Spark
+# operator (prev + (next-prev)*frac) so doubles stay bit-exact
+EXTRA_ORACLES["events_gapfill_interpolate"] = """
+WITH e AS (
+  SELECT epoch_ms(ts) AS ts_ms, event_id, event_type, value FROM events),
+r AS (
+  SELECT event_type, (ts_ms // 900000) * 900000 AS b, value,
+         row_number() OVER (PARTITION BY event_type, ts_ms // 900000
+                            ORDER BY ts_ms DESC, event_id DESC) AS rn
+  FROM e),
+pb AS (
+  SELECT event_type, b, MAX(CASE WHEN rn = 1 THEN value END) AS v_obs
+  FROM r GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM pb GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, 900000)) AS b
+  FROM bounds),
+j AS (
+  SELECT g.event_type, g.b, pb.v_obs
+  FROM grid g LEFT JOIN pb ON g.event_type = pb.event_type AND g.b = pb.b),
+x AS (
+  SELECT event_type, b, v_obs,
+         last_value(v_obs IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN v_obs IS NOT NULL THEN b END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+         first_value(v_obs IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN v_obs IS NOT NULL THEN b END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+  FROM j)
+SELECT event_type, b AS bucket_start_ms,
+       CASE WHEN v_obs IS NOT NULL THEN v_obs
+            WHEN next_b IS NULL THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(b - prev_b AS DOUBLE)
+                    / CAST(next_b - prev_b AS DOUBLE))
+       END AS value_interp,
+       v_obs IS NULL AS is_gap
+FROM x
+"""
+
 # the curation funnel composed end-to-end: quality gate → exact dedup
 # (min-id keeper) → md5-bucket split → per-split stats
 EXTRA_ORACLES["curation_pipeline_summary"] = f"""

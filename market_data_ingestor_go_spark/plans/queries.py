@@ -885,6 +885,17 @@ def events_gapfill_locf(spark, sf_dir):
                                           F.col("event_id")))
 
 
+def events_gapfill_interpolate(spark, sf_dir):
+    """Linear interpolation across the same 15-min gaps (the
+    ``interpolate`` companion; trailing gaps fall back to LOCF)."""
+    from ..operators.timeseries import gap_fill_interpolate
+    e = _events(spark, sf_dir)
+    return gap_fill_interpolate(e, "event_type", "ts_ms", "value",
+                                step_ms=900000,
+                                ord_col=F.struct(F.col("ts_ms"),
+                                                 F.col("event_id")))
+
+
 def curation_pipeline_summary(spark, sf_dir):
     """The batch curation funnel as ONE oracle-verifiable composition:
     quality gate → exact dedup (min-id keeper per distinct text) →
@@ -1446,6 +1457,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_clusters": semantic_dedup_clusters,  # CC ⊂ dedup_cluster_keepers
     "curation_pipeline_summary": curation_pipeline_summary,  # composition of the above
     "events_gapfill_locf": events_gapfill_locf,      # grid ⊂ ohlc/window family
+    "events_gapfill_interpolate": events_gapfill_interpolate,  # ⊂ gapfill_locf
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,
     # correlated-threshold, returned-items top-k)

@@ -946,3 +946,21 @@ def test_gap_fill_locf_semantics(spark):
         ("A", 20): (5.0, False),
         ("B", 30): (7.0, False),
     }
+
+
+def test_gap_fill_interpolate_semantics(spark):
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        gap_fill_interpolate)
+    df = spark.createDataFrame(
+        [("A", 0, 1.0), ("A", 31, 4.0),   # two gaps: interp 2.0, 3.0
+         ("A", 41, 9.0)],                  # then observed again
+        "k string, ts_ms long, v double")
+    out = {(r.k, r.bucket_start_ms): (r.value_interp, r.is_gap)
+           for r in gap_fill_interpolate(df, "k", "ts_ms", "v", 10).collect()}
+    assert out == {
+        ("A", 0): (1.0, False),
+        ("A", 10): (2.0, True),
+        ("A", 20): (3.0, True),
+        ("A", 30): (4.0, False),
+        ("A", 40): (9.0, False),
+    }
