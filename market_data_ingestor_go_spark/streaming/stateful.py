@@ -23,6 +23,7 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 STATE_SCHEMA = T.StructType([
@@ -103,6 +104,95 @@ def streaming_latest_state(stream: DataFrame) -> DataFrame:
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+GAPFILL_STATE_SCHEMA = T.StructType([
+    T.StructField("last_bucket", T.LongType()),
+    T.StructField("last_value", T.DoubleType()),
+])
+
+GAPFILL_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("k", T.StringType()),
+    T.StructField("bucket_start_ms", T.LongType()),
+    T.StructField("value_locf", T.DoubleType()),
+    T.StructField("is_gap", T.BooleanType()),
+])
+
+
+def _make_gap_fill(step_ms: int):
+    """Per-key streaming LOCF fill (closure — see _make_update_latest
+    for why worker-side fns must pickle by value).
+
+    State per key: (last emitted bucket, its value). Each batch emits
+    the dense grid from the bucket after the state up to the batch's
+    newest observation, carrying the stored value through gaps.
+    Observations at-or-before the already-emitted grid head are
+    DROPPED (the append-mode analog of a watermark: emitted grid rows
+    are immutable). Gaps after the newest observation stay unemitted
+    until a later observation closes them — idle-key fill-to-now needs
+    the timer path, which this Spark build's deadlock rules out (see
+    streaming_latest_state NOTE).
+    """
+
+    def gap_fill(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+                 ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        k = key[0]
+        last_b, last_v = state.get if state.exists else (None, None)
+        obs: dict[int, float] = {}
+        best_ts: dict[int, int] = {}
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                ts = int(row["ts_ms"])
+                b = (ts // step_ms) * step_ms
+                if b not in best_ts or ts >= best_ts[b]:
+                    best_ts[b] = ts
+                    obs[b] = float(row["v"])
+        out = []
+        for b in sorted(obs):
+            if last_b is not None and b <= last_b:
+                continue  # late data older than the emitted grid head
+            if last_b is not None:
+                g = last_b + step_ms
+                while g < b:
+                    out.append((k, g, last_v, True))
+                    g += step_ms
+            out.append((k, b, obs[b], False))
+            last_b, last_v = b, obs[b]
+        if out:
+            state.update((last_b, last_v))
+            yield _pd.DataFrame(
+                out, columns=["k", "bucket_start_ms", "value_locf", "is_gap"])
+
+    return gap_fill
+
+
+def streaming_gap_fill_locf(stream: DataFrame, key_col: str,
+                            ts_ms_col: str, value_col: str,
+                            step_ms: int) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.gap_fill_locf``: a live
+    dense per-key grid, gaps carried forward as observations arrive.
+
+    The batch operator regularizes history; this emits the same rows
+    incrementally (append-mode change stream of grid buckets), so a
+    downstream bar consumer never sees holes. State is two scalars per
+    key — far below the state-store's per-key overhead floor.
+    """
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(ts_ms_col).cast("long").alias("ts_ms"),
+        F.col(value_col).cast("double").alias("v"))
+    return (
+        keyed.groupBy("k")
+        .applyInPandasWithState(
+            _make_gap_fill(int(step_ms)),
+            outputStructType=GAPFILL_OUTPUT_SCHEMA,
+            stateStructType=GAPFILL_STATE_SCHEMA,
+            outputMode="append",
             timeoutConf="NoTimeout",
         )
     )

@@ -54,3 +54,50 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     rows = {(r["ws"], r["n"]) for r in spark.sql("SELECT * FROM wm").collect()}
     assert rows == {(base_ms, 3), (base_ms + 20_000, 1)}  # late 00:02 ignored,
     # [0,10) emitted exactly once (count unchanged by the late row)
+
+
+def test_streaming_gap_fill_locf(spark, tmp_path):
+    """Streaming LOCF grid: gaps between micro-batches are emitted the
+    moment a later observation closes them; late data older than the
+    emitted grid head is dropped; state carries across batches."""
+    import json
+    import os
+
+    from market_data_ingestor_go_spark.streaming.stateful import (
+        streaming_gap_fill_locf)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(src + "/a.json", "w") as fh:
+        fh.write(json.dumps({"sym": "A", "ts": 5, "px": 1.0}) + "\n")
+        fh.write(json.dumps({"sym": "A", "ts": 8, "px": 2.0}) + "\n")
+
+    stream = (spark.readStream
+              .schema("sym STRING, ts LONG, px DOUBLE").json(src))
+    out = streaming_gap_fill_locf(stream, "sym", "ts", "px", step_ms=10)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("gapfill_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    rows = {(r.k, r.bucket_start_ms): (r.value_locf, r.is_gap)
+            for r in spark.sql("SELECT * FROM gapfill_stream").collect()}
+    assert rows == {("A", 0): (2.0, False)}  # last obs in bucket wins
+
+    # batch 2: A jumps three buckets ahead (two gaps close), a late A
+    # record inside the emitted head is dropped, B starts fresh
+    with open(src + "/b.json", "w") as fh:
+        fh.write(json.dumps({"sym": "A", "ts": 35, "px": 5.0}) + "\n")
+        fh.write(json.dumps({"sym": "A", "ts": 3, "px": 9.0}) + "\n")
+        fh.write(json.dumps({"sym": "B", "ts": 42, "px": 7.0}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.k, r.bucket_start_ms): (r.value_locf, r.is_gap)
+            for r in spark.sql("SELECT * FROM gapfill_stream").collect()}
+    assert rows == {
+        ("A", 0): (2.0, False),
+        ("A", 10): (2.0, True),
+        ("A", 20): (2.0, True),
+        ("A", 30): (5.0, False),
+        ("B", 40): (7.0, False),
+    }
