@@ -170,3 +170,23 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_gapfill_single_raw_aggregate(spark):
+    """events_gapfill_locf: the raw stream feeds ONE map-side-combined
+    max_by aggregate (partial_max_by below the exchange); both its
+    consumers (grid bounds + fill join) read the pinned bucket-grain
+    table (InMemoryTableScan), the raw scan prunes to 4 columns, and
+    no step degenerates to a cartesian."""
+    from market_data_ingestor_go_spark.operators.cache import release_pinned
+
+    try:
+        plan = _plan(ALL_QUERIES["events_gapfill_locf"](spark, SF))
+        assert "partial_max_by" in plan, plan
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert _scan_columns(plan, "events") == {
+            "event_id", "ts", "event_type", "value"}
+    finally:
+        release_pinned()
