@@ -75,6 +75,9 @@ HEADLINE = [
     "dedup_cluster_keepers",
     "contamination_check",
     "knn_ann_pq",
+    # hypertable gapfill+LOCF (r5): one raw-stream aggregate, then
+    # bucket-grain grid/join/window — scan-dominated by design
+    "events_gapfill_locf",
 ]
 
 
