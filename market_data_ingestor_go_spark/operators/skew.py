@@ -74,3 +74,28 @@ def salted_agg(df: DataFrame, key_cols: list[str], n_salts: int = 16,
     salted = with_salt(df, n_salts)
     partials = salted.groupBy(*key_cols, "_salt").agg(*phase1_exprs)
     return partials.groupBy(*key_cols).agg(*phase2_exprs)
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Skewed equi-join: salt the big side, REPLICATE the small side.
+
+    The remaining skew case once broadcast (small dim) and AQE skew
+    splitting (handles most shuffle-join skew) are both off the table:
+    a medium-sized build side too big to broadcast joined against a
+    Zipf-hot probe side. Each big-side row gets one of ``n_salts``
+    deterministic salts; every small-side row is exploded into all
+    ``n_salts`` (a bounded ×n blowup of the SMALL side only), and the
+    join runs on (key, salt) — a hot key's rows now land on ``n_salts``
+    reducers instead of one. Row-for-row identical to the plain join
+    (asserted in tests); supports inner and left joins (right/outer
+    would duplicate unmatched small-side rows across salts).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got: {how}")
+    b = with_salt(big, n_salts)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))) \
+        .withColumn("_salt", F.col("_salt").cast("long"))  # match pmod type
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -964,3 +964,23 @@ def test_gap_fill_interpolate_semantics(spark):
         ("A", 30): (4.0, False),
         ("A", 40): (9.0, False),
     }
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join: row-for-row identical to the plain equi-join for
+    inner and left, including unmatched left rows, while the physical
+    join key is (key, salt)."""
+    from market_data_ingestor_go_spark.operators.skew import salted_join
+
+    big = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity")
+    small = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .filter("o_orderpriority = '1-URGENT'") \
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+
+    for how in ("inner", "left"):
+        plain = big.join(small, "l_orderkey", how)
+        salted = salted_join(big, small, "l_orderkey", n_salts=8, how=how)
+        assert salted.count() == plain.count()
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
