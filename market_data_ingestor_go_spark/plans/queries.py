@@ -872,6 +872,15 @@ def embedding_cosine_neardup(spark, sf_dir):
     return SIM.cosine_pairs(e, threshold=0.4)
 
 
+def token_heavy_hitters_sketch(spark, sf_dir):
+    """Top-20 tokens by count-min estimate — rows-only (sketch
+    internals are engine-side); the exact twin is `token_frequencies`.
+    One-sided error + mergeability tested in test_operators."""
+    from ..operators.sketch import token_heavy_hitters
+    d = _t(spark, sf_dir, "documents")
+    return token_heavy_hitters(d, "text", k=20)
+
+
 def events_gapfill_locf(spark, sf_dir):
     """Dense 15-min grid per event type with last-observation-carried-
     forward — the hypertable gapfill+locf query over the sparse event
@@ -1458,6 +1467,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline_summary": curation_pipeline_summary,  # composition of the above
     "events_gapfill_locf": events_gapfill_locf,      # grid ⊂ ohlc/window family
     "events_gapfill_interpolate": events_gapfill_interpolate,  # ⊂ gapfill_locf
+    "token_heavy_hitters_sketch": token_heavy_hitters_sketch,  # rows-only (CMS)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,
     # correlated-threshold, returned-items top-k)

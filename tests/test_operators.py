@@ -984,3 +984,45 @@ def test_salted_join_equals_plain_join(spark):
         assert salted.count() == plain.count()
         assert salted.exceptAll(plain).count() == 0
         assert plain.exceptAll(salted).count() == 0
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS invariants on the fixture corpus: one-sided error
+    (estimate >= true, always), bounded size, mergeability (split
+    sketch == whole-corpus sketch), and top-k recovery."""
+    from market_data_ingestor_go_spark.operators.sketch import (
+        count_min_build, count_min_estimate, count_min_merge,
+        token_heavy_hitters)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d, w = 4, 1024
+    sketch = count_min_build(docs, "text", d, w)
+    assert sketch.count() <= d * w
+
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    true = toks.groupBy("tok").count()
+    est = count_min_estimate(sketch, true.select("tok"), "tok", d, w)
+    both = true.join(est, "tok")
+    n = both.count()
+    assert n == true.count()
+    # one-sided: every estimate >= the true count
+    assert both.filter(F.col("est_count") < F.col("count")).count() == 0
+    # and the overwhelming majority are exact at this fixture scale
+    exact = both.filter(F.col("est_count") == F.col("count")).count()
+    assert exact / n > 0.9, exact / n
+
+    # mergeability: sketches of two halves merge into the whole
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+    merged = count_min_merge(count_min_build(half_a, "text", d, w),
+                             count_min_build(half_b, "text", d, w))
+    assert merged.exceptAll(sketch).count() == 0
+    assert sketch.exceptAll(merged).count() == 0
+
+    # heavy hitters: CMS top-10 must contain the true top-5
+    top_true = {r.tok for r in true.orderBy(F.col("count").desc(), "tok")
+                .limit(5).collect()}
+    top_est = {r.tok for r in token_heavy_hitters(docs, "text", k=10,
+                                                  d=d, w=w).collect()}
+    assert top_true <= top_est, (top_true, top_est)
