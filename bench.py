@@ -31,6 +31,15 @@ pair generation plus the iterative connected-components rounds.
 
 Results materialize through the noop sink (full execution, no driver
 collect).
+
+Round-5 host-variance evidence (for cross-round comparisons): late in
+round 5 the SAME code measured +60%..+270% vs the BENCH_r04 artifact
+on queries that had not changed a byte (dedup_fingerprint 0.23→0.88,
+events_ohlc_bars 0.34→0.86, q5 0.74→1.39), and the full test suite
+swung 403 s → 1073 s between sessions. Absolute seconds on this host
+are only comparable within one run; regressions should be judged by
+the per-round artifact's internal ratios and the plan-shape tests
+(tests/test_plans.py), not by cross-round seconds.
 """
 
 from __future__ import annotations
