@@ -122,13 +122,22 @@ GAPFILL_OUTPUT_SCHEMA = T.StructType([
 ])
 
 
-def _make_gap_fill(step_ms: int):
-    """Per-key streaming LOCF fill (closure — see _make_update_latest
+def _make_gap_fill(step_ms: int, mode: str):
+    """Per-key streaming gap fill (closure — see _make_update_latest
     for why worker-side fns must pickle by value).
 
     State per key: (last emitted bucket, its value). Each batch emits
     the dense grid from the bucket after the state up to the batch's
-    newest observation, carrying the stored value through gaps.
+    newest observation. ``mode``:
+
+    - ``locf``: gaps carry the stored value forward.
+    - ``interpolate``: gaps get the linear blend between the stored
+      observation and the one CLOSING the gap. Emission is already
+      deferred until a later observation arrives, so — unlike the
+      batch operator, where trailing gaps need an LOCF fallback —
+      streaming interpolation is causally sound by construction: a
+      gap row is only ever emitted when both endpoints are known.
+
     Observations at-or-before the already-emitted grid head are
     DROPPED (the append-mode analog of a watermark: emitted grid rows
     are immutable). Gaps after the newest observation stay unemitted
@@ -159,7 +168,12 @@ def _make_gap_fill(step_ms: int):
             if last_b is not None:
                 g = last_b + step_ms
                 while g < b:
-                    out.append((k, g, last_v, True))
+                    if mode == "interpolate":
+                        frac = float(g - last_b) / float(b - last_b)
+                        fill = last_v + (obs[b] - last_v) * frac
+                    else:
+                        fill = last_v
+                    out.append((k, g, fill, True))
                     g += step_ms
             out.append((k, b, obs[b], False))
             last_b, last_v = b, obs[b]
@@ -171,17 +185,20 @@ def _make_gap_fill(step_ms: int):
     return gap_fill
 
 
-def streaming_gap_fill_locf(stream: DataFrame, key_col: str,
-                            ts_ms_col: str, value_col: str,
-                            step_ms: int) -> DataFrame:
-    """Streaming twin of ``operators/timeseries.gap_fill_locf``: a live
-    dense per-key grid, gaps carried forward as observations arrive.
+def streaming_gap_fill(stream: DataFrame, key_col: str, ts_ms_col: str,
+                       value_col: str, step_ms: int,
+                       mode: str = "locf") -> DataFrame:
+    """Streaming twin of ``operators/timeseries.gap_fill_locf`` /
+    ``gap_fill_interpolate``: a live dense per-key grid, gaps filled as
+    observations arrive (``mode`` = ``locf`` or ``interpolate``).
 
-    The batch operator regularizes history; this emits the same rows
+    The batch operators regularize history; this emits the same rows
     incrementally (append-mode change stream of grid buckets), so a
     downstream bar consumer never sees holes. State is two scalars per
     key — far below the state-store's per-key overhead floor.
     """
+    if mode not in ("locf", "interpolate"):
+        raise ValueError(f"unknown gap-fill mode: {mode}")
     keyed = stream.select(
         F.col(key_col).cast("string").alias("k"),
         F.col(ts_ms_col).cast("long").alias("ts_ms"),
@@ -189,10 +206,18 @@ def streaming_gap_fill_locf(stream: DataFrame, key_col: str,
     return (
         keyed.groupBy("k")
         .applyInPandasWithState(
-            _make_gap_fill(int(step_ms)),
+            _make_gap_fill(int(step_ms), mode),
             outputStructType=GAPFILL_OUTPUT_SCHEMA,
             stateStructType=GAPFILL_STATE_SCHEMA,
             outputMode="append",
             timeoutConf="NoTimeout",
         )
     )
+
+
+def streaming_gap_fill_locf(stream: DataFrame, key_col: str,
+                            ts_ms_col: str, value_col: str,
+                            step_ms: int) -> DataFrame:
+    """LOCF-mode alias of :func:`streaming_gap_fill`."""
+    return streaming_gap_fill(stream, key_col, ts_ms_col, value_col,
+                              step_ms, mode="locf")

@@ -101,3 +101,44 @@ def test_streaming_gap_fill_locf(spark, tmp_path):
         ("A", 30): (5.0, False),
         ("B", 40): (7.0, False),
     }
+
+
+def test_streaming_gap_fill_interpolate(spark, tmp_path):
+    """Interpolate mode: a gap row is emitted only when the closing
+    observation arrives, so both endpoints are always known — the
+    causally-sound streaming interpolation."""
+    import json
+    import os
+
+    from market_data_ingestor_go_spark.streaming.stateful import (
+        streaming_gap_fill)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(src + "/a.json", "w") as fh:
+        fh.write(json.dumps({"sym": "A", "ts": 5, "px": 1.0}) + "\n")
+
+    stream = (spark.readStream
+              .schema("sym STRING, ts LONG, px DOUBLE").json(src))
+    out = streaming_gap_fill(stream, "sym", "ts", "px", step_ms=10,
+                             mode="interpolate")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("gapfill_interp_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    # batch 2 closes a 2-bucket gap: interpolation endpoints are the
+    # stored (0, 1.0) and the closing (30, 4.0) observation
+    with open(src + "/b.json", "w") as fh:
+        fh.write(json.dumps({"sym": "A", "ts": 31, "px": 4.0}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.k, r.bucket_start_ms): (r.value_locf, r.is_gap)
+            for r in spark.sql("SELECT * FROM gapfill_interp_stream")
+            .collect()}
+    assert rows == {
+        ("A", 0): (1.0, False),
+        ("A", 10): (2.0, True),
+        ("A", 20): (3.0, True),
+        ("A", 30): (4.0, False),
+    }
