@@ -85,3 +85,17 @@ def test_driver_window_is_at_most_50():
     assert len(QUERIES) <= 50
     oracle_only = set(ORACLES) - set(QUERIES)
     assert not oracle_only, f"oracles outside the declared window: {oracle_only}"
+
+
+def test_round5_rotated_operators_sit_in_declared_window():
+    """The round-5 rotation's whole point: these 13 operators must be
+    inside the first-50 window the driver externally verifies."""
+    rotated_in = {
+        "dedup_cluster_keepers", "contamination_check", "knn_ann_pq",
+        "text_bpe_token_estimate", "doc_rolling_fingerprint",
+        "rolling_fingerprint_neardup", "doc_top_terms", "text_repetition",
+        "embedding_quantize_stats", "events_funnel_conversion",
+        "orders_cohort_matrix", "pii_scrub_stats", "train_test_split_hash",
+    }
+    window = set(list(QUERIES)[:50])
+    assert rotated_in <= window, rotated_in - window
