@@ -79,6 +79,82 @@ def count_min_estimate(sketch: DataFrame, candidates: DataFrame,
                  .alias("est_count")))
 
 
+# ------------------------------------------------------------------
+# Mergeable DISTINCT sketches (Datasketches HLL / theta, JVM-native).
+#
+# The 100 TB pattern: the sketch is what you STORE. One scan builds a
+# few-KB sketch per cube cell (group × partition); every later rollup
+# is a sketch UNION over those cells — never a rescan of the fact
+# table — and theta sketches extend union with INTERSECTION /
+# DIFFERENCE, so cross-corpus distinct overlap ("how many content
+# fingerprints do sources A and B share?") costs K tiny sketches
+# instead of a fingerprint self-join shuffle. Both families are
+# order-independent (registers take max / keep-min-k hashes), so the
+# estimates are deterministic for a given input set, and exact while
+# the per-cell cardinality stays under the sketch's nominal capacity.
+# ------------------------------------------------------------------
+
+
+def distinct_sketch_partials(df: DataFrame, key_col: str,
+                             group_cols: list[str], part_col,
+                             lgk: int = 12) -> DataFrame:
+    """Pre-aggregated HLL cube cells: one sketch per (group, part).
+
+    `part_col` is a Column (e.g. month(date)) aliased to "part". At
+    scale these cells are the materialized layer: ~(2**lgk)/2 bytes
+    each, one per cell, built map-side in a single pass.
+    """
+    return (df.groupBy(*group_cols, part_col.alias("part"))
+            .agg(F.hll_sketch_agg(key_col, lgk).alias("hll")))
+
+
+def distinct_sketch_rollup(partials: DataFrame,
+                           group_cols: list[str]) -> DataFrame:
+    """Union partial sketches up to per-group distinct estimates.
+
+    HLL registers combine by max, so the union of partials is
+    REGISTER-IDENTICAL to a sketch built directly over the union of
+    the inputs (tested bit-exact on the estimate).
+    """
+    agg = [F.hll_sketch_estimate(F.hll_union_agg("hll"))
+           .alias("approx_distinct"),
+           F.count("*").alias("n_cells")]
+    if group_cols:
+        return partials.groupBy(*group_cols).agg(*agg)
+    return partials.agg(*agg)
+
+
+def theta_set_sketches(df: DataFrame, key_col: str, set_col: str,
+                       lg_nom: int = 14) -> DataFrame:
+    """One theta sketch of `key_col` per value of `set_col` — the
+    per-corpus summary that makes pairwise overlap O(K²) over
+    kilobyte sketches instead of O(rows²) over keys."""
+    return (df.groupBy(set_col)
+            .agg(F.theta_sketch_agg(key_col, lg_nom).alias("sk")))
+
+
+def theta_pairwise_overlap(sketches: DataFrame,
+                           set_col: str = "source") -> DataFrame:
+    """|A|, |B|, |A∩B|, |A∪B| estimates for every unordered pair.
+
+    The sketch table has one row per set — the pairwise join is over
+    K rows of kilobyte payloads (broadcast, no fact-table shuffle).
+    """
+    a = sketches.select(F.col(set_col).alias("set_a"),
+                        F.col("sk").alias("sk_a"))
+    b = sketches.select(F.col(set_col).alias("set_b"),
+                        F.col("sk").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("set_a") < F.col("set_b"))
+    return pairs.select(
+        "set_a", "set_b",
+        F.theta_sketch_estimate("sk_a").alias("n_a"),
+        F.theta_sketch_estimate("sk_b").alias("n_b"),
+        F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+        .alias("n_shared"),
+        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))
+        .alias("n_union"))
+
+
 def token_heavy_hitters(df: DataFrame, text_col: str = "text",
                         k: int = 20, d: int = 4, w: int = 1024) -> DataFrame:
     """Top-k tokens by CMS estimate (fixture-scale driver: candidates =

@@ -12,6 +12,10 @@ Queries intentionally absent (rows-only driver check):
   LSH bucketing / trained codebooks — not SQL-expressible.
 - approx_distinct_sketch (EXTRA)      : HLL estimates are
   engine-specific by construction.
+- distinct_rollup_hll, source_overlap_theta (EXTRA) : Datasketches
+  HLL / theta estimates are engine-specific; exact twins are
+  distinct_count_exact and source_overlap_exact, and sketch↔exact
+  agreement is asserted in tests/test_operators.py.
 - pack_greedy_packing (EXTRA)         : greedy applyInPandas packer,
   property-tested instead.
 """
@@ -1209,4 +1213,22 @@ FROM s a JOIN s b
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
              AS DOUBLE) >= 0.6
+"""
+
+# Cross-source distinct-shingle overlap, exact — the self-join
+# baseline whose theta-sketch twin (source_overlap_theta) replaces
+# the key shuffle with per-source kilobyte sketches at scale.
+EXTRA_ORACLES["source_overlap_exact"] = f"""
+WITH s AS ({_SHINGLES}),
+exploded AS (
+  SELECT d.source AS source, unnest(s.sh) AS shingle
+  FROM s JOIN documents d USING (doc_id)),
+src AS (SELECT DISTINCT source, shingle FROM exploded)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared
+FROM src a JOIN src b
+  ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY n_shared DESC, source_a, source_b
+LIMIT 20
 """

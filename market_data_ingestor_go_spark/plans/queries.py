@@ -881,6 +881,73 @@ def token_heavy_hitters_sketch(spark, sf_dir):
     return token_heavy_hitters(d, "text", k=20)
 
 
+def distinct_rollup_hll(spark, sf_dir):
+    """Mergeable-distinct rollup (Datasketches HLL): monthly partial
+    sketches of l_partkey per returnflag, unioned to per-flag
+    estimates — the store-the-sketch pattern that answers rollups at
+    100 TB without rescanning the fact table. Rows-only (estimates
+    are Datasketches-specific); the exact twin is
+    distinct_count_exact, and the register-identity of
+    union-of-partials vs direct build is asserted in test_operators."""
+    from ..operators.sketch import (distinct_sketch_partials,
+                                    distinct_sketch_rollup)
+    li = _t(spark, sf_dir, "lineitem")
+    partials = distinct_sketch_partials(
+        li, "l_partkey", ["l_returnflag"],
+        F.date_trunc("month", F.col("l_shipdate")), lgk=12)
+    return (distinct_sketch_rollup(partials, ["l_returnflag"])
+            .withColumn("approx_distinct",
+                        F.col("approx_distinct").cast("bigint")))
+
+
+def source_overlap_exact(spark, sf_dir):
+    """Cross-source shingle overlap, exact: distinct 3-gram shingles
+    shared per source pair. This is the O(shared-keys) self-join
+    baseline the theta-sketch twin (source_overlap_theta) replaces at
+    scale. Top-20 pairs by overlap, deterministic tiebreak."""
+    from ..operators.dedup import shingle_df
+    d = _t(spark, sf_dir, "documents")
+    sh = (shingle_df(d, "text", "doc_id", 3)
+          .join(d.select(F.col("doc_id").alias("id"), "source"), "id")
+          .select("source", F.explode("sh").alias("shingle"))
+          .distinct())
+    pairs = (sh.alias("a")
+             .join(sh.alias("b"),
+                   (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("source_a"),
+                      F.col("b.source").alias("source_b"))
+             .agg(F.count("*").alias("n_shared")))
+    return pairs.orderBy(F.col("n_shared").desc(),
+                         "source_a", "source_b").limit(20)
+
+
+def source_overlap_theta(spark, sf_dir):
+    """Cross-source distinct-shingle set algebra via theta sketches:
+    |A|, |B|, |A∩B|, |A∪B| per source pair from one corpus scan + a
+    K-row sketch join — no fingerprint self-join. Rows-only (sketch
+    estimates are engine-side); agreement with source_overlap_exact
+    is asserted in test_operators (exact-mode sketches at fixture
+    cardinalities). Same top-20 framing as the exact twin."""
+    from ..operators.dedup import shingle_df
+    from ..operators.sketch import (theta_pairwise_overlap,
+                                    theta_set_sketches)
+    d = _t(spark, sf_dir, "documents")
+    sh = (shingle_df(d, "text", "doc_id", 3)
+          .join(d.select(F.col("doc_id").alias("id"), "source"), "id")
+          .select("source", F.explode("sh").alias("shingle")))
+    sketches = theta_set_sketches(sh, "shingle", "source", lg_nom=14)
+    out = theta_pairwise_overlap(sketches, "source")
+    return (out.select(F.col("set_a").alias("source_a"),
+                       F.col("set_b").alias("source_b"),
+                       F.col("n_a").cast("bigint").alias("n_a"),
+                       F.col("n_b").cast("bigint").alias("n_b"),
+                       F.col("n_shared").cast("bigint").alias("n_shared"),
+                       F.col("n_union").cast("bigint").alias("n_union"))
+            .orderBy(F.col("n_shared").desc(), "source_a", "source_b")
+            .limit(20))
+
+
 def events_gapfill_locf(spark, sf_dir):
     """Dense 15-min grid per event type with last-observation-carried-
     forward — the hypertable gapfill+locf query over the sparse event
@@ -1468,6 +1535,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gapfill_locf": events_gapfill_locf,      # grid ⊂ ohlc/window family
     "events_gapfill_interpolate": events_gapfill_interpolate,  # ⊂ gapfill_locf
     "token_heavy_hitters_sketch": token_heavy_hitters_sketch,  # rows-only (CMS)
+    "distinct_rollup_hll": distinct_rollup_hll,      # rows-only (HLL union)
+    "source_overlap_exact": source_overlap_exact,    # exact twin of theta
+    "source_overlap_theta": source_overlap_theta,    # rows-only (theta ∩/∪)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,
     # correlated-threshold, returned-items top-k)

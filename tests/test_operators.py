@@ -1026,3 +1026,53 @@ def test_count_min_sketch_properties(spark):
     top_est = {r.tok for r in token_heavy_hitters(docs, "text", k=10,
                                                   d=d, w=w).collect()}
     assert top_true <= top_est, (top_true, top_est)
+
+
+def test_distinct_sketch_rollup_properties(spark):
+    """HLL rollup invariants: union-of-partials is register-identical
+    to the direct whole-input sketch (same estimate, bit-exact), and
+    the estimate tracks the exact distinct count within HLL error at
+    lgk=12 (<2% at fixture cardinalities)."""
+    from market_data_ingestor_go_spark.operators.sketch import (
+        distinct_sketch_partials, distinct_sketch_rollup)
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    partials = distinct_sketch_partials(
+        li, "l_partkey", ["l_returnflag"],
+        F.date_trunc("month", F.col("l_shipdate")), lgk=12)
+    rolled = {r.l_returnflag: r.approx_distinct
+              for r in distinct_sketch_rollup(
+                  partials, ["l_returnflag"]).collect()}
+
+    direct = {r.l_returnflag: r.approx
+              for r in li.groupBy("l_returnflag")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("l_partkey", 12)).alias("approx"))
+              .collect()}
+    # registers combine by max → union of partials == direct build
+    assert rolled == direct, (rolled, direct)
+
+    exact = {r.l_returnflag: r.n
+             for r in li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_partkey").alias("n")).collect()}
+    for flag, est in rolled.items():
+        assert abs(est - exact[flag]) / exact[flag] < 0.02, (flag, est)
+
+
+def test_theta_overlap_matches_exact(spark):
+    """Theta set algebra vs the exact self-join twin: below the
+    sketch's nominal capacity (lg_nom=14 > per-source shingle count)
+    theta runs in exact mode, so |A|, |A∩B| and |A∪B| must EQUAL the
+    exact counts — not just approximate them."""
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.source_a, r.source_b): r.n_shared
+             for r in ALL_QUERIES["source_overlap_exact"](spark, sf)
+             .collect()}
+    theta_rows = ALL_QUERIES["source_overlap_theta"](spark, sf).collect()
+    theta = {(r.source_a, r.source_b): r.n_shared for r in theta_rows}
+    assert theta == exact, (theta, exact)
+    # inclusion-exclusion closes: |A|+|B| == |A∩B|+|A∪B| (exact mode)
+    for r in theta_rows:
+        assert r.n_a + r.n_b == r.n_shared + r.n_union, r
