@@ -1232,3 +1232,14 @@ GROUP BY 1, 2
 ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
+
+# VARIANT round-trip: the oracle computes straight from the typed
+# columns — matching means build→parse_json→variant_get lost nothing,
+# doubles included.
+EXTRA_ORACLES["events_variant_extract"] = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {_dsum('value')} AS sum_value,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(DISTINCT user_id) AS n_sources
+FROM events GROUP BY event_type
+"""

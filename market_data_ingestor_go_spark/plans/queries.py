@@ -167,6 +167,43 @@ def p3_flatten_payload(spark, sf_dir):
         F.get_json_object("props", "$.k").cast("bigint").alias("k"))
 
 
+def events_variant_extract(spark, sf_dir):
+    """Schema-on-read ingestion via Spark 4's VARIANT type: rebuild
+    the reference's double-nested wire envelope (server.go:176-188's
+    data.data shape, the P3 family), parse it with parse_json into an
+    open VARIANT column, and pull typed fields back out with
+    variant_get JSON paths — the drift-tolerant path for payloads
+    whose shape changes release to release (no schema migration, no
+    schema_of_json sampling pass; extraction stays JVM-side on the
+    binary-encoded variant, unlike repeated get_json_object string
+    re-parses). Aggregated per event_type so the check is
+    order-stable; the oracle computes the same result straight from
+    the typed columns — i.e. it checks that the build→parse→extract
+    round trip is lossless, doubles included."""
+    e = _events(spark, sf_dir)
+    wire = e.select(
+        "event_type",
+        F.to_json(F.struct(
+            F.struct(F.col("event_type").alias("type"),
+                     F.col("user_id").alias("source_id")).alias("meta"),
+            F.struct(F.struct(
+                F.col("value").alias("value"),
+                F.get_json_object("props", "$.k").cast("bigint")
+                .alias("k")).alias("data")).alias("data"),
+        )).alias("wire"))
+    v = wire.select("event_type", F.parse_json("wire").alias("v"))
+    ext = v.select(
+        "event_type",
+        F.variant_get("v", "$.data.data.value", "double").alias("val"),
+        F.variant_get("v", "$.data.data.k", "bigint").alias("k"),
+        F.variant_get("v", "$.meta.source_id", "bigint").alias("source_id"))
+    return (ext.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 _dsum(F.col("val"), "sum_value"),
+                 F.max("k").alias("max_k"),
+                 F.countDistinct("source_id").alias("n_sources")))
+
+
 def p4_value_rules(spark, sf_dir):
     """P4 (server.go:224-238): add/subtract/multiply/divide value rules;
     divide-by-zero → identity (server.go:232-236)."""
@@ -1535,6 +1572,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gapfill_locf": events_gapfill_locf,      # grid ⊂ ohlc/window family
     "events_gapfill_interpolate": events_gapfill_interpolate,  # ⊂ gapfill_locf
     "token_heavy_hitters_sketch": token_heavy_hitters_sketch,  # rows-only (CMS)
+    "events_variant_extract": events_variant_extract,  # VARIANT ⊃ p3 family
     "distinct_rollup_hll": distinct_rollup_hll,      # rows-only (HLL union)
     "source_overlap_exact": source_overlap_exact,    # exact twin of theta
     "source_overlap_theta": source_overlap_theta,    # rows-only (theta ∩/∪)

@@ -1076,3 +1076,30 @@ def test_theta_overlap_matches_exact(spark):
     # inclusion-exclusion closes: |A|+|B| == |A∩B|+|A∪B| (exact mode)
     for r in theta_rows:
         assert r.n_a + r.n_b == r.n_shared + r.n_union, r
+
+
+def test_variant_tolerates_shape_drift(spark):
+    """The VARIANT ingestion path's reason to exist: payloads whose
+    shape drifts (missing keys, extra nesting, numeric widening) keep
+    flowing — absent paths extract as NULL, extra fields are carried,
+    and ints widen to the requested type without a schema change."""
+    df = spark.createDataFrame(
+        [('{"meta":{"source_id":1},"data":{"data":{"value":1.5,"k":7}}}',),
+         ('{"meta":{"source_id":2},"data":{"data":{"value":2}}}',),      # no k
+         ('{"data":{"data":{"value":3.25,"k":9,"extra":{"deep":true}}}}',),  # no meta
+         ('{"legacy_value": 4.0}',)],                                    # old shape
+        "wire string")
+    v = df.select(F.parse_json("wire").alias("v"))
+    rows = v.select(
+        F.variant_get("v", "$.data.data.value", "double").alias("val"),
+        F.variant_get("v", "$.data.data.k", "bigint").alias("k"),
+        F.variant_get("v", "$.meta.source_id", "bigint").alias("src"),
+        F.variant_get("v", "$.data.data.extra.deep", "boolean").alias("deep"),
+        F.variant_get("v", "$.legacy_value", "double").alias("legacy"),
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        (1.5, 7, 1, None, None),
+        (2.0, None, 2, None, None),   # int 2 widens to double on request
+        (3.25, 9, None, True, None),
+        (None, None, None, None, 4.0),
+    ]
