@@ -1,0 +1,58 @@
+"""Streaming sketches: bounded state BY CONSTRUCTION.
+
+The reason sketches compose with Structured Streaming for free is the
+same mergeability that makes them work on a 1000-executor cluster: a
+streaming aggregation's state store holds exactly the sketch —
+≤ d·w counter rows for count-min, one HLL binary per group — so state
+can never grow with the stream, no watermark/TTL is required, and
+`complete` output mode re-emits the whole (tiny) sketch each trigger
+for downstream estimation. A crashed query replays from the
+checkpoint into the identical counters (order-independence).
+
+Batch↔streaming equivalence is the correctness contract: the sketch
+of a stream after N micro-batches is bit-identical to the batch
+sketch of the concatenated input (tested in test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketch import _hash_rows
+
+
+def streaming_count_min(stream: DataFrame, text_col: str = "text",
+                        d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-min over a document stream as a plain streaming groupBy:
+    the state store IS the d×w counter grid (≤ d·w rows, ever)."""
+    toks = stream.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+    return (toks.select(
+        F.explode(_hash_rows(F.col("tok"), d, w)).alias("h"))
+        .groupBy("h.depth", "h.bucket")
+        .agg(F.count("*").alias("cnt")))
+
+
+def streaming_distinct_sketch(stream: DataFrame, key_col: str,
+                              group_cols: list[str],
+                              lgk: int = 12) -> DataFrame:
+    """Streaming approx-distinct per group via HLL: one ~(2**lgk)/2-byte
+    sketch of state per group, updated register-max per batch —
+    distinct-counting a stream without storing the keys."""
+    return (stream.groupBy(*group_cols)
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg(key_col, lgk)).alias("approx_distinct"),
+                F.count("*").alias("n_rows")))
+
+
+def run_sketch_stream(sketch_df: DataFrame, name: str,
+                      checkpoint: str):
+    """Drive a sketch aggregation into an in-memory table in
+    `complete` mode — legal precisely because the result is
+    sketch-sized; downstream estimation (count_min_estimate /
+    heavy hitters) reads the table as an ordinary DataFrame."""
+    return (sketch_df.writeStream.outputMode("complete")
+            .format("memory").queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .start())

@@ -1234,3 +1234,94 @@ def test_streaming_dedup_gate_state_not_shuffled(spark, tmp_path):
         gate.stop()
         spark.sql("DROP TABLE IF EXISTS ddg_plan_sig")
         spark.sql("DROP TABLE IF EXISTS ddg_plan_sh")
+
+
+def test_streaming_count_min_equals_batch(spark, tmp_path):
+    """Streaming CMS contract: after any number of micro-batches the
+    state (≤ d·w counter rows) is BIT-IDENTICAL to the batch sketch
+    of the concatenated input — mergeability as the batch↔streaming
+    equivalence proof — and heavy-hitter estimates read straight off
+    the complete-mode sink agree with the batch path."""
+    import json as _json
+
+    from market_data_ingestor_go_spark.operators.sketch import (
+        count_min_build, count_min_estimate)
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_count_min)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = docs.collect()
+    for i, half in enumerate((rows[::2], rows[1::2])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in half:
+                fh.write(_json.dumps({"text": r.text}) + "\n")
+
+    d, w = 4, 512
+    stream = (spark.readStream.schema("text STRING")
+              .option("maxFilesPerTrigger", 1)  # force ≥2 micro-batches
+              .json(src))
+    q = run_sketch_stream(streaming_count_min(stream, "text", d, w),
+                          "cms_stream", str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress["stateOperators"][0]["numRowsTotal"] <= d * w
+    finally:
+        q.stop()
+
+    got = spark.table("cms_stream")
+    want = count_min_build(docs, "text", d, w)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # estimation works directly off the sink table
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")).distinct()
+    est_s = count_min_estimate(got, toks, "tok", d, w)
+    est_b = count_min_estimate(want, toks, "tok", d, w)
+    assert est_s.exceptAll(est_b).count() == 0
+
+
+def test_streaming_distinct_sketch_equals_batch(spark, tmp_path):
+    """Streaming HLL distinct per group: state is one sketch per
+    group; register-max order-independence makes the streamed
+    estimate EQUAL to the batch estimate over the same rows."""
+    import json as _json
+
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_distinct_sketch)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("lang", "text")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = docs.collect()
+    for i, half in enumerate((rows[::2], rows[1::2])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in half:
+                fh.write(_json.dumps({"lang": r.lang, "text": r.text}) + "\n")
+
+    stream = (spark.readStream.schema("lang STRING, text STRING")
+              .option("maxFilesPerTrigger", 1)
+              .json(src)
+              .withColumn("fp", F.xxhash64("text")))
+    q = run_sketch_stream(
+        streaming_distinct_sketch(stream, "fp", ["lang"], lgk=12),
+        "hll_stream", str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.lang): (r.approx_distinct, r.n_rows)
+           for r in spark.table("hll_stream").collect()}
+    want = {(r.lang): (r.approx_distinct, r.n_rows)
+            for r in docs.withColumn("fp", F.xxhash64("text"))
+            .groupBy("lang")
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg("fp", 12)).alias("approx_distinct"),
+                F.count("*").alias("n_rows")).collect()}
+    assert got == want
