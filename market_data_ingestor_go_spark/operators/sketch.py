@@ -155,6 +155,42 @@ def theta_pairwise_overlap(sketches: DataFrame,
         .alias("n_union"))
 
 
+def quantile_sketch_partials(df: DataFrame, value_col: str,
+                             group_cols: list[str], part_col,
+                             k: int = 200) -> DataFrame:
+    """KLL quantile-sketch cube cells — the quantile member of the
+    mergeable family (CMS=frequency, HLL/theta=distinct): one ~k·8-byte
+    sketch per (group, part), built in a single pass. KLL compaction
+    is RANDOMIZED (Karnin-Lang-Liberty 2016), so estimates carry a
+    probabilistic normalized-rank-error bound (~1.65%/√? at k=200,
+    asserted as measured rank error in tests) and are not
+    run-repeatable — which is why the rollup query is rows-only with
+    value_percentiles as its exact twin."""
+    return (df.groupBy(*group_cols, part_col.alias("part"))
+            .agg(F.kll_sketch_agg_double(value_col, k).alias("kll")))
+
+
+def quantile_sketch_rollup(partials: DataFrame, group_cols: list[str],
+                           qs: tuple = (0.5, 0.95, 0.99)) -> DataFrame:
+    """Merge KLL cells up to per-group quantile estimates.
+
+    Spark exposes only the pairwise kll_sketch_merge, so the per-group
+    cells fold through a collect_list + aggregate() — safe because the
+    list is the stored-cells layer (one sketch per partition, dozens
+    of rows), never the raw values."""
+    folded = (partials.groupBy(*group_cols)
+              .agg(F.collect_list("kll").alias("sks")))
+    sk = F.aggregate(F.expr("slice(sks, 2, size(sks) - 1)"),
+                     F.element_at("sks", 1),
+                     lambda acc, x: F.kll_sketch_merge_double(acc, x))
+    merged = folded.select(*group_cols, sk.alias("sk"))
+    return merged.select(
+        *group_cols,
+        F.kll_sketch_get_n_double("sk").alias("n_rows"),
+        *[F.kll_sketch_get_quantile_double("sk", F.lit(q))
+          .alias(f"q{int(q * 100)}") for q in qs])
+
+
 def token_heavy_hitters(df: DataFrame, text_col: str = "text",
                         k: int = 20, d: int = 4, w: int = 1024) -> DataFrame:
     """Top-k tokens by CMS estimate (fixture-scale driver: candidates =

@@ -16,6 +16,9 @@ Queries intentionally absent (rows-only driver check):
   HLL / theta estimates are engine-specific; exact twins are
   distinct_count_exact and source_overlap_exact, and sketch↔exact
   agreement is asserted in tests/test_operators.py.
+- value_quantiles_kll (EXTRA)         : KLL compaction is randomized
+  (not even run-repeatable); tests pin the sketch's rank-error
+  contract instead; exact twin value_percentiles.
 - pack_greedy_packing (EXTRA)         : greedy applyInPandas packer,
   property-tested instead.
 """

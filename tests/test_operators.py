@@ -1103,3 +1103,30 @@ def test_variant_tolerates_shape_drift(spark):
         (3.25, 9, None, True, None),
         (None, None, None, None, 4.0),
     ]
+
+
+def test_kll_quantile_rollup_rank_error(spark):
+    """KLL's actual contract: the MEASURED rank of each estimated
+    quantile is within the sketch's normalized rank-error bound
+    (<3% at k=200; estimates themselves are randomized and not
+    run-repeatable, so value equality is the wrong assertion).
+    n_rows must be exact — KLL tracks n losslessly through merges."""
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    est = ALL_QUERIES["value_quantiles_kll"](spark, sf).collect()
+
+    exact_n = {r.l_returnflag: r.n for r in
+               li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+               .collect()}
+    for row in est:
+        flag = row.l_returnflag
+        assert row.n_rows == exact_n[flag], row
+        for q, col in ((0.5, "q50"), (0.95, "q95"), (0.99, "q99")):
+            measured_rank = (
+                li.filter(F.col("l_returnflag") == flag)
+                .agg((F.count(F.when(
+                    F.col("l_extendedprice") <= row[col], 1))
+                    / F.count("*")).alias("r")).first().r)
+            assert abs(measured_rank - q) < 0.03, (flag, q, measured_rank)
