@@ -139,7 +139,12 @@ def theta_pairwise_overlap(sketches: DataFrame,
 
     The sketch table has one row per set — the pairwise join is over
     K rows of kilobyte payloads (broadcast, no fact-table shuffle).
+    Pinned so the self-join's two branches share ONE sketch build
+    (without it each branch re-scans the corpus); callers release via
+    operators.cache.release_pinned() after their consuming action.
     """
+    from .cache import pin
+    sketches = pin(sketches)
     a = sketches.select(F.col(set_col).alias("set_a"),
                         F.col("sk").alias("sk_a"))
     b = sketches.select(F.col(set_col).alias("set_b"),

@@ -190,3 +190,46 @@ def test_gapfill_single_raw_aggregate(spark):
             "event_id", "ts", "event_type", "value"}
     finally:
         release_pinned()
+
+
+def test_hll_rollup_partial_aggregates(spark):
+    """distinct_rollup_hll: both levels (cell build and union) are
+    hash aggregates with map-side partials — sketches combine before
+    every exchange, so the shuffle carries cells, not keys — and the
+    scan is pruned to the three columns involved."""
+    plan = _plan(ALL_QUERIES["distinct_rollup_hll"](spark, SF))
+    assert plan.count("HashAggregate") == 4, plan   # 2 levels × (partial+final)
+    assert "partial_hll_sketch_agg" in plan, plan
+    assert "partial_hll_union_agg" in plan, plan
+    assert "SortAggregate" not in plan, plan
+    cols = _scan_columns(plan, "lineitem")
+    assert cols == {"l_partkey", "l_returnflag", "l_shipdate"}, cols
+
+
+def test_theta_overlap_joins_sketches_not_keys(spark):
+    """source_overlap_theta: the pairwise stage joins the per-source
+    SKETCH table (K rows) via broadcast nested loop on the < predicate
+    — legal because both sides are sketch-sized — and BOTH self-join
+    branches read the pinned sketch cache, so the corpus is scanned
+    and aggregated exactly once (no shingle self-join anywhere)."""
+    from market_data_ingestor_go_spark.operators.cache import release_pinned
+    plan = _plan(ALL_QUERIES["source_overlap_theta"](spark, SF))
+    released = release_pinned()
+    assert released == 1, released
+    assert "partial_theta_sketch_agg" in plan, plan
+    assert plan.count("InMemoryTableScan") == 2, plan
+    # the only join above the cached sketch table is the K-row BNLJ
+    above_cache = plan.split("InMemoryTableScan")[0]
+    assert above_cache.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in above_cache, plan
+    assert "ShuffledHashJoin" not in above_cache, plan
+
+
+def test_variant_extract_single_aggregate(spark):
+    """events_variant_extract: build→parse→extract all stay in one
+    projection; the countDistinct expands to the standard two-level
+    aggregate and nothing else shuffles."""
+    plan = _plan(ALL_QUERIES["events_variant_extract"](spark, SF))
+    assert "variant_get" in plan, plan
+    assert _count(plan, "Exchange") <= 2, plan  # distinct-agg expansion
+    assert "SortAggregate" not in plan, plan
