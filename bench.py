@@ -87,6 +87,11 @@ HEADLINE = [
     # hypertable gapfill+LOCF (r5): one raw-stream aggregate, then
     # bucket-grain grid/join/window — scan-dominated by design
     "events_gapfill_locf",
+    # sketch family + VARIANT (late r5): HLL cube rollup, theta set
+    # algebra over per-source sketches, schema-on-read variant path
+    "distinct_rollup_hll",
+    "source_overlap_theta",
+    "events_variant_extract",
 ]
 
 

@@ -957,17 +957,26 @@ def value_quantiles_kll(spark, sf_dir):
             .withColumn("n_rows", F.col("n_rows").cast("bigint")))
 
 
+def _source_shingles(spark, sf_dir):
+    """(source, shingle) rows for the overlap twins. The shingle
+    table is pinned BEFORE the explode: without the materialization
+    barrier the explode stage re-evaluates the O(tokens·n) shingle
+    transform (~4× slower, measured at sf0.1 — same pathology
+    minhash_near_dup_pairs pins against, dedup.py:251)."""
+    from ..operators.cache import pin
+    from ..operators.dedup import shingle_df
+    d = _t(spark, sf_dir, "documents")
+    sh = pin(shingle_df(d, "text", "doc_id", 3))
+    return (sh.join(d.select(F.col("doc_id").alias("id"), "source"), "id")
+            .select("source", F.explode("sh").alias("shingle")))
+
+
 def source_overlap_exact(spark, sf_dir):
     """Cross-source shingle overlap, exact: distinct 3-gram shingles
     shared per source pair. This is the O(shared-keys) self-join
     baseline the theta-sketch twin (source_overlap_theta) replaces at
     scale. Top-20 pairs by overlap, deterministic tiebreak."""
-    from ..operators.dedup import shingle_df
-    d = _t(spark, sf_dir, "documents")
-    sh = (shingle_df(d, "text", "doc_id", 3)
-          .join(d.select(F.col("doc_id").alias("id"), "source"), "id")
-          .select("source", F.explode("sh").alias("shingle"))
-          .distinct())
+    sh = _source_shingles(spark, sf_dir).distinct()
     pairs = (sh.alias("a")
              .join(sh.alias("b"),
                    (F.col("a.shingle") == F.col("b.shingle"))
@@ -986,13 +995,9 @@ def source_overlap_theta(spark, sf_dir):
     estimates are engine-side); agreement with source_overlap_exact
     is asserted in test_operators (exact-mode sketches at fixture
     cardinalities). Same top-20 framing as the exact twin."""
-    from ..operators.dedup import shingle_df
     from ..operators.sketch import (theta_pairwise_overlap,
                                     theta_set_sketches)
-    d = _t(spark, sf_dir, "documents")
-    sh = (shingle_df(d, "text", "doc_id", 3)
-          .join(d.select(F.col("doc_id").alias("id"), "source"), "id")
-          .select("source", F.explode("sh").alias("shingle")))
+    sh = _source_shingles(spark, sf_dir)
     sketches = theta_set_sketches(sh, "shingle", "source", lg_nom=14)
     out = theta_pairwise_overlap(sketches, "source")
     return (out.select(F.col("set_a").alias("source_a"),
