@@ -196,6 +196,104 @@ def quantile_sketch_rollup(partials: DataFrame, group_cols: list[str],
           .alias(f"q{int(q * 100)}") for q in qs])
 
 
+# ------------------------------------------------------------------
+# Bloom filter: the MEMBERSHIP member of the mergeable sketch family
+# (CMS = frequency, HLL/theta = distinct, KLL = quantile). A bit array
+# of n_bits, k depth-seeded xxhash64 positions per key — represented
+# as a DataFrame of at most n_bits/64 (word, mask) rows, so a 2^20-bit
+# filter is 16 Ki rows / 128 KiB no matter how many keys went in.
+#
+# Guarantees: NO false negatives ever (every inserted key sets its k
+# bits; OR never clears one), false-positive rate ≈ (1-e^{-kn/m})^k.
+# Merge is bitwise OR — commutative/associative/idempotent — so
+# partition partials, per-corpus filters and per-micro-batch
+# increments all combine into exactly the filter of the union (tested
+# bit-identical), the property that makes it per-executor buildable
+# and storable as streaming state.
+#
+# Scale framing vs Spark's runtime bloom injection (plan-pinned in
+# test_plans): the injected filter lives and dies inside one query.
+# This one is an ARTIFACT — build once over the accepted/dimension key
+# set, store it (128 KiB), and compile it into any later query's scan
+# stage as a pure Column predicate: the big side is pre-filtered
+# before its exchange, so only ~(selectivity + fpp) of the rows ever
+# cross a shuffle, with zero join and zero row blowup on the probe
+# side.
+# ------------------------------------------------------------------
+
+
+def _bloom_positions(col, k: int, n_bits: int):
+    """k bit positions for a key — depth-seeded xxhash64, seeds offset
+    from the CMS seeds so composed pipelines never share hash planes."""
+    return [F.pmod(F.xxhash64(col, F.lit(0x9E37 + j)), F.lit(n_bits))
+            for j in range(k)]
+
+
+def bloom_build(df: DataFrame, key_col: str, n_bits: int = 1 << 17,
+                k: int = 5) -> DataFrame:
+    """Build the filter: (word, mask) rows, ≤ n_bits/64 total.
+
+    One explode (k rows per key) + one map-side-combined bit_or — the
+    only shuffle moves at most n_bits/64 rows per partition.
+    """
+    pos = df.select(F.explode(F.array(*_bloom_positions(
+        F.col(key_col), k, n_bits))).alias("pos"))
+    return (pos.select(F.expr("pos div 64").alias("word"),
+                       F.expr("shiftleft(CAST(1 AS BIGINT), "
+                              "CAST(pos % 64 AS INT))").alias("m"))
+            .groupBy("word").agg(F.bit_or("m").alias("mask")))
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union filters built with the same (n_bits, k): bitwise OR per
+    word — exactly the filter of the concatenated key sets."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word").agg(F.bit_or("mask").alias("mask"))
+
+
+def bloom_might_contain(bloom: DataFrame, key, n_bits: int = 1 << 17,
+                        k: int = 5):
+    """Compile the filter into a pure might-contain Column predicate.
+
+    Collects the bounded sketch to the driver (control-plane, same
+    contract as the k-means codebooks: ≤ n_bits/64 rows regardless of
+    corpus size) and embeds it as an array literal, so the probe test
+    is ALL-k-bits-set expression algebra — it runs inside the scan's
+    WholeStageCodegen with no join, no explode and no shuffle.
+    """
+    words = {r["word"]: r["mask"] for r in bloom.collect()}
+    arr = F.lit([int(words.get(i, 0)) for i in range(n_bits // 64)])
+    tests = None
+    for pos in _bloom_positions(key, k, n_bits):
+        word_val = F.element_at(arr, (pos / 64).cast("int") + 1)
+        bit_set = F.bit_get(word_val, (pos % 64).cast("int")) == 1
+        tests = bit_set if tests is None else tests & bit_set
+    return tests
+
+
+def bloom_semi_join(big: DataFrame, keys: DataFrame, big_key: str,
+                    key_col: str, n_bits: int = 1 << 17,
+                    k: int = 5) -> DataFrame:
+    """Semi join with a Bloom prefilter — result EXACTLY equals the
+    plain semi join (no false negatives by construction; the verify
+    semi join removes the ~fpp false positives), which is what lets
+    the driver oracle check it with a plain EXISTS.
+
+    The scale win is shuffle bytes: the compiled predicate filters the
+    big side inside its scan stage, so when the key set is too large
+    to broadcast (sort-merge territory) only ~(selectivity + fpp) of
+    the rows reach the exchange. Unlike Spark's runtime-injected bloom
+    (single-query lifetime), this filter is a stored, mergeable
+    artifact — build once, reuse across queries and micro-batches.
+    """
+    bloom = bloom_build(keys, key_col, n_bits, k)
+    pre = big.filter(bloom_might_contain(bloom, F.col(big_key), n_bits, k))
+    return pre.join(keys.select(F.col(key_col).alias(big_key)).distinct(),
+                    big_key, "left_semi")
+
+
 def token_heavy_hitters(df: DataFrame, text_col: str = "text",
                         k: int = 20, d: int = 4, w: int = 1024) -> DataFrame:
     """Top-k tokens by CMS estimate (fixture-scale driver: candidates =

@@ -1236,6 +1236,20 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# Bloom-prefiltered semi join: the filter guarantees no false
+# negatives and the verify join removes false positives, so the exact
+# EXISTS is the oracle — a hash match proves the probabilistic
+# prefilter changed nothing but the shuffle volume.
+EXTRA_ORACLES["bloom_semi_join_agg"] = f"""
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       {_dsum('l_quantity')} AS sum_qty
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM part p
+              WHERE p.p_partkey = l.l_partkey AND p.p_size >= 48)
+GROUP BY l_returnflag
+"""
+
 # VARIANT round-trip: the oracle computes straight from the typed
 # columns — matching means build→parse_json→variant_get lost nothing,
 # doubles included.

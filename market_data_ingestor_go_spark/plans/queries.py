@@ -988,6 +988,27 @@ def source_overlap_exact(spark, sf_dir):
                          "source_a", "source_b").limit(20)
 
 
+def bloom_semi_join_agg(spark, sf_dir):
+    """Bloom-prefiltered semi join (membership member of the sketch
+    family): lineitem rows whose part is in the p_size ≥ 48 key set,
+    prefiltered by a 2^14-bit / k=5 Bloom compiled into the scan as a
+    pure Column predicate — no join, no explode, no shuffle on the
+    probe side until the exchange sees only ~(selectivity + fpp) of
+    the rows. Result is EXACT (no false negatives; the verify semi
+    join removes false positives), so the oracle is a plain EXISTS.
+    Merge/no-false-negative/fpp contracts pinned in test_operators."""
+    from ..operators.sketch import bloom_semi_join
+    li = _t(spark, sf_dir, "lineitem")
+    keys = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_size") >= 48).select("p_partkey"))
+    out = bloom_semi_join(li, keys, "l_partkey", "p_partkey",
+                          n_bits=1 << 14, k=5)
+    return (out.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("l_partkey").alias("n_parts"),
+                 _dsum(F.col("l_quantity"), "sum_qty")))
+
+
 def source_overlap_theta(spark, sf_dir):
     """Cross-source distinct-shingle set algebra via theta sketches:
     |A|, |B|, |A∩B|, |A∪B| per source pair from one corpus scan + a
@@ -1601,6 +1622,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_rollup_hll": distinct_rollup_hll,      # rows-only (HLL union)
     "source_overlap_exact": source_overlap_exact,    # exact twin of theta
     "source_overlap_theta": source_overlap_theta,    # rows-only (theta ∩/∪)
+    "bloom_semi_join_agg": bloom_semi_join_agg,      # oracle-exact (EXISTS)
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,

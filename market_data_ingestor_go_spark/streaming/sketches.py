@@ -46,6 +46,24 @@ def streaming_distinct_sketch(stream: DataFrame, key_col: str,
                 F.count("*").alias("n_rows")))
 
 
+def streaming_bloom(stream: DataFrame, key_col: str,
+                    n_bits: int = 1 << 17, k: int = 5) -> DataFrame:
+    """Membership filter over a key stream: the state store holds the
+    (word, mask) rows — ≤ n_bits/64 ever, regardless of stream length.
+    bit_or is commutative/associative/idempotent, so replayed batches
+    land on the identical bit array (exactly-once not even required
+    for correctness), and the `complete`-mode output is directly
+    consumable by bloom_might_contain to compile an
+    accepted-so-far predicate into any later query's scan."""
+    from ..operators.sketch import _bloom_positions
+    pos = stream.select(F.explode(F.array(*_bloom_positions(
+        F.col(key_col), k, n_bits))).alias("pos"))
+    return (pos.select(F.expr("pos div 64").alias("word"),
+                       F.expr("shiftleft(CAST(1 AS BIGINT), "
+                              "CAST(pos % 64 AS INT))").alias("m"))
+            .groupBy("word").agg(F.bit_or("m").alias("mask")))
+
+
 def run_sketch_stream(sketch_df: DataFrame, name: str,
                       checkpoint: str):
     """Drive a sketch aggregation into an in-memory table in

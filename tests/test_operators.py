@@ -1130,3 +1130,52 @@ def test_kll_quantile_rollup_rank_error(spark):
                     F.col("l_extendedprice") <= row[col], 1))
                     / F.count("*")).alias("r")).first().r)
             assert abs(measured_rank - q) < 0.03, (flag, q, measured_rank)
+
+
+def test_bloom_filter_properties(spark):
+    """Bloom invariants: NO false negatives ever, measured fpp within
+    2x the analytic bound at a deliberately tight sizing, bitwise-OR
+    mergeability (split filter == whole-set filter, bit-identical),
+    and the prefiltered semi join equals the plain semi join exactly."""
+    from market_data_ingestor_go_spark.operators.sketch import (
+        bloom_build, bloom_merge, bloom_might_contain, bloom_semi_join)
+    import math
+
+    part = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    keys = part.filter(F.col("p_size") >= 48).select("p_partkey")
+    n_keys = keys.count()
+    assert n_keys > 50  # the fixture must exercise the filter
+
+    # tight sizing so fpp is measurable: m=1024 bits, k=4
+    n_bits, k = 1024, 4
+    bloom = bloom_build(keys, "p_partkey", n_bits, k)
+    assert bloom.count() <= n_bits // 64
+
+    flag = bloom_might_contain(bloom, F.col("p_partkey"), n_bits, k)
+    probes = part.select("p_partkey", (F.col("p_size") >= 48).alias("truth"),
+                         flag.alias("hit"))
+    # no false negatives: every true member hits
+    assert probes.filter("truth AND NOT hit").count() == 0
+    # measured fpp within 2x of (1 - e^{-kn/m})^k
+    neg = probes.filter("NOT truth")
+    fp = neg.filter("hit").count()
+    fpp = fp / neg.count()
+    bound = (1 - math.exp(-k * n_keys / n_bits)) ** k
+    assert fpp <= 2 * bound, (fpp, bound)
+
+    # mergeability: OR of two halves is bit-identical to the whole
+    merged = bloom_merge(bloom_build(keys.filter("p_partkey % 2 = 0"),
+                                     "p_partkey", n_bits, k),
+                         bloom_build(keys.filter("p_partkey % 2 = 1"),
+                                     "p_partkey", n_bits, k))
+    assert merged.exceptAll(bloom).count() == 0
+    assert bloom.exceptAll(merged).count() == 0
+
+    # exactness of the composed semi join, at production-ish sizing
+    got = bloom_semi_join(li, keys, "l_partkey", "p_partkey",
+                          n_bits=1 << 14, k=5)
+    want = li.join(keys.withColumnRenamed("p_partkey", "l_partkey")
+                   .distinct(), "l_partkey", "left_semi")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -235,3 +235,27 @@ def test_variant_extract_single_aggregate(spark):
     assert "variant_get" in plan, plan
     assert _count(plan, "Exchange") <= 2, plan  # distinct-agg expansion
     assert "SortAggregate" not in plan, plan
+
+
+def test_bloom_prefilter_is_scan_stage_predicate(spark):
+    """bloom_semi_join: the compiled might-contain test must be a pure
+    Filter over the big side's scan — no Generate (explode) and no
+    extra join for the membership probe; the whole query keeps the
+    plain semi join's join count (1) so the filter costs no shuffle."""
+    from pyspark.sql import functions as F
+    from market_data_ingestor_go_spark.operators.sketch import (
+        bloom_build, bloom_might_contain)
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    keys = part.filter(F.col("p_size") >= 48).select("p_partkey")
+    bloom = bloom_build(keys, "p_partkey", 1 << 14, 5)
+    pre = li.filter(bloom_might_contain(bloom, F.col("l_partkey"),
+                                        1 << 14, 5))
+    plan = _plan(pre)
+    assert "Generate" not in plan, plan       # no explode on probe side
+    assert "Join" not in plan, plan           # membership is not a join
+    assert _count(plan, "Exchange") == 0, plan
+
+    full = _plan(ALL_QUERIES["bloom_semi_join_agg"](spark, SF))
+    assert full.count("Join") <= 2, full      # verify semi join only

@@ -1325,3 +1325,50 @@ def test_streaming_distinct_sketch_equals_batch(spark, tmp_path):
                 F.hll_sketch_agg("fp", 12)).alias("approx_distinct"),
                 F.count("*").alias("n_rows")).collect()}
     assert got == want
+
+
+def test_streaming_bloom_equals_batch(spark, tmp_path):
+    """Streaming Bloom contract: after N micro-batches the state
+    (≤ n_bits/64 word rows) is BIT-IDENTICAL to the batch filter of
+    the concatenated key set — OR idempotence means even replayed
+    batches can't corrupt it — and the complete-mode sink compiles
+    directly into a scan predicate with zero false negatives."""
+    import json as _json
+
+    from market_data_ingestor_go_spark.operators.sketch import (
+        bloom_build, bloom_might_contain)
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_bloom)
+
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    keys = part.filter(F.col("p_size") >= 40).select("p_partkey")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = keys.collect()
+    for i, half in enumerate((rows[::2], rows[1::2])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in half:
+                fh.write(_json.dumps({"p_partkey": r.p_partkey}) + "\n")
+
+    n_bits, k = 1 << 12, 5
+    stream = (spark.readStream.schema("p_partkey BIGINT")
+              .option("maxFilesPerTrigger", 1)
+              .json(src))
+    q = run_sketch_stream(streaming_bloom(stream, "p_partkey", n_bits, k),
+                          "bloom_stream", str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert state_rows <= n_bits // 64
+    finally:
+        q.stop()
+
+    got = spark.table("bloom_stream")
+    want = bloom_build(keys, "p_partkey", n_bits, k)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # the sink compiles into a predicate: no false negatives
+    flag = bloom_might_contain(got, F.col("p_partkey"), n_bits, k)
+    members = part.filter(F.col("p_size") >= 40)
+    assert members.filter(~flag).count() == 0
