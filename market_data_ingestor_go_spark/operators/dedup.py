@@ -464,3 +464,62 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= F.lit(max_hamming))
     )
+
+
+def passage_df(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", width: int = 8) -> DataFrame:
+    """Explode documents into consecutive non-overlapping ``width``-word
+    passages: (id, pidx, passage, digest).
+
+    The sub-document unit of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): web
+    corpora repeat boilerplate spans INSIDE otherwise-unique pages, so
+    document-level dedup misses them entirely. Chunking is pure Column
+    algebra — sequence() of chunk starts + slice/concat_ws — and the
+    digest (md5, 16 bytes) is what downstream joins group on, so
+    shuffle width never depends on passage text length.
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(F.lit(0), F.greatest(
+        F.size(w) - 1, F.lit(0)), F.lit(width))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            (i / width).cast("int").alias("pidx"),
+            F.concat_ws(" ", F.slice(w, i + 1, width)).alias("passage")))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(chunks).alias("p"))
+            .select("id", "p.pidx", "p.passage",
+                    F.md5(F.col("p.passage")).alias("digest")))
+
+
+def passage_dedup_stats(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        width: int = 8) -> DataFrame:
+    """Per-document repeated-passage profile + scrubbed length: for
+    each doc, how many of its ``width``-word passages occur more than
+    once ACROSS THE CORPUS, and how long the text is after dropping
+    the repeated ones (order preserved).
+
+    Scale shape: two keyed shuffles total, plan-pinned — the global
+    occurrence count is a WINDOW count over the 16-byte digest (one
+    exchange of the passage table; a groupBy-digest + join-back would
+    shuffle it twice), then a per-doc aggregate (second exchange)
+    rebuilds the scrubbed text from a sorted struct array. Nothing is
+    O(n²) and raw text crosses the wire only keyed by its own doc.
+    """
+    from pyspark.sql.window import Window
+    p = passage_df(df, text_col, id_col, width)
+    n_occ = F.count("*").over(Window.partitionBy("digest"))
+    flagged = p.select("id", "pidx", "passage",
+                       (n_occ > 1).alias("is_dup"))
+    kept = F.filter(F.array_sort(F.collect_list(
+        F.struct("pidx", "passage", "is_dup"))), lambda s: ~s["is_dup"])
+    return (flagged.groupBy(F.col("id").alias(id_col))
+            .agg(F.count("*").alias("n_passages"),
+                 F.sum(F.col("is_dup").cast("int")).alias("n_dup"),
+                 (F.sum(F.col("is_dup").cast("int"))
+                  / F.count("*")).alias("dup_ratio"),
+                 F.length(F.concat_ws(" ", F.transform(
+                     kept, lambda s: s["passage"])))
+                 .alias("scrubbed_n_chars")))

@@ -1236,6 +1236,29 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# Sub-document exact dedup: identical 8-word chunking (0-based chunk
+# starts, 1-based inclusive list slice), md5 digests for the global
+# counts, order-preserving scrub. STRING_AGG ... FILTER returns NULL
+# for all-dup docs where Spark's concat_ws gives '' — coalesce to 0.
+EXTRA_ORACLES["passage_dedup_scrub"] = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM documents),
+p AS (SELECT doc_id, CAST(i // 8 AS INT) AS pidx,
+             array_to_string(w[i+1:i+8], ' ') AS passage
+      FROM w, unnest(range(0, greatest(len(w), 1), 8)) AS t(i)),
+c AS (SELECT md5(passage) AS digest, COUNT(*) AS n_occ
+      FROM p GROUP BY 1),
+f AS (SELECT p.doc_id, p.pidx, p.passage, c.n_occ > 1 AS is_dup
+      FROM p JOIN c ON md5(p.passage) = c.digest)
+SELECT doc_id, COUNT(*) AS n_passages,
+       COUNT(*) FILTER (WHERE is_dup) AS n_dup,
+       CAST(COUNT(*) FILTER (WHERE is_dup) AS DOUBLE) / COUNT(*)
+         AS dup_ratio,
+       COALESCE(LENGTH(STRING_AGG(passage, ' ' ORDER BY pidx)
+                       FILTER (WHERE NOT is_dup)), 0) AS scrubbed_n_chars
+FROM f GROUP BY doc_id
+"""
+
 # Bloom-prefiltered semi join: the filter guarantees no false
 # negatives and the verify join removes false positives, so the exact
 # EXISTS is the oracle — a hash match proves the probabilistic

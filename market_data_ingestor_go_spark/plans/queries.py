@@ -988,6 +988,21 @@ def source_overlap_exact(spark, sf_dir):
                          "source_a", "source_b").limit(20)
 
 
+def passage_dedup_scrub(spark, sf_dir):
+    """Sub-document exact dedup (Lee et al. 2022): per doc, how many
+    8-word passages repeat anywhere in the corpus, and the text length
+    after scrubbing the repeated ones (order preserved). Document-level
+    dedup can't see boilerplate repeated INSIDE unique pages — this is
+    the curation step that does. Two keyed shuffles (digest counts +
+    join back), no O(n²); oracle-exact vs the same chunking in SQL."""
+    from ..operators.dedup import passage_dedup_stats
+    d = _t(spark, sf_dir, "documents")
+    out = passage_dedup_stats(d, "text", "doc_id", width=8)
+    return out.select(
+        "doc_id", "n_passages", "n_dup", "dup_ratio",
+        F.col("scrubbed_n_chars").cast("bigint").alias("scrubbed_n_chars"))
+
+
 def bloom_semi_join_agg(spark, sf_dir):
     """Bloom-prefiltered semi join (membership member of the sketch
     family): lineitem rows whose part is in the p_size ≥ 48 key set,
@@ -1623,6 +1638,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap_exact": source_overlap_exact,    # exact twin of theta
     "source_overlap_theta": source_overlap_theta,    # rows-only (theta ∩/∪)
     "bloom_semi_join_agg": bloom_semi_join_agg,      # oracle-exact (EXISTS)
+    "passage_dedup_scrub": passage_dedup_scrub,      # sub-doc exact dedup
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,

@@ -1179,3 +1179,45 @@ def test_bloom_filter_properties(spark):
                    .distinct(), "l_partkey", "left_semi")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_passage_dedup_injected_boilerplate(spark):
+    """Sub-document dedup must flag boilerplate repeated INSIDE
+    otherwise-unique docs — exactly what document-level dedup misses.
+    Hand-built corpus: a shared 8-word header glued onto unique
+    bodies, plus one fully-unique doc and one exact doc pair."""
+    from market_data_ingestor_go_spark.operators.dedup import (
+        passage_dedup_stats)
+
+    header = "terms of service apply to all content here"   # 8 words
+    body = ["alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight"]
+    rows = [
+        Row(doc_id=1, text=f"{header} {body[0]}"),
+        Row(doc_id=2, text=f"{header} {body[1]}"),
+        Row(doc_id=3, text="lone unique words nothing repeats in this doc"),
+        Row(doc_id=4, text="twin text with exactly eight unique words kept"),
+        Row(doc_id=5, text="twin text with exactly eight unique words kept"),
+    ]
+    out = {r.doc_id: r for r in passage_dedup_stats(
+        spark.createDataFrame(rows), "text", "doc_id", width=8).collect()}
+
+    # docs 1/2: header passage flagged, unique body kept
+    for d, b in ((1, body[0]), (2, body[1])):
+        assert out[d].n_passages == 2 and out[d].n_dup == 1
+        assert out[d].dup_ratio == 0.5
+        assert out[d].scrubbed_n_chars == len(b)
+    # doc 3: untouched
+    assert out[3].n_dup == 0
+    assert out[3].scrubbed_n_chars == len(rows[2].text)
+    # exact twins: every passage repeats -> fully scrubbed
+    for d in (4, 5):
+        assert out[d].n_dup == out[d].n_passages
+        assert out[d].dup_ratio == 1.0
+        assert out[d].scrubbed_n_chars == 0
+
+    # global invariant on the fixture corpus: scrub never grows text
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = passage_dedup_stats(docs)
+    assert stats.join(docs, stats.doc_id == docs.doc_id) \
+        .filter(F.col("scrubbed_n_chars") > F.col("n_chars")).count() == 0

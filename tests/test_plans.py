@@ -259,3 +259,14 @@ def test_bloom_prefilter_is_scan_stage_predicate(spark):
 
     full = _plan(ALL_QUERIES["bloom_semi_join_agg"](spark, SF))
     assert full.count("Join") <= 2, full      # verify semi join only
+
+
+def test_passage_dedup_two_shuffles(spark):
+    """passage_dedup_scrub: global passage counts come from a WINDOW
+    over the digest (one exchange of the passage table), not a
+    groupBy+join-back (two) — plus the per-doc aggregate. Total: 2
+    shuffle exchanges, no Join, and a 3-column scan."""
+    plan = _plan(ALL_QUERIES["passage_dedup_scrub"](spark, SF))
+    assert _count(plan, "Exchange") == 2, plan
+    assert "Join" not in plan, plan
+    assert _scan_columns(plan, "documents") <= {"doc_id", "text"}, plan
