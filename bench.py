@@ -92,6 +92,10 @@ HEADLINE = [
     "distinct_rollup_hll",
     "source_overlap_theta",
     "events_variant_extract",
+    # membership sketch + sub-document dedup (late r5): Bloom
+    # scan-stage prefilter semi join, passage-window scrub
+    "bloom_semi_join_agg",
+    "passage_dedup_scrub",
 ]
 
 

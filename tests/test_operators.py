@@ -1221,3 +1221,14 @@ def test_passage_dedup_injected_boilerplate(spark):
     stats = passage_dedup_stats(docs)
     assert stats.join(docs, stats.doc_id == docs.doc_id) \
         .filter(F.col("scrubbed_n_chars") > F.col("n_chars")).count() == 0
+
+    # chunking is lossless: passages rejoin to the normalized text
+    from market_data_ingestor_go_spark.operators.dedup import passage_df
+    rebuilt = (passage_df(docs).groupBy("id")
+               .agg(F.concat_ws(" ", F.transform(
+                   F.array_sort(F.collect_list(F.struct("pidx", "passage"))),
+                   lambda s: s["passage"])).alias("rebuilt")))
+    norm = docs.select(F.col("doc_id").alias("id"), F.regexp_replace(
+        F.trim("text"), r"\s+", " ").alias("norm"))
+    assert rebuilt.join(norm, "id") \
+        .filter(F.col("rebuilt") != F.col("norm")).count() == 0
