@@ -194,3 +194,44 @@ def pack_greedy(df: DataFrame, id_col: str = "doc_id",
         schema=("doc_id_out long, bucket long, n_tokens long, "
                 "pack_id long, pack_fill long"))
     return out.withColumnRenamed("doc_id_out", id_col)
+
+
+def global_shuffle_shards(df: DataFrame, id_col: str = "doc_id",
+                          n_shards: int = 16,
+                          seed: str = "shuffle:v1") -> DataFrame:
+    """Deterministic global shuffle + sharding for training output.
+
+    Training-data order is a hyperparameter: the corpus must be
+    emitted in a REPRODUCIBLE pseudo-random order, in fixed shards a
+    loader can stream. Order key = md5(seed:id) — content-independent
+    and engine-reproducible (same coin family as hash_split), so the
+    permutation is stable across runs, partitionings and engines, and
+    a new ``seed`` draws a fresh permutation. Shard = top 32 bits of
+    the key scaled by n_shards (``(key32 * n) >> 32``), i.e. each
+    shard is a CONTIGUOUS slice of the global pseudo-random order:
+    reading shard 0..n-1 in sequence replays the exact global shuffle.
+
+    Scale shape: assignment is one scan (two md5+arithmetic columns,
+    no shuffle here); materializing is ONE range-style shuffle on
+    shard + an in-partition sort on the key — the same cost Spark
+    pays for any total order, with no driver-side sampling because
+    the hash is uniform by construction.
+    """
+    col = F.col(id_col)
+    okey = F.md5(F.concat(F.lit(seed + ":"), col.cast("string")))
+    key32 = F.conv(F.substring(okey, 1, 8), 16, 10).cast("long")
+    return df.withColumn("okey", okey).withColumn(
+        "shard", F.shiftright(key32 * n_shards, 32).cast("int"))
+
+
+def write_training_shards(df: DataFrame, path: str,
+                          id_col: str = "doc_id", n_shards: int = 16,
+                          seed: str = "shuffle:v1") -> None:
+    """Materialize the global shuffle: one hash-partition exchange on
+    shard + per-partition sort on the order key, written as a
+    shard-partitioned table. Reading shards in index order, rows in
+    file order, replays the global permutation exactly (tested)."""
+    sharded = global_shuffle_shards(df, id_col, n_shards, seed)
+    (sharded.repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", "okey")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))

@@ -1236,6 +1236,26 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# Global-shuffle shard manifest: identical md5 order key and
+# top-32-bit shard scaling ((key32 * n) >> 32) — the permutation and
+# its contiguous shard slices are engine-reproducible by design.
+EXTRA_ORACLES["shard_manifest"] = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         md5('shuffle:v1:' || CAST(doc_id AS VARCHAR)) AS okey
+  FROM documents),
+k AS (
+  SELECT doc_id, text, okey,
+         (CAST(concat('0x', substring(okey, 1, 8)) AS BIGINT) * 16) >> 32
+           AS shard
+  FROM s)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM({_NTOK}) AS BIGINT) AS n_tokens,
+       arg_min(doc_id, okey) AS first_doc,
+       arg_max(doc_id, okey) AS last_doc
+FROM k GROUP BY shard
+"""
+
 # Sub-document exact dedup: identical 8-word chunking (0-based chunk
 # starts, 1-based inclusive list slice), md5 digests for the global
 # counts, order-preserving scrub. STRING_AGG ... FILTER returns NULL

@@ -988,6 +988,24 @@ def source_overlap_exact(spark, sf_dir):
                          "source_a", "source_b").limit(20)
 
 
+def shard_manifest(spark, sf_dir):
+    """Deterministic global-shuffle shard manifest: every doc gets a
+    reproducible md5 order key and a shard = contiguous slice of that
+    pseudo-random order (reading shards in sequence replays the exact
+    permutation — training-data order is a hyperparameter). Per-shard
+    doc/token counts plus the first/last doc in permutation order,
+    all engine-reproducible, so the oracle matches bit-for-bit."""
+    from ..operators.training import global_shuffle_shards
+    from ..functions.text import token_count
+    d = _t(spark, sf_dir, "documents")
+    sh = global_shuffle_shards(d, "doc_id", n_shards=16)
+    return (sh.groupBy(F.col("shard").cast("bigint").alias("shard"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(token_count("text")).alias("n_tokens"),
+                 F.min_by("doc_id", "okey").alias("first_doc"),
+                 F.max_by("doc_id", "okey").alias("last_doc")))
+
+
 def passage_dedup_scrub(spark, sf_dir):
     """Sub-document exact dedup (Lee et al. 2022): per doc, how many
     8-word passages repeat anywhere in the corpus, and the text length
@@ -1639,6 +1657,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap_theta": source_overlap_theta,    # rows-only (theta ∩/∪)
     "bloom_semi_join_agg": bloom_semi_join_agg,      # oracle-exact (EXISTS)
     "passage_dedup_scrub": passage_dedup_scrub,      # sub-doc exact dedup
+    "shard_manifest": shard_manifest,                # global-shuffle shards
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,

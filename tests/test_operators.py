@@ -1232,3 +1232,44 @@ def test_passage_dedup_injected_boilerplate(spark):
         F.trim("text"), r"\s+", " ").alias("norm"))
     assert rebuilt.join(norm, "id") \
         .filter(F.col("rebuilt") != F.col("norm")).count() == 0
+
+
+def test_global_shuffle_shards_replay_permutation(spark, tmp_path):
+    """The written shard table must REPLAY the global pseudo-random
+    permutation: shards are contiguous slices of the md5 order (every
+    key in shard s sorts before every key in shard s+1), and reading
+    shard dirs in index order, rows in file order, reproduces
+    orderBy(okey) exactly. Also pins determinism: a re-run with the
+    same seed yields the identical assignment, a new seed doesn't."""
+    from market_data_ingestor_go_spark.operators.training import (
+        global_shuffle_shards, write_training_shards)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_shards = 8
+    sh = global_shuffle_shards(docs, "doc_id", n_shards)
+
+    # contiguity: shard boundaries partition the key order
+    bounds = (sh.groupBy("shard")
+              .agg(F.min("okey").alias("lo"), F.max("okey").alias("hi"))
+              .orderBy("shard").collect())
+    for prev, cur in zip(bounds, bounds[1:]):
+        assert prev.hi < cur.lo, (prev, cur)
+
+    # write, then read shards in index order = the global permutation
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, "doc_id", n_shards)
+    expected = [r.doc_id for r in sh.orderBy("okey")
+                .select("doc_id").collect()]
+    got = []
+    for s in range(n_shards):
+        got += [r.doc_id for r in
+                spark.read.parquet(f"{path}/shard={s}")
+                .select("doc_id").collect()]
+    assert got == expected
+
+    # seeded determinism
+    a = global_shuffle_shards(docs, "doc_id", n_shards).select("doc_id", "shard")
+    b = global_shuffle_shards(docs, "doc_id", n_shards).select("doc_id", "shard")
+    assert a.exceptAll(b).count() == 0
+    c = global_shuffle_shards(docs, "doc_id", n_shards, seed="shuffle:v2")
+    assert a.exceptAll(c.select("doc_id", "shard")).count() > 0
