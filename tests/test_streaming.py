@@ -1372,3 +1372,58 @@ def test_streaming_bloom_equals_batch(spark, tmp_path):
     flag = bloom_might_contain(got, F.col("p_partkey"), n_bits, k)
     members = part.filter(F.col("p_size") >= 40)
     assert members.filter(~flag).count() == 0
+
+
+def test_streaming_boilerplate_gate(spark, tmp_path):
+    """Sub-document boilerplate gate e2e: epoch-0 docs score clean
+    (empty state); an epoch-1 doc stitched ENTIRELY from epoch-0
+    passages is flagged within its own trigger, while a fresh doc in
+    the same batch is not; Bloom state stays ≤ n_bits/64 rows per
+    epoch partition no matter how many docs flowed."""
+    import json as _json
+    import time as _time
+
+    from market_data_ingestor_go_spark.streaming.boilerplate_gate import (
+        PassageBoilerplateGate)
+
+    w8 = ["alpha beta gamma delta epsilon zeta eta theta",
+          "one two three four five six seven eight",
+          "red orange yellow green blue indigo violet umber",
+          "north south east west up down left right"]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b0 = [{"doc_id": i + 1, "text": t} for i, t in enumerate(w8)]
+    b1 = [{"doc_id": 10, "text": w8[0] + " " + w8[1]},   # all seen
+          {"doc_id": 11, "text": "fresh words never appeared before now ok"}]
+    for i, batch in enumerate((b0, b1)):
+        fp = os.path.join(src, f"b{i}.json")
+        with open(fp, "w") as fh:
+            for r in batch:
+                fh.write(_json.dumps(r) + "\n")
+        # file-source batch order follows modification time
+        _time.sleep(0.01)
+        os.utime(fp, (1700000000 + i, 1700000000 + i))
+
+    gate = PassageBoilerplateGate(
+        spark, state_dir=str(tmp_path / "state"),
+        audit_dir=str(tmp_path / "audit"), n_bits=1 << 14, threshold=0.5)
+    stream = (spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = gate.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    scores = {r.doc_id: r for r in gate.scores().collect()}
+    assert len(scores) == 6
+    for d in (1, 2, 3, 4):          # epoch 0: nothing seen yet
+        assert scores[d].n_seen == 0 and not scores[d].flagged
+    assert scores[10].seen_ratio == 1.0 and scores[10].flagged
+    assert scores[11].n_seen == 0 and not scores[11].flagged
+    assert gate.metrics()["boilerplate_gate_docs_flagged"] == 1
+
+    # bounded state: each epoch partial is a bloom, never the digests
+    state = spark.read.parquet(str(tmp_path / "state"))
+    per_epoch = state.groupBy("epoch").count().collect()
+    assert all(r["count"] <= (1 << 14) // 64 for r in per_epoch)
