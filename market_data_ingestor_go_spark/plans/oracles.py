@@ -1236,6 +1236,38 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# Closed-form EWMA, alpha = 0.5: identical scaled-cumsum formulation
+# with the running sum in EXACT integer decimals (2-dp values × 2^rn)
+# — order-independent, so it cannot depend on either engine's window
+# sum fold order; with decay a power of two every remaining double op
+# is a single correctly-rounded step, so values match bit-for-bit.
+EXTRA_ORACLES["events_ewma_smooth"] = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+r AS (
+  SELECT event_id, user_id, ts_ms, value,
+         CAST(round(value * 100.0) AS DECIMAL(6,0)) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_ms, event_id) AS rn
+  FROM e),
+s AS (
+  SELECT event_id, user_id, ts_ms, value, rn,
+         first_value(c) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS c1,
+         SUM(c * (CAST(pow(2.0, rn // 2) AS DECIMAL(19,0))
+                  * CAST(pow(2.0, rn - rn // 2) AS DECIMAL(19,0))))
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+  FROM r)
+SELECT event_id, user_id, ts_ms, value,
+       (0.5 * pow(0.5, rn)
+        * (CAST(CAST(cs AS VARCHAR) AS DOUBLE)
+           - CAST(c1 AS DOUBLE) * 2.0)
+        + pow(0.5, rn - 1) * CAST(c1 AS DOUBLE)) / 100.0 AS ewma
+FROM s
+"""
+
 # Global-shuffle shard manifest: identical md5 order key and
 # top-32-bit shard scaling ((key32 * n) >> 32) — the permutation and
 # its contiguous shard slices are engine-reproducible by design.

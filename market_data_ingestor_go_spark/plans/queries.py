@@ -1064,6 +1064,24 @@ def source_overlap_theta(spark, sf_dir):
             .limit(20))
 
 
+def events_ewma_smooth(spark, sf_dir):
+    """Per-user EWMA (alpha=0.5) of event values in time order — the
+    exponential-smoothing member of the time-series family. The
+    sequential recursion runs as its closed form over one cumulative
+    window (single exchange on user_id, no self-join, no Python);
+    the fixed-2-decimal values route the running sum through exact
+    integer decimals, so the result is bit-reproducible across
+    engines and partitionings and the oracle matches hash-exact.
+    Bounded-series contract (rn ≤ 99/key on the decimal path; fixture
+    max 99) — unbounded streams use the streaming twin. See
+    operators/timeseries.py:ewma."""
+    from ..operators.timeseries import ewma
+    e = _events(spark, sf_dir)
+    out = ewma(e, "user_id", ["ts_ms", "event_id"], "value", alpha=0.5,
+               value_decimals=2)
+    return out.select("event_id", "user_id", "ts_ms", "value", "ewma")
+
+
 def events_gapfill_locf(spark, sf_dir):
     """Dense 15-min grid per event type with last-observation-carried-
     forward — the hypertable gapfill+locf query over the sparse event
@@ -1658,6 +1676,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_semi_join_agg": bloom_semi_join_agg,      # oracle-exact (EXISTS)
     "passage_dedup_scrub": passage_dedup_scrub,      # sub-doc exact dedup
     "shard_manifest": shard_manifest,                # global-shuffle shards
+    "events_ewma_smooth": events_ewma_smooth,        # closed-form EWMA
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,

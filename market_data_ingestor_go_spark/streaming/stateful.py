@@ -221,3 +221,79 @@ def streaming_gap_fill_locf(stream: DataFrame, key_col: str,
     """LOCF-mode alias of :func:`streaming_gap_fill`."""
     return streaming_gap_fill(stream, key_col, ts_ms_col, value_col,
                               step_ms, mode="locf")
+
+
+EWMA_STATE_SCHEMA = T.StructType([
+    T.StructField("last_ts", T.LongType()),
+    T.StructField("last_y", T.DoubleType()),
+])
+
+EWMA_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("k", T.StringType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("ewma", T.DoubleType()),
+])
+
+
+def _make_ewma(alpha: float):
+    """Per-key streaming EWMA (closure — see _make_update_latest for
+    why worker-side fns must pickle by value).
+
+    The EXACT recursion y_t = alpha*x_t + (1-alpha)*y_{t-1} with two
+    scalars of state per key — the unbounded-series path the batch
+    closed form (operators/timeseries.ewma) points to: no scale
+    factors, no series-length limit, numerically the textbook fold.
+    In-batch rows apply in (ts, arrival) order; rows at-or-before the
+    last consumed timestamp are DROPPED (emitted smoothed values are
+    immutable, the append-mode analog of a watermark).
+    """
+
+    def smooth(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+               ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        k = key[0]
+        last_ts, last_y = state.get if state.exists else (None, None)
+        out = []
+        rows = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                rows.append((int(row["ts_ms"]), float(row["v"])))
+        rows.sort()
+        for ts, v in rows:
+            if last_ts is not None and ts <= last_ts:
+                continue
+            last_y = v if last_y is None else (
+                alpha * v + (1.0 - alpha) * last_y)
+            last_ts = ts
+            out.append((k, ts, v, last_y))
+        if out:
+            state.update((last_ts, last_y))
+            yield _pd.DataFrame(
+                out, columns=["k", "ts_ms", "value", "ewma"])
+
+    return smooth
+
+
+def streaming_ewma(stream: DataFrame, key_col: str, ts_ms_col: str,
+                   value_col: str, alpha: float = 0.5) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.ewma``: the exact
+    sequential recursion over the live stream, two scalars of state
+    per key, no series-length bound — use this where the batch closed
+    form's scale factors would overflow. Batch↔streaming equivalence
+    is tested row-exact for in-order arrival."""
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(ts_ms_col).cast("long").alias("ts_ms"),
+        F.col(value_col).cast("double").alias("v"))
+    return (
+        keyed.groupBy("k")
+        .applyInPandasWithState(
+            _make_ewma(float(alpha)),
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -1273,3 +1273,41 @@ def test_global_shuffle_shards_replay_permutation(spark, tmp_path):
     assert a.exceptAll(b).count() == 0
     c = global_shuffle_shards(docs, "doc_id", n_shards, seed="shuffle:v2")
     assert a.exceptAll(c.select("doc_id", "shard")).count() > 0
+
+
+def test_ewma_closed_form_equals_recursion(spark):
+    """EWMA invariants: the closed-form window formulation equals the
+    sequential recursion exactly on BOTH paths, over a series long
+    enough (120 rows) to cover the rn>=58 regression where a direct
+    pow(2,rn)::decimal cast silently corrupts the scale factor
+    (Spark routes double->decimal through the double's 17-digit
+    string); and the fixture series bound for the decimal path holds."""
+    from market_data_ingestor_go_spark.operators.timeseries import ewma
+
+    vals = [round(((i * 37) % 499) + 0.01 * ((i * 53) % 100), 2)
+            for i in range(120)]
+    rows = [Row(k=1, t=i, x=float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows)
+
+    want = []
+    y = None
+    for v in vals:
+        y = v if y is None else 0.5 * v + 0.5 * y
+        want.append(y)
+
+    got_d = [r.ewma for r in ewma(df, "k", ["t"], "x").orderBy("t").collect()]
+    assert all(abs(g - w) < 1e-9 * max(1.0, abs(w))
+               for g, w in zip(got_d, want))
+
+    # decimal path: contract is series <= 99 rows — exact there
+    df99 = spark.createDataFrame(rows[:99])
+    got_c = [r.ewma for r in ewma(df99, "k", ["t"], "x", value_decimals=2)
+             .orderBy("t").collect()]
+    for g, w in zip(got_c, want[:99]):
+        assert abs(g - w) < 1e-9 * max(1.0, abs(w)), (g, w)
+
+    # fixture contract for the declared query: series never exceeds 99
+    for sf in ("0.001", "0.01", "0.1"):
+        e = spark.read.parquet(f"/root/testdata/sf{sf}/events.parquet")
+        mx = e.groupBy("user_id").count().agg(F.max("count")).first()[0]
+        assert mx <= 99, (sf, mx)

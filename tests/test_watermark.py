@@ -142,3 +142,46 @@ def test_streaming_gap_fill_interpolate(spark, tmp_path):
         ("A", 20): (3.0, True),
         ("A", 30): (4.0, False),
     }
+
+
+def test_streaming_ewma_equals_batch_recursion(spark, tmp_path):
+    """Streaming EWMA: state (two scalars) carries the recursion
+    across micro-batches — the concatenated stream's smoothed values
+    equal the batch recursion row-for-row; late rows at-or-before the
+    consumed head are dropped; per-key independence holds."""
+    import json
+    import os
+
+    from market_data_ingestor_go_spark.streaming.stateful import (
+        streaming_ewma)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    a_vals = [(1, 10.0), (2, 20.0), (3, 30.0)]
+    with open(src + "/a.json", "w") as fh:
+        for ts, v in a_vals:
+            fh.write(json.dumps({"sym": "A", "ts": ts, "px": v}) + "\n")
+
+    stream = (spark.readStream
+              .schema("sym STRING, ts LONG, px DOUBLE").json(src))
+    out = streaming_ewma(stream, "sym", "ts", "px", alpha=0.5)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("ewma_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+
+    # batch 2: A continues (recursion must carry y=22.5 forward), one
+    # late A row is dropped, B starts its own series
+    with open(src + "/b.json", "w") as fh:
+        fh.write(json.dumps({"sym": "A", "ts": 4, "px": 40.0}) + "\n")
+        fh.write(json.dumps({"sym": "A", "ts": 2, "px": 99.0}) + "\n")
+        fh.write(json.dumps({"sym": "B", "ts": 1, "px": 8.0}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.k, r.ts_ms): r.ewma
+           for r in spark.sql("SELECT * FROM ewma_stream").collect()}
+    # batch recursion: 10 -> 15 -> 22.5 -> (0.5*40 + 0.5*22.5) = 31.25
+    assert got == {("A", 1): 10.0, ("A", 2): 15.0, ("A", 3): 22.5,
+                   ("A", 4): 31.25, ("B", 1): 8.0}
