@@ -235,3 +235,30 @@ def write_training_shards(df: DataFrame, path: str,
     (sharded.repartition(n_shards, "shard")
      .sortWithinPartitions("shard", "okey")
      .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
+def cap_per_group(df: DataFrame, group_col: str, cap: int,
+                  id_col: str = "doc_id",
+                  seed: str = "cap:v1") -> DataFrame:
+    """Frequency cap: keep at most ``cap`` rows per group, selected
+    by the deterministic md5(seed:id) coin — the over-representation
+    control of web-corpus curation (per-domain caps): without it the
+    heaviest sources dominate the token budget and the model
+    overfits their boilerplate.
+
+    Selection is content-independent and engine-reproducible (same
+    coin family as hash_split/weighted_resample), so the kept set is
+    stable across runs, partitionings and engines — which also makes
+    it oracle-checkable row-for-row, not just count-for-count.
+
+    Scale shape: one exchange on the group key + a per-group rank; a
+    pathologically hot group serializes its own rank (same caveat as
+    any per-key window — pre-filter with weighted_resample at
+    keep≈cap/|group| to thin hot groups before the exact cap if a
+    single group exceeds one task).
+    """
+    col = F.col(id_col)
+    coin = F.md5(F.concat(F.lit(seed + ":"), col.cast("string")))
+    w = Window.partitionBy(group_col).orderBy(coin, col)
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= cap).drop("__rk"))

@@ -1236,6 +1236,23 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# Per-source frequency cap: identical md5 coin and (coin, id) rank —
+# kept-token sums match only if both engines select the same docs.
+EXTRA_ORACLES["source_cap_sample"] = f"""
+WITH r AS (
+  SELECT source, doc_id, text,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap:v1:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM({_NTOK}) AS BIGINT) AS n_kept_tokens,
+       MIN(doc_id) AS min_kept_id
+FROM r WHERE rk <= 10
+GROUP BY source
+"""
+
 # Closed-form EWMA, alpha = 0.5: identical scaled-cumsum formulation
 # with the running sum in EXACT integer decimals (2-dp values × 2^rn)
 # — order-independent, so it cannot depend on either engine's window

@@ -988,6 +988,21 @@ def source_overlap_exact(spark, sf_dir):
                          "source_a", "source_b").limit(20)
 
 
+def source_cap_sample(spark, sf_dir):
+    """Per-source frequency cap (the per-domain over-representation
+    control of web-corpus curation): keep ≤10 docs per source by the
+    deterministic md5 coin, then summarize. n_kept_tokens proves the
+    engines picked the IDENTICAL docs, not just the same count."""
+    from ..operators.training import cap_per_group
+    from ..functions.text import token_count
+    d = _t(spark, sf_dir, "documents")
+    kept = cap_per_group(d, "source", cap=10)
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum(token_count("text")).alias("n_kept_tokens"),
+                 F.min("doc_id").alias("min_kept_id")))
+
+
 def shard_manifest(spark, sf_dir):
     """Deterministic global-shuffle shard manifest: every doc gets a
     reproducible md5 order key and a shard = contiguous slice of that
@@ -1677,6 +1692,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "passage_dedup_scrub": passage_dedup_scrub,      # sub-doc exact dedup
     "shard_manifest": shard_manifest,                # global-shuffle shards
     "events_ewma_smooth": events_ewma_smooth,        # closed-form EWMA
+    "source_cap_sample": source_cap_sample,          # per-source freq cap
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,

@@ -1311,3 +1311,30 @@ def test_ewma_closed_form_equals_recursion(spark):
         e = spark.read.parquet(f"/root/testdata/sf{sf}/events.parquet")
         mx = e.groupBy("user_id").count().agg(F.max("count")).first()[0]
         assert mx <= 99, (sf, mx)
+
+
+def test_cap_per_group_determinism_and_bound(spark):
+    """Frequency cap invariants: never more than cap rows per group,
+    kept set identical across runs/partitionings, different seed picks
+    a different set, and groups under the cap pass through whole."""
+    from market_data_ingestor_go_spark.operators.training import (
+        cap_per_group)
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    kept = cap_per_group(docs, "source", cap=10)
+    per = kept.groupBy("source").count().collect()
+    assert all(r["count"] <= 10 for r in per)
+
+    a = set(r.doc_id for r in kept.select("doc_id").collect())
+    b = set(r.doc_id for r in
+            cap_per_group(docs.repartition(7), "source", cap=10)
+            .select("doc_id").collect())
+    assert a == b  # partitioning-independent selection
+
+    c = set(r.doc_id for r in
+            cap_per_group(docs, "source", cap=10, seed="cap:v2")
+            .select("doc_id").collect())
+    assert a != c  # a fresh seed draws a fresh sample
+
+    # cap above group size: everything survives
+    assert cap_per_group(docs, "source", cap=10**6).count() == docs.count()
