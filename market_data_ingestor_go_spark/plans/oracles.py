@@ -1236,6 +1236,36 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# Z-score QC: identical exact-decimal moment sums (cents, cents² —
+# both cast exactly to double under 2^53) and the identical fixed
+# sequence of double ops, so means/stds/flags match bit-for-bit.
+EXTRA_ORACLES["events_zscore_outliers"] = """
+WITH r AS (
+  SELECT event_type,
+         CAST(round(value * 100.0) AS DECIMAL(10,0)) AS c
+  FROM events),
+g AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(c) AS s1, SUM(c * c) AS s2
+  FROM r GROUP BY event_type),
+st AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+              / CAST(n AS DOUBLE)) AS s
+  FROM g)
+SELECT r.event_type,
+       MIN(st.n) AS n_events,
+       MIN(st.m) / 100.0 AS mean_value,
+       MIN(st.s) / 100.0 AS std_value,
+       COUNT(*) FILTER (WHERE abs((CAST(c AS DOUBLE) - st.m) / st.s) > 3.0)
+         AS n_outliers,
+       MAX(abs((CAST(c AS DOUBLE) - st.m) / st.s)) AS max_abs_z
+FROM r JOIN st USING (event_type)
+GROUP BY r.event_type
+"""
+
 # Per-source frequency cap: identical md5 coin and (coin, id) rank —
 # kept-token sums match only if both engines select the same docs.
 EXTRA_ORACLES["source_cap_sample"] = f"""

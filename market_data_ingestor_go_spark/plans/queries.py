@@ -988,6 +988,36 @@ def source_overlap_exact(spark, sf_dir):
                          "source_a", "source_b").limit(20)
 
 
+def events_zscore_outliers(spark, sf_dir):
+    """Statistical QC: per event type, standardize every value against
+    the group's mean/std and count |z| > 3 outliers. Moments come from
+    EXACT integer-decimal sums of cents and cents² (order-independent;
+    both fit 2^53 so the decimal→double casts are exact), then a fixed
+    sequence of correctly-rounded double ops — bit-exact vs the
+    oracle, no tolerance anywhere. One aggregate + a broadcast join
+    back; scan-bound at scale."""
+    e = _events(spark, sf_dir)
+    c = F.round(F.col("value") * F.lit(100.0)).cast("decimal(10,0)")
+    rows = e.select("event_type", c.alias("c"))
+    g = (rows.groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum("c").alias("s1"),
+              F.sum(F.col("c") * F.col("c")).alias("s2")))
+    nD = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / nD
+    v = (F.col("s2").cast("double") - F.col("s1").cast("double") * m) / nD
+    stats = g.select("event_type", "n", m.alias("m"),
+                     F.sqrt(v).alias("s"))
+    z = (F.col("c").cast("double") - F.col("m")) / F.col("s")
+    return (rows.join(F.broadcast(stats), "event_type")
+            .groupBy("event_type")
+            .agg(F.first("n").alias("n_events"),
+                 (F.first("m") / 100.0).alias("mean_value"),
+                 (F.first("s") / 100.0).alias("std_value"),
+                 F.count(F.when(F.abs(z) > 3.0, 1)).alias("n_outliers"),
+                 F.max(F.abs(z)).alias("max_abs_z")))
+
+
 def source_cap_sample(spark, sf_dir):
     """Per-source frequency cap (the per-domain over-representation
     control of web-corpus curation): keep ≤10 docs per source by the
@@ -1693,6 +1723,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": shard_manifest,                # global-shuffle shards
     "events_ewma_smooth": events_ewma_smooth,        # closed-form EWMA
     "source_cap_sample": source_cap_sample,          # per-source freq cap
+    "events_zscore_outliers": events_zscore_outliers,  # exact-moment QC
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,
