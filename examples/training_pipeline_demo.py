@@ -9,10 +9,13 @@ LLM data pipeline runs between raw crawl and training shards:
     → exact + MinHash-LSH near-dup dedup, clustered   [operators/dedup]
       into keep-groups (one canonical doc per cluster)
     → train/test contamination gate vs a held-out set [cross-corpus]
+    → passage-level boilerplate profile               [operators/dedup]
+    → per-source frequency cap                        [operators/training]
     → deterministic train/val/test split              [operators/training]
     → sequence packing into fixed-token chunks        [operators/training]
-    → streaming twin: the same contamination check
-      flags a leaked doc within one trigger           [streaming/contamination]
+    → global-shuffle shard write (reproducible order) [operators/training]
+    → streaming twins: contamination + dedup gates
+      flag leaks / re-sent docs within one trigger    [streaming/*]
 
 Run:  python examples/training_pipeline_demo.py   (~1 min at sf0.01).
 Every stage prints row counts so the funnel is visible.
@@ -82,8 +85,28 @@ def main() -> None:
     print(f"[3] contamination gate: {n3} kept "
           f"({train_side.count() - n3} leaked docs removed)")
 
+    # 3b. sub-document profile: passages repeated corpus-wide (the
+    # boilerplate document-level dedup can't see)
+    from market_data_ingestor_go_spark.operators.dedup import (
+        passage_dedup_stats)
+    pstats = passage_dedup_stats(clean).agg(
+        F.sum("n_dup").alias("dup"),
+        F.sum("n_passages").alias("all")).first()
+    print(f"[3b] passage profile: {pstats['dup']}/{pstats['all']} "
+          f"8-word passages repeat corpus-wide")
+
+    # 3c. per-source frequency cap (over-representation control)
+    from market_data_ingestor_go_spark.operators.training import (
+        cap_per_group)
+    with_src = clean.join(docs.select("doc_id", "source"), "doc_id")
+    capped = cap_per_group(with_src, "source", cap=20) \
+        .select("doc_id", "text")
+    n3c = capped.count()
+    print(f"[3c] source cap (≤20/source): {n3c} kept "
+          f"({n3 - n3c} over-represented dropped)")
+
     # 4. deterministic split + packing into 2048-token chunks
-    split = hash_split(clean)
+    split = hash_split(capped)
     per_split = {r["split"]: r["n"] for r in
                  split.groupBy("split").agg(F.count("*").alias("n"))
                  .collect()}
@@ -92,6 +115,20 @@ def main() -> None:
     n_chunks = packed.select("stream", "chunk_id").distinct().count()
     print(f"[5] packed train: {packed.count()} docs into "
           f"{n_chunks} chunks of 2048 tokens")
+
+    # 5b. deterministic global-shuffle shards: training order is a
+    # hyperparameter — reading shards 0..n-1 replays the exact
+    # md5-keyed permutation
+    from market_data_ingestor_go_spark.operators.training import (
+        write_training_shards)
+    with tempfile.TemporaryDirectory() as tmp:
+        shard_dir = os.path.join(tmp, "shards")
+        write_training_shards(split.filter(F.col("split") == "train"),
+                              shard_dir, n_shards=8)
+        written = spark.read.parquet(shard_dir)
+        n_shards = written.select("shard").distinct().count()
+        print(f"[5b] train split written as {n_shards} reproducible "
+              f"shards ({written.count()} docs in permutation order)")
 
     # 6. streaming twin: the gate flags a leaked doc within one trigger
     with tempfile.TemporaryDirectory() as tmp:
