@@ -1236,6 +1236,23 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# Filtered vector search: identical label pre-filter before scoring.
+EXTRA_ORACLES["knn_filtered_bruteforce"] = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+c AS (SELECT * FROM e WHERE label = 1),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         {_COS.format(a='q.v', b='c.v')} AS cos
+  FROM q JOIN c ON q.vec_id <> c.vec_id)
+SELECT q_id, n_id, cos, rn FROM (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
 # Z-score QC: identical exact-decimal moment sums (cents, cents² —
 # both cast exactly to double under 2^53) and the identical fixed
 # sequence of double ops, so means/stds/flags match bit-for-bit.

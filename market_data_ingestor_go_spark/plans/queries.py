@@ -1187,6 +1187,20 @@ def knn_bruteforce(spark, sf_dir):
     return SIM.knn_bruteforce(e, q, k=5)
 
 
+def knn_filtered_bruteforce(spark, sf_dir):
+    """Metadata-FILTERED vector search (the vector-store feature every
+    retrieval pipeline needs): exact top-5 cosine neighbors among the
+    corpus subset with the query's label — pre-filtering the corpus
+    BEFORE scoring, so the scan and the pair join shrink with the
+    predicate's selectivity (post-filtering an unfiltered top-k
+    under-fills k instead). Self-excluding, deterministic tiebreak;
+    same oracle family as knn_bruteforce."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    corpus = e.filter(F.col("label") == 1)
+    return SIM.knn_bruteforce(corpus, q, k=5)
+
+
 def embedding_lsh_neardup(spark, sf_dir):
     """Banded-LSH near-dup pairs over embeddings — rows-only (banding
     is engine-side; the exact twin embedding_cosine_neardup is the
@@ -1724,6 +1738,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ewma_smooth": events_ewma_smooth,        # closed-form EWMA
     "source_cap_sample": source_cap_sample,          # per-source freq cap
     "events_zscore_outliers": events_zscore_outliers,  # exact-moment QC
+    "knn_filtered_bruteforce": knn_filtered_bruteforce,  # filtered search
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,
