@@ -51,3 +51,34 @@ def streaming_ohlc_bars(events: DataFrame, bar: str = "15 minutes",
                 key_col, "open", "high", "low", "close",
                 "n_events", "sum_value")
     )
+
+
+def streaming_sessions(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "30 minutes",
+                       ts_col: str = "ts", key_col: str = "user_id",
+                       value_col: str = "value") -> DataFrame:
+    """Watermarked SESSION windows over an event-time stream — the
+    streaming twin of events_sessionization (same native
+    session_window primitive as the batch query).
+
+    Sessions are data-driven windows: the state store keeps one open
+    session per (key, window) and MERGES sessions when a new event
+    bridges two within ``gap`` — including across micro-batches, which
+    no fixed-window rollup can express. ``append`` mode emits a
+    session only once the watermark passes its close (start of the
+    gap after its last event), so downstream sees each session exactly
+    once, finalized. State is bounded by open sessions within the
+    watermark horizon, never by stream length.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"),
+                 F.col(key_col))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col(value_col).cast("decimal(27,10)"))
+              .cast("double").alias("sum_value"))
+        .select(key_col,
+                F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+                F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+                "n_events", "sum_value")
+    )

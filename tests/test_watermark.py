@@ -185,3 +185,55 @@ def test_streaming_ewma_equals_batch_recursion(spark, tmp_path):
     # batch recursion: 10 -> 15 -> 22.5 -> (0.5*40 + 0.5*22.5) = 31.25
     assert got == {("A", 1): 10.0, ("A", 2): 15.0, ("A", 3): 22.5,
                    ("A", 4): 31.25, ("B", 1): 8.0}
+
+
+def test_streaming_sessions_merge_across_batches(spark, tmp_path):
+    """Streaming session windows: an event arriving in a LATER
+    micro-batch inside the gap must merge into (extend) the open
+    session — cross-batch merge is what distinguishes sessions from
+    fixed windows — and append mode emits the session exactly once,
+    after the watermark passes its close."""
+    import json
+    import os
+
+    from market_data_ingestor_go_spark.streaming.rollup import (
+        streaming_sessions)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = 1_700_000_000  # seconds
+    def ev(uid, t, v):
+        return json.dumps({"uid": uid, "t": t + base, "v": v}) + "\n"
+
+    with open(src + "/a.json", "w") as fh:
+        fh.write(ev("A", 0, 1.0))
+        fh.write(ev("A", 60, 2.0))
+
+    stream = (spark.readStream.schema("uid STRING, t LONG, v DOUBLE")
+              .option("maxFilesPerTrigger", 1).json(src)
+              .withColumn("ts", F.timestamp_seconds("t")))
+    out = streaming_sessions(stream, gap="10 minutes",
+                             watermark="1 second", ts_col="ts",
+                             key_col="uid", value_col="v")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sessions_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+
+    # batch 2: extends A's session across the batch boundary, then a
+    # far-future event pushes the watermark past A's close
+    with open(src + "/b.json", "w") as fh:
+        fh.write(ev("A", 120, 3.0))
+        fh.write(ev("B", 10_000, 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r.uid: r for r in
+            spark.sql("SELECT * FROM sessions_stream").collect()}
+    assert "A" in rows  # closed and emitted exactly once
+    a = rows["A"]
+    assert a.n_events == 3 and a.sum_value == 6.0
+    assert a.session_start_ms == base * 1000
+    assert a.session_end_ms == (base + 120 + 600) * 1000
+    assert "B" not in rows  # B's session is still open
