@@ -380,7 +380,8 @@ def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
 def build_hyperplane_index(df: DataFrame, table: str, dim: int = 64,
                            n_planes: int = 6, n_buckets: int = 16,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> None:
+                           vec_col: str = "embedding",
+                           meta_cols: tuple[str, ...] = ()) -> None:
     """Materialize the hyperplane-LSH index as a BUCKETED table
     clustered on the LSH bucket id — the 100 TB deployment shape
     (SCALING.md: "the signatures become the materialized index
@@ -392,7 +393,8 @@ def build_hyperplane_index(df: DataFrame, table: str, dim: int = 64,
     from ..sources.bucketing import write_bucketed
 
     planes = _hyperplanes(dim, n_planes)
-    c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
+    c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"),
+                  *[F.col(m) for m in meta_cols])
     c = c.withColumn("nsd", dot(F.col("nv"), F.col("nv")))
     c = c.withColumn("bucket", hyperplane_signature(F.col("nv"), planes))
     write_bucketed(c, table, "bucket", n_buckets)
@@ -401,15 +403,27 @@ def build_hyperplane_index(df: DataFrame, table: str, dim: int = 64,
 def hyperplane_ann_from_index(spark, table: str, queries: DataFrame,
                               k: int = 5, dim: int = 64, n_planes: int = 6,
                               multiprobe: int = 1, id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
+                              vec_col: str = "embedding",
+                              corpus_filter=None) -> DataFrame:
     """ANN top-k against a materialized ``build_hyperplane_index``
     table: same semantics as ``random_hyperplane_ann`` (identical
     planes, probes, ranking) but the corpus side reads pre-bucketed —
-    no signature recompute, no corpus shuffle."""
+    no signature recompute, no corpus shuffle.
+
+    ``corpus_filter`` (a Column over the index's ``meta_cols``) gives
+    FILTERED vector search at index speed: the predicate applies
+    inside the index scan — composing with bucket pruning, so a probe
+    reads only its buckets' row groups and drops non-matching rows
+    before the join — which keeps k results filled from the filtered
+    subset (post-filtering an unfiltered top-k under-fills k).
+    Ground-truth twin: knn_filtered_bruteforce; recall asserted in
+    tests."""
     from itertools import combinations
 
     planes = _hyperplanes(dim, n_planes)
     c = spark.table(table)
+    if corpus_filter is not None:
+        c = c.filter(corpus_filter)
     q = _query_side(queries, id_col, vec_col)
     q = q.withColumn("sig", hyperplane_signature(F.col("qv"), planes))
     probe_cols = [F.col("sig")]
