@@ -270,3 +270,27 @@ def test_passage_dedup_two_shuffles(spark):
     assert _count(plan, "Exchange") == 2, plan
     assert "Join" not in plan, plan
     assert _scan_columns(plan, "documents") <= {"doc_id", "text"}, plan
+
+
+def test_round5_additions_scale_shapes(spark):
+    """Plan pins for the late-r5 queries: each keeps the minimal
+    shuffle structure its SCALING.md entry claims."""
+    # shard manifest: assignment is scan-bound — one exchange (the
+    # final group), zero joins
+    p = _plan(ALL_QUERIES["shard_manifest"](spark, SF))
+    assert _count(p, "Exchange") == 1 and "Join" not in p, p
+
+    # EWMA: the whole closed form rides ONE exchange on the key —
+    # both window layers and the projection barrier share it
+    p = _plan(ALL_QUERIES["events_ewma_smooth"](spark, SF))
+    assert _count(p, "Exchange") == 1 and "Join" not in p, p
+
+    # z-score: one aggregate exchange + the final group; the join
+    # back is a broadcast (stats are |event types| rows)
+    p = _plan(ALL_QUERIES["events_zscore_outliers"](spark, SF))
+    assert _count(p, "Exchange") == 2, p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+
+    # frequency cap: one exchange on the group key
+    p = _plan(ALL_QUERIES["source_cap_sample"](spark, SF))
+    assert _count(p, "Exchange") == 1 and "Join" not in p, p
