@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import media_meta_minimal, png_minimal, wav_minimal
+from ..functions import (gif_minimal, media_meta_minimal, png_minimal,
+                         wav_minimal)
 
 # Ship the codecs BY VALUE inside every pickled kernel: the driver
 # may run from any cwd (the grading driver does), so python workers
@@ -40,6 +41,7 @@ from ..functions import media_meta_minimal, png_minimal, wav_minimal
 _cloudpickle.register_pickle_by_value(png_minimal)
 _cloudpickle.register_pickle_by_value(wav_minimal)
 _cloudpickle.register_pickle_by_value(media_meta_minimal)
+_cloudpickle.register_pickle_by_value(gif_minimal)
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),    # image|audio|video
@@ -72,10 +74,12 @@ def attach_media_metadata(df: DataFrame, binary_col: str = "content",
 
 
 def _make_image_decoder():
-    """Image decode kernel factory: REAL for PNG (png_minimal codec,
-    registered by-value above so the closure carries the codec itself),
-    deterministic STUB fallback for formats with no codec in this
-    container (jpeg/webp/... — PIL/opencv absent, probed each round).
+    """Image decode kernel factory: REAL for PNG and GIF
+    (png_minimal / gif_minimal codecs, registered by-value above so
+    the closure carries the codec itself; GIF includes full LZW),
+    true header dimensions for JPEG, deterministic STUB fallback for
+    formats with no codec in this container (webp/... — PIL/opencv
+    absent, probed each round).
 
     Built as a closure so cloudpickle ships it BY VALUE to python
     workers (a plain module-level function pickles by module reference
@@ -84,6 +88,9 @@ def _make_image_decoder():
     is_png = png_minimal.is_png
     png_decode = png_minimal.png_decode
     luma = png_minimal.mean_luma
+    is_gif = gif_minimal.is_gif
+    gif_decode = gif_minimal.gif_decode
+    gif_luma = gif_minimal.mean_luma
     is_jpeg = media_meta_minimal.is_jpeg
     jpeg_dims = media_meta_minimal.jpeg_dimensions
 
@@ -91,6 +98,9 @@ def _make_image_decoder():
         if is_png(blob):
             w, h, ch, px = png_decode(blob)
             return w, h, ch, luma(ch, px)
+        if is_gif(blob):
+            w, h, ch, px = gif_decode(blob)
+            return w, h, ch, gif_luma(ch, px)
         if is_jpeg(blob):
             # TRUE dimensions from the SOF marker; luma is None —
             # honestly not computable without an entropy decoder.

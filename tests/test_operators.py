@@ -1338,3 +1338,66 @@ def test_cap_per_group_determinism_and_bound(spark):
 
     # cap above group size: everything survives
     assert cap_per_group(docs, "source", cap=10**6).count() == docs.count()
+
+
+def test_gif_codec_roundtrip():
+    """From-scratch stdlib GIF codec (real LZW): encode→decode is the
+    identity on pixels across the LZW regimes — dictionary growth,
+    the KwKwK special case, code-width increase, and the 4096-entry
+    reset — plus interlaced row reordering."""
+    import random
+
+    from market_data_ingestor_go_spark.functions.gif_minimal import (
+        _deinterlace, gif_decode, gif_encode, is_gif, mean_luma)
+
+    pal4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    # repetitive data: growth + KwKwK
+    idx = ([0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3] * 50)[:800]
+    blob = gif_encode(16, 50, pal4, idx)
+    assert is_gif(blob)
+    w, h, ch, rgb = gif_decode(blob)
+    assert (w, h, ch) == (16, 50, 3)
+    assert rgb == b"".join(bytes(pal4[i]) for i in idx)
+
+    # constant image: exact luma
+    cblob = gif_encode(8, 8, [(100, 150, 200)], [0] * 64)
+    w, h, ch, rgb = gif_decode(cblob)
+    want = (0.299 * 100 + 0.587 * 150 + 0.114 * 200) / 255.0
+    assert abs(mean_luma(ch, rgb) - want) < 1e-12
+
+    # 8-bit random, >4096 distinct runs: exercises the dict reset
+    random.seed(11)
+    pal256 = [(i, 255 - i, (i * 7) % 256) for i in range(256)]
+    idx2 = [random.randrange(256) for _ in range(80 * 60)]
+    w, h, ch, rgb2 = gif_decode(gif_encode(80, 60, pal256, idx2))
+    assert (w, h) == (80, 60)
+    assert rgb2 == b"".join(bytes(pal256[i]) for i in idx2)
+
+    # interlace pass order: 8/8, 8/8+4, 4/4+2, 2/2+1
+    rows = [[i] for i in range(10)]
+    order = [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    assert _deinterlace([rows[i] for i in order]) == rows
+
+
+def test_gif_features_through_mapinpandas(spark):
+    """e2e through mapInPandas: real GIF fixtures built in-test come
+    back with TRUE dimensions and mean luma through the same Arrow
+    plumbing as PNG — the decoder dispatches by magic bytes."""
+    from market_data_ingestor_go_spark.functions.gif_minimal import (
+        gif_encode)
+    from market_data_ingestor_go_spark.functions.png_minimal import (
+        png_encode)
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        extract_image_features)
+
+    gif = gif_encode(12, 9, [(0, 0, 0), (255, 255, 255)],
+                     [i % 2 for i in range(12 * 9)])
+    png = png_encode(5, 4, 3, bytes([10, 20, 30]) * 20)
+    df = spark.createDataFrame(
+        [Row(content=bytearray(gif)), Row(content=bytearray(png))])
+    out = {(r.width, r.height): (r.n_channels, r.mean_luma)
+           for r in extract_image_features(df).collect()}
+    assert (12, 9) in out and out[(12, 9)][0] == 3
+    # 54/108 white pixels -> luma ~0.5 (exactly half of 255-luma)
+    assert abs(out[(12, 9)][1] - 0.5) < 0.01
+    assert (5, 4) in out
