@@ -85,16 +85,18 @@ def _deinterlace(rows: list[list[int]]) -> list[list[int]]:
     return out  # type: ignore[return-value]
 
 
-def gif_decode(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Decode the FIRST frame: (width, height, channels=3, rgb bytes).
+def gif_frames(blob: bytes):
+    """Yield (width, height, channels=3, rgb bytes) per frame.
 
-    Frame dimensions come from the image descriptor (a frame may be
-    smaller than the logical screen; we return the frame's own size —
-    the content that actually decodes).
+    Each frame decodes as its OWN patch (its descriptor's size and
+    color table) — animation composition onto the logical screen
+    (disposal methods, transparency) is out of scope: frame sampling
+    for ML features wants each frame's decoded content, not a
+    player-accurate canvas.
     """
     if not is_gif(blob):
         raise ValueError("not a GIF")
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -127,6 +129,7 @@ def gif_decode(blob: bytes) -> tuple[int, int, int, bytes]:
                 ln = blob[pos]
                 data += blob[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1                        # the 0x00 terminator
             idx = _lzw_decode(min_code_size, bytes(data))[:w * h]
             rows = [idx[r * w:(r + 1) * w] for r in range(h)]
             if ipacked & 0x40:
@@ -135,11 +138,17 @@ def gif_decode(blob: bytes) -> tuple[int, int, int, bytes]:
             for row in rows:
                 for i in row:
                     rgb += table[3 * i:3 * i + 3]
-            return w, h, 3, bytes(rgb)
+            yield w, h, 3, bytes(rgb)
         elif b == 0x3B:                    # trailer
-            break
+            return
         else:  # pragma: no cover - corrupt stream
             raise ValueError(f"bad block 0x{b:02x}")
+
+
+def gif_decode(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the FIRST frame: (width, height, channels=3, rgb)."""
+    for frame in gif_frames(blob):
+        return frame
     raise ValueError("no image data")
 
 
@@ -173,6 +182,34 @@ def gif_encode(width: int, height: int, palette: list[tuple[int, int, int]],
     out += struct.pack("<HHBBB", width, height,
                        0x80 | (bits - 1), 0, 0)
     out += pal
+    _append_image_block(out, width, height, bits, indices)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_encode_animated(width: int, height: int,
+                        palette: list[tuple[int, int, int]],
+                        frames: list[list[int]]) -> bytes:
+    """Multi-frame GIF87a writer (tests/fixtures): one image block per
+    frame, all sharing the global color table."""
+    bits = max(2, (len(palette) - 1).bit_length())
+    n = 1 << bits
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes((r, g, b))
+    pal += b"\x00" * (3 * (n - len(palette)))
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", width, height,
+                       0x80 | (bits - 1), 0, 0)
+    out += pal
+    for indices in frames:
+        _append_image_block(out, width, height, bits, indices)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _append_image_block(out: bytearray, width: int, height: int,
+                        bits: int, indices: list[int]) -> None:
     out.append(0x2C)                                       # image separator
     out += struct.pack("<HHHHB", 0, 0, width, height, 0)  # descriptor
     out.append(bits)                                       # min code size
@@ -224,5 +261,4 @@ def gif_encode(width: int, height: int, palette: list[tuple[int, int, int]],
         chunk = payload[i:i + 255]
         out.append(len(chunk))
         out += chunk
-    out += b"\x00\x3b"
-    return bytes(out)
+    out += b"\x00"

@@ -252,7 +252,11 @@ def extract_video_metadata(df: DataFrame,
 
 def sample_frames(df: DataFrame, binary_col: str = "content",
                   every_nth: int = 30) -> DataFrame:
-    """Video frame sampling — STUB kernel, real plumbing.
+    """Frame sampling — REAL for animated GIF (round 5: every n-th
+    frame LZW-decodes and re-encodes as a standalone PNG, so sampled
+    frames feed straight back into ``extract_image_features``), STUB
+    for container video (mp4/webm — no ffmpeg here; pretend-frames
+    keep the Arrow plumbing tested).
 
     Emits (content_sha256, frame_idx, frame BINARY); one input row fans
     out to many output rows, which is why this is ``mapInPandas`` (row
@@ -263,6 +267,9 @@ def sample_frames(df: DataFrame, binary_col: str = "content",
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame", T.BinaryType()),
     ])
+    is_gif = gif_minimal.is_gif
+    gif_frames = gif_minimal.gif_frames
+    png_encode = png_minimal.png_encode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -271,6 +278,12 @@ def sample_frames(df: DataFrame, binary_col: str = "content",
             for blob in pdf[binary_col]:
                 blob = bytes(blob) if blob is not None else b""
                 digest = hashlib.sha256(blob).hexdigest()
+                if is_gif(blob):
+                    for idx, (w, h, ch, rgb) in enumerate(gif_frames(blob)):
+                        if idx % every_nth == 0:
+                            rows.append((digest, idx,
+                                         png_encode(w, h, ch, rgb)))
+                    continue
                 # STUB: pretend the blob holds len(blob)//1000 frames;
                 # a real kernel would demux with pyav/ffmpeg.
                 n_frames = max(1, len(blob) // 1000)

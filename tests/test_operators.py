@@ -1401,3 +1401,35 @@ def test_gif_features_through_mapinpandas(spark):
     # 54/108 white pixels -> luma ~0.5 (exactly half of 255-luma)
     assert abs(out[(12, 9)][1] - 0.5) < 0.01
     assert (5, 4) in out
+
+
+def test_gif_frame_sampling_real(spark):
+    """Animated-GIF frame sampling is REAL: every n-th frame decodes
+    via LZW and comes back as a standalone PNG that feeds straight
+    into extract_image_features — codec composition through the same
+    Arrow plumbing."""
+    from market_data_ingestor_go_spark.functions.gif_minimal import (
+        gif_encode_animated, gif_frames)
+    from market_data_ingestor_go_spark.functions.png_minimal import (
+        png_decode)
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        extract_image_features, sample_frames)
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    frames = [[(f + i) % 4 for i in range(6 * 4)] for f in range(7)]
+    blob = gif_encode_animated(6, 4, pal, frames)
+    assert len(list(gif_frames(blob))) == 7
+
+    df = spark.createDataFrame([Row(content=bytearray(blob))])
+    out = sample_frames(df, every_nth=3).collect()  # frames 0, 3, 6
+    assert sorted(r.frame_idx for r in out) == [0, 3, 6]
+    for r in out:
+        w, h, ch, px = png_decode(bytes(r.frame))
+        want = b"".join(bytes(pal[i]) for i in frames[r.frame_idx])
+        assert (w, h, ch, px) == (6, 4, 3, want)
+
+    # sampled frames flow into the image-feature kernel unchanged
+    fdf = spark.createDataFrame(
+        [Row(content=bytearray(bytes(out[0].frame)))])
+    feat = extract_image_features(fdf).collect()[0]
+    assert (feat.width, feat.height) == (6, 4)
