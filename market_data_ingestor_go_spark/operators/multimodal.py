@@ -1,14 +1,17 @@
 """Multimodal column plumbing (SURVEY.md §2.11, driver mandate).
 
 Images/audio/video are opaque BINARY columns with typed metadata
-structs. PNG decode is REAL (round 5): ``functions/png_minimal.py``
-is a from-scratch stdlib codec (zlib inflate + scanline unfiltering),
-so ``extract_image_features`` returns true width/height/channels/luma
-and ``resize_images`` truly resamples for PNG blobs. Formats with no codec
-in this container (jpeg, mp4, ...) fall back to clearly-marked
-deterministic stubs; the Spark-side contract — schemas, Arrow batch
-shapes, mapInPandas signatures, partitioning — is identical on both
-paths.
+structs. PNG and GIF decode are REAL (round 5):
+``functions/png_minimal.py`` is a from-scratch stdlib codec (zlib
+inflate + scanline unfiltering) and ``functions/gif_minimal.py`` a
+full LZW decoder (growth/KwKwK/reset/interlace), so
+``extract_image_features`` returns true width/height/channels/luma,
+``resize_images`` truly resamples, and ``sample_frames`` emits real
+animated-GIF frames re-encoded as PNG. Entropy-coded formats with no
+codec in this container (jpeg pixels, mp4 frames, ...) fall back to
+clearly-marked deterministic stubs; the Spark-side contract —
+schemas, Arrow batch shapes, mapInPandas signatures, partitioning —
+is identical on both paths.
 
 Scale posture: media blobs dominate row size, so
 - metadata-only queries must never deserialize blobs → keep metadata in
@@ -158,9 +161,9 @@ def resize_images(df: DataFrame, binary_col: str = "content",
     the resized blob REPLACES the original (this is a map, not a
     fan-out, but it stays ``mapInPandas`` because the output blob's
     size differs from the input's and Arrow batches the binary column
-    efficiently either way). PNG blobs are truly decoded,
+    efficiently either way). PNG and GIF blobs are truly decoded,
     nearest-neighbor resampled to ``target_w × target_h`` and
-    re-encoded as PNG; non-PNG blobs emit the deterministic STUB
+    re-encoded as PNG; other blobs emit the deterministic STUB
     ``target_w·target_h·3``-byte buffer derived from the input digest
     (exact-size + stability still testable) until their codecs exist.
     """
@@ -175,6 +178,8 @@ def resize_images(df: DataFrame, binary_col: str = "content",
     png_decode = png_minimal.png_decode
     png_encode = png_minimal.png_encode
     resample = png_minimal.resize_nearest
+    is_gif = gif_minimal.is_gif
+    gif_decode = gif_minimal.gif_decode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -183,8 +188,9 @@ def resize_images(df: DataFrame, binary_col: str = "content",
             for blob in pdf[binary_col]:
                 blob = bytes(blob) if blob is not None else b""
                 digest = hashlib.sha256(blob).hexdigest()
-                if is_png(blob):
-                    w, h, ch, px = png_decode(blob)
+                if is_png(blob) or is_gif(blob):
+                    w, h, ch, px = (png_decode(blob) if is_png(blob)
+                                    else gif_decode(blob))
                     resized = png_encode(
                         target_w, target_h, ch,
                         resample(w, h, ch, px, target_w, target_h))

@@ -1433,3 +1433,21 @@ def test_gif_frame_sampling_real(spark):
         [Row(content=bytearray(bytes(out[0].frame)))])
     feat = extract_image_features(fdf).collect()[0]
     assert (feat.width, feat.height) == (6, 4)
+
+
+def test_resize_gif_real(spark):
+    """resize_images decodes GIF for real too: constant-color GIF in,
+    constant-color PNG at target size out."""
+    from market_data_ingestor_go_spark.functions.gif_minimal import (
+        gif_encode)
+    from market_data_ingestor_go_spark.functions.png_minimal import (
+        png_decode)
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        resize_images)
+
+    blob = gif_encode(9, 7, [(40, 80, 120)], [0] * 63)
+    df = spark.createDataFrame([Row(content=bytearray(blob))])
+    r = resize_images(df, target_w=4, target_h=3).collect()[0]
+    w, h, ch, px = png_decode(bytes(r.resized))
+    assert (w, h, ch) == (4, 3, 3)
+    assert px == bytes([40, 80, 120]) * 12
