@@ -1236,6 +1236,21 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# Equi-depth length buckets: ntile is rank-based — identical with the
+# same total order (token count, doc_id tiebreak) on both engines.
+EXTRA_ORACLES["doc_length_buckets"] = f"""
+WITH r AS (
+  SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tok FROM documents),
+b AS (
+  SELECT doc_id, n_tok,
+         ntile(8) OVER (ORDER BY n_tok, doc_id) AS bucket
+  FROM r)
+SELECT bucket, COUNT(*) AS n_docs,
+       MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM b GROUP BY bucket
+"""
+
 # Filtered vector search: identical label pre-filter before scoring.
 EXTRA_ORACLES["knn_filtered_bruteforce"] = f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -988,6 +988,30 @@ def source_overlap_exact(spark, sf_dir):
                          "source_a", "source_b").limit(20)
 
 
+def doc_length_buckets(spark, sf_dir):
+    """Equi-depth length bucketing (the batch-shaping step before
+    sequence packing: group docs of similar token length so padding
+    waste is bounded): ntile(8) over (token count, doc_id) — exact,
+    deterministic, rank-based, so bucket boundaries adapt to the
+    length distribution with no histogram estimation. Per bucket:
+    doc count, min/max/total tokens. Scale note: a GLOBAL ntile
+    serializes the rank through one task — at 100 TB swap the exact
+    ntile for approx-quantile boundaries + a scan-side bucket
+    assignment (boundaries are a broadcast-size artifact); the exact
+    form is the oracle-checkable ground truth of that path."""
+    from ..functions.text import token_count
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select("doc_id",
+                    token_count("text").cast("bigint").alias("n_tok"))
+    w = Window.orderBy("n_tok", "doc_id")
+    b = rows.withColumn("bucket", F.ntile(8).over(w))
+    return (b.groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n_tok").alias("min_tokens"),
+                 F.max("n_tok").alias("max_tokens"),
+                 F.sum("n_tok").cast("bigint").alias("total_tokens")))
+
+
 def events_zscore_outliers(spark, sf_dir):
     """Statistical QC: per event type, standardize every value against
     the group's mean/std and count |z| > 3 outliers. Moments come from
@@ -1739,6 +1763,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cap_sample": source_cap_sample,          # per-source freq cap
     "events_zscore_outliers": events_zscore_outliers,  # exact-moment QC
     "knn_filtered_bruteforce": knn_filtered_bruteforce,  # filtered search
+    "doc_length_buckets": doc_length_buckets,        # equi-depth ntile
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,
