@@ -262,3 +262,28 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int,
     w = Window.partitionBy(group_col).orderBy(coin, col)
     return (df.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= cap).drop("__rk"))
+
+
+def length_bucket_boundaries(df: DataFrame, n_buckets: int = 8,
+                             text_col: str = "text",
+                             accuracy: int = 10000) -> list[float]:
+    """The 100 TB path for equi-depth length bucketing: approximate
+    quantile boundaries from ONE pass (Greenwald-Khanna via
+    percentile_approx) — a broadcast-size driver artifact (n_buckets-1
+    numbers), vs the exact global-ntile ground truth
+    (plans/queries.py:doc_length_buckets) whose rank serializes
+    through a single task."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.select(F.percentile_approx(
+        token_count(text_col).cast("double"), qs, accuracy)
+        .alias("b")).first()
+    return list(row["b"])
+
+
+def assign_length_bucket(text_col: str, boundaries: list[float]):
+    """Scan-side bucket assignment from precomputed boundaries: a pure
+    Column expression (no window, no shuffle, whole-stage codegen) —
+    1 + count of boundaries strictly below the doc's token count."""
+    n = token_count(text_col).cast("double")
+    b = F.lit([float(x) for x in boundaries])
+    return (F.size(F.filter(b, lambda x: x < n)) + 1).alias("bucket")

@@ -1451,3 +1451,27 @@ def test_resize_gif_real(spark):
     w, h, ch, px = png_decode(bytes(r.resized))
     assert (w, h, ch) == (4, 3, 3)
     assert px == bytes([40, 80, 120]) * 12
+
+
+def test_length_bucket_scale_path_tracks_exact(spark):
+    """The approx-boundary bucketing (one pass + scan-side assignment,
+    no global sort) must produce near-equi-depth buckets: every bucket
+    within 25% of n/8 on the fixture, and the assignment expression
+    plan has no Window/Exchange."""
+    from market_data_ingestor_go_spark.operators.training import (
+        assign_length_bucket, length_bucket_boundaries)
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bounds = length_bucket_boundaries(docs, n_buckets=8)
+    assert len(bounds) == 7 and bounds == sorted(bounds)
+
+    assigned = docs.select(assign_length_bucket("text", bounds))
+    sizes = {r.bucket: r["count"] for r in
+             assigned.groupBy("bucket").count().collect()}
+    n = docs.count()
+    assert set(sizes) <= set(range(1, 9))
+    for b, c in sizes.items():
+        assert abs(c - n / 8) <= 0.25 * n / 8, (b, c, n / 8)
+
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Exchange" not in plan, plan
