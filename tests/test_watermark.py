@@ -237,3 +237,48 @@ def test_streaming_sessions_merge_across_batches(spark, tmp_path):
     assert a.session_start_ms == base * 1000
     assert a.session_end_ms == (base + 120 + 600) * 1000
     assert "B" not in rows  # B's session is still open
+
+
+def test_streaming_ewma_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState recovery: stop the query after batch 1,
+    start a NEW query over the same checkpoint, feed batch 2 — the
+    recursion must continue from the recovered (last_ts, last_y)
+    state, not restart from scratch."""
+    import json
+    import os
+
+    from market_data_ingestor_go_spark.streaming.stateful import (
+        streaming_ewma)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(src + "/a.json", "w") as fh:
+        fh.write(json.dumps({"sym": "A", "ts": 1, "px": 10.0}) + "\n")
+        fh.write(json.dumps({"sym": "A", "ts": 2, "px": 20.0}) + "\n")
+
+    sink = str(tmp_path / "sink")
+
+    def start():
+        # memory sink can't recover a checkpoint; the parquet sink can
+        stream = (spark.readStream
+                  .schema("sym STRING, ts LONG, px DOUBLE").json(src))
+        out = streaming_ewma(stream, "sym", "ts", "px", alpha=0.5)
+        return (out.writeStream.outputMode("append").format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .start())
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # simulate driver restart
+
+    with open(src + "/b.json", "w") as fh:
+        fh.write(json.dumps({"sym": "A", "ts": 3, "px": 30.0}) + "\n")
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {r.ts_ms: r.ewma for r in
+           spark.read.parquet(sink).collect()}
+    # 10 -> 15 -> 22.5; a from-scratch restart would give 30.0 at ts 3
+    assert got[3] == 22.5, got
