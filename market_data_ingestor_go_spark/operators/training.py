@@ -287,3 +287,37 @@ def assign_length_bucket(text_col: str, boundaries: list[float]):
     n = token_count(text_col).cast("double")
     b = F.lit([float(x) for x in boundaries])
     return (F.size(F.filter(b, lambda x: x < n)) + 1).alias("bucket")
+
+
+def upsample_with_repeats(df: DataFrame, weights: dict[str, float],
+                          group_col: str = "lang",
+                          id_col: str = "doc_id",
+                          seed: str = "upsample:v1") -> DataFrame:
+    """Up-sample under-represented groups by REPEATING documents —
+    the repeat-factor side of corpus mixing (weighted_resample is the
+    down-sampling side): a group with weight w emits ⌊w⌋ copies of
+    every doc plus one more with probability w−⌊w⌋, decided by the
+    deterministic md5(seed:id:copy) coin, so E[copies] = w exactly
+    and the draw is reproducible across runs/partitionings/engines.
+
+    Output adds ``copy`` (1-based) — (id, copy) stays unique so
+    downstream packing/sharding can treat repeats as distinct rows.
+
+    Scale shape: copies come from an inline ``sequence`` explode —
+    rows created are exactly the output size, no join, no shuffle;
+    the coin filter runs inside the same projection.
+    """
+    w = F.create_map(*[F.lit(x) for kv in weights.items()
+                       for x in (kv[0], float(kv[1]))])
+    weight = F.coalesce(w[F.col(group_col)], F.lit(1.0))
+    n_full = F.floor(weight).cast("int")
+    frac = weight - F.floor(weight)
+    copies = F.explode(F.sequence(F.lit(1), n_full + 1)).alias("copy")
+    out = df.select("*", weight.alias("__w"), copies)
+    coin = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"),
+                       F.lit(":"), F.col("copy").cast("string"))),
+        1, 8), 16, 10).cast("long") % 1_000_000) / 1_000_000.0
+    keep = (F.col("copy") <= F.floor(F.col("__w"))) | \
+        (coin < (F.col("__w") - F.floor(F.col("__w"))))
+    return out.filter(keep).drop("__w")

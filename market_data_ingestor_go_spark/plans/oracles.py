@@ -1236,6 +1236,34 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# Repeat-factor corpus mixing: identical floor/fractional split and
+# md5(seed:id:copy) coin — total_tokens matches only if both engines
+# kept the IDENTICAL fractional copies.
+EXTRA_ORACLES["corpus_upsample_stats"] = f"""
+WITH w AS (
+  SELECT doc_id, lang, text,
+         CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 2.5
+                   WHEN 'fr' THEN 1.75 WHEN 'es' THEN 3.0
+                   ELSE 1.0 END AS wt
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, text, wt,
+         unnest(generate_series(1, CAST(floor(wt) AS INT) + 1)) AS copy
+  FROM w),
+k AS (
+  SELECT * FROM c
+  WHERE copy <= floor(wt)
+     OR (CAST(concat('0x', substring(md5(
+           'upsample:v1:' || CAST(doc_id AS VARCHAR) || ':'
+           || CAST(copy AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000)
+        / 1000000.0 < wt - floor(wt))
+SELECT lang, COUNT(*) AS n_rows_out,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MAX(copy) AS max_copies,
+       CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens
+FROM k GROUP BY lang
+"""
+
 # Equi-depth length buckets: ntile is rank-based — identical with the
 # same total order (token count, doc_id tiebreak) on both engines.
 EXTRA_ORACLES["doc_length_buckets"] = f"""

@@ -988,6 +988,25 @@ def source_overlap_exact(spark, sf_dir):
                          "source_a", "source_b").limit(20)
 
 
+def corpus_upsample_stats(spark, sf_dir):
+    """Repeat-factor corpus mixing (the up-sampling side): langs get
+    fixed weights — ⌊w⌋ guaranteed copies per doc plus a fractional
+    copy by the deterministic md5 coin — and the query summarizes the
+    emitted mixture per lang. Engine-reproducible draw ⇒ oracle-exact
+    down to which copies were kept (total_tokens proves it)."""
+    from ..functions.text import token_count
+    from ..operators.training import upsample_with_repeats
+    d = _t(spark, sf_dir, "documents")
+    weights = {"en": 1.0, "de": 2.5, "fr": 1.75, "es": 3.0}
+    up = upsample_with_repeats(d, weights, "lang", "doc_id")
+    return (up.groupBy("lang")
+            .agg(F.count("*").alias("n_rows_out"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.max("copy").cast("bigint").alias("max_copies"),
+                 F.sum(token_count("text")).cast("bigint")
+                 .alias("total_tokens")))
+
+
 def doc_length_buckets(spark, sf_dir):
     """Equi-depth length bucketing (the batch-shaping step before
     sequence packing: group docs of similar token length so padding
@@ -1764,6 +1783,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_zscore_outliers": events_zscore_outliers,  # exact-moment QC
     "knn_filtered_bruteforce": knn_filtered_bruteforce,  # filtered search
     "doc_length_buckets": doc_length_buckets,        # equi-depth ntile
+    "corpus_upsample_stats": corpus_upsample_stats,  # repeat-factor mix
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,

@@ -1475,3 +1475,33 @@ def test_length_bucket_scale_path_tracks_exact(spark):
 
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Exchange" not in plan, plan
+
+
+def test_upsample_with_repeats_expectation(spark):
+    """Repeat-factor mixing invariants: integer weights emit exactly
+    w copies; fractional weights emit floor(w)..floor(w)+1 with the
+    realized mean within 10% of w on the fixture; (id, copy) unique;
+    same seed reproduces the identical draw under repartitioning."""
+    from market_data_ingestor_go_spark.operators.training import (
+        upsample_with_repeats)
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    weights = {"en": 2.0, "de": 2.5}
+    up = upsample_with_repeats(docs, weights, "lang", "doc_id")
+
+    per_doc = up.groupBy("lang", "doc_id").count()
+    en = per_doc.filter("lang = 'en'").select("count").distinct().collect()
+    assert [r["count"] for r in en] == [2]        # exact for integer w
+    de = {r["count"] for r in per_doc.filter("lang = 'de'").collect()}
+    assert de <= {2, 3}
+    mean_de = (up.filter("lang = 'de'").count()
+               / docs.filter("lang = 'de'").count())
+    assert abs(mean_de - 2.5) < 0.25, mean_de
+    zh = per_doc.filter("lang = 'zh'").select("count").distinct().collect()
+    assert [r["count"] for r in zh] == [1]        # default weight 1.0
+
+    assert up.select("doc_id", "copy").distinct().count() == up.count()
+    again = upsample_with_repeats(docs.repartition(13), weights,
+                                  "lang", "doc_id")
+    assert up.select("doc_id", "copy").exceptAll(
+        again.select("doc_id", "copy")).count() == 0
