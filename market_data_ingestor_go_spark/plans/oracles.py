@@ -1236,6 +1236,35 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# TPC-H Q15 shape: decimal-exact revenue, max kept via a window over
+# the per-supplier aggregate (ties survive on both engines).
+EXTRA_ORACLES["q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT supplier_no, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+# Blocked fuzzy join: DuckDB's levenshtein is the same edit-distance
+# metric as Spark's; blocking keys and tiebreaks identical.
+EXTRA_ORACLES["fuzzy_name_block_join"] = """
+WITH p AS (
+  SELECT a.c_nationkey AS nationkey,
+         levenshtein(a.c_name, b.c_name) AS d
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 2)
+SELECT nationkey, COUNT(*) AS n_close_pairs, MIN(d) AS min_distance
+FROM p GROUP BY nationkey
+"""
+
 # Repeat-factor corpus mixing: identical floor/fractional split and
 # md5(seed:id:copy) coin — total_tokens matches only if both engines
 # kept the IDENTICAL fractional copies.

@@ -988,6 +988,46 @@ def source_overlap_exact(spark, sf_dir):
                          "source_a", "source_b").limit(20)
 
 
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier by quarterly revenue) without the
+    view: revenue per supplier over a 3-month shipdate window, keep
+    the max-revenue supplier(s) via a window max over the one-row-per-
+    supplier aggregate — no re-aggregation, decimal-exact ties."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-04-01")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "total_revenue")))
+    mx = Window.partitionBy()
+    top = rev.withColumn("__mx", F.max("total_revenue").over(mx)) \
+        .filter(F.col("total_revenue") == F.col("__mx")).drop("__mx")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supplier_no"), "s_name")
+    return top.join(F.broadcast(s), "supplier_no") \
+        .select("supplier_no", "s_name", "total_revenue")
+
+
+def fuzzy_name_block_join(spark, sf_dir):
+    """Blocked fuzzy join (entity-resolution shape): customer-name
+    pairs within the same nation at Levenshtein distance ≤ 2 —
+    blocking on the nation key turns the quadratic all-pairs into
+    per-block self-joins, the same candidate-bounding pattern as the
+    LSH dedup family but for edit distance. Output: per-nation pair
+    counts + the minimum observed distance (small, hash-stable)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (a.join(b, (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+                    & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+             .select(F.col("a.c_nationkey").alias("nationkey"),
+                     F.levenshtein("a.c_name", "b.c_name").alias("d"))
+             .filter(F.col("d") <= 2))
+    return (pairs.groupBy("nationkey")
+            .agg(F.count("*").alias("n_close_pairs"),
+                 F.min("d").alias("min_distance")))
+
+
 def corpus_upsample_stats(spark, sf_dir):
     """Repeat-factor corpus mixing (the up-sampling side): langs get
     fixed weights — ⌊w⌋ guaranteed copies per doc plus a fractional
@@ -1784,6 +1824,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_filtered_bruteforce": knn_filtered_bruteforce,  # filtered search
     "doc_length_buckets": doc_length_buckets,        # equi-depth ntile
     "corpus_upsample_stats": corpus_upsample_stats,  # repeat-factor mix
+    "q15_top_supplier": q15_top_supplier,            # agg + global max
+    "fuzzy_name_block_join": fuzzy_name_block_join,  # blocked edit dist
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,
