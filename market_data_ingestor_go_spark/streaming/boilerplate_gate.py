@@ -20,10 +20,11 @@ into the identical bits (dynamic partition overwrite, same contract
 as the ingest history sink), and the current filter is the bit_or
 fold of all partials — ``bloom_merge`` over partitions. The flagging
 read excludes the current epoch's own partition so a replay never
-flags a batch against itself. Periodic compaction (fold old epochs
-into one partition while the stream is stopped) mirrors
-``compact_history``; state grows as epochs × n_bits/64 rows until
-then, never with corpus size.
+flags a batch against itself. ``compact_state()`` folds old epochs
+into one ``epoch=-1`` partition while the stream is stopped
+(bit-identical by OR idempotence, tested; mirrors
+``compact_history``); state grows as epochs × n_bits/64 rows between
+compactions, never with corpus size.
 
 Per micro-batch:
 1. chunk docs into width-word passages (pure Column algebra);
@@ -117,6 +118,28 @@ class PassageBoilerplateGate:
              .start())
         self.queries.append(q)
         return q
+
+    def compact_state(self) -> int:
+        """Fold all epoch partials into one partition (run while the
+        stream is stopped — mirrors ``compact_history``): bitwise OR
+        is idempotent/associative, so the folded filter is
+        bit-identical to the multi-partial fold, and state row count
+        drops from epochs × n_bits/64 back to ≤ n_bits/64. The folded
+        partial lands under ``epoch=-1`` — a replay of any real epoch
+        then overwrites only its own partition, leaving the compacted
+        baseline intact. Returns the folded row count."""
+        try:
+            parts = self.spark.read.parquet(self.state_dir)
+        except Exception:
+            return 0
+        folded = (parts.groupBy("word").agg(F.bit_or("mask").alias("mask"))
+                  .localCheckpoint())  # break lineage: we overwrite below
+        n = folded.count()
+        import shutil
+        shutil.rmtree(self.state_dir)
+        folded.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, "epoch=-1"))
+        return n
 
     def scores(self) -> DataFrame:
         """The audit table: (doc_id, n_passages, n_seen, seen_ratio,

@@ -1427,3 +1427,62 @@ def test_streaming_boilerplate_gate(spark, tmp_path):
     state = spark.read.parquet(str(tmp_path / "state"))
     per_epoch = state.groupBy("epoch").count().collect()
     assert all(r["count"] <= (1 << 14) // 64 for r in per_epoch)
+
+
+def test_boilerplate_gate_compaction(spark, tmp_path):
+    """State compaction folds epoch partials into one bit-identical
+    filter (OR idempotence), bounded at n_bits/64 rows, and the gate
+    keeps flagging correctly against the compacted state."""
+    import json as _json
+    import time as _time
+
+    from market_data_ingestor_go_spark.operators.sketch import bloom_merge
+    from market_data_ingestor_go_spark.streaming.boilerplate_gate import (
+        PassageBoilerplateGate)
+
+    w8 = ["alpha beta gamma delta epsilon zeta eta theta",
+          "one two three four five six seven eight"]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, t in enumerate(w8):
+        fp = os.path.join(src, f"b{i}.json")
+        with open(fp, "w") as fh:
+            fh.write(_json.dumps({"doc_id": i + 1, "text": t}) + "\n")
+        _time.sleep(0.01)
+        os.utime(fp, (1700000000 + i, 1700000000 + i))
+
+    gate = PassageBoilerplateGate(
+        spark, state_dir=str(tmp_path / "state"),
+        audit_dir=str(tmp_path / "audit"), n_bits=1 << 12)
+    stream = (spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = gate.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    before = spark.read.parquet(str(tmp_path / "state"))
+    want = bloom_merge(before.select("word", "mask")).collect()
+    assert before.select("epoch").distinct().count() == 2
+
+    n = gate.compact_state()
+    assert 0 < n <= (1 << 12) // 64
+    after = spark.read.parquet(str(tmp_path / "state"))
+    assert after.select("epoch").distinct().collect()[0][0] == -1
+    got = after.select("word", "mask").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # the gate still flags a doc stitched from compacted history
+    q2 = gate.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        fp = os.path.join(src, "b9.json")
+        with open(fp, "w") as fh:
+            fh.write(_json.dumps(
+                {"doc_id": 99, "text": w8[0] + " " + w8[1]}) + "\n")
+        os.utime(fp, (1700000050, 1700000050))
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    scores = {r.doc_id: r for r in gate.scores().collect()}
+    assert scores[99].flagged and scores[99].seen_ratio == 1.0
