@@ -1505,3 +1505,30 @@ def test_upsample_with_repeats_expectation(spark):
                                   "lang", "doc_id")
     assert up.select("doc_id", "copy").exceptAll(
         again.select("doc_id", "copy")).count() == 0
+
+
+def test_gif_codec_property_roundtrip():
+    """Property test (pure python, no Spark): encode→decode is the
+    identity for ARBITRARY palette sizes, dimensions and index
+    streams — the LZW state machine can't depend on lucky fixtures."""
+    from hypothesis import given, settings, strategies as st
+
+    from market_data_ingestor_go_spark.functions.gif_minimal import (
+        gif_decode, gif_encode)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        w = data.draw(st.integers(1, 24))
+        h = data.draw(st.integers(1, 24))
+        n_colors = data.draw(st.integers(1, 17))
+        pal = [(data.draw(st.integers(0, 255)),
+                data.draw(st.integers(0, 255)),
+                data.draw(st.integers(0, 255))) for _ in range(n_colors)]
+        idx = data.draw(st.lists(st.integers(0, n_colors - 1),
+                                 min_size=w * h, max_size=w * h))
+        dw, dh, ch, rgb = gif_decode(gif_encode(w, h, pal, idx))
+        assert (dw, dh, ch) == (w, h, 3)
+        assert rgb == b"".join(bytes(pal[i]) for i in idx)
+
+    run()
