@@ -1236,6 +1236,34 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# Exact-moment Pearson: identical integer-decimal sums, string-routed
+# decimal→double casts, identical op sequence — bit-exact correlation.
+EXTRA_ORACLES["lineitem_price_qty_corr"] = """
+WITH r AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100.0) AS DECIMAL(10,0)) AS x,
+         CAST(round(l_extendedprice * 100.0) AS DECIMAL(12,0)) AS y
+  FROM lineitem),
+g AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy,
+         SUM(x * y) AS sxy
+  FROM r GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       ((CAST(CAST(sxy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
+        / sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
+               * (CAST(CAST(syy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))))
+         AS corr_qty_price
+FROM g
+"""
+
 # TPC-H Q15 shape: decimal-exact revenue, max kept via a window over
 # the per-supplier aggregate (ties survive on both engines).
 EXTRA_ORACLES["q15_top_supplier"] = """

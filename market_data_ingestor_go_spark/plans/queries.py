@@ -988,6 +988,38 @@ def source_overlap_exact(spark, sf_dir):
                          "source_a", "source_b").limit(20)
 
 
+def lineitem_price_qty_corr(spark, sf_dir):
+    """Pearson correlation per returnflag between quantity and
+    extended price, via EXACT integer-decimal moment sums (the
+    bivariate member of the exact-moments family begun by
+    events_zscore_outliers): S_x S_y S_xx S_yy S_xy accumulate as
+    exact decimals (order-independent), big sums cross to double
+    through STRING casts (decimal→double direct casts differ 1 ULP
+    between engines — verify-skill lesson), then one fixed sequence
+    of correctly-rounded ops. Built-in corr() is the non-reproducible
+    twin (FP accumulation order varies with partitioning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100.0).cast("decimal(10,0)")
+    y = F.round(F.col("l_extendedprice") * 100.0).cast("decimal(12,0)")
+    rows = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    g = (rows.groupBy("l_returnflag")
+         .agg(F.count("*").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    nD = F.col("n").cast("double")
+
+    def d(c):  # decimal → double via string: correctly rounded
+        return F.col(c).cast("string").cast("double")
+
+    cov = d("sxy") / nD - (d("sx") / nD) * (d("sy") / nD)
+    vx = d("sxx") / nD - (d("sx") / nD) * (d("sx") / nD)
+    vy = d("syy") / nD - (d("sy") / nD) * (d("sy") / nD)
+    return g.select("l_returnflag", "n",
+                    (cov / F.sqrt(vx * vy)).alias("corr_qty_price"))
+
+
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape (top supplier by quarterly revenue) without the
     view: revenue per supplier over a 3-month shipdate window, keep
@@ -1825,6 +1857,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_buckets": doc_length_buckets,        # equi-depth ntile
     "corpus_upsample_stats": corpus_upsample_stats,  # repeat-factor mix
     "q15_top_supplier": q15_top_supplier,            # agg + global max
+    "lineitem_price_qty_corr": lineitem_price_qty_corr,  # exact moments
     "fuzzy_name_block_join": fuzzy_name_block_join,  # blocked edit dist
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
