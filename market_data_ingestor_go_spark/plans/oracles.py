@@ -1236,6 +1236,29 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# TWAP: exact cents×ms integer-decimal weighted sums; same string-
+# routed casts and op order as the rest of the exact-moments family.
+EXTRA_ORACLES["events_twap"] = """
+WITH e AS (
+  SELECT event_id, event_type, epoch_ms(ts) AS ts_ms, value
+  FROM events),
+r AS (
+  SELECT event_type,
+         CAST(round(value * 100.0) AS DECIMAL(10,0)) AS c,
+         CAST(lead(ts_ms) OVER (PARTITION BY event_type
+                                ORDER BY ts_ms, event_id) - ts_ms
+              AS DECIMAL(12,0)) AS dur
+  FROM e),
+g AS (
+  SELECT event_type, COUNT(*) AS n_intervals,
+         SUM(c * dur) AS swv, SUM(dur) AS st
+  FROM r WHERE dur IS NOT NULL GROUP BY event_type)
+SELECT event_type, n_intervals, CAST(st AS BIGINT) AS span_ms,
+       (CAST(CAST(swv AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(st AS VARCHAR) AS DOUBLE)) / 100.0 AS twap_value
+FROM g
+"""
+
 # Exact-moment Pearson: identical integer-decimal sums, string-routed
 # decimal→double casts, identical op sequence — bit-exact correlation.
 EXTRA_ORACLES["lineitem_price_qty_corr"] = """

@@ -988,6 +988,33 @@ def source_overlap_exact(spark, sf_dir):
                          "source_a", "source_b").limit(20)
 
 
+def events_twap(spark, sf_dir):
+    """Time-weighted average value per event type (the market-data
+    TWAP: each observation holds until the next one, so its weight is
+    its holding duration — plain AVG over irregular ticks over-weights
+    bursts). value×duration products are exact integer decimals
+    (cents × ms), so the weighted sum is order-independent and the
+    result bit-exact vs the oracle. One window (lead) + one aggregate
+    on the same key exchange."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
+    nxt = F.lead("ts_ms").over(w)
+    c = F.round(F.col("value") * 100.0).cast("decimal(10,0)")
+    dur = (nxt - F.col("ts_ms")).cast("decimal(12,0)")
+    rows = (e.select("event_type", c.alias("c"),
+                     dur.alias("dur"))
+            .filter(F.col("dur").isNotNull()))
+    g = (rows.groupBy("event_type")
+         .agg(F.count("*").alias("n_intervals"),
+              F.sum(F.col("c") * F.col("dur")).alias("swv"),
+              F.sum("dur").alias("st")))
+    twap = (F.col("swv").cast("string").cast("double")
+            / F.col("st").cast("string").cast("double")) / 100.0
+    return g.select("event_type", "n_intervals",
+                    F.col("st").cast("bigint").alias("span_ms"),
+                    twap.alias("twap_value"))
+
+
 def lineitem_price_qty_corr(spark, sf_dir):
     """Pearson correlation per returnflag between quantity and
     extended price, via EXACT integer-decimal moment sums (the
@@ -1858,6 +1885,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_upsample_stats": corpus_upsample_stats,  # repeat-factor mix
     "q15_top_supplier": q15_top_supplier,            # agg + global max
     "lineitem_price_qty_corr": lineitem_price_qty_corr,  # exact moments
+    "events_twap": events_twap,                      # time-weighted avg
     "fuzzy_name_block_join": fuzzy_name_block_join,  # blocked edit dist
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
