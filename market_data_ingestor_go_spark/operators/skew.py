@@ -99,3 +99,39 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         .withColumn("_salt", F.col("_salt").cast("long"))  # match pmod type
     out = b.join(s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def skew_report(df: DataFrame, key_cols: list[str] | str,
+                top_k: int = 10,
+                target_rows_per_task: int = 1_000_000) -> DataFrame:
+    """Skew diagnostic for a prospective groupBy/join key: per-key row
+    counts for the top-k heaviest keys, each key's share of the
+    table, its ratio to the MEAN key size (the skew factor AQE's
+    thresholds reason about), and the salt factor that would bring
+    the key under ``target_rows_per_task`` — the number to pass to
+    ``salted_agg``/``salted_join``.
+
+    One aggregate + a top-k over the (small) per-key count table; run
+    it on a sample at 100 TB (counts scale linearly, ratios don't
+    care). The decision rule: salt when the report's max skew factor
+    is >> AQE's skewedPartitionFactor and one key alone exceeds a
+    task's budget — salting below that just pays the extra merge.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n_rows"))
+    from .cache import pin
+    counts = pin(counts)
+    tot = counts.agg(F.sum("n_rows").alias("t"),
+                     F.count("*").alias("k")).first()
+    total, n_keys = int(tot["t"]), int(tot["k"])
+    mean = total / n_keys
+    return (counts.orderBy(F.col("n_rows").desc(), *key_cols)
+            .limit(top_k)
+            .select(*key_cols, "n_rows",
+                    (F.col("n_rows") / F.lit(float(total))).alias("share"),
+                    (F.col("n_rows") / F.lit(float(mean)))
+                    .alias("skew_factor"),
+                    F.greatest(F.lit(1), F.ceil(
+                        F.col("n_rows") / F.lit(target_rows_per_task)))
+                    .cast("int").alias("suggested_salts")))

@@ -1532,3 +1532,25 @@ def test_gif_codec_property_roundtrip():
         assert rgb == b"".join(bytes(pal[i]) for i in idx)
 
     run()
+
+
+def test_skew_report_identifies_hot_key(spark):
+    """skew_report: a planted hot key tops the report with the right
+    count/share/skew-factor, and the suggested salt factor covers its
+    volume at the target task size."""
+    from market_data_ingestor_go_spark.operators.skew import skew_report
+
+    base = spark.range(1000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+    hot = spark.range(4000).select(
+        F.lit(999).alias("k"), F.col("id").alias("v"))
+    df = base.unionByName(hot)
+
+    rep = skew_report(df, "k", top_k=3, target_rows_per_task=1500)
+    rows = rep.collect()
+    assert rows[0]["k"] == 999 and rows[0]["n_rows"] == 4000
+    assert abs(rows[0]["share"] - 4000 / 5000) < 1e-12
+    # mean key size = 5000/101 rows; hot key is ~80x that
+    assert rows[0]["skew_factor"] > 50
+    assert rows[0]["suggested_salts"] == 3   # ceil(4000/1500)
+    assert all(r["suggested_salts"] == 1 for r in rows[1:])
