@@ -1554,3 +1554,30 @@ def test_skew_report_identifies_hot_key(spark):
     assert rows[0]["skew_factor"] > 50
     assert rows[0]["suggested_salts"] == 3   # ceil(4000/1500)
     assert all(r["suggested_salts"] == 1 for r in rows[1:])
+
+
+def test_filtered_knn_planner(spark):
+    """Selectivity-aware filtered search: a selective predicate routes
+    to exact brute force over the subset (result EQUALS the filtered
+    ground truth — recall 1.0 where bucketed search measured 0.5-0.68
+    on this subset), a permissive one routes to ANN with recall >=
+    its tested floor."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        filtered_knn, knn_bruteforce)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+
+    got_df, strat = filtered_knn(emb, q, F.col("label") == 1, k=5)
+    assert strat == "exact"
+    want = knn_bruteforce(emb.filter("label = 1"), q, k=5)
+    assert got_df.exceptAll(want).count() == 0
+    assert want.exceptAll(got_df).count() == 0
+
+    got_df, strat = filtered_knn(emb, q, F.col("label") >= 0, k=5,
+                                 brute_force_threshold=10)
+    assert strat == "ann"
+    truth = {(r["q_id"], r["n_id"]) for r in
+             knn_bruteforce(emb, q, k=5).collect()}
+    got = {(r["q_id"], r["n_id"]) for r in got_df.collect()}
+    assert len(got & truth) / len(truth) >= 0.8
