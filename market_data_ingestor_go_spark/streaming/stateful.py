@@ -297,3 +297,104 @@ def streaming_ewma(stream: DataFrame, key_col: str, ts_ms_col: str,
             timeoutConf="NoTimeout",
         )
     )
+
+
+TWAP_STATE_SCHEMA = T.StructType([
+    T.StructField("last_ts", T.LongType()),
+    T.StructField("last_v", T.DoubleType()),
+    T.StructField("open_b", T.LongType()),
+    T.StructField("open_num", T.DoubleType()),
+    T.StructField("open_den", T.LongType()),
+])
+
+TWAP_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("k", T.StringType()),
+    T.StructField("bucket_start_ms", T.LongType()),
+    T.StructField("twap", T.DoubleType()),
+    T.StructField("covered_ms", T.LongType()),
+])
+
+
+def _make_twap(bucket_ms: int):
+    """Per-key streaming TWAP (closure — see _make_update_latest).
+
+    Each observation HOLDS until the next one (the batch events_twap
+    convention); segments split at bucket boundaries and accumulate
+    value×duration per bucket. A bucket emits exactly once, when an
+    observation at-or-past its end closes it — so emitted bars are
+    final (append-mode semantics) and cross-batch gaps are handled:
+    a long silent stretch emits every spanned bucket at the held
+    value the moment the closing observation arrives. State per key
+    is five scalars: the held observation + the open bucket's
+    partial accumulator. Late rows at-or-before the consumed head
+    are dropped.
+    """
+
+    def twap_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+                ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        k = key[0]
+        if state.exists:
+            last_ts, last_v, open_b, open_num, open_den = state.get
+        else:
+            last_ts = last_v = open_b = None
+            open_num = 0.0
+            open_den = 0
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                rows.append((int(r["ts_ms"]), float(r["v"])))
+        rows.sort()
+        out = []
+        for ts, v in rows:
+            if last_ts is not None and ts <= last_ts:
+                continue  # emitted bars are immutable
+            if last_ts is None:
+                open_b = (ts // bucket_ms) * bucket_ms
+            else:
+                # the held value covers [last_ts, ts): walk buckets
+                seg_start = last_ts
+                while seg_start < ts:
+                    b = (seg_start // bucket_ms) * bucket_ms
+                    seg_end = min(ts, b + bucket_ms)
+                    if open_b is None or b != open_b:
+                        open_b, open_num, open_den = b, 0.0, 0
+                    open_num += last_v * (seg_end - seg_start)
+                    open_den += seg_end - seg_start
+                    if seg_end == b + bucket_ms:
+                        out.append((k, open_b, open_num / open_den,
+                                    open_den))
+                        open_b, open_num, open_den = (b + bucket_ms,
+                                                      0.0, 0)
+                    seg_start = seg_end
+            last_ts, last_v = ts, v
+        state.update((last_ts, last_v, open_b, open_num, open_den))
+        if out:
+            yield _pd.DataFrame(
+                out, columns=["k", "bucket_start_ms", "twap",
+                              "covered_ms"])
+
+    return twap_fn
+
+
+def streaming_twap(stream: DataFrame, key_col: str, ts_ms_col: str,
+                   value_col: str, bucket_ms: int) -> DataFrame:
+    """Streaming twin of the batch TWAP (events_twap): per-key
+    bucketed time-weighted averages emitted as bars close — each
+    exactly once, final, with gaps across micro-batches filled at
+    the held value when the closing observation arrives."""
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(ts_ms_col).cast("long").alias("ts_ms"),
+        F.col(value_col).cast("double").alias("v"))
+    return (
+        keyed.groupBy("k")
+        .applyInPandasWithState(
+            _make_twap(int(bucket_ms)),
+            outputStructType=TWAP_OUTPUT_SCHEMA,
+            stateStructType=TWAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -282,3 +282,46 @@ def test_streaming_ewma_state_survives_restart(spark, tmp_path):
            spark.read.parquet(sink).collect()}
     # 10 -> 15 -> 22.5; a from-scratch restart would give 30.0 at ts 3
     assert got[3] == 22.5, got
+
+
+def test_streaming_twap_buckets(spark, tmp_path):
+    """Streaming TWAP: bars emit exactly once when closed; the held
+    value weights by duration (hand-computed: 10 for 500ms + 20 for
+    500ms -> 15); a multi-bucket silent gap emits every spanned
+    bucket at the held value when the closing observation arrives;
+    state carries across micro-batches."""
+    import json
+    import os
+
+    from market_data_ingestor_go_spark.streaming.stateful import (
+        streaming_twap)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(src + "/a.json", "w") as fh:
+        fh.write(json.dumps({"sym": "A", "ts": 0, "px": 10.0}) + "\n")
+        fh.write(json.dumps({"sym": "A", "ts": 500, "px": 20.0}) + "\n")
+
+    stream = (spark.readStream
+              .schema("sym STRING, ts LONG, px DOUBLE").json(src))
+    out = streaming_twap(stream, "sym", "ts", "px", bucket_ms=1000)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("twap_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM twap_stream").count() == 0  # open bar
+
+    # batch 2: ts=1000 closes bucket 0; ts=3500 closes 1 and 2 (held
+    # at 40 across the silent gap)
+    with open(src + "/b.json", "w") as fh:
+        fh.write(json.dumps({"sym": "A", "ts": 1000, "px": 40.0}) + "\n")
+        fh.write(json.dumps({"sym": "A", "ts": 3500, "px": 7.0}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.bucket_start_ms: (r.twap, r.covered_ms) for r in
+           spark.sql("SELECT * FROM twap_stream").collect()}
+    assert got == {0: (15.0, 1000),      # 10*500 + 20*500 over 1000
+                   1000: (40.0, 1000),   # held 40
+                   2000: (40.0, 1000)}   # still held through the gap
