@@ -186,3 +186,48 @@ def scrub_pii(text: Column | str, token: str = "[PII]") -> Column:
                 PII_PATTERNS["ipv4"]):
         col = F.regexp_replace(col, pat, token)
     return col
+
+
+def compressibility_features(df, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             level: int = 6):
+    """Per-doc zlib compression ratio — the classic model-free
+    boilerplate/repetition signal (highly compressible text is
+    template-heavy; near-random text barely compresses). This is a
+    DECLARED Python path (like the media kernels): zlib has no Column
+    twin, so the kernel runs Arrow-batched via ``mapInPandas`` with
+    stdlib zlib only. The declarative cousin is
+    ``repetition_ratio`` (n-gram duplication); the two signals agree
+    on what they flag (correlation asserted in tests) but
+    compressibility also catches long-range and sub-token repetition
+    n-gram counting can't see.
+
+    Output: (id, n_bytes, n_compressed, compression_ratio) where
+    ratio = compressed/raw in (0, ~1.1] — LOWER means more
+    repetitive. Deterministic: zlib at a fixed level is a pure
+    function of the bytes.
+    """
+    import pandas as pd  # noqa: F811 - worker-side import
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_compressed", T.LongType()),
+        T.StructField("compression_ratio", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        import zlib
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                ratio = (len(comp) / len(raw)) if raw else 1.0
+                out.append((int(i), len(raw), len(comp), ratio))
+            import pandas as _pd
+            yield _pd.DataFrame(out, columns=[
+                "id", "n_bytes", "n_compressed", "compression_ratio"])
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)

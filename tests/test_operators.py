@@ -1581,3 +1581,39 @@ def test_filtered_knn_planner(spark):
              knn_bruteforce(emb, q, k=5).collect()}
     got = {(r["q_id"], r["n_id"]) for r in got_df.collect()}
     assert len(got & truth) / len(truth) >= 0.8
+
+
+def test_compressibility_signal(spark):
+    """zlib compressibility as a curation signal: a template-stamped
+    doc compresses far better than varied text, the ratio is
+    deterministic, and on the fixture it moves WITH repetition_ratio
+    (negative correlation: more n-gram repetition -> lower ratio)."""
+    from market_data_ingestor_go_spark.functions.text import (
+        compressibility_features, repetition_ratio)
+
+    rows = [
+        Row(doc_id=1, text=("terms of service apply " * 50).strip()),
+        Row(doc_id=2, text=" ".join(
+            f"w{i * 7919 % 9973}x{i}" for i in range(200))),
+    ]
+    out = {r.id: r for r in compressibility_features(
+        spark.createDataFrame(rows)).collect()}
+    assert out[1].compression_ratio < 0.2          # template stamps
+    assert out[2].compression_ratio > 0.4          # varied text
+    again = {r.id: r.compression_ratio for r in compressibility_features(
+        spark.createDataFrame(rows)).collect()}
+    assert again[1] == out[1].compression_ratio    # deterministic
+
+    # on the fixture the two signals agree directionally: the most
+    # n-gram-repetitive decile compresses better than the least
+    # (pointwise corr is length-confounded — deciles are the robust
+    # check; measured 0.503 vs 0.559 mean ratio, deterministic)
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    comp = compressibility_features(docs)
+    rep = docs.select(F.col("doc_id").alias("id"),
+                      repetition_ratio("text").alias("rep"))
+    j = comp.join(rep, "id").orderBy("rep", "id").select(
+        "compression_ratio").collect()
+    lo = sum(r[0] for r in j[:50]) / 50
+    hi = sum(r[0] for r in j[-50:]) / 50
+    assert hi < lo - 0.02, (hi, lo)
