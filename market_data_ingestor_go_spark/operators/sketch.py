@@ -229,6 +229,18 @@ def _bloom_positions(col, k: int, n_bits: int):
             for j in range(k)]
 
 
+def _bloom_words(df: DataFrame, key_col: str, n_bits: int,
+                 k: int) -> DataFrame:
+    """Shared (word, mask) aggregation for the batch build and the
+    streaming state (same expression tree ⇒ bit-identical filters)."""
+    pos = df.select(F.explode(F.array(*_bloom_positions(
+        F.col(key_col), k, n_bits))).alias("pos"))
+    return (pos.select(F.expr("pos div 64").alias("word"),
+                       F.expr("shiftleft(CAST(1 AS BIGINT), "
+                              "CAST(pos % 64 AS INT))").alias("m"))
+            .groupBy("word").agg(F.bit_or("m").alias("mask")))
+
+
 def bloom_build(df: DataFrame, key_col: str, n_bits: int = 1 << 17,
                 k: int = 5) -> DataFrame:
     """Build the filter: (word, mask) rows, ≤ n_bits/64 total.
@@ -236,12 +248,7 @@ def bloom_build(df: DataFrame, key_col: str, n_bits: int = 1 << 17,
     One explode (k rows per key) + one map-side-combined bit_or — the
     only shuffle moves at most n_bits/64 rows per partition.
     """
-    pos = df.select(F.explode(F.array(*_bloom_positions(
-        F.col(key_col), k, n_bits))).alias("pos"))
-    return (pos.select(F.expr("pos div 64").alias("word"),
-                       F.expr("shiftleft(CAST(1 AS BIGINT), "
-                              "CAST(pos % 64 AS INT))").alias("m"))
-            .groupBy("word").agg(F.bit_or("m").alias("mask")))
+    return _bloom_words(df, key_col, n_bits, k)
 
 
 def bloom_merge(*blooms: DataFrame) -> DataFrame:

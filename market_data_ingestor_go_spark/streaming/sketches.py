@@ -55,13 +55,8 @@ def streaming_bloom(stream: DataFrame, key_col: str,
     for correctness), and the `complete`-mode output is directly
     consumable by bloom_might_contain to compile an
     accepted-so-far predicate into any later query's scan."""
-    from ..operators.sketch import _bloom_positions
-    pos = stream.select(F.explode(F.array(*_bloom_positions(
-        F.col(key_col), k, n_bits))).alias("pos"))
-    return (pos.select(F.expr("pos div 64").alias("word"),
-                       F.expr("shiftleft(CAST(1 AS BIGINT), "
-                              "CAST(pos % 64 AS INT))").alias("m"))
-            .groupBy("word").agg(F.bit_or("m").alias("mask")))
+    from ..operators.sketch import _bloom_words
+    return _bloom_words(stream, key_col, n_bits, k)
 
 
 def run_sketch_stream(sketch_df: DataFrame, name: str,
