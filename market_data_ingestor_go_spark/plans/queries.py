@@ -1106,6 +1106,22 @@ def corpus_upsample_stats(spark, sf_dir):
                  .alias("total_tokens")))
 
 
+def doc_bpe_token_real(spark, sf_dir):
+    """REAL BPE token counts (trained merges, not the regex estimate):
+    merges learned on the driver from the bounded word-frequency
+    artifact (codebook contract), applied JVM-side via a broadcast
+    vocab join. Rows-only: the merge training loop is not
+    SQL-expressible; the declared weak twin is
+    text_bpe_token_estimate, and exactness vs a pure-python reference
+    tokenization is pinned in test_operators."""
+    from ..functions.bpe import (_word_freqs, bpe_token_counts,
+                                 train_bpe_merges)
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(d, n_merges=60, max_vocab=2000)
+    vocab = [w for w, _ in _word_freqs(d, "text", 2000)]
+    return bpe_token_counts(d, merges, vocab)
+
+
 def doc_length_buckets(spark, sf_dir):
     """Equi-depth length bucketing (the batch-shaping step before
     sequence packing: group docs of similar token length so padding
@@ -1886,6 +1902,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_top_supplier": q15_top_supplier,            # agg + global max
     "lineitem_price_qty_corr": lineitem_price_qty_corr,  # exact moments
     "events_twap": events_twap,                      # time-weighted avg
+    "doc_bpe_token_real": doc_bpe_token_real,        # rows-only (trained)
     "fuzzy_name_block_join": fuzzy_name_block_join,  # blocked edit dist
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)

@@ -1617,3 +1617,53 @@ def test_compressibility_signal(spark):
     lo = sum(r[0] for r in j[:50]) / 50
     hi = sum(r[0] for r in j[-50:]) / 50
     assert hi < lo - 0.02, (hi, lo)
+
+
+def test_bpe_trainer_and_counts(spark):
+    """Real BPE: on the classic toy corpus the first merges are the
+    hand-derivable ones; more merges never increase any doc's token
+    count (monotone); the JVM-side counts equal a pure-python
+    reference tokenization exactly; training is deterministic."""
+    from market_data_ingestor_go_spark.functions.bpe import (
+        bpe_token_counts, tokenize_word, train_bpe_merges)
+
+    toy = [Row(doc_id=1, text="low low low low low"),
+           Row(doc_id=2, text="lower lower newest newest newest"),
+           Row(doc_id=3, text="widest widest newest")]
+    df = spark.createDataFrame(toy)
+    merges = train_bpe_merges(df, n_merges=10, max_vocab=100)
+    # 'lo' appears in low(5)+lower(2)=7 words -> but 'es' ('newest' 4
+    # + 'widest' 2 = 6)... frequencies: ('l','o'): 7, ('e','s'): 6,
+    # ('s','t'): 6, ('w','e'): 2+4+... hand-check top merge is (l,o)
+    assert merges[0] == ("l", "o")
+    assert ("lo", "w") in merges[:3]
+
+    # counts: spark path == pure-python reference
+    vocab = ["low", "lower", "newest", "widest"]
+    out = {r.doc_id: r.n_bpe_tokens for r in
+           bpe_token_counts(df, merges, vocab).collect()}
+    import re
+    for row in toy:
+        want = sum(len(tokenize_word(w, merges))
+                   for w in re.split(r"\s+", row.text.strip()))
+        assert out[row.doc_id] == want, (row.doc_id, out[row.doc_id], want)
+
+    # monotone in merges, deterministic training
+    m5 = train_bpe_merges(df, n_merges=5, max_vocab=100)
+    assert m5 == merges[:5]
+    out5 = {r.doc_id: r.n_bpe_tokens for r in
+            bpe_token_counts(df, m5, vocab).collect()}
+    assert all(out[d] <= out5[d] for d in out)
+
+    # fixture corpus: trained merges compress vs character count and
+    # unseen words fall back exactly to their length
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fm = train_bpe_merges(docs, n_merges=50, max_vocab=1000)
+    fv = [w for w, _ in __import__(
+        "market_data_ingestor_go_spark.functions.bpe",
+        fromlist=["_word_freqs"])._word_freqs(docs, "text", 1000)]
+    counts = bpe_token_counts(docs, fm, fv)
+    joined = counts.join(docs, counts.doc_id == docs.doc_id)
+    # tokens strictly fewer than characters (merges fired corpus-wide)
+    assert joined.filter(F.col("n_bpe_tokens") >= F.col("n_chars")) \
+        .count() == 0
