@@ -98,17 +98,25 @@ def _make_image_decoder():
     jpeg_dims = media_meta_minimal.jpeg_dimensions
 
     def decode(blob: bytes) -> tuple[int, int, int, float | None]:
-        if is_png(blob):
-            w, h, ch, px = png_decode(blob)
-            return w, h, ch, luma(ch, px)
-        if is_gif(blob):
-            w, h, ch, px = gif_decode(blob)
-            return w, h, ch, gif_luma(ch, px)
-        if is_jpeg(blob):
-            # TRUE dimensions from the SOF marker; luma is None —
-            # honestly not computable without an entropy decoder.
-            w, h, ch = jpeg_dims(blob)
-            return w, h, ch, None
+        # Corrupt blobs MUST NOT kill the stage: at 100 TB one
+        # truncated file would otherwise abort the whole job (probed:
+        # a 7-byte GIF header crashes struct.unpack). Known-format
+        # parse failures emit the (-1, -1, -1, None) sentinel so
+        # callers can count/route corrupt media instead of dying.
+        try:
+            if is_png(blob):
+                w, h, ch, px = png_decode(blob)
+                return w, h, ch, luma(ch, px)
+            if is_gif(blob):
+                w, h, ch, px = gif_decode(blob)
+                return w, h, ch, gif_luma(ch, px)
+            if is_jpeg(blob):
+                # TRUE dimensions from the SOF marker; luma is None —
+                # honestly not computable without an entropy decoder.
+                w, h, ch = jpeg_dims(blob)
+                return w, h, ch, None
+        except Exception:
+            return -1, -1, -1, None
         # STUB fallback — unknown format: dimensions derived from the
         # blob length so tests exercise the Arrow round-trip.
         n = len(blob)
@@ -188,13 +196,20 @@ def resize_images(df: DataFrame, binary_col: str = "content",
             for blob in pdf[binary_col]:
                 blob = bytes(blob) if blob is not None else b""
                 digest = hashlib.sha256(blob).hexdigest()
-                if is_png(blob) or is_gif(blob):
-                    w, h, ch, px = (png_decode(blob) if is_png(blob)
-                                    else gif_decode(blob))
-                    resized = png_encode(
-                        target_w, target_h, ch,
-                        resample(w, h, ch, px, target_w, target_h))
-                else:
+                try:
+                    decodable = is_png(blob) or is_gif(blob)
+                except Exception:
+                    decodable = False
+                if decodable:
+                    try:
+                        w, h, ch, px = (png_decode(blob) if is_png(blob)
+                                        else gif_decode(blob))
+                        resized = png_encode(
+                            target_w, target_h, ch,
+                            resample(w, h, ch, px, target_w, target_h))
+                    except Exception:
+                        decodable = False  # corrupt: take the stub path
+                if not decodable:
                     # STUB resample: tile the digest bytes to the
                     # target buffer size (no non-PNG codec here)
                     seed = bytes.fromhex(digest)
@@ -235,7 +250,12 @@ def extract_video_metadata(df: DataFrame,
                 blob = bytes(blob) if blob is not None else b""
                 digest = hashlib.sha256(blob).hexdigest()
                 if is_mp4(blob):
-                    meta = mp4_meta(blob)
+                    try:
+                        meta = mp4_meta(blob)
+                    except Exception:
+                        rows.append((digest, None, None, None, None,
+                                     "mp4-corrupt"))
+                        continue
                     video = next(
                         (t for t in meta["tracks"] if t["width"]), None)
                     t = video or (meta["tracks"][0] if meta["tracks"]
@@ -285,10 +305,14 @@ def sample_frames(df: DataFrame, binary_col: str = "content",
                 blob = bytes(blob) if blob is not None else b""
                 digest = hashlib.sha256(blob).hexdigest()
                 if is_gif(blob):
-                    for idx, (w, h, ch, rgb) in enumerate(gif_frames(blob)):
-                        if idx % every_nth == 0:
-                            rows.append((digest, idx,
-                                         png_encode(w, h, ch, rgb)))
+                    try:
+                        for idx, (w, h, ch, rgb) in enumerate(
+                                gif_frames(blob)):
+                            if idx % every_nth == 0:
+                                rows.append((digest, idx,
+                                             png_encode(w, h, ch, rgb)))
+                    except Exception:
+                        pass  # corrupt animation: zero frames, job lives
                     continue
                 # STUB: pretend the blob holds len(blob)//1000 frames;
                 # a real kernel would demux with pyav/ffmpeg.
@@ -331,13 +355,18 @@ def extract_audio_features(df: DataFrame, binary_col: str = "content",
                 blob = bytes(blob) if blob is not None else b""
                 digest = hashlib.sha256(blob).hexdigest()
                 if is_wav(blob):
-                    rate, n_ch, bits, pcm = wav_decode(blob)
-                    samples = pcm_samples(pcm, bits)
-                    n_frames = len(samples) // n_ch
-                    duration_ms = max(1, n_frames * 1000 // rate)
-                    for idx, rms in enumerate(
-                            window_rms(samples, n_ch, rate, window_ms)):
-                        rows.append((digest, idx, duration_ms, rms))
+                    try:
+                        rate, n_ch, bits, pcm = wav_decode(blob)
+                        samples = pcm_samples(pcm, bits)
+                        n_frames = len(samples) // n_ch
+                        duration_ms = max(1, n_frames * 1000 // rate)
+                        for idx, rms in enumerate(
+                                window_rms(samples, n_ch, rate,
+                                           window_ms)):
+                            rows.append((digest, idx, duration_ms, rms))
+                    except Exception:
+                        # corrupt WAV: sentinel row, job lives
+                        rows.append((digest, -1, -1, None))
                     continue
                 # STUB framing: 16 kHz mono 16-bit PCM → 32 bytes/ms
                 duration_ms = max(1, len(blob) // 32)

@@ -1667,3 +1667,54 @@ def test_bpe_trainer_and_counts(spark):
     # tokens strictly fewer than characters (merges fired corpus-wide)
     assert joined.filter(F.col("n_bpe_tokens") >= F.col("n_chars")) \
         .count() == 0
+
+
+def test_media_kernels_survive_corrupt_blobs(spark):
+    """A corrupt blob must never abort the stage (probed before the
+    fix: a 7-byte GIF header crashed the whole job). Every media
+    kernel degrades per-blob: image features emit the (-1,-1,-1,None)
+    sentinel, resize takes the stub path, frame sampling yields zero
+    frames, audio emits a sentinel window — and healthy blobs in the
+    same batch still decode for real."""
+    from market_data_ingestor_go_spark.functions.gif_minimal import (
+        gif_encode)
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        extract_audio_features, extract_image_features, resize_images,
+        sample_frames)
+
+    good = gif_encode(3, 2, [(10, 20, 30)], [0] * 6)
+    bad_gif = good[:15]                       # truncated mid-header
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 4
+    bad_wav = b"RIFF\x00\x00\x00\x00WAVE"
+    df = spark.createDataFrame([
+        Row(content=bytearray(good)),
+        Row(content=bytearray(bad_gif)),
+        Row(content=bytearray(bad_png)),
+    ])
+
+    feats = extract_image_features(df).collect()
+    assert len(feats) == 3
+    dims = sorted((r.width, r.height) for r in feats)
+    assert dims == [(-1, -1), (-1, -1), (3, 2)]
+
+    rs = resize_images(df, target_w=2, target_h=2).collect()
+    assert len(rs) == 3 and all(r.resized for r in rs)
+
+    fr = sample_frames(df, every_nth=1).collect()
+    # the healthy gif yields one real PNG frame; the corrupt gif
+    # vanishes quietly; the non-gif blob keeps its declared video
+    # stub row (not a PNG payload)
+    import hashlib
+
+    from market_data_ingestor_go_spark.functions.png_minimal import (
+        png_decode)
+    good_digest = hashlib.sha256(good).hexdigest()
+    real = [r for r in fr if r.content_sha256 == good_digest]
+    assert len(real) == 1 and real[0].frame_idx == 0
+    assert png_decode(bytes(real[0].frame))[:2] == (3, 2)
+    bad_digest = hashlib.sha256(bad_gif).hexdigest()
+    assert all(r.content_sha256 != bad_digest for r in fr)
+
+    au = extract_audio_features(
+        spark.createDataFrame([Row(content=bytearray(bad_wav))])).collect()
+    assert len(au) == 1 and au[0].window_idx == -1
