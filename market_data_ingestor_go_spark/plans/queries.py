@@ -1933,3 +1933,35 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **QUERIES, **EXTRA_QUERIES}
+
+
+# Round-6 rotation candidates: oracle-backed queries that have never
+# held a green external CORRECTNESS row (the driver verifies only the
+# first 50 of queries()). Next round: swap these into QUERIES for
+# long-green near-duplicate shapes, mirroring the r5 rotation note in
+# README. Kept as code (not just prose) so the rotation is mechanical
+# and typo-proof (consistency pinned in tests/test_parity.py).
+ROTATION_CANDIDATES_R6: list[str] = [
+    "stratified_resample_stats",
+    "semantic_dedup_clusters",
+    "curation_pipeline_summary",
+    "events_gapfill_locf",
+    "events_gapfill_interpolate",
+    "bloom_semi_join_agg",
+    "passage_dedup_scrub",
+    "shard_manifest",
+    "events_ewma_smooth",
+    "source_cap_sample",
+    "events_zscore_outliers",
+    "knn_filtered_bruteforce",
+    "doc_length_buckets",
+    "corpus_upsample_stats",
+    "q15_top_supplier",
+    "fuzzy_name_block_join",
+    "lineitem_price_qty_corr",
+    "events_twap",
+    "events_variant_extract",
+    "source_overlap_exact",
+    "token_heavy_hitters_sketch",   # rows-only, CMS — weaker check ok
+    "distinct_rollup_hll",          # rows-only, HLL
+]

@@ -99,3 +99,19 @@ def test_round5_rotated_operators_sit_in_declared_window():
     }
     window = set(list(QUERIES)[:50])
     assert rotated_in <= window, rotated_in - window
+
+
+def test_rotation_candidates_are_rotatable():
+    """The round-6 rotation list must stay mechanically valid: every
+    candidate exists, sits OUTSIDE the declared window (else it needs
+    no rotation), and — unless explicitly rows-only — has an oracle
+    so rotating it in yields a full row+schema+hash check."""
+    from market_data_ingestor_go_spark.plans.queries import (
+        QUERIES, ROTATION_CANDIDATES_R6)
+
+    rows_only_ok = {"token_heavy_hitters_sketch", "distinct_rollup_hll"}
+    for name in ROTATION_CANDIDATES_R6:
+        assert name in ALL_QUERIES, name
+        assert name not in QUERIES, f"{name} already in the window"
+        if name not in rows_only_ok:
+            assert name in ALL_ORACLES, f"{name} lacks an oracle"
