@@ -44,16 +44,20 @@ def _word_freqs(df: DataFrame, text_col: str, max_vocab: int) -> list:
 
 def train_bpe_merges(df: DataFrame, text_col: str = "text",
                      n_merges: int = 200,
-                     max_vocab: int = 10_000) -> list[tuple[str, str]]:
+                     max_vocab: int = 10_000,
+                     freqs: list | None = None) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus word frequencies.
 
     Classic algorithm on the driver over the bounded word-type table:
     every word starts as a character sequence; each step merges the
     most frequent adjacent symbol pair (ties: lexicographic pair) and
     rewrites the affected words. Returns the ordered merge list — the
-    tokenizer model artifact.
+    tokenizer model artifact. Pass ``freqs`` (a ``_word_freqs``
+    result) to reuse an already-collected table — callers that also
+    need the vocab list otherwise pay the corpus scan twice.
     """
-    freqs = _word_freqs(df, text_col, max_vocab)
+    if freqs is None:
+        freqs = _word_freqs(df, text_col, max_vocab)
     words: list[tuple[list[str], int]] = [(list(w), n) for w, n in freqs]
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -111,9 +115,12 @@ def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
 
     Per-word counts for the vocabulary are computed once on the
     driver (|vocab| words × cheap merge walks) and broadcast; docs
-    explode to words, equi-join the vocab (broadcast), unseen words
-    cost len(word) tokens (fully unmerged — exact, not an estimate,
-    because merges only ever apply to pairs seen in training).
+    explode to words, equi-join the vocab (broadcast). Out-of-vocab
+    words cost len(word) tokens — a conservative UPPER BOUND, not the
+    exact count: trained merges apply to ANY word containing the
+    pair, so a rare word sharing substrings with the vocab would
+    tokenize shorter (exactness-vs-coverage trade pinned in tests).
+    Counts are exact wherever the vocab covers the corpus.
     """
     spark = df.sparkSession
     rows = [(w, len(tokenize_word(w, merges))) for w in vocab_words]

@@ -152,17 +152,10 @@ def gif_decode(blob: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("no image data")
 
 
-def mean_luma(channels: int, pixels: bytes) -> float:
-    """Rec.601 mean luma in [0, 1] over RGB bytes (same convention as
-    png_minimal.mean_luma)."""
-    n = len(pixels) // 3
-    if n == 0:
-        return 0.0
-    total = 0.0
-    for i in range(0, 3 * n, 3):
-        total += (0.299 * pixels[i] + 0.587 * pixels[i + 1]
-                  + 0.114 * pixels[i + 2])
-    return total / (255.0 * n)
+# Rec.601 mean luma: GIF frames are always decoded to 3-channel RGB,
+# which png_minimal.mean_luma already handles — one implementation to
+# keep the luma convention in (review catch: the 13-line twin drifted).
+from .png_minimal import mean_luma  # noqa: E402,F401
 
 
 def gif_encode(width: int, height: int, palette: list[tuple[int, int, int]],

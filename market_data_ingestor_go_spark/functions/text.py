@@ -202,16 +202,19 @@ def compressibility_features(df, text_col: str = "text",
     compressibility also catches long-range and sub-token repetition
     n-gram counting can't see.
 
-    Output: (id, n_bytes, n_compressed, compression_ratio) where
+    Output: (<id_col>, n_bytes, n_compressed, compression_ratio) where
     ratio = compressed/raw in (0, ~1.1] — LOWER means more
     repetitive. Deterministic: zlib at a fixed level is a pure
     function of the bytes.
     """
-    import pandas as pd  # noqa: F811 - worker-side import
     from pyspark.sql import types as T
 
+    # preserve the caller's id column name AND type (a string/uuid id
+    # must not be int()-coerced — that would abort the stage, against
+    # the per-layer bad-input policy; review catch)
+    id_field = df.schema[id_col]
     schema = T.StructType([
-        T.StructField("id", T.LongType()),
+        T.StructField(id_col, id_field.dataType),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("n_compressed", T.LongType()),
         T.StructField("compression_ratio", T.DoubleType()),
@@ -219,15 +222,16 @@ def compressibility_features(df, text_col: str = "text",
 
     def kernel(batches):
         import zlib
+
+        import pandas as _pd
         for pdf in batches:
             out = []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 raw = (t or "").encode("utf-8")
                 comp = zlib.compress(raw, level)
                 ratio = (len(comp) / len(raw)) if raw else 1.0
-                out.append((int(i), len(raw), len(comp), ratio))
-            import pandas as _pd
+                out.append((i, len(raw), len(comp), ratio))
             yield _pd.DataFrame(out, columns=[
-                "id", "n_bytes", "n_compressed", "compression_ratio"])
+                id_col, "n_bytes", "n_compressed", "compression_ratio"])
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema)

@@ -489,6 +489,9 @@ def passage_df(df: DataFrame, text_col: str = "text",
             F.concat_ws(" ", F.slice(w, i + 1, width)).alias("passage")))
     return (df.select(F.col(id_col).alias("id"),
                       F.explode(chunks).alias("p"))
+            # empty/whitespace-only docs would otherwise all share one
+            # '' passage and flag each other 100% boilerplate
+            .filter(F.col("p.passage") != "")
             .select("id", "p.pidx", "p.passage",
                     F.md5(F.col("p.passage")).alias("digest")))
 

@@ -305,12 +305,17 @@ def sample_frames(df: DataFrame, binary_col: str = "content",
                 blob = bytes(blob) if blob is not None else b""
                 digest = hashlib.sha256(blob).hexdigest()
                 if is_gif(blob):
+                    # buffer per blob: a mid-stream corruption must
+                    # yield ZERO frames, not a partial set a consumer
+                    # can't tell from a short animation (review catch)
+                    staged = []
                     try:
                         for idx, (w, h, ch, rgb) in enumerate(
                                 gif_frames(blob)):
                             if idx % every_nth == 0:
-                                rows.append((digest, idx,
-                                             png_encode(w, h, ch, rgb)))
+                                staged.append((digest, idx,
+                                               png_encode(w, h, ch, rgb)))
+                        rows.extend(staged)
                     except Exception:
                         pass  # corrupt animation: zero frames, job lives
                     continue

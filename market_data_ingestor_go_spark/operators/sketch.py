@@ -271,7 +271,11 @@ def bloom_might_contain(bloom: DataFrame, key, n_bits: int = 1 << 17,
     WholeStageCodegen with no join, no explode and no shuffle.
     """
     words = {r["word"]: r["mask"] for r in bloom.collect()}
-    arr = F.lit([int(words.get(i, 0)) for i in range(n_bits // 64)])
+    # ceil-divide: an n_bits not divisible by 64 still owns a partial
+    # tail word — truncating here made element_at return NULL for tail
+    # positions and silently FALSE-NEGATIVED those keys (review catch)
+    arr = F.lit([int(words.get(i, 0))
+                 for i in range((n_bits + 63) // 64)])
     tests = None
     for pos in _bloom_positions(key, k, n_bits):
         word_val = F.element_at(arr, (pos / 64).cast("int") + 1)

@@ -124,6 +124,12 @@ def skew_report(df: DataFrame, key_cols: list[str] | str,
     counts = pin(counts)
     tot = counts.agg(F.sum("n_rows").alias("t"),
                      F.count("*").alias("k")).first()
+    if not tot["k"]:  # empty input: empty report, not a TypeError
+        return (counts.select(*key_cols, "n_rows",
+                              F.lit(0.0).alias("share"),
+                              F.lit(0.0).alias("skew_factor"),
+                              F.lit(1).alias("suggested_salts"))
+                .limit(0))
     total, n_keys = int(tot["t"]), int(tot["k"])
     mean = total / n_keys
     return (counts.orderBy(F.col("n_rows").desc(), *key_cols)

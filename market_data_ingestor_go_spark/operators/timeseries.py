@@ -149,9 +149,13 @@ def ewma(df: DataFrame, key_col: str, order_cols: list[str],
 
     ``value_decimals`` (with d an exact power of two) makes the result
     BIT-REPRODUCIBLE across engines AND partitionings: fixed-decimal
-    inputs scale to integers in DECIMAL(7,0), the 2^rn factors are
-    IEEE-exact and land in DECIMAL(30,0), so the running sum is exact
-    integer arithmetic — order-independent, immune to how any engine
+    inputs scale to integers in DECIMAL(6,0) — the widest that still
+    fits the decimal budget alongside the two 16-digit half-power
+    factors, so scaled |value|·10^decimals must stay < 10^6 (e.g.
+    < $10k at 2 decimals; fixture max 49002, asserted in tests —
+    beyond that the cast overflows to NULL under non-ANSI sessions,
+    silently) — the half-power 2^rn factors are IEEE-exact, and the
+    running sum is exact integer arithmetic — order-independent, immune to how any engine
     tree-folds a window sum (measured: the double path differs from
     DuckDB by 1 ULP on ~0.1% of rows because its windowed SUM is not
     a strict left fold). Every remaining double op is a single

@@ -1484,7 +1484,8 @@ WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
            FROM documents),
 p AS (SELECT doc_id, CAST(i // 8 AS INT) AS pidx,
              array_to_string(w[i+1:i+8], ' ') AS passage
-      FROM w, unnest(range(0, greatest(len(w), 1), 8)) AS t(i)),
+      FROM w, unnest(range(0, greatest(len(w), 1), 8)) AS t(i)
+      WHERE array_to_string(w[i+1:i+8], ' ') != ''),
 c AS (SELECT md5(passage) AS digest, COUNT(*) AS n_occ
       FROM p GROUP BY 1),
 f AS (SELECT p.doc_id, p.pidx, p.passage, c.n_occ > 1 AS is_dup

@@ -1117,9 +1117,9 @@ def doc_bpe_token_real(spark, sf_dir):
     from ..functions.bpe import (_word_freqs, bpe_token_counts,
                                  train_bpe_merges)
     d = _t(spark, sf_dir, "documents")
-    merges = train_bpe_merges(d, n_merges=60, max_vocab=2000)
-    vocab = [w for w, _ in _word_freqs(d, "text", 2000)]
-    return bpe_token_counts(d, merges, vocab)
+    freqs = _word_freqs(d, "text", 2000)   # ONE corpus scan, reused
+    merges = train_bpe_merges(d, n_merges=60, freqs=freqs)
+    return bpe_token_counts(d, merges, [w for w, _ in freqs])
 
 
 def doc_length_buckets(spark, sf_dir):

@@ -260,7 +260,10 @@ def _make_ewma(alpha: float):
         for pdf in pdfs:
             for _, row in pdf.iterrows():
                 rows.append((int(row["ts_ms"]), float(row["v"])))
-        rows.sort()
+        # stable sort on ts ONLY: a bare tuple sort would tiebreak
+        # on the VALUE, consuming the wrong row for same-ts ticks —
+        # the contract is (ts, arrival) order (review catch)
+        rows.sort(key=lambda r: r[0])
         for ts, v in rows:
             if last_ts is not None and ts <= last_ts:
                 continue
@@ -345,7 +348,10 @@ def _make_twap(bucket_ms: int):
         for pdf in pdfs:
             for _, r in pdf.iterrows():
                 rows.append((int(r["ts_ms"]), float(r["v"])))
-        rows.sort()
+        # stable sort on ts ONLY: a bare tuple sort would tiebreak
+        # on the VALUE, consuming the wrong row for same-ts ticks —
+        # the contract is (ts, arrival) order (review catch)
+        rows.sort(key=lambda r: r[0])
         out = []
         for ts, v in rows:
             if last_ts is not None and ts <= last_ts:

@@ -1147,10 +1147,12 @@ def test_bloom_filter_properties(spark):
     n_keys = keys.count()
     assert n_keys > 50  # the fixture must exercise the filter
 
-    # tight sizing so fpp is measurable: m=1024 bits, k=4
-    n_bits, k = 1024, 4
+    # tight sizing so fpp is measurable — and deliberately NOT a
+    # multiple of 64: the tail word must still answer membership
+    # (regression: truncated word array false-negatived tail bits)
+    n_bits, k = 1000, 4
     bloom = bloom_build(keys, "p_partkey", n_bits, k)
-    assert bloom.count() <= n_bits // 64
+    assert bloom.count() <= (n_bits + 63) // 64
 
     flag = bloom_might_contain(bloom, F.col("p_partkey"), n_bits, k)
     probes = part.select("p_partkey", (F.col("p_size") >= 48).alias("truth"),
@@ -1221,6 +1223,14 @@ def test_passage_dedup_injected_boilerplate(spark):
     stats = passage_dedup_stats(docs)
     assert stats.join(docs, stats.doc_id == docs.doc_id) \
         .filter(F.col("scrubbed_n_chars") > F.col("n_chars")).count() == 0
+
+    # empty/whitespace docs yield NO passages — two empty docs must
+    # not flag each other 100% boilerplate (review catch)
+    empties = spark.createDataFrame(
+        [Row(doc_id=90, text=""), Row(doc_id=91, text="   "),
+         Row(doc_id=92, text="one real doc here")])
+    est = {r.doc_id: r for r in passage_dedup_stats(empties).collect()}
+    assert set(est) == {92} and est[92].n_dup == 0
 
     # chunking is lossless: passages rejoin to the normalized text
     from market_data_ingestor_go_spark.operators.dedup import passage_df
@@ -1306,11 +1316,15 @@ def test_ewma_closed_form_equals_recursion(spark):
     for g, w in zip(got_c, want[:99]):
         assert abs(g - w) < 1e-9 * max(1.0, abs(w)), (g, w)
 
-    # fixture contract for the declared query: series never exceeds 99
+    # fixture contract for the declared query: series never exceeds
+    # 99 rows/key AND scaled values fit DECIMAL(6,0) (a silent-NULL
+    # overflow otherwise — review catch)
     for sf in ("0.001", "0.01", "0.1"):
         e = spark.read.parquet(f"/root/testdata/sf{sf}/events.parquet")
         mx = e.groupBy("user_id").count().agg(F.max("count")).first()[0]
         assert mx <= 99, (sf, mx)
+        vmax = e.agg(F.max(F.abs(F.col("value")))).first()[0]
+        assert vmax * 100 < 10 ** 6, (sf, vmax)
 
 
 def test_cap_per_group_determinism_and_bound(spark):
@@ -1596,12 +1610,17 @@ def test_compressibility_signal(spark):
         Row(doc_id=2, text=" ".join(
             f"w{i * 7919 % 9973}x{i}" for i in range(200))),
     ]
-    out = {r.id: r for r in compressibility_features(
+    out = {r.doc_id: r for r in compressibility_features(
         spark.createDataFrame(rows)).collect()}
     assert out[1].compression_ratio < 0.2          # template stamps
     assert out[2].compression_ratio > 0.4          # varied text
-    again = {r.id: r.compression_ratio for r in compressibility_features(
-        spark.createDataFrame(rows)).collect()}
+    again = {r.doc_id: r.compression_ratio for r in
+             compressibility_features(spark.createDataFrame(rows))
+             .collect()}
+    # string ids pass through untouched (no int coercion, no rename)
+    sdf = spark.createDataFrame([Row(doc_id="uuid-a1b2", text="x y z")])
+    srow = compressibility_features(sdf).collect()[0]
+    assert srow.doc_id == "uuid-a1b2" and srow.n_bytes == 5
     assert again[1] == out[1].compression_ratio    # deterministic
 
     # on the fixture the two signals agree directionally: the most
@@ -1610,9 +1629,8 @@ def test_compressibility_signal(spark):
     # check; measured 0.503 vs 0.559 mean ratio, deterministic)
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     comp = compressibility_features(docs)
-    rep = docs.select(F.col("doc_id").alias("id"),
-                      repetition_ratio("text").alias("rep"))
-    j = comp.join(rep, "id").orderBy("rep", "id").select(
+    rep = docs.select("doc_id", repetition_ratio("text").alias("rep"))
+    j = comp.join(rep, "doc_id").orderBy("rep", "doc_id").select(
         "compression_ratio").collect()
     lo = sum(r[0] for r in j[:50]) / 50
     hi = sum(r[0] for r in j[-50:]) / 50
@@ -1654,6 +1672,15 @@ def test_bpe_trainer_and_counts(spark):
     out5 = {r.doc_id: r.n_bpe_tokens for r in
             bpe_token_counts(df, m5, vocab).collect()}
     assert all(out[d] <= out5[d] for d in out)
+
+    # OOV fallback is a conservative UPPER bound (merges can apply
+    # to out-of-vocab words too — review catch): spark count >= true
+    from market_data_ingestor_go_spark.functions.bpe import (
+        bpe_token_counts as _btc)
+    oov = spark.createDataFrame([Row(doc_id=7, text="lowestest")])
+    got_oov = _btc(oov, merges, vocab).collect()[0]
+    true_oov = len(tokenize_word("lowestest", merges))
+    assert got_oov.n_bpe_tokens == len("lowestest") >= true_oov
 
     # fixture corpus: trained merges compress vs character count and
     # unseen words fall back exactly to their length

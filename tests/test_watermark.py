@@ -325,3 +325,35 @@ def test_streaming_twap_buckets(spark, tmp_path):
     assert got == {0: (15.0, 1000),      # 10*500 + 20*500 over 1000
                    1000: (40.0, 1000),   # held 40
                    2000: (40.0, 1000)}   # still held through the gap
+
+
+def test_streaming_ewma_same_ts_arrival_order(spark, tmp_path):
+    """Timestamp ties consume in ARRIVAL order, not value order: two
+    same-ts ticks (9.0 then 3.0) must leave the FIRST one consumed
+    (regression: a bare tuple sort tiebroke on value and kept 3.0)."""
+    import json
+    import os
+
+    from market_data_ingestor_go_spark.streaming.stateful import (
+        streaming_ewma)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(src + "/a.json", "w") as fh:
+        fh.write(json.dumps({"sym": "A", "ts": 5, "px": 9.0}) + "\n")
+        fh.write(json.dumps({"sym": "A", "ts": 5, "px": 3.0}) + "\n")
+        fh.write(json.dumps({"sym": "A", "ts": 6, "px": 1.0}) + "\n")
+
+    stream = (spark.readStream
+              .schema("sym STRING, ts LONG, px DOUBLE").json(src))
+    out = streaming_ewma(stream, "sym", "ts", "px", alpha=0.5)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("ewma_ties")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r.ts_ms: r.ewma for r in
+           spark.sql("SELECT * FROM ewma_ties").collect()}
+    # arrival order: 9.0 consumed, 3.0 dropped, then 0.5*1 + 0.5*9 = 5
+    assert got == {5: 9.0, 6: 5.0}, got
