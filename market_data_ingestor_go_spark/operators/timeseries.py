@@ -204,3 +204,60 @@ def ewma(df: DataFrame, key_col: str, order_cols: list[str],
           * (s_d - c1 * F.lit(1.0 / d))
           + F.pow(F.lit(d), rn - 1) * c1) / F.lit(scale))
     return df.withColumn(out_col, y).drop("__rn")
+
+
+def subsequence_search(df: DataFrame, key_col: str,
+                       order_cols: list[str], value_col: str,
+                       pattern: list[float], k: int = 3,
+                       out_ts_col: str | None = None) -> DataFrame:
+    """Top-k z-normalized subsequence matches per key (UCR-style
+    similarity search): slide a window of len(pattern) over each
+    key's ordered series, z-normalize each window, and rank by
+    Euclidean distance to the z-normalized query pattern — "find
+    where the series moved like THIS", scale/offset-invariant.
+
+    Engine shape: the sliding window is a frame-bounded collect_list
+    (CURRENT ROW .. m-1 FOLLOWING — one exchange on the key, windows
+    materialize as m-element arrays row-by-row, never a self-join);
+    z-norm and distance are array expressions (aggregate/zip_with,
+    JVM-side); the per-key top-k is the WindowGroupLimit rank shape.
+    Constant (zero-variance) windows can't z-normalize and are
+    excluded. The query pattern z-normalizes once in plain Python
+    and embeds as a literal.
+
+    Scale: O(rows·m) expression work, shuffle = one key exchange +
+    the rank's top-k rows. At 100 TB the m-element arrays exist only
+    inside the stage — nothing but (key, ts, dist) survives.
+    """
+    m = len(pattern)
+    mu = sum(pattern) / m
+    var = sum((x - mu) ** 2 for x in pattern) / m
+    sd = var ** 0.5
+    if sd == 0:
+        raise ValueError("constant pattern cannot be z-normalized")
+    zq = [(x - mu) / sd for x in pattern]
+
+    w = (Window.partitionBy(key_col).orderBy(*order_cols)
+         .rowsBetween(Window.currentRow, m - 1))
+    win = F.collect_list(F.col(value_col).cast("double")).over(w)
+    ts_out = F.col(out_ts_col if out_ts_col else order_cols[0])
+    base = df.select(key_col, ts_out.alias("win_start"),
+                     win.alias("win")).filter(F.size("win") == m)
+
+    s = F.aggregate("win", F.lit(0.0), lambda a, x: a + x)
+    mean = (s / F.lit(float(m)))
+    ss = F.aggregate(F.transform("win", lambda x: (x - F.col("__mu"))
+                                 * (x - F.col("__mu"))),
+                     F.lit(0.0), lambda a, x: a + x)
+    base = base.withColumn("__mu", mean)
+    base = base.withColumn("__sd", F.sqrt(ss / F.lit(float(m))))
+    base = base.filter(F.col("__sd") > 0)
+    zw = F.transform("win", lambda x: (x - F.col("__mu")) / F.col("__sd"))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(zw, F.lit([float(x) for x in zq]),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda a, x: a + x))
+    scored = base.select(key_col, "win_start", dist.alias("dist"))
+    rw = Window.partitionBy(key_col).orderBy("dist", "win_start")
+    return (scored.withColumn("rn", F.row_number().over(rw))
+            .filter(F.col("rn") <= k))

@@ -1236,6 +1236,61 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# Z-normalized subsequence search: identical window framing, z-norm
+# and distance expression order; the query pattern z-normalizes to
+# the same literals on both sides.
+def _motif_oracle() -> str:
+    m = 8
+    pattern = [1.0, 2.0, 4.0, 8.0, 8.0, 4.0, 2.0, 1.0]
+    mu = sum(pattern) / m
+    sd = (sum((x - mu) ** 2 for x in pattern) / m) ** 0.5
+    # string-routed literals: DuckDB types a bare decimal literal as
+    # DECIMAL and the DECIMAL→DOUBLE hop is not exact (measured 1 ULP
+    # on the z-normalized pattern); VARCHAR→DOUBLE parse is correctly
+    # rounded (same lesson as the decimal casts in the verify skill)
+    zq = ", ".join(f"CAST('{(x - mu) / sd!r}' AS DOUBLE)"
+                   for x in pattern)
+    # list_reduce (sequential left fold) — NOT list_sum, whose
+    # accumulation order differs from Spark's aggregate() by 1 ULP
+    red = "list_reduce({0}, (a, b) -> a + b)"
+    return f"""
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(value AS DOUBLE) AS value
+  FROM events),
+w AS (
+  SELECT event_type, ts_ms,
+         list(value) OVER (PARTITION BY event_type
+                           ORDER BY ts_ms, event_id
+                           ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+           AS win
+  FROM e),
+f AS (SELECT * FROM w WHERE len(win) = {m}),
+z AS (
+  SELECT event_type, ts_ms, win,
+         {red.format('win')} / {float(m)} AS mu
+  FROM f),
+z2 AS (
+  SELECT event_type, ts_ms, win, mu,
+         sqrt({red.format('list_transform(win, x -> (x - mu) * (x - mu))')}
+              / {float(m)}) AS sd
+  FROM z
+  WHERE sqrt({red.format('list_transform(win, x -> (x - mu) * (x - mu))')}
+             / {float(m)}) > 0),
+d AS (
+  SELECT event_type, ts_ms AS win_start,
+         sqrt({red.format("list_transform(list_zip(list_transform(win, x -> (x - mu) / sd), [" + zq + "]), p -> (p[1] - p[2]) * (p[1] - p[2]))")}) AS dist
+  FROM z2)
+SELECT event_type, win_start, dist, rn FROM (
+  SELECT event_type, win_start, dist,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY dist, win_start) AS rn
+  FROM d) WHERE rn <= 3
+"""
+
+
+EXTRA_ORACLES["events_motif_search"] = _motif_oracle()
+
 # TWAP: exact cents×ms integer-decimal weighted sums; same string-
 # routed casts and op order as the rest of the exact-moments family.
 EXTRA_ORACLES["events_twap"] = """

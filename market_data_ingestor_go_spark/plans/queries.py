@@ -988,6 +988,20 @@ def source_overlap_exact(spark, sf_dir):
                          "source_a", "source_b").limit(20)
 
 
+def events_motif_search(spark, sf_dir):
+    """UCR-style subsequence similarity search: top-3 z-normalized
+    matches per event type to a literal 8-tick spike pattern —
+    "where did the series move like THIS", scale/offset-invariant.
+    Sliding windows via a frame-bounded collect_list (one key
+    exchange, no self-join); distance in array expressions. See
+    operators/timeseries.py:subsequence_search."""
+    from ..operators.timeseries import subsequence_search
+    e = _events(spark, sf_dir)
+    pattern = [1.0, 2.0, 4.0, 8.0, 8.0, 4.0, 2.0, 1.0]
+    return subsequence_search(e, "event_type", ["ts_ms", "event_id"],
+                              "value", pattern, k=3)
+
+
 def events_twap(spark, sf_dir):
     """Time-weighted average value per event type (the market-data
     TWAP: each observation holds until the next one, so its weight is
@@ -1903,6 +1917,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_price_qty_corr": lineitem_price_qty_corr,  # exact moments
     "events_twap": events_twap,                      # time-weighted avg
     "doc_bpe_token_real": doc_bpe_token_real,        # rows-only (trained)
+    "events_motif_search": events_motif_search,      # z-norm subsequence
     "fuzzy_name_block_join": fuzzy_name_block_join,  # blocked edit dist
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
@@ -1960,6 +1975,7 @@ ROTATION_CANDIDATES_R6: list[str] = [
     "fuzzy_name_block_join",
     "lineitem_price_qty_corr",
     "events_twap",
+    "events_motif_search",
     "events_variant_extract",
     "source_overlap_exact",
     "token_heavy_hitters_sketch",   # rows-only, CMS — weaker check ok

@@ -1745,3 +1745,27 @@ def test_media_kernels_survive_corrupt_blobs(spark):
     au = extract_audio_features(
         spark.createDataFrame([Row(content=bytearray(bad_wav))])).collect()
     assert len(au) == 1 and au[0].window_idx == -1
+
+
+def test_subsequence_search_scale_invariance(spark):
+    """Z-normalized subsequence search: a pattern recurring at 10x
+    amplitude matches with ~zero distance (scale/offset invariance —
+    the point of z-normalization); constant windows are excluded; the
+    per-key result has exactly k rows ranked by distance."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        subsequence_search)
+
+    vals = [1.0, 2.0, 4.0, 8.0, 4.0, 2.0, 1.0, 1.0, 1.0,
+            10.0, 20.0, 40.0, 80.0, 40.0, 20.0, 10.0]
+    rows = [Row(k="A", t=i, v=v) for i, v in enumerate(vals)]
+    rows += [Row(k="B", t=i, v=5.0) for i in range(12)]  # constant key
+    out = subsequence_search(
+        spark.createDataFrame(rows), "k", ["t"], "v",
+        [1.0, 2.0, 4.0, 8.0, 4.0, 2.0, 1.0], k=2).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    assert "B" not in by_key            # zero-variance: no z-norm
+    a = sorted(by_key["A"], key=lambda r: r.rn)
+    assert [r.win_start for r in a] == [0, 9]
+    assert all(abs(r.dist) < 1e-9 for r in a)
