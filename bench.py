@@ -96,6 +96,9 @@ HEADLINE = [
     # scan-stage prefilter semi join, passage-window scrub
     "bloom_semi_join_agg",
     "passage_dedup_scrub",
+    # z-normalized subsequence search (late r5): frame-bounded
+    # collect_list windows + array-expression distances
+    "events_motif_search",
 ]
 
 
