@@ -404,3 +404,96 @@ def streaming_twap(stream: DataFrame, key_col: str, ts_ms_col: str,
             timeoutConf="NoTimeout",
         )
     )
+
+
+MOTIF_STATE_SCHEMA = T.StructType([
+    T.StructField("ts_tail", T.ArrayType(T.LongType())),
+    T.StructField("v_tail", T.ArrayType(T.DoubleType())),
+])
+
+MOTIF_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("k", T.StringType()),
+    T.StructField("win_start_ms", T.LongType()),
+    T.StructField("dist", T.DoubleType()),
+])
+
+
+def _make_motif_alerts(pattern: list, threshold: float):
+    """Per-key streaming motif detector (closure — see
+    _make_update_latest). State: the last m-1 (ts, value) pairs —
+    bounded regardless of stream length. Each arriving tick completes
+    the window ending at it; windows z-normalize and score against
+    the z-normalized pattern exactly like the batch operator
+    (batch↔streaming agreement tested), and only windows with
+    dist <= threshold emit — the alert stream. Zero-variance windows
+    never alert. Late rows at-or-before the consumed head drop."""
+    m = len(pattern)
+    mu0 = sum(pattern) / m
+    sd0 = (sum((x - mu0) ** 2 for x in pattern) / m) ** 0.5
+    zq = [(x - mu0) / sd0 for x in pattern]
+
+    def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+               ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        k = key[0]
+        ts_tail, v_tail = state.get if state.exists else ([], [])
+        tail = list(zip(ts_tail, v_tail))
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                rows.append((int(r["ts_ms"]), float(r["v"])))
+        rows.sort(key=lambda r: r[0])
+        last_ts = tail[-1][0] if tail else None
+        out = []
+        for ts, v in rows:
+            if last_ts is not None and ts <= last_ts:
+                continue
+            tail.append((ts, v))
+            last_ts = ts
+            if len(tail) >= m:
+                win = tail[-m:]
+                vs = [x for _, x in win]
+                mu = sum(vs) / m
+                var = sum((x - mu) ** 2 for x in vs) / m
+                if var > 0:
+                    sd = var ** 0.5
+                    d2 = 0.0
+                    for x, q in zip(vs, zq):
+                        z = (x - mu) / sd
+                        d2 += (z - q) * (z - q)
+                    dist = d2 ** 0.5
+                    if dist <= threshold:
+                        out.append((k, win[0][0], dist))
+            tail = tail[-(m - 1):]
+        state.update(([t for t, _ in tail], [x for _, x in tail]))
+        if out:
+            yield _pd.DataFrame(
+                out, columns=["k", "win_start_ms", "dist"])
+
+    return detect
+
+
+def streaming_motif_alerts(stream: DataFrame, key_col: str,
+                           ts_ms_col: str, value_col: str,
+                           pattern: list, threshold: float) -> DataFrame:
+    """Streaming twin of ``subsequence_search``, thresholded: emit an
+    alert whenever a key's last len(pattern) ticks move like the
+    query pattern (z-normalized distance <= threshold) — including
+    windows that SPAN micro-batches (the state carries the m-1 tail).
+    The continuous form of "find where the series moved like this"."""
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(ts_ms_col).cast("long").alias("ts_ms"),
+        F.col(value_col).cast("double").alias("v"))
+    return (
+        keyed.groupBy("k")
+        .applyInPandasWithState(
+            _make_motif_alerts([float(x) for x in pattern],
+                               float(threshold)),
+            outputStructType=MOTIF_OUTPUT_SCHEMA,
+            stateStructType=MOTIF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

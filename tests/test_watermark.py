@@ -357,3 +357,49 @@ def test_streaming_ewma_same_ts_arrival_order(spark, tmp_path):
            spark.sql("SELECT * FROM ewma_ties").collect()}
     # arrival order: 9.0 consumed, 3.0 dropped, then 0.5*1 + 0.5*9 = 5
     assert got == {5: 9.0, 6: 5.0}, got
+
+
+def test_streaming_motif_alerts_cross_batch(spark, tmp_path):
+    """Streaming motif alerts: a pattern occurrence that SPANS the
+    micro-batch boundary is detected (the m-1 tail carries in state);
+    a scaled recurrence alerts at ~0 distance; unrelated movement
+    stays silent."""
+    import json
+    import os
+
+    from market_data_ingestor_go_spark.streaming.stateful import (
+        streaming_motif_alerts)
+
+    pattern = [1.0, 2.0, 4.0, 8.0, 4.0, 2.0, 1.0]
+    # batch 1 ends mid-pattern; batch 2 completes it at 10x amplitude
+    b1 = [(0, 5.0), (1, 5.1), (2, 10.0), (3, 20.0), (4, 40.0)]
+    b2 = [(5, 80.0), (6, 40.0), (7, 20.0), (8, 10.0),
+          (9, 5.0), (10, 5.2)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import time as _time
+    for i, batch in enumerate((b1, b2)):
+        fp = os.path.join(src, f"b{i}.json")
+        with open(fp, "w") as fh:
+            for t, v in batch:
+                fh.write(json.dumps({"sym": "A", "ts": t, "px": v}) + "\n")
+        _time.sleep(0.01)
+        os.utime(fp, (1700000000 + i, 1700000000 + i))
+
+    stream = (spark.readStream
+              .schema("sym STRING, ts LONG, px DOUBLE")
+              .option("maxFilesPerTrigger", 1).json(src))
+    out = streaming_motif_alerts(stream, "sym", "ts", "px",
+                                 pattern, threshold=0.5)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("motif_alerts")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    alerts = spark.sql("SELECT * FROM motif_alerts").collect()
+    assert len(alerts) == 1
+    a = alerts[0]
+    # window [2..8] = the 10x pattern, starting in batch 1
+    assert a.win_start_ms == 2 and a.dist < 1e-9
