@@ -1236,6 +1236,40 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# Pairs correlation matrix: identical bucket alignment (max_by last
+# obs), unordered pair join and exact-decimal moments — bit-exact.
+EXTRA_ORACLES["events_pair_correlation"] = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, event_id, value
+  FROM events),
+p AS (
+  SELECT event_type AS k, (ts_ms // 3600000) * 3600000 AS b,
+         CAST(round(max_by(value, ts_ms * 1000000 + event_id) * 100.0)
+              AS DECIMAL(10,0)) AS c
+  FROM e GROUP BY 1, 2),
+j AS (
+  SELECT a.k AS ka, bb.k AS kb, a.c AS ca, bb.c AS cb
+  FROM p a JOIN p bb ON a.b = bb.b AND a.k < bb.k),
+g AS (
+  SELECT ka, kb, COUNT(*) AS n,
+         SUM(ca) AS sx, SUM(cb) AS sy,
+         SUM(ca * ca) AS sxx, SUM(cb * cb) AS syy,
+         SUM(ca * cb) AS sxy
+  FROM j GROUP BY ka, kb)
+SELECT ka, kb, n,
+       ((CAST(CAST(sxy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
+        / sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
+               * (CAST(CAST(syy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))))
+         AS corr
+FROM g
+"""
+
 # Z-normalized subsequence search: identical window framing, z-norm
 # and distance expression order; the query pattern z-normalizes to
 # the same literals on both sides.

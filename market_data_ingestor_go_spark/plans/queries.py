@@ -988,6 +988,44 @@ def source_overlap_exact(spark, sf_dir):
                          "source_a", "source_b").limit(20)
 
 
+def events_pair_correlation(spark, sf_dir):
+    """Cross-series correlation matrix (pairs screening): align every
+    event-type pair on a 1-hour bucket grid (last observation per
+    bucket), then Pearson over the shared buckets with the exact-
+    decimal moment machinery — the same bit-exact recipe as
+    lineitem_price_qty_corr, composed with time-bucket alignment and
+    an unordered pair self-join. K series ⇒ the join is over K
+    bucket-grain tables (tiny), never the raw stream."""
+    e = _events(spark, sf_dir)
+    bucket = F.expr("ts_ms div 3600000") * F.lit(3600000)
+    # composite numeric order key (DuckDB's max_by can't compare
+    # structs): ms*1e6 + id is ts-then-id order while event_id < 1e6
+    ord_key = F.col("ts_ms") * F.lit(1_000_000) + F.col("event_id")
+    per = (e.groupBy(F.col("event_type").alias("k"), bucket.alias("b"))
+           .agg(F.max_by("value", ord_key).alias("v")))
+    c = F.round(F.col("v") * 100.0).cast("decimal(10,0)")
+    per = per.select("k", "b", c.alias("c"))
+    a = per.select(F.col("k").alias("ka"), "b", F.col("c").alias("ca"))
+    bb = per.select(F.col("k").alias("kb"), "b", F.col("c").alias("cb"))
+    j = a.join(bb, ["b"]).filter(F.col("ka") < F.col("kb"))
+    g = (j.groupBy("ka", "kb")
+         .agg(F.count("*").alias("n"),
+              F.sum("ca").alias("sx"), F.sum("cb").alias("sy"),
+              F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+              F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+              F.sum(F.col("ca") * F.col("cb")).alias("sxy")))
+    nD = F.col("n").cast("double")
+
+    def d(col):
+        return F.col(col).cast("string").cast("double")
+
+    cov = d("sxy") / nD - (d("sx") / nD) * (d("sy") / nD)
+    vx = d("sxx") / nD - (d("sx") / nD) * (d("sx") / nD)
+    vy = d("syy") / nD - (d("sy") / nD) * (d("sy") / nD)
+    return g.select("ka", "kb", "n",
+                    (cov / F.sqrt(vx * vy)).alias("corr"))
+
+
 def events_motif_search(spark, sf_dir):
     """UCR-style subsequence similarity search: top-3 z-normalized
     matches per event type to a literal 8-tick spike pattern —
@@ -1918,6 +1956,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_twap": events_twap,                      # time-weighted avg
     "doc_bpe_token_real": doc_bpe_token_real,        # rows-only (trained)
     "events_motif_search": events_motif_search,      # z-norm subsequence
+    "events_pair_correlation": events_pair_correlation,  # pairs matrix
     "fuzzy_name_block_join": fuzzy_name_block_join,  # blocked edit dist
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
@@ -1976,6 +2015,7 @@ ROTATION_CANDIDATES_R6: list[str] = [
     "lineitem_price_qty_corr",
     "events_twap",
     "events_motif_search",
+    "events_pair_correlation",
     "events_variant_extract",
     "source_overlap_exact",
     "token_heavy_hitters_sketch",   # rows-only, CMS — weaker check ok
