@@ -1236,6 +1236,37 @@ ORDER BY n_shared DESC, source_a, source_b
 LIMIT 20
 """
 
+# Per-series OLS trend: identical bucket alignment, zero-based bucket
+# index and exact-decimal moments; same string-routed cast recipe.
+EXTRA_ORACLES["events_trend_slope"] = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, event_id, value
+  FROM events),
+p AS (
+  SELECT event_type AS k, ts_ms // 3600000 AS bi,
+         max_by(value, ts_ms * 1000000 + event_id) AS v
+  FROM e GROUP BY 1, 2),
+r AS (
+  SELECT k,
+         CAST(bi - MIN(bi) OVER (PARTITION BY k) AS DECIMAL(10,0)) AS t,
+         CAST(round(v * 100.0) AS DECIMAL(10,0)) AS c
+  FROM p),
+g AS (
+  SELECT k, COUNT(*) AS n,
+         SUM(t) AS st, SUM(c) AS sx,
+         SUM(t * t) AS stt, SUM(t * c) AS stx
+  FROM r GROUP BY k)
+SELECT k AS event_type, n,
+       (CAST(CAST(stx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(CAST(st AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
+       / (CAST(CAST(stt AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(CAST(st AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(CAST(st AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
+       / 100.0 AS slope_per_hour
+FROM g
+"""
+
 # Pairs correlation matrix: identical bucket alignment (max_by last
 # obs), unordered pair join and exact-decimal moments — bit-exact.
 EXTRA_ORACLES["events_pair_correlation"] = """

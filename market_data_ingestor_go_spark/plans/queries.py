@@ -988,6 +988,38 @@ def source_overlap_exact(spark, sf_dir):
                          "source_a", "source_b").limit(20)
 
 
+def events_trend_slope(spark, sf_dir):
+    """Per-series OLS trend: slope of hourly-bucketed values over the
+    bucket index — cov(t, x)/var(t) with the exact-moment machinery
+    (bucket indices are SMALL ints, so t-moments are exact integers
+    outright). Completes the bit-exact stats family: mean/std
+    (z-score), dependence (corr), trend (slope). Slope units:
+    value per hour."""
+    e = _events(spark, sf_dir)
+    bucket = F.expr("ts_ms div 3600000")
+    ord_key = F.col("ts_ms") * F.lit(1_000_000) + F.col("event_id")
+    per = (e.groupBy(F.col("event_type").alias("k"), bucket.alias("bi"))
+           .agg(F.max_by("value", ord_key).alias("v")))
+    w0 = Window.partitionBy("k")
+    t = (F.col("bi") - F.min("bi").over(w0)).cast("decimal(10,0)")
+    c = F.round(F.col("v") * 100.0).cast("decimal(10,0)")
+    rows = per.select("k", t.alias("t"), c.alias("c"))
+    g = (rows.groupBy("k")
+         .agg(F.count("*").alias("n"),
+              F.sum("t").alias("st"), F.sum("c").alias("sx"),
+              F.sum(F.col("t") * F.col("t")).alias("stt"),
+              F.sum(F.col("t") * F.col("c")).alias("stx")))
+    nD = F.col("n").cast("double")
+
+    def d(col):
+        return F.col(col).cast("string").cast("double")
+
+    cov = d("stx") / nD - (d("st") / nD) * (d("sx") / nD)
+    vt = d("stt") / nD - (d("st") / nD) * (d("st") / nD)
+    return g.select(F.col("k").alias("event_type"), "n",
+                    (cov / vt / 100.0).alias("slope_per_hour"))
+
+
 def events_pair_correlation(spark, sf_dir):
     """Cross-series correlation matrix (pairs screening): align every
     event-type pair on a 1-hour bucket grid (last observation per
@@ -1957,6 +1989,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bpe_token_real": doc_bpe_token_real,        # rows-only (trained)
     "events_motif_search": events_motif_search,      # z-norm subsequence
     "events_pair_correlation": events_pair_correlation,  # pairs matrix
+    "events_trend_slope": events_trend_slope,        # exact-moment OLS
     "fuzzy_name_block_join": fuzzy_name_block_join,  # blocked edit dist
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
@@ -2016,6 +2049,7 @@ ROTATION_CANDIDATES_R6: list[str] = [
     "events_twap",
     "events_motif_search",
     "events_pair_correlation",
+    "events_trend_slope",
     "events_variant_extract",
     "source_overlap_exact",
     "token_heavy_hitters_sketch",   # rows-only, CMS — weaker check ok
