@@ -59,6 +59,25 @@ def streaming_bloom(stream: DataFrame, key_col: str,
     return _bloom_words(stream, key_col, n_bits, k)
 
 
+def streaming_moments(stream: DataFrame, key_col: str,
+                      value_col: str, decimals: int = 2) -> DataFrame:
+    """Exact-decimal moment sums (n, Σc, Σc²) per key as a streaming
+    aggregation — the state IS three numbers per key, and because
+    decimal addition is exact and order-independent, the streamed
+    state after any micro-batch split is BIT-IDENTICAL to the batch
+    sums (tested), so every member of the exact-moments stats family
+    (z-score, correlation, trend, TWAP) can be finished from the
+    sink at read time with the same fixed double ops the batch
+    queries use."""
+    scale = float(10 ** decimals)
+    c = F.round(F.col(value_col) * F.lit(scale)).cast("decimal(10,0)")
+    return (stream.select(F.col(key_col).alias("k"), c.alias("c"))
+            .groupBy("k")
+            .agg(F.count("*").alias("n"),
+                 F.sum("c").alias("s1"),
+                 F.sum(F.col("c") * F.col("c")).alias("s2")))
+
+
 def run_sketch_stream(sketch_df: DataFrame, name: str,
                       checkpoint: str):
     """Drive a sketch aggregation into an in-memory table in

