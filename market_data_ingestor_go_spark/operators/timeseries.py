@@ -206,6 +206,19 @@ def ewma(df: DataFrame, key_col: str, order_cols: list[str],
     return df.withColumn(out_col, y).drop("__rn")
 
 
+def znorm_pattern(pattern: list) -> list:
+    """Z-normalize a query pattern (shared by the batch search and
+    the streaming alert twin so the op sequence — and therefore the
+    batch↔streaming bit agreement — cannot drift)."""
+    m = len(pattern)
+    mu = sum(pattern) / m
+    var = sum((x - mu) ** 2 for x in pattern) / m
+    sd = var ** 0.5
+    if sd == 0:
+        raise ValueError("constant pattern cannot be z-normalized")
+    return [(x - mu) / sd for x in pattern]
+
+
 def subsequence_search(df: DataFrame, key_col: str,
                        order_cols: list[str], value_col: str,
                        pattern: list[float], k: int = 3,
@@ -235,12 +248,7 @@ def subsequence_search(df: DataFrame, key_col: str,
     series.
     """
     m = len(pattern)
-    mu = sum(pattern) / m
-    var = sum((x - mu) ** 2 for x in pattern) / m
-    sd = var ** 0.5
-    if sd == 0:
-        raise ValueError("constant pattern cannot be z-normalized")
-    zq = [(x - mu) / sd for x in pattern]
+    zq = znorm_pattern(pattern)
 
     w = (Window.partitionBy(key_col).orderBy(*order_cols)
          .rowsBetween(Window.currentRow, m - 1))

@@ -51,6 +51,32 @@ def _davg(expr, count_col, alias: str, scale: str = "decimal(27,6)"):
     return (F.sum(expr.cast(scale)).cast("double") / count_col).alias(alias)
 
 
+def _dstr(col: str):
+    """Decimal → double via STRING (correctly rounded on both engines;
+    direct casts differ at 1 ULP — verify-skill lesson)."""
+    return F.col(col).cast("string").cast("double")
+
+
+def _pearson_from_moments(sx: str, sy: str, sxx: str, syy: str,
+                          sxy: str, n: str):
+    """The exact-moments Pearson finisher. ONE shared copy: the fixed
+    op order IS the bit-exactness contract with the oracles, so every
+    correlation query must run the identical sequence."""
+    nD = F.col(n).cast("double")
+    cov = _dstr(sxy) / nD - (_dstr(sx) / nD) * (_dstr(sy) / nD)
+    vx = _dstr(sxx) / nD - (_dstr(sx) / nD) * (_dstr(sx) / nD)
+    vy = _dstr(syy) / nD - (_dstr(sy) / nD) * (_dstr(sy) / nD)
+    return cov / F.sqrt(vx * vy)
+
+
+def _slope_from_moments(st: str, sx: str, stt: str, stx: str, n: str):
+    """OLS slope from exact moments — same shared-copy rationale."""
+    nD = F.col(n).cast("double")
+    cov = _dstr(stx) / nD - (_dstr(st) / nD) * (_dstr(sx) / nD)
+    vt = _dstr(stt) / nD - (_dstr(st) / nD) * (_dstr(st) / nD)
+    return cov / vt
+
+
 def _events(spark, sf_dir) -> DataFrame:
     """events.ts is TIMESTAMP(NANOS) in parquet → read as int64 nanos
     (legacy.parquet.nanosAsLong) and floor to micros, matching the
@@ -1009,15 +1035,9 @@ def events_trend_slope(spark, sf_dir):
               F.sum("t").alias("st"), F.sum("c").alias("sx"),
               F.sum(F.col("t") * F.col("t")).alias("stt"),
               F.sum(F.col("t") * F.col("c")).alias("stx")))
-    nD = F.col("n").cast("double")
-
-    def d(col):
-        return F.col(col).cast("string").cast("double")
-
-    cov = d("stx") / nD - (d("st") / nD) * (d("sx") / nD)
-    vt = d("stt") / nD - (d("st") / nD) * (d("st") / nD)
     return g.select(F.col("k").alias("event_type"), "n",
-                    (cov / vt / 100.0).alias("slope_per_hour"))
+                    (_slope_from_moments("st", "sx", "stt", "stx", "n")
+                     / 100.0).alias("slope_per_hour"))
 
 
 def events_pair_correlation(spark, sf_dir):
@@ -1046,16 +1066,9 @@ def events_pair_correlation(spark, sf_dir):
               F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
               F.sum(F.col("cb") * F.col("cb")).alias("syy"),
               F.sum(F.col("ca") * F.col("cb")).alias("sxy")))
-    nD = F.col("n").cast("double")
-
-    def d(col):
-        return F.col(col).cast("string").cast("double")
-
-    cov = d("sxy") / nD - (d("sx") / nD) * (d("sy") / nD)
-    vx = d("sxx") / nD - (d("sx") / nD) * (d("sx") / nD)
-    vy = d("syy") / nD - (d("sy") / nD) * (d("sy") / nD)
     return g.select("ka", "kb", "n",
-                    (cov / F.sqrt(vx * vy)).alias("corr"))
+                    _pearson_from_moments("sx", "sy", "sxx", "syy",
+                                          "sxy", "n").alias("corr"))
 
 
 def events_motif_search(spark, sf_dir):
@@ -1119,16 +1132,10 @@ def lineitem_price_qty_corr(spark, sf_dir):
               F.sum(F.col("x") * F.col("x")).alias("sxx"),
               F.sum(F.col("y") * F.col("y")).alias("syy"),
               F.sum(F.col("x") * F.col("y")).alias("sxy")))
-    nD = F.col("n").cast("double")
-
-    def d(c):  # decimal → double via string: correctly rounded
-        return F.col(c).cast("string").cast("double")
-
-    cov = d("sxy") / nD - (d("sx") / nD) * (d("sy") / nD)
-    vx = d("sxx") / nD - (d("sx") / nD) * (d("sx") / nD)
-    vy = d("syy") / nD - (d("sy") / nD) * (d("sy") / nD)
     return g.select("l_returnflag", "n",
-                    (cov / F.sqrt(vx * vy)).alias("corr_qty_price"))
+                    _pearson_from_moments("sx", "sy", "sxx", "syy",
+                                          "sxy", "n")
+                    .alias("corr_qty_price"))
 
 
 def q15_top_supplier(spark, sf_dir):

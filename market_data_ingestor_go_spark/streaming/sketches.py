@@ -71,9 +71,13 @@ def streaming_moments(stream: DataFrame, key_col: str,
     queries use."""
     scale = float(10 ** decimals)
     c = F.round(F.col(value_col) * F.lit(scale)).cast("decimal(10,0)")
+    # count("c"), not count("*"): a NULL value (or a scaled value
+    # overflowing decimal(10,0) under a non-ANSI session) must drop
+    # from n AND the sums together — counting it in n alone silently
+    # skews every statistic finished from the sink (review catch)
     return (stream.select(F.col(key_col).alias("k"), c.alias("c"))
             .groupBy("k")
-            .agg(F.count("*").alias("n"),
+            .agg(F.count("c").alias("n"),
                  F.sum("c").alias("s1"),
                  F.sum(F.col("c") * F.col("c")).alias("s2")))
 

@@ -427,10 +427,9 @@ def _make_motif_alerts(pattern: list, threshold: float):
     (batch↔streaming agreement tested), and only windows with
     dist <= threshold emit — the alert stream. Zero-variance windows
     never alert. Late rows at-or-before the consumed head drop."""
+    from ..operators.timeseries import znorm_pattern
     m = len(pattern)
-    mu0 = sum(pattern) / m
-    sd0 = (sum((x - mu0) ** 2 for x in pattern) / m) ** 0.5
-    zq = [(x - mu0) / sd0 for x in pattern]
+    zq = znorm_pattern(pattern)   # shared: raises on constant patterns
 
     def detect(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
                ) -> Iterator[pd.DataFrame]:

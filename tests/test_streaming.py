@@ -1537,3 +1537,13 @@ def test_streaming_moments_equal_batch_bit_exact(spark, tmp_path):
     m = float(r.s1) / nD
     v = (float(r.s2) - float(r.s1) * m) / nD
     assert v > 0
+
+    # NULL values drop from n AND the sums together (review catch:
+    # counting them in n alone skews every finished statistic)
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        streaming_moments as _sm)
+    nulls = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 2.0)],
+        "k STRING, v DOUBLE")
+    row = _sm(nulls, "k", "v").collect()[0]
+    assert row.n == 2 and int(row.s1) == 300
