@@ -1496,9 +1496,11 @@ SELECT q_id, n_id, cos, rn FROM (
 ) WHERE rn <= 5
 """
 
-# Z-score QC: identical exact-decimal moment sums (cents, cents² —
-# both cast exactly to double under 2^53) and the identical fixed
-# sequence of double ops, so means/stds/flags match bit-for-bit.
+# Z-score QC: identical exact-decimal moment sums (cents, cents²) and
+# the identical fixed sequence of double ops, so means/stds/flags match
+# bit-for-bit. s1/s2 cast to double via VARCHAR (correctly rounded on
+# both engines at ANY magnitude; direct int128→double differs by 1 ULP
+# past 2^53 — ADVICE r5), mirroring the Spark side's _dstr.
 EXTRA_ORACLES["events_zscore_outliers"] = """
 WITH r AS (
   SELECT event_type,
@@ -1510,9 +1512,10 @@ g AS (
   FROM r GROUP BY event_type),
 st AS (
   SELECT event_type, n,
-         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
-         sqrt((CAST(s2 AS DOUBLE)
-               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+         CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         sqrt((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                 * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
               / CAST(n AS DOUBLE)) AS s
   FROM g)
 SELECT r.event_type,
@@ -1643,3 +1646,41 @@ SELECT event_type, COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_sources
 FROM events GROUP BY event_type
 """
+
+# ---------------------------------------------------------------------------
+# Round-6 window rotation (mirrors plans/queries.py — see ROTATED_IN_R6).
+# ORACLES must equal the declared window's oracle-backed set: the driver
+# exposes oracle_sql() = ORACLES, and test_driver_window_is_at_most_50
+# pins "no oracle outside the window". The moves are mechanical pops so
+# a typo fails loud at import time rather than silently dropping a check.
+# ---------------------------------------------------------------------------
+_R6_IN = [  # promoted into the driver window (oracle-backed subset)
+    "stratified_resample_stats", "semantic_dedup_clusters",
+    "curation_pipeline_summary", "events_gapfill_locf",
+    "events_gapfill_interpolate", "bloom_semi_join_agg",
+    "passage_dedup_scrub", "shard_manifest", "events_ewma_smooth",
+    "source_cap_sample", "events_zscore_outliers",
+    "knn_filtered_bruteforce", "doc_length_buckets",
+    "corpus_upsample_stats", "q15_top_supplier", "fuzzy_name_block_join",
+    "lineitem_price_qty_corr", "events_twap", "events_motif_search",
+    "events_pair_correlation", "events_trend_slope",
+    "events_variant_extract", "source_overlap_exact",
+    # token_heavy_hitters_sketch / distinct_rollup_hll promoted too,
+    # but rows-only by design (CMS/HLL internals) — no oracle to move.
+]
+_R6_OUT = [  # demoted to EXTRA (oracle-backed subset; the five ANN/LSH
+    # demotions — simhash, embedding_lsh, hyperplane, ivf, pq — were
+    # rows-only and never had an oracle entry)
+    "dedup_exact", "ngram_jaccard_neardup", "text_quality_score",
+    "text_langid", "embedding_norm_stats", "p1_validation_filter",
+    "p3_flatten_payload", "p4_value_rules", "p8_conditional_gate",
+    "p10_api_key_hash", "j2_semi_join_auth", "q5_region_nation_revenue",
+    "agg_orders_stats", "window_topk_per_group",
+    "set_ops_status_migration", "events_ohlc_bars",
+    "pack_sequences_chunked", "events_sessionization",
+    "asof_join_purchase_click", "value_percentiles",
+]
+for _k in _R6_IN:
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in _R6_OUT:
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

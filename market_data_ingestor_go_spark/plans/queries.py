@@ -1048,6 +1048,7 @@ def events_pair_correlation(spark, sf_dir):
     lineitem_price_qty_corr, composed with time-bucket alignment and
     an unordered pair self-join. K series ⇒ the join is over K
     bucket-grain tables (tiny), never the raw stream."""
+    from ..operators.cache import pin
     e = _events(spark, sf_dir)
     bucket = F.expr("ts_ms div 3600000") * F.lit(3600000)
     # composite numeric order key (DuckDB's max_by can't compare
@@ -1056,7 +1057,9 @@ def events_pair_correlation(spark, sf_dir):
     per = (e.groupBy(F.col("event_type").alias("k"), bucket.alias("b"))
            .agg(F.max_by("value", ord_key).alias("v")))
     c = F.round(F.col("v") * 100.0).cast("decimal(10,0)")
-    per = per.select("k", "b", c.alias("c"))
+    # pin: both self-join branches reuse this bucket-grain aggregate —
+    # without it the raw-events max_by scan runs twice per action.
+    per = pin(per.select("k", "b", c.alias("c")))
     a = per.select(F.col("k").alias("ka"), "b", F.col("c").alias("ca"))
     bb = per.select(F.col("k").alias("kb"), "b", F.col("c").alias("cb"))
     j = a.join(bb, ["b"]).filter(F.col("ka") < F.col("kb"))
@@ -1253,8 +1256,11 @@ def events_zscore_outliers(spark, sf_dir):
               F.sum("c").alias("s1"),
               F.sum(F.col("c") * F.col("c")).alias("s2")))
     nD = F.col("n").cast("double")
-    m = F.col("s1").cast("double") / nD
-    v = (F.col("s2").cast("double") - F.col("s1").cast("double") * m) / nD
+    # s1/s2 go through the string route (_dstr): DuckDB's int128→double
+    # direct cast differs by 1 ULP once sums exceed 2^53, and this query
+    # must stay bit-exact at ANY scale factor (ADVICE r5).
+    m = _dstr("s1") / nD
+    v = (_dstr("s2") - _dstr("s1") * m) / nD
     stats = g.select("event_type", "n", m.alias("m"),
                      F.sqrt(v).alias("s"))
     z = (F.col("c").cast("double") - F.col("m")) / F.col("s")
@@ -1884,67 +1890,71 @@ def contamination_check(spark, sf_dir):
 # EXTRA_QUERIES (still run by tests/test_parity.py, just not declared
 # to the driver).
 #
-# ROUND-5 ROTATION: the 13 round-3 operators that had never seen an
-# external CORRECTNESS row (clusters, contamination, PQ ANN, BPE
-# estimate, rolling fingerprints, tf-idf top terms, repetition,
-# quantize, funnel, cohort, PII scrub, split) rotate IN; 13 long-green
-# near-duplicate shapes rotate OUT to EXTRA_QUERIES (each leaves an
-# in-window twin of its plan shape; all stay parity-tested locally).
+# ROUND-6 ROTATION: the 25 ROTATION_CANDIDATES_R6 queries (everything
+# round 5 built late — gapfill, TWAP, correlation/slope/z-score/EWMA
+# exact-stats, motif search, Bloom semi-join, passage dedup, shards,
+# caps, upsampling, stratified resample, Q15, fuzzy join, VARIANT
+# extract, overlap/HLL/CMS) rotate IN for their first external
+# CORRECTNESS row; 25 long-green shapes rotate OUT to EXTRA_QUERIES,
+# each leaving an in-window twin of its plan shape (twin noted per
+# entry below; all stay parity-tested locally every round).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- §2.11 LLM-data-pipeline operators (dedup / text / similarity /
     #    multimodal) — the driver-mandated extension surface.
-    "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
-    "ngram_jaccard_neardup": ngram_jaccard_neardup,
     "minhash_neardup": minhash_neardup,
-    "simhash_neardup": simhash_neardup,
     "dedup_cluster_keepers": dedup_cluster_keepers,
     "contamination_check": contamination_check,
+    "passage_dedup_scrub": passage_dedup_scrub,
+    "semantic_dedup_clusters": semantic_dedup_clusters,
     "text_token_stats": text_token_stats,
-    "text_quality_score": text_quality_score,
-    "text_langid": text_langid,
     "text_repetition": text_repetition,
     "text_bpe_token_estimate": text_bpe_token_estimate,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "rolling_fingerprint_neardup": rolling_fingerprint_neardup,
     "doc_top_terms": doc_top_terms,
+    "doc_length_buckets": doc_length_buckets,
     "pii_scrub_stats": pii_scrub_stats,
     "train_test_split_hash": train_test_split_hash,
+    "stratified_resample_stats": stratified_resample_stats,
+    "corpus_upsample_stats": corpus_upsample_stats,
+    "source_cap_sample": source_cap_sample,
+    "shard_manifest": shard_manifest,
+    "curation_pipeline_summary": curation_pipeline_summary,
     "embedding_cosine_neardup": embedding_cosine_neardup,
-    "embedding_lsh_neardup": embedding_lsh_neardup,
-    "embedding_norm_stats": embedding_norm_stats,
     "embedding_quantize_stats": embedding_quantize_stats,
     "knn_bruteforce": knn_bruteforce,
-    "knn_ann_hyperplane": knn_ann_hyperplane,
-    "knn_ann_ivf": knn_ann_ivf,
-    "knn_ann_pq": knn_ann_pq,
+    "knn_filtered_bruteforce": knn_filtered_bruteforce,
     "multimodal_binary_meta": multimodal_binary_meta,
+    # -- mergeable sketches (exact-twin pair + rows-only readouts)
+    "source_overlap_exact": source_overlap_exact,
+    "bloom_semi_join_agg": bloom_semi_join_agg,
+    "token_heavy_hitters_sketch": token_heavy_hitters_sketch,
+    "distinct_rollup_hll": distinct_rollup_hll,
     # -- reference-parity operator shapes (SURVEY §2.3-§2.5)
-    "p1_validation_filter": p1_validation_filter,
-    "p3_flatten_payload": p3_flatten_payload,
-    "p4_value_rules": p4_value_rules,
     "p5p6p7_config_pipeline": p5p6p7_config_pipeline,
-    "p8_conditional_gate": p8_conditional_gate,
     "p9_exchange_enrichment": p9_exchange_enrichment,
-    "p10_api_key_hash": p10_api_key_hash,
-    "j2_semi_join_auth": j2_semi_join_auth,
     "j2_anti_join_unmatched": j2_anti_join_unmatched,
     "a1_latest_per_key": a1_latest_per_key,
-    # -- analytics shapes (SURVEY §2.6): one per distinct plan shape
+    # -- analytics shapes (SURVEY §2.6)
     "q1_pricing_summary": q1_pricing_summary,
-    "q5_region_nation_revenue": q5_region_nation_revenue,
-    "agg_orders_stats": agg_orders_stats,
-    "window_topk_per_group": window_topk_per_group,
-    "set_ops_status_migration": set_ops_status_migration,
+    "q15_top_supplier": q15_top_supplier,
+    "events_variant_extract": events_variant_extract,
+    "fuzzy_name_block_join": fuzzy_name_block_join,
+    # -- time-series exact-stats family (§2.11, all late-r5)
+    "events_gapfill_locf": events_gapfill_locf,
+    "events_gapfill_interpolate": events_gapfill_interpolate,
+    "events_twap": events_twap,
+    "events_ewma_smooth": events_ewma_smooth,
+    "events_zscore_outliers": events_zscore_outliers,
+    "events_pair_correlation": events_pair_correlation,
+    "events_trend_slope": events_trend_slope,
+    "events_motif_search": events_motif_search,
+    "lineitem_price_qty_corr": lineitem_price_qty_corr,
     # -- training-pipeline + market-rollup extensions (§2.11)
-    "events_ohlc_bars": events_ohlc_bars,
     "events_funnel_conversion": events_funnel_conversion,
     "orders_cohort_matrix": orders_cohort_matrix,
-    "pack_sequences_chunked": pack_sequences_chunked,
-    "events_sessionization": events_sessionization,
-    "asof_join_purchase_click": asof_join_purchase_click,
     "range_join_click_context": range_join_click_context,
-    "value_percentiles": value_percentiles,
     "skew_salted_agg": skew_salted_agg,
 }
 
@@ -1971,33 +1981,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_limit_topk": order_limit_topk,            # top-k ⊂ window_topk_per_group
     "window_rank_stats": window_rank_stats,          # rank fns ⊂ window_topk_per_group
     "corpus_mix": corpus_mix,                        # weighting ⊂ split/langid
-    "stratified_resample_stats": stratified_resample_stats,  # ⊂ corpus_mix exec
-    "semantic_dedup_clusters": semantic_dedup_clusters,  # CC ⊂ dedup_cluster_keepers
-    "curation_pipeline_summary": curation_pipeline_summary,  # composition of the above
-    "events_gapfill_locf": events_gapfill_locf,      # grid ⊂ ohlc/window family
-    "events_gapfill_interpolate": events_gapfill_interpolate,  # ⊂ gapfill_locf
-    "token_heavy_hitters_sketch": token_heavy_hitters_sketch,  # rows-only (CMS)
-    "events_variant_extract": events_variant_extract,  # VARIANT ⊃ p3 family
-    "distinct_rollup_hll": distinct_rollup_hll,      # rows-only (HLL union)
-    "source_overlap_exact": source_overlap_exact,    # exact twin of theta
     "source_overlap_theta": source_overlap_theta,    # rows-only (theta ∩/∪)
-    "bloom_semi_join_agg": bloom_semi_join_agg,      # oracle-exact (EXISTS)
-    "passage_dedup_scrub": passage_dedup_scrub,      # sub-doc exact dedup
-    "shard_manifest": shard_manifest,                # global-shuffle shards
-    "events_ewma_smooth": events_ewma_smooth,        # closed-form EWMA
-    "source_cap_sample": source_cap_sample,          # per-source freq cap
-    "events_zscore_outliers": events_zscore_outliers,  # exact-moment QC
-    "knn_filtered_bruteforce": knn_filtered_bruteforce,  # filtered search
-    "doc_length_buckets": doc_length_buckets,        # equi-depth ntile
-    "corpus_upsample_stats": corpus_upsample_stats,  # repeat-factor mix
-    "q15_top_supplier": q15_top_supplier,            # agg + global max
-    "lineitem_price_qty_corr": lineitem_price_qty_corr,  # exact moments
-    "events_twap": events_twap,                      # time-weighted avg
     "doc_bpe_token_real": doc_bpe_token_real,        # rows-only (trained)
-    "events_motif_search": events_motif_search,      # z-norm subsequence
-    "events_pair_correlation": events_pair_correlation,  # pairs matrix
-    "events_trend_slope": events_trend_slope,        # exact-moment OLS
-    "fuzzy_name_block_join": fuzzy_name_block_join,  # blocked edit dist
     "value_quantiles_kll": value_quantiles_kll,      # rows-only (KLL, randomized)
     "pack_greedy_packing": pack_greedy_packing,      # rows-only (applyInPandas)
     # additional TPC-H plan shapes (EXISTS-agg, outer-join histogram,
@@ -2023,19 +2008,44 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_matrix": pivot_event_matrix,        # inverse in unpivot (EXTRA)
     "a1_latest_with_ttl": a1_latest_with_ttl,        # ⊂ a1_latest_per_key
     "events_tumbling_window": events_tumbling_window,  # ⊂ events_ohlc_bars
+    # round-6 rotation: 25 long-green shapes demoted so every
+    # ROTATION_CANDIDATES_R6 query (the whole late-r5 build) gets its
+    # first external CORRECTNESS row — in-window twin noted per entry.
+    "dedup_exact": dedup_exact,                      # ⊂ dedup_fingerprint + passage_dedup_scrub
+    "ngram_jaccard_neardup": ngram_jaccard_neardup,  # pair-join ⊂ minhash_neardup
+    "simhash_neardup": simhash_neardup,              # block equi-join ⊂ minhash_neardup
+    "text_quality_score": text_quality_score,        # Column exprs ⊂ text_token_stats
+    "text_langid": text_langid,                      # Column exprs ⊂ text_token_stats
+    "embedding_lsh_neardup": embedding_lsh_neardup,  # ⊂ embedding_cosine_neardup (exact twin)
+    "embedding_norm_stats": embedding_norm_stats,    # array exprs ⊂ embedding_quantize_stats
+    "knn_ann_hyperplane": knn_ann_hyperplane,        # ANN ⊂ knn_bruteforce + knn_filtered
+    "knn_ann_ivf": knn_ann_ivf,                      # ANN ⊂ knn_bruteforce + knn_filtered
+    "knn_ann_pq": knn_ann_pq,                        # ANN ⊂ knn_bruteforce + knn_filtered
+    "p1_validation_filter": p1_validation_filter,    # filter ⊂ p5p6p7 pipeline
+    "p3_flatten_payload": p3_flatten_payload,        # nested access ⊂ events_variant_extract
+    "p4_value_rules": p4_value_rules,                # config rules ⊂ p5p6p7_config_pipeline
+    "p8_conditional_gate": p8_conditional_gate,      # config gate ⊂ p5p6p7_config_pipeline
+    "p10_api_key_hash": p10_api_key_hash,            # hash fn ⊂ train_test_split_hash
+    "j2_semi_join_auth": j2_semi_join_auth,          # semi-join ⊂ bloom_semi_join_agg (EXISTS)
+    "q5_region_nation_revenue": q5_region_nation_revenue,  # multi-join agg ⊂ q15_top_supplier
+    "agg_orders_stats": agg_orders_stats,            # multi-agg ⊂ orders_cohort_matrix
+    "window_topk_per_group": window_topk_per_group,  # WindowGroupLimit ⊂ events_motif_search
+    "set_ops_status_migration": set_ops_status_migration,  # ∩/∪ ⊂ source_overlap_exact
+    "events_ohlc_bars": events_ohlc_bars,            # time-bucket agg ⊂ events_twap/gapfill
+    "pack_sequences_chunked": pack_sequences_chunked,  # training prep ⊂ shard_manifest
+    "events_sessionization": events_sessionization,  # ordered key window ⊂ events_gapfill_locf
+    "asof_join_purchase_click": asof_join_purchase_click,  # ⊂ range_join_click_context
+    "value_percentiles": value_percentiles,          # exact ranks ⊂ doc_length_buckets
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **QUERIES, **EXTRA_QUERIES}
 
 
-# Round-6 rotation candidates: oracle-backed queries that have never
-# held a green external CORRECTNESS row (the driver verifies only the
-# first 50 of queries()). Next round: swap these into QUERIES for
-# long-green near-duplicate shapes, mirroring the r5 rotation note in
-# README. Kept as code (not just prose) so the rotation is mechanical
-# and typo-proof (consistency pinned in tests/test_parity.py).
-ROTATION_CANDIDATES_R6: list[str] = [
+# Round-6 rotation (EXECUTED this round): the 25 candidates below
+# rotated INTO the driver window above — pinned by
+# tests/test_parity.py::test_round6_rotated_operators_sit_in_declared_window.
+ROTATED_IN_R6: list[str] = [
     "stratified_resample_stats",
     "semantic_dedup_clusters",
     "curation_pipeline_summary",
@@ -2061,4 +2071,35 @@ ROTATION_CANDIDATES_R6: list[str] = [
     "source_overlap_exact",
     "token_heavy_hitters_sketch",   # rows-only, CMS — weaker check ok
     "distinct_rollup_hll",          # rows-only, HLL
+]
+
+# Round-7 rotation candidates: the oracle-backed queries that have
+# STILL never held a green external CORRECTNESS row after the round-6
+# rotation — the round-2 window re-curation demotions (everything else
+# oracle-backed has now been in a verified window at least once).
+# Kept as code (not just prose) so the next rotation is mechanical and
+# typo-proof (consistency pinned in tests/test_parity.py).
+ROTATION_CANDIDATES_R7: list[str] = [
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_filter",
+    "q22_idle_customers",
+    "sql_api_pricing_summary",
+    "orders_by_year",
+    "set_ops_all_variants",
+    "unpivot_event_matrix",
+    "window_running_total",
+    "event_gaps",
+    "token_frequencies",
+    "string_functions",
+    "agg_cube_year_status",
+    "order_limit_topk",
+    "window_rank_stats",
+    "corpus_mix",
+    "events_moving_stats",
 ]

@@ -70,13 +70,27 @@ class PassageBoilerplateGate:
     def audit_path(self) -> str:
         return self.audit_dir or f"{self.state_dir}_audit"
 
+    def _read_state(self) -> DataFrame | None:
+        """Read the state dir, treating ONLY a missing path as 'no
+        state yet'. Real read/corruption errors propagate: silently
+        degrading a corrupt state dir to an empty Bloom filter would
+        score every passage unseen — SCALING.md's bad-input policy is
+        corrupt parquet fails loud (ADVICE r5)."""
+        from pyspark.errors import AnalysisException
+        try:
+            return self.spark.read.parquet(self.state_dir)
+        except AnalysisException as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
+
     def _state_before(self, epoch_id: int) -> DataFrame | None:
         """The accumulated filter, EXCLUDING this epoch's partition
         (a crash-replay must not score the batch against the partial
         its own failed attempt wrote)."""
-        try:
-            parts = self.spark.read.parquet(self.state_dir)
-        except Exception:
+        parts = self._read_state()
+        if parts is None:
             return None
         parts = parts.filter(F.col("epoch") != F.lit(int(epoch_id)))
         return parts.groupBy("word").agg(F.bit_or("mask").alias("mask"))
@@ -128,9 +142,8 @@ class PassageBoilerplateGate:
         partial lands under ``epoch=-1`` — a replay of any real epoch
         then overwrites only its own partition, leaving the compacted
         baseline intact. Returns the folded row count."""
-        try:
-            parts = self.spark.read.parquet(self.state_dir)
-        except Exception:
+        parts = self._read_state()
+        if parts is None:
             return 0
         folded = (parts.groupBy("word").agg(F.bit_or("mask").alias("mask"))
                   .localCheckpoint())  # break lineage: we overwrite below

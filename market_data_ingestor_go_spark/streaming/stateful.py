@@ -53,29 +53,35 @@ def _make_update_latest(ttl_millis: int):
     stored latest record changes. TTL is enforced lazily: a stored
     record older than the TTL is discarded before merging (Redis EX
     approximated; keys that never see new data are filtered by readers
-    — serve-path snapshots apply the TTL predicate anyway).
+    — serve-path snapshots apply the TTL predicate anyway). The TTL
+    cutoff derives from the batch's max EVENT timestamp, never wall
+    clock: a crash-replayed micro-batch must evict and emit exactly as
+    the original attempt did (the idempotent-replay contract the rest
+    of the streaming layer keeps — ADVICE r5).
     """
 
     def update_latest(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
                       ) -> Iterator[pd.DataFrame]:
-        import time as _time
-
         import pandas as _pd
 
         name = key[0]
         best_ts, best_ex, best_data = state.get if state.exists else (0, None, None)
-        now_ms = int(_time.time() * 1000)
-        if best_ts and best_ts < now_ms - ttl_millis:
-            best_ts, best_ex, best_data = 0, None, None  # lazy TTL eviction
-        changed = False
+        rows = []
         for pdf in pdfs:
             for _, row in pdf.iterrows():
                 ts = int(row["timestamp"])
                 if ts == 0:  # P2 sink guard (cache_service.go:41-43)
                     continue
-                if ts > best_ts:
-                    best_ts, best_ex, best_data = ts, row["exchange"], row["data"]
-                    changed = True
+                rows.append((ts, row["exchange"], row["data"]))
+        if rows:  # deterministic lazy TTL eviction (event-time cutoff)
+            batch_max_ts = max(ts for ts, _, _ in rows)
+            if best_ts and best_ts < batch_max_ts - ttl_millis:
+                best_ts, best_ex, best_data = 0, None, None
+        changed = False
+        for ts, ex, data in rows:
+            if ts > best_ts:
+                best_ts, best_ex, best_data = ts, ex, data
+                changed = True
         if changed:
             state.update((best_ts, best_ex, best_data))
             yield _pd.DataFrame([{"name": name, "timestamp": best_ts,

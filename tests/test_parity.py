@@ -87,31 +87,29 @@ def test_driver_window_is_at_most_50():
     assert not oracle_only, f"oracles outside the declared window: {oracle_only}"
 
 
-def test_round5_rotated_operators_sit_in_declared_window():
-    """The round-5 rotation's whole point: these 13 operators must be
-    inside the first-50 window the driver externally verifies."""
-    rotated_in = {
-        "dedup_cluster_keepers", "contamination_check", "knn_ann_pq",
-        "text_bpe_token_estimate", "doc_rolling_fingerprint",
-        "rolling_fingerprint_neardup", "doc_top_terms", "text_repetition",
-        "embedding_quantize_stats", "events_funnel_conversion",
-        "orders_cohort_matrix", "pii_scrub_stats", "train_test_split_hash",
-    }
+def test_round6_rotated_operators_sit_in_declared_window():
+    """The round-6 rotation's whole point: all 25 late-r5 queries that
+    had never held an external CORRECTNESS row must sit inside the
+    first-50 window the driver externally verifies — and the
+    oracle-backed ones must expose their oracle through oracle_sql()
+    (= ORACLES), not just the local parity sweep."""
+    from market_data_ingestor_go_spark.plans.queries import ROTATED_IN_R6
+
+    rows_only = {"token_heavy_hitters_sketch", "distinct_rollup_hll"}
     window = set(list(QUERIES)[:50])
-    assert rotated_in <= window, rotated_in - window
+    assert set(ROTATED_IN_R6) <= window, set(ROTATED_IN_R6) - window
+    assert set(ROTATED_IN_R6) - rows_only <= set(ORACLES)
 
 
 def test_rotation_candidates_are_rotatable():
-    """The round-6 rotation list must stay mechanically valid: every
+    """The round-7 rotation list must stay mechanically valid: every
     candidate exists, sits OUTSIDE the declared window (else it needs
-    no rotation), and — unless explicitly rows-only — has an oracle
-    so rotating it in yields a full row+schema+hash check."""
+    no rotation), and has an oracle so rotating it in yields a full
+    row+schema+hash check."""
     from market_data_ingestor_go_spark.plans.queries import (
-        QUERIES, ROTATION_CANDIDATES_R6)
+        QUERIES, ROTATION_CANDIDATES_R7)
 
-    rows_only_ok = {"token_heavy_hitters_sketch", "distinct_rollup_hll"}
-    for name in ROTATION_CANDIDATES_R6:
+    for name in ROTATION_CANDIDATES_R7:
         assert name in ALL_QUERIES, name
         assert name not in QUERIES, f"{name} already in the window"
-        if name not in rows_only_ok:
-            assert name in ALL_ORACLES, f"{name} lacks an oracle"
+        assert name in ALL_ORACLES, f"{name} lacks an oracle"
