@@ -30,11 +30,54 @@ any partitioning.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .cache import pin
+
+
+def keyed_row_numbers(df: DataFrame, key_col: str, order_cols: list[str],
+                      coarse_chunk: Column,
+                      rn_col: str = "__rn_g") -> DataFrame:
+    """Global 1-based per-key row numbers with keys × chunks
+    parallelism — the shared machinery behind every chunked per-key
+    window operator.
+
+    A plain ``row_number() OVER (PARTITION BY key ORDER BY ...)``
+    serializes each key's ENTIRE series through one task, so
+    parallelism is bounded by key cardinality — the documented weak
+    point of the per-key-window family at low-key-cardinality 100×
+    scale. This helper computes the same numbers in three
+    chunk-parallel steps:
+
+    1. rank within (key, coarse_chunk) — parallel across chunks;
+    2. per-(key, chunk) row counts, cumulative-summed over the
+       CHUNK-GRAIN table (|keys| × |chunks| rows, tiny) to get each
+       chunk's global offset;
+    3. join the offsets back (chunk-grain side broadcasts under AQE):
+       global rn = chunk offset + within-chunk rank.
+
+    ``coarse_chunk`` must be ORDER-PREFIX-COMPATIBLE with
+    ``order_cols``: every row of chunk c sorts before every row of
+    chunk c+1 (e.g. ``ts_ms div span`` when order_cols[0] is ts_ms).
+    Granularity only shapes parallelism, never results.
+    """
+    df = df.withColumn("__cc", coarse_chunk)
+    w_in = Window.partitionBy(key_col, "__cc").orderBy(*order_cols)
+    df = df.withColumn("__rn_in", F.row_number().over(w_in))
+    counts = df.groupBy(key_col, "__cc").agg(F.count("*").alias("__cnt"))
+    w_off = (Window.partitionBy(key_col).orderBy("__cc")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.select(
+        key_col, "__cc",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"))
+    return (df.join(offs, [key_col, "__cc"])
+            .withColumn(rn_col, (F.col("__off") + F.col("__rn_in"))
+                        .cast("bigint"))
+            .drop("__cc", "__rn_in", "__off"))
 
 
 def gap_fill_locf(df: DataFrame, key_col: str, ts_ms_col: str,
@@ -161,9 +204,14 @@ def ewma(df: DataFrame, key_col: str, order_cols: list[str],
     a strict left fold). Every remaining double op is a single
     correctly-rounded step, so the oracle matches hash-exact. The
     decimal path tightens the series bound to rn ≤ 99 at d=0.5
-    (2^rn must fit 30 digits); longer series: segment, or stream.
+    (2^rn must fit 30 digits). Both bounds are ENFORCED at runtime
+    (fail-loud raise_error past them — ADVICE r5), and the decimal
+    path rejects a non-power-of-two 1-alpha outright; longer series
+    route through :func:`ewma_chunked` (segmented closed form +
+    carry scan, tested ≡ the exact recursion) or the streaming twin.
     """
     d = 1.0 - alpha
+    rn_max = _ewma_rn_bound(alpha, value_decimals)
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # rn MUST be materialized before the running sum references it:
@@ -175,15 +223,83 @@ def ewma(df: DataFrame, key_col: str, order_cols: list[str],
     df = df.withColumn("__rn", F.row_number().over(w))
     rn = F.col("__rn")
     if value_decimals is None:
-        x1 = F.first(value_col).over(cum)
-        s = F.sum(F.col(value_col) * F.pow(F.lit(1.0 / d), rn)).over(cum)
-        y = (F.lit(alpha) * F.pow(F.lit(d), rn)
-             * (s - x1 * F.lit(1.0 / d))
-             + F.pow(F.lit(d), rn - 1) * x1)
+        y, _ = _ewma_exprs_double(alpha, cum, rn, F.col(value_col))
+        y = _ewma_guard(y, rn, rn_max)
         return df.withColumn(out_col, y).drop("__rn")
 
     scale = float(10 ** value_decimals)
-    c = F.round(F.col(value_col) * F.lit(scale)).cast("decimal(6,0)")
+    y, _ = _ewma_exprs_decimal(alpha, cum, rn, F.col(value_col), scale)
+    y = _ewma_guard(y / F.lit(scale), rn, rn_max)
+    return df.withColumn(out_col, y).drop("__rn")
+
+
+def _ewma_rn_bound(alpha: float, value_decimals: int | None) -> int:
+    """Longest per-key series the closed form survives, enforced at
+    RUNTIME (not just by fixture assertions — ADVICE r5). The scale
+    factor (1/d)^rn must fit the arithmetic: decimal path 2^(q·rn)
+    within the 30-digit product budget (q·rn ≤ 99); double path
+    (1/d)^rn finite (rn·log2(1/d) ≤ 1020). Also rejects a decimal-path
+    d that is not an exact power of two: the bit-reproducibility
+    contract needs exact half-power factors, so alpha=0.3 with
+    value_decimals set must fail loud, not return silently-inexact
+    results."""
+    d = 1.0 - alpha
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"alpha must be in (0,1); got {alpha}")
+    if value_decimals is not None:
+        mant, exp = math.frexp(d)
+        if mant != 0.5:
+            raise ValueError(
+                "value_decimals (the bit-exact decimal path) requires "
+                f"1-alpha to be an exact power of two; got 1-{alpha} = {d}. "
+                "Use the double path, ewma_chunked, or the streaming twin.")
+        q = 1 - exp  # d == 2**-q exactly
+        return 99 // q
+    return int(1020 / math.log2(1.0 / d))
+
+
+def _ewma_guard(y: Column, rn: Column, rn_max: int) -> Column:
+    """Fail loud past the closed form's numeric bound instead of
+    silently overflowing to NULL/inf (runtime twin of the fixture
+    assertions; the chunked/streaming paths carry longer series)."""
+    return F.when(
+        rn > F.lit(int(rn_max)),
+        F.raise_error(F.lit(
+            f"ewma closed form is bounded to {rn_max} rows per key; "
+            "route longer series through ewma_chunked (seg_rows) or "
+            "the streaming twin"))).otherwise(y)
+
+
+def _ewma_exprs_double(alpha: float, cum, rn: Column, x: Column):
+    """(seeded y_t, zero-state z_t) over a cumulative window — double
+    path. z_t = alpha * sum_{i<=t} d^(t-i) x_i is the response with
+    y_0 = 0, the building block the chunked path composes with a
+    carried prefix state."""
+    d = 1.0 - alpha
+    x1 = F.first(x).over(cum)
+    s = F.sum(x * F.pow(F.lit(1.0 / d), rn)).over(cum)
+    y = (F.lit(alpha) * F.pow(F.lit(d), rn)
+         * (s - x1 * F.lit(1.0 / d))
+         + F.pow(F.lit(d), rn - 1) * x1)
+    z = F.lit(alpha) * F.pow(F.lit(d), rn) * s
+    return y, z
+
+
+def _ewma_exprs_decimal(alpha: float, cum, rn: Column, value: Column,
+                        scale: float):
+    """(seeded y_t, zero-state z_t) over a cumulative window — exact-
+    decimal path, both in SCALED (cents) units; caller divides by
+    ``scale`` at the very end so the chunked path can carry scaled
+    state."""
+    d = 1.0 - alpha
+    c = F.round(value * F.lit(scale)).cast("decimal(6,0)")
+    # the decimal(6,0) cast overflows to NULL silently under non-ANSI
+    # sessions — fail loud instead (runtime twin of the fixture bound)
+    c = F.when(
+        F.abs(F.round(value * F.lit(scale))) >= F.lit(1e6),
+        F.raise_error(F.lit(
+            "ewma decimal path requires scaled |value| < 10^6 "
+            "(value_decimals too large for this column)"))).otherwise(c)
     # 2^rn as EXACT decimal: a direct pow(2,rn)::decimal corrupts at
     # rn >= 58 — Spark casts double→decimal through the double's
     # 17-significant-digit string, so 2^58's 18 digits round off
@@ -200,10 +316,140 @@ def ewma(df: DataFrame, key_col: str, order_cols: list[str],
     # is correctly rounded everywhere, so both sides land on the
     # nearest double of the same exact integer.
     s_d = s.cast("string").cast("double")
-    y = ((F.lit(alpha) * F.pow(F.lit(d), rn)
-          * (s_d - c1 * F.lit(1.0 / d))
-          + F.pow(F.lit(d), rn - 1) * c1) / F.lit(scale))
-    return df.withColumn(out_col, y).drop("__rn")
+    y = (F.lit(alpha) * F.pow(F.lit(d), rn)
+         * (s_d - c1 * F.lit(1.0 / d))
+         + F.pow(F.lit(d), rn - 1) * c1)
+    z = F.lit(alpha) * F.pow(F.lit(d), rn) * s_d
+    return y, z
+
+
+def ewma_chunked(df: DataFrame, key_col: str, order_cols: list[str],
+                 value_col: str, alpha: float = 0.5,
+                 out_col: str = "ewma",
+                 value_decimals: int | None = None,
+                 seg_rows: int = 64,
+                 coarse_chunk: Column | None = None) -> DataFrame:
+    """EWMA for per-key series LONGER than the closed form's numeric
+    bound — the chunked batch path the :func:`ewma` docstring
+    promises (clears the r5 'weak' mark: unbounded series, keys ×
+    segments parallelism instead of one task per key).
+
+    How: split each key's series into row-count segments of
+    ``seg_rows`` (global row numbers via :func:`keyed_row_numbers` —
+    itself chunk-parallel). Within a segment the existing closed form
+    computes, in one cumulative window bounded to seg_rows rows:
+
+    - the SEEDED values y0_t for segment 0 (identical expression to
+      the unchunked operator — a series that fits one segment returns
+      BIT-IDENTICAL results), and
+    - the zero-state response z_t = alpha*sum d^(t-i) x_i elsewhere,
+
+    so y_t = z_t + d^t_local * C_g, where C_g (the EWMA value entering
+    segment g) satisfies the segment-level linear recursion
+    C_{g+1} = z_end(g) + d^len(g) * C_g. That recursion is solved with
+    a POINTER-JUMPING affine-composition scan on the segment-grain
+    table (|keys| x |segments| rows, tiny): each node holds
+    (t, A, B) meaning C_g = A*C_t + B; log2(segments) rounds of
+    self-join compose transforms until every node references C_1 =
+    y_end(segment 0) — the same O(log n) driver-loop shape as the
+    connected-components operator, each round an exchange over
+    segment-grain rows only.
+
+    Numerics: within segments the decimal path keeps the exact-
+    integer-sum machinery (seg_rows ≤ 99//q enforced); cross-segment
+    carries compose in double with a FIXED op order. Exact EWMA values
+    at row t are rationals with 2^(q*t)-scale denominators, so NO
+    engine computes them exactly for long series — the honest contract
+    here is: bit-identical to unchunked when one segment suffices,
+    and within float-accumulation distance of the exact sequential
+    recursion otherwise (tested against an exact-Fraction reference;
+    the pointer-jumping composition is algebraically exact, only its
+    double rounding differs from sequential order in low bits).
+
+    100 TB posture: the raw stream is touched by one window bounded to
+    seg_rows rows per task; the scan loop runs on segment-grain rows.
+    A billion-row key is ~16M segment rows at seg_rows=64 — still
+    dwarfed by the data — and 24 scan rounds.
+    """
+    rn_max = _ewma_rn_bound(alpha, value_decimals)
+    if not 2 <= seg_rows <= rn_max:
+        raise ValueError(f"seg_rows must be in [2, {rn_max}] for "
+                         f"alpha={alpha}, value_decimals={value_decimals}")
+    d = 1.0 - alpha
+    scale = float(10 ** value_decimals) if value_decimals is not None \
+        else 1.0
+    if coarse_chunk is None:
+        coarse_chunk = F.expr(
+            f"cast({order_cols[0]} as bigint) div 3600000")
+
+    base = keyed_row_numbers(df, key_col, order_cols, coarse_chunk)
+    rn = F.col("__rn_g")
+    base = (base.withColumn("__seg", ((rn - 1) / F.lit(seg_rows))
+                            .cast("bigint"))
+            .withColumn("__rl", ((rn - 1) % F.lit(seg_rows) + 1)
+                        .cast("int")))
+    wseg = (Window.partitionBy(key_col, "__seg").orderBy("__rn_g")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rl = F.col("__rl")
+    if value_decimals is None:
+        y0, z = _ewma_exprs_double(alpha, wseg, rl, F.col(value_col))
+    else:
+        y0, z = _ewma_exprs_decimal(alpha, wseg, rl, F.col(value_col),
+                                    scale)
+    rows = pin(base.withColumn("__y0", y0).withColumn("__z", z))
+
+    # segment-grain summaries: C_1 = seeded end of segment 0; for
+    # g >= 1 the affine step C_{g+1} = z_end + d^len * C_g
+    summ = (rows.groupBy(key_col, "__seg")
+            .agg(F.max_by("__z", "__rl").alias("z_end"),
+                 F.max_by("__y0", "__rl").alias("y_end"),
+                 F.count("*").alias("len")))
+    c1 = (summ.filter(F.col("__seg") == 0)
+          .select(key_col, F.col("y_end").alias("C1")))
+    nodes = (summ.filter(F.col("__seg") >= 1)
+             .select(key_col,
+                     (F.col("__seg") + 1).alias("g"),
+                     F.col("__seg").alias("t"),
+                     F.pow(F.lit(d), F.col("len")).alias("A"),
+                     F.col("z_end").alias("B")))
+
+    # pointer-jumping scan: compose affine transforms until every node
+    # expresses C_g = A*C_1 + B (t == 1). log2(max segments) rounds;
+    # localCheckpoint truncates the per-round lineage (same pattern as
+    # dedup clustering).
+    while nodes.filter(F.col("t") > 1).head(1):
+        j = nodes.select(key_col, F.col("g").alias("t"),
+                         F.col("t").alias("t2"), F.col("A").alias("A2"),
+                         F.col("B").alias("B2"))
+        hop = F.col("t") > 1
+        nodes = (nodes.join(j, [key_col, "t"], "left")
+                 .select(key_col, "g",
+                         F.when(hop, F.col("t2"))
+                         .otherwise(F.col("t")).alias("t"),
+                         F.when(hop, F.col("A") * F.col("A2"))
+                         .otherwise(F.col("A")).alias("A"),
+                         F.when(hop, F.col("A") * F.col("B2")
+                                + F.col("B"))
+                         .otherwise(F.col("B")).alias("B"))
+                 .localCheckpoint())
+    carries = (nodes.join(c1, [key_col])
+               .select(F.col(key_col).alias("__k_c"),
+                       F.col("g").cast("bigint").alias("__seg_c"),
+                       (F.col("A") * F.col("C1") + F.col("B"))
+                       .alias("__C"))
+               .unionByName(c1.select(
+                   F.col(key_col).alias("__k_c"),
+                   F.lit(1).cast("bigint").alias("__seg_c"),
+                   F.col("C1").alias("__C"))))
+
+    out = rows.join(carries,
+                    (rows[key_col] == F.col("__k_c"))
+                    & (F.col("__seg") == F.col("__seg_c")), "left")
+    y = F.when(F.col("__seg") == 0, F.col("__y0")) \
+        .otherwise(F.col("__z") + F.pow(F.lit(d), rl) * F.col("__C"))
+    return (out.withColumn(out_col, y / F.lit(scale))
+            .drop("__rn_g", "__seg", "__rl", "__y0", "__z",
+                  "__k_c", "__seg_c", "__C"))
 
 
 def znorm_pattern(pattern: list) -> list:
@@ -222,7 +468,9 @@ def znorm_pattern(pattern: list) -> list:
 def subsequence_search(df: DataFrame, key_col: str,
                        order_cols: list[str], value_col: str,
                        pattern: list[float], k: int = 3,
-                       out_ts_col: str | None = None) -> DataFrame:
+                       out_ts_col: str | None = None,
+                       chunk_rows: int | None = None,
+                       coarse_chunk: Column | None = None) -> DataFrame:
     """Top-k z-normalized subsequence matches per key (UCR-style
     similarity search): slide a window of len(pattern) over each
     key's ordered series, z-normalize each window, and rank by
@@ -243,20 +491,70 @@ def subsequence_search(df: DataFrame, key_col: str,
     inside the stage — nothing but (key, ts, dist) survives. Like
     every per-key window, one key's series serializes through one
     task (measured: 5 keys → 5-way parallelism at sf0.1); for few
-    huge keys, pre-split into overlapping time chunks (overlap m-1
-    rows so no window is lost) and union — same results, task-sized
-    series.
+    huge keys pass ``chunk_rows``: the series pre-splits into
+    row-count chunks with an m-1-row overlap carried from the next
+    chunk, so every window still materializes exactly once — BIT-
+    IDENTICAL results (same arrays → same distances → same ranks),
+    keys × chunks parallelism, per-task series bounded by
+    chunk_rows + m - 1 (equality pinned in tests). Chunk membership
+    comes from :func:`keyed_row_numbers` (itself chunk-parallel);
+    windows starting at carried rows are dropped as the next chunk's
+    duplicates.
     """
     m = len(pattern)
     zq = znorm_pattern(pattern)
-
-    w = (Window.partitionBy(key_col).orderBy(*order_cols)
-         .rowsBetween(Window.currentRow, m - 1))
-    win = F.collect_list(F.col(value_col).cast("double")).over(w)
     ts_out = F.col(out_ts_col if out_ts_col else order_cols[0])
-    base = df.select(key_col, ts_out.alias("win_start"),
-                     win.alias("win")).filter(F.size("win") == m)
 
+    if chunk_rows is None:
+        w = (Window.partitionBy(key_col).orderBy(*order_cols)
+             .rowsBetween(Window.currentRow, m - 1))
+        win = F.collect_list(F.col(value_col).cast("double")).over(w)
+        base = df.select(key_col, ts_out.alias("win_start"),
+                         win.alias("win")).filter(F.size("win") == m)
+        return _topk_znorm_matches(base, key_col, zq, m, k)
+
+    if chunk_rows < m:
+        raise ValueError(f"chunk_rows must be >= len(pattern)={m}")
+    if coarse_chunk is None:
+        coarse_chunk = F.expr(
+            f"cast({order_cols[0]} as bigint) div 3600000")
+    base = keyed_row_numbers(df, key_col, order_cols, coarse_chunk)
+    rn = F.col("__rn_g")
+    cid = ((rn - 1) / F.lit(chunk_rows)).cast("bigint")
+    pos = (rn - 1) % F.lit(chunk_rows)
+    # each row joins its own chunk, and — when it is one of the first
+    # m-1 rows of a chunk — also the previous chunk as a carry, so a
+    # window starting near a chunk's end is still complete. chunks are
+    # defined in ROW space (every chunk has exactly chunk_rows rows),
+    # so one chunk of carry always suffices — no multi-chunk-span
+    # edge case.
+    assignments = F.array_compact(F.array(
+        F.struct(cid.alias("cid"), F.lit(False).alias("carry")),
+        F.when((pos <= m - 2) & (cid > 0),
+               F.struct((cid - 1).alias("cid"),
+                        F.lit(True).alias("carry")))))
+    rows = (base.select(key_col, ts_out.alias("win_start"), "__rn_g",
+                        F.col(value_col).cast("double").alias("__v"),
+                        F.explode(assignments).alias("__a"))
+            .select(key_col, "win_start", "__rn_g", "__v",
+                    F.col("__a.cid").alias("__cid"),
+                    F.col("__a.carry").alias("__carry")))
+    w = (Window.partitionBy(key_col, "__cid").orderBy("__rn_g")
+         .rowsBetween(Window.currentRow, m - 1))
+    win = F.collect_list("__v").over(w)
+    scored_base = (rows.select(key_col, "win_start", "__carry",
+                               win.alias("win"))
+                   .filter((F.size("win") == m) & ~F.col("__carry"))
+                   .drop("__carry"))
+    return _topk_znorm_matches(scored_base, key_col, zq, m, k)
+
+
+def _topk_znorm_matches(base: DataFrame, key_col: str, zq: list[float],
+                        m: int, k: int) -> DataFrame:
+    """Shared scorer for both subsequence_search paths: z-normalize
+    each m-element window, Euclidean distance to the z-normalized
+    pattern, per-key top-k. ONE copy so the chunked path's results
+    are bit-identical by construction."""
     s = F.aggregate("win", F.lit(0.0), lambda a, x: a + x)
     mean = (s / F.lit(float(m)))
     ss = F.aggregate(F.transform("win", lambda x: (x - F.col("__mu"))

@@ -1078,14 +1078,18 @@ def events_motif_search(spark, sf_dir):
     """UCR-style subsequence similarity search: top-3 z-normalized
     matches per event type to a literal 8-tick spike pattern —
     "where did the series move like THIS", scale/offset-invariant.
-    Sliding windows via a frame-bounded collect_list (one key
-    exchange, no self-join); distance in array expressions. See
-    operators/timeseries.py:subsequence_search."""
+    Sliding windows via a frame-bounded collect_list; distance in
+    array expressions. Routed through the CHUNKED path (row-space
+    chunks with an m-1 carry overlap): event_type is a 5-value key,
+    so the plain per-key window would serialize each 20%-of-the-
+    stream series through one task — chunking restores keys × chunks
+    parallelism with BIT-IDENTICAL results (equality pinned in
+    tests). See operators/timeseries.py:subsequence_search."""
     from ..operators.timeseries import subsequence_search
     e = _events(spark, sf_dir)
     pattern = [1.0, 2.0, 4.0, 8.0, 8.0, 4.0, 2.0, 1.0]
     return subsequence_search(e, "event_type", ["ts_ms", "event_id"],
-                              "value", pattern, k=3)
+                              "value", pattern, k=3, chunk_rows=2048)
 
 
 def events_twap(spark, sf_dir):
