@@ -1,17 +1,19 @@
 """Multimodal column plumbing (SURVEY.md §2.11, driver mandate).
 
 Images/audio/video are opaque BINARY columns with typed metadata
-structs. PNG and GIF decode are REAL (round 5):
+structs. PNG, GIF and baseline-JPEG decode are REAL:
 ``functions/png_minimal.py`` is a from-scratch stdlib codec (zlib
-inflate + scanline unfiltering) and ``functions/gif_minimal.py`` a
-full LZW decoder (growth/KwKwK/reset/interlace), so
-``extract_image_features`` returns true width/height/channels/luma,
-``resize_images`` truly resamples, and ``sample_frames`` emits real
-animated-GIF frames re-encoded as PNG. Entropy-coded formats with no
-codec in this container (jpeg pixels, mp4 frames, ...) fall back to
-clearly-marked deterministic stubs; the Spark-side contract —
-schemas, Arrow batch shapes, mapInPandas signatures, partitioning —
-is identical on both paths.
+inflate + scanline unfiltering), ``functions/gif_minimal.py`` a full
+LZW decoder (growth/KwKwK/reset/interlace), and
+``functions/jpeg_minimal.py`` (r6) a baseline-sequential Huffman +
+dequantize + IDCT luma decoder (any sampling, restart markers) — so
+``extract_image_features`` returns true width/height/channels/luma
+for all three, ``resize_images`` truly resamples, and
+``sample_frames`` emits real animated-GIF frames re-encoded as PNG.
+Formats still without a codec (progressive JPEG, webp, mp4 frames)
+fall back to clearly-marked deterministic stubs or header-only
+metadata; the Spark-side contract — schemas, Arrow batch shapes,
+mapInPandas signatures, partitioning — is identical on both paths.
 
 Scale posture: media blobs dominate row size, so
 - metadata-only queries must never deserialize blobs → keep metadata in
@@ -34,8 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import (gif_minimal, media_meta_minimal, png_minimal,
-                         wav_minimal)
+from ..functions import (gif_minimal, jpeg_minimal, media_meta_minimal,
+                         png_minimal, wav_minimal)
 
 # Ship the codecs BY VALUE inside every pickled kernel: the driver
 # may run from any cwd (the grading driver does), so python workers
@@ -45,6 +47,7 @@ _cloudpickle.register_pickle_by_value(png_minimal)
 _cloudpickle.register_pickle_by_value(wav_minimal)
 _cloudpickle.register_pickle_by_value(media_meta_minimal)
 _cloudpickle.register_pickle_by_value(gif_minimal)
+_cloudpickle.register_pickle_by_value(jpeg_minimal)
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),    # image|audio|video
@@ -96,6 +99,7 @@ def _make_image_decoder():
     gif_luma = gif_minimal.mean_luma
     is_jpeg = media_meta_minimal.is_jpeg
     jpeg_dims = media_meta_minimal.jpeg_dimensions
+    jpeg_luma = jpeg_minimal.jpeg_mean_luma
 
     def decode(blob: bytes) -> tuple[int, int, int, float | None]:
         # Corrupt blobs MUST NOT kill the stage: at 100 TB one
@@ -111,10 +115,16 @@ def _make_image_decoder():
                 w, h, ch, px = gif_decode(blob)
                 return w, h, ch, gif_luma(ch, px)
             if is_jpeg(blob):
-                # TRUE dimensions from the SOF marker; luma is None —
-                # honestly not computable without an entropy decoder.
-                w, h, ch = jpeg_dims(blob)
-                return w, h, ch, None
+                # REAL pixel decode for baseline JPEG (r6:
+                # functions/jpeg_minimal — Huffman + IDCT, luma
+                # plane). Non-baseline (progressive/arith/12-bit)
+                # falls back to TRUE header dimensions with a NULL
+                # luma — honest, as before.
+                try:
+                    return jpeg_luma(blob)
+                except ValueError:
+                    w, h, ch = jpeg_dims(blob)
+                    return w, h, ch, None
         except Exception:
             return -1, -1, -1, None
         # STUB fallback — unknown format: dimensions derived from the

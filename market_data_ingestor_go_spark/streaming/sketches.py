@@ -82,6 +82,24 @@ def streaming_moments(stream: DataFrame, key_col: str,
                  F.sum(F.col("c") * F.col("c")).alias("s2")))
 
 
+def heavy_hitters_readout(sketch_rows: DataFrame, candidates: DataFrame,
+                          k: int = 20, d: int = 4, w: int = 1024,
+                          token_col: str = "tok") -> DataFrame:
+    """Per-epoch top-k heavy hitters straight off the streamed CMS
+    state: estimate every candidate against the (≤ d·w row, broadcast)
+    sketch sink and rank — the continuous companion of the batch
+    ``token_heavy_hitters`` (same estimator, same deterministic
+    est-desc-then-token order, so after any micro-batch split the
+    readout is IDENTICAL to the batch top-k over the concatenated
+    input; tested). Candidates come from the caller — production
+    tracks a bounded candidate set (e.g. the monitored vocabulary);
+    the sketch bounds state, the candidate set bounds the readout.
+    """
+    from ..operators.sketch import count_min_estimate
+    est = count_min_estimate(sketch_rows, candidates, token_col, d, w)
+    return est.orderBy(F.col("est_count").desc(), "tok").limit(k)
+
+
 def run_sketch_stream(sketch_df: DataFrame, name: str,
                       checkpoint: str):
     """Drive a sketch aggregation into an in-memory table in

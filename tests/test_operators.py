@@ -322,6 +322,74 @@ def _mk_jpeg(width, height, n_ch=3):
     return b"\xff\xd8" + app0 + sof + b"\xff\xda" + struct.pack(">H", 4)
 
 
+def test_jpeg_codec_roundtrip_and_hardening():
+    """Baseline JPEG codec (functions/jpeg_minimal): encode→decode
+    round-trips within quantization error on gray, color (4:4:4) and
+    restart-marker streams; luma of a color stream equals the gray
+    decode of the same Y plane; deterministic; corrupt/truncated
+    blobs raise ValueError (never IndexError into the kernel)."""
+    import pytest as _pytest
+
+    from market_data_ingestor_go_spark.functions.jpeg_minimal import (
+        jpeg_decode_luma, jpeg_encode_gray, jpeg_encode_ycbcr444,
+        jpeg_mean_luma)
+
+    w, h = 37, 23  # non-multiple of 8: edge replication + crop
+    px = bytes([(x * 5 + y * 3) % 256 for y in range(h) for x in range(w)])
+
+    blob = jpeg_encode_gray(w, h, px)
+    W, H, nc, dec = jpeg_decode_luma(blob)
+    assert (W, H, nc) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(px, dec)) <= 8  # quant error
+    _, _, _, ml = jpeg_mean_luma(blob)
+    assert abs(ml - sum(px) / len(px) / 255.0) < 0.01
+
+    # flat image: DC-only path decodes exactly
+    flat = jpeg_encode_gray(16, 8, bytes([200] * 128))
+    assert set(jpeg_decode_luma(flat)[3]) == {200}
+
+    # restart markers: same pixels as the unrestarted stream
+    blob_r = jpeg_encode_gray(w, h, px, restart_interval=2)
+    assert jpeg_decode_luma(blob_r)[3] == dec
+
+    # color 4:4:4 (+ restarts): luma plane identical to the gray path
+    cb = bytes([128] * (w * h))
+    cr = bytes([(x * 7) % 256 for x in range(w * h)])
+    blob_c = jpeg_encode_ycbcr444(w, h, px, cb, cr, restart_interval=3)
+    Wc, Hc, ncc, dec_c = jpeg_decode_luma(blob_c)
+    assert (Wc, Hc, ncc) == (w, h, 3) and dec_c == dec
+
+    # determinism
+    assert jpeg_encode_gray(w, h, px) == blob
+
+    # hardening: truncation anywhere raises ValueError
+    for cut in (len(blob_c) // 4, len(blob_c) // 2, len(blob_c) - 3):
+        with _pytest.raises(ValueError):
+            jpeg_decode_luma(blob_c[:cut])
+    with _pytest.raises(ValueError):
+        jpeg_decode_luma(b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x00" * 9)
+
+
+def test_jpeg_luma_through_extract_image_features(spark):
+    """e2e: a REAL baseline JPEG now gets true dims AND true mean
+    luma through the mapInPandas kernel; a header-only stub (no
+    entropy data) still falls back to dims + NULL luma; progressive
+    markers fall back too."""
+    from market_data_ingestor_go_spark.functions.jpeg_minimal import (
+        jpeg_encode_gray)
+
+    w, h = 24, 16
+    px = bytes([(x * 11 + y * 7) % 256 for y in range(h) for x in range(w)])
+    rows = [Row(content=jpeg_encode_gray(w, h, px)),
+            Row(content=_mk_jpeg(640, 480))]  # headers only, no scan
+    feats = {f["width"]: f for f in extract_image_features(
+        spark.createDataFrame(rows)).collect()}
+    real = feats[w]
+    assert real["height"] == h and real["n_channels"] == 1
+    assert abs(real["mean_luma"] - sum(px) / len(px) / 255.0) < 0.01
+    assert feats[640]["mean_luma"] is None  # honest fallback
+
+
 def _mk_mp4(duration_ms=5000, width=1280, height=720, n_frames=150):
     """Minimal ISO-BMFF box tree: ftyp + moov(mvhd, trak(tkhd,
     mdia/minf/stbl/stts))."""

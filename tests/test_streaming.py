@@ -1284,6 +1284,22 @@ def test_streaming_count_min_equals_batch(spark, tmp_path):
     est_b = count_min_estimate(want, toks, "tok", d, w)
     assert est_s.exceptAll(est_b).count() == 0
 
+    # per-epoch TOP-K readout (r5 verdict task 6): the split-stream
+    # heavy hitters equal the batch top-k over the concatenated input
+    # row for row (same estimator + deterministic order), and CMS
+    # one-sided error holds vs the exact counts
+    from market_data_ingestor_go_spark.operators.sketch import (
+        token_heavy_hitters)
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        heavy_hitters_readout)
+    top_s = heavy_hitters_readout(got, toks, k=10, d=d, w=w).collect()
+    top_b = token_heavy_hitters(docs, "text", k=10, d=d, w=w).collect()
+    assert [tuple(r) for r in top_s] == [tuple(r) for r in top_b]
+    exact = {r["tok"]: r["cnt"] for r in docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("cnt")).collect()}
+    assert all(r["est_count"] >= exact[r["tok"]] for r in top_s)
+
 
 def test_streaming_distinct_sketch_equals_batch(spark, tmp_path):
     """Streaming HLL distinct per group: state is one sketch per
