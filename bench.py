@@ -132,6 +132,9 @@ HEADLINE = [
     "source_overlap_exact",
     "token_heavy_hitters_sketch",
     "knn_filtered_bruteforce",
+    # r6: the segmented-EWMA path on 2000-row keys (20x past the
+    # closed form's decimal bound — only computable chunked)
+    "events_ewma_chunked",
 ]
 
 

@@ -1397,6 +1397,23 @@ def events_ewma_smooth(spark, sf_dir):
     return out.select("event_id", "user_id", "ts_ms", "value", "ewma")
 
 
+def events_ewma_chunked(spark, sf_dir):
+    """EWMA over the 5-value event_type key — per-key series of
+    thousands of rows, 20x past the closed form's decimal bound, so
+    this query is only computable through the segmented path
+    (operators/timeseries.py:ewma_chunked): per-segment closed form +
+    pointer-jumping carry scan, keys x segments parallelism.
+    Rows-only (the cross-segment carry composition is a parallel
+    scan, not SQL-expressible bit-exact); correctness vs an
+    exact-Fraction sequential recursion is pinned in
+    tests/test_operators.py."""
+    from ..operators.timeseries import ewma_chunked
+    e = _events(spark, sf_dir)
+    out = ewma_chunked(e, "event_type", ["ts_ms", "event_id"], "value",
+                       alpha=0.5, value_decimals=2, seg_rows=64)
+    return out.select("event_id", "event_type", "ts_ms", "value", "ewma")
+
+
 def events_gapfill_locf(spark, sf_dir):
     """Dense 15-min grid per event type with last-observation-carried-
     forward — the hypertable gapfill+locf query over the sparse event
@@ -2052,6 +2069,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_matrix": pivot_event_matrix,        # inverse in unpivot (EXTRA)
     "a1_latest_with_ttl": a1_latest_with_ttl,        # ⊂ a1_latest_per_key
     "events_tumbling_window": events_tumbling_window,  # ⊂ events_ohlc_bars
+    "events_ewma_chunked": events_ewma_chunked,      # rows-only (r6 chunked path)
+    "knn_ann_pq_train": knn_ann_pq_train,            # rows-only (codebook build)
     # round-6 rotation: 25 long-green shapes demoted so every
     # ROTATION_CANDIDATES_R6 query (the whole late-r5 build) gets its
     # first external CORRECTNESS row — in-window twin noted per entry.
@@ -2065,7 +2084,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ann_hyperplane": knn_ann_hyperplane,        # ANN ⊂ knn_bruteforce + knn_filtered
     "knn_ann_ivf": knn_ann_ivf,                      # ANN ⊂ knn_bruteforce + knn_filtered
     "knn_ann_pq": knn_ann_pq,                        # ANN ⊂ knn_bruteforce + knn_filtered
-    "knn_ann_pq_train": knn_ann_pq_train,            # rows-only (codebook build)
     "p1_validation_filter": p1_validation_filter,    # filter ⊂ p5p6p7 pipeline
     "p3_flatten_payload": p3_flatten_payload,        # nested access ⊂ events_variant_extract
     "p4_value_rules": p4_value_rules,                # config rules ⊂ p5p6p7_config_pipeline

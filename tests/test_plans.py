@@ -294,3 +294,30 @@ def test_round5_additions_scale_shapes(spark):
     # frequency cap: one exchange on the group key
     p = _plan(ALL_QUERIES["source_cap_sample"](spark, SF))
     assert _count(p, "Exchange") == 1 and "Join" not in p, p
+
+
+def test_round6_chunked_and_perf_fix_shapes(spark):
+    """Plan pins for the round-6 work: the chunked window machinery is
+    actually in the declared motif plan; the two bench-outlier fixes
+    can't silently regress."""
+    # motif: the chunked path is active — the sliding window
+    # partitions by (key, chunk), never a whole-key partition; no
+    # cartesian/BNLJ anywhere
+    p = _plan(ALL_QUERIES["events_motif_search"](spark, SF))
+    assert "__cid" in p, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # fuzzy join: CPU-bound scoring stage must not inherit the file
+    # scan's partitioning — round-robin repartition feeds a broadcast
+    # hash join (never a sort-merge for the tiny dim)
+    p = _plan(ALL_QUERIES["fuzzy_name_block_join"](spark, SF))
+    assert "RoundRobinPartitioning" in p, p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+
+    # gapfill interpolate: the forward-looking pass must be a GROWING
+    # frame over the DESCENDING order (a shrinking
+    # currentRow..unboundedFollowing frame is O(grid^2) per key)
+    p = _plan(ALL_QUERIES["events_gapfill_interpolate"](spark, SF))
+    assert "DESC" in p, p
+    assert "unboundedfollowing" not in p.lower().replace(" ", ""), p
