@@ -36,7 +36,9 @@ the CHUNKED window path (keys × chunks parallelism — the 100 TB
 plan); at sf0.1 it reads ~0.8 s over the plain per-key window
 because the row-numbering machinery adds two bucket-grain exchanges
 — the price of not serializing 20% of the stream through one task
-at scale.
+at scale. events_twap pays the same toll for the same reason (its
+lead() became a co-partitioned rn+1 join over chunk-parallel row
+numbers; durations — and therefore oracle parity — are identical).
 
 Results materialize through the noop sink (full execution, no driver
 collect).

@@ -1100,13 +1100,27 @@ def events_twap(spark, sf_dir):
     (cents × ms), so the weighted sum is order-independent and the
     result bit-exact vs the oracle. One window (lead) + one aggregate
     on the same key exchange."""
+    from ..operators.timeseries import keyed_row_numbers
     e = _events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
-    nxt = F.lead("ts_ms").over(w)
+    # lead(ts) WITHOUT a whole-key window: event_type is a 5-value
+    # key, so the per-key window would serialize 20% of the stream
+    # through one task (the r5 weak shape). keyed_row_numbers is
+    # chunk-parallel; the successor lookup is then an equi-join on
+    # (key, rn+1) — co-partitioned, keys x chunks parallelism, and
+    # the durations (hence every downstream sum) are IDENTICAL to the
+    # window-lead form, so oracle parity stays bit-exact.
+    base = keyed_row_numbers(
+        e.select("event_type", "ts_ms", "event_id", "value"),
+        "event_type", ["ts_ms", "event_id"],
+        F.expr("ts_ms div 3600000"))
+    nxt = base.select(F.col("event_type").alias("k2"),
+                      (F.col("__rn_g") - 1).alias("rn2"),
+                      F.col("ts_ms").alias("nxt_ts"))
+    j = base.join(nxt, (F.col("event_type") == F.col("k2"))
+                  & (F.col("__rn_g") == F.col("rn2")), "left")
     c = F.round(F.col("value") * 100.0).cast("decimal(10,0)")
-    dur = (nxt - F.col("ts_ms")).cast("decimal(12,0)")
-    rows = (e.select("event_type", c.alias("c"),
-                     dur.alias("dur"))
+    dur = (F.col("nxt_ts") - F.col("ts_ms")).cast("decimal(12,0)")
+    rows = (j.select("event_type", c.alias("c"), dur.alias("dur"))
             .filter(F.col("dur").isNotNull()))
     g = (rows.groupBy("event_type")
          .agg(F.count("*").alias("n_intervals"),
