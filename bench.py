@@ -137,6 +137,9 @@ HEADLINE = [
     # r6: the segmented-EWMA path on 2000-row keys (20x past the
     # closed form's decimal bound — only computable chunked)
     "events_ewma_chunked",
+    # r6: inverted-index sparse-cosine similarity join (df-capped
+    # postings; the third text-similarity family)
+    "doc_sparse_cosine_neardup",
 ]
 
 

@@ -526,3 +526,61 @@ def passage_dedup_stats(df: DataFrame, text_col: str = "text",
                  F.length(F.concat_ws(" ", F.transform(
                      kept, lambda s: s["passage"])))
                  .alias("scrubbed_n_chars")))
+
+
+def sparse_cosine_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.5,
+                        df_cap: int = 200) -> DataFrame:
+    """All doc pairs with cosine ≥ ``threshold`` over sparse
+    TERM-FREQUENCY vectors — the inverted-index similarity join
+    (the classic sparse-text-similarity shape: postings shuffle by
+    term, pairs materialize ONLY where documents share a term),
+    complementing the dense-embedding cosine (similarity.py) and the
+    MinHash/SimHash hash families.
+
+    Candidate bounding: terms with document frequency > ``df_cap``
+    are pruned BEFORE pairing (a term appearing in d docs emits
+    O(d²) pair fragments — ultra-common terms are both the
+    quadratic blowup AND near-zero-signal stopwords; the standard
+    prefix-filtering family starts with exactly this cut). The
+    cosine is therefore defined over the pruned vocabulary — the
+    oracle applies the identical cut.
+
+    Exactness: tf, norms and dot products are exact BIGINT sums
+    (tf ≤ tokens/doc, so Σtf² and na·nb stay far below 2^53 —
+    integer→double casts are exact), then ONE correctly-rounded
+    sqrt+division — bit-identical cross-engine, no tolerance.
+
+    100 TB: shuffle = postings (rows × avg terms/doc), join fans out
+    per term bounded by df_cap²; norms ride the same tf table
+    (pinned). At larger scale add prefix filtering (sort terms by
+    rarity, index only the first |v|−⌈τ·|v|⌉+1) — the df cut is the
+    load-bearing part and is implemented.
+    """
+    base = spread(df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("t")))
+    toks = base.select(
+        "id", F.explode(F.split(F.trim(F.col("t")), r"\s+")).alias("term"))
+    tf = pin(toks.groupBy("id", "term")
+             .agg(F.count("*").cast("bigint").alias("tf")))
+    rare = tf.groupBy("term").agg(F.count("*").alias("df")) \
+        .filter(F.col("df") <= df_cap).select("term")
+    kept = pin(tf.join(rare, "term"))
+    norms = kept.groupBy("id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("nrm"))
+    a = kept.select(F.col("term").alias("term"),
+                    F.col("id").alias("a_id"), F.col("tf").alias("tfa"))
+    b = kept.select(F.col("term").alias("term"),
+                    F.col("id").alias("b_id"), F.col("tf").alias("tfb"))
+    dots = (a.join(b, "term").filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.sum(F.col("tfa") * F.col("tfb")).cast("bigint")
+                 .alias("dot")))
+    na = norms.select(F.col("id").alias("a_id"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("b_id"), F.col("nrm").alias("nb"))
+    cos = (F.col("dot").cast("double")
+           / F.sqrt((F.col("na") * F.col("nb")).cast("double")))
+    return (dots.join(na, "a_id").join(nb, "b_id")
+            .select("a_id", "b_id", cos.alias("cos"))
+            .filter(F.col("cos") >= F.lit(threshold)))

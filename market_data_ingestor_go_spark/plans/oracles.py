@@ -1684,3 +1684,35 @@ for _k in _R6_IN:
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in _R6_OUT:
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+# Sparse-cosine similarity join (r6): identical df<=200 vocabulary
+# prune, exact BIGINT tf/norm/dot sums, one correctly-rounded
+# sqrt+division — bit-exact cross-engine.
+EXTRA_ORACLES["doc_sparse_cosine_neardup"] = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY id, term),
+rare AS (
+  SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= 200),
+kept AS (SELECT tf.* FROM tf JOIN rare USING (term)),
+norms AS (
+  SELECT id, CAST(SUM(tf * tf) AS BIGINT) AS nrm
+  FROM kept GROUP BY id),
+dots AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM kept a JOIN kept b USING (term)
+  WHERE a.id < b.id GROUP BY a.id, b.id)
+SELECT a_id, b_id,
+       CAST(dot AS DOUBLE)
+         / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cos
+FROM dots
+JOIN norms na ON na.id = a_id
+JOIN norms nb ON nb.id = b_id
+WHERE CAST(dot AS DOUBLE)
+        / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) >= 0.7
+"""

@@ -1467,6 +1467,17 @@ def curation_pipeline_summary(spark, sf_dir):
                  F.sum(TX.token_count("text")).alias("n_tokens")))
 
 
+def doc_sparse_cosine_neardup(spark, sf_dir):
+    """Sparse-vector similarity join: doc pairs with cosine ≥ 0.7
+    over term-frequency vectors via the inverted-index (postings)
+    join with a doc-frequency prune — the third text-similarity
+    family next to hash-based (MinHash/SimHash) and dense-embedding
+    cosine. Exact integer dot/norms ⇒ bit-exact vs the oracle.
+    See operators/dedup.py::sparse_cosine_pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.sparse_cosine_pairs(d, threshold=0.7, df_cap=200)
+
+
 def semantic_dedup_clusters(spark, sf_dir):
     """Semantic (embedding-space) dedup keep-groups: exact-cosine pair
     graph ≥ 0.4 → connected components → one keeper per cluster.
@@ -2085,6 +2096,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling_window": events_tumbling_window,  # ⊂ events_ohlc_bars
     "events_ewma_chunked": events_ewma_chunked,      # rows-only (r6 chunked path)
     "knn_ann_pq_train": knn_ann_pq_train,            # rows-only (codebook build)
+    "doc_sparse_cosine_neardup": doc_sparse_cosine_neardup,  # inverted-index join (r6)
     # round-6 rotation: 25 long-green shapes demoted so every
     # ROTATION_CANDIDATES_R6 query (the whole late-r5 build) gets its
     # first external CORRECTNESS row — in-window twin noted per entry.
@@ -2179,4 +2191,5 @@ ROTATION_CANDIDATES_R7: list[str] = [
     "window_rank_stats",
     "corpus_mix",
     "events_moving_stats",
+    "doc_sparse_cosine_neardup",  # added r6, oracle-backed, never verified
 ]

@@ -1531,6 +1531,33 @@ def test_keyed_row_numbers_match_global_window(spark):
         assert {(r.k, r.t): r["__rn_g"] for r in got.collect()} == want
 
 
+def test_sparse_cosine_pairs_semantics(spark):
+    """Inverted-index sparse cosine: identical docs score exactly 1.0;
+    a doc sharing only ultra-common (df > cap) terms produces NO pair
+    (the quadratic-blowup prune is also the stopword cut); disjoint
+    docs produce no pair; scores are symmetric-free (a_id < b_id)."""
+    from market_data_ingestor_go_spark.operators.cache import (
+        release_pinned)
+    from market_data_ingestor_go_spark.operators.dedup import (
+        sparse_cosine_pairs)
+
+    rows = [Row(doc_id=1, text="alpha beta gamma delta"),
+            Row(doc_id=2, text="alpha beta gamma delta"),   # == doc 1
+            Row(doc_id=3, text="epsilon zeta eta theta"),   # disjoint
+            Row(doc_id=4, text="the the the the")]          # common-only
+    rows += [Row(doc_id=10 + i, text=f"the unique{i}") for i in range(5)]
+    out = sparse_cosine_pairs(
+        spark.createDataFrame(rows), threshold=0.1, df_cap=3).collect()
+    release_pinned()
+    pairs = {(r.a_id, r.b_id): r.cos for r in out}
+    assert pairs[(1, 2)] == 1.0
+    assert all(a < b for a, b in pairs)
+    # "the" has df 6 > 3 → pruned: doc 4 has no kept terms, and the
+    # unique-term docs share nothing else
+    assert not any(4 in p for p in pairs)
+    assert not any(3 in p for p in pairs)
+
+
 def test_cap_per_group_determinism_and_bound(spark):
     """Frequency cap invariants: never more than cap rows per group,
     kept set identical across runs/partitionings, different seed picks
