@@ -579,8 +579,14 @@ def sparse_cosine_pairs(df: DataFrame, text_col: str = "text",
                  .alias("dot")))
     na = norms.select(F.col("id").alias("a_id"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("id").alias("b_id"), F.col("nrm").alias("nb"))
+    # norms cast to double BEFORE multiplying: a bigint*bigint product
+    # wraps silently under non-ANSI sessions for pathological inputs
+    # (one doc repeating a rare term millions of times), turning the
+    # cosine into NaN and silently dropping the pair (review catch
+    # r6). double*double cannot wrap, stays exact under 2^53, and the
+    # oracle runs the identical op order.
     cos = (F.col("dot").cast("double")
-           / F.sqrt((F.col("na") * F.col("nb")).cast("double")))
+           / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")))
     return (dots.join(na, "a_id").join(nb, "b_id")
             .select("a_id", "b_id", cos.alias("cos"))
             .filter(F.col("cos") >= F.lit(threshold)))

@@ -64,6 +64,11 @@ def keyed_row_numbers(df: DataFrame, key_col: str, order_cols: list[str],
     ``order_cols``: every row of chunk c sorts before every row of
     chunk c+1 (e.g. ``ts_ms div span`` when order_cols[0] is ts_ms).
     Granularity only shapes parallelism, never results.
+
+    The offsets join back NULL-SAFELY: a plain equi-join would
+    silently drop rows whose key (or coarse-chunk value, from a NULL
+    order column) is NULL, while the per-key window this replicates
+    keeps NULL as its own partition (review catch r6).
     """
     df = df.withColumn("__cc", coarse_chunk)
     w_in = Window.partitionBy(key_col, "__cc").orderBy(*order_cols)
@@ -72,12 +77,14 @@ def keyed_row_numbers(df: DataFrame, key_col: str, order_cols: list[str],
     w_off = (Window.partitionBy(key_col).orderBy("__cc")
              .rowsBetween(Window.unboundedPreceding, -1))
     offs = counts.select(
-        key_col, "__cc",
+        F.col(key_col).alias("__k_o"), F.col("__cc").alias("__cc_o"),
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"))
-    return (df.join(offs, [key_col, "__cc"])
+    return (df.join(offs,
+                    df[key_col].eqNullSafe(F.col("__k_o"))
+                    & F.col("__cc").eqNullSafe(F.col("__cc_o")))
             .withColumn(rn_col, (F.col("__off") + F.col("__rn_in"))
                         .cast("bigint"))
-            .drop("__cc", "__rn_in", "__off"))
+            .drop("__cc", "__cc_o", "__k_o", "__rn_in", "__off"))
 
 
 def gap_fill_locf(df: DataFrame, key_col: str, ts_ms_col: str,

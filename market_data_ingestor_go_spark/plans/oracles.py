@@ -1709,10 +1709,10 @@ dots AS (
   WHERE a.id < b.id GROUP BY a.id, b.id)
 SELECT a_id, b_id,
        CAST(dot AS DOUBLE)
-         / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cos
+         / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cos
 FROM dots
 JOIN norms na ON na.id = a_id
 JOIN norms nb ON nb.id = b_id
 WHERE CAST(dot AS DOUBLE)
-        / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) >= 0.7
+        / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.7
 """

@@ -1100,6 +1100,7 @@ def events_twap(spark, sf_dir):
     (cents × ms), so the weighted sum is order-independent and the
     result bit-exact vs the oracle. One window (lead) + one aggregate
     on the same key exchange."""
+    from ..operators.cache import pin
     from ..operators.timeseries import keyed_row_numbers
     e = _events(spark, sf_dir)
     # lead(ts) WITHOUT a whole-key window: event_type is a 5-value
@@ -1108,11 +1109,14 @@ def events_twap(spark, sf_dir):
     # chunk-parallel; the successor lookup is then an equi-join on
     # (key, rn+1) — co-partitioned, keys x chunks parallelism, and
     # the durations (hence every downstream sum) are IDENTICAL to the
-    # window-lead form, so oracle parity stays bit-exact.
-    base = keyed_row_numbers(
+    # window-lead form, so oracle parity stays bit-exact. Pinned:
+    # both self-join branches reuse the row-numbered scan (column
+    # pruning makes the branches' exchanges differ, so ReuseExchange
+    # alone would rescan the raw events twice — review catch r6).
+    base = pin(keyed_row_numbers(
         e.select("event_type", "ts_ms", "event_id", "value"),
         "event_type", ["ts_ms", "event_id"],
-        F.expr("ts_ms div 3600000"))
+        F.expr("ts_ms div 3600000")))
     nxt = base.select(F.col("event_type").alias("k2"),
                       (F.col("__rn_g") - 1).alias("rn2"),
                       F.col("ts_ms").alias("nxt_ts"))
@@ -1197,8 +1201,12 @@ def fuzzy_name_block_join(spark, sf_dir):
     a, b = c.repartition(par).alias("a"), c.alias("b")
     # threshold=2 runs the BANDED Levenshtein (O(len·threshold) per
     # pair instead of O(len²), returns -1 past the band) — ~2x less
-    # per-pair work, same kept pairs/distances.
-    pairs = (a.join(F.broadcast(b),
+    # per-pair work, same kept pairs/distances. NO broadcast hint:
+    # customer grows with sf, so the planner must stay free to fall
+    # back to a shuffled join past the auto-broadcast threshold
+    # (review catch r6); at bench scale it auto-broadcasts, keeping
+    # the repartitioned probe's parallelism for the scoring stage.
+    pairs = (a.join(b,
                     (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
                     & (F.col("a.c_custkey") < F.col("b.c_custkey")))
              .select(F.col("a.c_nationkey").alias("nationkey"),

@@ -71,17 +71,23 @@ class PassageBoilerplateGate:
         return self.audit_dir or f"{self.state_dir}_audit"
 
     def _read_state(self) -> DataFrame | None:
-        """Read the state dir, treating ONLY a missing path as 'no
-        state yet'. Real read/corruption errors propagate: silently
-        degrading a corrupt state dir to an empty Bloom filter would
-        score every passage unseen — SCALING.md's bad-input policy is
-        corrupt parquet fails loud (ADVICE r5)."""
+        """Read the state dir, treating ONLY an absent-state condition
+        as 'no state yet': a missing path, or a dir with no readable
+        parquet (e.g. only the _temporary/ staging dir a killed
+        first-epoch write attempt left behind — a crash-replay MUST
+        recover from that, review catch r6). Real read/corruption
+        errors propagate: silently degrading a corrupt state dir to an
+        empty Bloom filter would score every passage unseen —
+        SCALING.md's bad-input policy is corrupt parquet fails loud
+        (ADVICE r5)."""
         from pyspark.errors import AnalysisException
         try:
             return self.spark.read.parquet(self.state_dir)
         except AnalysisException as exc:
             msg = str(exc)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                    or "UNABLE_TO_INFER_SCHEMA" in msg
+                    or "Unable to infer schema" in msg):
                 return None
             raise
 

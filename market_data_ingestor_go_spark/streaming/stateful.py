@@ -49,16 +49,23 @@ def _make_update_latest(ttl_millis: int):
     (a module-level function would pickle by reference and fail with
     ModuleNotFoundError on the worker).
 
-    Semantics: timestamp-max last-write-wins; emits a row only when the
-    stored latest record changes. TTL is enforced lazily: a stored
-    record older than the TTL is discarded before merging (Redis EX
-    approximated; keys that never see new data are filtered by readers
-    — serve-path snapshots apply the TTL predicate anyway). The TTL
-    cutoff derives from the batch's max EVENT timestamp, never wall
-    clock: a crash-replayed micro-batch must evict and emit exactly as
-    the original attempt did (the idempotent-replay contract the rest
-    of the streaming layer keeps — ADVICE r5).
+    Semantics: timestamp-max last-write-wins; emits a row only when
+    the stored latest record changes. The merge itself is purely
+    event-time deterministic — a crash-replayed micro-batch emits
+    exactly what the original attempt did (the idempotent-replay
+    contract the rest of the streaming layer keeps — ADVICE r5; the
+    earlier wall-clock lazy eviction here broke that, and its
+    event-time rewrite was provably a no-op: any batch row newer than
+    the TTL cutoff also beats the stored record in the ts-max merge,
+    review catch r6). TTL is therefore enforced where it can be
+    deterministic: READERS apply the TTL predicate (serve-path
+    snapshots already do), and state-store eviction of idle keys
+    belongs to the timeout path (see streaming_latest_state's note on
+    this build's ProcessingTimeTimeout bug). State is bounded by
+    distinct keys (~500/24 h in the reference envelope).
     """
+
+    del ttl_millis  # merge is TTL-free by design; readers enforce TTL
 
     def update_latest(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
                       ) -> Iterator[pd.DataFrame]:
@@ -66,22 +73,15 @@ def _make_update_latest(ttl_millis: int):
 
         name = key[0]
         best_ts, best_ex, best_data = state.get if state.exists else (0, None, None)
-        rows = []
+        changed = False
         for pdf in pdfs:
             for _, row in pdf.iterrows():
                 ts = int(row["timestamp"])
                 if ts == 0:  # P2 sink guard (cache_service.go:41-43)
                     continue
-                rows.append((ts, row["exchange"], row["data"]))
-        if rows:  # deterministic lazy TTL eviction (event-time cutoff)
-            batch_max_ts = max(ts for ts, _, _ in rows)
-            if best_ts and best_ts < batch_max_ts - ttl_millis:
-                best_ts, best_ex, best_data = 0, None, None
-        changed = False
-        for ts, ex, data in rows:
-            if ts > best_ts:
-                best_ts, best_ex, best_data = ts, ex, data
-                changed = True
+                if ts > best_ts:
+                    best_ts, best_ex, best_data = ts, row["exchange"], row["data"]
+                    changed = True
         if changed:
             state.update((best_ts, best_ex, best_data))
             yield _pd.DataFrame([{"name": name, "timestamp": best_ts,
@@ -98,10 +98,12 @@ def streaming_latest_state(stream: DataFrame) -> DataFrame:
     ``applyInPandasWithState`` query using ``ProcessingTimeTimeout``
     (the timeout-processing pass hangs the state commit; reproduced
     with a trivial no-op function — upstream bug, not this operator),
-    so the operator runs with ``NoTimeout`` and enforces the 24 h TTL
-    lazily inside the update function. On a cluster build where the
-    timeout path works, switch ``timeoutConf`` back and drop state via
-    ``state.remove()`` on ``hasTimedOut``.
+    so the operator runs with ``NoTimeout``; the 24 h TTL is applied
+    by READERS of the change stream (deterministic — see
+    _make_update_latest), and state stays bounded by distinct keys.
+    On a cluster build where the timeout path works, switch
+    ``timeoutConf`` back and drop state via ``state.remove()`` on
+    ``hasTimedOut``.
     """
     return (
         stream.groupBy("name")

@@ -309,8 +309,10 @@ def test_round6_chunked_and_perf_fix_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
     # fuzzy join: CPU-bound scoring stage must not inherit the file
-    # scan's partitioning — round-robin repartition feeds a broadcast
-    # hash join (never a sort-merge for the tiny dim)
+    # scan's partitioning — round-robin repartition feeds the join.
+    # At this sf the planner auto-broadcasts the build side (no hint:
+    # customer grows with sf, so past the auto threshold it must be
+    # free to fall back to a shuffled join)
     p = _plan(ALL_QUERIES["fuzzy_name_block_join"](spark, SF))
     assert "RoundRobinPartitioning" in p, p
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
