@@ -427,10 +427,16 @@ def ewma_chunked(df: DataFrame, key_col: str, order_cols: list[str],
                      F.col("z_end").alias("B")))
 
     # pointer-jumping scan: compose affine transforms until every node
-    # expresses C_g = A*C_1 + B (t == 1). log2(max segments) rounds;
-    # localCheckpoint truncates the per-round lineage (same pattern as
-    # dedup clustering).
-    while nodes.filter(F.col("t") > 1).head(1):
+    # expresses C_g = A*C_1 + B (t == 1). The round count is KNOWN up
+    # front — after r rounds each node spans min(2^r, g-1) steps, so
+    # ceil(log2(max_g - 1)) rounds suffice — which saves one
+    # convergence action per round vs a check-every-round loop (r6);
+    # localCheckpoint truncates the per-round lineage (same pattern
+    # as dedup clustering).
+    max_g = nodes.agg(F.max("g")).first()[0]
+    rounds = 0 if max_g is None or max_g <= 2 \
+        else math.ceil(math.log2(int(max_g) - 1))
+    for _ in range(rounds):
         j = nodes.select(key_col, F.col("g").alias("t"),
                          F.col("t").alias("t2"), F.col("A").alias("A2"),
                          F.col("B").alias("B2"))
@@ -445,6 +451,8 @@ def ewma_chunked(df: DataFrame, key_col: str, order_cols: list[str],
                                 + F.col("B"))
                          .otherwise(F.col("B")).alias("B"))
                  .localCheckpoint())
+    assert rounds == 0 or not nodes.filter(F.col("t") > 1).head(1), \
+        "pointer-jumping scan did not converge (bound violated)"
     carries = (nodes.join(c1, [key_col])
                .select(F.col(key_col).alias("__k_c"),
                        F.col("g").cast("bigint").alias("__seg_c"),
