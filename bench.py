@@ -138,8 +138,10 @@ HEADLINE = [
     # closed form's decimal bound — only computable chunked)
     "events_ewma_chunked",
     # r6: inverted-index sparse-cosine similarity join (df-capped
-    # postings; the third text-similarity family)
+    # postings; the third text-similarity family) + asymmetric
+    # containment (quote/subset detection)
     "doc_sparse_cosine_neardup",
+    "doc_containment_pairs",
 ]
 
 

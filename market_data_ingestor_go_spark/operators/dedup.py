@@ -590,3 +590,31 @@ def sparse_cosine_pairs(df: DataFrame, text_col: str = "text",
     return (dots.join(na, "a_id").join(nb, "b_id")
             .select("a_id", "b_id", cos.alias("cos"))
             .filter(F.col("cos") >= F.lit(threshold)))
+
+
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            threshold: float = 0.8) -> DataFrame:
+    """Ordered pairs (a_id, b_id, containment) with
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold — the
+    ASYMMETRIC near-dup measure (quote / subset detection): a short
+    document wholly contained in a longer one scores 1.0 here while
+    the length gap crushes its Jaccard below any dedup threshold.
+    Exactly the check quote-removal and boilerplate forensics need.
+
+    O(n²) small-block engine like ``ngram_jaccard_pairs`` (integer
+    set sizes ⇒ the DOUBLE ratio is bit-deterministic); at scale,
+    candidates come from the shared-window equi-join
+    (``rolling_fingerprint_neardup``'s shape) or MinHash-LSH, with
+    this exact containment as the verify step.
+    """
+    s = shingle_df(df, text_col, id_col, n)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = s.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")) \
+         .repartition(n_parts)
+    b = s.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("a_id") != F.col("b_id"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont = inter.cast("double") / F.size("sh_a").cast("double")
+    return (pairs.select("a_id", "b_id", cont.alias("containment"))
+            .filter(F.col("containment") >= F.lit(threshold)))

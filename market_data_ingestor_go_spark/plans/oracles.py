@@ -1716,3 +1716,15 @@ JOIN norms nb ON nb.id = b_id
 WHERE CAST(dot AS DOUBLE)
         / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.7
 """
+
+# Asymmetric containment (r6): same 3-gram shingle sets as the
+# Jaccard family, ratio over |A| only — integer sizes, bit-exact.
+EXTRA_ORACLES["doc_containment_pairs"] = f"""
+WITH s AS ({_SHINGLES})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(len(a.sh) AS DOUBLE) AS containment
+FROM s a JOIN s b ON a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(a.sh) AS DOUBLE) >= 0.8
+"""

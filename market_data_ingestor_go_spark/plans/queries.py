@@ -1475,6 +1475,16 @@ def curation_pipeline_summary(spark, sf_dir):
                  F.sum(TX.token_count("text")).alias("n_tokens")))
 
 
+def doc_containment_pairs(spark, sf_dir):
+    """Asymmetric n-gram CONTAINMENT pairs (|A∩B|/|A| ≥ 0.8, ordered
+    a-contained-in-b): quote/subset detection — the measure Jaccard
+    misses when a short doc sits inside a long one. Exact integer set
+    sizes ⇒ bit-exact vs the oracle.
+    See operators/dedup.py::ngram_containment_pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_containment_pairs(d, threshold=0.8)
+
+
 def doc_sparse_cosine_neardup(spark, sf_dir):
     """Sparse-vector similarity join: doc pairs with cosine ≥ 0.7
     over term-frequency vectors via the inverted-index (postings)
@@ -2105,6 +2115,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ewma_chunked": events_ewma_chunked,      # rows-only (r6 chunked path)
     "knn_ann_pq_train": knn_ann_pq_train,            # rows-only (codebook build)
     "doc_sparse_cosine_neardup": doc_sparse_cosine_neardup,  # inverted-index join (r6)
+    "doc_containment_pairs": doc_containment_pairs,  # asymmetric near-dup (r6)
     # round-6 rotation: 25 long-green shapes demoted so every
     # ROTATION_CANDIDATES_R6 query (the whole late-r5 build) gets its
     # first external CORRECTNESS row — in-window twin noted per entry.
@@ -2200,4 +2211,5 @@ ROTATION_CANDIDATES_R7: list[str] = [
     "corpus_mix",
     "events_moving_stats",
     "doc_sparse_cosine_neardup",  # added r6, oracle-backed, never verified
+    "doc_containment_pairs",      # added r6, oracle-backed, never verified
 ]

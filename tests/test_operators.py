@@ -1531,6 +1531,28 @@ def test_keyed_row_numbers_match_global_window(spark):
         assert {(r.k, r.t): r["__rn_g"] for r in got.collect()} == want
 
 
+def test_ngram_containment_asymmetry(spark):
+    """Containment is the asymmetric near-dup measure: a short doc
+    inside a longer one scores 1.0 in the contained direction while
+    its Jaccard stays far below any dedup threshold, and the reverse
+    direction scores low."""
+    from market_data_ingestor_go_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+
+    quote = "alpha beta gamma delta epsilon"
+    host = quote + " " + " ".join(f"filler{i}" for i in range(40))
+    rows = [Row(doc_id=1, text=quote), Row(doc_id=2, text=host),
+            Row(doc_id=3, text="zeta eta theta iota kappa unrelated")]
+    df = spark.createDataFrame(rows)
+    cont = {(r.a_id, r.b_id): r.containment for r in
+            ngram_containment_pairs(df, threshold=0.5).collect()}
+    assert cont[(1, 2)] == 1.0          # quote fully contained
+    assert (2, 1) not in cont           # host not contained in quote
+    assert not any(3 in p for p in cont)
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert not jac                      # Jaccard misses the quote pair
+
+
 def test_sparse_cosine_pairs_semantics(spark):
     """Inverted-index sparse cosine: identical docs score exactly 1.0;
     a doc sharing only ultra-common (df > cap) terms produces NO pair
