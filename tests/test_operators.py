@@ -1462,6 +1462,52 @@ def test_ewma_chunked_lifts_series_bound(spark):
                for g, w in zip(got_d, wf))
 
 
+def test_chunked_operators_boundary_conditions(spark):
+    """Seam/boundary cases for the chunked per-key machinery: empty
+    input; key lengths exactly at / one past the segment size (the
+    second segment holds a single row — the carry scan's smallest
+    step); window series exactly at / one past chunk_rows (the last
+    window starts on the seam)."""
+    from fractions import Fraction
+
+    from market_data_ingestor_go_spark.operators.cache import (
+        release_pinned)
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        ewma_chunked, subsequence_search)
+
+    empty = spark.createDataFrame([], "k INT, t LONG, x DOUBLE")
+    assert ewma_chunked(empty, "k", ["t"], "x", seg_rows=8).count() == 0
+    release_pinned()
+
+    coarse = (F.col("t") / 7).cast("bigint")
+    for n in (8, 9, 16, 17):  # seg_rows, +1, 2*seg_rows, +1
+        vals = [round(1.0 + ((i * 13) % 50) * 0.01, 2) for i in range(n)]
+        df = spark.createDataFrame(
+            [Row(k=1, t=i, x=float(v)) for i, v in enumerate(vals)])
+        got = [r.ewma for r in
+               ewma_chunked(df, "k", ["t"], "x", value_decimals=2,
+                            seg_rows=8, coarse_chunk=coarse)
+               .orderBy("t").collect()]
+        release_pinned()
+        y = None
+        for v, g in zip(vals, got):
+            x = Fraction(round(v * 100))
+            y = x if y is None else Fraction(1, 2) * x + Fraction(1, 2) * y
+            ref = float(y) / 100.0
+            assert abs(g - ref) < 1e-12 * max(1.0, abs(ref)), (n, g, ref)
+
+    pat = [1.0, 2.0, 4.0, 2.0]
+    for n in (12, 13):  # chunk_rows, +1 — last window starts on the seam
+        df = spark.createDataFrame(
+            [Row(k="A", t=i, v=float((i * 7) % 11)) for i in range(n)])
+        plain = sorted(map(tuple, subsequence_search(
+            df, "k", ["t"], "v", pat, k=10).collect()))
+        chunked = sorted(map(tuple, subsequence_search(
+            df, "k", ["t"], "v", pat, k=10, chunk_rows=12,
+            coarse_chunk=(F.col("t") / 5).cast("bigint")).collect()))
+        assert chunked == plain, n
+
+
 def test_ewma_guards_fail_loud(spark):
     """ADVICE r5: the decimal path's preconditions are enforced, not
     just asserted for the shipped fixtures — a non-power-of-two decay
