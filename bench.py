@@ -115,6 +115,7 @@ HEADLINE = [
     # tracked above gets a perf row the round its correctness row
     # lands, plus the PQ train/serve split
     "knn_ann_pq_train",
+    "knn_ann_pq_serve",
     "events_twap",
     "events_ewma_smooth",
     "events_zscore_outliers",

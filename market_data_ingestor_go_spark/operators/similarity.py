@@ -519,31 +519,10 @@ def train_pq_codebooks(df: DataFrame, m: int = 8, k: int = 16,
         "subspace INT, cell INT, cv ARRAY<DOUBLE>")
 
 
-def pq_ann(df: DataFrame, queries: DataFrame, codebooks: DataFrame,
-           k: int = 5, shortlist: int = 4, id_col: str = "vec_id",
-           vec_col: str = "embedding") -> DataFrame:
-    """PQ ANN: ADC-scored shortlist + exact cosine re-rank.
-
-    The corpus is ENCODED once — m small codes per vector (nearest-L2
-    centroid per subspace, the m·k-lookup compressed index real vector
-    systems scan). A query's approximate inner product against an
-    encoded vector decomposes exactly: q·x̂ = Σ_s q_s·c_{s,code_s}, so
-    scoring is m table lookups per pair instead of a d-dim dot — the
-    scan IS the point of PQ (pair enumeration is a deliberate
-    broadcast-nested-loop of tiny-broadcast queries × encoded corpus,
-    with O(m) work per pair). The top ``k·shortlist`` ADC candidates
-    per query are then re-ranked with EXACT cosine against the raw
-    vectors (the standard shortlist+rerank deployment), so returned
-    scores are true cosines and recall failures can only come from a
-    true neighbor missing the shortlist.
-    """
-    from pyspark.sql.window import Window
-
-    m = codebooks.select(F.max("subspace")).first()[0] + 1
-    sub_dim = len(codebooks.select("cv").first()["cv"])
-
-    # one broadcast row: cb[s] = array of (cell, cv, csd) per subspace
-    cb_row = F.broadcast(
+def _pq_cb_row(codebooks: DataFrame):
+    """One broadcast row: cb[s] = array of (cell, cv, csd) per
+    subspace — the shared lookup structure for encode and scan."""
+    return F.broadcast(
         codebooks
         .withColumn("csd", dot(F.col("cv"), F.col("cv")))
         .groupBy("subspace")
@@ -553,14 +532,25 @@ def pq_ann(df: DataFrame, queries: DataFrame, codebooks: DataFrame,
         .agg(F.array_sort(F.collect_list(
             F.struct("subspace", "cents"))).alias("cb")))
 
+
+def pq_encode(df: DataFrame, codebooks: DataFrame,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode the corpus against trained codebooks: (n_id, nv, codes
+    ARRAY<INT>[m], nsd_hat) — the PQ INDEX content. Per subspace,
+    argmin over |c|² - 2 x·c (ties → smaller cell via array_min
+    struct ordering); nsd_hat keeps the reconstructed self-dot
+    Σ|c_code|² for the cosine denominator. This is the artifact a
+    production deployment MATERIALIZES (parquet/bucketed table) so
+    serving never re-encodes — see ``pq_ann_from_index``."""
+    m = codebooks.select(F.max("subspace")).first()[0] + 1
+    sub_dim = len(codebooks.select("cv").first()["cv"])
+    cb_row = _pq_cb_row(codebooks)
     c = spread(df.select(F.col(id_col).alias("n_id"),
                          as_double(vec_col).alias("nv")))
     subs = F.array(*[F.slice(F.col("nv"), s * sub_dim + 1, sub_dim)
                      for s in range(m)])
-    # encode: per subspace, argmin over |c|^2 - 2 x·c (ties → smaller
-    # cell via array_min struct ordering); keep the reconstructed
-    # self-dot Σ|c_code|² for the cosine denominator
-    enc = (
+    return (
         c.join(cb_row, F.lit(True))
         .withColumn("sv", subs)
         .withColumn("codes", F.transform(
@@ -577,7 +567,23 @@ def pq_ann(df: DataFrame, queries: DataFrame, codebooks: DataFrame,
                        lambda b, code: b["cents"][code]["csd"]),
             F.lit(0.0), lambda acc, x: acc + x))
         .select("n_id", "nv", "codes", "nsd_hat"))
-    enc = pin(enc)
+
+
+def pq_ann_from_index(enc: DataFrame, queries: DataFrame,
+                      codebooks: DataFrame, k: int = 5,
+                      shortlist: int = 4, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """PQ ANN SERVE against a pre-built encoded index (``pq_encode``
+    output, typically a materialized table): ADC-scored shortlist +
+    exact cosine re-rank, identical results to ``pq_ann`` over the
+    same corpus (tested) with zero encode work per query batch —
+    the FAISS deployment split (train offline, encode on ingest,
+    scan at serve)."""
+    from pyspark.sql.window import Window
+
+    m = codebooks.select(F.max("subspace")).first()[0] + 1
+    sub_dim = len(codebooks.select("cv").first()["cv"])
+    cb_row = _pq_cb_row(codebooks)
 
     # query side: per-subspace IP tables q_s · c (array of k doubles)
     q = _query_side(queries, id_col, vec_col)
@@ -614,6 +620,32 @@ def pq_ann(df: DataFrame, queries: DataFrame, codebooks: DataFrame,
             .withColumn("rn", F.row_number().over(w2))
             .filter(F.col("rn") <= F.lit(k))
             .select("q_id", "n_id", "cos", "rn"))
+
+
+def pq_ann(df: DataFrame, queries: DataFrame, codebooks: DataFrame,
+           k: int = 5, shortlist: int = 4, id_col: str = "vec_id",
+           vec_col: str = "embedding") -> DataFrame:
+    """PQ ANN, encode-and-scan in one call: ADC-scored shortlist +
+    exact cosine re-rank.
+
+    The corpus is ENCODED once — m small codes per vector (nearest-L2
+    centroid per subspace, the m·k-lookup compressed index real vector
+    systems scan). A query's approximate inner product against an
+    encoded vector decomposes exactly: q·x̂ = Σ_s q_s·c_{s,code_s}, so
+    scoring is m table lookups per pair instead of a d-dim dot — the
+    scan IS the point of PQ (pair enumeration is a deliberate
+    broadcast-nested-loop of tiny-broadcast queries × encoded corpus,
+    with O(m) work per pair). The top ``k·shortlist`` ADC candidates
+    per query are then re-ranked with EXACT cosine against the raw
+    vectors (the standard shortlist+rerank deployment), so returned
+    scores are true cosines and recall failures can only come from a
+    true neighbor missing the shortlist. Serving against a
+    MATERIALIZED index instead (no per-call encode): ``pq_encode`` +
+    ``pq_ann_from_index``.
+    """
+    enc = pin(pq_encode(df, codebooks, id_col, vec_col))
+    return pq_ann_from_index(enc, queries, codebooks, k, shortlist,
+                             id_col, vec_col)
 
 
 def ivf_pq_ann(df: DataFrame, queries: DataFrame, codebooks: DataFrame,

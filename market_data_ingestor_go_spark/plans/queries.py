@@ -1970,6 +1970,35 @@ def knn_ann_pq_train(spark, sf_dir):
     return SIM.train_pq_codebooks(e, m=16, k=16, n_iters=3)
 
 
+# Materialized ENCODED index per (session, sf_dir): the production PQ
+# deployment stores the codes table (encode on ingest), so serving
+# does ADC + rerank only. localCheckpoint = the local stand-in for
+# that stored table (block-backed, lineage-free, session-scoped —
+# keyed by applicationId so a fresh session rebuilds).
+_PQ_ENC: dict[tuple, object] = {}
+
+
+def _pq_index(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_ENC:
+        e = _t(spark, sf_dir, "embeddings")
+        _PQ_ENC[key] = SIM.pq_encode(
+            e, _pq_codebooks(spark, sf_dir)).localCheckpoint(eager=True)
+    return _PQ_ENC[key]
+
+
+def knn_ann_pq_serve(spark, sf_dir):
+    """PQ ANN against the MATERIALIZED encoded index: ADC shortlist +
+    exact rerank with zero train/encode work in the query — the pure
+    serve cost (what a steady-state deployment pays per query batch).
+    Results ≡ knn_ann_pq over the same corpus (tested). Rows-only."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return SIM.pq_ann_from_index(_pq_index(spark, sf_dir), q,
+                                 _pq_codebooks(spark, sf_dir),
+                                 k=5, shortlist=8)
+
+
 def contamination_check(spark, sf_dir):
     """Train/test CONTAMINATION: near-dup pairs across a disjoint
     held-out split (doc_id % 20 == 0) and the training remainder —
@@ -2114,6 +2143,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling_window": events_tumbling_window,  # ⊂ events_ohlc_bars
     "events_ewma_chunked": events_ewma_chunked,      # rows-only (r6 chunked path)
     "knn_ann_pq_train": knn_ann_pq_train,            # rows-only (codebook build)
+    "knn_ann_pq_serve": knn_ann_pq_serve,            # rows-only (indexed serve)
     "doc_sparse_cosine_neardup": doc_sparse_cosine_neardup,  # inverted-index join (r6)
     "doc_containment_pairs": doc_containment_pairs,  # asymmetric near-dup (r6)
     # round-6 rotation: 25 long-green shapes demoted so every

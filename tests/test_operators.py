@@ -958,6 +958,30 @@ def test_pq_ann_recall_and_rerank(spark):
             assert abs(r["cos"] - true_cos[key]) < 1e-12
 
 
+def test_pq_index_serve_equals_encode_and_scan(spark):
+    """The materialized-index serve path (pq_encode once →
+    pq_ann_from_index) must return EXACTLY the rows of the
+    encode-and-scan pq_ann over the same corpus — same codes, same
+    ADC shortlist, same rerank, row for row."""
+    from market_data_ingestor_go_spark.operators.cache import (
+        release_pinned)
+    from market_data_ingestor_go_spark.operators.similarity import (
+        pq_ann, pq_ann_from_index, pq_encode, train_pq_codebooks)
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    books = train_pq_codebooks(emb, m=16, k=16, n_iters=3)
+    books.persist(); books.count()
+    direct = sorted(map(tuple, pq_ann(emb, q, books, k=5,
+                                      shortlist=8).collect()))
+    release_pinned()
+    enc = pq_encode(emb, books).localCheckpoint(eager=True)
+    indexed = sorted(map(tuple, pq_ann_from_index(
+        enc, q, books, k=5, shortlist=8).collect()))
+    release_pinned(); books.unpersist(); enc.unpersist()
+    assert indexed == direct
+
+
 def test_multimodal_resize_plumbing(spark):
     """Resize kernel, non-PNG fallback path: real Arrow plumbing,
     deterministic digest-tiled output of exactly target_w*target_h*3
