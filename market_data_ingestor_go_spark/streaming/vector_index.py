@@ -142,3 +142,82 @@ class StreamingVectorIndex:
     def stop(self) -> None:
         for q in self.queries:
             q.stop()
+
+
+@dataclass
+class StreamingPQIndex:
+    """foreachBatch maintainer of the PQ CODES table (r6) — the
+    encode-on-ingest half of the production PQ deployment (train
+    offline → encode each arriving batch with the broadcast codebook
+    → serve with ADC + rerank over the stored codes, zero encode at
+    query time). Same exactly-once layout as StreamingVectorIndex:
+    epoch partitions + dynamic partition overwrite make a crashed
+    epoch's replay rewrite only its own partition.
+
+    ``codebook_rows`` is the trained artifact as plain rows
+    (subspace, cell, cv) — the collected output of
+    ``train_pq_codebooks`` — so the maintainer owns no lineage into
+    the training corpus. Per-batch work is the batch's encode only;
+    the existing index never rewrites. Probes reuse
+    ``pq_ann_from_index`` unchanged, so an index probe is
+    row-identical to ``pq_ann`` over everything indexed so far
+    (tested)."""
+
+    spark: SparkSession
+    table: str
+    codebook_rows: list = field(default_factory=list)
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    trigger_seconds: int = 2
+    rows_indexed: int = 0
+    epochs: int = 0
+    queries: list = field(default_factory=list)
+
+    def _codebooks(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            self.codebook_rows, "subspace INT, cell INT, cv ARRAY<DOUBLE>")
+
+    def _encode_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from ..operators.similarity import pq_encode
+        enc = (pq_encode(batch, self._codebooks(), self.id_col,
+                         self.vec_col)
+               .withColumn("epoch", F.lit(int(epoch_id))))
+        enc.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if not self.spark.catalog.tableExists(self.table):
+            (enc.write.mode("overwrite").partitionBy("epoch")
+             .saveAsTable(self.table))
+        else:
+            enc.write.insertInto(self.table, overwrite=True)
+        self.rows_indexed += batch.count()
+        self.epochs += 1
+
+    def attach(self, embedding_stream: DataFrame, checkpoint_dir: str):
+        q = (embedding_stream.writeStream
+             .foreachBatch(self._encode_batch)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(processingTime=f"{self.trigger_seconds} seconds")
+             .start())
+        self.queries.append(q)
+        return q
+
+    def bootstrap(self, corpus: DataFrame) -> None:
+        """Seed from an existing batch corpus (epoch -1)."""
+        self._encode_batch(corpus, epoch_id=-1)
+        self.epochs -= 1  # bootstrap is not a stream epoch
+
+    def probe(self, query_vectors: DataFrame, k: int = 5,
+              shortlist: int = 4) -> DataFrame:
+        from ..operators.similarity import pq_ann_from_index
+        return pq_ann_from_index(
+            self.spark.table(self.table).drop("epoch"), query_vectors,
+            self._codebooks(), k=k, shortlist=shortlist,
+            id_col=self.id_col, vec_col=self.vec_col)
+
+    def metrics(self) -> dict:
+        return {"pq_index_rows_indexed": self.rows_indexed,
+                "pq_index_epochs": self.epochs}
+
+    def stop(self) -> None:
+        for q in self.queries:
+            q.stop()

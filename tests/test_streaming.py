@@ -1091,6 +1091,75 @@ def test_streaming_vector_index_maintenance(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS s_ann_idx__staging")
 
 
+def test_streaming_pq_index_maintenance(spark, tmp_path):
+    """Round 6: the PQ codes table stays fresh from an embedding
+    stream (train offline → encode on ingest → scan at serve) —
+    bootstrap a half-corpus, stream the rest in two micro-batches,
+    and the probe over the maintained index is ROW-IDENTICAL to
+    pq_ann over the full corpus; epoch replay is idempotent."""
+    import shutil
+
+    from market_data_ingestor_go_spark.operators.cache import (
+        release_pinned)
+    from market_data_ingestor_go_spark.operators.similarity import (
+        pq_ann, train_pq_codebooks)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.vector_index import (
+        StreamingPQIndex)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    boot = emb.filter("vec_id % 2 = 0")
+    part1 = emb.filter("vec_id % 4 = 1")
+    part2 = emb.filter("vec_id % 4 = 3")
+    books_rows = train_pq_codebooks(emb, m=16, k=16, n_iters=2).collect()
+    release_pinned()
+
+    src = tmp_path / "pqvecs"
+    src.mkdir()
+
+    def drop_file(df, name):
+        stage = str(tmp_path / f"pqstage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, part), str(src / f"{name}.parquet"))
+
+    ix = StreamingPQIndex(spark, "s_pq_idx", codebook_rows=books_rows,
+                          trigger_seconds=1)
+    try:
+        ix.bootstrap(boot)
+        assert ix.epochs == 0
+        stream = spark.readStream.schema(emb.schema).parquet(str(src))
+        q = ix.attach(stream, str(tmp_path / "pq_ckpt"))
+        drop_file(part1, "b1")
+        q.processAllAvailable()
+        drop_file(part2, "b2")
+        q.processAllAvailable()
+        q.stop()
+        assert ix.epochs == 2
+        assert spark.table("s_pq_idx").count() == ix.rows_indexed \
+            == emb.count()
+
+        # probe over the maintained codes == pq_ann over the full
+        # corpus with the same codebook artifact, row for row
+        q_vecs = emb.filter("vec_id < 10")
+        books = spark.createDataFrame(
+            books_rows, "subspace INT, cell INT, cv ARRAY<DOUBLE>")
+        direct = sorted(map(tuple, pq_ann(emb, q_vecs, books, k=5,
+                                          shortlist=8).collect()))
+        release_pinned()
+        from_ix = sorted(map(tuple, ix.probe(q_vecs, k=5,
+                                             shortlist=8).collect()))
+        assert from_ix == direct
+
+        # idempotent epoch replay
+        n_before = spark.table("s_pq_idx").count()
+        ix._encode_batch(part2, epoch_id=1)
+        assert spark.table("s_pq_idx").count() == n_before
+    finally:
+        ix.stop()
+        spark.sql("DROP TABLE IF EXISTS s_pq_idx")
+
+
 def test_streaming_dedup_gate(spark, tmp_path):
     """Round 5: online near-dup dedup at ingest — batch-internal
     duplicates collapse to the min-id keeper, later arrivals that
