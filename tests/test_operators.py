@@ -475,6 +475,48 @@ def test_png_codec_roundtrip_property():
     prop()
 
 
+def test_jpeg_codec_roundtrip_property():
+    """Hypothesis: for ANY dimensions/content in the supported
+    envelope, decode(encode(px)) decodes to the exact dimensions and
+    stays within the honest DCT quantization bound (each coefficient
+    off by ≤ q/2, pixel error ≤ 0.25·Σ q_uv/2 + slack — random noise
+    genuinely approaches it); restart intervals never change the
+    decoded pixels; smooth (gradient) content round-trips tightly
+    (the case that matters for luma statistics)."""
+    from hypothesis import given, settings, strategies as st
+
+    from market_data_ingestor_go_spark.functions.jpeg_minimal import (
+        QUANT_LUMA, jpeg_decode_luma, jpeg_encode_gray)
+
+    # pixel-domain quantization bound: |Δpixel| ≤ 0.25·Σ_uv q_uv/2
+    # (Cu,Cv ≤ 1, |cos| ≤ 1), plus 1 for the final integer rounding
+    bound = 0.25 * sum(QUANT_LUMA) / 2 + 1
+
+    @settings(max_examples=30, deadline=None)
+    @given(w=st.integers(1, 20), h=st.integers(1, 20),
+           rst=st.sampled_from([0, 1, 3]), data=st.data())
+    def prop(w, h, rst, data):
+        px = bytes(data.draw(st.lists(
+            st.integers(0, 255), min_size=w * h, max_size=w * h)))
+        blob = jpeg_encode_gray(w, h, px, restart_interval=rst)
+        W, H, nc, dec = jpeg_decode_luma(blob)
+        assert (W, H, nc) == (w, h, 1)
+        assert max(abs(a - b) for a, b in zip(px, dec)) <= bound
+        if rst:
+            plain = jpeg_decode_luma(jpeg_encode_gray(w, h, px))[3]
+            assert dec == plain
+
+    prop()
+
+    # smooth content: low-frequency coefficients dominate, where the
+    # Annex-K steps are small — errors stay in single digits
+    for w, h in ((19, 11), (8, 8), (33, 7)):
+        px = bytes(min(255, x * 3 + y * 2)
+                   for y in range(h) for x in range(w))
+        dec = jpeg_decode_luma(jpeg_encode_gray(w, h, px))[3]
+        assert max(abs(a - b) for a, b in zip(px, dec)) <= 9
+
+
 def test_wav_codec_roundtrip_property():
     """Hypothesis: WAV encode→decode preserves format fields and the
     sample payload for every supported bit depth."""
