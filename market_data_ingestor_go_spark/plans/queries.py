@@ -1972,19 +1972,23 @@ def knn_ann_pq_train(spark, sf_dir):
 
 # Materialized ENCODED index per (session, sf_dir): the production PQ
 # deployment stores the codes table (encode on ingest), so serving
-# does ADC + rerank only. localCheckpoint = the local stand-in for
-# that stored table (block-backed, lineage-free, session-scoped —
-# keyed by applicationId so a fresh session rebuilds).
+# does ADC + rerank only. The artifact is a real PARQUET table (not
+# cached blocks) so the benched serve cost honestly includes the
+# index scan a deployment pays; keyed by applicationId so a fresh
+# session re-materializes.
 _PQ_ENC: dict[tuple, object] = {}
 
 
 def _pq_index(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_ENC:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="pq_index_") + "/codes"
         e = _t(spark, sf_dir, "embeddings")
-        _PQ_ENC[key] = SIM.pq_encode(
-            e, _pq_codebooks(spark, sf_dir)).localCheckpoint(eager=True)
-    return _PQ_ENC[key]
+        SIM.pq_encode(e, _pq_codebooks(spark, sf_dir)) \
+            .write.mode("overwrite").parquet(path)
+        _PQ_ENC[key] = path
+    return spark.read.parquet(_PQ_ENC[key])
 
 
 def knn_ann_pq_serve(spark, sf_dir):
