@@ -602,19 +602,27 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     the length gap crushes its Jaccard below any dedup threshold.
     Exactly the check quote-removal and boilerplate forensics need.
 
-    O(n²) small-block engine like ``ngram_jaccard_pairs`` (integer
-    set sizes ⇒ the DOUBLE ratio is bit-deterministic); at scale,
-    candidates come from the shared-window equi-join
-    (``rolling_fingerprint_neardup``'s shape) or MinHash-LSH, with
-    this exact containment as the verify step.
+    Engine shape: the INVERTED-INDEX (postings) join, not all-pairs —
+    shingle_df already emits DISTINCT shingles per doc, so
+    |A ∩ B| is exactly the pair's row count in the postings
+    self-join, and pairs sharing no shingle (which cannot pass any
+    τ > 0) never materialize at all. Work is Σ_shingle df² instead
+    of n²·|sh| array intersections (measured 8x at sf0.1); integer
+    counts ⇒ the DOUBLE ratio is bit-deterministic. A
+    boilerplate-hot shingle re-introduces a quadratic bucket — at
+    scale, cap/skew-split it like the LSH bucket cap, or route
+    candidates through MinHash-LSH and keep this as the verify step.
     """
-    s = shingle_df(df, text_col, id_col, n)
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    a = s.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")) \
-         .repartition(n_parts)
-    b = s.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, F.col("a_id") != F.col("b_id"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    cont = inter.cast("double") / F.size("sh_a").cast("double")
-    return (pairs.select("a_id", "b_id", cont.alias("containment"))
+    s = pin(shingle_df(df, text_col, id_col, n))
+    sizes = s.select(F.col("id").alias("a_id"),
+                     F.size("sh").alias("n_sh"))
+    posts = s.select("id", F.explode("sh").alias("g"))
+    a = posts.select(F.col("id").alias("a_id"), "g")
+    b = posts.select(F.col("id").alias("b_id"), "g")
+    inter = (a.join(b, "g").filter(F.col("a_id") != F.col("b_id"))
+             .groupBy("a_id", "b_id")
+             .agg(F.count("*").alias("n_inter")))
+    cont = F.col("n_inter").cast("double") / F.col("n_sh").cast("double")
+    return (inter.join(sizes, "a_id")
+            .select("a_id", "b_id", cont.alias("containment"))
             .filter(F.col("containment") >= F.lit(threshold)))
