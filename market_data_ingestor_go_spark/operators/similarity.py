@@ -533,9 +533,20 @@ def _pq_cb_row(codebooks: DataFrame):
             F.struct("subspace", "cents"))).alias("cb")))
 
 
+def _pq_meta(codebooks: DataFrame):
+    """(m, sub_dim, broadcast cb row) — computed ONCE per call chain:
+    each evaluation runs two driver actions on the codebooks lineage
+    plus a broadcast, so composed paths (pq_ann = encode + scan) pass
+    this down instead of re-deriving it (review catch r6)."""
+    m = codebooks.select(F.max("subspace")).first()[0] + 1
+    sub_dim = len(codebooks.select("cv").first()["cv"])
+    return m, sub_dim, _pq_cb_row(codebooks)
+
+
 def pq_encode(df: DataFrame, codebooks: DataFrame,
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              _meta=None) -> DataFrame:
     """Encode the corpus against trained codebooks: (n_id, nv, codes
     ARRAY<INT>[m], nsd_hat) — the PQ INDEX content. Per subspace,
     argmin over |c|² - 2 x·c (ties → smaller cell via array_min
@@ -543,9 +554,7 @@ def pq_encode(df: DataFrame, codebooks: DataFrame,
     Σ|c_code|² for the cosine denominator. This is the artifact a
     production deployment MATERIALIZES (parquet/bucketed table) so
     serving never re-encodes — see ``pq_ann_from_index``."""
-    m = codebooks.select(F.max("subspace")).first()[0] + 1
-    sub_dim = len(codebooks.select("cv").first()["cv"])
-    cb_row = _pq_cb_row(codebooks)
+    m, sub_dim, cb_row = _meta if _meta else _pq_meta(codebooks)
     c = spread(df.select(F.col(id_col).alias("n_id"),
                          as_double(vec_col).alias("nv")))
     subs = F.array(*[F.slice(F.col("nv"), s * sub_dim + 1, sub_dim)
@@ -572,7 +581,8 @@ def pq_encode(df: DataFrame, codebooks: DataFrame,
 def pq_ann_from_index(enc: DataFrame, queries: DataFrame,
                       codebooks: DataFrame, k: int = 5,
                       shortlist: int = 4, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      _meta=None) -> DataFrame:
     """PQ ANN SERVE against a pre-built encoded index (``pq_encode``
     output, typically a materialized table): ADC-scored shortlist +
     exact cosine re-rank, identical results to ``pq_ann`` over the
@@ -581,9 +591,7 @@ def pq_ann_from_index(enc: DataFrame, queries: DataFrame,
     scan at serve)."""
     from pyspark.sql.window import Window
 
-    m = codebooks.select(F.max("subspace")).first()[0] + 1
-    sub_dim = len(codebooks.select("cv").first()["cv"])
-    cb_row = _pq_cb_row(codebooks)
+    m, sub_dim, cb_row = _meta if _meta else _pq_meta(codebooks)
 
     # query side: per-subspace IP tables q_s · c (array of k doubles)
     q = _query_side(queries, id_col, vec_col)
@@ -643,9 +651,10 @@ def pq_ann(df: DataFrame, queries: DataFrame, codebooks: DataFrame,
     MATERIALIZED index instead (no per-call encode): ``pq_encode`` +
     ``pq_ann_from_index``.
     """
-    enc = pin(pq_encode(df, codebooks, id_col, vec_col))
+    meta = _pq_meta(codebooks)
+    enc = pin(pq_encode(df, codebooks, id_col, vec_col, _meta=meta))
     return pq_ann_from_index(enc, queries, codebooks, k, shortlist,
-                             id_col, vec_col)
+                             id_col, vec_col, _meta=meta)
 
 
 def ivf_pq_ann(df: DataFrame, queries: DataFrame, codebooks: DataFrame,

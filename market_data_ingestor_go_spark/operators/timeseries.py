@@ -451,8 +451,12 @@ def ewma_chunked(df: DataFrame, key_col: str, order_cols: list[str],
                                 + F.col("B"))
                          .otherwise(F.col("B")).alias("B"))
                  .localCheckpoint())
-    assert rounds == 0 or not nodes.filter(F.col("t") > 1).head(1), \
-        "pointer-jumping scan did not converge (bound violated)"
+    # fail-loud convergence guard (raise, not assert: asserts strip
+    # under python -O and the failure mode is silently wrong carries)
+    if rounds and nodes.filter(F.col("t") > 1).head(1):
+        raise ValueError(
+            "ewma_chunked pointer-jumping scan did not converge within "
+            f"{rounds} rounds — segment ids are expected contiguous")
     carries = (nodes.join(c1, [key_col])
                .select(F.col(key_col).alias("__k_c"),
                        F.col("g").cast("bigint").alias("__seg_c"),

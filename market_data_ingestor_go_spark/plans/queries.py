@@ -1982,8 +1982,16 @@ _PQ_ENC: dict[tuple, object] = {}
 def _pq_index(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_ENC:
+        import hashlib
+        import os
         import tempfile
-        path = tempfile.mkdtemp(prefix="pq_index_") + "/codes"
+        # path derives from sf_dir (not mkdtemp) and the write is
+        # mode=overwrite: repeated sessions/bench runs keep exactly
+        # ONE index copy per corpus instead of leaking a tempdir per
+        # application (review catch r6).
+        tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+        path = os.path.join(tempfile.gettempdir(),
+                            f"spark_graft_pq_index_{tag}", "codes")
         e = _t(spark, sf_dir, "embeddings")
         SIM.pq_encode(e, _pq_codebooks(spark, sf_dir)) \
             .write.mode("overwrite").parquet(path)

@@ -72,22 +72,33 @@ class PassageBoilerplateGate:
 
     def _read_state(self) -> DataFrame | None:
         """Read the state dir, treating ONLY an absent-state condition
-        as 'no state yet': a missing path, or a dir with no readable
-        parquet (e.g. only the _temporary/ staging dir a killed
-        first-epoch write attempt left behind — a crash-replay MUST
-        recover from that, review catch r6). Real read/corruption
-        errors propagate: silently degrading a corrupt state dir to an
-        empty Bloom filter would score every passage unseen —
-        SCALING.md's bad-input policy is corrupt parquet fails loud
-        (ADVICE r5)."""
+        as 'no state yet'. Absence is decided STRUCTURALLY (not by
+        error message): the path is missing, or it contains no data
+        files at all — only '_'-prefixed staging entries like the
+        _temporary/ dir a killed first-epoch write attempt leaves
+        behind (a crash-replay MUST recover from that). A dir that
+        HAS data files but fails to read (truncated/0-byte parts,
+        schema garbage) propagates: silently degrading a corrupt
+        state dir to an empty Bloom filter would score every passage
+        unseen — SCALING.md's bad-input policy is corrupt parquet
+        fails loud (ADVICE r5 + review catch r6)."""
+        import os
+
         from pyspark.errors import AnalysisException
+
+        def _has_data_files(root: str) -> bool:
+            for cur, dirs, files in os.walk(root):
+                dirs[:] = [d for d in dirs if not d.startswith("_")
+                           and not d.startswith(".")]
+                if any(not f.startswith(("_", ".")) for f in files):
+                    return True
+            return False
+
         try:
             return self.spark.read.parquet(self.state_dir)
-        except AnalysisException as exc:
-            msg = str(exc)
-            if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
-                    or "UNABLE_TO_INFER_SCHEMA" in msg
-                    or "Unable to infer schema" in msg):
+        except AnalysisException:
+            if not os.path.exists(self.state_dir) \
+                    or not _has_data_files(self.state_dir):
                 return None
             raise
 

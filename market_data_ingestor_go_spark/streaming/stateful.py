@@ -42,7 +42,7 @@ OUTPUT_SCHEMA = T.StructType([
 DEFAULT_TTL_MILLIS = 24 * 3600 * 1000
 
 
-def _make_update_latest(ttl_millis: int):
+def _make_update_latest():
     """Build the per-key update function as a CLOSURE so cloudpickle
     serializes it by value — Spark's python workers don't have this
     package on their import path when the driver runs from another cwd
@@ -64,8 +64,6 @@ def _make_update_latest(ttl_millis: int):
     this build's ProcessingTimeTimeout bug). State is bounded by
     distinct keys (~500/24 h in the reference envelope).
     """
-
-    del ttl_millis  # merge is TTL-free by design; readers enforce TTL
 
     def update_latest(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
                       ) -> Iterator[pd.DataFrame]:
@@ -108,7 +106,7 @@ def streaming_latest_state(stream: DataFrame) -> DataFrame:
     return (
         stream.groupBy("name")
         .applyInPandasWithState(
-            _make_update_latest(DEFAULT_TTL_MILLIS),
+            _make_update_latest(),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",

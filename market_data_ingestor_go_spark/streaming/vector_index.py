@@ -1,24 +1,27 @@
-"""Streaming maintenance of the materialized ANN index (round 5).
+"""Streaming maintenance of materialized vector indexes (r5/r6).
 
 ``operators/similarity.py::build_hyperplane_index`` materializes the
 hyperplane-LSH index as a bucketed table — the 100 TB deployment
-shape. This module keeps that index FRESH from an embedding stream:
-each micro-batch of new vectors is signed with the SAME deterministic
-hyperplanes and landed into the index table, so probes see new
-vectors within one trigger and never recompute corpus signatures.
+shape. This module keeps such indexes FRESH from an embedding stream:
+each micro-batch of new vectors is transformed with the SAME
+deterministic model artifact (hyperplanes / trained PQ codebooks) and
+landed into the index table, so probes see new vectors within one
+trigger and never recompute corpus-side state.
 
-Exactly-once layout: the managed table is PARTITIONED by epoch and
-BUCKETED by the LSH bucket id. Epoch partitions give the same
-idempotent-replay contract as the ingest history sink (a replayed
-epoch dynamically overwrites ITS OWN partition — verified: replaying
-an epoch leaves the row count unchanged); bucketing keeps the probe
-path's pruned, shuffle-free scan shape within every partition.
+Exactly-once layout (shared by both maintainers via
+``_EpochPartitionedIndex``): the managed table is PARTITIONED by
+epoch. Epoch partitions give the same idempotent-replay contract as
+the ingest history sink (a replayed epoch dynamically overwrites ITS
+OWN partition — verified: replaying an epoch leaves the row count
+unchanged). The hyperplane index additionally BUCKETS by the LSH
+bucket id so the probe path keeps its pruned, shuffle-free scan shape
+within every partition.
 
-Scale posture: per-batch work is signature computation over the batch
-only (narrow projection, no shuffle beyond the bucketed write of the
-batch — never the existing index). Probes reuse
-``hyperplane_ann_from_index`` unchanged: identical planes, probes and
-ranking as the on-the-fly path.
+Scale posture: per-batch work is the batch's transform only (narrow
+projection, no shuffle beyond the batch's write — never the existing
+index). Probes reuse the batch operators unchanged
+(``hyperplane_ann_from_index`` / ``pq_ann_from_index``): identical
+planes/codebooks, probes and ranking as the on-the-fly paths.
 """
 
 from __future__ import annotations
@@ -34,48 +37,49 @@ from ..operators.similarity import (_hyperplanes, as_double, dot,
 
 
 @dataclass
-class StreamingVectorIndex:
-    """foreachBatch maintainer of a bucketed hyperplane-LSH index."""
+class _EpochPartitionedIndex:
+    """Shared foreachBatch maintainer scaffolding: the epoch-
+    partitioned exactly-once write contract, stream attachment,
+    bootstrap, compaction and counters live HERE once — subclasses
+    supply ``_transform`` (batch → index rows, no epoch column) and
+    may override ``_write`` (e.g. to bucket). One copy so a fix to
+    the write contract can never drift between maintainers
+    (review catch r6)."""
 
     spark: SparkSession
     table: str
-    dim: int = 64
-    n_planes: int = 6
-    n_buckets: int = 16
-    id_col: str = "vec_id"
-    vec_col: str = "embedding"
     trigger_seconds: int = 2
     rows_indexed: int = 0
     epochs: int = 0
     queries: list = field(default_factory=list)
 
-    def _signed(self, batch: DataFrame, epoch_id: int) -> DataFrame:
-        planes = _hyperplanes(self.dim, self.n_planes)
-        c = batch.select(F.col(self.id_col).alias("n_id"),
-                         as_double(self.vec_col).alias("nv"))
-        return (c.withColumn("nsd", dot(F.col("nv"), F.col("nv")))
-                .withColumn("bucket",
-                            hyperplane_signature(F.col("nv"), planes))
-                .withColumn("epoch", F.lit(int(epoch_id))))
+    # ---- subclass hooks -------------------------------------------
+    def _transform(self, batch: DataFrame) -> DataFrame:
+        raise NotImplementedError
 
+    def _write(self, df: DataFrame, dest: str) -> None:
+        df.write.mode("overwrite").partitionBy("epoch").saveAsTable(dest)
+
+    def _metrics_prefix(self) -> str:
+        raise NotImplementedError
+
+    # ---- shared contract ------------------------------------------
     def _index_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        signed = self._signed(batch, epoch_id)
+        out = self._transform(batch).withColumn(
+            "epoch", F.lit(int(epoch_id)))
         # dynamic partition overwrite → replaying a crashed epoch
         # rewrites only its own partition (idempotent). Set on the
         # session the write runs under: foreachBatch executes in a
         # CLONED session whose conf was snapshotted at stream start,
         # so setting only self.spark after that point would leave the
         # clone in static mode and wipe the table on every insert.
-        signed.sparkSession.conf.set(
+        out.sparkSession.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic")
         if not self.spark.catalog.tableExists(self.table):
-            (signed.write.mode("overwrite").partitionBy("epoch")
-             .bucketBy(self.n_buckets, "bucket").sortBy("bucket")
-             .saveAsTable(self.table))
+            self._write(out, self.table)
         else:
-            # positional insert: (n_id, nv, nsd, bucket, epoch) matches
-            # the creation schema above
-            signed.write.insertInto(self.table, overwrite=True)
+            # positional insert: column order matches creation schema
+            out.write.insertInto(self.table, overwrite=True)
         self.rows_indexed += batch.count()
         self.epochs += 1
 
@@ -95,16 +99,6 @@ class StreamingVectorIndex:
         self._index_batch(corpus, epoch_id=-1)
         self.epochs -= 1  # bootstrap is not a stream epoch
 
-    def probe(self, query_vectors: DataFrame, k: int = 5,
-              multiprobe: int = 1) -> DataFrame:
-        """ANN top-k against the CURRENT index contents — same
-        semantics as random_hyperplane_ann over everything indexed so
-        far (epoch partitions union transparently)."""
-        return hyperplane_ann_from_index(
-            self.spark, self.table, query_vectors, k=k, dim=self.dim,
-            n_planes=self.n_planes, multiprobe=multiprobe,
-            id_col=self.id_col, vec_col=self.vec_col)
-
     def compact(self) -> int:
         """Fold all epoch partitions into epoch -1 (mirrors
         compact_history): a long-running stream accumulates one
@@ -121,23 +115,18 @@ class StreamingVectorIndex:
         reads empty after it — observed on this build).
         """
         staging = f"{self.table}__staging"
-
-        def write_folded(src: DataFrame, dest: str) -> None:
-            (src.write.mode("overwrite").partitionBy("epoch")
-             .bucketBy(self.n_buckets, "bucket").sortBy("bucket")
-             .saveAsTable(dest))
-
         live = self.spark.table(self.table)
         n = live.count()
-        write_folded(live.drop("epoch").withColumn("epoch", F.lit(-1)),
-                     staging)
-        write_folded(self.spark.table(staging), self.table)
+        self._write(live.drop("epoch").withColumn("epoch", F.lit(-1)),
+                    staging)
+        self._write(self.spark.table(staging), self.table)
         self.spark.sql(f"DROP TABLE {staging}")
         return n
 
     def metrics(self) -> dict:
-        return {"vector_index_rows_indexed": self.rows_indexed,
-                "vector_index_epochs": self.epochs}
+        p = self._metrics_prefix()
+        return {f"{p}_rows_indexed": self.rows_indexed,
+                f"{p}_epochs": self.epochs}
 
     def stop(self) -> None:
         for q in self.queries:
@@ -145,14 +134,49 @@ class StreamingVectorIndex:
 
 
 @dataclass
-class StreamingPQIndex:
+class StreamingVectorIndex(_EpochPartitionedIndex):
+    """foreachBatch maintainer of a bucketed hyperplane-LSH index."""
+
+    dim: int = 64
+    n_planes: int = 6
+    n_buckets: int = 16
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+    def _transform(self, batch: DataFrame) -> DataFrame:
+        planes = _hyperplanes(self.dim, self.n_planes)
+        c = batch.select(F.col(self.id_col).alias("n_id"),
+                         as_double(self.vec_col).alias("nv"))
+        return (c.withColumn("nsd", dot(F.col("nv"), F.col("nv")))
+                .withColumn("bucket",
+                            hyperplane_signature(F.col("nv"), planes)))
+
+    def _write(self, df: DataFrame, dest: str) -> None:
+        (df.write.mode("overwrite").partitionBy("epoch")
+         .bucketBy(self.n_buckets, "bucket").sortBy("bucket")
+         .saveAsTable(dest))
+
+    def _metrics_prefix(self) -> str:
+        return "vector_index"
+
+    def probe(self, query_vectors: DataFrame, k: int = 5,
+              multiprobe: int = 1) -> DataFrame:
+        """ANN top-k against the CURRENT index contents — same
+        semantics as random_hyperplane_ann over everything indexed so
+        far (epoch partitions union transparently)."""
+        return hyperplane_ann_from_index(
+            self.spark, self.table, query_vectors, k=k, dim=self.dim,
+            n_planes=self.n_planes, multiprobe=multiprobe,
+            id_col=self.id_col, vec_col=self.vec_col)
+
+
+@dataclass
+class StreamingPQIndex(_EpochPartitionedIndex):
     """foreachBatch maintainer of the PQ CODES table (r6) — the
     encode-on-ingest half of the production PQ deployment (train
     offline → encode each arriving batch with the broadcast codebook
     → serve with ADC + rerank over the stored codes, zero encode at
-    query time). Same exactly-once layout as StreamingVectorIndex:
-    epoch partitions + dynamic partition overwrite make a crashed
-    epoch's replay rewrite only its own partition.
+    query time).
 
     ``codebook_rows`` is the trained artifact as plain rows
     (subspace, cell, cv) — the collected output of
@@ -163,48 +187,21 @@ class StreamingPQIndex:
     row-identical to ``pq_ann`` over everything indexed so far
     (tested)."""
 
-    spark: SparkSession
-    table: str
     codebook_rows: list = field(default_factory=list)
     id_col: str = "vec_id"
     vec_col: str = "embedding"
-    trigger_seconds: int = 2
-    rows_indexed: int = 0
-    epochs: int = 0
-    queries: list = field(default_factory=list)
 
     def _codebooks(self) -> DataFrame:
         return self.spark.createDataFrame(
             self.codebook_rows, "subspace INT, cell INT, cv ARRAY<DOUBLE>")
 
-    def _encode_batch(self, batch: DataFrame, epoch_id: int) -> None:
+    def _transform(self, batch: DataFrame) -> DataFrame:
         from ..operators.similarity import pq_encode
-        enc = (pq_encode(batch, self._codebooks(), self.id_col,
+        return pq_encode(batch, self._codebooks(), self.id_col,
                          self.vec_col)
-               .withColumn("epoch", F.lit(int(epoch_id))))
-        enc.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic")
-        if not self.spark.catalog.tableExists(self.table):
-            (enc.write.mode("overwrite").partitionBy("epoch")
-             .saveAsTable(self.table))
-        else:
-            enc.write.insertInto(self.table, overwrite=True)
-        self.rows_indexed += batch.count()
-        self.epochs += 1
 
-    def attach(self, embedding_stream: DataFrame, checkpoint_dir: str):
-        q = (embedding_stream.writeStream
-             .foreachBatch(self._encode_batch)
-             .option("checkpointLocation", checkpoint_dir)
-             .trigger(processingTime=f"{self.trigger_seconds} seconds")
-             .start())
-        self.queries.append(q)
-        return q
-
-    def bootstrap(self, corpus: DataFrame) -> None:
-        """Seed from an existing batch corpus (epoch -1)."""
-        self._encode_batch(corpus, epoch_id=-1)
-        self.epochs -= 1  # bootstrap is not a stream epoch
+    def _metrics_prefix(self) -> str:
+        return "pq_index"
 
     def probe(self, query_vectors: DataFrame, k: int = 5,
               shortlist: int = 4) -> DataFrame:
@@ -213,11 +210,3 @@ class StreamingPQIndex:
             self.spark.table(self.table).drop("epoch"), query_vectors,
             self._codebooks(), k=k, shortlist=shortlist,
             id_col=self.id_col, vec_col=self.vec_col)
-
-    def metrics(self) -> dict:
-        return {"pq_index_rows_indexed": self.rows_indexed,
-                "pq_index_epochs": self.epochs}
-
-    def stop(self) -> None:
-        for q in self.queries:
-            q.stop()

@@ -1153,7 +1153,7 @@ def test_streaming_pq_index_maintenance(spark, tmp_path):
 
         # idempotent epoch replay
         n_before = spark.table("s_pq_idx").count()
-        ix._encode_batch(part2, epoch_id=1)
+        ix._index_batch(part2, epoch_id=1)
         assert spark.table("s_pq_idx").count() == n_before
     finally:
         ix.stop()
@@ -1512,6 +1512,33 @@ def test_streaming_boilerplate_gate(spark, tmp_path):
     state = spark.read.parquet(str(tmp_path / "state"))
     per_epoch = state.groupBy("epoch").count().collect()
     assert all(r["count"] <= (1 << 14) // 64 for r in per_epoch)
+
+
+def test_boilerplate_gate_state_absence_vs_corruption(spark, tmp_path):
+    """r6 crash-replay contract: a state dir holding only the
+    _temporary/ staging debris of a killed first-epoch write reads as
+    'no state yet' (the gate must recover), while a dir with an
+    unreadable DATA file fails loud (corrupt state must never degrade
+    silently to an empty Bloom filter)."""
+    import pytest as _pytest
+
+    from market_data_ingestor_go_spark.streaming.boilerplate_gate import (
+        PassageBoilerplateGate)
+
+    state = tmp_path / "bp_state"
+    gate = PassageBoilerplateGate(spark, state_dir=str(state))
+    assert gate._read_state() is None  # missing path
+
+    (state / "epoch=0" / "_temporary" / "0").mkdir(parents=True)
+    (state / "epoch=0" / "_temporary" / "0" / "task-stage.parquet") \
+        .write_bytes(b"partial")  # staging debris is NOT data
+    assert gate._read_state() is None  # killed first write → recover
+
+    (state / "epoch=0" / "part-00000.parquet").write_bytes(b"garbage")
+    with _pytest.raises(Exception):
+        df = gate._read_state()  # corrupt DATA file → fail loud
+        if df is not None:  # schema may infer lazily; force the read
+            df.collect()
 
 
 def test_boilerplate_gate_compaction(spark, tmp_path):
