@@ -143,6 +143,11 @@ HEADLINE = [
     # containment (quote/subset detection)
     "doc_sparse_cosine_neardup",
     "doc_containment_pairs",
+    # late r6: LM-quality curation family (bigram-LM scoring, DSIR
+    # importance weights, pairwise source TV drift)
+    "doc_lm_quality",
+    "dsir_importance_weights",
+    "source_tv_drift",
 ]
 
 

@@ -1,0 +1,346 @@
+"""Statistical language-model quality scoring for corpus curation.
+
+The CCNet / DSIR family of data-selection signals, re-expressed as
+Spark Column algebra:
+
+- ``ngram_lm_score``    : count-pruned bigram LM trained on a
+  deterministic hash-split of the corpus; every document scored
+  against it (n-gram LM perplexity filtering a la CCNet — docs far
+  from the reference distribution score low).
+- ``dsir_importance``   : hashed-bigram importance weights (Data
+  Selection via Importance Resampling) — the target/raw likelihood
+  ratio under two hashed feature distributions.
+- ``token_tv_divergence``: pairwise total-variation distance between
+  per-group token distributions — the distribution-drift monitor run
+  between sources/snapshots before mixing them.
+
+Cross-engine determinism (the repo's oracle rules, queries.py module
+doc): everything here is **log-free**. True cross-entropy needs
+``ln()``, whose last ULP differs across libm builds, so the headline
+scores are exact integer/rational forms instead:
+
+- ``lm_score``  = (Σc_bg + n) / (Σc_ctx + n·(V+1)) — the aggregated
+  Laplace likelihood ratio. Both sums are BIGINT-exact; the single
+  IEEE division of two exactly-representable integers is correctly
+  rounded, hence bit-identical in Spark and DuckDB.
+- ``xent_bits`` (true per-token cross-entropy, base 2) IS also
+  computed — engine-side only, excluded from the oracle projection
+  and verified against an exact Python reference in tests.
+- DSIR ratio terms are single-rounding double expressions over exact
+  integer counts, decimal-cast-summed (the proven ``_dsum`` pattern).
+- TV distance is computed on the common denominator: integer
+  cross-products |c_a·C_b − c_b·C_a| summed exactly in DECIMAL(38,0),
+  divided once at the end (decimal→double via the string route).
+
+Scale shapes (100 TB posture):
+- Tokenize/bigram explode is NARROW — pairs come from zipping the
+  token array with its own tail before exploding, so no per-doc
+  window shuffle exists anywhere in the path.
+- The model is bounded by construction: vocab top-V, bigram table
+  pruned at ``min_count`` (KenLM-style), feature buckets fixed at B.
+  All model sides broadcast; the corpus never shuffles to be scored.
+  The only wide exchanges are the model-count aggregates themselves
+  (partial map-side combine on (prev,cur) / bucket keys).
+- ``token_tv_divergence`` joins |groups|·|vocab-cap| count rows —
+  model-sized, not corpus-sized.
+
+Reference parity note: the reference repo has no curation surface
+(internal/app/processor.go is a config-transform engine); this module
+is part of the mandated training-data-pipeline extension (SURVEY.md
+§2.11), built from the public CCNet (Wenzek et al. 2019) and DSIR
+(Xie et al. 2023) recipes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .training import hash_bucket
+
+UNK = "<unk>"
+
+
+def _tokens(text_col: str) -> F.Column:
+    """The corpus-wide tokenization: whitespace split of trimmed text
+    (identical to doc_top_terms / token_frequencies so every text
+    operator sees the same token stream)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def bigram_stream(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  extra_cols: list[str] | None = None) -> DataFrame:
+    """(id, prev, cur) adjacent-token pairs, formed NARROW: the token
+    array is zipped with its own tail in-row, then exploded — no
+    per-doc window, no shuffle. Docs with <2 tokens contribute no
+    rows (callers left-join back if they need empties)."""
+    ts = _tokens(text_col)
+    n = F.size(ts)
+    pairs = F.zip_with(
+        F.slice(ts, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")))
+    keep = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
+    return (df.select(*keep, F.explode(pairs).alias("bg"))
+              .select(*keep, F.col("bg.prev").alias("prev"),
+                      F.col("bg.cur").alias("cur")))
+
+
+def train_bigram_lm(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", vocab_size: int = 64,
+                    min_count: int = 2, train_pct: int = 80,
+                    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Count model for ``ngram_lm_score``: (vocab, bigram_counts,
+    context_counts), all bounded, all broadcastable.
+
+    - train split: md5-bucket(doc_id) < train_pct — the repo's
+      engine-independent split coin (training.hash_bucket), so the
+      DuckDB oracle reproduces membership bit-for-bit.
+    - vocab: top ``vocab_size`` unigrams of the train split by
+      (count DESC, term ASC) — the tiebreak makes the LIMIT
+      deterministic in both engines. Out-of-vocab tokens map to
+      ``<unk>`` BEFORE bigram formation (class-based smoothing).
+    - bigram_counts: (prev, cur, c_bg) with c_bg >= min_count —
+      KenLM-style pruning bounds the model independent of corpus
+      size; pruned/absent bigrams fall back to the +1 smoothing
+      floor at score time.
+    - context_counts: (prev, c_ctx) — occurrences of prev AS A
+      CONTEXT (i.e. over the bigram stream, not raw unigrams), which
+      keeps Σ_cur p(cur|prev) <= 1 under pruning.
+    """
+    train = docs.filter(hash_bucket(id_col, 100) < train_pct)
+    uni = train.select(F.explode(_tokens(text_col)).alias("term"))
+    vocab = (uni.groupBy("term").agg(F.count("*").alias("cnt"))
+             .orderBy(F.col("cnt").desc(), F.col("term"))
+             .limit(vocab_size)
+             .select("term"))
+
+    bg = _unk_mapped(bigram_stream(train, text_col, id_col), vocab)
+    bigram_counts = (
+        bg.groupBy("prev", "cur").agg(F.count("*").alias("c_bg"))
+        .filter(F.col("c_bg") >= min_count))
+    context_counts = bg.groupBy("prev").agg(F.count("*").alias("c_ctx"))
+    return vocab, bigram_counts, context_counts
+
+
+def _unk_mapped(bg: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Map both sides of the bigram stream onto vocab ∪ {<unk>} via
+    two broadcast left joins (vocab is top-V — driver-bounded)."""
+    vp = F.broadcast(vocab.select(F.col("term").alias("_vp")))
+    vc = F.broadcast(vocab.select(F.col("term").alias("_vc")))
+    return (
+        bg.join(vp, bg.prev == vp._vp, "left")
+          .join(vc, bg.cur == vc._vc, "left")
+          .withColumn("prev", F.coalesce(F.col("_vp"), F.lit(UNK)))
+          .withColumn("cur", F.coalesce(F.col("_vc"), F.lit(UNK)))
+          .drop("_vp", "_vc"))
+
+
+def ngram_lm_score(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", vocab_size: int = 64,
+                   min_count: int = 2, train_pct: int = 80,
+                   extra_cols: list[str] | None = None) -> DataFrame:
+    """Score every document against the count-pruned bigram LM —
+    the CCNet quality-filtering signal (docs unlike the reference
+    distribution score low; boilerplate/keyboard-mash scores lowest).
+
+    Per doc: n_tokens, n_bigrams, n_oov (bigrams whose target token
+    is OOV), sum_bg = Σ c_bg, sum_ctx = Σ c_ctx (both BIGINT-exact),
+    and two scores:
+
+    - ``lm_score``  = (sum_bg + n) / (sum_ctx + n·(V+1)): the
+      aggregated Laplace likelihood — one division of two exact
+      integers, bit-identical cross-engine (module doc). Higher =
+      more in-distribution.
+    - ``xent_bits`` = −(Σ log2 (c_bg+1)/(c_ctx+V+1)) / n: true
+      per-token cross-entropy — engine-only (ln ULP), verified vs
+      exact Python in tests; NULL when n = 0.
+
+    Plan shape: model aggregates shuffle once each on their bounded
+    keys; scoring is scan → narrow bigram explode → three broadcast
+    joins → one groupBy(doc_id) partial agg → broadcast join back to
+    the doc spine. The corpus is read twice (train counts, scoring) —
+    at 100 TB you'd persist the model (it is a tiny artifact, like
+    the PQ codebook split in similarity.py).
+    """
+    vocab, bgc, ctx = train_bigram_lm(
+        docs, text_col, id_col, vocab_size, min_count, train_pct)
+    v_sz = F.broadcast(vocab.agg(F.count("*").alias("v_sz")))
+
+    bg = _unk_mapped(
+        bigram_stream(docs, text_col, id_col, extra_cols), vocab)
+    scored = (
+        bg.join(F.broadcast(bgc), ["prev", "cur"], "left")
+          .join(F.broadcast(ctx), ["prev"], "left")
+          .withColumn("c_bg", F.coalesce(F.col("c_bg"), F.lit(0)))
+          .withColumn("c_ctx", F.coalesce(F.col("c_ctx"), F.lit(0))))
+
+    gcols = [id_col] + list(extra_cols or [])
+    per_doc = (
+        scored.join(v_sz, F.lit(True))
+        .groupBy(*gcols)
+        .agg(F.count("*").alias("n_bigrams"),
+             F.sum(F.when(F.col("cur") == UNK, 1).otherwise(0))
+              .alias("n_oov"),
+             F.sum("c_bg").alias("sum_bg"),
+             F.sum("c_ctx").alias("sum_ctx"),
+             # true cross-entropy: engine-side column (see docstring)
+             (-F.sum(F.log2((F.col("c_bg") + 1).cast("double")
+                            / (F.col("c_ctx") + F.col("v_sz") + 1)
+                            .cast("double")))
+              / F.count("*")).alias("xent_bits"),
+             F.first("v_sz").alias("v_sz")))
+
+    spine = docs.select(
+        *([F.col(c) for c in gcols]
+          + [F.size(_tokens(text_col)).cast("bigint").alias("n_tokens")]))
+    num = (F.col("sum_bg") + F.col("n_bigrams")).cast("double")
+    den = (F.col("sum_ctx")
+           + F.col("n_bigrams") * (F.col("v_sz") + 1)).cast("double")
+    return (
+        spine.join(per_doc, gcols, "left")
+        .select(*gcols, "n_tokens",
+                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+                F.coalesce("sum_bg", F.lit(0)).alias("sum_bg"),
+                F.coalesce("sum_ctx", F.lit(0)).alias("sum_ctx"),
+                F.when(F.col("n_bigrams") > 0, num / den)
+                 .alias("lm_score"),
+                "xent_bits"))
+
+
+def dsir_importance(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", target_col: str = "lang",
+                    target_value: str = "en", n_buckets: int = 512,
+                    extra_cols: list[str] | None = None) -> DataFrame:
+    """DSIR hashed-bigram importance weights (Xie et al. 2023):
+    score each raw-corpus document by how target-like its hashed
+    n-gram feature distribution is; resampling by this weight shifts
+    the corpus toward the target domain.
+
+    Features: every adjacent-token bigram hashes (md5 — engine-
+    independent) into one of ``n_buckets`` buckets. The target
+    distribution comes from rows where ``target_col == target_value``
+    (a subset of the same corpus here; in production a separate
+    high-quality corpus). Per bucket b with raw count cr_b / target
+    count ct_b and totals Craw/Ctar, the (log-free) likelihood-ratio
+    term is
+
+        ratio_b = ((ct_b+1)·(Craw+B)) / ((cr_b+1)·(Ctar+B))
+
+    — four exact-integer→double conversions, two products, one
+    division: three IEEE roundings, bit-identical cross-engine. The
+    per-doc weight is the mean ratio over its feature occurrences,
+    decimal-cast-summed per the repo's order-independence rule:
+
+        imp_score = Σ_occurrences DECIMAL(27,6)(ratio_bucket) / n
+
+    (true DSIR averages log-ratios; the mean-ratio form is the
+    monotone log-free surrogate — ordering agreement with the
+    log form is asserted in tests on the fixture.)
+
+    Plan: ONE pass builds both distributions (conditional agg by
+    bucket — B-bounded), broadcast; scoring re-streams bigrams and
+    aggregates per doc. No corpus shuffle except the two bounded
+    groupBys.
+    """
+    bg = bigram_stream(docs, text_col, id_col,
+                       [target_col] + list(extra_cols or []))
+    feat = F.md5(F.concat_ws(" ", F.col("prev"), F.col("cur")))
+    bucket = (F.conv(F.substring(feat, 1, 8), 16, 10).cast("long")
+              % n_buckets)
+    b = bg.withColumn("bucket", bucket)
+
+    dist = (b.groupBy("bucket")
+            .agg(F.count("*").alias("cr"),
+                 F.sum(F.when(F.col(target_col) == target_value, 1)
+                       .otherwise(0)).alias("ct")))
+    totals = F.broadcast(dist.agg(F.sum("cr").alias("craw"),
+                                  F.sum("ct").alias("ctar")))
+    ratio = (
+        ((F.col("ct") + 1).cast("double")
+         * (F.col("craw") + n_buckets).cast("double"))
+        / ((F.col("cr") + 1).cast("double")
+           * (F.col("ctar") + n_buckets).cast("double")))
+    rt = F.broadcast(
+        dist.join(totals, F.lit(True))
+        .select("bucket", ratio.alias("ratio")))
+
+    gcols = [id_col, target_col] + list(extra_cols or [])
+    return (
+        b.join(rt, "bucket")
+        .groupBy(*gcols)
+        .agg(F.count("*").alias("n_feats"),
+             (F.sum(F.col("ratio").cast("decimal(27,6)")).cast("double")
+              / F.count("*")).alias("imp_score")))
+
+
+def token_tv_divergence(docs: DataFrame, text_col: str = "text",
+                        group_col: str = "source") -> DataFrame:
+    """Pairwise total-variation distance between per-group token
+    distributions — the drift monitor between corpus sources (run it
+    before trusting corpus_mix_weights across snapshots).
+
+    TV(a,b) = ½ Σ_t |p_a(t) − p_b(t)| computed EXACTLY on the common
+    denominator: with per-group term counts c and totals C,
+
+        S_ab = Σ_shared |c_a·C_b − c_b·C_a|
+             + (C_a − Σ_shared c_a)·C_b + (C_b − Σ_shared c_b)·C_a
+        tv   = S_ab / (2·C_a·C_b)
+
+    so an INNER join on term covers the full support (terms private
+    to one side fold into the complement products). Cross-products
+    run in DECIMAL(38,0) (BIGINT would overflow at 100 TB counts);
+    the single final division routes the decimal through the string
+    cast (_dstr — int128→double direct casts differ at 1 ULP).
+
+    Shapes: the count table is |groups|·|distinct terms| rows (term
+    agg = one partial-combine shuffle); the pair join is model-sized.
+    The groups×groups spine is a broadcast join of a |groups|-row
+    aggregate with itself — driver-scale, never the corpus.
+    """
+    toks = docs.select(F.col(group_col).alias("g"),
+                       F.explode(_tokens(text_col)).alias("term"))
+    counts = toks.groupBy("g", "term").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("g").agg(F.sum("c").alias("ctot"))
+
+    a, bb = counts.alias("a"), counts.alias("bb")
+    d38 = "decimal(38,0)"
+    shared = (
+        a.join(bb, (F.col("a.term") == F.col("bb.term"))
+               & (F.col("a.g") < F.col("bb.g")))
+        .join(F.broadcast(totals.select(F.col("g").alias("ga_t"),
+                                        F.col("ctot").alias("ca"))),
+              F.col("a.g") == F.col("ga_t"))
+        .join(F.broadcast(totals.select(F.col("g").alias("gb_t"),
+                                        F.col("ctot").alias("cb"))),
+              F.col("bb.g") == F.col("gb_t"))
+        .groupBy(F.col("a.g").alias("ga"), F.col("bb.g").alias("gb"))
+        .agg(F.count("*").alias("shared_terms"),
+             F.sum("a.c").alias("sa"), F.sum("bb.c").alias("sb"),
+             F.sum(F.abs(F.col("a.c").cast(d38) * F.col("cb").cast(d38)
+                         - F.col("bb.c").cast(d38)
+                         * F.col("ca").cast(d38))).alias("sin")))
+
+    ta = totals.select(F.col("g").alias("ga"), F.col("ctot").alias("ca"))
+    tb = totals.select(F.col("g").alias("gb"), F.col("ctot").alias("cb"))
+    spine = ta.join(F.broadcast(tb), F.col("ga") < F.col("gb"))
+    s_total = (F.col("sin")
+               + (F.col("ca").cast(d38) - F.col("sa").cast(d38))
+               * F.col("cb").cast(d38)
+               + (F.col("cb").cast(d38) - F.col("sb").cast(d38))
+               * F.col("ca").cast(d38))
+    return (
+        spine.join(F.broadcast(shared), ["ga", "gb"], "left")
+        .withColumn("sin", F.coalesce("sin", F.lit(0).cast(d38)))
+        .withColumn("sa", F.coalesce("sa", F.lit(0)))
+        .withColumn("sb", F.coalesce("sb", F.lit(0)))
+        .withColumn("shared_terms",
+                    F.coalesce("shared_terms", F.lit(0)))
+        .select(F.col("ga").alias("source_a"),
+                F.col("gb").alias("source_b"),
+                F.col("shared_terms").cast("bigint").alias("shared_terms"),
+                (s_total.cast("string").cast("double")
+                 / (F.col("ca").cast("double") * F.col("cb").cast("double")
+                    * F.lit(2.0))).alias("tv")))

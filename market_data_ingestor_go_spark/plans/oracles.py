@@ -1728,3 +1728,138 @@ FROM s a JOIN s b ON a.doc_id <> b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         / CAST(len(a.sh) AS DOUBLE) >= 0.8
 """
+
+# ---- LM-quality curation family (late r6) --------------------------
+# All three are LOG-FREE by design (queries.py module doc): exact
+# integer/rational forms whose single IEEE divisions are bit-identical
+# cross-engine. The md5 bucket/feature hashes reuse the established
+# concat('0x', substring(md5(..),1,8)) construction (= Spark's
+# conv(substring(md5(..),1,8),16,10)).
+
+# Count-pruned bigram LM over the 80% hash-split; vocab = top-24
+# train unigrams (count DESC, term ASC); OOV -> '<unk>' before bigram
+# formation; bigram counts pruned at >= 2; c_ctx counts prev AS A
+# CONTEXT (over the bigram stream). lm_score = aggregated Laplace
+# likelihood (Σc_bg + n) / (Σc_ctx + n·(V+1)).
+EXTRA_ORACLES["doc_lm_quality"] = """
+WITH tok AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+), train AS (
+  SELECT * FROM tok
+  WHERE (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100) < 80
+), vocab AS (
+  SELECT t AS term FROM (SELECT unnest(ts) AS t FROM train)
+  GROUP BY t ORDER BY count(*) DESC, t LIMIT 24
+), tbg AS (
+  SELECT CASE WHEN p IN (SELECT term FROM vocab)
+              THEN p ELSE '<unk>' END AS prev,
+         CASE WHEN c IN (SELECT term FROM vocab)
+              THEN c ELSE '<unk>' END AS cur
+  FROM (SELECT unnest(ts[1:len(ts)-1]) AS p,
+               unnest(ts[2:len(ts)]) AS c FROM train)
+), bgc AS (
+  SELECT prev, cur, count(*) AS c_bg FROM tbg
+  GROUP BY prev, cur HAVING count(*) >= 2
+), ctx AS (
+  SELECT prev, count(*) AS c_ctx FROM tbg GROUP BY prev
+), vsz AS (SELECT count(*) AS v_sz FROM vocab),
+abg AS (
+  SELECT doc_id,
+         CASE WHEN p IN (SELECT term FROM vocab)
+              THEN p ELSE '<unk>' END AS prev,
+         CASE WHEN c IN (SELECT term FROM vocab)
+              THEN c ELSE '<unk>' END AS cur
+  FROM (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS p,
+               unnest(ts[2:len(ts)]) AS c FROM tok)
+), sc AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         SUM(CASE WHEN cur = '<unk>' THEN 1 ELSE 0 END) AS n_oov,
+         SUM(COALESCE(c_bg, 0)) AS sum_bg,
+         SUM(COALESCE(c_ctx, 0)) AS sum_ctx
+  FROM abg
+  LEFT JOIN bgc USING (prev, cur)
+  LEFT JOIN ctx USING (prev)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.lang, CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(COALESCE(sum_bg, 0) AS BIGINT) AS sum_bg,
+       CAST(COALESCE(sum_ctx, 0) AS BIGINT) AS sum_ctx,
+       CASE WHEN n_bigrams > 0 THEN
+         CAST(sum_bg + n_bigrams AS DOUBLE)
+         / CAST(sum_ctx + n_bigrams * ((SELECT v_sz FROM vsz) + 1)
+                AS DOUBLE)
+       END AS lm_score
+FROM tok t LEFT JOIN sc ON t.doc_id = sc.doc_id
+"""
+
+# DSIR hashed-bigram importance toward lang='en': ratio_b =
+# ((ct+1)(Craw+B)) / ((cr+1)(Ctar+B)) in double from exact integers;
+# per-doc mean of DECIMAL(27,6)-cast per-occurrence ratios.
+EXTRA_ORACLES["dsir_importance_weights"] = """
+WITH bk AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substring(md5(p || ' ' || c), 1, 8))
+              AS BIGINT) % 512 AS bucket
+  FROM (SELECT doc_id, lang, unnest(ts[1:len(ts)-1]) AS p,
+               unnest(ts[2:len(ts)]) AS c
+        FROM (SELECT doc_id, lang,
+                     regexp_split_to_array(trim(text), '\\s+') AS ts
+              FROM documents))
+), dist AS (
+  SELECT bucket, count(*) AS cr,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM bk GROUP BY bucket
+), tot AS (SELECT SUM(cr) AS craw, SUM(ct) AS ctar FROM dist),
+rt AS (
+  SELECT bucket,
+         (CAST(ct + 1 AS DOUBLE) * CAST(craw + 512 AS DOUBLE))
+         / (CAST(cr + 1 AS DOUBLE) * CAST(ctar + 512 AS DOUBLE)) AS ratio
+  FROM dist, tot)
+SELECT doc_id, lang, count(*) AS n_feats,
+       CAST(SUM(CAST(ratio AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+         AS imp_score
+FROM bk JOIN rt USING (bucket)
+GROUP BY doc_id, lang
+"""
+
+# Pairwise total-variation drift between per-source token
+# distributions, exact on the common denominator: HUGEINT (= Spark
+# DECIMAL(38,0)) cross-products, one string-routed final division.
+EXTRA_ORACLES["source_tv_drift"] = """
+WITH toks AS (
+  SELECT source AS g, unnest(regexp_split_to_array(trim(text), '\\s+'))
+           AS term
+  FROM documents
+), counts AS (
+  SELECT g, term, count(*) AS c FROM toks GROUP BY g, term
+), totals AS (
+  SELECT g, SUM(c) AS ctot FROM counts GROUP BY g
+), shared AS (
+  SELECT a.g AS ga, b.g AS gb, count(*) AS shared_terms,
+         SUM(a.c) AS sa, SUM(b.c) AS sb,
+         SUM(ABS(CAST(a.c AS HUGEINT) * CAST(tb.ctot AS HUGEINT)
+                 - CAST(b.c AS HUGEINT) * CAST(ta.ctot AS HUGEINT)))
+           AS sin
+  FROM counts a
+  JOIN counts b ON a.term = b.term AND a.g < b.g
+  JOIN totals ta ON a.g = ta.g
+  JOIN totals tb ON b.g = tb.g
+  GROUP BY a.g, b.g
+)
+SELECT ta.g AS source_a, tb.g AS source_b,
+       CAST(COALESCE(shared_terms, 0) AS BIGINT) AS shared_terms,
+       CAST(CAST(COALESCE(sin, 0)
+                 + (CAST(ta.ctot AS HUGEINT) - COALESCE(sa, 0))
+                   * CAST(tb.ctot AS HUGEINT)
+                 + (CAST(tb.ctot AS HUGEINT) - COALESCE(sb, 0))
+                   * CAST(ta.ctot AS HUGEINT)
+            AS VARCHAR) AS DOUBLE)
+       / (CAST(ta.ctot AS DOUBLE) * CAST(tb.ctot AS DOUBLE) * 2.0) AS tv
+FROM totals ta
+JOIN totals tb ON ta.g < tb.g
+LEFT JOIN shared ON shared.ga = ta.g AND shared.gb = tb.g
+"""

@@ -2026,6 +2026,44 @@ def contamination_check(spark, sf_dir):
                 F.col("b_id").alias("test_id"), "jacc")
 
 
+def doc_lm_quality(spark, sf_dir):
+    """CCNet-style n-gram LM quality scoring: a count-pruned bigram
+    model trained on the deterministic 80% hash-split scores every
+    document (operators/lm_quality.py::ngram_lm_score). vocab_size=24
+    (< the fixture's 31 distinct tokens) so the <unk>/OOV machinery
+    is live against the oracle. The headline lm_score is the log-free
+    aggregated Laplace likelihood — bit-exact cross-engine; the true
+    cross-entropy column (xent_bits, ln-based) is engine-only and
+    verified against exact Python in tests/test_operators.py."""
+    from ..operators.lm_quality import ngram_lm_score
+    d = _t(spark, sf_dir, "documents")
+    return ngram_lm_score(d, vocab_size=24, min_count=2, train_pct=80,
+                          extra_cols=["lang"]).drop("xent_bits")
+
+
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR hashed-bigram importance weights toward the lang='en'
+    target distribution (operators/lm_quality.py::dsir_importance):
+    per-doc mean target/raw likelihood-ratio over 512 md5-hashed
+    bigram feature buckets — the data-selection signal that reshapes
+    a raw corpus toward a target domain by resampling."""
+    from ..operators.lm_quality import dsir_importance
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, target_col="lang", target_value="en",
+                           n_buckets=512)
+
+
+def source_tv_drift(spark, sf_dir):
+    """Pairwise total-variation distance between per-source token
+    distributions (operators/lm_quality.py::token_tv_divergence) —
+    the drift monitor between corpus snapshots/sources. Exact
+    rational arithmetic on the common denominator (DECIMAL(38,0)
+    cross-products, one final string-routed division) ⇒ bit-exact."""
+    from ..operators.lm_quality import token_tv_divergence
+    d = _t(spark, sf_dir, "documents")
+    return token_tv_divergence(d, group_col="source")
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # queries() (CORRECTNESS_r01 stopped at exactly entry 50, leaving the
 # whole §2.11 extension surface unverified). QUERIES is therefore a
@@ -2186,6 +2224,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionization": events_sessionization,  # ordered key window ⊂ events_gapfill_locf
     "asof_join_purchase_click": asof_join_purchase_click,  # ⊂ range_join_click_context
     "value_percentiles": value_percentiles,          # exact ranks ⊂ doc_length_buckets
+    # LM-quality curation family (late r6, oracle-backed, R7 rotation
+    # candidates — externally unverified until then)
+    "doc_lm_quality": doc_lm_quality,
+    "dsir_importance_weights": dsir_importance_weights,
+    "source_tv_drift": source_tv_drift,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2254,4 +2297,7 @@ ROTATION_CANDIDATES_R7: list[str] = [
     "events_moving_stats",
     "doc_sparse_cosine_neardup",  # added r6, oracle-backed, never verified
     "doc_containment_pairs",      # added r6, oracle-backed, never verified
+    "doc_lm_quality",             # added r6, oracle-backed, never verified
+    "dsir_importance_weights",    # added r6, oracle-backed, never verified
+    "source_tv_drift",            # added r6, oracle-backed, never verified
 ]

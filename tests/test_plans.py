@@ -323,3 +323,28 @@ def test_round6_chunked_and_perf_fix_shapes(spark):
     p = _plan(ALL_QUERIES["events_gapfill_interpolate"](spark, SF))
     assert "DESC" in p, p
     assert "unboundedfollowing" not in p.lower().replace(" ", ""), p
+
+
+def test_lm_quality_family_shapes(spark):
+    """LM-quality curation family (late r6): the scale claims the
+    module doc makes must be plan-visible."""
+    # doc_lm_quality: bigram formation is NARROW (zip-with-tail, no
+    # per-doc Window), every model side broadcasts, no cartesian
+    p = _plan(ALL_QUERIES["doc_lm_quality"](spark, SF))
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 4, p  # 2×vocab + bgc + ctx + spine
+    assert "SortMergeJoin" not in p, p
+
+    # dsir: one bounded bucket aggregate, ratio table broadcast back,
+    # corpus never sort-merge-joins
+    p = _plan(ALL_QUERIES["dsir_importance_weights"](spark, SF))
+    assert "Window" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+    # tv drift: the only nested-loop join is the |groups|² spine over
+    # the totals AGGREGATE (driver-scale), never a corpus relation —
+    # every BNLJ/cartesian input must sit above an aggregate
+    p = _plan(ALL_QUERIES["source_tv_drift"](spark, SF))
+    assert "CartesianProduct" not in p, p
