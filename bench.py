@@ -148,6 +148,9 @@ HEADLINE = [
     "doc_lm_quality",
     "dsir_importance_weights",
     "source_tv_drift",
+    # late r6: SemDeDup — k-means-bounded semantic dedup (serve path
+    # against the cached centroid artifact, like knn_ann_pq)
+    "semdedup_keepers",
 ]
 
 

@@ -883,3 +883,100 @@ def filtered_knn(df: DataFrame, queries: DataFrame, predicate,
     return random_hyperplane_ann(sub, queries, k=k, id_col=id_col,
                                  vec_col=vec_col,
                                  multiprobe=multiprobe), "ann"
+
+
+def assign_cells(df: DataFrame, centroids: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_probes: int = 1) -> DataFrame:
+    """(id, vector, cell[, cells]): each vector labeled with its
+    max-cosine centroid via the zero-shuffle per-row argmax ivf_ann
+    uses (the codebook collapses to one broadcast array-of-structs
+    row; ties take the larger cent_id). With ``n_probes`` > 1 the
+    row also carries ``cells`` — its top-p cells in score order —
+    for overlap-assignment consumers (semdedup boundary recall)."""
+    c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
+    cents = centroids.select(F.col(id_col).alias("cent_id"),
+                             as_double(vec_col).alias("cv"))
+    cent_row = F.broadcast(
+        cents.agg(F.collect_list(F.struct("cent_id", "cv")).alias("cb")))
+    scored = F.reverse(F.array_sort(F.transform(
+        F.col("cb"),
+        lambda ct: F.struct(cosine(F.col("nv"), ct["cv"]).alias("ccos"),
+                            ct["cent_id"].alias("cent_id")))))
+    out = (c.join(cent_row, F.lit(True))
+           .withColumn("_sc", scored)
+           .withColumn("cell", F.col("_sc")[0]["cent_id"]))
+    if n_probes > 1:
+        out = out.withColumn(
+            "cells", F.slice(F.col("_sc"), 1, n_probes)["cent_id"])
+    return out.drop("cb", "_sc")
+
+
+def semdedup(df: DataFrame, n_clusters: int = 16,
+             threshold: float = 0.4, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             centroids: DataFrame | None = None,
+             max_train_rows: int | None = 4096,
+             n_probes: int = 1) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication bounded
+    by k-means clustering — pairwise cosine runs only WITHIN each
+    cluster, turning the O(n²) exact pair join into k independent
+    O((n/k)²) joins (with balanced cells, a k× work reduction that
+    compounds with per-cell parallelism at scale).
+
+    Rule (deterministic): drop a vector iff its cluster contains a
+    neighbor with cosine ≥ threshold and a smaller id — the greedy
+    min-id keeper, matching the keeper convention of the text-dedup
+    family. With the deterministic k-means trainer
+    (train_kmeans_codebook: hash-sample init, decimal-exact means)
+    the full output is run- and partition-stable.
+
+    vs semantic_dedup_clusters (the exact twin): that query builds
+    the GLOBAL exact pair graph then connected components — the
+    correctness oracle. This is the scale path: near-dup pairs that
+    straddle a cluster boundary are missed by construction (the
+    paper's trade-off); recall against the global graph is measured
+    in tests as a deterministic floor. ``n_probes`` > 1 softens the
+    boundary: each vector joins through its top-p cells (IVF
+    multiprobe applied to dedup), multiplying candidate volume by
+    ≤ p² for a measured recall lift.
+
+    Plan: assignment is zero-shuffle (broadcast codebook argmax);
+    the wide exchanges are the self-join keyed on cell and the
+    flag-back join on id. The dropped set is NOT broadcast-hinted —
+    on a duplicate-heavy corpus it is corpus-sized, so the planner
+    must stay free to pick a shuffled join (AQE broadcasts it when
+    it measures small).
+
+    Returns (id, cell, kept) for every input row.
+    """
+    if centroids is None:
+        centroids = train_kmeans_codebook(
+            df, k=n_clusters, id_col=id_col, vec_col=vec_col,
+            max_train_rows=max_train_rows)
+    assigned = pin(
+        assign_cells(df, centroids, id_col, vec_col, n_probes=n_probes)
+        .withColumn("nsd", dot(F.col("nv"), F.col("nv"))))
+
+    probe = (F.explode("cells").alias("pcell") if n_probes > 1
+             else F.col("cell").alias("pcell"))
+    a = assigned.select(F.col("n_id").alias("a_id"),
+                        F.col("nv").alias("va"),
+                        F.col("nsd").alias("sda"), probe)
+    b = assigned.select(F.col("n_id").alias("b_id"),
+                        F.col("nv").alias("vb"),
+                        F.col("nsd").alias("sdb"), probe)
+    cos = dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("sda") * F.col("sdb"))
+    dropped = (
+        a.join(b, ["pcell"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("b_id").alias("n_id"))
+        .distinct())
+    return (
+        assigned.join(dropped.withColumn("_d", F.lit(True)),
+                      ["n_id"], "left")
+        .select(F.col("n_id").alias(id_col), "cell",
+                F.coalesce(F.col("_d"), F.lit(False)).alias("dropped"))
+        .withColumn("kept", ~F.col("dropped"))
+        .drop("dropped"))

@@ -21,6 +21,8 @@ Queries intentionally absent (rows-only driver check):
   contract instead; exact twin value_percentiles.
 - pack_greedy_packing (EXTRA)         : greedy applyInPandas packer,
   property-tested instead.
+- semdedup_keepers (EXTRA)            : engine-trained k-means cells;
+  exact twin semantic_dedup_clusters, coverage floor in tests.
 """
 
 DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
