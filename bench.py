@@ -146,6 +146,7 @@ HEADLINE = [
     # late r6: LM-quality curation family (bigram-LM scoring, DSIR
     # importance weights, pairwise source TV drift)
     "doc_lm_quality",
+    "lm_quality_bands",
     "dsir_importance_weights",
     "source_tv_drift",
     # late r6: SemDeDup — k-means-bounded semantic dedup (serve path

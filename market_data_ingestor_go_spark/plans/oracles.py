@@ -1865,3 +1865,23 @@ FROM totals ta
 JOIN totals tb ON ta.g < tb.g
 LEFT JOIN shared ON shared.ga = ta.g AND shared.gb = tb.g
 """
+
+# CCNet band split composed over the doc_lm_quality oracle: exact
+# per-lang ntile(3) on (lm_score DESC NULLS LAST, doc_id).
+EXTRA_ORACLES["lm_quality_bands"] = f"""
+WITH base AS ({EXTRA_ORACLES["doc_lm_quality"]}),
+banded AS (
+  SELECT lang, n_tokens, lm_score,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY lm_score DESC NULLS LAST, doc_id) AS b
+  FROM base
+)
+SELECT lang,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS band,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(lm_score) AS min_score,
+       MAX(lm_score) AS max_score
+FROM banded GROUP BY lang, b
+"""

@@ -2076,6 +2076,31 @@ def doc_lm_quality(spark, sf_dir):
                           extra_cols=["lang"]).drop("xent_bits")
 
 
+def lm_quality_bands(spark, sf_dir):
+    """CCNet's second half: per-language head/middle/tail perplexity
+    bands over the LM quality score (head = most in-distribution).
+    Deterministic exact ntile(3) per lang on (lm_score DESC NULLS
+    LAST, doc_id) — the unique tiebreak makes band assignment
+    engine-exact; band stats aggregate per (lang, band). Exact ranks
+    per the doc_length_buckets convention (its scan-side
+    percentile_approx twin shows the 100 TB path — band CUTOFFS from
+    approx quantiles, assignment by comparison, no global sort)."""
+    from ..operators.lm_quality import ngram_lm_score
+    d = _t(spark, sf_dir, "documents")
+    scored = ngram_lm_score(d, vocab_size=24, min_count=2, train_pct=80,
+                            extra_cols=["lang"]).drop("xent_bits")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score").desc_nulls_last(), F.col("doc_id"))
+    banded = scored.withColumn("b", F.ntile(3).over(w)).withColumn(
+        "band", F.when(F.col("b") == 1, "head")
+                 .when(F.col("b") == 2, "middle").otherwise("tail"))
+    return (banded.groupBy("lang", "band")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.min("lm_score").alias("min_score"),
+                 F.max("lm_score").alias("max_score")))
+
+
 def dsir_importance_weights(spark, sf_dir):
     """DSIR hashed-bigram importance weights toward the lang='en'
     target distribution (operators/lm_quality.py::dsir_importance):
@@ -2262,6 +2287,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # LM-quality curation family (late r6, oracle-backed, R7 rotation
     # candidates — externally unverified until then)
     "doc_lm_quality": doc_lm_quality,
+    "lm_quality_bands": lm_quality_bands,
     "dsir_importance_weights": dsir_importance_weights,
     "source_tv_drift": source_tv_drift,
     # rows-only by design (engine-trained centroids); exact twin
@@ -2336,6 +2362,7 @@ ROTATION_CANDIDATES_R7: list[str] = [
     "doc_sparse_cosine_neardup",  # added r6, oracle-backed, never verified
     "doc_containment_pairs",      # added r6, oracle-backed, never verified
     "doc_lm_quality",             # added r6, oracle-backed, never verified
+    "lm_quality_bands",           # added r6, oracle-backed, never verified
     "dsir_importance_weights",    # added r6, oracle-backed, never verified
     "source_tv_drift",            # added r6, oracle-backed, never verified
 ]
