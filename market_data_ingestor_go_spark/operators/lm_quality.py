@@ -137,42 +137,21 @@ def _unk_mapped(bg: DataFrame, vocab: DataFrame) -> DataFrame:
           .drop("_vp", "_vc"))
 
 
-def ngram_lm_score(docs: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", vocab_size: int = 64,
-                   min_count: int = 2, train_pct: int = 80,
-                   extra_cols: list[str] | None = None) -> DataFrame:
-    """Score every document against the count-pruned bigram LM —
-    the CCNet quality-filtering signal (docs unlike the reference
-    distribution score low; boilerplate/keyboard-mash scores lowest).
-
-    Per doc: n_tokens, n_bigrams, n_oov (bigrams whose target token
-    is OOV), sum_bg = Σ c_bg, sum_ctx = Σ c_ctx (both BIGINT-exact),
-    and two scores:
-
-    - ``lm_score``  = (sum_bg + n) / (sum_ctx + n·(V+1)): the
-      aggregated Laplace likelihood — one division of two exact
-      integers, bit-identical cross-engine (module doc). Higher =
-      more in-distribution.
-    - ``xent_bits`` = −(Σ log2 (c_bg+1)/(c_ctx+V+1)) / n: true
-      per-token cross-entropy — engine-only (ln ULP), verified vs
-      exact Python in tests; NULL when n = 0.
-
-    Plan shape: model aggregates shuffle once each on their bounded
-    keys; scoring is scan → narrow bigram explode → three broadcast
-    joins → one groupBy(doc_id) partial agg → broadcast join back to
-    the doc spine. The corpus is read twice (train counts, scoring) —
-    at 100 TB you'd persist the model (it is a tiny artifact, like
-    the PQ codebook split in similarity.py).
-    """
-    vocab, bgc, ctx = train_bigram_lm(
-        docs, text_col, id_col, vocab_size, min_count, train_pct)
+def score_with_model(docs: DataFrame, vocab: DataFrame,
+                     bigram_counts: DataFrame, context_counts: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     extra_cols: list[str] | None = None) -> DataFrame:
+    """Score documents against a PREBUILT bigram model — the serve
+    half of ``ngram_lm_score`` (same Column algebra, so batch and
+    streaming scores are bit-identical by construction). See
+    ``ngram_lm_score`` for column semantics."""
     v_sz = F.broadcast(vocab.agg(F.count("*").alias("v_sz")))
 
     bg = _unk_mapped(
         bigram_stream(docs, text_col, id_col, extra_cols), vocab)
     scored = (
-        bg.join(F.broadcast(bgc), ["prev", "cur"], "left")
-          .join(F.broadcast(ctx), ["prev"], "left")
+        bg.join(F.broadcast(bigram_counts), ["prev", "cur"], "left")
+          .join(F.broadcast(context_counts), ["prev"], "left")
           .withColumn("c_bg", F.coalesce(F.col("c_bg"), F.lit(0)))
           .withColumn("c_ctx", F.coalesce(F.col("c_ctx"), F.lit(0))))
 
@@ -208,6 +187,39 @@ def ngram_lm_score(docs: DataFrame, text_col: str = "text",
                 F.when(F.col("n_bigrams") > 0, num / den)
                  .alias("lm_score"),
                 "xent_bits"))
+
+
+def ngram_lm_score(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", vocab_size: int = 64,
+                   min_count: int = 2, train_pct: int = 80,
+                   extra_cols: list[str] | None = None) -> DataFrame:
+    """Score every document against the count-pruned bigram LM —
+    the CCNet quality-filtering signal (docs unlike the reference
+    distribution score low; boilerplate/keyboard-mash scores lowest).
+
+    Per doc: n_tokens, n_bigrams, n_oov (bigrams whose target token
+    is OOV), sum_bg = Σ c_bg, sum_ctx = Σ c_ctx (both BIGINT-exact),
+    and two scores:
+
+    - ``lm_score``  = (sum_bg + n) / (sum_ctx + n·(V+1)): the
+      aggregated Laplace likelihood — one division of two exact
+      integers, bit-identical cross-engine (module doc). Higher =
+      more in-distribution.
+    - ``xent_bits`` = −(Σ log2 (c_bg+1)/(c_ctx+V+1)) / n: true
+      per-token cross-entropy — engine-only (ln ULP), verified vs
+      exact Python in tests; NULL when n = 0.
+
+    Plan shape: model aggregates shuffle once each on their bounded
+    keys; scoring is scan → narrow bigram explode → three broadcast
+    joins → one groupBy(doc_id) partial agg → broadcast join back to
+    the doc spine. The corpus is read twice (train counts, scoring) —
+    at 100 TB you'd persist the model (it is a tiny artifact, like
+    the PQ codebook split in similarity.py).
+    """
+    vocab, bgc, ctx = train_bigram_lm(
+        docs, text_col, id_col, vocab_size, min_count, train_pct)
+    return score_with_model(docs, vocab, bgc, ctx,
+                            text_col, id_col, extra_cols)
 
 
 def dsir_importance(docs: DataFrame, text_col: str = "text",

@@ -1659,3 +1659,78 @@ def test_streaming_moments_equal_batch_bit_exact(spark, tmp_path):
         "k STRING, v DOUBLE")
     row = _sm(nulls, "k", "v").collect()[0]
     assert row.n == 2 and int(row.s1) == 300
+
+
+def test_streaming_lm_quality_gate(spark, tmp_path):
+    """LM-quality gate e2e: the fixture corpus trains the reference
+    model once; streamed docs score BIT-IDENTICALLY to the batch
+    operator regardless of micro-batch split; a degenerate
+    (repetitive) doc and an unscorable 1-token doc are flagged within
+    their trigger; epoch replay overwrites into identical rows."""
+    import json as _json
+    import time as _time
+
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        score_with_model)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.lm_gate import (
+        LMQualityGate)
+
+    ref = load_table(spark, "/root/testdata/sf0.01", "documents")
+    real = [(r["doc_id"], r["text"]) for r in
+            ref.select("doc_id", "text").limit(6).collect()]
+    junk = [(100001, "zzq " * 30), (100002, "x")]   # degenerate, 1-token
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [real[:3], real[3:] + junk]
+    for i, batch in enumerate(batches):
+        fp = os.path.join(src, f"b{i}.json")
+        with open(fp, "w") as fh:
+            for did, text in batch:
+                fh.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        _time.sleep(0.01)
+        os.utime(fp, (1700000000 + i, 1700000000 + i))
+
+    gate = LMQualityGate(reference=ref,
+                         audit_path=str(tmp_path / "audit"),
+                         vocab_size=24, lo_bits=3.0, hi_bits=6.0)
+    stream = (spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = gate.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["doc_id"]: r for r in gate.scores().collect()}
+    assert len(got) == 8
+
+    # bit-agreement with the batch scorer on the same docs
+    all_docs = spark.createDataFrame(
+        [(d, t) for d, t in real + junk], "doc_id BIGINT, text STRING")
+    batch = {r["doc_id"]: r for r in score_with_model(
+        all_docs, gate._vocab, gate._bgc, gate._ctx).collect()}
+    for did in batch:
+        for c in ("n_tokens", "n_bigrams", "n_oov", "sum_bg",
+                  "sum_ctx", "lm_score", "xent_bits"):
+            assert got[did][c] == batch[did][c], (did, c)
+
+    # flags: real docs in-band, repetitive doc below the band,
+    # 1-token doc unscorable
+    for did, _ in real:
+        assert not got[did]["flagged"], did
+    assert got[100001]["flagged"] and got[100001]["xent_bits"] < 3.0
+    assert got[100002]["flagged"] and got[100002]["n_bigrams"] == 0
+    m = gate.metrics()
+    assert m["lm_gate_docs_scored"] == 8 and m["lm_gate_docs_flagged"] == 2
+
+    # replay idempotence: re-running an epoch overwrites into the
+    # exact same rows (static model, deterministic score)
+    before = sorted(map(tuple, gate.scores().collect()))
+    b1 = spark.createDataFrame(
+        [(d, t) for d, t in batches[1]], "doc_id BIGINT, text STRING")
+    gate._gate_batch(b1, 1)
+    after = sorted(map(tuple, gate.scores().collect()))
+    assert before == after
+    gate.stop()
