@@ -56,16 +56,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens as _tokens
 from .training import hash_bucket
 
+# _tokens is the SHARED corpus tokenization (functions/text.py::tokens
+# — whitespace split of trimmed text): importing it, rather than
+# restating the split, makes the "same token stream as doc_top_terms /
+# token_frequencies" claim structural (review catch).
+
 UNK = "<unk>"
-
-
-def _tokens(text_col: str) -> F.Column:
-    """The corpus-wide tokenization: whitespace split of trimmed text
-    (identical to doc_top_terms / token_frequencies so every text
-    operator sees the same token stream)."""
-    return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
 def bigram_stream(df: DataFrame, text_col: str = "text",

@@ -2031,16 +2031,21 @@ def contamination_check(spark, sf_dir):
 # artifact a deployment trains once; re-training inside every call
 # conflated model-build cost (driver-synchronized Lloyd rounds) with
 # the dedup pass itself (12 s vs ~2 s at sf0.1). Training is
-# deterministic, so cached centroids ≡ retraining; k×dim tiny rows.
-_SEM_CENTS: dict[str, object] = {}
+# deterministic, so cached centroids ≡ retraining. Cached as
+# COLLECTED rows (k×dim tiny) and rebuilt against the caller's
+# session per call — a cached DataFrame would pin the session that
+# trained it and break after a session swap (review catch, mirrors
+# _pq_codebooks exactly).
+_SEM_CENTS: dict[str, list] = {}
 
 
 def _sem_centroids(spark, sf_dir):
     from ..operators.similarity import train_kmeans_codebook
     if sf_dir not in _SEM_CENTS:
         e = _t(spark, sf_dir, "embeddings")
-        _SEM_CENTS[sf_dir] = train_kmeans_codebook(e, k=16)
-    return _SEM_CENTS[sf_dir]
+        _SEM_CENTS[sf_dir] = train_kmeans_codebook(e, k=16).collect()
+    return spark.createDataFrame(
+        _SEM_CENTS[sf_dir], "vec_id INT, embedding ARRAY<DOUBLE>")
 
 
 def semdedup_keepers(spark, sf_dir):

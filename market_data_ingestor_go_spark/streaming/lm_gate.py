@@ -70,11 +70,15 @@ class LMQualityGate:
             self.vocab_size, self.min_count, self.train_pct)
         # model tables are bounded (module doc) — persist so every
         # micro-batch replans against materialized sides, and
-        # materialize BEFORE the stream starts
+        # materialize EACH branch before the stream starts (vocab /
+        # bigram / context aggregations are separate plan branches:
+        # counting only one would leave the reference-corpus bigram
+        # shuffle to the first trigger — review catch)
         self._vocab = vocab.persist()
         self._bgc = bgc.persist()
         self._ctx = ctx.persist()
-        self._ctx.count()
+        for t in (self._vocab, self._bgc, self._ctx):
+            t.count()
 
     def score_batch(self, batch_docs: DataFrame) -> DataFrame:
         """(id, n_tokens, n_bigrams, n_oov, sum_bg, sum_ctx,

@@ -344,7 +344,40 @@ def test_lm_quality_family_shapes(spark):
     assert "BroadcastHashJoin" in p, p
 
     # tv drift: the only nested-loop join is the |groups|² spine over
-    # the totals AGGREGATE (driver-scale), never a corpus relation —
-    # every BNLJ/cartesian input must sit above an aggregate
-    p = _plan(ALL_QUERIES["source_tv_drift"](spark, SF))
+    # the TOTALS aggregate (driver-scale). Guarded structurally, not
+    # by absence of CartesianProduct alone (Spark renders the
+    # inequality spine as BroadcastNestedLoopJoin): walk the executed
+    # plan, and for EVERY BNLJ child require its topmost aggregate to
+    # be keyed by the group column only — the corpus-vocab-sized
+    # counts table aggregates on (g, term), so a regression that fed
+    # it to a nested-loop join fails this key check.
+    df = ALL_QUERIES["source_tv_drift"](spark, SF)
+    p = _plan(df)
     assert "CartesianProduct" not in p, p
+
+    def _kids(n):
+        nm = n.nodeName()
+        if nm.startswith("AdaptiveSparkPlan"):
+            return [n.executedPlan()]   # AQE hides the tree from children()
+        if "QueryStage" in nm:
+            return [n.plan()]
+        return [n.children().apply(i) for i in range(n.children().size())]
+
+    def _walk(node, out):
+        if "BroadcastNestedLoopJoin" in node.nodeName():
+            out.append(node)
+        for c in _kids(node):
+            _walk(c, out)
+
+    root = df._jdf.queryExecution().executedPlan()
+    bnljs = []
+    _walk(root, bnljs)
+    assert bnljs, "expected the groups-spine BNLJ in:\n" + p
+    for j in bnljs:
+        for i in range(j.children().size()):
+            sub = j.children().apply(i).toString()
+            m = re.search(r"HashAggregate\(keys=\[([^\]]*)\]", sub)
+            assert m, sub
+            assert "term" not in m.group(1), (
+                "nested-loop input's top aggregate is corpus-sized "
+                "(keyed by term): " + m.group(1))
