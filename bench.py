@@ -149,6 +149,9 @@ HEADLINE = [
     "lm_quality_bands",
     "dsir_importance_weights",
     "source_tv_drift",
+    # late r6: JL random-projection compression QA (distortion over
+    # the vec_id<100 pair set, bit-exact)
+    "jl_projection_distortion",
     # late r6: SemDeDup — k-means-bounded semantic dedup (serve path
     # against the cached centroid artifact, like knn_ann_pq)
     "semdedup_keepers",

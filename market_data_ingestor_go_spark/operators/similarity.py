@@ -980,3 +980,49 @@ def semdedup(df: DataFrame, n_clusters: int = 16,
                 F.coalesce(F.col("_d"), F.lit(False)).alias("dropped"))
         .withColumn("kept", ~F.col("dropped"))
         .drop("dropped"))
+
+
+def jl_signs(in_dim: int, out_dim: int, seed: str = "jl:v1") -> list[list[float]]:
+    """Deterministic ±1 sign matrix for the Achlioptas (2003) sparse
+    JL transform, derived from md5 so ANY engine (or the DuckDB
+    oracle) reproduces it bit-for-bit: sign[j][i] = +1 iff the first
+    hex nibble of md5("{seed}:{j}:{i}") is even. Returned as out_dim
+    rows of in_dim floats (the per-output-dim inner-product side)."""
+    import hashlib
+
+    return [
+        [1.0 if int(hashlib.md5(
+            f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+         else -1.0 for i in range(in_dim)]
+        for j in range(out_dim)]
+
+
+def jl_project(df: DataFrame, in_dim: int, out_dim: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed: str = "jl:v1") -> DataFrame:
+    """Random-projection (JL) embedding compression: out_dim
+    inner products against broadcast ±1 sign rows, scaled by
+    1/sqrt(out_dim). Per the JL lemma, pairwise distances are
+    preserved within (1±ε) w.h.p. — the cheap first stage before
+    storing / indexing 100 TB of embeddings at 4× fewer bytes.
+
+    Determinism: each output dim is ONE left-fold inner product
+    (aggregate over zip_with — the construction proven bit-identical
+    to DuckDB's list_inner_product, see verify notes), and the sign
+    matrix is md5-derived Python literals — no engine RNG anywhere.
+
+    Plan: pure per-row Column algebra over literal arrays — a narrow
+    scan-speed map, no shuffle, no UDF.
+    """
+    signs = jl_signs(in_dim, out_dim, seed)
+    v = as_double(vec_col)
+    scale = 1.0 / (out_dim ** 0.5)
+
+    def ip(srow: list[float]) -> Column:
+        lit = F.array(*[F.lit(s) for s in srow])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda x, s: x * s),
+            F.lit(0.0), lambda acc, x: acc + x) * F.lit(scale)
+
+    return df.select(F.col(id_col),
+                     F.array(*[ip(s) for s in signs]).alias("jl_vec"))

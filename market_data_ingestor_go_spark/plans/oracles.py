@@ -1885,3 +1885,40 @@ SELECT lang,
        MAX(lm_score) AS max_score
 FROM banded GROUP BY lang, b
 """
+
+# Achlioptas JL projection distortion (late r6): the ±1 sign matrix
+# is md5-derived Python literals (operators/similarity.py::jl_signs)
+# inlined below, so both engines project with the identical matrix;
+# each output dim is list_inner_product (≡ Spark's zip_with fold,
+# proven bit-identical), distances are the same left-fold squares.
+from ..operators.similarity import jl_signs as _jl_signs
+
+_JL = _jl_signs(64, 16)
+_JL_PROJ = ", ".join(
+    "list_inner_product(v, CAST(["
+    + ", ".join(str(x) for x in row)
+    + "] AS DOUBLE[])) * 0.25" for row in _JL)
+_D2 = ("list_reduce(list_transform(list_zip({a}, {b}), "
+       "s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)")
+
+EXTRA_ORACLES["jl_projection_distortion"] = f"""
+WITH p AS (
+  SELECT vec_id, v, [{_JL_PROJ}] AS jl_vec
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 100)
+), d AS (
+  SELECT {_D2.format(a='a.jl_vec', b='b.jl_vec')} AS d2p,
+         {_D2.format(a='a.v', b='b.v')} AS d2v
+  FROM p a JOIN p b ON a.vec_id < b.vec_id
+), r AS (
+  SELECT d2p / d2v AS r FROM d WHERE d2v > 0
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+         AS mean_ratio,
+       MIN(r) AS min_ratio,
+       MAX(r) AS max_ratio,
+       CAST(SUM(CASE WHEN r >= 0.6 AND r <= 1.4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_40pct
+FROM r
+"""

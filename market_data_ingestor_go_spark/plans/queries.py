@@ -2066,6 +2066,50 @@ def semdedup_keepers(spark, sf_dir):
                     centroids=_sem_centroids(spark, sf_dir))
 
 
+def jl_projection_distortion(spark, sf_dir):
+    """Random-projection embedding compression QA
+    (operators/similarity.py::jl_project): project 64-d embeddings to
+    16-d with the deterministic Achlioptas ±1 JL transform, then
+    measure pairwise squared-distance distortion over the vec_id<100
+    pair set — the check run before swapping an index to compressed
+    vectors. Every number is a deterministic left-fold / single-
+    division expression (signs are md5-derived literals shared with
+    the oracle), so the result is bit-exact cross-engine."""
+    from ..operators.similarity import as_double, jl_project
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    base = e.select("vec_id", as_double("embedding").alias("v")) \
+        .join(jl_project(e, in_dim=64, out_dim=16), "vec_id")
+
+    def d2(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+                           F.lit(0.0), lambda acc, t: acc + t)
+
+    a = base.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+                    F.col("jl_vec").alias("pa"))
+    b = base.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+                    F.col("jl_vec").alias("pb"))
+    # exact-duplicate pairs (d2 = 0) are excluded — distortion of a
+    # zero distance is undefined. The division is ALSO guarded at the
+    # expression level (when), not just by the row filter: ANSI mode
+    # (Spark 4 default) rejects 0/0, and Catalyst is free to reorder
+    # filter conjuncts / push predicates into the join, where the
+    # division could evaluate on a self-pair before the guard.
+    pairs = (a.join(b, F.col("a_id") < F.col("b_id"))
+             .select(d2(F.col("pa"), F.col("pb")).alias("d2p"),
+                     d2(F.col("va"), F.col("vb")).alias("d2v"))
+             .filter(F.col("d2v") > 0)
+             .select(F.when(F.col("d2v") > 0,
+                            F.col("d2p") / F.col("d2v")).alias("r")))
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        (F.sum(F.col("r").cast("decimal(27,6)")).cast("double")
+         / F.count("*")).alias("mean_ratio"),
+        F.min("r").alias("min_ratio"),
+        F.max("r").alias("max_ratio"),
+        F.sum(((F.col("r") >= 0.6) & (F.col("r") <= 1.4)).cast("int"))
+         .cast("bigint").alias("n_within_40pct"))
+
+
 def doc_lm_quality(spark, sf_dir):
     """CCNet-style n-gram LM quality scoring: a count-pruned bigram
     model trained on the deterministic 80% hash-split scores every
@@ -2293,6 +2337,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # candidates — externally unverified until then)
     "doc_lm_quality": doc_lm_quality,
     "lm_quality_bands": lm_quality_bands,
+    "jl_projection_distortion": jl_projection_distortion,
     "dsir_importance_weights": dsir_importance_weights,
     "source_tv_drift": source_tv_drift,
     # rows-only by design (engine-trained centroids); exact twin
@@ -2368,6 +2413,7 @@ ROTATION_CANDIDATES_R7: list[str] = [
     "doc_containment_pairs",      # added r6, oracle-backed, never verified
     "doc_lm_quality",             # added r6, oracle-backed, never verified
     "lm_quality_bands",           # added r6, oracle-backed, never verified
+    "jl_projection_distortion",   # added r6, oracle-backed, never verified
     "dsir_importance_weights",    # added r6, oracle-backed, never verified
     "source_tv_drift",            # added r6, oracle-backed, never verified
 ]

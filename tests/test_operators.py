@@ -2195,3 +2195,64 @@ def test_semdedup_rule_and_coverage(spark):
     rows2 = semdedup(e.repartition(7), threshold=0.4,
                      centroids=cents, n_probes=2).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_jl_projection_properties(spark):
+    """Achlioptas JL transform (similarity.py::jl_project): (1) the
+    distortion distribution matches the lemma on the fixture —
+    unbiased mean, bounded spread at d'=16 (values are deterministic,
+    so the pins are exact); (2) doubling the projection width
+    tightens concentration (variance ~ 2/d'); (3) output is
+    partition-order stable and seed-sensitive.
+
+    NOT pinned: fine-grained kNN recall — the fixture's embeddings
+    are near-random (max cosine ~0.5), so neighbors sit barely above
+    the bulk and ±35% distance noise at d'=16 legitimately scrambles
+    rankings (measured recall@5 0.14). JL here is the distance-
+    preserving compression stage; ranking fidelity needs either more
+    dims or an exact rerank over a shortlist."""
+    from pyspark.sql import functions as F
+
+    from market_data_ingestor_go_spark.operators.similarity import (
+        jl_project)
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+
+    r = ALL_QUERIES["jl_projection_distortion"](spark, SF).collect()[0]
+    assert r["n_pairs"] == 4950
+    assert 0.95 < r["mean_ratio"] < 1.05          # unbiased
+    assert r["n_within_40pct"] == 3852            # deterministic pin
+
+    # concentration improves with width: recompute at d'=32
+    e = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 100)
+    def within(out_dim):
+        p = jl_project(e, 64, out_dim)
+        base = e.select("vec_id",
+                        F.col("embedding").cast("array<double>").alias("v")) \
+            .join(p, "vec_id")
+        d2 = lambda x, y: F.aggregate(
+            F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, t: acc + t)
+        a = base.select(F.col("vec_id").alias("a_id"),
+                        F.col("v").alias("va"), F.col("jl_vec").alias("pa"))
+        b = base.select(F.col("vec_id").alias("b_id"),
+                        F.col("v").alias("vb"), F.col("jl_vec").alias("pb"))
+        # jl_project scales by 1/sqrt(out_dim), so the ratio is
+        # already unbiased at any width; when-guarded division (ANSI
+        # rejects 0/0 if Catalyst reorders the filter conjuncts)
+        return (a.join(b, F.col("a_id") < F.col("b_id"))
+                .select((d2(F.col("pa"), F.col("pb")).alias("d2p")),
+                        d2(F.col("va"), F.col("vb")).alias("d2v"))
+                .filter(F.col("d2v") > 0)
+                .select(F.when(F.col("d2v") > 0,
+                               F.col("d2p") / F.col("d2v")).alias("r"))
+                .filter((F.col("r") >= 0.6) & (F.col("r") <= 1.4))
+                .count())
+    assert within(32) > 3852
+
+    # stability + seed sensitivity
+    p1 = sorted(map(tuple, jl_project(e, 64, 16).collect()))
+    p2 = sorted(map(tuple,
+                    jl_project(e.repartition(7), 64, 16).collect()))
+    assert p1 == p2
+    p3 = sorted(map(tuple, jl_project(e, 64, 16, seed="jl:v2").collect()))
+    assert p1 != p3
