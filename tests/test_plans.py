@@ -343,6 +343,23 @@ def test_lm_quality_family_shapes(spark):
     assert "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
 
+    # column pruning reaches every scan of the family (n_chars/source
+    # etc. must NOT be read where unused)
+    for q, table, allowed in [
+            ("doc_lm_quality", "documents", {"doc_id", "text", "lang"}),
+            ("dsir_importance_weights", "documents",
+             {"doc_id", "text", "lang"}),
+            ("source_tv_drift", "documents", {"source", "text"}),
+            ("jl_projection_distortion", "embeddings",
+             {"vec_id", "embedding"})]:
+        plan = _plan(ALL_QUERIES[q](spark, SF))
+        for m in re.finditer(
+                r"FileScan parquet \[([^\]]*)\][^\n]*?"
+                r"([A-Za-z0-9_./-]+\.parquet)", plan):
+            if table in m.group(2):
+                cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+                assert cols <= allowed, (q, cols)
+
     # tv drift: the only nested-loop join is the |groups|² spine over
     # the TOTALS aggregate (driver-scale). Guarded structurally, not
     # by absence of CartesianProduct alone (Spark renders the
