@@ -1,0 +1,196 @@
+"""Streaming semantic (embedding-space) dedup gate (late round 6).
+
+The vector twin of ``streaming/dedup_gate.py``: batch SemDeDup
+(``operators/similarity.py::semdedup``) answers "which vectors in
+this corpus near-duplicate each other"; an embedding INGEST pipeline
+needs the online form — "is this arriving vector semantically a
+duplicate of anything already accepted" — decided per micro-batch,
+before the vector lands in the index/shard.
+
+State: ``<table>_vec`` — (n_id, nv, nsd, cell, epoch) of every
+ACCEPTED vector, partitioned by epoch (idempotent replay, the
+package-wide contract) and BUCKETED by the k-means cell so the
+per-batch candidate join probes it with the tiny batch side
+broadcast — the accumulated corpus never shuffles. Cells come from a
+FIXED centroid artifact supplied at construction (trained offline —
+the same train/serve split as batch semdedup / the PQ codebook).
+
+Per micro-batch:
+1. batch-internal SemDeDup (exact batch operator, min-id keeper);
+2. vs-corpus: survivors probe their top-``n_probes`` cells against
+   the accepted state (accepted vectors live under their primary
+   cell; probing p cells on the arriving side recovers boundary
+   pairs at p× candidate cost — between the batch operator's p=1 and
+   p² coverage); cosine ≥ threshold ⇒ rejected, audited with its
+   best-matching accepted id;
+3. survivors append under this epoch's partition; rejects land in
+   ``<dups_dir>/epoch=N``.
+
+SEMANTICS vs batch semdedup (pinned in tests): the batch rule is a
+DOMINANCE rule — drop x iff ANY smaller-id vector within a shared
+cell matches, even one that was itself dropped. The gate is the TRUE
+SEQUENTIAL GREEDY — x is only compared against vectors actually
+ACCEPTED so far, so a chain a~b, b~c (a≁c) keeps {a, c} here but
+only {a} in batch. Sequential greedy is what an ingest pipeline
+means by dedup (never reject against a doc you refused to keep);
+the batch rule is the conservative offline sweep.
+
+Replay contract: state + audit writes are epoch-idempotent (dynamic
+partition overwrite) and the vs-corpus probe EXCLUDES the current
+epoch's own partition, so a crash-replay never rejects a batch
+against its own failed write. Counters are observability gauges
+(replay double-counts; tables are the source of truth).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import as_double, assign_cells, dot, semdedup
+
+
+@dataclass
+class StreamingSemanticDedupGate:
+    """foreachBatch semantic dedup against an accumulated corpus."""
+
+    spark: SparkSession
+    centroids: DataFrame
+    base_table: str
+    dups_dir: str
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    threshold: float = 0.4
+    n_probes: int = 2
+    n_cell_buckets: int = 8
+    trigger_seconds: int = 2
+    vecs_seen: int = 0
+    vecs_accepted: int = 0
+    vecs_rejected: int = 0
+    queries: list = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        # the centroid artifact is model-sized: collect once so every
+        # batch replans against a literal relation of the CLONED
+        # foreachBatch session (a parent-session DataFrame would work
+        # here but ties batch plans to parent-session state)
+        self._cent_rows = self.centroids.collect()
+
+    @property
+    def state_table(self) -> str:
+        return f"{self.base_table}_vec"
+
+    def _cents(self, session) -> DataFrame:
+        return session.createDataFrame(
+            self._cent_rows,
+            f"{self.id_col} INT, {self.vec_col} ARRAY<DOUBLE>")
+
+    def _state_before(self, session, epoch_id: int) -> DataFrame | None:
+        if not session.catalog.tableExists(self.state_table):
+            return None
+        return (session.table(self.state_table)
+                .filter(F.col("epoch") != F.lit(int(epoch_id))))
+
+    def _gate_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        session = batch.sparkSession
+        cents = self._cents(session)
+
+        # 1. batch-internal SemDeDup (exact batch operator)
+        flags = semdedup(batch, threshold=self.threshold,
+                         id_col=self.id_col, vec_col=self.vec_col,
+                         centroids=cents, n_probes=self.n_probes)
+        internal_kept = flags.filter("kept").select(self.id_col)
+
+        # survivors with probe cells + self-dots (batch side — tiny)
+        surv = (assign_cells(batch.join(internal_kept, self.id_col),
+                             cents, self.id_col, self.vec_col,
+                             n_probes=self.n_probes)
+                .withColumn("nsd", dot(F.col("nv"), F.col("nv")))
+                .persist())
+
+        # 2. vs-corpus probe: batch side broadcast, state bucketed
+        state = self._state_before(session, epoch_id)
+        if state is not None:
+            probe = (surv.select(F.col("n_id").alias("q_id"),
+                                 F.col("nv").alias("qv"),
+                                 F.col("nsd").alias("qsd"),
+                                 F.explode("cells").alias("cell"))
+                     .hint("broadcast"))
+            cos = (dot(F.col("qv"), F.col("nv"))
+                   / F.sqrt(F.col("qsd") * F.col("nsd")))
+            hits = (probe.join(state, "cell")
+                    .select("q_id", "n_id", cos.alias("cos"))
+                    .filter(F.col("cos") >= F.lit(self.threshold))
+                    .groupBy("q_id")
+                    .agg(F.max_by(
+                             "n_id",
+                             F.struct(F.col("cos"), F.col("n_id")))
+                          .alias("dup_of"),   # (cos, id) tiebreak —
+                         F.max("cos").alias("cos")))  # replay-exact
+        else:
+            hits = None
+
+        if hits is not None and hits.head(1):
+            rejected = hits
+            rej_ids = rejected.select(F.col("q_id").alias("n_id"))
+            accepted = surv.join(rej_ids, "n_id", "left_anti")
+        else:
+            rejected = None
+            accepted = surv
+
+        # 3. idempotent writes: state under epoch partition (bucketed
+        # by cell), audit under its own epoch dir
+        out = (accepted.select("n_id", "nv", "nsd",
+                               F.col("cell"))
+               .withColumn("epoch", F.lit(int(epoch_id))))
+        session.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if not session.catalog.tableExists(self.state_table):
+            (out.write.mode("overwrite").partitionBy("epoch")
+             .bucketBy(self.n_cell_buckets, "cell").sortBy("cell")
+             .saveAsTable(self.state_table))
+        else:
+            out.write.insertInto(self.state_table, overwrite=True)
+
+        audit_dir = os.path.join(self.dups_dir, f"epoch={int(epoch_id)}")
+        if rejected is not None:
+            (rejected.select(F.col("q_id").alias("new_id"),
+                             "dup_of", "cos")
+             .coalesce(1).write.mode("overwrite").parquet(audit_dir))
+
+        n_batch = batch.count()
+        n_acc = accepted.count()
+        self.vecs_seen += n_batch
+        self.vecs_accepted += n_acc
+        self.vecs_rejected += n_batch - n_acc
+        surv.unpersist()
+
+    def attach(self, embedding_stream: DataFrame, checkpoint_dir: str):
+        q = (embedding_stream.writeStream
+             .foreachBatch(self._gate_batch)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(processingTime=f"{self.trigger_seconds} seconds")
+             .start())
+        self.queries.append(q)
+        return q
+
+    def accepted(self) -> DataFrame:
+        return self.spark.table(self.state_table).select(
+            F.col("n_id").alias(self.id_col), "cell", "epoch")
+
+    def rejections(self) -> DataFrame:
+        df = self.spark.read.parquet(self.dups_dir)
+        return df.drop("epoch") if "epoch" in df.columns else df
+
+    def metrics(self) -> dict:
+        return {"semdedup_gate_vecs_seen": self.vecs_seen,
+                "semdedup_gate_vecs_accepted": self.vecs_accepted,
+                "semdedup_gate_vecs_rejected": self.vecs_rejected}
+
+    def stop(self) -> None:
+        for q in self.queries:
+            if q.isActive:
+                q.stop()

@@ -1734,3 +1734,99 @@ def test_streaming_lm_quality_gate(spark, tmp_path):
     after = sorted(map(tuple, gate.scores().collect()))
     assert before == after
     gate.stop()
+
+
+def test_streaming_semdedup_gate(spark, tmp_path):
+    """Semantic dedup gate e2e: (1) within-batch duplicate rejected;
+    (2) an epoch-1 vector near-duplicating an accepted epoch-0
+    vector is rejected with the right dup_of; (3) SEQUENTIAL-GREEDY
+    semantics — a chain a~b, b~c (a≁c) keeps {a, c} here while batch
+    semdedup's dominance rule keeps only {a}; (4) epoch replay
+    leaves state identical; (5) state probes are cell-bucketed."""
+    import json as _json
+    import time as _time
+
+    from market_data_ingestor_go_spark.operators.similarity import (
+        semdedup)
+    from market_data_ingestor_go_spark.streaming.semdedup_gate import (
+        StreamingSemanticDedupGate)
+
+    # hand-built 4-d vectors: b sits between a and c so that
+    # cos(a,b) >= t, cos(b,c) >= t, cos(a,c) < t at t=0.9
+    a, c = [1.0, 0.0, 0.0, 0.0], [0.7071, 0.7071, 0.0, 0.0]
+    b = [0.9239, 0.3827, 0.0, 0.0]           # 22.5 deg between a and c
+    dup_a = [2.0, 0.02, 0.0, 0.0]            # ~a scaled: cos ~ 1
+    fresh = [0.0, 0.0, 1.0, 0.0]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(1, a), (2, b), (6, a)],            # 6 dups 1 within batch
+        [(3, c), (4, dup_a), (5, fresh)],    # 4 dups accepted 1
+    ]
+    for i, batch in enumerate(batches):
+        fp = os.path.join(src, f"b{i}.json")
+        with open(fp, "w") as fh:
+            for vid, v in batch:
+                fh.write(_json.dumps(
+                    {"vec_id": vid, "embedding": v}) + "\n")
+        _time.sleep(0.01)
+        os.utime(fp, (1700000000 + i, 1700000000 + i))
+
+    table = f"semgate_{abs(hash(str(tmp_path))) % 10**8}"
+    gate = StreamingSemanticDedupGate(
+        spark, centroids=cents, base_table=table,
+        dups_dir=str(tmp_path / "dups"), threshold=0.9, n_probes=2)
+    stream = (spark.readStream
+              .schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = gate.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    acc = {r["vec_id"] for r in gate.accepted().collect()}
+    # sequential greedy: 1=a, 2=b rejected? cos(a,b)=cos(22.5/2...)
+    # a~b (cos=0.9239 >= 0.9) -> 2 rejected within epoch 0 vs
+    # accepted... NO: same batch -> batch-internal dominance applies
+    # to epoch 0; 6 (dup of 1, same batch) rejected. Epoch 1: c vs
+    # accepted {1}: cos(a,c)=0.7071 < 0.9 -> ACCEPTED (the batch
+    # dominance rule would have dropped it via b); dup_a rejected
+    # against 1; fresh accepted.
+    assert acc == {1, 3, 5}
+    rej = {r["new_id"]: r["dup_of"] for r in gate.rejections().collect()}
+    assert rej == {4: 1}            # vs-corpus reject, best match id 1
+    m = gate.metrics()
+    assert m["semdedup_gate_vecs_seen"] == 6
+    assert m["semdedup_gate_vecs_accepted"] == 3
+
+    # batch semdedup on the full corpus drops c through the dropped
+    # vector b (dominance rule) — the semantic difference this gate
+    # documents
+    full = spark.createDataFrame(
+        [(vid, v) for bt in batches for vid, v in bt],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    batch_kept = {r["vec_id"] for r in
+                  semdedup(full, threshold=0.9, centroids=cents,
+                           n_probes=2).collect() if r["kept"]}
+    assert 3 not in batch_kept and 3 in acc
+
+    # epoch replay: re-running epoch 1 leaves accepted set identical
+    before = sorted(map(tuple, gate.accepted().collect()))
+    b1 = spark.createDataFrame(
+        [(vid, v) for vid, v in batches[1]],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    gate._gate_batch(b1, 1)
+    after = sorted(map(tuple, gate.accepted().collect()))
+    assert before == after
+
+    # the state table is bucketed by cell (probe-side shape)
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}_vec").collect()
+    txt = "\n".join(str(r) for r in desc)
+    assert "cell" in txt and "Bucket" in txt
+    gate.stop()
+    spark.sql(f"DROP TABLE IF EXISTS {table}_vec")
