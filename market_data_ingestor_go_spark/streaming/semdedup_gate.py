@@ -185,6 +185,30 @@ class StreamingSemanticDedupGate:
         df = self.spark.read.parquet(self.dups_dir)
         return df.drop("epoch") if "epoch" in df.columns else df
 
+    def compact_state(self) -> int:
+        """Fold all epoch partitions into epoch -1 (run while the
+        stream is stopped with its checkpoint committed — the
+        package-wide compaction contract, mirrors
+        _EpochPartitionedIndex.compact): a long-running gate
+        accumulates one partition per trigger, which degrades
+        listing/planning long before data size matters. Staged copy
+        so a full table exists at every instant of the swap; the
+        cell bucketing is preserved. Returns the folded row count."""
+        staging = f"{self.state_table}__staging"
+        live = self.spark.table(self.state_table)
+        n = live.count()
+
+        def _write(df: DataFrame, dest: str) -> None:
+            (df.write.mode("overwrite").partitionBy("epoch")
+             .bucketBy(self.n_cell_buckets, "cell").sortBy("cell")
+             .saveAsTable(dest))
+
+        _write(live.drop("epoch").withColumn("epoch", F.lit(-1)),
+               staging)
+        _write(self.spark.table(staging), self.state_table)
+        self.spark.sql(f"DROP TABLE {staging}")
+        return n
+
     def metrics(self) -> dict:
         return {"semdedup_gate_vecs_seen": self.vecs_seen,
                 "semdedup_gate_vecs_accepted": self.vecs_accepted,

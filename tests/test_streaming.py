@@ -1828,5 +1828,18 @@ def test_streaming_semdedup_gate(spark, tmp_path):
     desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}_vec").collect()
     txt = "\n".join(str(r) for r in desc)
     assert "cell" in txt and "Bucket" in txt
+
+    # compaction folds epochs into epoch=-1, content-identical,
+    # bucketing preserved
+    n = gate.compact_state()
+    assert n == 3
+    folded = spark.table(f"{table}_vec")
+    assert {r["epoch"] for r in folded.select("epoch").collect()} == {-1}
+    assert sorted(map(tuple, gate.accepted().drop("epoch").collect())) \
+        == sorted((t[0], t[1]) for t in before)
+    txt2 = "\n".join(str(r) for r in
+                     spark.sql(f"DESCRIBE TABLE EXTENDED {table}_vec")
+                     .collect())
+    assert "Bucket" in txt2
     gate.stop()
     spark.sql(f"DROP TABLE IF EXISTS {table}_vec")
