@@ -152,6 +152,9 @@ HEADLINE = [
     # late r6: JL random-projection compression QA (distortion over
     # the vec_id<100 pair set, bit-exact)
     "jl_projection_distortion",
+    # late r6: VARIANT-weighted VWAP + exact running-peak drawdown
+    "events_vwap",
+    "events_drawdown",
     # late r6: SemDeDup — k-means-bounded semantic dedup (serve path
     # against the cached centroid artifact, like knn_ann_pq)
     "semdedup_keepers",

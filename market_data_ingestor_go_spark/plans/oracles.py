@@ -1922,3 +1922,39 @@ SELECT COUNT(*) AS n_pairs,
             AS BIGINT) AS n_within_40pct
 FROM r
 """
+
+# VWAP per (event_type, hour): weights via JSON payload extraction
+# (the VARIANT path engine-side), decimal-summed weighted values,
+# exact bigint denominator.
+EXTRA_ORACLES["events_vwap"] = """
+WITH e AS (
+  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS hour_start_ms,
+         value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, hour_start_ms,
+       COUNT(*) AS n_events,
+       SUM(k) AS sum_qty,
+       CASE WHEN SUM(k) > 0 THEN
+         CAST(SUM(CAST(value * k AS DECIMAL(27,6))) AS DOUBLE)
+           / CAST(SUM(k) AS DOUBLE) END AS vwap
+FROM e GROUP BY event_type, hour_start_ms
+"""
+
+# Running-peak drawdown per series: cumulative max over the
+# deterministic (ts_ms, event_id) order — no accumulation, bit-exact
+# with zero decimal machinery.
+EXTRA_ORACLES["events_drawdown"] = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, event_id, value FROM events),
+d AS (
+  SELECT event_type, value,
+         MAX(value) OVER (PARTITION BY event_type
+                          ORDER BY ts_ms, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS peak
+  FROM e)
+SELECT event_type, COUNT(*) AS n_events,
+       MAX(value) AS peak_value,
+       MAX(peak - value) AS max_drawdown
+FROM d GROUP BY event_type
+"""

@@ -2066,6 +2066,53 @@ def semdedup_keepers(spark, sf_dir):
                     centroids=_sem_centroids(spark, sf_dir))
 
 
+def events_vwap(spark, sf_dir):
+    """Volume-weighted average price per (event_type, hour): weights
+    come through the schema-on-read VARIANT path (parse_json →
+    variant_get on the props payload — no schema migration when the
+    payload drifts), the weighted sum is the order-independent
+    decimal pattern, and the final division is one exact
+    bigint-denominator divide. Composes the P3/VARIANT family with
+    the exact-aggregate family."""
+    e = _events(spark, sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    w = e.select("event_type",
+                 (F.expr("ts_ms div 3600000") * 3600000)
+                 .alias("hour_start_ms"),
+                 F.col("value"), k.alias("k"))
+    # when-guarded: a bucket can legitimately have zero total
+    # quantity (93 zero-k events in the fixture) — its vwap is NULL,
+    # and ANSI mode rejects the bare 0/0
+    return (w.groupBy("event_type", "hour_start_ms")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("k").alias("sum_qty"),
+                 F.when(F.sum("k") > 0,
+                        F.sum((F.col("value") * F.col("k"))
+                              .cast("decimal(27,6)")).cast("double")
+                        / F.sum("k").cast("double")).alias("vwap")))
+
+
+def events_drawdown(spark, sf_dir):
+    """Per-series running-peak drawdown: peak = cumulative max over
+    the deterministic (ts, event_id) order, drawdown = peak − value.
+    NO accumulation anywhere — cummax and subtraction are exact, so
+    the per-series maxima are bit-exact cross-engine with zero
+    decimal machinery. The per-key window is one exchange; chunking
+    is not needed because max is a monotone prefix aggregate (the
+    chunk-parallel remedy of SCALING.md's per-key-window section
+    applies verbatim if key cardinality ever bounds parallelism)."""
+    e = _events(spark, sf_dir)
+    w = (Window.partitionBy("event_type")
+         .orderBy("ts_ms", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    dd = (e.withColumn("peak", F.max("value").over(w))
+          .withColumn("dd", F.col("peak") - F.col("value")))
+    return (dd.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.max("value").alias("peak_value"),
+                 F.max("dd").alias("max_drawdown")))
+
+
 def jl_projection_distortion(spark, sf_dir):
     """Random-projection embedding compression QA
     (operators/similarity.py::jl_project): project 64-d embeddings to
@@ -2338,6 +2385,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lm_quality": doc_lm_quality,
     "lm_quality_bands": lm_quality_bands,
     "jl_projection_distortion": jl_projection_distortion,
+    "events_vwap": events_vwap,
+    "events_drawdown": events_drawdown,
     "dsir_importance_weights": dsir_importance_weights,
     "source_tv_drift": source_tv_drift,
     # rows-only by design (engine-trained centroids); exact twin
@@ -2414,6 +2463,8 @@ ROTATION_CANDIDATES_R7: list[str] = [
     "doc_lm_quality",             # added r6, oracle-backed, never verified
     "lm_quality_bands",           # added r6, oracle-backed, never verified
     "jl_projection_distortion",   # added r6, oracle-backed, never verified
+    "events_vwap",                # added r6, oracle-backed, never verified
+    "events_drawdown",            # added r6, oracle-backed, never verified
     "dsir_importance_weights",    # added r6, oracle-backed, never verified
     "source_tv_drift",            # added r6, oracle-backed, never verified
 ]
