@@ -308,6 +308,79 @@ def streaming_ewma(stream: DataFrame, key_col: str, ts_ms_col: str,
     )
 
 
+DRAWDOWN_STATE_SCHEMA = T.StructType([
+    T.StructField("last_ts", T.LongType()),
+    T.StructField("peak", T.DoubleType()),
+])
+
+DRAWDOWN_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("k", T.StringType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("dd", T.DoubleType()),
+])
+
+
+def _make_drawdown():
+    """Per-key streaming running-peak drawdown (closure — see
+    _make_update_latest). State is TWO scalars: the last consumed
+    timestamp and the running peak. max() and subtraction are exact,
+    so the streamed (peak, dd) rows are BIT-IDENTICAL to the batch
+    cumulative-max window (events_drawdown) for in-order arrival —
+    no decimal machinery needed, unlike the summing twins. Same
+    contract as the EWMA twin: in-batch rows apply in (ts, arrival)
+    order; rows at-or-before the last consumed timestamp drop
+    (emitted rows are immutable)."""
+
+    def track(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+              ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        k = key[0]
+        last_ts, peak = state.get if state.exists else (None, None)
+        rows = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                rows.append((int(row["ts_ms"]), float(row["v"])))
+        rows.sort(key=lambda r: r[0])   # stable: (ts, arrival) order
+        out = []
+        for ts, v in rows:
+            if last_ts is not None and ts <= last_ts:
+                continue
+            peak = v if peak is None else max(peak, v)
+            last_ts = ts
+            out.append((k, ts, v, peak, peak - v))
+        if out:
+            state.update((last_ts, peak))
+            yield _pd.DataFrame(
+                out, columns=["k", "ts_ms", "value", "peak", "dd"])
+
+    return track
+
+
+def streaming_drawdown(stream: DataFrame, key_col: str, ts_ms_col: str,
+                       value_col: str) -> DataFrame:
+    """Streaming twin of ``events_drawdown``: per-key running peak
+    and drawdown over the live stream, two scalars of state, emitted
+    per row in append mode. Batch↔streaming bit-equality is tested
+    across micro-batch splits (max/subtract are exact ops)."""
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(ts_ms_col).cast("long").alias("ts_ms"),
+        F.col(value_col).cast("double").alias("v"))
+    return (
+        keyed.groupBy("k")
+        .applyInPandasWithState(
+            _make_drawdown(),
+            outputStructType=DRAWDOWN_OUTPUT_SCHEMA,
+            stateStructType=DRAWDOWN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 TWAP_STATE_SCHEMA = T.StructType([
     T.StructField("last_ts", T.LongType()),
     T.StructField("last_v", T.DoubleType()),

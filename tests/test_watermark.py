@@ -403,3 +403,62 @@ def test_streaming_motif_alerts_cross_batch(spark, tmp_path):
     a = alerts[0]
     # window [2..8] = the 10x pattern, starting in batch 1
     assert a.win_start_ms == 2 and a.dist < 1e-9
+
+
+def test_streaming_drawdown_equals_batch_window(spark, tmp_path):
+    """Streaming drawdown: the running peak carries across
+    micro-batches; the concatenated stream's (peak, dd) rows equal
+    the batch cumulative-max window BIT-exactly (max/subtract are
+    exact ops); a late row at-or-before the consumed head drops;
+    per-key independence holds."""
+    import json
+    import os
+
+    from market_data_ingestor_go_spark.streaming.stateful import (
+        streaming_drawdown)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    a_vals = [(1, 10.0), (2, 30.0), (3, 17.5)]
+    with open(src + "/a.json", "w") as fh:
+        for ts, v in a_vals:
+            fh.write(json.dumps({"sym": "A", "ts": ts, "px": v}) + "\n")
+
+    stream = (spark.readStream
+              .schema("sym STRING, ts LONG, px DOUBLE").json(src))
+    out = streaming_drawdown(stream, "sym", "ts", "px")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dd_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+
+    # batch 2: A continues (peak 30 must carry), a late A row drops,
+    # B starts its own series
+    with open(src + "/b.json", "w") as fh:
+        fh.write(json.dumps({"sym": "A", "ts": 4, "px": 12.25}) + "\n")
+        fh.write(json.dumps({"sym": "A", "ts": 2, "px": 99.0}) + "\n")
+        fh.write(json.dumps({"sym": "B", "ts": 1, "px": 8.0}) + "\n")
+        fh.write(json.dumps({"sym": "B", "ts": 2, "px": 9.5}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.k, r.ts_ms): (r.peak, r.dd)
+           for r in spark.sql("SELECT * FROM dd_stream").collect()}
+    assert got == {
+        ("A", 1): (10.0, 0.0), ("A", 2): (30.0, 0.0),
+        ("A", 3): (30.0, 12.5), ("A", 4): (30.0, 17.75),
+        ("B", 1): (8.0, 0.0), ("B", 2): (9.5, 0.0)}
+
+    # bit-equality with the batch window formulation on the same rows
+    from pyspark.sql.window import Window as W
+    rows = [("A", 1, 10.0), ("A", 2, 30.0), ("A", 3, 17.5),
+            ("A", 4, 12.25), ("B", 1, 8.0), ("B", 2, 9.5)]
+    bdf = spark.createDataFrame(rows, "k STRING, ts_ms LONG, v DOUBLE")
+    w = (W.partitionBy("k").orderBy("ts_ms")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    batch = {(r.k, r.ts_ms): (r.peak, r.dd) for r in
+             bdf.withColumn("peak", F.max("v").over(w))
+                .withColumn("dd", F.col("peak") - F.col("v"))
+                .collect()}
+    assert batch == got
