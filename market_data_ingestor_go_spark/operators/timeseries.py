@@ -597,3 +597,48 @@ def _topk_znorm_matches(base: DataFrame, key_col: str, zq: list[float],
     rw = Window.partitionBy(key_col).orderBy("dist", "win_start")
     return (scored.withColumn("rn", F.row_number().over(rw))
             .filter(F.col("rn") <= k))
+
+
+def drawdown_chunked(df: DataFrame, key_col: str, order_cols: list[str],
+                     value_col: str, coarse_chunk: Column) -> DataFrame:
+    """Chunk-parallel running-peak drawdown — the per-key-window
+    family's chunking applied to a MONOTONE PREFIX aggregate, where
+    it is simplest: max is associative, so the carry scan is a plain
+    running max over per-chunk maxima (contrast ewma_chunked's
+    pointer-jumping affine scan).
+
+    Three steps, keys × chunks parallel:
+    1. running max within (key, chunk) over ``order_cols``;
+    2. per-(key, chunk) maxima, running-maxed EXCLUSIVELY over
+       preceding chunks at the chunk-grain table (|keys| × |chunks|
+       rows, tiny) — each chunk's carry-in peak;
+    3. peak = greatest(carry, within-chunk running max) joined back
+       null-safely (first chunk has NULL carry; greatest skips it).
+
+    ``coarse_chunk`` must be order-prefix-compatible with
+    ``order_cols`` (same contract as keyed_row_numbers). Results are
+    BIT-IDENTICAL to the plain per-key window: max and greatest are
+    exact, order-insensitive across the chunk boundary by
+    associativity — no seam handling, no numeric caveats.
+
+    Returns df + (peak, dd) columns (internal columns dropped).
+    """
+    df = df.withColumn("__cc", coarse_chunk)
+    w_in = (Window.partitionBy(key_col, "__cc").orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df = df.withColumn("__inmax", F.max(value_col).over(w_in))
+
+    cmax = df.groupBy(key_col, "__cc").agg(
+        F.max(value_col).alias("__cmax"))
+    w_carry = (Window.partitionBy(key_col).orderBy("__cc")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    carries = cmax.select(
+        F.col(key_col).alias("__k_c"), F.col("__cc").alias("__cc_c"),
+        F.max("__cmax").over(w_carry).alias("__carry"))
+
+    out = (df.join(carries,
+                   df[key_col].eqNullSafe(carries["__k_c"])
+                   & df["__cc"].eqNullSafe(carries["__cc_c"]), "left")
+           .withColumn("peak", F.greatest("__carry", "__inmax"))
+           .withColumn("dd", F.col("peak") - F.col(value_col)))
+    return out.drop("__cc", "__inmax", "__k_c", "__cc_c", "__carry")

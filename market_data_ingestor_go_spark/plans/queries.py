@@ -2097,16 +2097,15 @@ def events_drawdown(spark, sf_dir):
     the deterministic (ts, event_id) order, drawdown = peak − value.
     NO accumulation anywhere — cummax and subtraction are exact, so
     the per-series maxima are bit-exact cross-engine with zero
-    decimal machinery. The per-key window is one exchange; chunking
-    is not needed because max is a monotone prefix aggregate (the
-    chunk-parallel remedy of SCALING.md's per-key-window section
-    applies verbatim if key cardinality ever bounds parallelism)."""
+    decimal machinery. Runs the CHUNKED path (weekly chunks → keys ×
+    chunks parallelism, the per-key-window family's 100 TB shape —
+    simplest instance: max is associative so the carry scan is a
+    plain chunk-grain running max, bit-identical by construction;
+    equality with the plain window is tested)."""
+    from ..operators.timeseries import drawdown_chunked
     e = _events(spark, sf_dir)
-    w = (Window.partitionBy("event_type")
-         .orderBy("ts_ms", "event_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    dd = (e.withColumn("peak", F.max("value").over(w))
-          .withColumn("dd", F.col("peak") - F.col("value")))
+    dd = drawdown_chunked(e, "event_type", ["ts_ms", "event_id"],
+                          "value", F.expr("ts_ms div 604800000"))
     return (dd.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  F.max("value").alias("peak_value"),

@@ -2256,3 +2256,37 @@ def test_jl_projection_properties(spark):
     assert p1 == p2
     p3 = sorted(map(tuple, jl_project(e, 64, 16, seed="jl:v2").collect()))
     assert p1 != p3
+
+
+def test_drawdown_chunked_equals_plain_window(spark):
+    """drawdown_chunked ≡ the plain per-key cumulative-max window,
+    BIT-exact, on the fixture events (weekly chunks) AND on a
+    single-chunk span (expression-degenerate case); NULL keys
+    survive the null-safe join-back."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        drawdown_chunked)
+    from market_data_ingestor_go_spark.plans.queries import _events
+
+    e = _events(spark, SF)
+    w = (Window.partitionBy("event_type")
+         .orderBy("ts_ms", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    plain = {r["event_id"]: (r["peak"], r["dd"]) for r in
+             e.withColumn("peak", F.max("value").over(w))
+              .withColumn("dd", F.col("peak") - F.col("value"))
+              .select("event_id", "peak", "dd").collect()}
+    for span in (604800000, 1 << 62):      # weekly; single chunk
+        ch = {r["event_id"]: (r["peak"], r["dd"]) for r in
+              drawdown_chunked(e, "event_type", ["ts_ms", "event_id"],
+                               "value", F.expr(f"ts_ms div {span}"))
+              .select("event_id", "peak", "dd").collect()}
+        assert ch == plain, span
+
+    # NULL key: its rows form their own partition, like the window
+    rows = [Row(k=None, t=1, v=5.0), Row(k=None, t=2, v=3.0),
+            Row(k="a", t=1, v=1.0)]
+    out = {(r["k"], r["t"]): r["peak"] for r in
+           drawdown_chunked(spark.createDataFrame(rows), "k", ["t"],
+                            "v", (F.col("t") / 2).cast("long"))
+           .collect()}
+    assert out == {(None, 1): 5.0, (None, 2): 5.0, ("a", 1): 1.0}
