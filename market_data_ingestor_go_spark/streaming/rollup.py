@@ -82,3 +82,31 @@ def streaming_sessions(events: DataFrame, gap: str = "30 minutes",
                 F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
                 "n_events", "sum_value")
     )
+
+
+def streaming_vwap(events: DataFrame, bar: str = "1 hour",
+                   watermark: str = "2 hours",
+                   ts_col: str = "ts", key_col: str = "event_type",
+                   value_col: str = "value",
+                   qty_col: str = "k") -> DataFrame:
+    """Continuously-maintained VWAP bars — the streaming twin of
+    ``events_vwap``. Because the weighted sum is the repo's
+    order-independent decimal pattern and the quantity sum is exact
+    BIGINT, the refined bar after ANY micro-batch split is
+    bit-identical to the batch aggregate over the same rows (the
+    same argument as streaming_moments; tested). State per (bar,
+    key) is three numbers; shuffle carries bars, not events; the
+    when-guard mirrors the batch query (a zero-quantity bar reads
+    NULL until quantity arrives)."""
+    w = events.withWatermark(ts_col, watermark)
+    return (
+        w.groupBy(F.window(F.col(ts_col), bar).alias("w"),
+                  F.col(key_col))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(qty_col).alias("sum_qty"),
+             F.when(F.sum(qty_col) > 0,
+                    F.sum((F.col(value_col) * F.col(qty_col))
+                          .cast("decimal(27,6)")).cast("double")
+                    / F.sum(qty_col).cast("double")).alias("vwap"))
+        .select(F.unix_millis(F.col("w.start")).alias("hour_start_ms"),
+                key_col, "n_events", "sum_qty", "vwap"))

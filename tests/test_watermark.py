@@ -462,3 +462,62 @@ def test_streaming_drawdown_equals_batch_window(spark, tmp_path):
                 .withColumn("dd", F.col("peak") - F.col("v"))
                 .collect()}
     assert batch == got
+
+
+def test_streaming_vwap_equals_batch_bit_exact(spark, tmp_path):
+    """Streaming VWAP bars: after the stream drains, every refined
+    bar equals the batch events_vwap aggregate over the same rows
+    BIT-exactly — decimal weighted sums are order-independent, so
+    micro-batch splits cannot perturb the result; a zero-quantity
+    bar reads NULL vwap in both."""
+    from market_data_ingestor_go_spark.streaming.rollup import (
+        streaming_vwap)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [  # two hours, split across batches mid-hour
+        ("click", 1_700_000_000_000, 10.5, 3),
+        ("click", 1_700_000_100_000, 11.25, 2),
+        ("click", 1_700_003_700_000, 9.75, 4),
+        ("view", 1_700_000_200_000, 7.125, 0),   # zero-qty bar
+    ]
+    batches = [rows[:2], rows[2:]]
+    for i, batch in enumerate(batches):
+        with open(f"{src}/b{i}.json", "w") as fh:
+            for et, ms, v, k in batch:
+                fh.write(json.dumps(
+                    {"event_type": et, "ts_ms": ms,
+                     "value": v, "k": k}) + "\n")
+        os.utime(f"{src}/b{i}.json", (1700000000 + i,) * 2)
+
+    stream = (spark.readStream
+              .schema("event_type STRING, ts_ms LONG, value DOUBLE, k LONG")
+              .option("maxFilesPerTrigger", 1).json(src)
+              .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
+    out = streaming_vwap(stream)
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName("vwap_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.event_type, r.hour_start_ms):
+           (r.n_events, r.sum_qty, r.vwap)
+           for r in spark.sql("SELECT * FROM vwap_stream").collect()}
+
+    bdf = spark.createDataFrame(
+        rows, "event_type STRING, ts_ms LONG, value DOUBLE, k LONG")
+    batch = {(r.event_type, r.hour_start_ms):
+             (r.n_events, r.sum_qty, r.vwap) for r in
+             bdf.groupBy("event_type",
+                         (F.expr("ts_ms div 3600000") * 3600000)
+                         .alias("hour_start_ms"))
+             .agg(F.count("*").alias("n_events"),
+                  F.sum("k").alias("sum_qty"),
+                  F.when(F.sum("k") > 0,
+                         F.sum((F.col("value") * F.col("k"))
+                               .cast("decimal(27,6)")).cast("double")
+                         / F.sum("k").cast("double")).alias("vwap"))
+             .collect()}
+    assert got == batch
+    assert got[("view", 1_699_999_200_000)][2] is None
