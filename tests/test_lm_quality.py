@@ -200,3 +200,86 @@ def test_tv_divergence_fixture_sane(spark):
     assert len(out) == 190
     assert all(0.0 < r["tv"] < 0.5 for r in out)
     assert all(r["shared_terms"] > 0 for r in out)
+
+
+def test_lm_score_random_corpora_match_exact_python(spark):
+    """Property test: on RANDOM corpora (including empty docs,
+    singleton docs, all-OOV docs, heavy duplication) the Spark
+    bigram-LM scorer equals an exact Python twin on every integer
+    column and the rational lm_score, and matches the true
+    cross-entropy to float noise.
+
+    Tokenization twin uses re.split (not str.split): Spark's
+    split(trim('')) yields [''] — one empty-string token — and
+    re.split reproduces that; ASCII-only words keep Java's
+    ASCII-\\s and Python's unicode-\\s regexes agreeing."""
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = ["agg", "scan", "row", "key", "zz1", "zz2", "zz3", "zz4"]
+    docs_strategy = st.lists(
+        st.lists(st.sampled_from(words), min_size=0, max_size=20)
+        .map(" ".join),
+        min_size=3, max_size=10)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(texts=docs_strategy, vocab_size=st.integers(2, 6),
+           min_count=st.integers(1, 3))
+    def run(texts, vocab_size, min_count):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in rows])
+        got = {r["doc_id"]: r for r in ngram_lm_score(
+            df, vocab_size=vocab_size, min_count=min_count).collect()}
+
+        vocab, bgc, ctx = _py_model_re(rows, vocab_size, min_count)
+        v1 = len(vocab) + 1
+        for i, t in rows:
+            ws = [w if w in vocab else UNK
+                  for w in re.split(r"\s+", t.strip())]
+            pairs = list(zip(ws, ws[1:]))
+            exp = dict(
+                n_tokens=len(ws), n_bigrams=len(pairs),
+                n_oov=sum(1 for _, b in pairs if b == UNK),
+                sum_bg=sum(bgc.get(p, 0) for p in pairs),
+                sum_ctx=sum(ctx.get(a, 0) for a, _ in pairs))
+            g = got[i]
+            for c, v in exp.items():
+                assert g[c] == v, (i, c, g[c], v)
+            if pairs:
+                num = exp["sum_bg"] + exp["n_bigrams"]
+                den = exp["sum_ctx"] + exp["n_bigrams"] * v1
+                assert g["lm_score"] == num / den, i
+                xt = sum(-math.log2((bgc.get(p, 0) + 1)
+                                    / (ctx.get(p[0], 0) + v1))
+                         for p in pairs) / len(pairs)
+                assert g["xent_bits"] == pytest.approx(xt, abs=1e-9)
+            else:
+                assert g["lm_score"] is None and g["xent_bits"] is None
+
+    def _py_model_re(rows, vocab_size, min_count, train_pct=80):
+        import re as _re
+
+        def bucket(doc_id):
+            h = hashlib.md5(str(doc_id).encode()).hexdigest()
+            return int(h[:8], 16) % 100
+
+        train = [(i, t) for i, t in rows if bucket(i) < train_pct]
+        uni = Counter(w for _, t in train
+                      for w in _re.split(r"\s+", t.strip()))
+        vocab = set(w for w, _ in sorted(
+            uni.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size])
+        bgc, ctx = Counter(), Counter()
+        for _, t in train:
+            ws = [w if w in vocab else UNK
+                  for w in _re.split(r"\s+", t.strip())]
+            for p in zip(ws, ws[1:]):
+                bgc[p] += 1
+                ctx[p[0]] += 1
+        return vocab, {k: v for k, v in bgc.items()
+                       if v >= min_count}, ctx
+
+    run()
