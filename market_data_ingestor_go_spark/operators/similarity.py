@@ -999,7 +999,8 @@ def jl_signs(in_dim: int, out_dim: int, seed: str = "jl:v1") -> list[list[float]
 
 def jl_project(df: DataFrame, in_dim: int, out_dim: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               seed: str = "jl:v1") -> DataFrame:
+               seed: str = "jl:v1",
+               keep_cols: list[str] | None = None) -> DataFrame:
     """Random-projection (JL) embedding compression: out_dim
     inner products against broadcast ±1 sign rows, scaled by
     1/sqrt(out_dim). Per the JL lemma, pairwise distances are
@@ -1012,7 +1013,13 @@ def jl_project(df: DataFrame, in_dim: int, out_dim: int = 16,
     matrix is md5-derived Python literals — no engine RNG anywhere.
 
     Plan: pure per-row Column algebra over literal arrays — a narrow
-    scan-speed map, no shuffle, no UDF.
+    scan-speed map, no shuffle, no UDF. ``keep_cols`` pass through
+    unchanged (so callers needing the original vector alongside the
+    projection do it in ONE pass — a join-back would scan the table
+    twice; review catch). A vector whose length differs from
+    ``in_dim`` FAILS LOUD (zip_with would otherwise null-pad and the
+    null would silently propagate through the fold to a 100%-NULL
+    compressed index; review catch).
     """
     signs = jl_signs(in_dim, out_dim, seed)
     v = as_double(vec_col)
@@ -1024,5 +1031,14 @@ def jl_project(df: DataFrame, in_dim: int, out_dim: int = 16,
             F.zip_with(v, lit, lambda x, s: x * s),
             F.lit(0.0), lambda acc, x: acc + x) * F.lit(scale)
 
+    # assert_true yields NULL when the predicate holds and raises
+    # otherwise — when(assert.isNull(), ...) pins the dim check into
+    # the projection expression itself
+    ok = F.assert_true(
+        F.size(v) == in_dim,
+        F.concat(F.lit(f"jl_project: expected {in_dim}-d vector, got "),
+                 F.size(v).cast("string")))
+    jl = F.when(ok.isNull(), F.array(*[ip(s) for s in signs]))
     return df.select(F.col(id_col),
-                     F.array(*[ip(s) for s in signs]).alias("jl_vec"))
+                     *[F.col(c) for c in (keep_cols or [])],
+                     jl.alias("jl_vec"))

@@ -2123,8 +2123,13 @@ def jl_projection_distortion(spark, sf_dir):
     the oracle), so the result is bit-exact cross-engine."""
     from ..operators.similarity import as_double, jl_project
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    base = e.select("vec_id", as_double("embedding").alias("v")) \
-        .join(jl_project(e, in_dim=64, out_dim=16), "vec_id")
+    # ONE pass: the projection carries the original vector through
+    # (keep_cols) — the earlier join-back scanned embeddings twice
+    # (review catch)
+    base = (jl_project(e, in_dim=64, out_dim=16,
+                       keep_cols=["embedding"])
+            .select("vec_id", as_double("embedding").alias("v"),
+                    "jl_vec"))
 
     def d2(x, y):
         return F.aggregate(F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
@@ -2137,7 +2142,9 @@ def jl_projection_distortion(spark, sf_dir):
     # exact-duplicate pairs (d2 = 0) are excluded — distortion of a
     # zero distance is undefined. The division is ALSO guarded at the
     # expression level (when), not just by the row filter: ANSI mode
-    # (Spark 4 default) rejects 0/0, and Catalyst is free to reorder
+    # (Spark 4 default) rejects division by zero EVEN FOR DOUBLES
+    # (empirically confirmed on this build: lit(0.0)/lit(0.0) raises
+    # DIVIDE_BY_ZERO, not NaN), and Catalyst is free to reorder
     # filter conjuncts / push predicates into the join, where the
     # division could evaluate on a self-pair before the guard.
     pairs = (a.join(b, F.col("a_id") < F.col("b_id"))

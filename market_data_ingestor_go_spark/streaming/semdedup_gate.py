@@ -16,7 +16,9 @@ FIXED centroid artifact supplied at construction (trained offline —
 the same train/serve split as batch semdedup / the PQ codebook).
 
 Per micro-batch:
-1. batch-internal SemDeDup (exact batch operator, min-id keeper);
+1. batch-internal SemDeDup (same rule as the batch operator —
+   computed inline so each reject keeps its blocking neighbor for
+   the audit);
 2. vs-corpus: survivors probe their top-``n_probes`` cells against
    the accepted state (accepted vectors live under their primary
    cell; probing p cells on the arriving side recovers boundary
@@ -50,7 +52,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import as_double, assign_cells, dot, semdedup
+from ..operators.similarity import assign_cells, dot
 
 
 @dataclass
@@ -94,57 +96,83 @@ class StreamingSemanticDedupGate:
         return (session.table(self.state_table)
                 .filter(F.col("epoch") != F.lit(int(epoch_id))))
 
+    def _probe_cells(self, assigned: DataFrame) -> DataFrame:
+        """(q_id, qv, qsd, cell) probe rows — one per probed cell.
+        With n_probes=1 ``assign_cells`` emits no ``cells`` array, so
+        the single primary cell is the probe (review catch: the
+        unconditional explode crashed every n_probes=1 batch)."""
+        cell = (F.explode("cells") if self.n_probes > 1
+                else F.col("cell"))
+        return assigned.select(F.col("n_id").alias("q_id"),
+                               F.col("nv").alias("qv"),
+                               F.col("nsd").alias("qsd"),
+                               cell.alias("cell"))
+
     def _gate_batch(self, batch: DataFrame, epoch_id: int) -> None:
         session = batch.sparkSession
         cents = self._cents(session)
 
-        # 1. batch-internal SemDeDup (exact batch operator)
-        flags = semdedup(batch, threshold=self.threshold,
-                         id_col=self.id_col, vec_col=self.vec_col,
-                         centroids=cents, n_probes=self.n_probes)
-        internal_kept = flags.filter("kept").select(self.id_col)
+        # cells + self-dots assigned ONCE for the whole batch (the
+        # earlier shape assigned twice: inside semdedup and again for
+        # the survivors — review catch)
+        assigned = (assign_cells(batch, cents, self.id_col,
+                                 self.vec_col, n_probes=self.n_probes)
+                    .withColumn("nsd", dot(F.col("nv"), F.col("nv")))
+                    .persist())
+        cos = (dot(F.col("qv"), F.col("nv"))
+               / F.sqrt(F.col("qsd") * F.col("nsd")))
+        best = F.max_by("n_id", F.struct(F.col("cos"), F.col("n_id")))
 
-        # survivors with probe cells + self-dots (batch side — tiny)
-        surv = (assign_cells(batch.join(internal_kept, self.id_col),
-                             cents, self.id_col, self.vec_col,
-                             n_probes=self.n_probes)
-                .withColumn("nsd", dot(F.col("nv"), F.col("nv")))
-                .persist())
-
-        # 2. vs-corpus probe: batch side broadcast, state bucketed
-        state = self._state_before(session, epoch_id)
-        if state is not None:
-            probe = (surv.select(F.col("n_id").alias("q_id"),
-                                 F.col("nv").alias("qv"),
-                                 F.col("nsd").alias("qsd"),
-                                 F.explode("cells").alias("cell"))
-                     .hint("broadcast"))
-            cos = (dot(F.col("qv"), F.col("nv"))
-                   / F.sqrt(F.col("qsd") * F.col("nsd")))
-            hits = (probe.join(state, "cell")
+        # 1. batch-internal pairs — EXACTLY batch semdedup's rule
+        # (both sides probe their top-p cells; drop x iff any
+        # smaller-id vector shares one), but keeping the blocking
+        # neighbor so internal rejects are AUDITABLE (review catch:
+        # the text twin audits both kinds). A pair sharing two cells
+        # appears twice pre-agg; max/max_by absorb the duplicate.
+        probe = self._probe_cells(assigned)
+        nside = probe.select(F.col("q_id").alias("n_id"),
+                             F.col("qv").alias("nv"),
+                             F.col("qsd").alias("nsd"), "cell")
+        internal = (probe.join(nside, "cell")
+                    .filter(F.col("n_id") < F.col("q_id"))
                     .select("q_id", "n_id", cos.alias("cos"))
                     .filter(F.col("cos") >= F.lit(self.threshold))
                     .groupBy("q_id")
-                    .agg(F.max_by(
-                             "n_id",
-                             F.struct(F.col("cos"), F.col("n_id")))
-                          .alias("dup_of"),   # (cos, id) tiebreak —
-                         F.max("cos").alias("cos")))  # replay-exact
+                    .agg(best.alias("dup_of"),
+                         F.max("cos").alias("cos"))
+                    .persist())
+        surv = (assigned.join(
+                    internal.select(F.col("q_id").alias("n_id")),
+                    "n_id", "left_anti").persist())
+
+        # 2. vs-corpus probe: batch side broadcast, state bucketed;
+        # persisted — it feeds the anti join AND the audit write
+        # (review catch: recomputing probes the corpus-sized state
+        # twice)
+        state = self._state_before(session, epoch_id)
+        if state is not None:
+            hits = (self._probe_cells(surv).hint("broadcast")
+                    .join(state, "cell")
+                    .select("q_id", "n_id", cos.alias("cos"))
+                    .filter(F.col("cos") >= F.lit(self.threshold))
+                    .groupBy("q_id")
+                    .agg(best.alias("dup_of"),   # (cos, id) tiebreak
+                         F.max("cos").alias("cos"))
+                    .persist())
+            accepted = surv.join(
+                hits.select(F.col("q_id").alias("n_id")),
+                "n_id", "left_anti")
+            rejected = internal.unionByName(hits)
         else:
             hits = None
-
-        if hits is not None and hits.head(1):
-            rejected = hits
-            rej_ids = rejected.select(F.col("q_id").alias("n_id"))
-            accepted = surv.join(rej_ids, "n_id", "left_anti")
-        else:
-            rejected = None
             accepted = surv
+            rejected = internal
 
         # 3. idempotent writes: state under epoch partition (bucketed
-        # by cell), audit under its own epoch dir
-        out = (accepted.select("n_id", "nv", "nsd",
-                               F.col("cell"))
+        # by cell); audit written UNCONDITIONALLY — possibly empty —
+        # so rejections() works from epoch 0 like the text twin
+        # (review catch: PATH_NOT_FOUND until the first reject)
+        out = (accepted.select("n_id", "nv", "nsd", F.col("cell"))
                .withColumn("epoch", F.lit(int(epoch_id))))
         session.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -156,17 +184,17 @@ class StreamingSemanticDedupGate:
             out.write.insertInto(self.state_table, overwrite=True)
 
         audit_dir = os.path.join(self.dups_dir, f"epoch={int(epoch_id)}")
-        if rejected is not None:
-            (rejected.select(F.col("q_id").alias("new_id"),
-                             "dup_of", "cos")
-             .coalesce(1).write.mode("overwrite").parquet(audit_dir))
+        (rejected.select(F.col("q_id").alias("new_id"), "dup_of", "cos")
+         .coalesce(1).write.mode("overwrite").parquet(audit_dir))
 
         n_batch = batch.count()
         n_acc = accepted.count()
         self.vecs_seen += n_batch
         self.vecs_accepted += n_acc
         self.vecs_rejected += n_batch - n_acc
-        surv.unpersist()
+        for df in (assigned, internal, surv) + (
+                (hits,) if hits is not None else ()):
+            df.unpersist()
 
     def attach(self, embedding_stream: DataFrame, checkpoint_dir: str):
         q = (embedding_stream.writeStream

@@ -2257,6 +2257,11 @@ def test_jl_projection_properties(spark):
     p3 = sorted(map(tuple, jl_project(e, 64, 16, seed="jl:v2").collect()))
     assert p1 != p3
 
+    # a mismatched in_dim fails loud instead of silently producing a
+    # 100%-NULL projection (zip_with null-padding — review catch)
+    with pytest.raises(Exception, match="expected 32-d"):
+        jl_project(e, 32, 16).collect()
+
 
 def test_drawdown_chunked_equals_plain_window(spark):
     """drawdown_chunked ≡ the plain per-key cumulative-max window,

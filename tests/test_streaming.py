@@ -1798,8 +1798,11 @@ def test_streaming_semdedup_gate(spark, tmp_path):
     # dominance rule would have dropped it via b); dup_a rejected
     # against 1; fresh accepted.
     assert acc == {1, 3, 5}
+    # audit covers BOTH kinds: within-batch rejects (2, 6 — best
+    # match is vector 1 by the (cos, id) tiebreak) and the
+    # vs-corpus reject (4)
     rej = {r["new_id"]: r["dup_of"] for r in gate.rejections().collect()}
-    assert rej == {4: 1}            # vs-corpus reject, best match id 1
+    assert rej == {2: 1, 4: 1, 6: 1}
     m = gate.metrics()
     assert m["semdedup_gate_vecs_seen"] == 6
     assert m["semdedup_gate_vecs_accepted"] == 3
@@ -1841,5 +1844,54 @@ def test_streaming_semdedup_gate(spark, tmp_path):
                      spark.sql(f"DESCRIBE TABLE EXTENDED {table}_vec")
                      .collect())
     assert "Bucket" in txt2
+    gate.stop()
+    spark.sql(f"DROP TABLE IF EXISTS {table}_vec")
+
+
+def test_streaming_semdedup_gate_single_probe_and_clean_stream(
+        spark, tmp_path):
+    """Regression (review catches): n_probes=1 must work across
+    epochs (the probe explode used to reference a column that only
+    exists at p>1), and rejections() must read from epoch 0 even
+    when NOTHING was ever rejected (the audit dir is written
+    unconditionally, like the text twin)."""
+    import json as _json
+    import time as _time
+
+    from market_data_ingestor_go_spark.streaming.semdedup_gate import (
+        StreamingSemanticDedupGate)
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [[(1, [1.0, 0.1])], [(2, [0.1, 1.0])]]  # all unique
+    for i, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for vid, v in batch:
+                fh.write(_json.dumps(
+                    {"vec_id": vid, "embedding": v}) + "\n")
+        _time.sleep(0.01)
+        os.utime(os.path.join(src, f"b{i}.json"),
+                 (1700000000 + i,) * 2)
+
+    table = f"semgate1p_{abs(hash(str(tmp_path))) % 10**8}"
+    gate = StreamingSemanticDedupGate(
+        spark, centroids=cents, base_table=table,
+        dups_dir=str(tmp_path / "dups"), threshold=0.99, n_probes=1)
+    stream = (spark.readStream
+              .schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = gate.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # both epochs processed (epoch 1 probes state — the p=1 crash
+    # path), nothing rejected, and rejections() reads cleanly
+    assert {r["vec_id"] for r in gate.accepted().collect()} == {1, 2}
+    assert gate.rejections().count() == 0
     gate.stop()
     spark.sql(f"DROP TABLE IF EXISTS {table}_vec")
