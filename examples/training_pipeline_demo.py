@@ -6,6 +6,7 @@ LLM data pipeline runs between raw crawl and training shards:
 
   documents.parquet
     → quality / language / repetition filters        [functions/text]
+    → LM perplexity band filter (CCNet)              [operators/lm_quality]
     → exact + MinHash-LSH near-dup dedup, clustered   [operators/dedup]
       into keep-groups (one canonical doc per cluster)
     → train/test contamination gate vs a held-out set [cross-corpus]
@@ -61,6 +62,24 @@ def main() -> None:
     print(f"[1] quality+repetition filter: {n1} kept "
           f"({n0 - n1} dropped)")
 
+    # 1b. LM-quality band filter (CCNet, late r6): score every doc
+    # against the count-pruned bigram LM trained on the hash-split;
+    # drop docs OUTSIDE the in-distribution cross-entropy band
+    # (repetitive boilerplate falls below it, gibberish above)
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        ngram_lm_score)
+    scored = ngram_lm_score(kept, vocab_size=24)
+    lo, hi = 3.0, 6.0
+    kept = (kept.join(scored.select(
+                "doc_id",
+                ((F.col("xent_bits") >= lo)
+                 & (F.col("xent_bits") <= hi)).alias("_in_band")),
+            "doc_id")
+            .filter("_in_band").drop("_in_band"))
+    n1b = kept.count()
+    print(f"[1b] LM perplexity band [{lo}, {hi}] bits: {n1b} kept "
+          f"({n1 - n1b} out-of-band dropped)")
+
     # 2. near-dup dedup: LSH pairs → connected components → keep the
     # cluster minimum (the canonical doc)
     pairs = minhash_near_dup_pairs(kept, threshold=0.8)
@@ -70,7 +89,7 @@ def main() -> None:
     deduped = kept.join(dupes, "doc_id", "left_anti")
     n2 = deduped.count()
     print(f"[2] near-dup dedup (thr 0.8): {n2} kept "
-          f"({n1 - n2} near-duplicates removed)")
+          f"({n1b - n2} near-duplicates removed)")
 
     # 3. contamination: drop anything near-duplicating the held-out
     # eval set (here: every 20th doc plays the eval corpus)
