@@ -196,6 +196,14 @@ class StreamingSemanticDedupGate:
                 (hits,) if hits is not None else ()):
             df.unpersist()
 
+    def bootstrap(self, corpus: DataFrame) -> None:
+        """Seed the accepted state from an existing batch corpus
+        (epoch -1, before attaching the stream) — the corpus itself
+        passes through the batch-internal dedup first, so a seeded
+        gate starts from a deduplicated baseline (mirrors
+        _EpochPartitionedIndex.bootstrap)."""
+        self._gate_batch(corpus, epoch_id=-1)
+
     def attach(self, embedding_stream: DataFrame, checkpoint_dir: str):
         q = (embedding_stream.writeStream
              .foreachBatch(self._gate_batch)

@@ -1895,3 +1895,65 @@ def test_streaming_semdedup_gate_single_probe_and_clean_stream(
     assert gate.rejections().count() == 0
     gate.stop()
     spark.sql(f"DROP TABLE IF EXISTS {table}_vec")
+
+
+def test_streaming_semdedup_gate_bootstrap_real_embeddings(
+        spark, tmp_path):
+    """Bootstrap the gate from the real 64-d fixture corpus (epoch
+    -1), then stream two probes: an exact copy of a bootstrapped
+    vector is rejected against it; an orthogonal fresh vector is
+    accepted. The bootstrapped baseline is itself batch-dedup'd."""
+    import json as _json
+
+    from market_data_ingestor_go_spark.operators.similarity import (
+        semdedup, train_kmeans_codebook)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.semdedup_gate import (
+        StreamingSemanticDedupGate)
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_kmeans_codebook(e, k=8)
+    table = f"semgateboot_{abs(hash(str(tmp_path))) % 10**8}"
+    gate = StreamingSemanticDedupGate(
+        spark, centroids=cents, base_table=table,
+        dups_dir=str(tmp_path / "dups"), threshold=0.4, n_probes=2)
+    gate.bootstrap(e)
+
+    # baseline equals batch semdedup's keepers on the same corpus
+    # (single batch ⇒ sequential greedy == the batch dominance rule
+    # cannot diverge... it CAN via chains — so assert the weaker,
+    # correct invariant: the baseline is exactly the gate's own
+    # internal-dedup survivors, and every batch-kept vector is kept)
+    acc0 = {r["vec_id"] for r in gate.accepted().collect()}
+    batch_kept = {r["vec_id"] for r in
+                  semdedup(e, threshold=0.4, centroids=cents,
+                           n_probes=2).collect() if r["kept"]}
+    assert batch_kept <= acc0 and len(acc0) <= e.count()
+
+    # stream: a copy of an accepted vector + an orthogonal one
+    some_id = min(acc0)
+    vec = [float(x) for x in
+           e.filter(F.col("vec_id") == some_id).first()["embedding"]]
+    fresh = [0.0] * 64
+    fresh[63] = 1.0
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        fh.write(_json.dumps({"vec_id": 900001, "embedding": vec}) + "\n")
+        fh.write(_json.dumps({"vec_id": 900002, "embedding": fresh}) + "\n")
+    stream = (spark.readStream
+              .schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = gate.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    acc1 = {r["vec_id"] for r in gate.accepted().collect()}
+    rej = {r["new_id"]: r["dup_of"] for r in gate.rejections().collect()
+           if r["new_id"] >= 900000}
+    assert 900002 in acc1 and 900001 not in acc1
+    assert rej == {900001: some_id}
+    gate.stop()
+    spark.sql(f"DROP TABLE IF EXISTS {table}_vec")
