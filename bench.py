@@ -155,6 +155,8 @@ HEADLINE = [
     # late r6: VARIANT-weighted VWAP + exact running-peak drawdown
     "events_vwap",
     "events_drawdown",
+    # late r6: per-source data card (signals composition)
+    "corpus_datacard",
     # late r6: SemDeDup — k-means-bounded semantic dedup (serve path
     # against the cached centroid artifact, like knn_ann_pq)
     "semdedup_keepers",

@@ -1958,3 +1958,31 @@ SELECT event_type, COUNT(*) AS n_events,
        MAX(peak - value) AS max_drawdown
 FROM d GROUP BY event_type
 """
+
+# Per-source data card: composes the doc_lm_quality oracle (as a CTE)
+# with the quality-flag expression and exact fingerprint/dup counts.
+_STOP_DC = ("['the','a','of','and','to','in','is','it','that','for',"
+            "'on','as','with','at','by','an','be','this','are','or']")
+EXTRA_ORACLES["corpus_datacard"] = f"""
+WITH base AS ({EXTRA_ORACLES["doc_lm_quality"]}),
+q AS (
+  SELECT doc_id, source, md5(text) AS fp,
+         (len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+          AND CAST(len(list_filter(regexp_split_to_array(trim(text),
+                       '\\s+'), x -> list_contains({_STOP_DC}, x)))
+                AS DOUBLE)
+              / CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                     AS DOUBLE) <= 0.5) AS keep
+  FROM documents)
+SELECT q.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(base.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT base.lang) AS BIGINT) AS n_langs,
+       CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_keep,
+       CAST(COUNT(*) - COUNT(DISTINCT q.fp) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(CAST(base.lm_score AS DECIMAL(27,6))) AS DOUBLE)
+         / COUNT(base.lm_score) AS mean_lm_score
+FROM base JOIN q USING (doc_id)
+GROUP BY q.source
+"""
