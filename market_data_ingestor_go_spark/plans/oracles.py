@@ -1960,16 +1960,21 @@ FROM d GROUP BY event_type
 """
 
 # Per-source data card: composes the doc_lm_quality oracle (as a CTE)
-# with the quality-flag expression and exact fingerprint/dup counts.
-_STOP_DC = ("['the','a','of','and','to','in','is','it','that','for',"
-            "'on','as','with','at','by','an','be','this','are','or']")
+# with the SAME quality-flag predicate the engine uses (_STOP — the
+# canonical 5-word STOPWORDS; an earlier draft hard-coded a different
+# 20-word list that agreed on the fixture only by coincidence) and
+# the NORMALIZED content fingerprint (functions/text.py::fingerprint
+# — what the actual dedup stage hashes; raw-text md5 would understate
+# the dup rate the pipeline will see).
 EXTRA_ORACLES["corpus_datacard"] = f"""
 WITH base AS ({EXTRA_ORACLES["doc_lm_quality"]}),
 q AS (
-  SELECT doc_id, source, md5(text) AS fp,
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+           AS fp,
          (len(regexp_split_to_array(trim(text), '\\s+')) >= 20
           AND CAST(len(list_filter(regexp_split_to_array(trim(text),
-                       '\\s+'), x -> list_contains({_STOP_DC}, x)))
+                       '\\s+'), x -> list_contains({_STOP}, x)))
                 AS DOUBLE)
               / CAST(len(regexp_split_to_array(trim(text), '\\s+'))
                      AS DOUBLE) <= 0.5) AS keep

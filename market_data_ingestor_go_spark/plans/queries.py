@@ -2083,7 +2083,7 @@ def corpus_datacard(spark, sf_dir):
     per_doc = lm.select("doc_id", "n_tokens", "lm_score").join(
         d.select("doc_id", "source", "lang",
                  TX.quality_flag("text").alias("keep"),
-                 F.md5(F.col("text")).alias("fp")), "doc_id")
+                 TX.fingerprint("text").alias("fp")), "doc_id")
     return (per_doc.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens"),

@@ -201,7 +201,22 @@ class StreamingSemanticDedupGate:
         (epoch -1, before attaching the stream) — the corpus itself
         passes through the batch-internal dedup first, so a seeded
         gate starts from a deduplicated baseline (mirrors
-        _EpochPartitionedIndex.bootstrap)."""
+        _EpochPartitionedIndex.bootstrap).
+
+        REFUSES to run when state already exists: bootstrap writes
+        the epoch=-1 partition, which is exactly where
+        ``compact_state`` folds the whole accepted corpus — on a
+        compacted gate a late bootstrap would dedup against nothing
+        (epoch -1 is excluded from its own probe) and then OVERWRITE
+        the entire compacted corpus (review catch: silent data
+        loss)."""
+        if self.spark.catalog.tableExists(self.state_table):
+            raise ValueError(
+                f"{self.state_table} already has accepted state — "
+                "bootstrap() only seeds a FRESH gate (its epoch=-1 "
+                "write would collide with compact_state's fold "
+                "partition). Stream the corpus through the attached "
+                "gate instead.")
         self._gate_batch(corpus, epoch_id=-1)
 
     def attach(self, embedding_stream: DataFrame, checkpoint_dir: str):

@@ -1955,5 +1955,11 @@ def test_streaming_semdedup_gate_bootstrap_real_embeddings(
            if r["new_id"] >= 900000}
     assert 900002 in acc1 and 900001 not in acc1
     assert rej == {900001: some_id}
+
+    # bootstrap REFUSES once state exists (its epoch=-1 write is
+    # compact_state's fold partition — review catch: data loss)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="FRESH gate"):
+        gate.bootstrap(e)
     gate.stop()
     spark.sql(f"DROP TABLE IF EXISTS {table}_vec")
