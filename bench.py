@@ -12,6 +12,8 @@ windows/sessions, and the 100 TB-path extension operators (fingerprint
 dedup, MinHash LSH near-dup, brute-force + LSH kNN). The O(n²)
 exact-pair queries are deliberately absent — their scalable twins
 (minhash, hyperplane ANN) stand in, which is the whole point.
+(neardup_pagerank also sits out for the same reason: its declared
+pair graph is the exact O(n²) jaccard join.)
 
 Round-3 note: embedding_lsh_neardup costs ~2.5× its round-2 number BY
 DESIGN — r2's config recalled only 56% of true pairs at its declared

@@ -1,0 +1,110 @@
+"""Iterative graph analytics over pair graphs (late round 6).
+
+The dedup family's pair graphs (MinHash, exact-Jaccard, cosine) feed
+two iterative algorithms: connected components (operators/dedup.py::
+neardup_clusters — label propagation) and, here, PageRank — the
+centrality signal that picks a CANONICAL document per near-dup
+cluster by how connected it is, instead of the arbitrary min-id rule
+(a hub that many variants copy from is a better keeper than whichever
+variant happened to get the smallest id).
+
+Cross-engine determinism: floating-point PageRank is order-dependent
+(sums of doubles) and unverifiable bit-for-bit. This implementation
+runs in FIXED-POINT INTEGER arithmetic — the recurrence
+
+    r_0(v)     = scale div N
+    base       = ((den − num) · r_0) div den
+    r_{t+1}(v) = base + (num · Σ_{u→v} (r_t(u) div deg(u))) div den
+
+with damping num/den = 17/20 (0.85) and scale = 10^12 — is EXACTLY
+specified over BIGINTs (floor division, order-independent integer
+sums), so Spark, the DuckDB oracle (iterations unrolled as chained
+CTEs) and a plain-Python twin all produce identical ranks. The floor
+truncations cost < N·den/scale of probability mass per iteration —
+~1e-9 at fixture sizes, irrelevant to ranking.
+
+Scale shape: each iteration is one equi-join (contributions along
+edges) + one partial-combine integer aggregate — identical shuffle
+structure to the CC rounds; ``localCheckpoint`` per iteration
+truncates lineage (the CC lesson: plan trees double per round
+without it). Iteration count is FIXED (power iteration converges
+geometrically at rate = damping; 10 rounds ≈ 0.85^10 ≈ 0.2 residual,
+plenty for rank ORDER which is what keeper selection consumes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 10^12 fixed-point unit
+
+
+def pagerank_fixed_point(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", n_iters: int = 10,
+                         damping_num: int = 17,
+                         damping_den: int = 20) -> DataFrame:
+    """(node, pr_scaled) — fixed-point PageRank over a DIRECTED edge
+    list (pass both directions for an undirected pair graph; every
+    node then has in-degree ≥ 1, so there are no dangling-node
+    corrections). See module doc for the exact integer recurrence.
+
+    The node count N is a one-off control-plane aggregate (the same
+    driver-action budget as one CC round); each iteration's frame is
+    localCheckpoint-ed so the plan stays one-round deep.
+    """
+    # the edge list feeds EVERY iteration — materialize it once, or
+    # an expensive upstream pair join (O(n²) jaccard) re-executes per
+    # round (measured 10×: 110 s → 11 s at sf0.01)
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst")) \
+        .localCheckpoint()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")) \
+        .localCheckpoint()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr_scaled", F.lit(0).cast("long"))
+
+    r0 = SCALE // n
+    base = ((damping_den - damping_num) * r0) // damping_den
+    ranks = nodes.withColumn("pr_scaled",
+                             F.lit(r0).cast("long")).localCheckpoint()
+    for _ in range(n_iters):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.src)
+            .select(F.col("src"),
+                    F.expr("pr_scaled div deg").alias("c"))
+            .join(e, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s")))
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select("node",
+                    (F.lit(base)
+                     + F.expr(f"({damping_num} * coalesce(s, 0)) "
+                              f"div {damping_den}"))
+                    .cast("long").alias("pr_scaled"))
+            .localCheckpoint())
+    return ranks
+
+
+def cluster_keepers_by_rank(pairs: DataFrame, ranks: DataFrame,
+                            clusters: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """One keeper per near-dup cluster by (pr_scaled, −id) — the
+    centrality-based canonical-document policy (max rank; smaller id
+    breaks exact rank ties so the choice stays deterministic).
+    ``clusters`` is neardup_clusters' (doc_id, cluster_id) output."""
+    joined = clusters.join(
+        ranks.select(F.col("node").alias(id_col), "pr_scaled"), id_col)
+    return (joined.groupBy("cluster_id")
+            .agg(F.max_by(
+                     id_col,
+                     F.struct(F.col("pr_scaled"),
+                              (-F.col(id_col)).alias("neg")))
+                  .alias("keeper_id"),
+                 F.count("*").alias("n_members"),
+                 F.max("pr_scaled").alias("keeper_pr")))

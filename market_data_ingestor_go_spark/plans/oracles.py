@@ -1991,3 +1991,58 @@ SELECT q.source,
 FROM base JOIN q USING (doc_id)
 GROUP BY q.source
 """
+
+# Fixed-point integer PageRank over the exact near-dup graph: the
+# recurrence is pure BIGINT floor arithmetic, so the 10 iterations
+# unroll as chained CTEs (recursive CTEs disallow aggregation in the
+# recursive term) and match Spark's loop bit-for-bit.
+_PR_ITER = """
+pr{next} AS (
+  SELECT n.node,
+         CAST({base} + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT)
+           AS pr_scaled
+  FROM prnodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(pr{cur}.pr_scaled // d.deg) AS s
+    FROM pr{cur}
+    JOIN prdeg d ON pr{cur}.node = d.src
+    JOIN predges e ON pr{cur}.node = e.src
+    GROUP BY e.dst) s ON n.node = s.node
+)"""
+
+
+def _pagerank_oracle(n_iters: int = 10) -> str:
+    head = """
+WITH s AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3
+), jp AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+               AS DOUBLE) >= 0.6
+), predges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL SELECT doc_b, doc_a FROM jp
+), prnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM predges),
+prdeg AS MATERIALIZED (
+  SELECT src, COUNT(*) AS deg FROM predges GROUP BY src),
+prn AS MATERIALIZED (SELECT COUNT(*) AS n FROM prnodes),
+pr0 AS (
+  SELECT node, CAST(1000000000000 // (SELECT n FROM prn) AS BIGINT)
+           AS pr_scaled
+  FROM prnodes)"""
+    base = ("((3 * (1000000000000 // (SELECT n FROM prn))) // 20)")
+    iters = "".join(
+        "," + _PR_ITER.format(cur=i, next=i + 1, base=base)
+        for i in range(n_iters))
+    return (head + iters
+            + f"\nSELECT node AS doc_id, pr_scaled FROM pr{n_iters}")
+
+
+EXTRA_ORACLES["neardup_pagerank"] = _pagerank_oracle(10)

@@ -2066,6 +2066,29 @@ def semdedup_keepers(spark, sf_dir):
                     centroids=_sem_centroids(spark, sf_dir))
 
 
+def neardup_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank over the exact near-dup pair
+    graph (operators/graph.py::pagerank_fixed_point) — the
+    centrality signal behind rank-based canonical-document selection
+    (a hub many variants copy from beats the arbitrary min-id
+    keeper). The recurrence is pure BIGINT floor arithmetic
+    (scale 10^12, damping 17/20, 10 iterations), so the ranks are
+    bit-exact against the oracle's unrolled-CTE twin — a property
+    floating-point PageRank cannot offer. Pair graph = exact 3-gram
+    Jaccard ≥ 0.6 (the `ngram_jaccard_neardup` shape), both edge
+    directions, so no dangling nodes exist."""
+    from ..operators.graph import pagerank_fixed_point
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.6)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst"))))
+    return (pagerank_fixed_point(edges, n_iters=10)
+            .select(F.col("node").alias("doc_id"),
+                    F.col("pr_scaled")))
+
+
 def corpus_datacard(spark, sf_dir):
     """Per-source data card — the artifact published next to a
     training corpus: doc/token volume, language spread, heuristic
@@ -2423,6 +2446,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_quality_bands": lm_quality_bands,
     "jl_projection_distortion": jl_projection_distortion,
     "corpus_datacard": corpus_datacard,
+    "neardup_pagerank": neardup_pagerank,
     "events_vwap": events_vwap,
     "events_drawdown": events_drawdown,
     "dsir_importance_weights": dsir_importance_weights,
@@ -2502,6 +2526,7 @@ ROTATION_CANDIDATES_R7: list[str] = [
     "lm_quality_bands",           # added r6, oracle-backed, never verified
     "jl_projection_distortion",   # added r6, oracle-backed, never verified
     "corpus_datacard",            # added r6, oracle-backed, never verified
+    "neardup_pagerank",           # added r6, oracle-backed, never verified
     "events_vwap",                # added r6, oracle-backed, never verified
     "events_drawdown",            # added r6, oracle-backed, never verified
     "dsir_importance_weights",    # added r6, oracle-backed, never verified

@@ -2295,3 +2295,57 @@ def test_drawdown_chunked_equals_plain_window(spark):
                             "v", (F.col("t") / 2).cast("long"))
            .collect()}
     assert out == {(None, 1): 5.0, (None, 2): 5.0, ("a", 1): 1.0}
+
+
+def test_pagerank_fixed_point_exact_and_keepers(spark):
+    """Fixed-point PageRank (operators/graph.py): (1) ranks equal an
+    exact Python implementation of the integer recurrence BIT-for-bit
+    (the whole point of the fixed-point design); (2) rank mass
+    concentrates on hubs (a star center outranks its leaves); (3)
+    rank-based keeper selection picks the hub where min-id would pick
+    an arbitrary leaf; (4) partition-order stable."""
+    from market_data_ingestor_go_spark.operators.graph import (
+        SCALE, cluster_keepers_by_rank, pagerank_fixed_point)
+
+    # star: 9 is the hub of {5,6,7,8}; plus a disjoint pair {1,2}
+    pairs = [(5, 9), (6, 9), (7, 9), (8, 9), (1, 2)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src LONG, dst LONG")
+    got = {r["node"]: r["pr_scaled"]
+           for r in pagerank_fixed_point(edges, n_iters=10).collect()}
+
+    # exact Python twin of the integer recurrence
+    es = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    nodes = sorted({x for e in es for x in e})
+    deg = {}
+    for s, _ in es:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    r0 = SCALE // n
+    base = (3 * r0) // 20
+    r = {v: r0 for v in nodes}
+    for _ in range(10):
+        s_in = {v: 0 for v in nodes}
+        for a, b in es:
+            s_in[b] += r[a] // deg[a]
+        r = {v: base + (17 * s_in[v]) // 20 for v in nodes}
+    assert got == r
+
+    # hub concentration + keeper policy
+    assert got[9] > max(got[v] for v in (5, 6, 7, 8))
+    clusters = spark.createDataFrame(
+        [(v, 5) for v in (5, 6, 7, 8, 9)] + [(1, 1), (2, 1)],
+        "doc_id LONG, cluster_id LONG")
+    ranks = pagerank_fixed_point(edges, n_iters=10)
+    keep = {r["cluster_id"]: r["keeper_id"] for r in
+            cluster_keepers_by_rank(None, ranks, clusters).collect()}
+    assert keep[5] == 9          # the hub, NOT min-id 5
+    assert keep[1] in (1, 2)     # symmetric pair: tie broken by id
+    assert keep[1] == 1          # equal ranks -> smaller id
+
+    # partition stability
+    got2 = {r["node"]: r["pr_scaled"] for r in
+            pagerank_fixed_point(edges.repartition(5),
+                                 n_iters=10).collect()}
+    assert got == got2
