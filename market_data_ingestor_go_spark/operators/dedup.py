@@ -338,6 +338,11 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "doc_a",
     materializes AND truncates; on a fault-tolerant cluster swap in
     reliable ``checkpoint``.
     """
+    # checkpoint the pair source BEFORE mirroring: the union
+    # references ``pairs`` twice, so without this the (potentially
+    # O(n²)) pair subtree executes twice inside sym's
+    # materialization (review catch r6 — same fix as neardup_pagerank)
+    pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")) \
         .unionByName(pairs.select(F.col(id_b).alias("src"),
                                   F.col(id_a).alias("dst")))

@@ -91,15 +91,23 @@ def pagerank_fixed_point(edges: DataFrame, src: str = "src",
     return ranks
 
 
-def cluster_keepers_by_rank(pairs: DataFrame, ranks: DataFrame,
-                            clusters: DataFrame,
+def cluster_keepers_by_rank(ranks: DataFrame, clusters: DataFrame,
                             id_col: str = "doc_id") -> DataFrame:
     """One keeper per near-dup cluster by (pr_scaled, −id) — the
     centrality-based canonical-document policy (max rank; smaller id
     breaks exact rank ties so the choice stays deterministic).
-    ``clusters`` is neardup_clusters' (doc_id, cluster_id) output."""
+    ``clusters`` is neardup_clusters' (doc_id, cluster_id) output.
+
+    LEFT join on ranks: cluster stages are pair-source-agnostic
+    (SCALING.md), so a member absent from the ranked graph (clusters
+    from a different pair source) keeps its row with rank −1 rather
+    than silently vanishing and skewing n_members (review catch) —
+    an unranked member can still win only if the whole cluster is
+    unranked, and then the −1 tie breaks to min id."""
     joined = clusters.join(
-        ranks.select(F.col("node").alias(id_col), "pr_scaled"), id_col)
+        ranks.select(F.col("node").alias(id_col), "pr_scaled"),
+        id_col, "left").withColumn(
+            "pr_scaled", F.coalesce("pr_scaled", F.lit(-1).cast("long")))
     return (joined.groupBy("cluster_id")
             .agg(F.max_by(
                      id_col,

@@ -2012,20 +2012,14 @@ pr{next} AS (
 
 
 def _pagerank_oracle(n_iters: int = 10) -> str:
-    head = """
-WITH s AS MATERIALIZED (
-  SELECT doc_id,
-         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                        for i in range(1, len(w) - 1)]) AS sh
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-        FROM documents)
-  WHERE len(w) >= 3
-), jp AS MATERIALIZED (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM s a JOIN s b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
-               AS DOUBLE) >= 0.6
+    # the pair graph REUSES the canonical _JACCARD_PAIRS fragment so
+    # it can never drift from the ngram_jaccard_neardup oracle
+    # (review catch: an inlined copy existed briefly); MATERIALIZED
+    # because DuckDB otherwise re-inlines the O(n²) join into every
+    # unrolled iteration (88 s → 21 s measured).
+    head = f"""
+WITH jp AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) WHERE jacc >= 0.6
 ), predges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM jp
   UNION ALL SELECT doc_b, doc_a FROM jp

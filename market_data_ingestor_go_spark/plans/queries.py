@@ -2079,7 +2079,11 @@ def neardup_pagerank(spark, sf_dir):
     directions, so no dangling nodes exist."""
     from ..operators.graph import pagerank_fixed_point
     d = _t(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(d, threshold=0.6)
+    # materialize the pair join BEFORE mirroring: the union
+    # references `pairs` twice, and without this the O(n²) jaccard
+    # subtree executes twice inside the edge materialization
+    # (plan-verified: 2 BNLJs, 0 ReusedExchange — review catch)
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.6).localCheckpoint()
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),

@@ -2339,7 +2339,7 @@ def test_pagerank_fixed_point_exact_and_keepers(spark):
         "doc_id LONG, cluster_id LONG")
     ranks = pagerank_fixed_point(edges, n_iters=10)
     keep = {r["cluster_id"]: r["keeper_id"] for r in
-            cluster_keepers_by_rank(None, ranks, clusters).collect()}
+            cluster_keepers_by_rank(ranks, clusters).collect()}
     assert keep[5] == 9          # the hub, NOT min-id 5
     assert keep[1] in (1, 2)     # symmetric pair: tie broken by id
     assert keep[1] == 1          # equal ranks -> smaller id
