@@ -157,8 +157,10 @@ HEADLINE = [
     # late r6: VARIANT-weighted VWAP + exact running-peak drawdown
     "events_vwap",
     "events_drawdown",
-    # late r6: per-source data card (signals composition)
+    # late r6: per-source data card (signals composition) + growth
+    # accounting (first-seen attribution, day-grain running totals)
     "corpus_datacard",
+    "events_user_growth",
     # late r6: SemDeDup — k-means-bounded semantic dedup (serve path
     # against the cached centroid artifact, like knn_ann_pq)
     "semdedup_keepers",

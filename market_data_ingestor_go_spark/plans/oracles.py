@@ -2040,3 +2040,28 @@ pr0 AS (
 
 
 EXTRA_ORACLES["neardup_pagerank"] = _pagerank_oracle(10)
+
+# Growth accounting: active / new / cumulative users per day — the
+# running count-distinct re-expressed exactly via first-seen days.
+EXTRA_ORACLES["events_user_growth"] = """
+WITH e AS (
+  SELECT user_id, (epoch_ms(ts) // 86400000) * 86400000
+           AS day_start_ms
+  FROM events),
+active AS (
+  SELECT day_start_ms, COUNT(DISTINCT user_id) AS n_active
+  FROM e GROUP BY day_start_ms),
+first AS (
+  SELECT user_id, MIN(day_start_ms) AS day_start_ms
+  FROM e GROUP BY user_id),
+new AS (
+  SELECT day_start_ms, COUNT(*) AS n_new FROM first
+  GROUP BY day_start_ms)
+SELECT a.day_start_ms, a.n_active,
+       COALESCE(n.n_new, 0) AS n_new,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+              ORDER BY a.day_start_ms
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM active a LEFT JOIN new n USING (day_start_ms)
+"""

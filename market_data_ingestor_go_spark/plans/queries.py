@@ -2066,6 +2066,33 @@ def semdedup_keepers(spark, sf_dir):
                     centroids=_sem_centroids(spark, sf_dir))
 
 
+def events_user_growth(spark, sf_dir):
+    """Growth accounting: per day — active users, NEW users (first
+    ever seen that day) and the cumulative user base. The classic
+    running-count-distinct is re-expressed exactly: first-seen day
+    per user (one min-agg), new-user counts per day, cumulative sum
+    over the DAY-grain table (|days| rows — the window runs on the
+    aggregate, never the event stream). Pure integer arithmetic ⇒
+    bit-exact; day = epoch-millis div 86400000 (timezone-proof)."""
+    e = _events(spark, sf_dir)
+    day = (F.expr("ts_ms div 86400000") * 86400000).alias("day_start_ms")
+    active = (e.groupBy(day)
+              .agg(F.countDistinct("user_id").cast("bigint")
+                   .alias("n_active")))
+    first = (e.groupBy("user_id")
+             .agg(F.min(F.expr("ts_ms div 86400000") * 86400000)
+                  .alias("day_start_ms")))
+    new = (first.groupBy("day_start_ms")
+           .agg(F.count("*").cast("bigint").alias("n_new")))
+    w = (Window.orderBy("day_start_ms")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (active.join(new, "day_start_ms", "left")
+            .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+            .withColumn("cum_users",
+                        F.sum("n_new").over(w).cast("bigint"))
+            .select("day_start_ms", "n_active", "n_new", "cum_users"))
+
+
 def neardup_pagerank(spark, sf_dir):
     """Fixed-point integer PageRank over the exact near-dup pair
     graph (operators/graph.py::pagerank_fixed_point) — the
@@ -2451,6 +2478,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jl_projection_distortion": jl_projection_distortion,
     "corpus_datacard": corpus_datacard,
     "neardup_pagerank": neardup_pagerank,
+    "events_user_growth": events_user_growth,
     "events_vwap": events_vwap,
     "events_drawdown": events_drawdown,
     "dsir_importance_weights": dsir_importance_weights,
@@ -2531,6 +2559,7 @@ ROTATION_CANDIDATES_R7: list[str] = [
     "jl_projection_distortion",   # added r6, oracle-backed, never verified
     "corpus_datacard",            # added r6, oracle-backed, never verified
     "neardup_pagerank",           # added r6, oracle-backed, never verified
+    "events_user_growth",         # added r6, oracle-backed, never verified
     "events_vwap",                # added r6, oracle-backed, never verified
     "events_drawdown",            # added r6, oracle-backed, never verified
     "dsir_importance_weights",    # added r6, oracle-backed, never verified
