@@ -2529,6 +2529,57 @@ ROTATED_IN_R6: list[str] = [
 # oracle-backed has now been in a verified window at least once).
 # Kept as code (not just prose) so the next rotation is mechanical and
 # typo-proof (consistency pinned in tests/test_parity.py).
+# R7 ROTATION PLAN (draft, for the next round's builder): rotate all
+# 34 candidates below IN; demote 34 long-green window entries, each
+# leaving an in-window twin AFTER rotation (incoming members count as
+# twins). Suggested demotions, grouped by twin:
+#   q1_pricing_summary        -> sql_api_pricing_summary (plan ≡ q1)
+#   j2_anti_join_unmatched    -> q22_idle_customers (anti join)
+#   p9_exchange_enrichment    -> q7/q10 (broadcast dim joins)
+#   q15_top_supplier          -> q10/q17 (agg-join-topk)
+#   bloom_semi_join_agg       -> q4_order_priority (EXISTS semi)
+#   source_overlap_exact      -> set_ops_all_variants
+#   dedup_fingerprint         -> corpus_datacard (normalized fp)
+#   minhash_neardup           -> contamination_check (stays, banded)
+#                                + doc_sparse_cosine_neardup
+#   semantic_dedup_clusters   -> dedup_cluster_keepers (stays, CC)
+#                                + neardup_pagerank (iterative graph)
+#   text_token_stats          -> token_frequencies
+#   text_bpe_token_estimate   -> token_frequencies
+#   text_repetition           -> doc_lm_quality (token-stream exprs)
+#   doc_top_terms             -> window_rank_stats + token_frequencies
+#   doc_rolling_fingerprint   -> rolling_fingerprint_neardup (stays)
+#   doc_length_buckets        -> lm_quality_bands (exact ntile)
+#   pii_scrub_stats           -> string_functions
+#   train_test_split_hash     -> corpus_mix + stratified (md5 coin)
+#   corpus_upsample_stats     -> corpus_mix
+#   source_cap_sample         -> order_limit_topk + corpus_datacard
+#   shard_manifest            -> window_running_total (cum window)
+#   curation_pipeline_summary -> corpus_datacard (composition)
+#   embedding_cosine_neardup  -> jl_projection_distortion + knn_bf
+#   embedding_quantize_stats  -> jl_projection_distortion
+#   events_gapfill_locf       -> events_gapfill_interpolate (stays)
+#   events_ewma_smooth        -> events_moving_stats + running_total
+#   events_zscore_outliers    -> events_pair_correlation (stays,
+#                                moments family representative)
+#   events_trend_slope        -> events_pair_correlation
+#   lineitem_price_qty_corr   -> events_pair_correlation
+#   events_funnel_conversion  -> events_user_growth (first-touch)
+#   orders_cohort_matrix      -> q13_customer_distribution
+#   events_variant_extract    -> events_vwap (variant path, stays)
+#   ...pick the final 1-2 from the remainder to reach exactly 34;
+# KEEP (strong representatives): contamination_check,
+#   passage_dedup_scrub, dedup_cluster_keepers,
+#   rolling_fingerprint_neardup, stratified_resample_stats,
+#   knn_bruteforce, knn_filtered_bruteforce, multimodal_binary_meta,
+#   token_heavy_hitters_sketch + distinct_rollup_hll (rows-only),
+#   p5p6p7_config_pipeline, a1_latest_per_key, events_twap,
+#   events_pair_correlation, events_motif_search, fuzzy_name_block
+#   _join, range_join_click_context, skew_salted_agg,
+#   events_gapfill_interpolate.
+# Execute as the mechanical _R6_IN/_R6_OUT pop pattern at the end of
+# oracles.py; then validate: window == 50, ORACLES ⊆ window, no
+# orphans, README note, consistency tests green.
 ROTATION_CANDIDATES_R7: list[str] = [
     "q4_order_priority",
     "q7_nation_volume",
