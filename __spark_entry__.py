@@ -20,13 +20,19 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from market_data_ingestor_go_spark.plans.oracles import ORACLES  # noqa: E402
-from market_data_ingestor_go_spark.plans.queries import QUERIES  # noqa: E402
+from market_data_ingestor_go_spark.plans.queries import (  # noqa: E402
+    ALL_QUERIES, QUERIES)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    q1 lives in EXTRA_QUERIES since the round-7 window rotation (its
+    plan-identical twin sql_api_pricing_summary holds the window slot),
+    so the flagship resolves through ALL_QUERIES.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return ALL_QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

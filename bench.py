@@ -1,10 +1,16 @@
 #!/usr/bin/env python
 """Benchmark harness — runs the headline query set at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]. The FINAL stdout line is the driver
+contract, kept under the driver's 2000-char tail window so it parses
+(round-7 fix — BENCH_r03..r06 recorded "parsed": null):
 
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
+
+The penultimate line (and bench_detail.json beside this script)
+carries the full per-query detail: steady min + median + stdev and
+cold timings for every query, nothing truncated.
 
 Headline set = the scale-representative queries: scan-heavy aggs
 (q1/q6), shuffle joins (q3/q5), keyed latest-state (a1), event-time
@@ -211,7 +217,8 @@ def main() -> None:
         steady_stdev[name] = round(statistics.stdev(samples), 3)
 
     total = round(sum(steady.values()), 3)
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -223,8 +230,37 @@ def main() -> None:
         "runs_per_query": 1 + STEADY_RUNS,
         "aggregation": "min of 3 steady back-to-back runs after 1 cold run"
                        " (median/stdev reported; cache cleared between runs)",
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "sf": sf_val,
+    }
+    # Full detail: penultimate stdout line + sidecar file next to this
+    # script. The driver's BENCH artifact keeps only the LAST 2000
+    # chars of output and parses the final line as JSON — the full
+    # per-query detail outgrew that in round 3 (observed: BENCH_r03+
+    # "parsed": null), so the FINAL line below is a compact summary
+    # hard-capped under the tail window, with the slowest queries kept
+    # and the sub-millisecond ones dropped first if space runs out.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(sorted(steady.items(), key=lambda kv: -kv[1])),
+        "median_total_sec": detail["median_total_sec"],
+        "n_queries": len(steady),
+        "queries_omitted": 0,
+        "sf": sf_val,
+    }
+    MAX_LINE = 1900  # driver tail window is 2000 chars
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > MAX_LINE and compact["queries"]:
+        compact["queries"].popitem()  # fastest-last ordering above
+        compact["queries_omitted"] = len(steady) - len(compact["queries"])
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

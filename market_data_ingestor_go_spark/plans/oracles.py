@@ -2065,3 +2065,47 @@ SELECT a.day_start_ms, a.n_active,
             AS BIGINT) AS cum_users
 FROM active a LEFT JOIN new n USING (day_start_ms)
 """
+
+# ---------------------------------------------------------------------------
+# Round-7 window rotation (mirrors plans/queries.py — see ROTATED_IN_R7).
+# Same mechanics as the round-6 block above: mechanical pops so a typo
+# fails loud at import time. All 34 promotions are oracle-backed; the
+# two rows-only demotions (token_heavy_hitters_sketch,
+# distinct_rollup_hll) never had an ORACLES entry, so the demotion
+# list below holds the 32 oracle-backed shapes only — after this move
+# the window is 50/50 hash-checked.
+# ---------------------------------------------------------------------------
+_R7_IN = [  # promoted into the driver window (all oracle-backed)
+    "q4_order_priority", "q7_nation_volume", "q10_returned_items",
+    "q12_late_shipment_priority", "q13_customer_distribution",
+    "q14_promo_revenue_share", "q17_small_qty_revenue",
+    "q19_disjunctive_filter", "q22_idle_customers",
+    "sql_api_pricing_summary", "orders_by_year", "set_ops_all_variants",
+    "unpivot_event_matrix", "window_running_total", "event_gaps",
+    "token_frequencies", "string_functions", "agg_cube_year_status",
+    "order_limit_topk", "window_rank_stats", "corpus_mix",
+    "events_moving_stats", "doc_sparse_cosine_neardup",
+    "doc_containment_pairs", "doc_lm_quality", "lm_quality_bands",
+    "jl_projection_distortion", "corpus_datacard", "neardup_pagerank",
+    "events_user_growth", "events_vwap", "events_drawdown",
+    "dsir_importance_weights", "source_tv_drift",
+]
+_R7_OUT = [  # demoted to EXTRA (oracle-backed subset)
+    "dedup_fingerprint", "minhash_neardup", "semantic_dedup_clusters",
+    "text_token_stats", "text_repetition", "text_bpe_token_estimate",
+    "doc_rolling_fingerprint", "doc_top_terms", "doc_length_buckets",
+    "pii_scrub_stats", "train_test_split_hash", "corpus_upsample_stats",
+    "source_cap_sample", "shard_manifest", "curation_pipeline_summary",
+    "embedding_cosine_neardup", "embedding_quantize_stats",
+    "source_overlap_exact", "bloom_semi_join_agg",
+    "p9_exchange_enrichment", "j2_anti_join_unmatched",
+    "q1_pricing_summary", "q15_top_supplier", "events_variant_extract",
+    "events_gapfill_locf", "events_twap", "events_ewma_smooth",
+    "events_zscore_outliers", "events_trend_slope",
+    "lineitem_price_qty_corr", "events_funnel_conversion",
+    "orders_cohort_matrix",
+]
+for _k in _R7_IN:
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in _R7_OUT:
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

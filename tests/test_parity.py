@@ -87,29 +87,32 @@ def test_driver_window_is_at_most_50():
     assert not oracle_only, f"oracles outside the declared window: {oracle_only}"
 
 
-def test_round6_rotated_operators_sit_in_declared_window():
-    """The round-6 rotation's whole point: all 25 late-r5 queries that
-    had never held an external CORRECTNESS row must sit inside the
-    first-50 window the driver externally verifies — and the
-    oracle-backed ones must expose their oracle through oracle_sql()
-    (= ORACLES), not just the local parity sweep."""
-    from market_data_ingestor_go_spark.plans.queries import ROTATED_IN_R6
+def test_round7_rotated_operators_sit_in_declared_window():
+    """The round-7 rotation's whole point: the 34 queries that had
+    never held an external CORRECTNESS row (22 round-2 demotions + 12
+    late-r6 additions) must sit inside the first-50 window the driver
+    externally verifies, every one exposing its oracle through
+    oracle_sql() (= ORACLES) — the rotated window has zero rows-only
+    entries."""
+    from market_data_ingestor_go_spark.plans.queries import ROTATED_IN_R7
 
-    rows_only = {"token_heavy_hitters_sketch", "distinct_rollup_hll"}
     window = set(list(QUERIES)[:50])
-    assert set(ROTATED_IN_R6) <= window, set(ROTATED_IN_R6) - window
-    assert set(ROTATED_IN_R6) - rows_only <= set(ORACLES)
+    assert set(ROTATED_IN_R7) <= window, set(ROTATED_IN_R7) - window
+    assert set(ROTATED_IN_R7) <= set(ORACLES)
+    assert set(QUERIES) <= set(ORACLES), (
+        "window must be 100% hash-checked after the r7 rotation")
 
 
 def test_rotation_candidates_are_rotatable():
-    """The round-7 rotation list must stay mechanically valid: every
+    """The round-8 rotation list must stay mechanically valid: every
     candidate exists, sits OUTSIDE the declared window (else it needs
     no rotation), and has an oracle so rotating it in yields a full
-    row+schema+hash check."""
+    row+schema+hash check. Every oracle-backed query ADDED in round 7
+    must be listed (enforced by the never-verified scan below)."""
     from market_data_ingestor_go_spark.plans.queries import (
-        QUERIES, ROTATION_CANDIDATES_R7)
+        QUERIES, ROTATION_CANDIDATES_R8)
 
-    for name in ROTATION_CANDIDATES_R7:
+    for name in ROTATION_CANDIDATES_R8:
         assert name in ALL_QUERIES, name
         assert name not in QUERIES, f"{name} already in the window"
         assert name in ALL_ORACLES, f"{name} lacks an oracle"
