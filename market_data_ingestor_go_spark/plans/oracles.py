@@ -1933,7 +1933,7 @@ WITH e AS (
   FROM events)
 SELECT event_type, hour_start_ms,
        COUNT(*) AS n_events,
-       SUM(k) AS sum_qty,
+       CAST(SUM(k) AS BIGINT) AS sum_qty,
        CASE WHEN SUM(k) > 0 THEN
          CAST(SUM(CAST(value * k AS DECIMAL(27,6))) AS DOUBLE)
            / CAST(SUM(k) AS DOUBLE) END AS vwap

@@ -2603,3 +2603,129 @@ ROTATED_IN_R7: list[str] = [
 # added during round 7 must be appended here so the next rotation is
 # mechanical (consistency pinned in tests/test_parity.py).
 ROTATION_CANDIDATES_R8: list[str] = []
+
+
+# Frozen at the close of round 7: every oracle-backed query name that
+# existed when the round-7 rotation completed (all have held a green
+# external CORRECTNESS row in rounds 1-7, except events_vwap, which
+# stays in the round-8 window to collect its row now that its oracle's
+# HUGEINT projection is cast to BIGINT). Any oracle-backed query NOT
+# in this set was added in round 8 or later and must appear in
+# ROTATION_CANDIDATES_R8 or already sit in the declared window --
+# enforced by tests/test_parity.py::test_rotation_candidates_are_rotatable.
+ORACLE_BACKED_AT_R7_CLOSE: frozenset = frozenset({
+    "a1_latest_per_key",
+    "a1_latest_with_ttl",
+    "agg_cube_year_status",
+    "agg_orders_stats",
+    "agg_rollup",
+    "asof_join_purchase_click",
+    "bloom_semi_join_agg",
+    "contamination_check",
+    "corpus_datacard",
+    "corpus_mix",
+    "corpus_upsample_stats",
+    "curation_pipeline_summary",
+    "dedup_cluster_keepers",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "distinct_count_exact",
+    "doc_containment_pairs",
+    "doc_length_buckets",
+    "doc_lm_quality",
+    "doc_rolling_fingerprint",
+    "doc_sparse_cosine_neardup",
+    "doc_top_terms",
+    "dsir_importance_weights",
+    "embedding_cosine_neardup",
+    "embedding_norm_stats",
+    "embedding_quantize_stats",
+    "event_gaps",
+    "events_drawdown",
+    "events_ewma_smooth",
+    "events_funnel_conversion",
+    "events_gapfill_interpolate",
+    "events_gapfill_locf",
+    "events_motif_search",
+    "events_moving_stats",
+    "events_ohlc_bars",
+    "events_pair_correlation",
+    "events_sessionization",
+    "events_trend_slope",
+    "events_tumbling_window",
+    "events_twap",
+    "events_user_growth",
+    "events_variant_extract",
+    "events_vwap",
+    "events_zscore_outliers",
+    "fuzzy_name_block_join",
+    "j2_anti_join_unmatched",
+    "j2_semi_join_auth",
+    "jl_projection_distortion",
+    "knn_bruteforce",
+    "knn_filtered_bruteforce",
+    "lineitem_price_qty_corr",
+    "lm_quality_bands",
+    "minhash_neardup",
+    "multimodal_binary_meta",
+    "neardup_pagerank",
+    "ngram_jaccard_neardup",
+    "order_limit_topk",
+    "orders_by_year",
+    "orders_cohort_matrix",
+    "p10_api_key_hash",
+    "p11_wire_json",
+    "p1_validation_filter",
+    "p3_flatten_payload",
+    "p4_value_rules",
+    "p5p6p7_config_pipeline",
+    "p8_conditional_gate",
+    "p9_exchange_enrichment",
+    "pack_sequences_chunked",
+    "passage_dedup_scrub",
+    "pii_scrub_stats",
+    "pivot_event_matrix",
+    "q10_returned_items",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q1_pricing_summary",
+    "q21_sole_late_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q4_order_priority",
+    "q5_region_nation_revenue",
+    "q6_revenue_delta",
+    "q7_nation_volume",
+    "q8_nation_market_share",
+    "range_join_click_context",
+    "rolling_fingerprint_neardup",
+    "semantic_dedup_clusters",
+    "set_ops_all_variants",
+    "set_ops_status_migration",
+    "shard_manifest",
+    "skew_salted_agg",
+    "source_cap_sample",
+    "source_overlap_exact",
+    "source_tv_drift",
+    "sql_api_pricing_summary",
+    "stratified_resample_stats",
+    "string_functions",
+    "text_bpe_token_estimate",
+    "text_langid",
+    "text_quality_score",
+    "text_repetition",
+    "text_token_stats",
+    "token_frequencies",
+    "train_test_split_hash",
+    "unpivot_event_matrix",
+    "value_percentiles",
+    "window_rank_stats",
+    "window_running_total",
+    "window_topk_per_group",
+})

@@ -104,15 +104,137 @@ def test_round7_rotated_operators_sit_in_declared_window():
 
 
 def test_rotation_candidates_are_rotatable():
-    """The round-8 rotation list must stay mechanically valid: every
+    """The next-rotation list must stay mechanically valid: every
     candidate exists, sits OUTSIDE the declared window (else it needs
     no rotation), and has an oracle so rotating it in yields a full
-    row+schema+hash check. Every oracle-backed query ADDED in round 7
-    must be listed (enforced by the never-verified scan below)."""
+    row+schema+hash check. The never-verified scan then enforces the
+    listing policy: every oracle-backed query added AFTER the round-7
+    close (i.e. not in the frozen ORACLE_BACKED_AT_R7_CLOSE set) must
+    either sit in the declared window already or be listed as a
+    rotation candidate — new work cannot accumulate unverified."""
     from market_data_ingestor_go_spark.plans.queries import (
-        QUERIES, ROTATION_CANDIDATES_R8)
+        ORACLE_BACKED_AT_R7_CLOSE, QUERIES, ROTATION_CANDIDATES_R8)
 
     for name in ROTATION_CANDIDATES_R8:
         assert name in ALL_QUERIES, name
         assert name not in QUERIES, f"{name} already in the window"
         assert name in ALL_ORACLES, f"{name} lacks an oracle"
+
+    never_verified = (
+        set(ALL_ORACLES)
+        - ORACLE_BACKED_AT_R7_CLOSE   # held a green row in r1-r7
+        - set(QUERIES)                # in-window: verified this round
+        - set(ROTATION_CANDIDATES_R8)  # queued for the next rotation
+    )
+    assert not never_verified, (
+        f"oracle-backed queries neither verified, in-window, nor "
+        f"queued for rotation: {sorted(never_verified)}")
+
+
+# --- Arrow-level type parity -------------------------------------------
+#
+# The r7 events_vwap failure class: values bit-identical but the
+# oracle's final projection carried DuckDB HUGEINT (Arrow
+# decimal128(38,0)) while the engine returned bigint, so the driver's
+# type-sensitive value hash diverged. fetchall() collapses both sides
+# to Python int, making the repr-based sweep above structurally blind
+# to it. This scan compares the DuckDB result's Arrow schema against
+# the Spark DataFrame's declared schema, canonicalized to the buckets
+# the driver's hash distinguishes (int / float / decimal(p,s) / str /
+# bool / date / timestamp-unit / binary / list / struct / map).
+
+def _canon_arrow_type(t):
+    import pyarrow as pa
+    if pa.types.is_dictionary(t):
+        return _canon_arrow_type(t.value_type)
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return ("decimal", t.precision, t.scale)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return ("timestamp", t.unit)  # tz-naive vs aware handled by driver
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", _canon_arrow_type(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct", tuple(sorted(
+            (f.name, _canon_arrow_type(f.type)) for f in t)))
+    if pa.types.is_map(t):
+        return ("map", _canon_arrow_type(t.key_type),
+                _canon_arrow_type(t.item_type))
+    if pa.types.is_null(t):
+        return "null"
+    raise AssertionError(f"unmapped arrow type {t}")
+
+
+def _canon_spark_type(dt):
+    from pyspark.sql import types as T
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return ("decimal", dt.precision, dt.scale)
+    if isinstance(dt, (T.StringType, T.VarcharType, T.CharType)):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return ("timestamp", "us")  # Spark timestamps are micros on Arrow
+    if isinstance(dt, T.BinaryType):
+        return "bin"
+    if isinstance(dt, T.ArrayType):
+        return ("list", _canon_spark_type(dt.elementType))
+    if isinstance(dt, T.StructType):
+        return ("struct", tuple(sorted(
+            (f.name, _canon_spark_type(f.dataType)) for f in dt.fields)))
+    if isinstance(dt, T.MapType):
+        return ("map", _canon_spark_type(dt.keyType),
+                _canon_spark_type(dt.valueType))
+    if isinstance(dt, T.NullType):
+        return "null"
+    raise AssertionError(f"unmapped spark type {dt}")
+
+
+TYPE_SF_DIR = os.environ.get("TYPE_PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+def oracle_type_mismatches(spark, name, sf_dir=None):
+    """Return per-column canonical-type divergences between the DuckDB
+    oracle's Arrow schema and the Spark query's declared schema.
+    Shared with the verify skill's sweep."""
+    sf_dir = sf_dir or TYPE_SF_DIR
+    sdf = ALL_QUERIES[name](spark, sf_dir)
+    spark_types = {f.name: _canon_spark_type(f.dataType)
+                   for f in sdf.schema.fields}
+    con = _duck(sf_dir)
+    try:
+        arrow_schema = con.execute(ALL_ORACLES[name]).arrow().schema
+    finally:
+        con.close()
+    duck_types = {f.name: _canon_arrow_type(f.type) for f in arrow_schema}
+    mismatches = {}
+    for col in set(spark_types) | set(duck_types):
+        s, d = spark_types.get(col), duck_types.get(col)
+        if s != d:
+            mismatches[col] = {"spark": s, "duck": d}
+    return mismatches
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
+def test_oracle_arrow_types_match(spark, name):
+    mism = oracle_type_mismatches(spark, name)
+    assert not mism, (
+        f"{name}: final-projection type divergence (driver hash is "
+        f"type-sensitive at the Arrow layer): {mism}")
