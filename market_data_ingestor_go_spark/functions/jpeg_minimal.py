@@ -11,8 +11,10 @@ sequential — you cannot skip them) but not inverse-transformed.
 
 Supported: SOF0/SOF1 frames, 8-bit, any sampling factors (4:4:4,
 4:2:2, 4:2:0), restart markers, multiple DQT/DHT segments.
-Unsupported (raises ValueError — callers fall back to header-only
-metadata): progressive (SOF2), arithmetic coding, 12-bit, DNL.
+Unsupported here (raises ValueError): progressive (SOF2) — decoded
+for real by ``jpeg_progressive_minimal`` (r8), which callers try
+next; arithmetic coding, 12-bit and DNL fall back to header-only
+metadata (permanently out of scope, SURVEY.md §2.11).
 
 The encoder writes GRAYSCALE baseline JPEG (one component, standard
 Annex-K luminance quant table, self-consistent Huffman tables — the

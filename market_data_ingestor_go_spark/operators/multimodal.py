@@ -6,12 +6,16 @@ structs. PNG, GIF and baseline-JPEG decode are REAL:
 inflate + scanline unfiltering), ``functions/gif_minimal.py`` a full
 LZW decoder (growth/KwKwK/reset/interlace), and
 ``functions/jpeg_minimal.py`` (r6) a baseline-sequential Huffman +
-dequantize + IDCT luma decoder (any sampling, restart markers) — so
-``extract_image_features`` returns true width/height/channels/luma
-for all three, ``resize_images`` truly resamples, and
+dequantize + IDCT luma decoder (any sampling, restart markers), and
+``functions/jpeg_progressive_minimal.py`` (r8) the full progressive
+(SOF2) decoder — spectral selection, successive approximation,
+DC/AC refinement, EOB runs — so ``extract_image_features`` returns
+true width/height/channels/luma for all of PNG/GIF/JPEG (baseline +
+progressive), ``resize_images`` truly resamples, and
 ``sample_frames`` emits real animated-GIF frames re-encoded as PNG.
-Formats still without a codec (progressive JPEG, webp, mp4 frames)
-fall back to clearly-marked deterministic stubs or header-only
+The remaining formats (arithmetic-coded/12-bit JPEG, webp, mp4
+frames) are PERMANENTLY out of scope (SURVEY.md §2.11) and fall
+back to clearly-marked deterministic stubs or header-only
 metadata; the Spark-side contract — schemas, Arrow batch shapes,
 mapInPandas signatures, partitioning — is identical on both paths.
 
@@ -36,7 +40,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import (gif_minimal, jpeg_minimal, media_meta_minimal,
+from ..functions import (gif_minimal, jpeg_minimal,
+                         jpeg_progressive_minimal, media_meta_minimal,
                          png_minimal, wav_minimal)
 
 # Ship the codecs BY VALUE inside every pickled kernel: the driver
@@ -48,6 +53,7 @@ _cloudpickle.register_pickle_by_value(wav_minimal)
 _cloudpickle.register_pickle_by_value(media_meta_minimal)
 _cloudpickle.register_pickle_by_value(gif_minimal)
 _cloudpickle.register_pickle_by_value(jpeg_minimal)
+_cloudpickle.register_pickle_by_value(jpeg_progressive_minimal)
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),    # image|audio|video
@@ -100,6 +106,7 @@ def _make_image_decoder():
     is_jpeg = media_meta_minimal.is_jpeg
     jpeg_dims = media_meta_minimal.jpeg_dimensions
     jpeg_luma = jpeg_minimal.jpeg_mean_luma
+    jpeg_prog_luma = jpeg_progressive_minimal.jpeg_mean_luma_progressive
 
     def decode(blob: bytes) -> tuple[int, int, int, float | None]:
         # Corrupt blobs MUST NOT kill the stage: at 100 TB one
@@ -115,13 +122,18 @@ def _make_image_decoder():
                 w, h, ch, px = gif_decode(blob)
                 return w, h, ch, gif_luma(ch, px)
             if is_jpeg(blob):
-                # REAL pixel decode for baseline JPEG (r6:
-                # functions/jpeg_minimal — Huffman + IDCT, luma
-                # plane). Non-baseline (progressive/arith/12-bit)
-                # falls back to TRUE header dimensions with a NULL
-                # luma — honest, as before.
+                # REAL pixel decode for baseline (r6) AND progressive
+                # (r8: functions/jpeg_progressive_minimal — spectral
+                # selection + successive approximation) JPEG. Only
+                # arithmetic-coded/12-bit now fall back to TRUE
+                # header dimensions with a NULL luma — honest, and
+                # declared permanently out of scope (SURVEY §2.11).
                 try:
                     return jpeg_luma(blob)
+                except ValueError:
+                    pass
+                try:
+                    return jpeg_prog_luma(blob)
                 except ValueError:
                     w, h, ch = jpeg_dims(blob)
                     return w, h, ch, None

@@ -2109,3 +2109,75 @@ for _k in _R7_IN:
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in _R7_OUT:
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+
+# ---------------------------------------------------------------- round 8
+# TPC-H shape completion (q9/q11/q16/q20 — the four whose canonical
+# form needs partsupp, absent from the fixture; the SHAPES are intact,
+# see the query docstrings). Double literals embedded as
+# CAST('<repr>' AS DOUBLE) per the cross-engine numerics rules; every
+# integer aggregate in a final projection stays COUNT (BIGINT both
+# engines) — no HUGEINT-able SUMs escape uncast.
+
+EXTRA_ORACLES["q9_product_profit"] = f"""
+SELECT n_name AS nation, year(o_orderdate) AS order_year,
+       {_dsum("l_extendedprice * (1 - l_discount) "
+              "- p_retailprice * l_quantity * CAST('0.1' AS DOUBLE)")}
+         AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+EXTRA_ORACLES["q11_important_stock"] = f"""
+WITH per_part AS (
+  SELECT l_partkey, {_dsum('l_extendedprice')} AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey),
+total AS (
+  SELECT {_dsum('part_value')} AS total_value FROM per_part)
+SELECT l_partkey, part_value
+FROM per_part, total
+WHERE part_value > total_value * CAST('0.001' AS DOUBLE)
+"""
+
+EXTRA_ORACLES["q16_supplier_part_counts"] = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+GROUP BY p_brand, p_type, p_size
+"""
+
+EXTRA_ORACLES["q20_part_promotion"] = f"""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, {_dsum('l_quantity')} AS supp_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%bolt%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey),
+part_tot AS (
+  SELECT l_partkey, {_dsum('supp_qty')} AS part_qty
+  FROM sp GROUP BY l_partkey),
+big AS (
+  SELECT DISTINCT l_suppkey
+  FROM sp JOIN part_tot USING (l_partkey)
+  WHERE supp_qty > part_qty * CAST('0.3' AS DOUBLE))
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM big)
+"""

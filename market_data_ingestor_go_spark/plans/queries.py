@@ -832,6 +832,112 @@ def q22_idle_customers(spark, sf_dir):
     )
 
 
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (r8 — completes the 22-query plan-shape suite
+    with q11/q16/q20): product-type profit by nation and order year,
+    the widest join tree in the suite — lineitem × filtered part ×
+    supplier × orders × nation. The fixture has no partsupp, so cost
+    is proxied by p_retailprice·l_quantity·0.1; the five-way join +
+    computed-measure + two-key rollup IS the Q9 shape. All dims
+    broadcast; the only shuffle is the final aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("order_year"))
+        .agg(_dsum(amount, "profit"), F.count("*").alias("n_lines"))
+    )
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-group value vs a GLOBAL scalar threshold
+    (group-agg → scalar-agg → broadcast the scalar back as a filter).
+    Value proxy: revenue per part from NATION_3's suppliers (no
+    partsupp/supplycost in the fixture); keep parts above 0.1% of the
+    national total. The two-level aggregate + scalar cross-filter is
+    the Q11 shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_li = (
+        li.join(F.broadcast(
+            s.join(F.broadcast(n),
+                   F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey")))
+    per_part = nat_li.groupBy("l_partkey").agg(
+        _dsum(F.col("l_extendedprice"), "part_value"))
+    total = per_part.agg(
+        F.sum(F.col("part_value").cast("decimal(27,6)")).cast("double")
+        .alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total),
+                      F.col("part_value")
+                      > F.col("total_value") * F.lit(0.001))
+        .select("l_partkey", "part_value")
+    )
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: supplier diversity per part attribute — an
+    anti-join exclusion list (s_name containing '7' proxies the
+    'complaints' NOT IN subquery) feeding COUNT(DISTINCT) over a
+    three-key group. Exclusion list broadcast; distinct-count is the
+    only wide exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO"))
+    excluded = (_t(spark, sf_dir, "supplier")
+                .filter(F.col("s_name").contains("7"))
+                .select(F.col("s_suppkey").alias("l_suppkey")))
+    return (
+        anti_join(
+            li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")),
+            excluded, "l_suppkey")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-join with a correlated aggregate
+    threshold — suppliers who shipped more than 30% of a part's total
+    1996 volume, for parts named like 'bolt'. Two aggregation grains
+    (supplier×part, then part) joined back, then a semi-join into the
+    supplier dim + nation name. The per-part total joins broadcast
+    (part-grain ≪ corpus)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01"))))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sp = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(_dsum(F.col("l_quantity"), "supp_qty")))
+    part_tot = sp.groupBy("l_partkey").agg(
+        F.sum(F.col("supp_qty").cast("decimal(27,6)")).cast("double")
+        .alias("part_qty"))
+    big = (sp.join(F.broadcast(part_tot), "l_partkey")
+           .filter(F.col("supp_qty") > F.col("part_qty") * F.lit(0.3))
+           .select("l_suppkey").distinct())
+    return (
+        s.join(F.broadcast(big), F.col("s_suppkey") == F.col("l_suppkey"),
+               "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
 def skew_salted_agg(spark, sf_dir):
     """Salted two-phase aggregation for hot keys (operators/skew.py) —
     the oracle is the PLAIN group-by, proving the salting is exact.
@@ -2514,6 +2620,14 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_price_qty_corr": lineitem_price_qty_corr,  # moments ⊂ events_pair_correlation (kept)
     "events_funnel_conversion": events_funnel_conversion,  # first-touch ⊂ events_user_growth
     "orders_cohort_matrix": orders_cohort_matrix,    # cohort histogram ⊂ q13_customer_distribution
+    # round-8 additions: TPC-H shape completion (q9/q11/q16/q20 — the
+    # four whose canonical form needs the absent partsupp table; plan
+    # shapes preserved, see docstrings). Oracle-backed, parity-swept,
+    # listed in ROTATION_CANDIDATES_R8 for their first external row.
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_part_promotion": q20_part_promotion,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2598,11 +2712,18 @@ ROTATED_IN_R7: list[str] = [
 
 
 # Round-8 rotation candidates: oracle-backed queries that have never
-# held a green external CORRECTNESS row. Empty at the START of round 7
+# held a green external CORRECTNESS row. Empty at the START of round 8
 # (the r7 rotation cleared the backlog); every oracle-backed query
-# added during round 7 must be appended here so the next rotation is
-# mechanical (consistency pinned in tests/test_parity.py).
-ROTATION_CANDIDATES_R8: list[str] = []
+# added during round 8 must be listed here so the next rotation is
+# mechanical (the never-verified scan in tests/test_parity.py
+# enforces the policy against the frozen ORACLE_BACKED_AT_R7_CLOSE
+# set below).
+ROTATION_CANDIDATES_R8: list[str] = [
+    "q9_product_profit",          # added r8, oracle-backed
+    "q11_important_stock",        # added r8, oracle-backed
+    "q16_supplier_part_counts",   # added r8, oracle-backed
+    "q20_part_promotion",         # added r8, oracle-backed
+]
 
 
 # Frozen at the close of round 7: every oracle-backed query name that

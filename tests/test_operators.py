@@ -2349,3 +2349,108 @@ def test_pagerank_fixed_point_exact_and_keepers(spark):
             pagerank_fixed_point(edges.repartition(5),
                                  n_iters=10).collect()}
     assert got == got2
+
+
+# ------------------------------------------------------------------
+# Progressive JPEG (r8: functions/jpeg_progressive_minimal)
+# ------------------------------------------------------------------
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Progressive refinement is lossless over the quantized
+    coefficients, so a full scan script must reproduce the EXACT
+    pixels of the baseline codec (same quant table, same rounding) —
+    a far stronger oracle than a tolerance bound. Covers: default
+    script (DC first/refine + banded AC first/refine), interleaved
+    DC scans (YCbCr 4:4:4), restart markers, spectral-selection-only,
+    and a 3-level successive-approximation script (Al=2,1,0) that
+    exercises EOB-run + buffered-correction-bit interplay."""
+    import random
+
+    from market_data_ingestor_go_spark.functions.jpeg_minimal import (
+        jpeg_decode_luma, jpeg_encode_gray, jpeg_encode_ycbcr444)
+    from market_data_ingestor_go_spark.functions.jpeg_progressive_minimal \
+        import (is_progressive_jpeg, jpeg_decode_luma_progressive,
+                jpeg_encode_gray_progressive,
+                jpeg_encode_ycbcr444_progressive)
+
+    rnd = random.Random(42)
+    for (w, h) in [(16, 16), (24, 17), (40, 33)]:
+        px = bytes(rnd.randrange(256) for _ in range(w * h))
+        base = jpeg_decode_luma(jpeg_encode_gray(w, h, px))
+        blob = jpeg_encode_gray_progressive(w, h, px)
+        assert is_progressive_jpeg(blob)
+        assert jpeg_decode_luma_progressive(blob) == base
+
+    w, h = 32, 24
+    y = bytes(rnd.randrange(256) for _ in range(w * h))
+    cb = bytes(rnd.randrange(256) for _ in range(w * h))
+    cr = bytes(rnd.randrange(256) for _ in range(w * h))
+    base_c = jpeg_decode_luma(jpeg_encode_ycbcr444(w, h, y, cb, cr))
+    for ri in (0, 1, 3):
+        got = jpeg_decode_luma_progressive(
+            jpeg_encode_ycbcr444_progressive(w, h, y, cb, cr,
+                                             restart_interval=ri))
+        assert got == base_c, f"restart_interval={ri}"
+
+    px = bytes(rnd.randrange(256) for _ in range(40 * 33))
+    base_g = jpeg_decode_luma(jpeg_encode_gray(40, 33, px))
+    spec_only = [("dc", 0, 0, 0, 0), ("ac", 1, 5, 0, 0),
+                 ("ac", 6, 63, 0, 0)]
+    deep = [("dc", 0, 0, 0, 2), ("dc", 0, 0, 2, 1), ("dc", 0, 0, 1, 0),
+            ("ac", 1, 2, 0, 2), ("ac", 3, 9, 0, 2), ("ac", 10, 63, 0, 2),
+            ("ac", 1, 2, 2, 1), ("ac", 3, 9, 2, 1), ("ac", 10, 63, 2, 1),
+            ("ac", 1, 2, 1, 0), ("ac", 3, 9, 1, 0), ("ac", 10, 63, 1, 0)]
+    for scans in (spec_only, deep):
+        for ri in (0, 2):
+            got = jpeg_decode_luma_progressive(jpeg_encode_gray_progressive(
+                40, 33, px, scans=scans, restart_interval=ri))
+            assert got == base_g
+
+
+def test_jpeg_progressive_corrupt_blob_hardening():
+    """Truncations and bit flips raise ValueError only (the
+    mapInPandas kernel's corrupt-blob route) — never IndexError or
+    struct.error; baseline decoder still refuses SOF2 streams."""
+    import pytest as _pytest
+
+    from market_data_ingestor_go_spark.functions.jpeg_minimal import (
+        jpeg_decode_luma)
+    from market_data_ingestor_go_spark.functions.jpeg_progressive_minimal \
+        import jpeg_decode_luma_progressive, jpeg_encode_gray_progressive
+
+    blob = jpeg_encode_gray_progressive(16, 16, bytes(range(256)))
+    with _pytest.raises(ValueError):
+        jpeg_decode_luma(blob)  # baseline must refuse SOF2
+    for cut in (2, 10, 50, len(blob) // 2, len(blob) - 3):
+        try:
+            jpeg_decode_luma_progressive(blob[:cut])
+        except ValueError:
+            pass  # the only acceptable exception type
+    for pos in (20, 40, 80, 120, 160):
+        bad = bytearray(blob)
+        bad[pos] ^= 0xFF
+        try:
+            jpeg_decode_luma_progressive(bytes(bad))
+        except ValueError:
+            pass
+
+
+def test_jpeg_progressive_through_extract_image_features(spark):
+    """e2e: a progressive JPEG now gets TRUE mean luma through the
+    mapInPandas kernel (r7 and earlier returned NULL); the
+    still-stubbed class (header-only stream) keeps the honest
+    dims + NULL fallback."""
+    from market_data_ingestor_go_spark.functions.jpeg_progressive_minimal \
+        import jpeg_encode_gray_progressive
+
+    w, h = 24, 16
+    px = bytes([(x * 11 + y * 7) % 256 for y in range(h) for x in range(w)])
+    rows = [Row(content=jpeg_encode_gray_progressive(w, h, px)),
+            Row(content=_mk_jpeg(640, 480))]  # headers only, no scan
+    feats = {f["width"]: f for f in extract_image_features(
+        spark.createDataFrame(rows)).collect()}
+    real = feats[w]
+    assert real["height"] == h and real["n_channels"] == 1
+    assert abs(real["mean_luma"] - sum(px) / len(px) / 255.0) < 0.01
+    assert feats[640]["mean_luma"] is None  # honest fallback

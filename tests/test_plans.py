@@ -398,3 +398,47 @@ def test_lm_quality_family_shapes(spark):
             assert "term" not in m.group(1), (
                 "nested-loop input's top aggregate is corpus-sized "
                 "(keyed by term): " + m.group(1))
+
+
+def test_q9_widest_join_tree_broadcasts_all_dims(spark):
+    """q9 (r8): five-way join — every dim side broadcast, no
+    sort-merge join; the only shuffle exchanges feed the two-key
+    aggregate; lineitem scan pruned to exactly the 6 needed cols."""
+    df = ALL_QUERIES["q9_product_profit"](spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert _count(plan, "Exchange") <= 2, plan
+    assert _scan_columns(plan, "lineitem") == {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount"}, plan
+
+
+def test_q11_scalar_threshold_is_broadcast_single_row(spark):
+    """q11 (r8): the global total joins back as a broadcast of ONE
+    row (nested-loop on the non-equi predicate is fine there); the
+    corpus never shuffles for the threshold; lineitem pruned to 3
+    columns."""
+    df = ALL_QUERIES["q11_important_stock"](spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert _scan_columns(plan, "lineitem") == {
+        "l_partkey", "l_suppkey", "l_extendedprice"}, plan
+
+
+def test_q16_q20_semi_anti_stay_broadcast(spark):
+    """q16/q20 (r8): the exclusion anti-join and the promotion
+    semi-join run as broadcast joins (supplier-grain ≪ corpus) and
+    lineitem scans stay pruned."""
+    for name, cols in (
+            ("q16_supplier_part_counts", {"l_partkey", "l_suppkey"}),
+            ("q20_part_promotion",
+             {"l_partkey", "l_suppkey", "l_quantity", "l_shipdate"})):
+        df = ALL_QUERIES[name](spark, SF)
+        df.collect()
+        plan = _plan(df)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert _scan_columns(plan, "lineitem") == cols, (name, plan)
