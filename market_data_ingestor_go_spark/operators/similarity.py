@@ -440,10 +440,63 @@ def hyperplane_ann_from_index(spark, table: str, queries: DataFrame,
     return _bucketed_topk(scored, k)
 
 
+def _pq_lloyd_driver(vectors: list[list[float]], m: int, k: int,
+                     n_iters: int) -> dict[int, list[list[float]]]:
+    """Driver-side per-subspace Lloyd, bit-identical to the
+    distributed train_pq_codebooks path: distance scv − 2.0·⟨sv,cv⟩
+    (left-fold dots), argmin ties to the SMALLER cell id (array_min
+    over struct(d, cell)), DECIMAL(27,12) exact means. ``vectors``
+    in (xxhash64(id), id) order; first k rows are the init."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    X = np.array(vectors, dtype=np.float64)
+    n, dim = X.shape
+    sub = dim // m
+    q12 = Decimal("1e-12")
+    Qi = np.array(
+        [[int(Decimal(repr(x)).quantize(q12, ROUND_HALF_UP)
+              .scaleb(12)) for x in row] for row in vectors],
+        dtype=np.int64)
+    codebooks = {s: [list(v[s * sub:(s + 1) * sub]) for v in vectors[:k]]
+                 for s in range(m)}
+    for _ in range(n_iters):
+        new_books = {s: list(codebooks[s]) for s in range(m)}
+        for s in range(m):
+            sv = X[:, s * sub:(s + 1) * sub]
+            qi = Qi[:, s * sub:(s + 1) * sub]
+            best_d = None
+            best = np.zeros(n, dtype=np.int64)
+            for j in range(k):
+                cv = np.array(codebooks[s][j], dtype=np.float64)
+                scv = float(_fold_dot_rows(cv.reshape(1, -1),
+                                           cv.reshape(1, -1))[0])
+                dj = scv - 2.0 * _fold_dot_rows(
+                    sv, np.broadcast_to(cv, sv.shape))
+                if best_d is None:
+                    best_d = dj
+                else:
+                    lt = dj < best_d     # strict: ties keep smaller id
+                    best = np.where(lt, j, best)
+                    best_d = np.where(lt, dj, best_d)
+            for j in range(k):
+                mask = best == j
+                cnt = int(mask.sum())
+                if cnt == 0:
+                    continue             # empty cell keeps old centroid
+                sums = qi[mask].sum(axis=0)
+                new_books[s][j] = [
+                    float(Fraction(int(x), 10 ** 12)) / cnt for x in sums]
+        codebooks = new_books
+    return codebooks
+
+
 def train_pq_codebooks(df: DataFrame, m: int = 8, k: int = 16,
                        n_iters: int = 3, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       max_train_rows: int | None = 4096) -> DataFrame:
+                       max_train_rows: int | None = 4096,
+                       engine: str = "driver") -> DataFrame:
     """Product-quantization codebooks: an independent k-means per
     subspace (the vector split into ``m`` contiguous subvectors).
 
@@ -461,11 +514,27 @@ def train_pq_codebooks(df: DataFrame, m: int = 8, k: int = 16,
 
     Returns (subspace, cell, cv ARRAY<DOUBLE>) — the model artifact
     ``pq_ann`` consumes.
+
+    ``engine="driver"`` (default, r8): the bounded training sample
+    collects once and the whole per-subspace Lloyd loop runs on the
+    driver, bit-identical to the distributed path (equality pinned by
+    ``test_pq_driver_equals_distributed``) — same rationale and
+    replication rules as train_kmeans_codebook.
     """
     from pyspark.sql import Row
 
     spark = df.sparkSession
     v = as_double(vec_col)
+    if engine == "driver" and max_train_rows is not None:
+        rows = (df.select(F.col(id_col).alias("id"), v.alias("v"))
+                .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+                .limit(max_train_rows).collect())
+        books = _pq_lloyd_driver([list(r["v"]) for r in rows], m, k,
+                                 n_iters)
+        return spark.createDataFrame(
+            [Row(subspace=s, cell=c, cv=books[s][c])
+             for s in range(m) for c in range(k)],
+            "subspace INT, cell INT, cv ARRAY<DOUBLE>")
     dim = len(df.select(v.alias("v")).first()["v"])
     sub = dim // m
     base = pin(_train_sample(
@@ -784,20 +853,80 @@ def _train_sample(c: DataFrame, id_col: str,
             .limit(max_train_rows))
 
 
+def _fold_dot_rows(A, B):
+    """Row-wise dot of two n×d float64 matrices, vectorized across
+    ROWS but sequential across DIMS — each row's result is the exact
+    left fold ((0.0+x₁y₁)+x₂y₂)+…, bit-identical to the engine's
+    ``dot`` (F.aggregate over zip_with)."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for i in range(A.shape[1]):
+        acc = acc + A[:, i] * B[:, i]
+    return acc
+
+
+def _lloyd_driver(vectors: list[list[float]], k: int,
+                  n_iters: int) -> list[list[float]]:
+    """Driver-side Lloyd loop, bit-identical to the distributed path
+    (see train_kmeans_codebook docstring for the replication rules).
+    ``vectors`` must already be in (xxhash64(id), id) order — the
+    first k rows are the init centroids."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    X = np.array(vectors, dtype=np.float64)
+    n, d = X.shape
+    codebook = [list(v) for v in vectors[:k]]
+    sx = _fold_dot_rows(X, X)
+    # double → DECIMAL(27,12): Spark routes through the shortest
+    # 17-digit repr (BigDecimal.valueOf) then HALF_UP at scale 12;
+    # stored as scaled integers so sums are exact (|x|·1e12 ≪ 2^63)
+    q12 = Decimal("1e-12")
+    Qi = np.array(
+        [[int(Decimal(repr(x)).quantize(q12, ROUND_HALF_UP)
+              .scaleb(12)) for x in row] for row in vectors],
+        dtype=np.int64)
+    for _ in range(n_iters):
+        best_cos = None
+        best = np.zeros(n, dtype=np.int64)
+        for j in range(k):
+            cv = np.array(codebook[j], dtype=np.float64)
+            scv = float(_fold_dot_rows(cv.reshape(1, -1),
+                                       cv.reshape(1, -1))[0])
+            cosj = _fold_dot_rows(X, np.broadcast_to(cv, X.shape)) \
+                / np.sqrt(sx * scv)
+            if best_cos is None:
+                best_cos = cosj
+            else:
+                m = cosj >= best_cos     # ties → larger cent_id, as
+                best = np.where(m, j, best)  # struct array_max does
+                best_cos = np.where(m, cosj, best_cos)
+        new_codebook = list(codebook)    # empty cells keep old centroid
+        for j in range(k):
+            mask = best == j
+            cnt = int(mask.sum())
+            if cnt == 0:
+                continue
+            sums = Qi[mask].sum(axis=0)  # exact int64 sums
+            new_codebook[j] = [
+                float(Fraction(int(s), 10 ** 12)) / cnt for s in sums]
+        codebook = new_codebook
+    return codebook
+
+
 def train_kmeans_codebook(df: DataFrame, k: int = 16, n_iters: int = 5,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          max_train_rows: int | None = 4096) -> DataFrame:
+                          max_train_rows: int | None = 4096,
+                          engine: str = "driver") -> DataFrame:
     """Lloyd's k-means codebook for ``ivf_ann(centroids=...)``.
 
     Each iteration: assign every vector to its max-cosine centroid with
     the same zero-shuffle per-row argmax ivf_ann uses, then recompute
-    centroids as the element-wise mean of their members (posexplode →
-    (cell, dim) partial-agg — shuffle is k×dim rows, not the corpus).
-    The k×dim codebook collects to the driver between iterations (it
-    is a model artifact, not data), so each iteration plans against a
-    literal codebook instead of a growing lineage. Training runs on a
-    deterministic hash-sample of ≤ ``max_train_rows`` rows
+    centroids as the element-wise mean of their members. Training runs
+    on a deterministic hash-sample of ≤ ``max_train_rows`` rows
     (``_train_sample`` — the FAISS deployment shape; None = full
     corpus), which bounds iteration cost independent of corpus size.
 
@@ -805,11 +934,36 @@ def train_kmeans_codebook(df: DataFrame, k: int = 16, n_iters: int = 5,
     decimal-exact means (double avg would depend on partition order),
     ties in the argmax broken by cent_id. Empty cells keep their
     previous centroid.
+
+    ``engine="driver"`` (default, r8): since the training set is a
+    bounded model-sized sample, the whole Lloyd loop runs on the
+    DRIVER after ONE collect — the distributed path spends 2 cluster
+    actions per iteration on a ≤4096-row problem (measured 7.7–12.5 s
+    per codebook at sf0.1 vs ~0.5 s driver-side; at cluster scale
+    those round-trips are pure scheduler latency). The arithmetic is
+    replicated BIT-EXACTLY (the equality test
+    ``test_kmeans_driver_equals_distributed`` pins codebook identity):
+    left-fold dots vectorized across rows but sequential across dims,
+    cosine as dot/sqrt(sa·sb), ties to the larger cent_id, and means
+    as double→DECIMAL(27,12) HALF_UP quantization (via the 17-digit
+    shortest repr, Spark's double→decimal route) summed in exact
+    integers, back to double (correctly-rounded Fraction→float), then
+    one IEEE division by the count. ``engine="distributed"`` keeps
+    the cluster path for full-corpus training (max_train_rows=None
+    forces it) and serves as the equality oracle.
     """
     from pyspark.sql import Row
 
     spark = df.sparkSession
     c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
+    if engine == "driver" and max_train_rows is not None:
+        rows = (c.select("n_id", "nv")
+                .orderBy(F.xxhash64(F.col("n_id")), F.col("n_id"))
+                .limit(max_train_rows).collect())
+        codebook = _lloyd_driver([list(r["nv"]) for r in rows], k, n_iters)
+        return spark.createDataFrame(
+            [Row(**{id_col: i, vec_col: v}) for i, v in enumerate(codebook)],
+            f"{id_col} INT, {vec_col} ARRAY<DOUBLE>")
     c = pin(_train_sample(c, "n_id", max_train_rows))
     init = (c.orderBy(F.xxhash64(F.col("n_id")), F.col("n_id")).limit(k)
             .select("nv").collect())

@@ -2454,3 +2454,46 @@ def test_jpeg_progressive_through_extract_image_features(spark):
     assert real["height"] == h and real["n_channels"] == 1
     assert abs(real["mean_luma"] - sum(px) / len(px) / 255.0) < 0.01
     assert feats[640]["mean_luma"] is None  # honest fallback
+
+
+# ------------------------------------------------------------------
+# Driver-side codebook trainers (r8): bit-identical to the
+# distributed Lloyd paths they replace on bounded samples
+# ------------------------------------------------------------------
+
+
+def test_kmeans_driver_equals_distributed(spark):
+    """The r8 driver-side Lloyd loop must reproduce the distributed
+    trainer's codebook BIT-EXACTLY (same hash-sample init, left-fold
+    dots, tie-to-larger-cent argmax, DECIMAL(27,12) HALF_UP means) —
+    every downstream consumer (semdedup cells, IVF assignment, ANN
+    recall floors) then provably cannot move."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        train_kmeans_codebook)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    df = load_table(spark, SF, "embeddings")
+    for k in (4, 16):
+        a = sorted(((r["vec_id"], list(r["embedding"])) for r in
+                    train_kmeans_codebook(df, k=k).collect()))
+        b = sorted(((r["vec_id"], list(r["embedding"])) for r in
+                    train_kmeans_codebook(
+                        df, k=k, engine="distributed").collect()))
+        assert a == b, f"k={k}: codebooks diverge"
+
+
+def test_pq_driver_equals_distributed(spark):
+    """Same bit-identity pin for the per-subspace PQ trainer
+    (argmin ties to the SMALLER cell, distance scv − 2.0·⟨sv,cv⟩)."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        train_pq_codebooks)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    df = load_table(spark, SF, "embeddings")
+    key = lambda r: (r["subspace"], r["cell"])  # noqa: E731
+    a = [(key(r), list(r["cv"])) for r in sorted(
+        train_pq_codebooks(df, m=8, k=16, n_iters=3).collect(), key=key)]
+    b = [(key(r), list(r["cv"])) for r in sorted(
+        train_pq_codebooks(df, m=8, k=16, n_iters=3,
+                           engine="distributed").collect(), key=key)]
+    assert a == b
