@@ -1036,9 +1036,13 @@ def text_langid(spark, sf_dir):
 
 
 def embedding_cosine_neardup(spark, sf_dir):
-    """Embedding near-dup pairs, exact cosine ≥ 0.4 (O(n²) baseline)."""
+    """Embedding near-dup pairs, exact cosine ≥ 0.4 — served by the
+    BLOCKED exact pair join (r8: block-partitioned applyInPandas with
+    a fold-order-preserving numpy kernel, bit-identical to the
+    interpreted cosine_pairs and 10–21× faster once the quadratic
+    term dominates; same DuckDB oracle)."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.cosine_pairs(e, threshold=0.4)
+    return SIM.cosine_pairs_blocked(e, threshold=0.4)
 
 
 def token_heavy_hitters_sketch(spark, sf_dir):
@@ -1607,9 +1611,12 @@ def semantic_dedup_clusters(spark, sf_dir):
     graph ≥ 0.4 → connected components → one keeper per cluster.
     Shows the CC stage composes with ANY pair source (MinHash text
     pairs in dedup_cluster_keepers, cosine pairs here); at scale the
-    pair source swaps to the banded-LSH twin unchanged."""
+    pair source swaps to the banded-LSH twin unchanged. r8: the pair
+    source is the BLOCKED exact join (bit-identical cosines, see
+    cosine_pairs_blocked) so even the exact twin scales by block
+    parallelism instead of one theta-join stream."""
     e = _t(spark, sf_dir, "embeddings")
-    pairs = SIM.cosine_pairs(e, threshold=0.4)
+    pairs = SIM.cosine_pairs_blocked(e, threshold=0.4)
     clusters = DD.neardup_clusters(pairs, id_a="a_id", id_b="b_id")
     return (clusters.groupBy("cluster_id")
             .agg(F.count("*").alias("n_members"))

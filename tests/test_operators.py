@@ -2497,3 +2497,27 @@ def test_pq_driver_equals_distributed(spark):
         train_pq_codebooks(df, m=8, k=16, n_iters=3,
                            engine="distributed").collect(), key=key)]
     assert a == b
+
+
+def test_cosine_pairs_blocked_bit_identical(spark):
+    """The r8 blocked exact pair join must emit the SAME pair set
+    with BIT-IDENTICAL cosines as the interpreted-HOF cosine_pairs
+    (its numpy kernel preserves the left fold across dimensions and
+    the sqrt(sa·sb) association), and be partition-stable. This is
+    what licenses semantic_dedup_clusters / embedding_cosine_neardup
+    to serve their unchanged DuckDB oracles from the blocked path."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        cosine_pairs, cosine_pairs_blocked)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    df = load_table(spark, SF, "embeddings")
+    old = {(r["a_id"], r["b_id"], r["cos"])
+           for r in cosine_pairs(df, threshold=0.4).collect()}
+    new = {(r["a_id"], r["b_id"], r["cos"])
+           for r in cosine_pairs_blocked(df, threshold=0.4).collect()}
+    assert old == new
+    assert len(new) > 0
+    again = {(r["a_id"], r["b_id"], r["cos"])
+             for r in cosine_pairs_blocked(
+                 df.repartition(7), threshold=0.4, n_blocks=5).collect()}
+    assert new == again
