@@ -2,15 +2,14 @@
 """SemDeDup crossover bench: measure the k-means bound's k* advantage
 growing with corpus size (r7 verdict item 5).
 
-The exact arm is ``cosine_pairs`` — the SAME global O(n^2) pair
-source ``semantic_dedup_clusters`` (the declared oracle twin) uses,
-with its probe side repartitioned across all cores — followed by
-semdedup's identical min-id drop rule, so the comparison isolates
-the clustering bound, not a parallelism artifact. (A naive
-``semdedup(n_clusters=1)`` arm would serialize the whole pair join
-into ONE shuffle partition and measure single-core starvation
-instead of work.) The corpus is the sf0.1 embeddings fixture
-replicated deterministically
+The exact arm is ``cosine_pairs_blocked`` — the SAME global O(n^2)
+pair source ``semantic_dedup_clusters`` (the declared oracle twin)
+uses since r8 — followed by semdedup's identical min-id drop rule.
+Both arms score pairs with the fold-order-preserving numpy kernel
+(semdedup's per-cell kernel, the exact arm's per-block-pair kernel),
+so the comparison isolates the clustering bound's WORK reduction,
+not a kernel or parallelism artifact. The corpus is the sf0.1
+embeddings fixture replicated deterministically
 (per-replica sinusoidal perturbation, cosine vs the original ~1, so
 replicas are true near-duplicates the dedup must find) up to 16x the
 fixture = 32k vectors; nothing outside /root/repo is written.
@@ -40,7 +39,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, "/root/repo")
 
 from market_data_ingestor_go_spark.operators.similarity import (  # noqa: E402
-    cosine_pairs, semdedup, train_kmeans_codebook)
+    cosine_pairs_blocked, semdedup, train_kmeans_codebook)
 from market_data_ingestor_go_spark.sources.tables import (  # noqa: E402
     load_table, pin_session_confs)
 
@@ -81,7 +80,7 @@ def timed_exact_keepers(df):
     """Global exact pair graph + semdedup's min-id drop rule: drop a
     vector iff ANY smaller-id neighbor has cosine >= threshold."""
     t0 = time.time()
-    pairs = cosine_pairs(df, threshold=0.4)
+    pairs = cosine_pairs_blocked(df, threshold=0.4)
     dropped = {r["b_id"] for r in
                pairs.select("b_id").distinct().collect()}
     ids = {r["vec_id"] for r in df.select("vec_id").collect()}
@@ -104,21 +103,20 @@ def main():
     # trained on a bounded sample, reused across the corpus).
     base = load_table(spark, SF_DIR, "embeddings")
     cents = {k: train_kmeans_codebook(base, k=k).localCheckpoint()
-             for k in (16, 4, 8, 32, 64)}
+             for k in (16, 4, 8, 32, 64, 128)}
 
     results = []
     exact_kept = {}
-    for mult in (1, 2, 4, 8, 16):
+    for mult in (1, 2, 4, 8, 16, 32):
         n = BASE_N * mult
         df = synth_corpus(spark, mult).localCheckpoint()  # corpus fixed
-        if n <= 8000:
-            sec, kept = timed_exact_keepers(df)
-            exact_kept[n] = kept
-            row = {"arm": "exact", "n": n, "k": None,
-                   "sec": round(sec, 2), "kept": len(kept),
-                   "agree_vs_exact": None}
-            results.append(row)
-            print(json.dumps(row), flush=True)
+        sec, kept = timed_exact_keepers(df)
+        exact_kept[n] = kept
+        row = {"arm": "exact", "n": n, "k": None,
+               "sec": round(sec, 2), "kept": len(kept),
+               "agree_vs_exact": None}
+        results.append(row)
+        print(json.dumps(row), flush=True)
         ks = max(4, n // 500)
         for arm, k in (("fixed-k", 16), ("scaled-k", ks)):
             sec, kept = timed_keepers(df, k, cents[k])

@@ -1137,16 +1137,73 @@ def filtered_knn(df: DataFrame, queries: DataFrame, predicate,
 
 def assign_cells(df: DataFrame, centroids: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_probes: int = 1) -> DataFrame:
+                 n_probes: int = 1, engine: str = "kernel") -> DataFrame:
     """(id, vector, cell[, cells]): each vector labeled with its
-    max-cosine centroid via the zero-shuffle per-row argmax ivf_ann
-    uses (the codebook collapses to one broadcast array-of-structs
-    row; ties take the larger cent_id). With ``n_probes`` > 1 the
-    row also carries ``cells`` — its top-p cells in score order —
-    for overlap-assignment consumers (semdedup boundary recall)."""
+    max-cosine centroid — still zero-shuffle (the codebook is a
+    model-sized artifact shipped to every task; ties take the larger
+    cent_id). With ``n_probes`` > 1 the row also carries ``cells`` —
+    its top-p cells in score order — for overlap-assignment
+    consumers (semdedup boundary recall).
+
+    ``engine="kernel"`` (default, r8): mapInPandas with the
+    fold-order-preserving numpy kernel — the interpreted per-row
+    scoring costs k×~25 µs per vector (it was the dominant term of
+    the bounded semdedup arms once pair scoring vectorized); the
+    kernel computes the same left-fold cosines vectorized across the
+    batch and replicates the (ccos, cent_id)-descending order with a
+    stable argsort over the cent_id-ascending codebook (reversed
+    stable ⇒ ties to the larger cent_id, exactly as
+    reverse(array_sort(struct)) orders). Bit-identity of cell AND
+    probe lists pinned by ``test_assign_cells_kernel_equals_expr``.
+    ``engine="expr"`` keeps the Column-expression path as the
+    equality oracle."""
     c = df.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("nv"))
     cents = centroids.select(F.col(id_col).alias("cent_id"),
                              as_double(vec_col).alias("cv"))
+    if engine == "kernel":
+        import numpy as np
+        import pandas as pd
+
+        # local twin of _fold_dot_rows: the closure must be
+        # self-contained — a module-level reference pickles by module
+        # path, which the driver-contract workers cannot import
+        def _fold(A, B):
+            acc = np.zeros(A.shape[0])
+            for i in range(A.shape[1]):
+                acc = acc + A[:, i] * B[:, i]
+            return acc
+
+        crows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+        cent_ids = np.array([r["cent_id"] for r in crows], dtype=np.int64)
+        C = np.array([list(r["cv"]) for r in crows], dtype=np.float64)
+        scv = _fold(C, C)
+        id_t = c.schema["n_id"].dataType.simpleString()
+        cid_t = cents.schema["cent_id"].dataType.simpleString()
+        schema = f"n_id {id_t}, nv ARRAY<DOUBLE>, cell {cid_t}"
+        if n_probes > 1:
+            schema += f", cells ARRAY<{cid_t}>"
+        p = n_probes
+
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["nv"].to_numpy())
+                sx = _fold(X, X)
+                cos = np.empty((len(X), len(C)))
+                for j in range(len(C)):
+                    cos[:, j] = _fold(
+                        X, np.broadcast_to(C[j], X.shape)) \
+                        / np.sqrt(sx * scv[j])
+                order = np.argsort(cos, axis=1, kind="stable")[:, ::-1]
+                out = {"n_id": pdf["n_id"], "nv": pdf["nv"],
+                       "cell": cent_ids[order[:, 0]]}
+                if p > 1:
+                    out["cells"] = [cent_ids[row[:p]].tolist()
+                                    for row in order]
+                yield pd.DataFrame(out)
+
+        return c.mapInPandas(assign, schema)
     cent_row = F.broadcast(
         cents.agg(F.collect_list(F.struct("cent_id", "cv")).alias("cb")))
     scored = F.reverse(F.array_sort(F.transform(
@@ -1167,7 +1224,8 @@ def semdedup(df: DataFrame, n_clusters: int = 16,
              vec_col: str = "embedding",
              centroids: DataFrame | None = None,
              max_train_rows: int | None = 4096,
-             n_probes: int = 1) -> DataFrame:
+             n_probes: int = 1,
+             pair_engine: str = "kernel") -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication bounded
     by k-means clustering — pairwise cosine runs only WITHIN each
     cluster, turning the O(n²) exact pair join into k independent
@@ -1192,8 +1250,15 @@ def semdedup(df: DataFrame, n_clusters: int = 16,
     ≤ p² for a measured recall lift.
 
     Plan: assignment is zero-shuffle (broadcast codebook argmax);
-    the wide exchanges are the self-join keyed on cell and the
-    flag-back join on id. The dropped set is NOT broadcast-hinted —
+    the wide exchanges are the per-cell scoring shuffle and the
+    flag-back join on id. r8: within-cell scoring defaults to the
+    fold-order-preserving numpy kernel (``pair_engine="kernel"`` —
+    one applyInPandas task per cell, row-chunked so memory is
+    chunk×cell-bounded; bit-identical cosines from the same
+    precomputed self-dots, equality pinned by
+    ``test_semdedup_kernel_equals_join``); ``pair_engine="join"``
+    keeps the within-cell equi-join over the interpreted dot as the
+    equality oracle. The dropped set is NOT broadcast-hinted —
     on a duplicate-heavy corpus it is corpus-sized, so the planner
     must stay free to pick a shuffled join (AQE broadcasts it when
     it measures small).
@@ -1210,19 +1275,57 @@ def semdedup(df: DataFrame, n_clusters: int = 16,
 
     probe = (F.explode("cells").alias("pcell") if n_probes > 1
              else F.col("cell").alias("pcell"))
-    a = assigned.select(F.col("n_id").alias("a_id"),
-                        F.col("nv").alias("va"),
-                        F.col("nsd").alias("sda"), probe)
-    b = assigned.select(F.col("n_id").alias("b_id"),
-                        F.col("nv").alias("vb"),
-                        F.col("nsd").alias("sdb"), probe)
-    cos = dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("sda") * F.col("sdb"))
-    dropped = (
-        a.join(b, ["pcell"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cos >= F.lit(threshold))
-        .select(F.col("b_id").alias("n_id"))
-        .distinct())
+    if pair_engine == "kernel":
+        # r8: score each cell with the fold-order-preserving numpy
+        # kernel (see cosine_pairs_blocked) instead of the within-cell
+        # equi-join over the interpreted HOF dot — bit-identical
+        # cosines from the SAME precomputed self-dots, so the dropped
+        # set provably matches the join path
+        # (test_semdedup_kernel_equals_join). Row-chunked so task
+        # memory is bounded by chunk×cell, not cell².
+        import numpy as np
+        import pandas as pd
+
+        thr = float(threshold)
+
+        def drop_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["n_id"].to_numpy()
+            if len(ids) < 2:
+                return pd.DataFrame({"n_id": []}).astype({"n_id": "int64"})
+            X = np.stack(pdf["nv"].to_numpy())
+            sd = pdf["nsd"].to_numpy()
+            dropped_mask = np.zeros(len(ids), dtype=bool)
+            for i0 in range(0, len(ids), 1024):
+                Xa = X[i0:i0 + 1024]
+                acc = np.zeros((Xa.shape[0], X.shape[0]))
+                for i in range(X.shape[1]):
+                    acc = acc + np.outer(Xa[:, i], X[:, i])
+                cm = acc / np.sqrt(np.outer(sd[i0:i0 + 1024], sd))
+                hit = ((ids[i0:i0 + 1024, None] < ids[None, :])
+                       & (cm >= thr))
+                dropped_mask |= hit.any(axis=0)
+            return pd.DataFrame({"n_id": ids[dropped_mask]})
+
+        dropped = (
+            assigned.select("n_id", "nv", "nsd", probe)
+            .groupBy("pcell")
+            .applyInPandas(drop_in_cell, "n_id LONG")
+            .distinct())
+    else:
+        a = assigned.select(F.col("n_id").alias("a_id"),
+                            F.col("nv").alias("va"),
+                            F.col("nsd").alias("sda"), probe)
+        b = assigned.select(F.col("n_id").alias("b_id"),
+                            F.col("nv").alias("vb"),
+                            F.col("nsd").alias("sdb"), probe)
+        cos = dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("sda")
+                                                     * F.col("sdb"))
+        dropped = (
+            a.join(b, ["pcell"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(cos >= F.lit(threshold))
+            .select(F.col("b_id").alias("n_id"))
+            .distinct())
     return (
         assigned.join(dropped.withColumn("_d", F.lit(True)),
                       ["n_id"], "left")

@@ -2521,3 +2521,48 @@ def test_cosine_pairs_blocked_bit_identical(spark):
              for r in cosine_pairs_blocked(
                  df.repartition(7), threshold=0.4, n_blocks=5).collect()}
     assert new == again
+
+
+def test_semdedup_kernel_equals_join(spark):
+    """The r8 per-cell numpy scoring kernel must reproduce the
+    within-cell equi-join's dropped set EXACTLY (same precomputed
+    self-dots, fold-order-preserving cosines) — single-probe and
+    multiprobe."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        semdedup, train_kmeans_codebook)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    df = load_table(spark, SF, "embeddings")
+    cents = train_kmeans_codebook(df, k=8)
+    for probes in (1, 2):
+        a = {(r["vec_id"], r["cell"], r["kept"]) for r in semdedup(
+            df, n_clusters=8, centroids=cents, n_probes=probes).collect()}
+        b = {(r["vec_id"], r["cell"], r["kept"]) for r in semdedup(
+            df, n_clusters=8, centroids=cents, n_probes=probes,
+            pair_engine="join").collect()}
+        assert a == b, f"n_probes={probes}"
+        assert len(a) == df.count()
+
+
+def test_assign_cells_kernel_equals_expr(spark):
+    """The r8 mapInPandas assignment kernel must reproduce the
+    Column-expression path's cell AND probe-list choices exactly
+    (stable reversed argsort over the cent_id-ascending codebook ≡
+    reverse(array_sort(struct(ccos, cent_id)))) across k and
+    n_probes."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        assign_cells, train_kmeans_codebook)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    df = load_table(spark, SF, "embeddings")
+    for k, p in ((8, 1), (8, 3), (64, 2)):
+        cents = train_kmeans_codebook(df, k=k)
+
+        def snap(engine):
+            out = assign_cells(df, cents, n_probes=p, engine=engine)
+            return sorted(
+                (r["n_id"], r["cell"],
+                 tuple(r["cells"]) if p > 1 else None)
+                for r in out.collect())
+
+        assert snap("kernel") == snap("expr"), f"k={k} p={p}"
