@@ -2566,3 +2566,25 @@ def test_assign_cells_kernel_equals_expr(spark):
                 for r in out.collect())
 
         assert snap("kernel") == snap("expr"), f"k={k} p={p}"
+
+
+def test_pq_encode_kernel_equals_expr(spark):
+    """The r8 mapInPandas PQ-encode kernel must reproduce the
+    Column-expression path EXACTLY — codes (argmin ties to the
+    smaller cell) AND the nsd_hat double (same left-fold order) —
+    across (m, k) shapes."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        pq_encode, train_pq_codebooks)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    df = load_table(spark, SF, "embeddings")
+    for m, k in ((16, 16), (8, 4)):
+        books = train_pq_codebooks(df, m=m, k=k, n_iters=2)
+
+        def snap(engine):
+            out = pq_encode(df, books, engine=engine)
+            return sorted(
+                (r["n_id"], tuple(r["codes"]), repr(r["nsd_hat"]))
+                for r in out.collect())
+
+        assert snap("kernel") == snap("expr"), f"m={m} k={k}"
