@@ -1624,6 +1624,36 @@ SELECT doc_id, COUNT(*) AS n_passages,
 FROM f GROUP BY doc_id
 """
 
+# Maximal duplicated spans: same tokenization as passage_dedup_scrub
+# but OVERLAPPING windows (one per start position) and gaps-and-islands
+# merging. Integer aggregates only; SUM/COUNT cast to BIGINT (DuckDB
+# SUM(int) -> HUGEINT, the events_vwap r7 lesson).
+EXTRA_ORACLES["dup_span_extents"] = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM documents),
+win AS (SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(w[i+1:i+8], ' ') AS win
+        FROM w, unnest(range(0, greatest(len(w) - 7, 0))) AS t(i)),
+c AS (SELECT win FROM win GROUP BY win HAVING COUNT(*) >= 2),
+m AS (SELECT win.doc_id, win.pos FROM win JOIN c USING (win)),
+b AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) + 8
+             THEN 1 ELSE 0 END AS brk
+      FROM m),
+g AS (SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM b),
+s AS (SELECT doc_id, grp, MIN(pos) AS sp, MAX(pos) + 7 AS ep
+      FROM g GROUP BY doc_id, grp)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(ep - sp + 1) AS BIGINT) AS dup_tokens,
+       CAST(MAX(ep - sp + 1) AS BIGINT) AS max_span_tokens
+FROM s GROUP BY doc_id
+"""
+
 # Bloom-prefiltered semi join: the filter guarantees no false
 # negatives and the verify join removes false positives, so the exact
 # EXISTS is the oracle — a hash match proves the probabilistic

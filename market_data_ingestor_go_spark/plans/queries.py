@@ -1468,6 +1468,48 @@ def passage_dedup_scrub(spark, sf_dir):
         F.col("scrubbed_n_chars").cast("bigint").alias("scrubbed_n_chars"))
 
 
+def dup_span_extents(spark, sf_dir):
+    """MAXIMAL duplicated spans (the missing half of Lee et al. 2022's
+    exact substring dedup next to passage_dedup_scrub's disjoint
+    chunks): overlapping 8-token windows, a window is duplicated if
+    its text occurs ≥2 times anywhere in the corpus, and a doc's
+    overlapping/contiguous duplicated windows merge into maximal
+    spans via gaps-and-islands (break when the next window starts
+    past the previous span's end). Per doc with ≥1 span: span count,
+    duplicated-token coverage, longest span. All integers —
+    bit-exact across engines.
+
+    Scale shape: windows shuffle once for the global count (groupBy
+    window text, partial-agg), join back on the window key, and the
+    island merge is a per-doc window (partitioned by doc_id — no
+    global window). At 100 TB swap the window STRING key for
+    xxhash64(window) — identical plan, 8-byte shuffle keys; the
+    string key here keeps the DuckDB oracle hash-exact."""
+    W = 8
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    wins = (toks.filter(F.size("w") >= W)
+            .select("doc_id", F.posexplode(F.expr(
+                f"transform(sequence(0, size(w) - {W}),"
+                f" i -> concat_ws(' ', slice(w, i + 1, {W})))"
+            )).alias("pos", "win")))
+    dup_wins = (wins.groupBy("win").agg(F.count("*").alias("n_occ"))
+                .filter(F.col("n_occ") >= 2).select("win"))
+    marked = wins.join(dup_wins, "win").select("doc_id", "pos")
+    ww = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(ww)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + W), 1).otherwise(0)
+    isl = (marked.withColumn("brk", brk)
+           .withColumn("grp", F.sum("brk").over(ww)))
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(W - 1)).alias("e"))
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).cast("bigint")
+        .alias("max_span_tokens"))
+
+
 def bloom_semi_join_agg(spark, sf_dir):
     """Bloom-prefiltered semi join (membership member of the sketch
     family): lineitem rows whose part is in the p_size ≥ 48 key set,
@@ -2635,6 +2677,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_important_stock": q11_important_stock,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_part_promotion": q20_part_promotion,
+    # maximal-span substring dedup (gaps-and-islands over the global
+    # window-duplication mask) — added r8, oracle-backed, candidate
+    "dup_span_extents": dup_span_extents,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2730,6 +2775,7 @@ ROTATION_CANDIDATES_R8: list[str] = [
     "q11_important_stock",        # added r8, oracle-backed
     "q16_supplier_part_counts",   # added r8, oracle-backed
     "q20_part_promotion",         # added r8, oracle-backed
+    "dup_span_extents",           # added r8, oracle-backed
 ]
 
 
