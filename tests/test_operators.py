@@ -2588,3 +2588,60 @@ def test_pq_encode_kernel_equals_expr(spark):
                 for r in out.collect())
 
         assert snap("kernel") == snap("expr"), f"m={m} k={k}"
+
+
+def test_kernel_equality_under_exact_ties(spark):
+    """Adversarial tie corpus for the r8 kernels: duplicate vectors,
+    sign-flipped twins, and centroids EQUAL to corpus vectors force
+    exact score ties — the one regime where an argmin/argmax order
+    mismatch between the numpy kernels and the Column-expression
+    paths would show. Fixture embeddings have no exact ties, so this
+    is the only coverage of the tie branches."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        assign_cells, pq_encode, semdedup)
+
+    rows = []
+    base = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.5, 0.5, 0.5, 0.5],
+        [-1.0, 0.0, 0.0, 0.0],
+    ]
+    # 12 vectors: each base vector three times (ids interleaved so
+    # duplicate ids are not adjacent)
+    for rep in range(3):
+        for i, v in enumerate(base):
+            rows.append((rep * 10 + i, v))
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    # centroids equal to two corpus vectors + one duplicate centroid
+    cents = spark.createDataFrame(
+        [(0, base[0]), (1, base[1]), (2, base[0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    a = sorted((r["n_id"], r["cell"], tuple(r["cells"])) for r in
+               assign_cells(df, cents, n_probes=2, engine="kernel").collect())
+    b = sorted((r["n_id"], r["cell"], tuple(r["cells"])) for r in
+               assign_cells(df, cents, n_probes=2, engine="expr").collect())
+    assert a == b
+
+    # PQ: m=2 subspaces of dim 2; duplicate centroids per subspace
+    books = spark.createDataFrame(
+        [(s, c, v) for s in (0, 1)
+         for c, v in enumerate([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]])],
+        "subspace INT, cell INT, cv ARRAY<DOUBLE>")
+    pa = sorted((r["n_id"], tuple(r["codes"]), repr(r["nsd_hat"])) for r in
+                pq_encode(df, books, engine="kernel").collect())
+    pb = sorted((r["n_id"], tuple(r["codes"]), repr(r["nsd_hat"])) for r in
+                pq_encode(df, books, engine="expr").collect())
+    assert pa == pb
+
+    # semdedup: duplicate vectors give cosine exactly 1.0 within
+    # cells — the kept set must match the join path including the
+    # min-id drop rule across exact-tie scores
+    sa = sorted((r["vec_id"], r["cell"], r["kept"]) for r in
+                semdedup(df, centroids=cents, threshold=0.999,
+                         pair_engine="kernel").collect())
+    sb = sorted((r["vec_id"], r["cell"], r["kept"]) for r in
+                semdedup(df, centroids=cents, threshold=0.999,
+                         pair_engine="join").collect())
+    assert sa == sb
