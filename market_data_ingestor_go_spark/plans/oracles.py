@@ -1654,6 +1654,31 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
 FROM s GROUP BY doc_id
 """
 
+# Rank-based median/MAD: the lower median is the value at
+# row_number (n+1)//2 in value order — no interpolation, so every
+# double is data-picked or one IEEE subtract/multiply away.
+EXTRA_ORACLES["events_mad_outliers"] = """
+WITH v AS (SELECT event_type, value,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn
+           FROM events),
+med AS (SELECT event_type, value AS med FROM v WHERE rn = (n + 1) // 2),
+d AS (SELECT v.event_type, v.value, med.med,
+             abs(v.value - med.med) AS dev
+      FROM v JOIN med USING (event_type)),
+d2 AS (SELECT d.*, COUNT(*) OVER (PARTITION BY event_type) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn
+       FROM d),
+mad AS (SELECT event_type, dev AS mad FROM d2 WHERE rn = (n + 1) // 2)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(d.med) AS med, MAX(mad.mad) AS mad,
+       CAST(COUNT(*) FILTER (WHERE d.dev > 3.0 * mad.mad) AS BIGINT)
+         AS n_outliers
+FROM d JOIN mad USING (event_type)
+GROUP BY d.event_type
+"""
+
 # Bloom-prefiltered semi join: the filter guarantees no false
 # negatives and the verify join removes false positives, so the exact
 # EXISTS is the oracle — a hash match proves the probabilistic

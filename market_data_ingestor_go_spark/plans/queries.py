@@ -1387,6 +1387,46 @@ def doc_length_buckets(spark, sf_dir):
                  F.sum("n_tok").cast("bigint").alias("total_tokens")))
 
 
+def events_mad_outliers(spark, sf_dir):
+    """Robust (Hampel-style) outlier detection per event type: median
+    and median-absolute-deviation instead of mean/stddev, flagging
+    |value − med| > 3·MAD — the robust twin of events_zscore_outliers
+    (a z-score's mean and σ are themselves dragged by the outliers
+    they are supposed to find). Medians are RANK-BASED (the value at
+    row_number (n+1) div 2 in value order — the lower median), so no
+    interpolation arithmetic exists to diverge across engines: every
+    emitted double is a value picked from the data or one
+    subtract/multiply away, bit-exact. MAD == 0 degenerates safely
+    (dev > 0 counts; no division anywhere).
+
+    Scale shape: two per-key window passes (count + row_number,
+    partitioned by event_type — no global window) and two broadcast
+    joins of the 5-row medians table."""
+    e = _events(spark, sf_dir)
+    kw = Window.partitionBy("event_type")
+    rk = Window.partitionBy("event_type").orderBy("value")
+    v = (e.select("event_type", "value")
+         .withColumn("n", F.count("*").over(kw))
+         .withColumn("rn", F.row_number().over(rk)))
+    med = (v.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+           .select("event_type", F.col("value").alias("med")))
+    d = (v.select("event_type", "value")
+         .join(F.broadcast(med), "event_type")
+         .withColumn("dev", F.abs(F.col("value") - F.col("med"))))
+    dk = Window.partitionBy("event_type").orderBy("dev")
+    d2 = (d.withColumn("n", F.count("*").over(kw))
+          .withColumn("rn", F.row_number().over(dk)))
+    mad = (d2.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+           .select("event_type", F.col("dev").alias("mad")))
+    return (d.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.max("med").alias("med"),
+                 F.max("mad").alias("mad"),
+                 F.sum(F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_outliers")))
+
+
 def events_zscore_outliers(spark, sf_dir):
     """Statistical QC: per event type, standardize every value against
     the group's mean/std and count |z| > 3 outliers. Moments come from
@@ -2680,6 +2720,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # maximal-span substring dedup (gaps-and-islands over the global
     # window-duplication mask) — added r8, oracle-backed, candidate
     "dup_span_extents": dup_span_extents,
+    # rank-based median/MAD robust outliers — added r8, oracle-backed
+    "events_mad_outliers": events_mad_outliers,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2776,6 +2818,7 @@ ROTATION_CANDIDATES_R8: list[str] = [
     "q16_supplier_part_counts",   # added r8, oracle-backed
     "q20_part_promotion",         # added r8, oracle-backed
     "dup_span_extents",           # added r8, oracle-backed
+    "events_mad_outliers",        # added r8, oracle-backed
 ]
 
 
