@@ -442,3 +442,26 @@ def test_q16_q20_semi_anti_stay_broadcast(spark):
         assert "SortMergeJoin" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
         assert _scan_columns(plan, "lineitem") == cols, (name, plan)
+
+
+def test_dup_span_extents_shape(spark):
+    """dup_span_extents: the global window-duplication count must
+    partial-aggregate map-side before its shuffle, the island merge
+    must be a doc_id-partitioned window (never a global one), and the
+    documents scan must read only doc_id + text."""
+    plan = _plan(ALL_QUERIES["dup_span_extents"](spark, SF))
+    assert "partial_count" in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^,]*)", plan):
+        assert "doc_id" in m.group(1), plan   # every window keyed by doc
+    assert _scan_columns(plan, "documents") <= {"doc_id", "text"}, plan
+
+
+def test_events_mad_outliers_shape(spark):
+    """events_mad_outliers: every window is partitioned by event_type
+    (no global window), the 5-row median/MAD sides broadcast, and the
+    events scan reads only event_type + value."""
+    plan = _plan(ALL_QUERIES["events_mad_outliers"](spark, SF))
+    for m in re.finditer(r"windowspecdefinition\(([^,]*)", plan):
+        assert "event_type" in m.group(1), plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert _scan_columns(plan, "events") <= {"event_type", "value"}, plan
