@@ -2645,3 +2645,47 @@ def test_kernel_equality_under_exact_ties(spark):
                 semdedup(df, centroids=cents, threshold=0.999,
                          pair_engine="join").collect())
     assert sa == sb
+
+
+def test_cc_alternating_equals_labelprop(spark):
+    """The alternating large-star/small-star CC must produce labels
+    IDENTICAL to the label-propagation fixpoint (min reachable id) on
+    the shapes that stress each algorithm: a long chain (worst case
+    for propagation), a clique, a star centered at the max id
+    (worst case for star-contraction's direction), two-node islands,
+    a deterministic random forest, and the real fixture pair graph."""
+    import random
+
+    from market_data_ingestor_go_spark.operators.dedup import (
+        neardup_clusters, neardup_clusters_alternating)
+    from market_data_ingestor_go_spark.operators.similarity import (
+        cosine_pairs_blocked)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    rng = random.Random(8)
+    graphs = {
+        "chain": [(i, i + 1) for i in range(100, 160)],
+        "clique": [(a, b) for a in range(7) for b in range(a + 1, 7)],
+        "star_max_center": [(i, 999) for i in range(5)],
+        "islands": [(1, 2), (10, 11), (20, 21)],
+        "random_forest": sorted({(min(a, b), max(a, b)) for a, b in
+                                 ((rng.randrange(400), rng.randrange(400))
+                                  for _ in range(300))
+                                 if a != b}),
+    }
+    for name, edges in graphs.items():
+        pairs = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+        a = {(r["doc_id"], r["cluster_id"]) for r in
+             neardup_clusters(pairs).collect()}
+        b = {(r["doc_id"], r["cluster_id"]) for r in
+             neardup_clusters_alternating(pairs).collect()}
+        assert a == b, name
+
+    e = load_table(spark, SF, "embeddings")
+    pairs = cosine_pairs_blocked(e, threshold=0.4) \
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    a = {(r["doc_id"], r["cluster_id"]) for r in
+         neardup_clusters(pairs).collect()}
+    b = {(r["doc_id"], r["cluster_id"]) for r in
+         neardup_clusters_alternating(pairs).collect()}
+    assert a == b
