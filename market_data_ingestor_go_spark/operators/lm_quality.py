@@ -361,3 +361,73 @@ def token_tv_divergence(docs: DataFrame, text_col: str = "text",
                 (s_total.cast("string").cast("double")
                  / (F.col("ca").cast("double") * F.col("cb").cast("double")
                     * F.lit(2.0))).alias("tv")))
+
+
+def ks_value_drift(df: DataFrame, value_col: str = "n_chars",
+                   group_col: str = "source") -> DataFrame:
+    """Pairwise two-sample Kolmogorov-Smirnov statistic between
+    per-group distributions of an integer-valued column — the
+    SHAPE-sensitive drift monitor next to ``token_tv_divergence``
+    (TV sees symbol-frequency drift; KS sees distributional shift of
+    a numeric property like document length).
+
+    D_ab = max_x |F_a(x) − F_b(x)| computed EXACTLY on the common
+    denominator: with cumulative counts c_g(x) and totals n_g,
+
+        d_num(x) = |c_a(x)·n_b − c_b(x)·n_a|     (DECIMAL(38,0))
+        D        = max_x d_num(x) / (n_a·n_b)
+
+    plus ``ks_at`` = the smallest x attaining the max (deterministic
+    location). Cross-products are exact integers; the single final
+    division routes the decimal through the string cast.
+
+    Shapes (100 TB posture): the histogram aggregate is the only
+    corpus-wide exchange (partial map-side combine on (g, x)); the
+    densified grid is |groups|·|distinct values| rows — value-DOMAIN-
+    sized, not corpus-sized (doc lengths, scores, …) — so the per-
+    group cumulative window and the pair join are model-sized. For
+    continuous doubles, bucket first (the KS of the bucketed CDF
+    bounds the true D within one bucket's mass).
+    """
+    counts = (df.select(F.col(group_col).alias("g"),
+                        F.col(value_col).alias("x"))
+              .groupBy("g", "x").agg(F.count("*").alias("c")))
+    totals = counts.groupBy("g").agg(F.sum("c").alias("n"))
+    grid = counts.select("x").distinct()
+    spine = grid.crossJoin(F.broadcast(totals.select("g")))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("g").orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (spine.join(counts, ["g", "x"], "left")
+           .withColumn("c", F.coalesce("c", F.lit(0)))
+           .withColumn("cum", F.sum("c").over(w)))
+
+    d38 = "decimal(38,0)"
+    a = cum.select(F.col("g").alias("ga"), "x", F.col("cum").alias("ca"))
+    b = cum.select(F.col("g").alias("gb"), F.col("x").alias("xb"),
+                   F.col("cum").alias("cb"))
+    ta = F.broadcast(totals.select(F.col("g").alias("ga"),
+                                   F.col("n").alias("na")))
+    tb = F.broadcast(totals.select(F.col("g").alias("gb"),
+                                   F.col("n").alias("nb")))
+    diffs = (a.join(b, (F.col("x") == F.col("xb"))
+                    & (F.col("ga") < F.col("gb")))
+             .join(ta, "ga").join(tb, "gb")
+             .select("ga", "gb", "na", "nb", "x",
+                     F.abs(F.col("ca").cast(d38) * F.col("nb").cast(d38)
+                           - F.col("cb").cast(d38)
+                           * F.col("na").cast(d38)).alias("d_num")))
+    dmax = (diffs.groupBy("ga", "gb", "na", "nb")
+            .agg(F.max("d_num").alias("d_max")))
+    return (diffs.join(dmax, ["ga", "gb", "na", "nb"])
+            .filter(F.col("d_num") == F.col("d_max"))
+            .groupBy("ga", "gb", "na", "nb", "d_max")
+            .agg(F.min("x").alias("ks_at"))
+            .select(F.col("ga").alias("source_a"),
+                    F.col("gb").alias("source_b"),
+                    F.col("na").cast("bigint").alias("n_a"),
+                    F.col("nb").cast("bigint").alias("n_b"),
+                    F.col("ks_at").cast("bigint").alias("ks_at"),
+                    (F.col("d_max").cast("string").cast("double")
+                     / (F.col("na").cast("double")
+                        * F.col("nb").cast("double"))).alias("ks")))

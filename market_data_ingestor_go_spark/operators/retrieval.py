@@ -1,0 +1,201 @@
+"""Text retrieval over the corpus: BM25 top-k and hybrid RRF fusion.
+
+The retrieval surface a training-data pipeline needs next to its
+vector stack (similarity.py): lexical ranking over an inverted index
+(BM25 — Robertson & Spärck Jones's probabilistic relevance framework,
+the Okapi BM25 form) and reciprocal-rank fusion (Cormack, Clarke &
+Büttcher 2009) to combine a sparse/lexical arm with a dense/embedding
+arm — the standard "hybrid search" recipe.
+
+Cross-engine determinism (the repo's oracle rules):
+
+- True BM25 weighs each matched term ``idf_t · tf_norm`` with
+  ``idf_t = ln(1 + (N − df + ½)/(df + ½))``. ``ln()`` differs in the
+  last ULP across libm builds, so the HEADLINE score is the log-free
+  surrogate that replaces ``ln(1 + r)`` with ``r`` itself (the same
+  monotone-per-term device as DSIR's mean-ratio form,
+  lm_quality.py): per (doc, term)
+
+      r_t      = (2N − 2·df + 1) / (2·df + 1)          # (N−df+½)/(df+½)
+      tf_norm  = 22·tf·TOT / (10·tf·TOT + 3·TOT + 9·dl·N)
+                 # tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+                 # with k1 = 1.2, b = 0.75, avgdl = TOT/N, cleared to
+                 # the common denominator 10·TOT
+      term     = (r_t · tf_norm)  — one division of two EXACT integer
+                 products (DECIMAL(38,0) cross-products, string-routed
+                 to double: correctly-rounded parse + one IEEE divide
+                 ⇒ bit-identical in Spark and DuckDB)
+      score    = Σ_terms DECIMAL(27,6)(term)   # exact, order-free sum
+
+  Ranking ties break on doc_id; the rank is computed on the exact
+  decimal sum, never on a float. True-log BM25 agreement is asserted
+  engine-side in tests against an exact Python reference.
+
+- RRF is exact by construction: 1/(60 + rank) is one IEEE division of
+  small integers, decimal-cast per arm and summed exactly.
+
+Scale shapes (100 TB posture):
+- Query terms broadcast; postings are FILTERED to the query vocabulary
+  before the tf aggregate, so only matching postings ever shuffle
+  (the classic impact of an inverted index, expressed as predicate-
+  first dataflow). df/TOT/N are model-sized aggregates.
+- The per-query top-k is a WindowGroupLimit rank — ≤ q·k rows pass
+  the final exchange.
+- The RRF fuse joins two rank tables bounded by q·arm_k rows — model-
+  sized regardless of corpus size.
+
+Reference parity note: the reference repo (internal/app/*.go) has no
+retrieval surface; this module is part of the mandated training-data-
+pipeline extension (SURVEY.md §2.11), built from the public Okapi
+BM25 and RRF formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens as _tokens
+
+_D38 = "decimal(38,0)"
+
+
+def _dstr(c: Column) -> Column:
+    """Exact-decimal → double via the string route (int128→double
+    direct casts differ at 1 ULP between engines; string parse is
+    correctly rounded everywhere)."""
+    return c.cast("string").cast("double")
+
+
+# Fixture query set for the synthetic corpus (the ~40-term database-
+# flavored vocabulary of documents.parquet) — three queries, three
+# terms each. Kept module-level so the Spark query, the DuckDB oracle
+# and the tests share one literal.
+FIXTURE_QUERIES: list[tuple[str, str]] = [
+    ("q_hash_join", "hash"), ("q_hash_join", "join"),
+    ("q_hash_join", "merge"),
+    ("q_scan_filter", "scan"), ("q_scan_filter", "filter"),
+    ("q_scan_filter", "vector"),
+    ("q_customer_order", "customer"), ("q_customer_order", "order"),
+    ("q_customer_order", "data"),
+]
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[tuple[str, str]],
+              k: int = 10, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Top-k docs per query under the log-free BM25 surrogate
+    (module doc) → (query_id, rank, doc_id, matched_terms, score).
+
+    ``query_terms`` is a [(query_id, term), …] list — duplicates per
+    query are ignored (BM25 over the query term SET; weighting by
+    query-side tf is a trivial extension nobody uses at k1-default).
+    """
+    spark = docs.sparkSession
+    qt = F.broadcast(
+        spark.createDataFrame(sorted(set(query_terms)),
+                              "query_id STRING, term STRING"))
+    vocab = F.broadcast(qt.select("term").distinct())
+
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        _tokens(text_col).alias("ts"))
+            .withColumn("dl", F.size("ts")))
+    stats = F.broadcast(base.agg(F.count("*").alias("n_docs"),
+                                 F.sum("dl").alias("tot")))
+    # postings filtered to the query vocabulary BEFORE the tf
+    # aggregate — only matching postings shuffle
+    posts = (base.select("doc_id", "dl", F.explode("ts").alias("term"))
+             .join(vocab, "term"))
+    tf = (posts.groupBy("doc_id", "dl", "term")
+          .agg(F.count("*").alias("tf")))
+    df_t = F.broadcast(tf.groupBy("term").agg(F.count("*").alias("df")))
+
+    num = ((2 * F.col("n_docs") - 2 * F.col("df") + 1).cast(_D38)
+           * F.lit(22).cast(_D38) * F.col("tf").cast(_D38)
+           * F.col("tot").cast(_D38))
+    den = ((2 * F.col("df") + 1).cast(_D38)
+           * (10 * F.col("tf").cast(_D38) * F.col("tot").cast(_D38)
+              + 3 * F.col("tot").cast(_D38)
+              + 9 * F.col("dl").cast(_D38) * F.col("n_docs").cast(_D38)))
+    term_score = (_dstr(num) / _dstr(den)).cast("decimal(27,6)")
+
+    scored = (tf.join(df_t, "term").join(stats)
+              .join(qt, "term")
+              .groupBy("query_id", "doc_id")
+              .agg(F.count("*").alias("matched_terms"),
+                   F.sum(term_score).alias("score_dec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_dec").desc(), F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.lit(k))
+            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                    "doc_id",
+                    F.col("matched_terms").cast("bigint")
+                    .alias("matched_terms"),
+                    _dstr(F.col("score_dec")).alias("score")))
+
+
+def rrf_fuse(sparse_ranks: DataFrame, dense_ranks: DataFrame,
+             k: int = 10, rrf_k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of two (q_id, doc_id, rn) rank tables →
+    (q_id, doc_id, sparse_rank, dense_rank, rrf, rank).
+
+    rrf = Σ_arms 1/(rrf_k + rank_arm) over the UNION of both arms'
+    candidates (a missing arm contributes 0 — the standard convention).
+    Each contribution is one IEEE division of small integers, decimal-
+    cast, summed exactly; the fused rank is computed on the exact
+    decimal, ties to the smaller doc_id.
+    """
+    s = sparse_ranks.select(F.col("q_id"), F.col("doc_id"),
+                            F.col("rn").cast("bigint").alias("sparse_rank"))
+    d = dense_ranks.select(F.col("q_id"), F.col("doc_id"),
+                           F.col("rn").cast("bigint").alias("dense_rank"))
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        (F.lit(1.0) / (F.lit(rrf_k) + r).cast("double"))
+        .cast("decimal(27,6)"),
+        F.lit(0).cast("decimal(27,6)"))
+    fused = (s.join(d, ["q_id", "doc_id"], "full_outer")
+             .withColumn("rrf_dec", contrib(F.col("sparse_rank"))
+                         + contrib(F.col("dense_rank"))))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_dec").desc(), F.col("doc_id"))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.lit(k))
+            .select("q_id", "doc_id", "sparse_rank", "dense_rank",
+                    _dstr(F.col("rrf_dec")).alias("rrf"),
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+def jaccard_ranks(docs: DataFrame, query_ids: list[int], arm_k: int = 20,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Sparse retrieval arm for doc-to-doc hybrid search: rank corpus
+    docs against each query doc by DISTINCT-token-set Jaccard →
+    (q_id, doc_id, rn), self-excluded, rn ≤ arm_k.
+
+    Exact integers throughout: |A∩B| from array_intersect (both
+    engines dedup), |A∪B| = |A|+|B|−|A∩B| (avoids the engine-specific
+    element ORDER of list unions — only sizes are compared), one IEEE
+    division for the ratio. At corpus scale this arm is the MinHash/
+    BM25 candidate path; the exact broadcast form here is the oracle-
+    checkable fixture shape (queries broadcast, corpus never
+    shuffles to be scored).
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.array_distinct(_tokens(text_col)).alias("ts"))
+    q = F.broadcast(
+        base.filter(F.col("doc_id").isin([int(i) for i in query_ids]))
+        .select(F.col("doc_id").alias("q_id"), F.col("ts").alias("qts")))
+    inter = F.size(F.array_intersect(F.col("qts"), F.col("ts")))
+    union = F.size("qts") + F.size("ts") - inter
+    jacc = F.when(union > 0, inter.cast("double") / union.cast("double")) \
+        .otherwise(F.lit(0.0))
+    scored = (q.join(base, F.col("q_id") != F.col("doc_id"))
+              .select("q_id", "doc_id", jacc.alias("jacc"))
+              .filter(F.col("jacc") > 0))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("jacc").desc(), F.col("doc_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= F.lit(arm_k))
+            .select("q_id", "doc_id", "rn"))

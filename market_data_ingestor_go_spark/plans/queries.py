@@ -2523,6 +2523,51 @@ def source_tv_drift(spark, sf_dir):
     return token_tv_divergence(d, group_col="source")
 
 
+def source_ks_drift(spark, sf_dir):
+    """Pairwise exact two-sample Kolmogorov-Smirnov statistic over
+    per-source doc-length distributions
+    (operators/lm_quality.py::ks_value_drift) — the SHAPE-sensitive
+    drift monitor next to source_tv_drift (TV sees token-frequency
+    drift; KS sees distributional shift of a numeric property).
+    Integer cross-products in DECIMAL(38,0), one string-routed final
+    division ⇒ bit-exact; ks_at = smallest value attaining the max."""
+    from ..operators.lm_quality import ks_value_drift
+    d = _t(spark, sf_dir, "documents")
+    return ks_value_drift(d, value_col="n_chars", group_col="source")
+
+
+def doc_bm25_topk(spark, sf_dir):
+    """Okapi-BM25 top-10 docs per fixture query over the documents
+    table (operators/retrieval.py::bm25_topk) — the lexical retrieval
+    arm of hybrid search. Log-free BM25 surrogate (module doc: the
+    idf log's argument ranked directly, the DSIR device); per-term
+    scores are one IEEE division of exact DECIMAL(38,0) integer
+    cross-products, decimal-cast-summed; ranks computed on the exact
+    decimal, ties to the smaller doc_id."""
+    from ..operators.retrieval import FIXTURE_QUERIES, bm25_topk
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, FIXTURE_QUERIES, k=10)
+
+
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid doc-to-doc retrieval for query docs 0-2 (doc_id ≡
+    vec_id): token-set-Jaccard sparse arm + embedding-cosine dense
+    arm (top-20 each), fused by reciprocal-rank fusion
+    (Σ 1/(60+rank), Cormack et al. 2009;
+    operators/retrieval.py::rrf_fuse). Fusion sums exact
+    DECIMAL(27,6) contributions; the fused rank is computed on the
+    exact decimal, ties to the smaller doc_id."""
+    from ..operators import similarity as SIM
+    from ..operators.retrieval import jaccard_ranks, rrf_fuse
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    sparse = jaccard_ranks(d, [0, 1, 2], arm_k=20)
+    q = e.filter(F.col("vec_id") < 3)
+    dense = SIM.knn_bruteforce(e, q, k=20).select(
+        "q_id", F.col("n_id").alias("doc_id"), "rn")
+    return rrf_fuse(sparse, dense, k=10)
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # queries() (CORRECTNESS_r01 stopped at exactly entry 50, leaving the
 # whole §2.11 extension surface unverified). QUERIES is therefore a
@@ -2722,6 +2767,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_extents": dup_span_extents,
     # rank-based median/MAD robust outliers — added r8, oracle-backed
     "events_mad_outliers": events_mad_outliers,
+    # retrieval family (BM25 + hybrid RRF fusion) and the KS drift
+    # monitor — added r8, oracle-backed, rotation candidates
+    "doc_bm25_topk": doc_bm25_topk,
+    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
+    "source_ks_drift": source_ks_drift,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2819,6 +2869,9 @@ ROTATION_CANDIDATES_R8: list[str] = [
     "q20_part_promotion",         # added r8, oracle-backed
     "dup_span_extents",           # added r8, oracle-backed
     "events_mad_outliers",        # added r8, oracle-backed
+    "doc_bm25_topk",              # added r8, oracle-backed
+    "hybrid_rrf_retrieval",       # added r8, oracle-backed
+    "source_ks_drift",            # added r8, oracle-backed
 ]
 
 
