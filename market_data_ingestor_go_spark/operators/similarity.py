@@ -132,6 +132,8 @@ def cosine_pairs_blocked(df: DataFrame, id_col: str = "vec_id",
               .select("pid", F.lit(1).alias("side"), "id", "v"))
     rep = a_side.unionByName(b_side)
     thr = float(threshold)
+    nb = int(n_blocks)
+    id_t = base.schema["id"].dataType.simpleString()
 
     def _fold_cos_mat(X, Y, sx, sy):
         acc = np.zeros((X.shape[0], Y.shape[0]))
@@ -146,25 +148,30 @@ def cosine_pairs_blocked(df: DataFrame, id_col: str = "vec_id",
         return acc
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": pd.Series([], dtype=object),
+                              "b_id": pd.Series([], dtype=object),
+                              "cos": pd.Series([], dtype="float64")})
+        # block-pair identity comes from the GROUP KEY, never from
+        # which sides are populated: pid = ba*nb + bb, so an empty
+        # partner block can't demote a cross-block group to the
+        # within-block branch (the r8 duplicate-emission bug).
+        pid = int(pdf["pid"].iloc[0])
+        ba, bb = pid // nb, pid % nb
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
         ida = a["id"].to_numpy()
         Xa = np.stack(a["v"].to_numpy()) if len(a) else None
-        if len(b) == 0:                   # within-block: i<j among A
+        if ba == bb:                      # within-block: i<j among A
             if len(a) < 2:
-                return pd.DataFrame({"a_id": [], "b_id": [],
-                                     "cos": []}).astype(
-                    {"a_id": "int64", "b_id": "int64", "cos": "float64"})
+                return empty
             sa = _self_dots(Xa)
             cm = _fold_cos_mat(Xa, Xa, sa, sa)
             ii, jj = np.where((ida[:, None] < ida[None, :])
                               & (cm >= thr))
             ca, cb, cc = ida[ii], ida[jj], cm[ii, jj]
         else:                             # cross-block: all a×b
-            if len(a) == 0:
-                return pd.DataFrame({"a_id": [], "b_id": [],
-                                     "cos": []}).astype(
-                    {"a_id": "int64", "b_id": "int64", "cos": "float64"})
+            if len(a) == 0 or len(b) == 0:
+                return empty
             idb = b["id"].to_numpy()
             Xb = np.stack(b["v"].to_numpy())
             cm = _fold_cos_mat(Xa, Xb, _self_dots(Xa), _self_dots(Xb))
@@ -175,7 +182,7 @@ def cosine_pairs_blocked(df: DataFrame, id_col: str = "vec_id",
         return pd.DataFrame({"a_id": lo, "b_id": hi, "cos": cc})
 
     return rep.groupBy("pid").applyInPandas(
-        score, "a_id LONG, b_id LONG, cos DOUBLE")
+        score, f"a_id {id_t}, b_id {id_t}, cos DOUBLE")
 
 
 def _query_side(queries: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -1360,11 +1367,13 @@ def semdedup(df: DataFrame, n_clusters: int = 16,
         import pandas as pd
 
         thr = float(threshold)
+        id_t = assigned.schema["n_id"].dataType.simpleString()
 
         def drop_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
             ids = pdf["n_id"].to_numpy()
             if len(ids) < 2:
-                return pd.DataFrame({"n_id": []}).astype({"n_id": "int64"})
+                return pd.DataFrame(
+                    {"n_id": pd.Series([], dtype=object)})
             X = np.stack(pdf["nv"].to_numpy())
             sd = pdf["nsd"].to_numpy()
             dropped_mask = np.zeros(len(ids), dtype=bool)
@@ -1382,7 +1391,7 @@ def semdedup(df: DataFrame, n_clusters: int = 16,
         dropped = (
             assigned.select("n_id", "nv", "nsd", probe)
             .groupBy("pcell")
-            .applyInPandas(drop_in_cell, "n_id LONG")
+            .applyInPandas(drop_in_cell, f"n_id {id_t}")
             .distinct())
     else:
         a = assigned.select(F.col("n_id").alias("a_id"),

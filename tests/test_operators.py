@@ -2511,16 +2511,52 @@ def test_cosine_pairs_blocked_bit_identical(spark):
     from market_data_ingestor_go_spark.sources.tables import load_table
 
     df = load_table(spark, SF, "embeddings")
-    old = {(r["a_id"], r["b_id"], r["cos"])
-           for r in cosine_pairs(df, threshold=0.4).collect()}
-    new = {(r["a_id"], r["b_id"], r["cos"])
-           for r in cosine_pairs_blocked(df, threshold=0.4).collect()}
+    # sorted LISTS, not sets: a set compare silently deduplicates and
+    # cannot see the empty-partner-block duplicate-emission bug
+    old = sorted((r["a_id"], r["b_id"], r["cos"])
+                 for r in cosine_pairs(df, threshold=0.4).collect())
+    new = sorted((r["a_id"], r["b_id"], r["cos"])
+                 for r in cosine_pairs_blocked(df, threshold=0.4).collect())
     assert old == new
     assert len(new) > 0
-    again = {(r["a_id"], r["b_id"], r["cos"])
-             for r in cosine_pairs_blocked(
-                 df.repartition(7), threshold=0.4, n_blocks=5).collect()}
+    again = sorted((r["a_id"], r["b_id"], r["cos"])
+                   for r in cosine_pairs_blocked(
+                       df.repartition(7), threshold=0.4,
+                       n_blocks=5).collect())
     assert new == again
+
+
+def test_cosine_pairs_blocked_empty_blocks_and_id_types(spark):
+    """Regression for the r8 duplicate-emission bug: with fewer rows
+    than blocks, some cross-block groups have an EMPTY partner block —
+    the kernel must identify within- vs cross-block from the group key
+    (pid), never from which sides are populated, or block i's internal
+    pairs re-emit once per empty partner. Duplicate-sensitive list
+    compare; also pins that the output id type follows the input id
+    type (string ids) instead of the old hardcoded LONG."""
+    from pyspark.sql import functions as F
+
+    from market_data_ingestor_go_spark.operators.similarity import (
+        cosine_pairs, cosine_pairs_blocked)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    df = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 40)
+    ref = sorted((r["a_id"], r["b_id"], r["cos"])
+                 for r in cosine_pairs(df, threshold=-1.0).collect())
+    got = sorted((r["a_id"], r["b_id"], r["cos"])
+                 for r in cosine_pairs_blocked(
+                     df, threshold=-1.0, n_blocks=32).collect())
+    assert got == ref          # 40 rows / 32 blocks ⇒ empty blocks exist
+    assert len(ref) == 780   # C(40,2): every pair emits exactly once
+
+    sdf = df.withColumn("vec_id", F.concat(F.lit("doc-"),
+                                           F.col("vec_id").cast("string")))
+    sgot = cosine_pairs_blocked(sdf, threshold=-1.0, n_blocks=32)
+    assert dict(sgot.dtypes)["a_id"] == "string"
+    assert sorted((r["a_id"], r["b_id"], r["cos"])
+                  for r in sgot.collect()) == sorted(
+        (f"doc-{a}", f"doc-{b}", c) if f"doc-{a}" < f"doc-{b}"
+        else (f"doc-{b}", f"doc-{a}", c) for a, b, c in ref)
 
 
 def test_semdedup_kernel_equals_join(spark):
