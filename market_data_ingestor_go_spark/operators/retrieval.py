@@ -28,8 +28,11 @@ Cross-engine determinism (the repo's oracle rules):
       score    = Σ_terms DECIMAL(27,6)(term)   # exact, order-free sum
 
   Ranking ties break on doc_id; the rank is computed on the exact
-  decimal sum, never on a float. True-log BM25 agreement is asserted
-  engine-side in tests against an exact Python reference.
+  decimal sum, never on a float. tests/test_retrieval.py pins the
+  engine bit-exactly to a Python twin of this arithmetic and asserts
+  ranking agreement vs TRUE log-idf Okapi BM25 (exact top-k set
+  equality, rank displacement ≤ 1 — per-term the surrogate is a
+  monotone transform, so multi-term sums can only swap near-ties).
 
 - RRF is exact by construction: 1/(60 + rank) is one IEEE division of
   small integers, decimal-cast per arm and summed exactly.

@@ -2236,3 +2236,158 @@ FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 WHERE s_suppkey IN (SELECT l_suppkey FROM big)
 """
+
+
+# ---------------------------------------------------------------- round 9
+# Oracles for the three queries the final round-8 session registered
+# with an "oracle-backed" claim it never fulfilled (the r8 verdict's
+# top item). The Spark sides were built oracle-compatible from the
+# start (retrieval.py / lm_quality.py module docs): exact HUGEINT
+# (= Spark DECIMAL(38,0)) integer cross-products, string-routed
+# int->double conversions, one IEEE division per score term,
+# DECIMAL(27,6)-cast order-free sums, ranks computed on the exact
+# decimal with doc_id tiebreaks.
+
+# Log-free Okapi-BM25 surrogate top-10 per fixture query
+# (operators/retrieval.py module doc derives the integer form). The
+# fixture query list is the module-level literal shared with the
+# Spark query and the tests.
+from ..operators.retrieval import FIXTURE_QUERIES as _BM25_Q
+
+_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in sorted(set(_BM25_Q)))
+
+EXTRA_ORACLES["doc_bm25_topk"] = f"""
+WITH qt AS (SELECT * FROM (VALUES {_BM25_VALUES}) v(query_id, term)),
+docs2 AS (
+  SELECT doc_id, len(ts) AS dl, ts
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+        FROM documents)),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM docs2),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(ts) AS term FROM docs2)
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY doc_id, dl, term),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, t.doc_id, COUNT(*) AS matched_terms,
+         SUM(CAST(
+           CAST(CAST((2 * CAST(s.n_docs AS HUGEINT)
+                      - 2 * CAST(d.df AS HUGEINT) + 1)
+                     * 22 * CAST(t.tf AS HUGEINT)
+                     * CAST(s.tot AS HUGEINT) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST((2 * CAST(d.df AS HUGEINT) + 1)
+                       * (10 * CAST(t.tf AS HUGEINT) * CAST(s.tot AS HUGEINT)
+                          + 3 * CAST(s.tot AS HUGEINT)
+                          + 9 * CAST(t.dl AS HUGEINT)
+                            * CAST(s.n_docs AS HUGEINT)) AS VARCHAR)
+                  AS DOUBLE)
+           AS DECIMAL(27,6))) AS score_dec
+  FROM tf t
+  JOIN dft d USING (term)
+  JOIN qt q USING (term)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       CAST(matched_terms AS BIGINT) AS matched_terms,
+       CAST(CAST(score_dec AS VARCHAR) AS DOUBLE) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_dec DESC, doc_id) AS rnk
+      FROM scored)
+WHERE rnk <= 10
+"""
+
+# Hybrid doc-to-doc retrieval: token-set-Jaccard sparse arm +
+# embedding-cosine dense arm (knn_bruteforce's exact _COS twin),
+# fused by reciprocal-rank fusion on exact DECIMAL(27,6) sums
+# (operators/retrieval.py::rrf_fuse).
+EXTRA_ORACLES["hybrid_rrf_retrieval"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ts
+  FROM documents),
+q AS (SELECT doc_id AS q_id, ts AS qts FROM d WHERE doc_id IN (0, 1, 2)),
+sparse_scored AS (
+  SELECT q.q_id, d.doc_id,
+         CAST(len(list_intersect(q.qts, d.ts)) AS DOUBLE)
+         / CAST(len(q.qts) + len(d.ts)
+                - len(list_intersect(q.qts, d.ts)) AS DOUBLE) AS jacc
+  FROM q JOIN d ON q.q_id <> d.doc_id),
+sparse AS (
+  SELECT q_id, doc_id, rn AS sparse_rank FROM (
+    SELECT q_id, doc_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY jacc DESC, doc_id) AS rn
+    FROM sparse_scored WHERE jacc > 0)
+  WHERE rn <= 20),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qe AS (SELECT * FROM e WHERE vec_id < 3),
+dense_scored AS (
+  SELECT qe.vec_id AS q_id, c.vec_id AS doc_id,
+         {_COS.format(a='qe.v', b='c.v')} AS cos
+  FROM qe JOIN e c ON qe.vec_id <> c.vec_id),
+dense AS (
+  SELECT q_id, doc_id, rn AS dense_rank FROM (
+    SELECT q_id, doc_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, doc_id) AS rn
+    FROM dense_scored)
+  WHERE rn <= 20),
+fused AS (
+  SELECT COALESCE(s.q_id, dn.q_id) AS q_id,
+         COALESCE(s.doc_id, dn.doc_id) AS doc_id,
+         s.sparse_rank, dn.dense_rank,
+         COALESCE(CAST(1.0 / CAST(60 + s.sparse_rank AS DOUBLE)
+                       AS DECIMAL(27,6)), CAST(0 AS DECIMAL(27,6)))
+         + COALESCE(CAST(1.0 / CAST(60 + dn.dense_rank AS DOUBLE)
+                         AS DECIMAL(27,6)), CAST(0 AS DECIMAL(27,6)))
+           AS rrf_dec
+  FROM sparse s FULL OUTER JOIN dense dn
+    ON s.q_id = dn.q_id AND s.doc_id = dn.doc_id)
+SELECT q_id, doc_id,
+       CAST(sparse_rank AS BIGINT) AS sparse_rank,
+       CAST(dense_rank AS BIGINT) AS dense_rank,
+       CAST(CAST(rrf_dec AS VARCHAR) AS DOUBLE) AS rrf,
+       CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY rrf_dec DESC, doc_id) AS rnk
+      FROM fused)
+WHERE rnk <= 10
+"""
+
+# Pairwise exact two-sample Kolmogorov-Smirnov over per-source
+# doc-length distributions (operators/lm_quality.py::ks_value_drift):
+# D = max_x |c_a(x)*n_b - c_b(x)*n_a| / (n_a*n_b) on the common
+# denominator, cross-products exact in HUGEINT, one string-routed
+# final division; ks_at = smallest x attaining the max.
+EXTRA_ORACLES["source_ks_drift"] = """
+WITH counts AS (
+  SELECT source AS g, n_chars AS x, COUNT(*) AS c
+  FROM documents GROUP BY g, x),
+totals AS (SELECT g, SUM(c) AS n FROM counts GROUP BY g),
+spine AS (
+  SELECT t.g, d.x
+  FROM totals t CROSS JOIN (SELECT DISTINCT x FROM counts) d),
+cum AS (
+  SELECT s.g, s.x,
+         SUM(COALESCE(c.c, 0)) OVER (PARTITION BY s.g ORDER BY s.x) AS cum
+  FROM spine s LEFT JOIN counts c ON s.g = c.g AND s.x = c.x),
+diffs AS (
+  SELECT a.g AS ga, b.g AS gb, ta.n AS na, tb.n AS nb, a.x,
+         ABS(CAST(a.cum AS HUGEINT) * CAST(tb.n AS HUGEINT)
+             - CAST(b.cum AS HUGEINT) * CAST(ta.n AS HUGEINT)) AS d_num
+  FROM cum a
+  JOIN cum b ON a.x = b.x AND a.g < b.g
+  JOIN totals ta ON a.g = ta.g
+  JOIN totals tb ON b.g = tb.g),
+dmax AS (SELECT ga, gb, na, nb, MAX(d_num) AS d_max
+         FROM diffs GROUP BY ga, gb, na, nb)
+SELECT ga AS source_a, gb AS source_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(MIN(x) AS BIGINT) AS ks_at,
+       CAST(CAST(d_max AS VARCHAR) AS DOUBLE)
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks
+FROM diffs JOIN dmax USING (ga, gb, na, nb)
+WHERE d_num = d_max
+GROUP BY ga, gb, na, nb, d_max
+"""

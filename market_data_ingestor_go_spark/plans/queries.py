@@ -2768,7 +2768,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rank-based median/MAD robust outliers — added r8, oracle-backed
     "events_mad_outliers": events_mad_outliers,
     # retrieval family (BM25 + hybrid RRF fusion) and the KS drift
-    # monitor — added r8, oracle-backed, rotation candidates
+    # monitor — engines added late r8 WITHOUT their promised oracles
+    # (the r8 verdict's headline finding); oracles + engine tests
+    # landed r9 (plans/oracles.py round-9 section,
+    # tests/test_retrieval.py), making them rotation-eligible
     "doc_bm25_topk": doc_bm25_topk,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     "source_ks_drift": source_ks_drift,
@@ -2869,9 +2872,9 @@ ROTATION_CANDIDATES_R8: list[str] = [
     "q20_part_promotion",         # added r8, oracle-backed
     "dup_span_extents",           # added r8, oracle-backed
     "events_mad_outliers",        # added r8, oracle-backed
-    "doc_bm25_topk",              # added r8, oracle-backed
-    "hybrid_rrf_retrieval",       # added r8, oracle-backed
-    "source_ks_drift",            # added r8, oracle-backed
+    "doc_bm25_topk",              # added r8, oracle landed r9
+    "hybrid_rrf_retrieval",       # added r8, oracle landed r9
+    "source_ks_drift",            # added r8, oracle landed r9
 ]
 
 

@@ -1,0 +1,251 @@
+"""Engine-side tests for the retrieval family (operators/retrieval.py)
+and the KS drift monitor (operators/lm_quality.py::ks_value_drift):
+
+- the log-free BM25 surrogate is compared BIT-EXACTLY against a
+  Python twin that mirrors the engine's arithmetic (exact integer
+  cross-products, correctly-rounded int->double conversion, one IEEE
+  division, DECIMAL(27,6) HALF_UP quantization, exact decimal sum);
+- the surrogate's RANKING is compared against TRUE log-idf Okapi
+  BM25 (k1=1.2, b=0.75) computed in Python: per-term the surrogate
+  is a monotone transform of the true score, so rankings agree up to
+  adjacent swaps where multi-term sums interleave — asserted as
+  exact top-k SET agreement + rank displacement <= 1;
+- RRF fusion on a hand case with exact decimal expectations,
+  including a missing arm contributing zero through the full outer
+  join;
+- the Jaccard sparse arm on a hand case (distinct-token sets,
+  self-exclusion, doc_id tiebreaks);
+- KS drift closed-form cases (identical -> 0, disjoint -> 1, a hand
+  case -> exact rational) and a random-data exact Python twin.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+
+from market_data_ingestor_go_spark.operators.lm_quality import ks_value_drift
+from market_data_ingestor_go_spark.operators.retrieval import (
+    FIXTURE_QUERIES, bm25_topk, jaccard_ranks, rrf_fuse)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _fixture_docs():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    return {d: t.strip().split() for d, t in rows}
+
+
+def _spark_docs(spark):
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    return load_table(spark, SF, "documents")
+
+
+def _q6(x: float) -> Decimal:
+    """Spark's double -> DECIMAL(27,6) cast (HALF_UP on the shortest
+    round-trip repr, which is the exact double value's rounding)."""
+    return Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                     rounding=ROUND_HALF_UP)
+
+
+def _py_bm25(docs: dict[int, list[str]], queries: list[tuple[str, str]],
+             k: int = 10, surrogate: bool = True):
+    """Exact Python twin of bm25_topk. surrogate=True mirrors the
+    engine bit-for-bit (integer cross-products, float(str) parse, one
+    IEEE divide, DECIMAL(27,6) sum); surrogate=False is TRUE log-idf
+    Okapi BM25 (float), for rank-agreement assertions only."""
+    by_q: dict[str, list[str]] = {}
+    for q, t in sorted(set(queries)):
+        by_q.setdefault(q, []).append(t)
+    vocab = {t for ts in by_q.values() for t in ts}
+    n, tot = len(docs), sum(len(ts) for ts in docs.values())
+    tf = {d: Counter(t for t in ts if t in vocab) for d, ts in docs.items()}
+    df = Counter()
+    for c in tf.values():
+        for t in c:
+            df[t] += 1
+    out = {}
+    for q, terms in by_q.items():
+        scores, matched = {}, {}
+        for d, ts in docs.items():
+            dl, sc, m = len(ts), Decimal(0), 0
+            for t in terms:
+                f = tf[d].get(t, 0)
+                if not f:
+                    continue
+                m += 1
+                if surrogate:
+                    num = (2 * n - 2 * df[t] + 1) * 22 * f * tot
+                    den = (2 * df[t] + 1) * (10 * f * tot + 3 * tot
+                                             + 9 * dl * n)
+                    sc += _q6(float(str(num)) / float(str(den)))
+                else:
+                    idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                    tfn = f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl * n / tot))
+                    sc += Decimal(repr(idf * tfn))
+            if m:
+                scores[d], matched[d] = sc, m
+        top = sorted(scores, key=lambda d: (-scores[d], d))[:k]
+        out[q] = [(r + 1, d, matched[d], scores[d])
+                  for r, d in enumerate(top)]
+    return out
+
+
+def test_bm25_engine_matches_exact_python_twin(spark):
+    """Engine surrogate == the exact Python twin on every column
+    (rank, doc_id, matched_terms) and the score to the 1e-6 decimal
+    grid the engine sums on."""
+    got = bm25_topk(_spark_docs(spark), FIXTURE_QUERIES, k=10).collect()
+    want = _py_bm25(_fixture_docs(), FIXTURE_QUERIES, k=10, surrogate=True)
+    assert len(got) == sum(len(v) for v in want.values())
+    for r in got:
+        w = want[r["query_id"]][r["rank"] - 1]
+        assert (r["rank"], r["doc_id"], r["matched_terms"]) == w[:3], r
+        assert _q6(r["score"]) == w[3], r
+
+
+def test_bm25_surrogate_ranking_agrees_with_true_log_bm25(spark):
+    """The surrogate replaces ln(1 + r) with r per term — monotone per
+    term, so single-term rankings are identical and multi-term sums
+    can only interleave near-ties: assert exact top-10 SET agreement
+    and rank displacement <= 1 vs true log-idf Okapi BM25."""
+    got = {}
+    for r in bm25_topk(_spark_docs(spark), FIXTURE_QUERIES, k=10).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    true = _py_bm25(_fixture_docs(), FIXTURE_QUERIES, k=10, surrogate=False)
+    assert set(got) == set(true)
+    for q in got:
+        eng = [d for _, d in sorted(got[q])]
+        ref = [d for _, d, _, _ in true[q]]
+        assert set(eng) == set(ref), q
+        disp = max(abs(eng.index(d) - ref.index(d)) for d in eng)
+        assert disp <= 1, (q, eng, ref)
+
+
+def test_bm25_hand_case_tf_and_idf_directions(spark):
+    """More occurrences of a term rank higher at equal length; a
+    rarer term outweighs a common one at equal tf/dl; matched_terms
+    counts matched QUERY terms (term sets, not occurrences)."""
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="rare x x x"),
+        Row(doc_id=2, text="rare rare x x"),      # higher tf, same dl
+        Row(doc_id=3, text="common x x x"),
+        Row(doc_id=4, text="common y y y"),
+        Row(doc_id=5, text="common z z z"),       # df(common)=3 > df(rare)=2
+        Row(doc_id=6, text="rare common x x"),    # matches both terms
+    ])
+    out = bm25_topk(docs, [("q", "rare"), ("q", "common")], k=10,
+                    text_col="text", id_col="doc_id").collect()
+    rank = {r["doc_id"]: r["rank"] for r in out}
+    matched = {r["doc_id"]: r["matched_terms"] for r in out}
+    score = {r["doc_id"]: r["score"] for r in out}
+    assert matched == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 2}
+    assert rank[6] == 1                       # both terms matched
+    assert score[2] > score[1]                # tf direction
+    assert score[1] > score[3]                # idf direction (rarer wins)
+    assert rank[3] < rank[4] < rank[5] or (
+        score[3] == score[4] == score[5])     # equal-score ties by doc_id
+    eq = [r["rank"] for r in out if r["doc_id"] in (3, 4, 5)]
+    assert sorted(eq) == sorted(
+        rank[d] for d in sorted((3, 4, 5)))   # ties broken by doc_id
+
+
+def test_rrf_fuse_hand_case_exact_decimals(spark):
+    """sparse {a:1, b:2}, dense {b:1, c:2} -> rrf(b)=1/61+1/62,
+    rrf(a)=1/61, rrf(c)=1/62 on the 1e-6 decimal grid; a missing arm
+    contributes exactly zero and surfaces as NULL rank."""
+    sparse = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2)], "q_id STRING, doc_id STRING, rn INT")
+    dense = spark.createDataFrame(
+        [("q", "b", 1), ("q", "c", 2)], "q_id STRING, doc_id STRING, rn INT")
+    out = {r["doc_id"]: r for r in rrf_fuse(sparse, dense, k=10).collect()}
+    assert set(out) == {"a", "b", "c"}
+    q6 = lambda v: float(_q6(v))  # noqa: E731
+    assert out["b"]["rrf"] == q6(1 / 61) + q6(1 / 62)
+    assert out["a"]["rrf"] == q6(1 / 61)
+    assert out["c"]["rrf"] == q6(1 / 62)
+    assert [out[d]["rank"] for d in ("b", "a", "c")] == [1, 2, 3]
+    assert (out["a"]["sparse_rank"], out["a"]["dense_rank"]) == (1, None)
+    assert (out["c"]["sparse_rank"], out["c"]["dense_rank"]) == (None, 2)
+    assert (out["b"]["sparse_rank"], out["b"]["dense_rank"]) == (2, 1)
+
+
+def test_jaccard_ranks_hand_case(spark):
+    """Distinct-token-set Jaccard, self-excluded, zero-overlap rows
+    dropped, ties by doc_id."""
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a b c"),
+        Row(doc_id=1, text="a b c c c"),   # J(0,1) = 3/3 = 1 (distinct sets)
+        Row(doc_id=2, text="a b x y"),     # J(0,2) = 2/5
+        Row(doc_id=3, text="x y z"),       # J(0,3) = 0 -> dropped
+        Row(doc_id=4, text="a q r s"),     # J(0,4) = 1/6
+    ])
+    out = [(r["doc_id"], r["rn"])
+           for r in jaccard_ranks(docs, [0], arm_k=10).collect()]
+    assert sorted(out, key=lambda x: x[1]) == [(1, 1), (2, 2), (4, 3)]
+
+
+def test_ks_drift_closed_form_cases(spark):
+    """Identical samples -> D=0; separated supports -> D=1 at the
+    crossing point; interleaved hand case -> exact rational."""
+    rows = []
+    for i, v in enumerate([1, 1, 2, 3]):
+        rows.append(Row(doc_id=i, n_chars=v, source="a"))
+    for i, v in enumerate([1, 2, 2, 3]):
+        rows.append(Row(doc_id=10 + i, n_chars=v, source="b"))
+    for i, v in enumerate([1, 1, 2, 3]):
+        rows.append(Row(doc_id=20 + i, n_chars=v, source="c"))  # == a
+    for i, v in enumerate([10, 20]):
+        rows.append(Row(doc_id=30 + i, n_chars=v, source="d"))  # disjoint
+    df = spark.createDataFrame(rows)
+    out = {(r["source_a"], r["source_b"]): r
+           for r in ks_value_drift(df).collect()}
+    assert len(out) == 6
+    # a vs c identical: D = 0, ks_at = smallest grid value
+    assert out[("a", "c")]["ks"] == 0.0
+    assert out[("a", "c")]["ks_at"] == 1
+    # a vs d separated: F_a(3)=1, F_d(3)=0 -> D=1 at x=3
+    assert out[("a", "d")]["ks"] == 1.0
+    assert out[("a", "d")]["ks_at"] == 3
+    # a=[1,1,2,3] vs b=[1,2,2,3]: |F| diffs at x=1: |2-1|/4, else 0
+    assert out[("a", "b")]["ks"] == 0.25
+    assert out[("a", "b")]["ks_at"] == 1
+    assert (out[("a", "b")]["n_a"], out[("a", "b")]["n_b"]) == (4, 4)
+
+
+def test_ks_drift_random_matches_exact_python(spark):
+    """On random integer samples the engine equals an exact Python
+    twin (integer cross-products, one final division) on every pair,
+    including ks_at (the smallest argmax)."""
+    rng = random.Random(9)
+    rows, samples = [], {}
+    for g, (lo, hi, n) in {"s1": (0, 30, 80), "s2": (5, 40, 50),
+                           "s3": (0, 10, 65)}.items():
+        vals = [rng.randint(lo, hi) for _ in range(n)]
+        samples[g] = vals
+        rows += [Row(doc_id=len(rows) + i, n_chars=v, source=g)
+                 for i, v in enumerate(vals)]
+    got = {(r["source_a"], r["source_b"]):
+           (r["n_a"], r["n_b"], r["ks_at"], r["ks"])
+           for r in ks_value_drift(spark.createDataFrame(rows)).collect()}
+    grid = sorted({v for vs in samples.values() for v in vs})
+    for ga, gb in [("s1", "s2"), ("s1", "s3"), ("s2", "s3")]:
+        a, b = samples[ga], samples[gb]
+        na, nb = len(a), len(b)
+        diffs = [(abs(sum(1 for v in a if v <= x) * nb
+                      - sum(1 for v in b if v <= x) * na), x) for x in grid]
+        d_max = max(d for d, _ in diffs)
+        ks_at = min(x for d, x in diffs if d == d_max)
+        want = (na, nb, ks_at,
+                float(str(d_max)) / (float(na) * float(nb)))
+        assert got[(ga, gb)] == want, (ga, gb, got[(ga, gb)], want)
