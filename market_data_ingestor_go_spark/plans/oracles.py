@@ -2391,3 +2391,27 @@ FROM diffs JOIN dmax USING (ga, gb, na, nb)
 WHERE d_num = d_max
 GROUP BY ga, gb, na, nb, d_max
 """
+
+
+# ---------------------------------------------------------------------------
+# ROUND-9 WINDOW ROTATION (mechanical; mirrors plans/queries.py): the
+# nine ROTATION_CANDIDATES_R8 promote into the driver window's oracle
+# set; nine twice-green r7 shapes demote to EXTRA (still parity-swept
+# locally every round). ORACLES must equal the declared window's
+# oracle-backed set (pinned by test_driver_window_is_at_most_50).
+# ---------------------------------------------------------------------------
+_R9_IN = [  # promoted into the driver window (all oracle-backed)
+    "q9_product_profit", "q11_important_stock",
+    "q16_supplier_part_counts", "q20_part_promotion",
+    "dup_span_extents", "events_mad_outliers",
+    "doc_bm25_topk", "hybrid_rrf_retrieval", "source_ks_drift",
+]
+_R9_OUT = [  # demoted to EXTRA (all keep an in-window twin)
+    "q4_order_priority", "q7_nation_volume", "q14_promo_revenue_share",
+    "q17_small_qty_revenue", "q22_idle_customers", "event_gaps",
+    "window_rank_stats", "source_tv_drift", "dsir_importance_weights",
+]
+for _k in _R9_IN:
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in _R9_OUT:
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

@@ -2612,36 +2612,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_motif_search": events_motif_search,
     "range_join_click_context": range_join_click_context,
     "skew_salted_agg": skew_salted_agg,
-    # -- ROTATED IN (round 7, part 1/2): the 22 round-2 window
-    #    re-curation demotions — TPC-H plan shapes, set ops, window
-    #    frames, string/date surface, corpus mix — externally
-    #    verified for the first time this round.
-    "q4_order_priority": q4_order_priority,
-    "q7_nation_volume": q7_nation_volume,
+    # -- r7-rotated shapes KEPT in-window through the round-9
+    #    rotation (twice-green r7+r8; each anchors a family whose
+    #    demoted siblings note it as their twin).
     "q10_returned_items": q10_returned_items,
     "q12_late_shipment_priority": q12_late_shipment_priority,
     "q13_customer_distribution": q13_customer_distribution,
-    "q14_promo_revenue_share": q14_promo_revenue_share,
-    "q17_small_qty_revenue": q17_small_qty_revenue,
     "q19_disjunctive_filter": q19_disjunctive_filter,
-    "q22_idle_customers": q22_idle_customers,
     "sql_api_pricing_summary": sql_api_pricing_summary,
     "orders_by_year": orders_by_year,
     "set_ops_all_variants": set_ops_all_variants,
     "unpivot_event_matrix": unpivot_event_matrix,
     "window_running_total": window_running_total,
-    "event_gaps": event_gaps,
     "token_frequencies": token_frequencies,
     "string_functions": string_functions,
     "agg_cube_year_status": agg_cube_year_status,
     "order_limit_topk": order_limit_topk,
-    "window_rank_stats": window_rank_stats,
     "corpus_mix": corpus_mix,
     "events_moving_stats": events_moving_stats,
-    # -- ROTATED IN (round 7, part 2/2): the 12 late-r6 additions —
-    #    sparse-cosine/containment similarity joins, the LM-quality
-    #    curation family, JL projection QA, data card, fixed-point
-    #    PageRank, growth accounting, VWAP/drawdown.
     "doc_sparse_cosine_neardup": doc_sparse_cosine_neardup,
     "doc_containment_pairs": doc_containment_pairs,
     "doc_lm_quality": doc_lm_quality,
@@ -2652,8 +2640,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_growth": events_user_growth,
     "events_vwap": events_vwap,
     "events_drawdown": events_drawdown,
-    "dsir_importance_weights": dsir_importance_weights,
-    "source_tv_drift": source_tv_drift,
+    # -- ROTATED IN (round 9): all nine ROTATION_CANDIDATES_R8 —
+    #    the round-8 TPC-H shape completion, the two late-r8 curation
+    #    operators, and the retrieval/KS family whose oracles landed
+    #    in round 9 — externally verified for the first time this
+    #    round. Nine twice-green r7 shapes demoted in exchange (twin
+    #    noted per entry in EXTRA_QUERIES).
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_part_promotion": q20_part_promotion,
+    "dup_span_extents": dup_span_extents,
+    "events_mad_outliers": events_mad_outliers,
+    "doc_bm25_topk": doc_bm25_topk,
+    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
+    "source_ks_drift": source_ks_drift,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"
@@ -2754,27 +2755,19 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_price_qty_corr": lineitem_price_qty_corr,  # moments ⊂ events_pair_correlation (kept)
     "events_funnel_conversion": events_funnel_conversion,  # first-touch ⊂ events_user_growth
     "orders_cohort_matrix": orders_cohort_matrix,    # cohort histogram ⊂ q13_customer_distribution
-    # round-8 additions: TPC-H shape completion (q9/q11/q16/q20 — the
-    # four whose canonical form needs the absent partsupp table; plan
-    # shapes preserved, see docstrings). Oracle-backed, parity-swept,
-    # listed in ROTATION_CANDIDATES_R8 for their first external row.
-    "q9_product_profit": q9_product_profit,
-    "q11_important_stock": q11_important_stock,
-    "q16_supplier_part_counts": q16_supplier_part_counts,
-    "q20_part_promotion": q20_part_promotion,
-    # maximal-span substring dedup (gaps-and-islands over the global
-    # window-duplication mask) — added r8, oracle-backed, candidate
-    "dup_span_extents": dup_span_extents,
-    # rank-based median/MAD robust outliers — added r8, oracle-backed
-    "events_mad_outliers": events_mad_outliers,
-    # retrieval family (BM25 + hybrid RRF fusion) and the KS drift
-    # monitor — engines added late r8 WITHOUT their promised oracles
-    # (the r8 verdict's headline finding); oracles + engine tests
-    # landed r9 (plans/oracles.py round-9 section,
-    # tests/test_retrieval.py), making them rotation-eligible
-    "doc_bm25_topk": doc_bm25_topk,
-    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
-    "source_ks_drift": source_ks_drift,
+    # round-9 rotation: 9 twice-green (r7+r8) shapes demoted so every
+    # ROTATION_CANDIDATES_R8 query gets its first external
+    # CORRECTNESS row — in-window twin noted per entry; all stay
+    # parity-tested locally every round.
+    "q4_order_priority": q4_order_priority,          # EXISTS semi ⊂ q20_part_promotion (IN semi, rotated in)
+    "q7_nation_volume": q7_nation_volume,            # multi-join year agg ⊂ q9_product_profit (rotated in)
+    "q14_promo_revenue_share": q14_promo_revenue_share,  # ratio-vs-total agg ⊂ q11_important_stock (rotated in)
+    "q17_small_qty_revenue": q17_small_qty_revenue,  # per-key-threshold agg-join ⊂ q20_part_promotion (rotated in)
+    "q22_idle_customers": q22_idle_customers,        # NOT-IN anti ⊂ q16_supplier_part_counts (rotated in)
+    "event_gaps": event_gaps,                        # lag/gaps-and-islands ⊂ dup_span_extents (rotated in)
+    "window_rank_stats": window_rank_stats,          # rank windows ⊂ doc_bm25_topk top-k + events_mad_outliers rank-median (rotated in)
+    "source_tv_drift": source_tv_drift,              # pairwise common-denominator drift ⊂ source_ks_drift (rotated in)
+    "dsir_importance_weights": dsir_importance_weights,  # broadcast-model decimal-mean scoring ⊂ doc_lm_quality (kept)
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2858,13 +2851,13 @@ ROTATED_IN_R7: list[str] = [
 ]
 
 
-# Round-8 rotation candidates: oracle-backed queries that have never
-# held a green external CORRECTNESS row. Empty at the START of round 8
-# (the r7 rotation cleared the backlog); every oracle-backed query
-# added during round 8 must be listed here so the next rotation is
-# mechanical (the never-verified scan in tests/test_parity.py
-# enforces the policy against the frozen ORACLE_BACKED_AT_R7_CLOSE
-# set below).
+# Round-8 rotation candidates (HISTORICAL — rotation EXECUTED round
+# 9, see ROTATED_IN_R9): oracle-backed queries that had never held a
+# green external CORRECTNESS row at the r8 close. Three of them were
+# registered late in r8 with an "oracle-backed" claim their session
+# never fulfilled (the r8 verdict's headline finding); their oracles
+# and engine tests landed at the start of round 9, and all nine then
+# rotated into the declared window.
 ROTATION_CANDIDATES_R8: list[str] = [
     "q9_product_profit",          # added r8, oracle-backed
     "q11_important_stock",        # added r8, oracle-backed
@@ -2876,6 +2869,25 @@ ROTATION_CANDIDATES_R8: list[str] = [
     "hybrid_rrf_retrieval",       # added r8, oracle landed r9
     "source_ks_drift",            # added r8, oracle landed r9
 ]
+
+# Round-9 rotation (EXECUTED this round, window literal above): all
+# nine ROTATION_CANDIDATES_R8 rotated INTO the driver window for
+# their first external CORRECTNESS row; nine twice-green (r7+r8)
+# shapes demoted to EXTRA_QUERIES (twin per entry there). Pinned by
+# tests/test_parity.py::test_round9_rotated_operators_sit_in_declared_window.
+ROTATED_IN_R9: list[str] = list(ROTATION_CANDIDATES_R8)
+
+# Round-9 rotation candidates: oracle-backed queries that have never
+# held a green external CORRECTNESS row AND are not already in the
+# declared window collecting one. Empty at the START of round 9 (the
+# r9 rotation queued the whole backlog); every oracle-backed query
+# added during round 9 must be listed here — POLICY (adopted after
+# two consecutive rounds shipped claims ahead of artifacts): an entry
+# may be added here, and may say "oracle-backed" anywhere, only in
+# the commit that adds the oracle itself; the never-verified scan in
+# tests/test_parity.py enforces listing, and the rotation-policy test
+# is fast (<1 s) — run it before every end-of-round commit.
+ROTATION_CANDIDATES_R9: list[str] = []
 
 
 # Frozen at the close of round 7: every oracle-backed query name that
@@ -3002,3 +3014,14 @@ ORACLE_BACKED_AT_R7_CLOSE: frozenset = frozenset({
     "window_running_total",
     "window_topk_per_group",
 })
+
+
+# Frozen at the close of round 8: the round-7 set plus the nine
+# round-8 additions (ROTATION_CANDIDATES_R8). All round-7-close names
+# held a green external row in rounds 1-8; the nine additions sit in
+# the round-9 window collecting theirs. Any oracle-backed query NOT
+# in this set was added in round 9 or later and must appear in
+# ROTATION_CANDIDATES_R9 or already sit in the declared window --
+# enforced by tests/test_parity.py::test_rotation_candidates_are_rotatable.
+ORACLE_BACKED_AT_R8_CLOSE: frozenset = frozenset(
+    ORACLE_BACKED_AT_R7_CLOSE | set(ROTATION_CANDIDATES_R8))

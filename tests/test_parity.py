@@ -87,20 +87,21 @@ def test_driver_window_is_at_most_50():
     assert not oracle_only, f"oracles outside the declared window: {oracle_only}"
 
 
-def test_round7_rotated_operators_sit_in_declared_window():
-    """The round-7 rotation's whole point: the 34 queries that had
-    never held an external CORRECTNESS row (22 round-2 demotions + 12
-    late-r6 additions) must sit inside the first-50 window the driver
+def test_round9_rotated_operators_sit_in_declared_window():
+    """The round-9 rotation's whole point: all nine
+    ROTATION_CANDIDATES_R8 (the r8 TPC-H shape completion, the two
+    late-r8 curation operators, and the retrieval/KS family whose
+    oracles landed r9) must sit inside the first-50 window the driver
     externally verifies, every one exposing its oracle through
     oracle_sql() (= ORACLES) — the rotated window has zero rows-only
     entries."""
-    from market_data_ingestor_go_spark.plans.queries import ROTATED_IN_R7
+    from market_data_ingestor_go_spark.plans.queries import ROTATED_IN_R9
 
     window = set(list(QUERIES)[:50])
-    assert set(ROTATED_IN_R7) <= window, set(ROTATED_IN_R7) - window
-    assert set(ROTATED_IN_R7) <= set(ORACLES)
+    assert set(ROTATED_IN_R9) <= window, set(ROTATED_IN_R9) - window
+    assert set(ROTATED_IN_R9) <= set(ORACLES)
     assert set(QUERIES) <= set(ORACLES), (
-        "window must be 100% hash-checked after the r7 rotation")
+        "window must be 100% hash-checked after the r9 rotation")
 
 
 def test_rotation_candidates_are_rotatable():
@@ -108,23 +109,24 @@ def test_rotation_candidates_are_rotatable():
     candidate exists, sits OUTSIDE the declared window (else it needs
     no rotation), and has an oracle so rotating it in yields a full
     row+schema+hash check. The never-verified scan then enforces the
-    listing policy: every oracle-backed query added AFTER the round-7
-    close (i.e. not in the frozen ORACLE_BACKED_AT_R7_CLOSE set) must
+    listing policy: every oracle-backed query added AFTER the round-8
+    close (i.e. not in the frozen ORACLE_BACKED_AT_R8_CLOSE set) must
     either sit in the declared window already or be listed as a
     rotation candidate — new work cannot accumulate unverified."""
     from market_data_ingestor_go_spark.plans.queries import (
-        ORACLE_BACKED_AT_R7_CLOSE, QUERIES, ROTATION_CANDIDATES_R8)
+        ORACLE_BACKED_AT_R8_CLOSE, QUERIES, ROTATION_CANDIDATES_R9)
 
-    for name in ROTATION_CANDIDATES_R8:
+    for name in ROTATION_CANDIDATES_R9:
         assert name in ALL_QUERIES, name
         assert name not in QUERIES, f"{name} already in the window"
         assert name in ALL_ORACLES, f"{name} lacks an oracle"
 
     never_verified = (
         set(ALL_ORACLES)
-        - ORACLE_BACKED_AT_R7_CLOSE   # held a green row in r1-r7
+        - ORACLE_BACKED_AT_R8_CLOSE   # held a green row in r1-r8 or
+                                      # collecting it in the r9 window
         - set(QUERIES)                # in-window: verified this round
-        - set(ROTATION_CANDIDATES_R8)  # queued for the next rotation
+        - set(ROTATION_CANDIDATES_R9)  # queued for the next rotation
     )
     assert not never_verified, (
         f"oracle-backed queries neither verified, in-window, nor "
