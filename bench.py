@@ -170,6 +170,20 @@ HEADLINE = [
     # late r6: SemDeDup — k-means-bounded semantic dedup (serve path
     # against the cached centroid artifact, like knn_ann_pq)
     "semdedup_keepers",
+    # r9: every ROTATED_IN_R9 member gets a perf row the round its
+    # first correctness row lands — TPC-H shape completion (q9/q11/
+    # q16/q20), maximal duplicated spans, rank-based MAD outliers,
+    # and the retrieval/KS family (BM25 postings-prefilter top-k,
+    # Jaccard+cosine RRF hybrid fusion, exact KS drift)
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_part_promotion",
+    "dup_span_extents",
+    "events_mad_outliers",
+    "doc_bm25_topk",
+    "hybrid_rrf_retrieval",
+    "source_ks_drift",
 ]
 
 

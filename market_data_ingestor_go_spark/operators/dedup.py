@@ -335,6 +335,8 @@ def neardup_clusters_alternating(pairs: DataFrame, id_a: str = "doc_a",
     rounds are SHUFFLE-bound, i.e. edge sets that dwarf cluster
     memory. Both keep per-round state strictly in DataFrames; swap
     ``localCheckpoint`` for reliable ``checkpoint`` on a cluster.
+    Callers normally reach this through ``neardup_clusters(engine=
+    "auto")``, which dispatches here past AUTO_CC_EDGE_THRESHOLD.
     """
     def canon(ed):
         return (ed.filter(F.col("u") != F.col("v"))
@@ -382,9 +384,37 @@ def neardup_clusters_alternating(pairs: DataFrame, id_a: str = "doc_a",
                     F.least("u", "nbr_min").alias("cluster_id")))
 
 
+# Auto-dispatch threshold for neardup_clusters(engine="auto"):
+# below this many pairs, CC rounds are LATENCY-bound and label
+# propagation's 2-cheap-stage rounds win (measured: 11×0.6 s vs
+# 5×1.4 s on the fixture graph); above it, rounds are SHUFFLE-bound
+# and the alternating large-star/small-star shape wins because its
+# edge set SHRINKS every round instead of reshuffling in full
+# (SCALING.md "Connected-components round study"). The value is a
+# coarse order-of-magnitude switch, not a tuned constant: at 100 TB
+# the edge set is billions of rows and either side of 5e6 is obvious.
+AUTO_CC_EDGE_THRESHOLD = 5_000_000
+
+
 def neardup_clusters(pairs: DataFrame, id_a: str = "doc_a",
-                     id_b: str = "doc_b", max_iters: int = 25) -> DataFrame:
+                     id_b: str = "doc_b", max_iters: int = 25,
+                     engine: str = "auto") -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    ``engine`` selects the physical strategy — labels are IDENTICAL
+    across all three (equality pinned through the public entry points
+    by ``test_cc_engines_identical_through_public_entry_points``):
+
+    - ``"labelprop"``: min-label propagation with pointer jumping —
+      wins while rounds are latency-bound (edge sets that fit
+      comfortably in cluster memory).
+    - ``"alternating"``: Kiveris et al. alternating large-star /
+      small-star contraction (``neardup_clusters_alternating``) —
+      wins when rounds are shuffle-bound (the 100 TB shape: its edge
+      set shrinks toward one edge per non-center node).
+    - ``"auto"`` (default): one count on the checkpointed pair list
+      picks a side at AUTO_CC_EDGE_THRESHOLD — the scale path is
+      reachable without code edits.
 
     The step every dedup pipeline needs AFTER pair generation: near-dup
     similarity is not transitive, so pairs (a,b) and (b,c) must merge
@@ -416,6 +446,15 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "doc_a",
     # O(n²)) pair subtree executes twice inside sym's
     # materialization (review catch r6 — same fix as neardup_pagerank)
     pairs = pairs.localCheckpoint(eager=True)
+    if engine == "auto":
+        engine = ("alternating" if pairs.count() > AUTO_CC_EDGE_THRESHOLD
+                  else "labelprop")
+    if engine == "alternating":
+        return neardup_clusters_alternating(pairs, id_a=id_a, id_b=id_b,
+                                            max_iters=max_iters)
+    if engine != "labelprop":
+        raise ValueError(f"unknown CC engine {engine!r}; expected "
+                         "'labelprop', 'alternating' or 'auto'")
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")) \
         .unionByName(pairs.select(F.col(id_b).alias("src"),
                                   F.col(id_a).alias("dst")))
@@ -454,11 +493,14 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "doc_a",
 
 def neardup_cluster_keepers(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", n: int = 3,
-                            threshold: float = 0.6) -> DataFrame:
+                            threshold: float = 0.6,
+                            engine: str = "auto") -> DataFrame:
     """End-to-end near-dup dedup: MinHash pairs → components → one row
-    per cluster with the canonical keeper (min id) and member count."""
+    per cluster with the canonical keeper (min id) and member count.
+    ``engine`` passes through to ``neardup_clusters`` (labelprop /
+    alternating / auto — identical labels, different scale posture)."""
     pairs = minhash_near_dup_pairs(df, text_col, id_col, n, threshold)
-    clusters = neardup_clusters(pairs)
+    clusters = neardup_clusters(pairs, engine=engine)
     return (clusters.groupBy("cluster_id")
             .agg(F.count("*").alias("n_members"))
             .select(F.col("cluster_id").alias("keeper_id"), "n_members"))

@@ -320,6 +320,14 @@ def token_tv_divergence(docs: DataFrame, text_col: str = "text",
     toks = docs.select(F.col(group_col).alias("g"),
                        F.explode(_tokens(text_col)).alias("term"))
     counts = toks.groupBy("g", "term").agg(F.count("*").alias("c"))
+    # Materialize the domain-sized histogram ONCE: counts is consumed
+    # by totals, both pair-join sides, and (via totals) the spine —
+    # Catalyst cannot reuse a subplan across consumers, so without
+    # this the corpus scan+explode+aggregate lineage re-ran SIX times
+    # (observed in the executed plan, r9). After the aggregate the
+    # frame is |groups|·|vocab| rows — domain-sized, cheap to pin;
+    # swap localCheckpoint for reliable checkpoint on a cluster.
+    counts = counts.localCheckpoint(eager=True)
     totals = counts.groupBy("g").agg(F.sum("c").alias("ctot"))
 
     a, bb = counts.alias("a"), counts.alias("bb")
@@ -392,6 +400,13 @@ def ks_value_drift(df: DataFrame, value_col: str = "n_chars",
     counts = (df.select(F.col(group_col).alias("g"),
                         F.col(value_col).alias("x"))
               .groupBy("g", "x").agg(F.count("*").alias("c")))
+    # Materialize the histogram ONCE (|groups|·|distinct values| rows
+    # — value-DOMAIN-sized): counts feeds totals, the grid, the spine
+    # and the cumulative join, and Catalyst re-runs the corpus
+    # scan+aggregate lineage per consumer (16 scans observed in the
+    # executed plan before this pin, r9). One corpus exchange total;
+    # swap localCheckpoint for reliable checkpoint on a cluster.
+    counts = counts.localCheckpoint(eager=True)
     totals = counts.groupBy("g").agg(F.sum("c").alias("n"))
     grid = counts.select("x").distinct()
     spine = grid.crossJoin(F.broadcast(totals.select("g")))

@@ -112,7 +112,17 @@ def bm25_topk(docs: DataFrame, query_terms: list[tuple[str, str]],
              .join(vocab, "term"))
     tf = (posts.groupBy("doc_id", "dl", "term")
           .agg(F.count("*").alias("tf")))
-    df_t = F.broadcast(tf.groupBy("term").agg(F.count("*").alias("df")))
+    # df = docs containing the term, as a WINDOW over tf rather than a
+    # separate groupBy+join-back: Catalyst cannot reuse tf's subplan
+    # across two consumers, so the join-back form re-ran the full
+    # scan→explode→aggregate lineage a second time (observed in the
+    # executed plan). The window costs one exchange of the already
+    # vocab-filtered tf table (≤ |query vocab| · n_docs rows) and
+    # keeps the corpus explode single-pass — the plan shape
+    # tests/test_plans.py::test_bm25_postings_prefilter_before_shuffle
+    # pins (one Generate, two documents scans: postings + stats).
+    tf = tf.withColumn("df", F.count("*").over(
+        Window.partitionBy("term")))
 
     num = ((2 * F.col("n_docs") - 2 * F.col("df") + 1).cast(_D38)
            * F.lit(22).cast(_D38) * F.col("tf").cast(_D38)
@@ -123,7 +133,7 @@ def bm25_topk(docs: DataFrame, query_terms: list[tuple[str, str]],
               + 9 * F.col("dl").cast(_D38) * F.col("n_docs").cast(_D38)))
     term_score = (_dstr(num) / _dstr(den)).cast("decimal(27,6)")
 
-    scored = (tf.join(df_t, "term").join(stats)
+    scored = (tf.join(stats)
               .join(qt, "term")
               .groupBy("query_id", "doc_id")
               .agg(F.count("*").alias("matched_terms"),

@@ -2725,3 +2725,33 @@ def test_cc_alternating_equals_labelprop(spark):
     b = {(r["doc_id"], r["cluster_id"]) for r in
          neardup_clusters_alternating(pairs).collect()}
     assert a == b
+
+
+def test_cc_engines_identical_through_public_entry_points(spark, monkeypatch):
+    """The r9 engine dispatcher: neardup_cluster_keepers(engine=...)
+    must yield identical keeper tables for labelprop, alternating,
+    and BOTH sides of the auto heuristic (threshold forced below and
+    above the fixture's pair count), so the 100 TB shuffle-bound path
+    is reachable through the public entry point without code edits."""
+    from market_data_ingestor_go_spark.operators import dedup as DD
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").limit(300)
+
+    def keepers(**kw):
+        return sorted(
+            (r["keeper_id"], r["n_members"])
+            for r in DD.neardup_cluster_keepers(docs, **kw).collect())
+
+    base = keepers(engine="labelprop")
+    assert base, "fixture must contain near-dup clusters"
+    assert keepers(engine="alternating") == base
+    # auto below the threshold -> labelprop arm
+    assert keepers(engine="auto") == base
+    # auto above the threshold -> alternating arm
+    monkeypatch.setattr(DD, "AUTO_CC_EDGE_THRESHOLD", 0)
+    assert keepers(engine="auto") == base
+    with pytest.raises(ValueError):
+        DD.neardup_clusters(
+            spark.createDataFrame([(1, 2)], "doc_a LONG, doc_b LONG"),
+            engine="bogus")

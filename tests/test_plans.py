@@ -465,3 +465,67 @@ def test_events_mad_outliers_shape(spark):
         assert "event_type" in m.group(1), plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert _scan_columns(plan, "events") <= {"event_type", "value"}, plan
+
+
+def test_bm25_postings_prefilter_before_shuffle(spark):
+    """doc_bm25_topk: the inverted-index promise — only postings
+    matching the broadcast query vocabulary ever shuffle. The vocab
+    filter must be a BroadcastHashJoin sitting DIRECTLY over the
+    explode (no shuffle exchange between them), the corpus must be
+    exploded exactly once (df comes from a window over tf, not a
+    join-back that re-runs the scan->explode->agg lineage), the
+    documents scan appears exactly twice (postings + corpus stats)
+    reading only doc_id + text, and nothing corpus-sized sort-merge
+    joins."""
+    plan = _plan(ALL_QUERIES["doc_bm25_topk"](spark, SF))
+    assert plan.count("Generate") == 1, plan
+    assert len(re.findall(r"documents\.parquet", plan)) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
+    # the vocab join is the explode's direct parent: between the two
+    # plan lines there is no shuffle (the filter runs map-side,
+    # before any exchange sees a posting)
+    g = plan.index("Generate")
+    j = plan.rindex("BroadcastHashJoin [term", 0, g)
+    assert "Exchange hashpartitioning" not in plan[j:g], plan[j:g]
+
+
+def test_hybrid_rrf_arms_are_broadcast_topk(spark):
+    """hybrid_rrf_retrieval: both arms score the corpus against
+    BROADCAST queries (no corpus-sized shuffle for scoring), per-arm
+    top-k is rank-pruned map-side (WindowGroupLimit Partial before
+    the exchange), and the fuse itself never sort-merge joins —
+    rank tables are q*arm_k rows."""
+    plan = _plan(ALL_QUERIES["hybrid_rrf_retrieval"](spark, SF))
+    # the ONLY sort-merge join is the FullOuter fuse of the two rank
+    # tables (q*arm_k rows — model-sized; broadcast hash can't do
+    # full outer); nothing corpus-sized ever sort-merge joins
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert len(smj) == 1 and "FullOuter" in smj[0], plan
+    assert plan.count("WindowGroupLimit") >= 4, plan  # partial+final per arm
+    assert "Partial" in plan, plan
+    assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
+    assert _scan_columns(plan, "embeddings") == {"vec_id", "embedding"}, plan
+
+
+def test_ks_drift_grid_is_value_domain_sized(spark):
+    """source_ks_drift: the corpus is scanned/aggregated exactly once
+    — the (g, x) histogram is pinned (localCheckpoint) before its
+    many consumers, so the final plan contains ZERO documents scans
+    (only ExistingRDD reads of the domain-sized histogram; before the
+    pin the scan lineage re-ran 16x). Every window is keyed by the
+    group column (per-group CDF, never a global cumulative)."""
+    plan = _plan(ALL_QUERIES["source_ks_drift"](spark, SF))
+    assert "documents.parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^,]*)", plan):
+        assert m.group(1).startswith("g#"), plan
+
+
+def test_tv_drift_single_corpus_pass(spark):
+    """source_tv_drift: same single-pass pin as the KS monitor — the
+    (g, term) histogram is materialized once and every consumer reads
+    the domain-sized table (6 corpus scans before the r9 pin)."""
+    plan = _plan(ALL_QUERIES["source_tv_drift"](spark, SF))
+    assert "documents.parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
