@@ -123,7 +123,16 @@ def bm25_topk(docs: DataFrame, query_terms: list[tuple[str, str]],
     # pins (one Generate, two documents scans: postings + stats).
     tf = tf.withColumn("df", F.count("*").over(
         Window.partitionBy("term")))
+    return _score_and_rank(tf, stats, qt, k)
 
+
+def _score_and_rank(tf: DataFrame, stats: DataFrame, qt: DataFrame,
+                    k: int) -> DataFrame:
+    """Shared surrogate-BM25 scoring tail: (doc_id, dl, term, tf, df)
+    × broadcast (n_docs, tot) × broadcast (query_id, term) →
+    per-query exact-decimal sums, ranked. One expression tree for
+    both the direct and the from-index paths ⇒ bit-identity between
+    them holds by construction."""
     num = ((2 * F.col("n_docs") - 2 * F.col("df") + 1).cast(_D38)
            * F.lit(22).cast(_D38) * F.col("tf").cast(_D38)
            * F.col("tot").cast(_D38))
@@ -147,6 +156,47 @@ def bm25_topk(docs: DataFrame, query_terms: list[tuple[str, str]],
                     F.col("matched_terms").cast("bigint")
                     .alias("matched_terms"),
                     _dstr(F.col("score_dec")).alias("score")))
+
+
+def bm25_index(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Materialize the FULL-vocabulary inverted index a deployment
+    stores: (doc_id, dl, term, tf, df) — one corpus explode, one
+    postings shuffle, one term-partitioned window for df. Write it
+    partitioned/bucketed BY TERM so a serve-time query-vocabulary
+    filter becomes partition pruning (zero non-matching postings
+    read). ``bm25_from_index`` over this table is row-identical to
+    ``bm25_topk`` over the raw corpus (tested)."""
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        _tokens(text_col).alias("ts"))
+            .withColumn("dl", F.size("ts")))
+    tf = (base.select("doc_id", "dl", F.explode("ts").alias("term"))
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count("*").alias("tf")))
+    return tf.withColumn("df", F.count("*").over(
+        Window.partitionBy("term")))
+
+
+def bm25_from_index(postings: DataFrame,
+                    query_terms: list[tuple[str, str]],
+                    k: int = 10) -> DataFrame:
+    """Serve path: BM25 top-k against the MATERIALIZED inverted index
+    (``bm25_index`` output) with zero tokenize/explode work per query
+    — the steady-state deployment cost. Corpus stats derive from the
+    index itself (one distinct over (doc_id, dl) — every doc carries
+    ≥1 posting since tokenization of any text yields ≥1 token), so
+    the raw corpus is never touched at serve time. Row-identical to
+    ``bm25_topk`` (shared scoring tail; equality tested)."""
+    spark = postings.sparkSession
+    qt = F.broadcast(
+        spark.createDataFrame(sorted(set(query_terms)),
+                              "query_id STRING, term STRING"))
+    vocab = F.broadcast(qt.select("term").distinct())
+    stats = F.broadcast(
+        postings.select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("tot")))
+    tf = postings.join(vocab, "term")
+    return _score_and_rank(tf, stats, qt, k)
 
 
 def rrf_fuse(sparse_ranks: DataFrame, dense_ranks: DataFrame,

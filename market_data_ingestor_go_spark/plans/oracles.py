@@ -2415,3 +2415,11 @@ for _k in _R9_IN:
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in _R9_OUT:
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+
+# BM25 serve path against the materialized inverted index: the index
+# build is lossless (tf/df/dl/stats identical by construction, shared
+# scoring tail in operators/retrieval.py), so the oracle IS
+# doc_bm25_topk's — same result set, different physical path (the
+# knn_ann_pq_serve pattern, but exactly checkable).
+EXTRA_ORACLES["doc_bm25_from_index"] = ORACLES["doc_bm25_topk"]

@@ -2549,6 +2549,38 @@ def doc_bm25_topk(spark, sf_dir):
     return bm25_topk(d, FIXTURE_QUERIES, k=10)
 
 
+_BM25_IDX: dict = {}
+
+
+def _bm25_index_path(spark, sf_dir):
+    """Materialize the full-vocabulary inverted index ONCE per
+    (application, corpus) — same private-tempdir caching discipline
+    as the PQ index (_pq_index above)."""
+    import hashlib
+    import os
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BM25_IDX:
+        from ..operators.retrieval import bm25_index
+        tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+        path = os.path.join(_pq_enc_root(), tag, "bm25_postings")
+        bm25_index(_t(spark, sf_dir, "documents")) \
+            .write.mode("overwrite").parquet(path)
+        _BM25_IDX[key] = path
+    return _BM25_IDX[key]
+
+
+def doc_bm25_from_index(spark, sf_dir):
+    """BM25 top-10 against the MATERIALIZED inverted index
+    (operators/retrieval.py::bm25_index / bm25_from_index): zero
+    tokenize/explode work per query, corpus stats derived from the
+    index itself — the steady-state serve cost next to doc_bm25_topk
+    the way knn_ann_pq_serve sits next to knn_ann_pq. Row-identical
+    to doc_bm25_topk (shared scoring tail; same oracle)."""
+    from ..operators.retrieval import FIXTURE_QUERIES, bm25_from_index
+    postings = spark.read.parquet(_bm25_index_path(spark, sf_dir))
+    return bm25_from_index(postings, FIXTURE_QUERIES, k=10)
+
+
 def hybrid_rrf_retrieval(spark, sf_dir):
     """Hybrid doc-to-doc retrieval for query docs 0-2 (doc_id ≡
     vec_id): token-set-Jaccard sparse arm + embedding-cosine dense
@@ -2759,6 +2791,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ROTATION_CANDIDATES_R8 query gets its first external
     # CORRECTNESS row — in-window twin noted per entry; all stay
     # parity-tested locally every round.
+    # round-9 addition: BM25 serve path against the materialized
+    # inverted index — oracle-backed (shares doc_bm25_topk's oracle;
+    # row-identity tested), listed in ROTATION_CANDIDATES_R9
+    "doc_bm25_from_index": doc_bm25_from_index,
     "q4_order_priority": q4_order_priority,          # EXISTS semi ⊂ q20_part_promotion (IN semi, rotated in)
     "q7_nation_volume": q7_nation_volume,            # multi-join year agg ⊂ q9_product_profit (rotated in)
     "q14_promo_revenue_share": q14_promo_revenue_share,  # ratio-vs-total agg ⊂ q11_important_stock (rotated in)
@@ -2887,7 +2923,9 @@ ROTATED_IN_R9: list[str] = list(ROTATION_CANDIDATES_R8)
 # the commit that adds the oracle itself; the never-verified scan in
 # tests/test_parity.py enforces listing, and the rotation-policy test
 # is fast (<1 s) — run it before every end-of-round commit.
-ROTATION_CANDIDATES_R9: list[str] = []
+ROTATION_CANDIDATES_R9: list[str] = [
+    "doc_bm25_from_index",        # added r9, oracle added same commit
+]
 
 
 # Frozen at the close of round 7: every oracle-backed query name that

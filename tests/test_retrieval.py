@@ -28,7 +28,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from market_data_ingestor_go_spark.operators.lm_quality import ks_value_drift
 from market_data_ingestor_go_spark.operators.retrieval import (
@@ -249,3 +249,32 @@ def test_ks_drift_random_matches_exact_python(spark):
         want = (na, nb, ks_at,
                 float(str(d_max)) / (float(na) * float(nb)))
         assert got[(ga, gb)] == want, (ga, gb, got[(ga, gb)], want)
+
+
+def test_bm25_from_index_row_identical_to_direct(spark):
+    """The materialized-index serve path (bm25_index -> parquet ->
+    bm25_from_index) returns rows BIT-identical to bm25_topk over the
+    raw corpus, including the double score (shared scoring tail;
+    stats derived from the index)."""
+    import os
+    import tempfile
+
+    from market_data_ingestor_go_spark.operators.retrieval import (
+        bm25_from_index, bm25_index)
+
+    docs = _spark_docs(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "postings")
+        bm25_index(docs).write.parquet(path)
+        postings = spark.read.parquet(path)
+        got = sorted(map(tuple, bm25_from_index(
+            postings, FIXTURE_QUERIES, k=10).collect()))
+        # index invariants: one row per (doc, term), df consistent
+        # within a term
+        assert postings.groupBy("doc_id", "term").count() \
+            .filter("count > 1").count() == 0
+        assert postings.groupBy("term").agg(
+            F.countDistinct("df").alias("n")).filter("n > 1").count() == 0
+    want = sorted(map(tuple, bm25_topk(
+        docs, FIXTURE_QUERIES, k=10).collect()))
+    assert got == want
