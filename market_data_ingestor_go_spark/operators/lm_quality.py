@@ -400,12 +400,24 @@ def ks_value_drift(df: DataFrame, value_col: str = "n_chars",
     counts = (df.select(F.col(group_col).alias("g"),
                         F.col(value_col).alias("x"))
               .groupBy("g", "x").agg(F.count("*").alias("c")))
+    return ks_from_counts(counts)
+
+
+def ks_from_counts(counts: DataFrame) -> DataFrame:
+    """KS readout from a (g, x, c) histogram table — the
+    finish-from-the-sink half shared by ``ks_value_drift`` (batch)
+    and ``streaming_value_histogram``'s complete-mode sink (the
+    histogram is a plain additive aggregate, so the streamed state is
+    bit-identical to the batch histogram and this readout gives the
+    same KS rows — tested). Everything here is value-domain-sized."""
     # Materialize the histogram ONCE (|groups|·|distinct values| rows
     # — value-DOMAIN-sized): counts feeds totals, the grid, the spine
-    # and the cumulative join, and Catalyst re-runs the corpus
-    # scan+aggregate lineage per consumer (16 scans observed in the
-    # executed plan before this pin, r9). One corpus exchange total;
-    # swap localCheckpoint for reliable checkpoint on a cluster.
+    # and the cumulative join, and Catalyst re-runs the upstream
+    # (possibly corpus-scanning) lineage per consumer — 16 scans
+    # observed in source_ks_drift's executed plan before this pin
+    # (r9). One upstream pass total, and the self-join below never
+    # sees conflicting references; swap localCheckpoint for reliable
+    # checkpoint on a cluster.
     counts = counts.localCheckpoint(eager=True)
     totals = counts.groupBy("g").agg(F.sum("c").alias("n"))
     grid = counts.select("x").distinct()

@@ -110,3 +110,19 @@ def run_sketch_stream(sketch_df: DataFrame, name: str,
             .format("memory").queryName(name)
             .option("checkpointLocation", checkpoint)
             .start())
+
+
+def streaming_value_histogram(stream: DataFrame, group_col: str,
+                              value_col: str) -> DataFrame:
+    """Per-(group, value) counts as a streaming aggregation — the
+    state store IS the value-DOMAIN-sized histogram (doc lengths,
+    scores, …: |groups|·|distinct values| rows, never stream-length),
+    so no watermark/TTL is needed and `complete` mode re-emits the
+    whole table each trigger. Plain additive counts ⇒ the streamed
+    state after any micro-batch split is BIT-identical to the batch
+    histogram, and the KS drift monitor finishes from the sink at
+    read time via operators/lm_quality.py::ks_from_counts — the
+    streaming twin of source_ks_drift (tested both ways)."""
+    return (stream.select(F.col(group_col).alias("g"),
+                          F.col(value_col).alias("x"))
+            .groupBy("g", "x").agg(F.count("*").alias("c")))

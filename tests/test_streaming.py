@@ -1963,3 +1963,53 @@ def test_streaming_semdedup_gate_bootstrap_real_embeddings(
         gate.bootstrap(e)
     gate.stop()
     spark.sql(f"DROP TABLE IF EXISTS {table}_vec")
+
+
+def test_streaming_value_histogram_ks_equals_batch(spark, tmp_path):
+    """Streaming KS-drift twin: the complete-mode histogram state is
+    BIT-identical to the batch (g, x, c) aggregate after any
+    micro-batch split (plain additive counts), and ks_from_counts
+    over the sink reproduces batch ks_value_drift row-for-row,
+    including the double ks and the ks_at argmax."""
+    import json as _json
+
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        ks_from_counts, ks_value_drift)
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_value_histogram)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("source", "n_chars")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = docs.collect()
+    for i, part in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in part:
+                fh.write(_json.dumps({"source": r.source,
+                                      "n_chars": r.n_chars}) + "\n")
+
+    stream = (spark.readStream.schema("source STRING, n_chars LONG")
+              .option("maxFilesPerTrigger", 1)  # force ≥3 micro-batches
+              .json(src))
+    q = run_sketch_stream(streaming_value_histogram(stream, "source",
+                                                    "n_chars"),
+                          "ks_hist_stream", str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        n_state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+
+    sink = spark.table("ks_hist_stream")
+    batch_counts = (docs.selectExpr("source AS g", "n_chars AS x")
+                    .groupBy("g", "x").count()
+                    .withColumnRenamed("count", "c"))
+    assert n_state == batch_counts.count()   # domain-sized state
+    assert sorted(map(tuple, sink.collect())) == \
+        sorted(map(tuple, batch_counts.collect()))
+
+    got = sorted(map(tuple, ks_from_counts(sink).collect()))
+    want = sorted(map(tuple, ks_value_drift(docs).collect()))
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS ks_hist_stream")
