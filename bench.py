@@ -184,6 +184,10 @@ HEADLINE = [
     "doc_bm25_topk",
     "hybrid_rrf_retrieval",
     "source_ks_drift",
+    # r9: the materialized-index serve split (pure serve cost in the
+    # doc_bm25_topk class, the knn_ann_pq_serve pattern; first-call
+    # index build lands in the cold run, steady runs measure serve)
+    "doc_bm25_from_index",
 ]
 
 

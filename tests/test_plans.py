@@ -529,3 +529,16 @@ def test_tv_drift_single_corpus_pass(spark):
     plan = _plan(ALL_QUERIES["source_tv_drift"](spark, SF))
     assert "documents.parquet" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_bm25_from_index_serve_has_no_tokenize(spark):
+    """doc_bm25_from_index: the serve plan touches ONLY the
+    materialized postings table — zero Generate (no tokenize/explode
+    at serve time), no documents scan, nothing sort-merge joins; the
+    query-vocab filter is a broadcast join over the postings scan."""
+    plan = _plan(ALL_QUERIES["doc_bm25_from_index"](spark, SF))
+    assert "Generate" not in plan, plan
+    assert "documents.parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "bm25_postings" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
