@@ -110,16 +110,31 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text",
     """
     train = docs.filter(hash_bucket(id_col, 100) < train_pct)
     uni = train.select(F.explode(_tokens(text_col)).alias("term"))
+    # Pin the model tables: they are MODEL-sized (vocab ≤ V rows, the
+    # unpruned bigram grid ≤ (V+1)² rows) but referenced many times
+    # downstream (vocab alone 5×: the two _unk_mapped sides at train
+    # AND score time plus v_sz), and Catalyst replays the corpus
+    # explode lineage per reference — 10 documents scans observed in
+    # doc_lm_quality's executed plan before this pin (r9 audit). One
+    # train-split explode for unigrams, one for bigrams, then every
+    # consumer reads the pinned tables; swap localCheckpoint for
+    # reliable checkpoint on a cluster.
     vocab = (uni.groupBy("term").agg(F.count("*").alias("cnt"))
              .orderBy(F.col("cnt").desc(), F.col("term"))
              .limit(vocab_size)
-             .select("term"))
+             .select("term")
+             .localCheckpoint(eager=True))
 
     bg = _unk_mapped(bigram_stream(train, text_col, id_col), vocab)
-    bigram_counts = (
-        bg.groupBy("prev", "cur").agg(F.count("*").alias("c_bg"))
-        .filter(F.col("c_bg") >= min_count))
-    context_counts = bg.groupBy("prev").agg(F.count("*").alias("c_ctx"))
+    # both count tables from ONE aggregate of the bigram stream:
+    # c_ctx(prev) = Σ_cur c_bg(prev, cur) over the UNPRUNED grid —
+    # identical values to a second groupBy(prev) pass over the stream
+    full_counts = (bg.groupBy("prev", "cur")
+                   .agg(F.count("*").alias("c_bg"))
+                   .localCheckpoint(eager=True))
+    bigram_counts = full_counts.filter(F.col("c_bg") >= min_count)
+    context_counts = (full_counts.groupBy("prev")
+                      .agg(F.sum("c_bg").cast("bigint").alias("c_ctx")))
     return vocab, bigram_counts, context_counts
 
 
@@ -215,11 +230,15 @@ def ngram_lm_score(docs: DataFrame, text_col: str = "text",
       exact Python in tests; NULL when n = 0.
 
     Plan shape: model aggregates shuffle once each on their bounded
-    keys; scoring is scan → narrow bigram explode → three broadcast
-    joins → one groupBy(doc_id) partial agg → broadcast join back to
-    the doc spine. The corpus is read twice (train counts, scoring) —
-    at 100 TB you'd persist the model (it is a tiny artifact, like
-    the PQ codebook split in similarity.py).
+    keys and are PINNED (train_bigram_lm — one unigram + one bigram
+    explode of the train split total, every consumer reads the
+    model-sized tables); scoring is scan → narrow bigram explode →
+    three broadcast joins → one groupBy(doc_id) partial agg → a
+    doc_id-co-partitioned LeftOuter join back to the doc spine
+    (corpus × per-doc scores — two corpus-sized tables, so the
+    co-partitioned join is the honest 100 TB shape). At 100 TB you'd
+    persist the model artifact itself, like the PQ codebook split in
+    similarity.py.
     """
     vocab, bgc, ctx = train_bigram_lm(
         docs, text_col, id_col, vocab_size, min_count, train_pct)

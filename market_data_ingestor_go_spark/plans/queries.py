@@ -1401,23 +1401,31 @@ def events_mad_outliers(spark, sf_dir):
 
     Scale shape: two per-key window passes (count + row_number,
     partitioned by event_type — no global window) and two broadcast
-    joins of the 5-row medians table."""
+    joins of the 5-row medians table. The two medians tables are
+    pinned (localCheckpoint — they are |event types| rows): without
+    the pin, every downstream reference replayed the window lineage
+    from the scan (6 window passes / 6 sorts / 4 scans observed in
+    the r9 audit; now 2 / 2 / 3 — the remaining replays are narrow
+    2-column scans + a broadcast join, cheaper than materializing a
+    corpus-sized frame)."""
     e = _events(spark, sf_dir)
     kw = Window.partitionBy("event_type")
     rk = Window.partitionBy("event_type").orderBy("value")
-    v = (e.select("event_type", "value")
+    base = e.select("event_type", "value")
+    v = (base
          .withColumn("n", F.count("*").over(kw))
          .withColumn("rn", F.row_number().over(rk)))
     med = (v.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
-           .select("event_type", F.col("value").alias("med")))
-    d = (v.select("event_type", "value")
-         .join(F.broadcast(med), "event_type")
+           .select("event_type", F.col("value").alias("med"))
+           .localCheckpoint(eager=True))
+    d = (base.join(F.broadcast(med), "event_type")
          .withColumn("dev", F.abs(F.col("value") - F.col("med"))))
     dk = Window.partitionBy("event_type").orderBy("dev")
     d2 = (d.withColumn("n", F.count("*").over(kw))
           .withColumn("rn", F.row_number().over(dk)))
     mad = (d2.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
-           .select("event_type", F.col("dev").alias("mad")))
+           .select("event_type", F.col("dev").alias("mad"))
+           .localCheckpoint(eager=True))
     return (d.join(F.broadcast(mad), "event_type")
             .groupBy("event_type")
             .agg(F.count("*").cast("bigint").alias("n_events"),
