@@ -158,6 +158,22 @@ def _score_and_rank(tf: DataFrame, stats: DataFrame, qt: DataFrame,
                     _dstr(F.col("score_dec")).alias("score")))
 
 
+def doc_postings(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document posting rows (doc_id, dl, term, tf) — the
+    DOC-LOCAL half of the inverted index (everything corpus-global —
+    df, N, total length — is derived at serve time so appended
+    epochs stay correct). One explode + one partial-agg shuffle.
+    Shared by the batch index build and the streaming maintainer so
+    the two can never drift."""
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        _tokens(text_col).alias("ts"))
+            .withColumn("dl", F.size("ts")))
+    return (base.select("doc_id", "dl", F.explode("ts").alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").alias("tf")))
+
+
 def bm25_index(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Materialize the FULL-vocabulary inverted index a deployment
@@ -166,27 +182,30 @@ def bm25_index(docs: DataFrame, text_col: str = "text",
     partitioned/bucketed BY TERM so a serve-time query-vocabulary
     filter becomes partition pruning (zero non-matching postings
     read). ``bm25_from_index`` over this table is row-identical to
-    ``bm25_topk`` over the raw corpus (tested)."""
-    base = (docs.select(F.col(id_col).alias("doc_id"),
-                        _tokens(text_col).alias("ts"))
-            .withColumn("dl", F.size("ts")))
-    tf = (base.select("doc_id", "dl", F.explode("ts").alias("term"))
-          .groupBy("doc_id", "dl", "term")
-          .agg(F.count("*").alias("tf")))
-    return tf.withColumn("df", F.count("*").over(
-        Window.partitionBy("term")))
+    ``bm25_topk`` over the raw corpus (tested). The stored ``df``
+    column is a build-time index statistic (useful for vocabulary
+    diagnostics and df-cap pruning decisions); the serve path
+    recomputes df over the index's CURRENT contents so a table grown
+    by streaming epochs stays correct."""
+    return doc_postings(docs, text_col, id_col).withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")))
 
 
 def bm25_from_index(postings: DataFrame,
                     query_terms: list[tuple[str, str]],
                     k: int = 10) -> DataFrame:
     """Serve path: BM25 top-k against the MATERIALIZED inverted index
-    (``bm25_index`` output) with zero tokenize/explode work per query
-    — the steady-state deployment cost. Corpus stats derive from the
-    index itself (one distinct over (doc_id, dl) — every doc carries
-    ≥1 posting since tokenization of any text yields ≥1 token), so
-    the raw corpus is never touched at serve time. Row-identical to
-    ``bm25_topk`` (shared scoring tail; equality tested)."""
+    (``bm25_index`` output, or ``StreamingPostingsIndex``'s epoch
+    union) with zero tokenize/explode work per query — the
+    steady-state deployment cost. The corpus-GLOBAL quantities are
+    derived from the postings being served, never trusted from build
+    time: stats from one distinct over (doc_id, dl) (every doc
+    carries ≥1 posting since tokenization yields ≥1 token) and df
+    from a window over the vocab-filtered postings — so an index
+    that has grown by appended epochs serves the df/stats of its
+    CURRENT contents (a stored df column, frozen at build, is
+    ignored). Row-identical to ``bm25_topk`` (shared scoring tail;
+    equality tested)."""
     spark = postings.sparkSession
     qt = F.broadcast(
         spark.createDataFrame(sorted(set(query_terms)),
@@ -195,7 +214,9 @@ def bm25_from_index(postings: DataFrame,
     stats = F.broadcast(
         postings.select("doc_id", "dl").distinct()
         .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("tot")))
-    tf = postings.join(vocab, "term")
+    tf = (postings.select("doc_id", "dl", "term", "tf")
+          .join(vocab, "term")
+          .withColumn("df", F.count("*").over(Window.partitionBy("term"))))
     return _score_and_rank(tf, stats, qt, k)
 
 

@@ -210,3 +210,36 @@ class StreamingPQIndex(_EpochPartitionedIndex):
             self.spark.table(self.table).drop("epoch"), query_vectors,
             self._codebooks(), k=k, shortlist=shortlist,
             id_col=self.id_col, vec_col=self.vec_col)
+
+
+@dataclass
+class StreamingPostingsIndex(_EpochPartitionedIndex):
+    """foreachBatch maintainer of the BM25 inverted index (r9) — the
+    tokenize-on-ingest half of the retrieval deployment: each
+    arriving document batch lands as (doc_id, dl, term, tf) posting
+    rows (operators/retrieval.py::doc_postings — the same transform
+    as the batch index build, so the two can never drift).
+
+    Only DOC-LOCAL quantities are stored; everything corpus-GLOBAL
+    (df, N, total length) is derived by ``bm25_from_index`` from the
+    index's CURRENT contents at serve time — which is exactly why a
+    probe over the epoch union is row-identical to ``bm25_topk`` over
+    everything indexed so far (tested), with no stale-df window.
+    Per-batch work is the batch's explode + partial-agg only; the
+    existing index never rewrites. Epoch partitions give the same
+    idempotent-replay contract as the other maintainers."""
+
+    text_col: str = "text"
+    id_col: str = "doc_id"
+
+    def _transform(self, batch: DataFrame) -> DataFrame:
+        from ..operators.retrieval import doc_postings
+        return doc_postings(batch, self.text_col, self.id_col)
+
+    def _metrics_prefix(self) -> str:
+        return "postings_index"
+
+    def probe(self, query_terms: list, k: int = 10) -> DataFrame:
+        from ..operators.retrieval import bm25_from_index
+        return bm25_from_index(
+            self.spark.table(self.table).drop("epoch"), query_terms, k=k)

@@ -2013,3 +2013,68 @@ def test_streaming_value_histogram_ks_equals_batch(spark, tmp_path):
     want = sorted(map(tuple, ks_value_drift(docs).collect()))
     assert got == want
     spark.sql("DROP TABLE IF EXISTS ks_hist_stream")
+
+
+def test_streaming_postings_index_maintenance(spark, tmp_path):
+    """Round 9: the BM25 inverted index stays fresh from a document
+    stream (tokenize on ingest, doc-local rows only) — bootstrap a
+    half-corpus, stream the rest in two micro-batches, and the probe
+    over the maintained index is ROW-IDENTICAL to bm25_topk over the
+    full corpus (df/stats derived from current contents, so nothing
+    goes stale as epochs land); epoch replay is idempotent."""
+    import shutil
+
+    from market_data_ingestor_go_spark.operators.retrieval import (
+        FIXTURE_QUERIES, bm25_topk)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.vector_index import (
+        StreamingPostingsIndex)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    boot = docs.filter("doc_id % 2 = 0")
+    part1 = docs.filter("doc_id % 4 = 1")
+    part2 = docs.filter("doc_id % 4 = 3")
+
+    src = tmp_path / "pidocs"
+    src.mkdir()
+
+    def drop_file(df, name):
+        stage = str(tmp_path / f"pistage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, part), str(src / f"{name}.parquet"))
+
+    ix = StreamingPostingsIndex(spark, "s_postings_idx",
+                                trigger_seconds=1)
+    try:
+        ix.bootstrap(boot)
+        assert ix.epochs == 0
+        stream = spark.readStream.schema(docs.schema).parquet(str(src))
+        q = ix.attach(stream, str(tmp_path / "pi_ckpt"))
+        drop_file(part1, "b1")
+        q.processAllAvailable()
+        drop_file(part2, "b2")
+        q.processAllAvailable()
+        q.stop()
+        assert ix.epochs == 2
+
+        # replaying an epoch rewrites only its own partition
+        before = spark.table("s_postings_idx").count()
+        ix._index_batch(part2, epoch_id=1)
+        assert spark.table("s_postings_idx").count() == before
+
+        got = sorted(map(tuple,
+                         ix.probe(FIXTURE_QUERIES, k=10).collect()))
+        want = sorted(map(tuple, bm25_topk(
+            docs, FIXTURE_QUERIES, k=10).collect()))
+        assert got == want
+
+        # compaction folds epochs without changing contents
+        assert ix.compact() == before
+        assert sorted(map(tuple,
+                          ix.probe(FIXTURE_QUERIES, k=10).collect())) \
+            == got
+    finally:
+        ix.stop()
+        spark.sql("DROP TABLE IF EXISTS s_postings_idx")
