@@ -299,9 +299,16 @@ def dsir_importance(docs: DataFrame, text_col: str = "text",
          * (F.col("craw") + n_buckets).cast("double"))
         / ((F.col("cr") + 1).cast("double")
            * (F.col("ctar") + n_buckets).cast("double")))
+    # Pin the ratio table: it is B-bounded (≤ n_buckets rows) but its
+    # lineage contains the corpus bigram explode, which Catalyst
+    # replays once for the totals aggregate and once for the ratio
+    # projection (3 documents scans observed, r9 audit). After the
+    # pin: one explode builds the model, one scores — the two-pass
+    # floor the module doc claims.
     rt = F.broadcast(
         dist.join(totals, F.lit(True))
-        .select("bucket", ratio.alias("ratio")))
+        .select("bucket", ratio.alias("ratio"))
+        .localCheckpoint(eager=True))
 
     gcols = [id_col, target_col] + list(extra_cols or [])
     return (

@@ -446,8 +446,14 @@ def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
     # zero row blowup for the assignment (the row_number formulation
     # shuffled n_cells× the corpus, vectors included; the max_by
     # formulation paid an agg plus a join-back).
+    # Pinned (one row of ≤ n_cells structs): the corpus assignment AND
+    # the query probe both reference this codebook row, and when the
+    # default hash-sample stands in, each reference replayed the
+    # sample's corpus-scan lineage (4 embeddings scans observed, r9
+    # audit; 2 after the pin).
     cent_row = F.broadcast(
-        cents.agg(F.collect_list(F.struct("cent_id", "cv")).alias("cb")))
+        cents.agg(F.collect_list(F.struct("cent_id", "cv")).alias("cb"))
+        .localCheckpoint(eager=True))
 
     def scored_cells(vec: Column) -> Column:
         return F.transform(
