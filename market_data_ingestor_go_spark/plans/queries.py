@@ -2589,6 +2589,25 @@ def doc_bm25_from_index(spark, sf_dir):
     return bm25_from_index(postings, FIXTURE_QUERIES, k=10)
 
 
+def hybrid_rrf_ann(spark, sf_dir):
+    """The DEPLOYMENT-scale twin of hybrid_rrf_retrieval: the dense
+    arm runs IVF-cell ANN (probe 2 of 16 cells) instead of exact
+    brute-force cosine, so the corpus is scored only within probed
+    cells — the arm a 100 TB hybrid search actually ships. Rows-only
+    (cell assignment is engine-side, like the other ANN tiers);
+    fused-top-10 overlap vs the exact hybrid is asserted in
+    tests/test_retrieval.py."""
+    from ..operators import similarity as SIM
+    from ..operators.retrieval import jaccard_ranks, rrf_fuse
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    sparse = jaccard_ranks(d, [0, 1, 2], arm_k=20)
+    q = e.filter(F.col("vec_id") < 3)
+    dense = SIM.ivf_ann(e, q, k=20).select(
+        "q_id", F.col("n_id").alias("doc_id"), "rn")
+    return rrf_fuse(sparse, dense, k=10)
+
+
 def hybrid_rrf_retrieval(spark, sf_dir):
     """Hybrid doc-to-doc retrieval for query docs 0-2 (doc_id ≡
     vec_id): token-set-Jaccard sparse arm + embedding-cosine dense
@@ -2803,6 +2822,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # inverted index — oracle-backed (shares doc_bm25_topk's oracle;
     # row-identity tested), listed in ROTATION_CANDIDATES_R9
     "doc_bm25_from_index": doc_bm25_from_index,
+    # round-9 addition: ANN-armed hybrid fusion — rows-only (IVF cell
+    # assignment is engine-side, the knn_ann_* precedent); overlap
+    # floor vs the exact hybrid tested in tests/test_retrieval.py
+    "hybrid_rrf_ann": hybrid_rrf_ann,
     "q4_order_priority": q4_order_priority,          # EXISTS semi ⊂ q20_part_promotion (IN semi, rotated in)
     "q7_nation_volume": q7_nation_volume,            # multi-join year agg ⊂ q9_product_profit (rotated in)
     "q14_promo_revenue_share": q14_promo_revenue_share,  # ratio-vs-total agg ⊂ q11_important_stock (rotated in)

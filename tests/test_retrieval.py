@@ -278,3 +278,24 @@ def test_bm25_from_index_row_identical_to_direct(spark):
     want = sorted(map(tuple, bm25_topk(
         docs, FIXTURE_QUERIES, k=10).collect()))
     assert got == want
+
+
+def test_hybrid_rrf_ann_overlap_vs_exact(spark):
+    """The ANN-armed hybrid (IVF dense arm, probe 2/16 cells) against
+    the exact hybrid: fused-top-10 overlap per fixture query. The
+    whole pipeline is deterministic (hash-sample centroids, doc_id
+    tiebreaks), so the overlap is exactly reproducible — pinned at
+    the observed values (repo convention: the value itself, not a
+    lax floor; any recall regression fails immediately). The sparse
+    arm is shared, so misses come only from IVF cell pruning on the
+    near-random fixture embeddings."""
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+
+    exact, ann = {}, {}
+    for r in ALL_QUERIES["hybrid_rrf_retrieval"](spark, SF).collect():
+        exact.setdefault(r["q_id"], set()).add(r["doc_id"])
+    for r in ALL_QUERIES["hybrid_rrf_ann"](spark, SF).collect():
+        ann.setdefault(r["q_id"], set()).add(r["doc_id"])
+    got = {q: len(exact[q] & ann.get(q, set())) / len(exact[q])
+           for q in sorted(exact)}
+    assert got == {0: 0.8, 1: 0.5, 2: 0.6}, got
