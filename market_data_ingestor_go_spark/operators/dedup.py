@@ -311,7 +311,8 @@ def cross_corpus_near_dup(df_a: DataFrame, df_b: DataFrame,
 
 def neardup_clusters_alternating(pairs: DataFrame, id_a: str = "doc_a",
                                  id_b: str = "doc_b",
-                                 max_iters: int = 25) -> DataFrame:
+                                 max_iters: int = 25,
+                                 _pairs_pinned: bool = False) -> DataFrame:
     """Connected components via alternating large-star / small-star
     edge contraction (Kiveris et al. 2014, "Connected Components in
     MapReduce and Beyond") — the 100 TB-scale twin of
@@ -359,7 +360,13 @@ def neardup_clusters_alternating(pairs: DataFrame, id_a: str = "doc_a",
         return canon(out.unionByName(
             adj2.select("u", F.col("m").alias("v"))))
 
-    pairs = pairs.localCheckpoint(eager=True)
+    # _pairs_pinned: the neardup_clusters dispatcher already
+    # checkpointed the pair list (it needed the materialization for
+    # its edge count) — re-pinning a multi-billion-row edge set would
+    # copy every block a second time, exactly on the large-scale path
+    # this engine exists for (review catch r9)
+    if not _pairs_pinned:
+        pairs = pairs.localCheckpoint(eager=True)
     edges = canon(pairs.select(F.col(id_a).alias("u"),
                                F.col(id_b).alias("v"))) \
         .localCheckpoint(eager=True)
@@ -445,16 +452,19 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "doc_a",
     # references ``pairs`` twice, so without this the (potentially
     # O(n²)) pair subtree executes twice inside sym's
     # materialization (review catch r6 — same fix as neardup_pagerank)
+    if engine not in ("auto", "alternating", "labelprop"):
+        # validate BEFORE the eager checkpoint: a typo'd engine name
+        # must not cost a full pair-list materialization first
+        raise ValueError(f"unknown CC engine {engine!r}; expected "
+                         "'labelprop', 'alternating' or 'auto'")
     pairs = pairs.localCheckpoint(eager=True)
     if engine == "auto":
         engine = ("alternating" if pairs.count() > AUTO_CC_EDGE_THRESHOLD
                   else "labelprop")
     if engine == "alternating":
         return neardup_clusters_alternating(pairs, id_a=id_a, id_b=id_b,
-                                            max_iters=max_iters)
-    if engine != "labelprop":
-        raise ValueError(f"unknown CC engine {engine!r}; expected "
-                         "'labelprop', 'alternating' or 'auto'")
+                                            max_iters=max_iters,
+                                            _pairs_pinned=True)
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")) \
         .unionByName(pairs.select(F.col(id_b).alias("src"),
                                   F.col(id_a).alias("dst")))

@@ -94,15 +94,17 @@ def bm25_topk(docs: DataFrame, query_terms: list[tuple[str, str]],
     ``query_terms`` is a [(query_id, term), …] list — duplicates per
     query are ignored (BM25 over the query term SET; weighting by
     query-side tf is a trivial extension nobody uses at k1-default).
-    """
-    spark = docs.sparkSession
-    qt = F.broadcast(
-        spark.createDataFrame(sorted(set(query_terms)),
-                              "query_id STRING, term STRING"))
-    vocab = F.broadcast(qt.select("term").distinct())
 
-    base = (docs.select(F.col(id_col).alias("doc_id"),
-                        _tokens(text_col).alias("ts"))
+    Corpus semantics: docs with NULL text are excluded from the
+    collection entirely (they produce no postings AND do not count in
+    N / total length) — the same filter the index path applies, so
+    the direct and from-index results stay row-identical on corpora
+    with NULL rows, not just on the fixture.
+    """
+    qt, vocab = _query_tables(docs.sparkSession, query_terms)
+    base = (docs.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    _tokens(text_col).alias("ts"))
             .withColumn("dl", F.size("ts")))
     stats = F.broadcast(base.agg(F.count("*").alias("n_docs"),
                                  F.sum("dl").alias("tot")))
@@ -124,6 +126,17 @@ def bm25_topk(docs: DataFrame, query_terms: list[tuple[str, str]],
     tf = tf.withColumn("df", F.count("*").over(
         Window.partitionBy("term")))
     return _score_and_rank(tf, stats, qt, k)
+
+
+def _query_tables(spark, query_terms: list[tuple[str, str]]):
+    """Broadcast (query_id, term) table + its distinct vocabulary —
+    ONE canonicalization (sorted set) shared by the direct and
+    from-index paths, for the same reason they share the scoring
+    tail: identity by construction, not by parallel maintenance."""
+    qt = F.broadcast(
+        spark.createDataFrame(sorted(set(query_terms)),
+                              "query_id STRING, term STRING"))
+    return qt, F.broadcast(qt.select("term").distinct())
 
 
 def _score_and_rank(tf: DataFrame, stats: DataFrame, qt: DataFrame,
@@ -163,11 +176,13 @@ def doc_postings(docs: DataFrame, text_col: str = "text",
     """Per-document posting rows (doc_id, dl, term, tf) — the
     DOC-LOCAL half of the inverted index (everything corpus-global —
     df, N, total length — is derived at serve time so appended
-    epochs stay correct). One explode + one partial-agg shuffle.
-    Shared by the batch index build and the streaming maintainer so
-    the two can never drift."""
-    base = (docs.select(F.col(id_col).alias("doc_id"),
-                        _tokens(text_col).alias("ts"))
+    epochs stay correct). NULL-text docs are excluded from the
+    collection (same semantics as bm25_topk's base). One explode +
+    one partial-agg shuffle. Shared by the batch index build and the
+    streaming maintainer so the two can never drift."""
+    base = (docs.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    _tokens(text_col).alias("ts"))
             .withColumn("dl", F.size("ts")))
     return (base.select("doc_id", "dl", F.explode("ts").alias("term"))
             .groupBy("doc_id", "dl", "term")
@@ -175,20 +190,26 @@ def doc_postings(docs: DataFrame, text_col: str = "text",
 
 
 def bm25_index(docs: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id", with_df: bool = False) -> DataFrame:
     """Materialize the FULL-vocabulary inverted index a deployment
-    stores: (doc_id, dl, term, tf, df) — one corpus explode, one
-    postings shuffle, one term-partitioned window for df. Write it
-    partitioned/bucketed BY TERM so a serve-time query-vocabulary
-    filter becomes partition pruning (zero non-matching postings
-    read). ``bm25_from_index`` over this table is row-identical to
-    ``bm25_topk`` over the raw corpus (tested). The stored ``df``
-    column is a build-time index statistic (useful for vocabulary
-    diagnostics and df-cap pruning decisions); the serve path
-    recomputes df over the index's CURRENT contents so a table grown
-    by streaming epochs stays correct."""
-    return doc_postings(docs, text_col, id_col).withColumn(
-        "df", F.count("*").over(Window.partitionBy("term")))
+    stores: (doc_id, dl, term, tf) — one corpus explode, one postings
+    shuffle. Write it partitioned/bucketed BY TERM so a serve-time
+    query-vocabulary filter becomes partition pruning (zero
+    non-matching postings read). ``bm25_from_index`` over this table
+    is row-identical to ``bm25_topk`` over the raw corpus (tested).
+
+    ``with_df=True`` additionally stores a build-time ``df`` column
+    (vocabulary diagnostics, df-cap pruning decisions) at the cost of
+    one term-partitioned window over the full postings table — OFF by
+    default because the serve path always recomputes df over the
+    index's CURRENT contents (appended epochs would stale a stored
+    df), so the default build skips the corpus-wide sort it would
+    never read."""
+    tf = doc_postings(docs, text_col, id_col)
+    if with_df:
+        tf = tf.withColumn("df", F.count("*").over(
+            Window.partitionBy("term")))
+    return tf
 
 
 def bm25_from_index(postings: DataFrame,
@@ -204,13 +225,9 @@ def bm25_from_index(postings: DataFrame,
     from a window over the vocab-filtered postings — so an index
     that has grown by appended epochs serves the df/stats of its
     CURRENT contents (a stored df column, frozen at build, is
-    ignored). Row-identical to ``bm25_topk`` (shared scoring tail;
-    equality tested)."""
-    spark = postings.sparkSession
-    qt = F.broadcast(
-        spark.createDataFrame(sorted(set(query_terms)),
-                              "query_id STRING, term STRING"))
-    vocab = F.broadcast(qt.select("term").distinct())
+    ignored). Row-identical to ``bm25_topk`` (shared scoring tail and
+    query canonicalization; equality tested)."""
+    qt, vocab = _query_tables(postings.sparkSession, query_terms)
     stats = F.broadcast(
         postings.select("doc_id", "dl").distinct()
         .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("tot")))

@@ -420,9 +420,14 @@ def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
     ``centroids`` (schema: any id col + the vector col, same names as
     ``df``) is the k-means/trained codebook input; when omitted, a
     deterministic pseudo-random sample stands in: the ``n_cells``
-    corpus rows with the smallest ``xxhash64(id)``. That is a single
-    map-side partial top-k (TakeOrdered) — no ``count()``, no full
-    materialization, and the plan stays lazy end to end.
+    corpus rows with the smallest ``xxhash64(id)`` — a single
+    map-side partial top-k (TakeOrdered), pinned once into a
+    single-row codebook (ONE bounded eager job at construction; both
+    the corpus assignment and the query probe reference the codebook
+    row, and without the pin each replayed the sample's corpus-scan
+    lineage — 4 embeddings scans observed, r9 audit). With explicit
+    ``centroids`` (a driver-built table with no corpus lineage)
+    nothing is pinned and the plan stays lazy end to end.
     """
     from pyspark.sql.window import Window
 
@@ -446,14 +451,15 @@ def ivf_ann(df: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 16,
     # zero row blowup for the assignment (the row_number formulation
     # shuffled n_cells× the corpus, vectors included; the max_by
     # formulation paid an agg plus a join-back).
-    # Pinned (one row of ≤ n_cells structs): the corpus assignment AND
-    # the query probe both reference this codebook row, and when the
-    # default hash-sample stands in, each reference replayed the
-    # sample's corpus-scan lineage (4 embeddings scans observed, r9
-    # audit; 2 after the pin).
-    cent_row = F.broadcast(
-        cents.agg(F.collect_list(F.struct("cent_id", "cv")).alias("cb"))
-        .localCheckpoint(eager=True))
+    # One row of ≤ n_cells structs; pinned ONLY on the default-sample
+    # path, where its lineage contains a corpus scan that would
+    # otherwise replay per consumer (docstring) — explicit centroids
+    # have no corpus lineage, so their callers keep a fully lazy plan
+    cent_row = cents.agg(
+        F.collect_list(F.struct("cent_id", "cv")).alias("cb"))
+    if centroids is None:
+        cent_row = cent_row.localCheckpoint(eager=True)
+    cent_row = F.broadcast(cent_row)
 
     def scored_cells(vec: Column) -> Column:
         return F.transform(

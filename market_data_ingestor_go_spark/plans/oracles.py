@@ -2261,7 +2261,7 @@ WITH qt AS (SELECT * FROM (VALUES {_BM25_VALUES}) v(query_id, term)),
 docs2 AS (
   SELECT doc_id, len(ts) AS dl, ts
   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
-        FROM documents)),
+        FROM documents WHERE text IS NOT NULL)),
 stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM docs2),
 tf AS (
   SELECT doc_id, dl, term, COUNT(*) AS tf

@@ -265,12 +265,14 @@ def test_bm25_from_index_row_identical_to_direct(spark):
     docs = _spark_docs(spark)
     with tempfile.TemporaryDirectory() as tmp:
         path = os.path.join(tmp, "postings")
-        bm25_index(docs).write.parquet(path)
+        bm25_index(docs, with_df=True).write.parquet(path)
         postings = spark.read.parquet(path)
         got = sorted(map(tuple, bm25_from_index(
             postings, FIXTURE_QUERIES, k=10).collect()))
-        # index invariants: one row per (doc, term), df consistent
-        # within a term
+        # default build omits the diagnostic df column entirely (the
+        # serve path recomputes it); with_df=True stores a consistent
+        # one: one row per (doc, term), df constant within a term
+        assert "df" not in bm25_index(docs).columns
         assert postings.groupBy("doc_id", "term").count() \
             .filter("count > 1").count() == 0
         assert postings.groupBy("term").agg(
@@ -299,3 +301,36 @@ def test_hybrid_rrf_ann_overlap_vs_exact(spark):
     got = {q: len(exact[q] & ann.get(q, set())) / len(exact[q])
            for q in sorted(exact)}
     assert got == {0: 0.8, 1: 0.5, 2: 0.6}, got
+
+
+def test_bm25_null_text_docs_excluded_consistently(spark):
+    """Review catch r9: a NULL-text doc must be excluded from the
+    collection in BOTH paths (no postings AND no contribution to
+    N/total-length), so the direct and from-index results stay
+    row-identical on corpora with NULL rows — previously bm25_topk
+    counted the doc in n_docs while the index path dropped it,
+    shifting every score."""
+    import os
+    import tempfile
+
+    from market_data_ingestor_go_spark.operators.retrieval import (
+        bm25_from_index, bm25_index)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma gamma"), (3, None),
+         (4, "beta beta delta")],
+        "doc_id LONG, text STRING")
+    clean = docs.filter("text IS NOT NULL")
+    q = [("q", "alpha"), ("q", "beta")]
+    direct = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    # identical to running on the pre-filtered corpus...
+    assert direct == sorted(map(tuple,
+                                bm25_topk(clean, q, k=10).collect()))
+    # ...and to the from-index serve over an index built WITH the
+    # NULL row present
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "p")
+        bm25_index(docs).write.parquet(path)
+        got = sorted(map(tuple, bm25_from_index(
+            spark.read.parquet(path), q, k=10).collect()))
+    assert got == direct
