@@ -188,6 +188,8 @@ HEADLINE = [
     # doc_bm25_topk class, the knn_ann_pq_serve pattern; first-call
     # index build lands in the cold run, steady runs measure serve)
     "doc_bm25_from_index",
+    # r9: the ANN-armed hybrid (IVF dense arm) next to its exact twin
+    "hybrid_rrf_ann",
 ]
 
 
