@@ -393,13 +393,20 @@ def neardup_clusters_alternating(pairs: DataFrame, id_a: str = "doc_a",
 
 # Auto-dispatch threshold for neardup_clusters(engine="auto"):
 # below this many pairs, CC rounds are LATENCY-bound and label
-# propagation's 2-cheap-stage rounds win (measured: 11×0.6 s vs
-# 5×1.4 s on the fixture graph); above it, rounds are SHUFFLE-bound
-# and the alternating large-star/small-star shape wins because its
-# edge set SHRINKS every round instead of reshuffling in full
-# (SCALING.md "Connected-components round study"). The value is a
-# coarse order-of-magnitude switch, not a tuned constant: at 100 TB
-# the edge set is billions of rows and either side of 5e6 is obvious.
+# propagation's 2-cheap-stage rounds win; above it, rounds are
+# SHUFFLE-bound and the alternating large-star/small-star shape wins
+# because its edge set SHRINKS every round instead of reshuffling in
+# full. MEASURED (examples/cc_crossover.py, SCALING.md "CC engine
+# crossover", r9): on avg-degree-8 random graphs — the shape a
+# near-dup pair graph takes — alternating/labelprop time ratios run
+# 1.63× (10k edges), 1.92× (100k), 1.82× (500k), then CROSS to
+# 0.90× at 2M (34.2 s vs 37.9 s on local[32]); identical labels at
+# every size. 5e6 is deliberately conservative past the measured
+# ~1-2M crossover because topology matters: on a 20k-node PATH,
+# label propagation's pointer jumping wins 3.3× (9.9 s vs 32.6 s) —
+# long-diameter graphs pay alternating extra contraction rounds, so
+# the switch waits until the volume win is decisive. At 100 TB the
+# edge set is billions of rows and either side of 5e6 is obvious.
 AUTO_CC_EDGE_THRESHOLD = 5_000_000
 
 
