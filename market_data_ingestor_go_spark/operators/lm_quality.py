@@ -484,3 +484,72 @@ def ks_from_counts(counts: DataFrame) -> DataFrame:
                     (F.col("d_max").cast("string").cast("double")
                      / (F.col("na").cast("double")
                         * F.col("nb").cast("double"))).alias("ks")))
+
+
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_count: int = 5,
+                     k: int = 50) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual
+    information → (rank, prev, cur, n_pair, n_prev, n_cur, score) —
+    the standard collocation-extraction pass a corpus analysis runs
+    (Church & Hanks 1990) and the vocabulary-building signal for
+    multi-word tokenizer merges.
+
+    PMI(a,b) = log p(a,b) / (p(a)·p(b)). The log's ARGUMENT is
+    ranked directly (the repo's DSIR/BM25 device — log is monotone,
+    so ranking is unchanged and the score stays oracle-exact):
+
+        score = (c_ab · T_uni · T_uni) / (c_a · c_b · T_bi)
+
+    with c_ab adjacent-pair counts over the bigram stream, c_a/c_b
+    unigram counts, T_bi/T_uni the respective totals — exact
+    DECIMAL(38,0) integer cross-products, ONE string-routed IEEE
+    division (bit-identical cross-engine). ``min_count`` prunes
+    rare-pair noise BEFORE the ratio (the classic PMI
+    low-frequency-bias control); ranks break ties on (prev, cur).
+
+    Shapes (100 TB posture): one narrow bigram explode + one
+    partial-agg shuffle for pair counts, one token explode + shuffle
+    for unigrams; the unigram table joins the (min_count-pruned,
+    vocabulary-sized) pair table via broadcast; the global top-k is
+    a rank over the pruned pair table — corpus-sized data crosses
+    exactly two exchanges.
+    """
+    from pyspark.sql.window import Window
+
+    bg = bigram_stream(docs, text_col, id_col)
+    pair_counts = (bg.groupBy("prev", "cur")
+                   .agg(F.count("*").alias("n_pair"))
+                   .filter(F.col("n_pair") >= min_count))
+    uni = (docs.select(F.explode(_tokens(text_col)).alias("term"))
+           .groupBy("term").agg(F.count("*").alias("n_term")))
+    # both totals ride a single-row broadcast; T_bi from the UNPRUNED
+    # stream (it is the true pair mass, not the surviving subset's)
+    totals = F.broadcast(
+        bg.agg(F.count("*").alias("t_bi"))
+        .crossJoin(uni.agg(F.sum("n_term").alias("t_uni"))))
+    d38 = "decimal(38,0)"
+    ua = F.broadcast(uni.select(F.col("term").alias("prev"),
+                                F.col("n_term").alias("n_prev")))
+    ub = F.broadcast(uni.select(F.col("term").alias("cur"),
+                                F.col("n_term").alias("n_cur")))
+    num = (F.col("n_pair").cast(d38) * F.col("t_uni").cast(d38)
+           * F.col("t_uni").cast(d38))
+    den = (F.col("n_prev").cast(d38) * F.col("n_cur").cast(d38)
+           * F.col("t_bi").cast(d38))
+    score = (num.cast("string").cast("double")
+             / den.cast("string").cast("double"))
+    scored = (pair_counts.join(ua, "prev").join(ub, "cur")
+              .join(totals)
+              .select("prev", "cur", "n_pair", "n_prev", "n_cur",
+                      score.alias("score")))
+    w = Window.orderBy(F.col("score").desc(), F.col("prev"),
+                       F.col("cur"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.lit(k))
+            .select(F.col("rank").cast("bigint").alias("rank"),
+                    "prev", "cur",
+                    F.col("n_pair").cast("bigint").alias("n_pair"),
+                    F.col("n_prev").cast("bigint").alias("n_prev"),
+                    F.col("n_cur").cast("bigint").alias("n_cur"),
+                    "score"))

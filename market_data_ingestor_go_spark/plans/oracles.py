@@ -2423,3 +2423,49 @@ for _k in _R9_OUT:
 # doc_bm25_topk's — same result set, different physical path (the
 # knn_ann_pq_serve pattern, but exactly checkable).
 EXTRA_ORACLES["doc_bm25_from_index"] = ORACLES["doc_bm25_topk"]
+
+
+# PMI collocation extraction (r9): log-free surrogate — the PMI
+# log's argument ranked directly. Exact HUGEINT cross-products,
+# string-routed final division; parallel unnests zip positionally
+# (the dsir_importance_weights bigram device); HAVING applies the
+# min_count prune before any ratio.
+EXTRA_ORACLES["doc_pmi_collocations"] = """
+WITH docs2 AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE text IS NOT NULL),
+bg AS (
+  SELECT unnest(ts[1:len(ts)-1]) AS prev, unnest(ts[2:len(ts)]) AS cur
+  FROM docs2),
+pair_counts AS (
+  SELECT prev, cur, COUNT(*) AS n_pair
+  FROM bg GROUP BY prev, cur HAVING COUNT(*) >= 5),
+unic AS (
+  SELECT term, COUNT(*) AS n_term
+  FROM (SELECT unnest(ts) AS term FROM docs2) GROUP BY term),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM bg) AS t_bi,
+         (SELECT SUM(n_term) FROM unic) AS t_uni),
+scored AS (
+  SELECT p.prev, p.cur, p.n_pair,
+         ua.n_term AS n_prev, ub.n_term AS n_cur,
+         CAST(CAST(CAST(p.n_pair AS HUGEINT)
+                   * CAST(t.t_uni AS HUGEINT)
+                   * CAST(t.t_uni AS HUGEINT) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(ua.n_term AS HUGEINT)
+                     * CAST(ub.n_term AS HUGEINT)
+                     * CAST(t.t_bi AS HUGEINT) AS VARCHAR) AS DOUBLE)
+           AS score
+  FROM pair_counts p
+  JOIN unic ua ON p.prev = ua.term
+  JOIN unic ub ON p.cur = ub.term
+  CROSS JOIN tot t)
+SELECT CAST(rnk AS BIGINT) AS rank, prev, cur,
+       CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(n_prev AS BIGINT) AS n_prev,
+       CAST(n_cur AS BIGINT) AS n_cur, score
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, prev, cur)
+               AS rnk
+      FROM scored)
+WHERE rnk <= 50
+"""

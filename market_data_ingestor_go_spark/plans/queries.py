@@ -2577,6 +2577,20 @@ def _bm25_index_path(spark, sf_dir):
     return _BM25_IDX[key]
 
 
+def doc_pmi_collocations(spark, sf_dir):
+    """Top-50 adjacent-token collocations by PMI
+    (operators/lm_quality.py::pmi_collocations) — collocation
+    extraction a la Church & Hanks 1990, the vocabulary-building
+    signal for multi-word tokenizer merges. Log-free surrogate (the
+    PMI log's argument ranked directly): one string-routed IEEE
+    division of exact DECIMAL(38,0) cross-products
+    (c_ab·T_uni²)/(c_a·c_b·T_bi); min_count=5 prunes the classic
+    low-frequency bias; ranks tie-break on (prev, cur)."""
+    from ..operators.lm_quality import pmi_collocations
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=5, k=50)
+
+
 def doc_bm25_from_index(spark, sf_dir):
     """BM25 top-10 against the MATERIALIZED inverted index
     (operators/retrieval.py::bm25_index / bm25_from_index): zero
@@ -2826,6 +2840,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # assignment is engine-side, the knn_ann_* precedent); overlap
     # floor vs the exact hybrid tested in tests/test_retrieval.py
     "hybrid_rrf_ann": hybrid_rrf_ann,
+    # round-9 addition: PMI collocation extraction — oracle-backed
+    # (oracle added same commit), listed in ROTATION_CANDIDATES_R9
+    "doc_pmi_collocations": doc_pmi_collocations,
     "q4_order_priority": q4_order_priority,          # EXISTS semi ⊂ q20_part_promotion (IN semi, rotated in)
     "q7_nation_volume": q7_nation_volume,            # multi-join year agg ⊂ q9_product_profit (rotated in)
     "q14_promo_revenue_share": q14_promo_revenue_share,  # ratio-vs-total agg ⊂ q11_important_stock (rotated in)
@@ -2956,6 +2973,7 @@ ROTATED_IN_R9: list[str] = list(ROTATION_CANDIDATES_R8)
 # is fast (<1 s) — run it before every end-of-round commit.
 ROTATION_CANDIDATES_R9: list[str] = [
     "doc_bm25_from_index",        # added r9, oracle added same commit
+    "doc_pmi_collocations",       # added r9, oracle added same commit
 ]
 
 

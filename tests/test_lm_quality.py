@@ -283,3 +283,38 @@ def test_lm_score_random_corpora_match_exact_python(spark):
                        if v >= min_count}, ctx
 
     run()
+
+
+def test_pmi_collocations_hand_case(spark):
+    """PMI surrogate on a hand corpus: the always-together pair ranks
+    above a pair of frequent-but-independent tokens, scores match the
+    exact integer formula, min_count prunes, and counts are right."""
+    from fractions import Fraction
+
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        pmi_collocations)
+
+    # "new york" always adjacent (5x); "the cat" co-occurs but both
+    # tokens are frequent elsewhere; "one off" appears once (pruned
+    # at min_count=2)
+    rows = [Row(doc_id=i, text="new york " + "the cat " * 2 + "the dog")
+            for i in range(5)]
+    rows.append(Row(doc_id=9, text="one off"))
+    out = {(r["prev"], r["cur"]): r
+           for r in pmi_collocations(spark.createDataFrame(rows),
+                                     min_count=2, k=50).collect()}
+    assert ("one", "off") not in out          # pruned
+    assert ("new", "york") in out and ("the", "cat") in out
+    ny, tc = out[("new", "york")], out[("the", "cat")]
+    assert ny["rank"] < tc["rank"]            # collocation wins
+    assert (ny["n_pair"], ny["n_prev"], ny["n_cur"]) == (5, 5, 5)
+    assert (tc["n_pair"], tc["n_prev"], tc["n_cur"]) == (10, 15, 10)
+    # exact surrogate: (c_ab * T_uni^2) / (c_a * c_b * T_bi)
+    t_uni = 5 * 8 + 2                          # 42 tokens
+    t_bi = 5 * 7 + 1                           # 36 adjacent pairs
+    assert ny["score"] == float(str(5 * t_uni * t_uni)) / float(
+        str(5 * 5 * t_bi))
+    assert tc["score"] == float(str(10 * t_uni * t_uni)) / float(
+        str(15 * 10 * t_bi))
+    assert Fraction(5 * t_uni * t_uni, 5 * 5 * t_bi) > \
+        Fraction(10 * t_uni * t_uni, 15 * 10 * t_bi)
