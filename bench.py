@@ -190,6 +190,9 @@ HEADLINE = [
     "doc_bm25_from_index",
     # r9: the ANN-armed hybrid (IVF dense arm) next to its exact twin
     "hybrid_rrf_ann",
+    # r9: PMI collocation extraction (two corpus exchanges + a
+    # vocabulary-sized global top-k)
+    "doc_pmi_collocations",
 ]
 
 
