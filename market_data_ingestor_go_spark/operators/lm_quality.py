@@ -486,6 +486,17 @@ def ks_from_counts(counts: DataFrame) -> DataFrame:
                         * F.col("nb").cast("double"))).alias("ks")))
 
 
+# Decimal headroom for pmi_from_counts' cross-products: the largest
+# exact integer formed is num = c_ab·T_uni² ≤ T_uni³ (c_ab ≤ T_bi <
+# T_uni) and den = c_a·c_b·T_bi ≤ T_uni³, so DECIMAL(38,0) holds both
+# exactly while T_uni ≤ 4.6e12 ((4.6e12)³ ≈ 9.7e37 < 10³⁸) — a
+# 4.6-trillion-token corpus, ~300× the fixture's 100 TB target at
+# ~60 tokens/doc. Enforced at runtime (the EWMA runtime-bounds
+# precedent, operators/timeseries.py): past the bound, shard the
+# corpus or drop T_uni² to T_uni with a rescaled min_count.
+PMI_MAX_TOTAL_TOKENS = 4_600_000_000_000
+
+
 def pmi_collocations(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", min_count: int = 5,
                      k: int = 50) -> DataFrame:
@@ -509,25 +520,60 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     low-frequency-bias control); ranks break ties on (prev, cur).
 
     Shapes (100 TB posture): one narrow bigram explode + one
-    partial-agg shuffle for pair counts, one token explode + shuffle
-    for unigrams; the unigram table joins the (min_count-pruned,
-    vocabulary-sized) pair table via broadcast; the global top-k is
-    a rank over the pruned pair table — corpus-sized data crosses
-    exactly two exchanges.
+    partial-agg shuffle into UNPRUNED pair counts, one token explode
+    + shuffle into unigram counts — corpus-sized data crosses exactly
+    two exchanges, each aggregated ONCE (the count tables are pinned
+    in ``pmi_from_counts``; before the r10 pin Catalyst replayed the
+    explode lineage per consumer — bg twice for pair_counts/T_bi,
+    uni three times for ua/ub/T_uni). Everything downstream is
+    bigram-TYPE-sized, and the global top-k is a distributed
+    TakeOrderedAndProject (per-partition top-k, one k-row merge) —
+    never a single-partition sort of the pair table.
     """
-    from pyspark.sql.window import Window
-
     bg = bigram_stream(docs, text_col, id_col)
     pair_counts = (bg.groupBy("prev", "cur")
-                   .agg(F.count("*").alias("n_pair"))
-                   .filter(F.col("n_pair") >= min_count))
+                   .agg(F.count("*").alias("n_pair")))
     uni = (docs.select(F.explode(_tokens(text_col)).alias("term"))
            .groupBy("term").agg(F.count("*").alias("n_term")))
-    # both totals ride a single-row broadcast; T_bi from the UNPRUNED
-    # stream (it is the true pair mass, not the surviving subset's)
-    totals = F.broadcast(
-        bg.agg(F.count("*").alias("t_bi"))
-        .crossJoin(uni.agg(F.sum("n_term").alias("t_uni"))))
+    return pmi_from_counts(pair_counts, uni, min_count=min_count, k=k)
+
+
+def pmi_from_counts(pair_counts: DataFrame, uni: DataFrame,
+                    min_count: int = 5, k: int = 50) -> DataFrame:
+    """PMI readout from UNPRUNED (prev, cur, n_pair) bigram counts
+    and (term, n_term) unigram counts — the finish-from-the-sink half
+    (the ``ks_from_counts`` pattern): both count tables are plain
+    additive aggregates, so a streaming complete-mode sink feeds the
+    same readout bit-identically. Everything here is bigram-TYPE /
+    vocabulary-sized, never corpus-sized.
+
+    T_bi = Σ n_pair over the UNPRUNED counts (the true pair mass, not
+    the min_count survivors'); T_uni = Σ n_term. Decimal headroom is
+    runtime-enforced (``PMI_MAX_TOTAL_TOKENS``): the job fails loudly
+    the moment T_uni³ could overflow DECIMAL(38,0) instead of
+    silently nulling scores.
+    """
+    # Pin both count tables ONCE: each is read by multiple consumers
+    # (pair_counts → T_bi + the pruned score input; uni → T_uni + the
+    # two broadcast sides), and Catalyst replays the upstream —
+    # possibly corpus-exploding — lineage per consumer (the same
+    # no-subplan-reuse pattern pinned in ks/tv/bigram-lm, r9). Swap
+    # localCheckpoint for reliable checkpoint on a cluster.
+    pair_counts = pair_counts.localCheckpoint(eager=True)
+    uni = uni.localCheckpoint(eager=True)
+    totals = (pair_counts.agg(F.sum("n_pair").alias("t_bi"))
+              .crossJoin(uni.agg(F.sum("n_term").alias("t_uni"))))
+    # headroom guard rides the single totals row (evaluated once);
+    # folded into t_bi so column pruning can never drop it
+    guard = F.assert_true(
+        F.col("t_uni") <= F.lit(PMI_MAX_TOTAL_TOKENS),
+        F.concat(F.lit("pmi decimal headroom exceeded: t_uni="),
+                 F.col("t_uni").cast("string"),
+                 F.lit(f" > {PMI_MAX_TOTAL_TOKENS}"
+                       " (T_uni^3 would overflow DECIMAL(38,0))")))
+    totals = F.broadcast(totals.select(
+        F.when(guard.isNull(), F.col("t_bi")).alias("t_bi"), "t_uni"))
+    pruned = pair_counts.filter(F.col("n_pair") >= min_count)
     d38 = "decimal(38,0)"
     ua = F.broadcast(uni.select(F.col("term").alias("prev"),
                                 F.col("n_term").alias("n_prev")))
@@ -539,14 +585,20 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
            * F.col("t_bi").cast(d38))
     score = (num.cast("string").cast("double")
              / den.cast("string").cast("double"))
-    scored = (pair_counts.join(ua, "prev").join(ub, "cur")
+    scored = (pruned.join(ua, "prev").join(ub, "cur")
               .join(totals)
               .select("prev", "cur", "n_pair", "n_prev", "n_cur",
                       score.alias("score")))
-    w = Window.orderBy(F.col("score").desc(), F.col("prev"),
-                       F.col("cur"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= F.lit(k))
+    # Distributed global top-k: orderBy+limit lowers to
+    # TakeOrderedAndProject (per-partition top-k, ONE k-row merge) —
+    # the unpartitioned row_number window it replaces (r9) sorted the
+    # whole min_count-pruned pair table in a single task. The rank
+    # window then runs over the ≤k survivors only — free.
+    from pyspark.sql.window import Window
+    order = [F.col("score").desc(), F.col("prev"), F.col("cur")]
+    topk = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return (topk.withColumn("rank", F.row_number().over(w))
             .select(F.col("rank").cast("bigint").alias("rank"),
                     "prev", "cur",
                     F.col("n_pair").cast("bigint").alias("n_pair"),

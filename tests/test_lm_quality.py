@@ -318,3 +318,31 @@ def test_pmi_collocations_hand_case(spark):
         str(15 * 10 * t_bi))
     assert Fraction(5 * t_uni * t_uni, 5 * 5 * t_bi) > \
         Fraction(10 * t_uni * t_uni, 15 * 10 * t_bi)
+
+
+def test_pmi_decimal_headroom_guard(spark):
+    """The runtime headroom guard (PMI_MAX_TOTAL_TOKENS): a corpus
+    whose T_uni³ would overflow DECIMAL(38,0) fails LOUDLY at the
+    guard, never by silently nulling scores; just inside the bound
+    the same shape scores normally. Fed through pmi_from_counts with
+    synthetic count tables — the bound is ~4.6 trillion tokens, far
+    past anything a fixture can tokenize."""
+    import pytest
+
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        PMI_MAX_TOTAL_TOKENS, pmi_from_counts)
+
+    def run(t_uni_each):
+        pairs = spark.createDataFrame(
+            [("a", "b", 7)], "prev STRING, cur STRING, n_pair LONG")
+        uni = spark.createDataFrame(
+            [("a", t_uni_each), ("b", t_uni_each)],
+            "term STRING, n_term LONG")
+        return pmi_from_counts(pairs, uni, min_count=1, k=5).collect()
+
+    # inside the bound: scores come back, exact formula holds
+    ok = run(PMI_MAX_TOTAL_TOKENS // 2)
+    assert len(ok) == 1 and ok[0]["score"] > 0
+    # one past the bound (t_uni = bound + 2): the guard raises
+    with pytest.raises(Exception, match="headroom"):
+        run(PMI_MAX_TOTAL_TOKENS // 2 + 1)

@@ -542,6 +542,26 @@ def test_tv_drift_single_corpus_pass(spark):
     assert "Scan ExistingRDD" in plan, plan
 
 
+def test_pmi_topk_is_distributed_and_single_pass(spark):
+    """doc_pmi_collocations (r10 fix): the global top-k is a
+    distributed TakeOrderedAndProject (per-partition top-k, one k-row
+    merge) — NOT the r9 single-partition row_number Window that
+    sorted the whole min_count-pruned pair table in one task — and
+    the only Window in the plan ranks the ≤k TakeOrdered survivors
+    (it sits ABOVE the TakeOrdered in the tree). Both count tables
+    are pinned, so the final plan reads ExistingRDDs and contains
+    ZERO corpus scans (the explode lineage ran once per stream inside
+    the checkpoint builds; ~5 replays observed before the pin)."""
+    plan = _plan(ALL_QUERIES["doc_pmi_collocations"](spark, SF))
+    assert "documents.parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Window [") == 1, plan
+    # parent prints before child: the rank window consumes the
+    # TakeOrdered output, never the raw pair table
+    assert plan.index("Window [") < plan.index("TakeOrderedAndProject"), plan
+
+
 def test_bm25_from_index_serve_has_no_tokenize(spark):
     """doc_bm25_from_index: the serve plan touches ONLY the
     materialized postings table — zero Generate (no tokenize/explode
