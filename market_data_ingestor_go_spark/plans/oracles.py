@@ -2469,3 +2469,22 @@ FROM (SELECT *, row_number() OVER (ORDER BY score DESC, prev, cur)
       FROM scored)
 WHERE rnk <= 50
 """
+
+
+# ---------------------------------------------------------------------------
+# ROUND-10 WINDOW ROTATION (mechanical; mirrors plans/queries.py):
+# both ROTATION_CANDIDATES_R9 promote into the driver window's oracle
+# set; two thrice-green (r7+r8+r9) shapes demote to EXTRA (still
+# parity-swept locally every round). ORACLES must equal the declared
+# window's oracle-backed set (pinned by test_driver_window_is_at_most_50).
+# ---------------------------------------------------------------------------
+_R10_IN = [  # promoted into the driver window (all oracle-backed)
+    "doc_bm25_from_index", "doc_pmi_collocations",
+]
+_R10_OUT = [  # demoted to EXTRA (both keep an in-window twin)
+    "orders_by_year", "window_running_total",
+]
+for _k in _R10_IN:
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in _R10_OUT:
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

@@ -2693,10 +2693,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_customer_distribution": q13_customer_distribution,
     "q19_disjunctive_filter": q19_disjunctive_filter,
     "sql_api_pricing_summary": sql_api_pricing_summary,
-    "orders_by_year": orders_by_year,
     "set_ops_all_variants": set_ops_all_variants,
     "unpivot_event_matrix": unpivot_event_matrix,
-    "window_running_total": window_running_total,
     "token_frequencies": token_frequencies,
     "string_functions": string_functions,
     "agg_cube_year_status": agg_cube_year_status,
@@ -2728,6 +2726,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bm25_topk": doc_bm25_topk,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     "source_ks_drift": source_ks_drift,
+    # -- ROTATED IN (round 10): both ROTATION_CANDIDATES_R9 — the
+    #    materialized-index BM25 serve path and the (r10-fixed,
+    #    TakeOrdered top-k) PMI collocation extraction — externally
+    #    verified for the first time this round. Two thrice-green
+    #    (r7+r8+r9) shapes demoted in exchange (twin noted per entry
+    #    in EXTRA_QUERIES).
+    "doc_bm25_from_index": doc_bm25_from_index,
+    "doc_pmi_collocations": doc_pmi_collocations,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"
@@ -2832,17 +2838,16 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ROTATION_CANDIDATES_R8 query gets its first external
     # CORRECTNESS row — in-window twin noted per entry; all stay
     # parity-tested locally every round.
-    # round-9 addition: BM25 serve path against the materialized
-    # inverted index — oracle-backed (shares doc_bm25_topk's oracle;
-    # row-identity tested), listed in ROTATION_CANDIDATES_R9
-    "doc_bm25_from_index": doc_bm25_from_index,
     # round-9 addition: ANN-armed hybrid fusion — rows-only (IVF cell
     # assignment is engine-side, the knn_ann_* precedent); overlap
     # floor vs the exact hybrid tested in tests/test_retrieval.py
     "hybrid_rrf_ann": hybrid_rrf_ann,
-    # round-9 addition: PMI collocation extraction — oracle-backed
-    # (oracle added same commit), listed in ROTATION_CANDIDATES_R9
-    "doc_pmi_collocations": doc_pmi_collocations,
+    # round-10 rotation: 2 thrice-green (r7+r8+r9) shapes demoted so
+    # both ROTATION_CANDIDATES_R9 queries get their first external
+    # CORRECTNESS row — in-window twin noted per entry; both stay
+    # parity-tested locally every round.
+    "orders_by_year": orders_by_year,                # year agg ⊂ agg_cube_year_status (rollup of the same grain)
+    "window_running_total": window_running_total,    # cumulative window ⊂ events_user_growth (day-grain running totals) + events_moving_stats (rolling frames)
     "q4_order_priority": q4_order_priority,          # EXISTS semi ⊂ q20_part_promotion (IN semi, rotated in)
     "q7_nation_volume": q7_nation_volume,            # multi-join year agg ⊂ q9_product_profit (rotated in)
     "q14_promo_revenue_share": q14_promo_revenue_share,  # ratio-vs-total agg ⊂ q11_important_stock (rotated in)
@@ -2974,6 +2979,23 @@ ROTATED_IN_R9: list[str] = list(ROTATION_CANDIDATES_R8)
 ROTATION_CANDIDATES_R9: list[str] = [
     "doc_bm25_from_index",        # added r9, oracle added same commit
     "doc_pmi_collocations",       # added r9, oracle added same commit
+]
+
+# Round-10 rotation (EXECUTED this round, window literal above): both
+# ROTATION_CANDIDATES_R9 rotated INTO the driver window for their
+# first external CORRECTNESS row; two thrice-green (r7+r8+r9) shapes
+# demoted to EXTRA_QUERIES (twin per entry there). Pinned by
+# tests/test_parity.py::test_round10_rotated_operators_sit_in_declared_window.
+ROTATED_IN_R10: list[str] = list(ROTATION_CANDIDATES_R9)
+
+# Round-10 rotation candidates: oracle-backed queries that have never
+# held a green external CORRECTNESS row AND are not already in the
+# declared window collecting one. Empty at the START of round 10 (the
+# r10 rotation queued the whole backlog); every oracle-backed query
+# added during round 10 must be listed here in the SAME commit that
+# adds its oracle (the r9 policy, enforced by the never-verified scan
+# in tests/test_parity.py).
+ROTATION_CANDIDATES_R10: list[str] = [
 ]
 
 
@@ -3112,3 +3134,13 @@ ORACLE_BACKED_AT_R7_CLOSE: frozenset = frozenset({
 # enforced by tests/test_parity.py::test_rotation_candidates_are_rotatable.
 ORACLE_BACKED_AT_R8_CLOSE: frozenset = frozenset(
     ORACLE_BACKED_AT_R7_CLOSE | set(ROTATION_CANDIDATES_R8))
+
+# Frozen at the close of round 9: the round-8 set plus the two
+# round-9 additions (ROTATION_CANDIDATES_R9), which sit in the
+# round-10 window collecting their first external row. Any
+# oracle-backed query NOT in this set was added in round 10 or later
+# and must appear in ROTATION_CANDIDATES_R10 or already sit in the
+# declared window — enforced by
+# tests/test_parity.py::test_rotation_candidates_are_rotatable.
+ORACLE_BACKED_AT_R9_CLOSE: frozenset = frozenset(
+    ORACLE_BACKED_AT_R8_CLOSE | set(ROTATION_CANDIDATES_R9))
