@@ -37,6 +37,18 @@ Cross-engine determinism (the repo's oracle rules):
 - RRF is exact by construction: 1/(60 + rank) is one IEEE division of
   small integers, decimal-cast per arm and summed exactly.
 
+Decimal headroom (the PMI_MAX_TOTAL_TOKENS analysis applied here):
+the largest exact integers formed are num ≤ (2N+1)·22·tf·TOT ≤
+45·N·D·TOT and den ≤ (2N+1)·22·D·TOT ≤ 45·N·D·TOT, with D = max
+document length (tf ≤ dl ≤ D; the den's 10·tf·TOT + 3·TOT + 9·dl·N
+inner sum is ≤ 22·D·TOT since N ≤ TOT). DECIMAL(38,0) therefore
+holds both exactly while N·D·TOT ≤ 2.2e36 — e.g. a TRILLION docs
+(N = 1e12) of ≤ 1e6 tokens each (TOT ≤ 1e18) sits at 44·1e36, right
+at the edge; every realistic corpus (N ≤ 1e11, D ≤ 1e5, TOT ≤ 1e15
+≈ 100 TB of text) is ≥ 7 orders of magnitude inside it. Past the
+bound, shard the corpus per index partition (df/N/TOT are additive
+across shards only for disjoint doc sets — which sharding gives).
+
 Scale shapes (100 TB posture):
 - Query terms broadcast; postings are FILTERED to the query vocabulary
   before the tf aggregate, so only matching postings ever shuffle
@@ -189,14 +201,38 @@ def doc_postings(docs: DataFrame, text_col: str = "text",
             .agg(F.count("*").alias("tf")))
 
 
+# Term-hash partition fan-out for the materialized index. md5-based
+# (operators/training.py::hash_bucket), NOT xxhash64, so the bucket of
+# a query term is reproducible DRIVER-side in pure Python
+# (``term_bucket``) — the serve path turns its query vocabulary into a
+# partition-value IN-list before the scan, and Spark prunes the
+# non-matching partitions at planning time (zero non-matching postings
+# read; plan-pinned). 16 buckets keeps fixture partitions non-trivial;
+# a 100 TB index raises it to O(cluster parallelism).
+N_TERM_BUCKETS = 16
+
+
+def term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
+    """Pure-Python twin of ``hash_bucket(term, n_buckets)`` (md5 of
+    the UTF-8 term, first 8 hex chars mod n) — bit-identical to the
+    Spark column (equality tested over the fixture vocabulary)."""
+    import hashlib
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
 def bm25_index(docs: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id", with_df: bool = False) -> DataFrame:
+               id_col: str = "doc_id", with_df: bool = False,
+               term_buckets: int | None = None) -> DataFrame:
     """Materialize the FULL-vocabulary inverted index a deployment
     stores: (doc_id, dl, term, tf) — one corpus explode, one postings
-    shuffle. Write it partitioned/bucketed BY TERM so a serve-time
-    query-vocabulary filter becomes partition pruning (zero
-    non-matching postings read). ``bm25_from_index`` over this table
-    is row-identical to ``bm25_topk`` over the raw corpus (tested).
+    shuffle. Pass ``term_buckets`` and write the result
+    ``.partitionBy("term_bkt")`` so a serve-time query-vocabulary
+    filter becomes PARTITION PRUNING (zero non-matching postings
+    read — ``bm25_from_index`` computes the matching buckets
+    driver-side via ``term_bucket`` and prunes before the scan;
+    plan-pinned in tests/test_plans.py). ``bm25_from_index`` over
+    this table is row-identical to ``bm25_topk`` over the raw corpus
+    (tested).
 
     ``with_df=True`` additionally stores a build-time ``df`` column
     (vocabulary diagnostics, df-cap pruning decisions) at the cost of
@@ -205,33 +241,66 @@ def bm25_index(docs: DataFrame, text_col: str = "text",
     index's CURRENT contents (appended epochs would stale a stored
     df), so the default build skips the corpus-wide sort it would
     never read."""
+    from .training import hash_bucket
+
     tf = doc_postings(docs, text_col, id_col)
     if with_df:
         tf = tf.withColumn("df", F.count("*").over(
             Window.partitionBy("term")))
+    if term_buckets is not None:
+        tf = tf.withColumn("term_bkt", hash_bucket("term", term_buckets))
     return tf
 
 
 def bm25_from_index(postings: DataFrame,
                     query_terms: list[tuple[str, str]],
-                    k: int = 10) -> DataFrame:
+                    k: int = 10, stats: DataFrame | None = None) -> DataFrame:
     """Serve path: BM25 top-k against the MATERIALIZED inverted index
     (``bm25_index`` output, or ``StreamingPostingsIndex``'s epoch
     union) with zero tokenize/explode work per query — the
-    steady-state deployment cost. The corpus-GLOBAL quantities are
-    derived from the postings being served, never trusted from build
-    time: stats from one distinct over (doc_id, dl) (every doc
-    carries ≥1 posting since tokenization yields ≥1 token) and df
-    from a window over the vocab-filtered postings — so an index
-    that has grown by appended epochs serves the df/stats of its
-    CURRENT contents (a stored df column, frozen at build, is
-    ignored). Row-identical to ``bm25_topk`` (shared scoring tail and
-    query canonicalization; equality tested)."""
+    steady-state deployment cost.
+
+    APPEND-ONLY CONTRACT: the index may GROW (appended epochs of new
+    doc_ids) but never update — re-ingesting an existing doc_id with
+    changed text would leave both posting sets live, double-counting
+    that doc in df/N/TOT and scoring both versions silently.
+    Updates must dedup postings to the latest epoch per doc_id before
+    serving (``StreamingPostingsIndex`` states the same contract).
+
+    The corpus-GLOBAL quantities are derived from the postings being
+    served, never trusted from build time — so an index that has
+    grown by appended epochs serves the df/stats of its CURRENT
+    contents (a stored df column, frozen at build, is ignored):
+
+    - ``stats=None``: N/TOT from one distinct over (doc_id, dl)
+      (every doc carries ≥1 posting since tokenization yields ≥1
+      token) — correct but a FULL-INDEX pass per query batch.
+    - ``stats=<(n_docs, tot) one-row DataFrame>``: the per-epoch
+      sidecar sum a maintainer keeps (``StreamingPostingsIndex``
+      writes (epoch, n_docs, tot) as it lands postings; summing
+      sidecar rows is metadata-cost and stays stale-free because the
+      sidecar lands in the SAME epoch write). Equality across
+      appended epochs is tested.
+
+    df always comes from a window over the vocab-filtered postings
+    (query-vocabulary-sized, never a full-index pass). If the index
+    carries a ``term_bkt`` partition column (``bm25_index(...,
+    term_buckets=n)``), the query vocabulary's buckets are computed
+    driver-side and pruned BEFORE the scan — partition pruning, zero
+    non-matching postings read. Row-identical to ``bm25_topk``
+    (shared scoring tail and query canonicalization; equality
+    tested)."""
     qt, vocab = _query_tables(postings.sparkSession, query_terms)
-    stats = F.broadcast(
-        postings.select("doc_id", "dl").distinct()
-        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("tot")))
-    tf = (postings.select("doc_id", "dl", "term", "tf")
+    if stats is None:
+        stats = (postings.select("doc_id", "dl").distinct()
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum("dl").alias("tot")))
+    stats = F.broadcast(stats)
+    matched = postings
+    if "term_bkt" in postings.columns:
+        bkts = sorted({term_bucket(t) for _, t in set(query_terms)})
+        matched = postings.filter(F.col("term_bkt").isin(bkts))
+    tf = (matched.select("doc_id", "dl", "term", "tf")
           .join(vocab, "term")
           .withColumn("df", F.count("*").over(Window.partitionBy("term"))))
     return _score_and_rank(tf, stats, qt, k)

@@ -2563,16 +2563,22 @@ _BM25_IDX: dict = {}
 def _bm25_index_path(spark, sf_dir):
     """Materialize the full-vocabulary inverted index ONCE per
     (application, corpus) — same private-tempdir caching discipline
-    as the PQ index (_pq_index above)."""
+    as the PQ index (_pq_index above). Written PARTITIONED BY the
+    md5 term bucket (r10) so the serve path's driver-side vocabulary
+    filter becomes partition pruning — the deployment layout
+    bm25_index's docstring prescribes, exercised by the benched
+    fixture itself (plan-pinned:
+    tests/test_plans.py::test_bm25_from_index_prunes_term_partitions)."""
     import hashlib
     import os
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BM25_IDX:
-        from ..operators.retrieval import bm25_index
+        from ..operators.retrieval import N_TERM_BUCKETS, bm25_index
         tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
         path = os.path.join(_pq_enc_root(), tag, "bm25_postings")
-        bm25_index(_t(spark, sf_dir, "documents")) \
-            .write.mode("overwrite").parquet(path)
+        bm25_index(_t(spark, sf_dir, "documents"),
+                   term_buckets=N_TERM_BUCKETS) \
+            .write.mode("overwrite").partitionBy("term_bkt").parquet(path)
         _BM25_IDX[key] = path
     return _BM25_IDX[key]
 

@@ -220,26 +220,87 @@ class StreamingPostingsIndex(_EpochPartitionedIndex):
     rows (operators/retrieval.py::doc_postings — the same transform
     as the batch index build, so the two can never drift).
 
+    APPEND-ONLY CONTRACT (stated, not just implied): epochs may only
+    add NEW doc_ids. Re-ingesting an existing doc_id with changed
+    text appends a second posting set — both would serve, and the
+    duplicate (doc_id, dl) pair double-counts N/TOT. A source with
+    updates must dedup to the latest epoch per doc_id before this
+    maintainer (or compact with such a dedup); ``bm25_from_index``
+    documents the same contract.
+
     Only DOC-LOCAL quantities are stored; everything corpus-GLOBAL
     (df, N, total length) is derived by ``bm25_from_index`` from the
     index's CURRENT contents at serve time — which is exactly why a
     probe over the epoch union is row-identical to ``bm25_topk`` over
     everything indexed so far (tested), with no stale-df window.
     Per-batch work is the batch's explode + partial-agg only; the
-    existing index never rewrites. Epoch partitions give the same
-    idempotent-replay contract as the other maintainers."""
+    existing index never rewrites.
+
+    STATS SIDECAR (r10): each epoch write also lands ONE
+    (epoch, n_docs, tot) row in ``<table>_stats`` — same epoch
+    partitioning, same dynamic-overwrite replay idempotence, landed
+    by the same ``_index_batch`` call so it can never lag the
+    postings. ``probe`` sums the sidecar instead of running
+    ``bm25_from_index``'s full-index distinct — corpus stats at
+    METADATA cost (one row per epoch), still stale-free. Equality of
+    sidecar-summed vs index-derived stats across appended epochs is
+    tested. Epoch partitions give the same idempotent-replay contract
+    as the other maintainers."""
 
     text_col: str = "text"
     id_col: str = "doc_id"
 
+    @property
+    def stats_table(self) -> str:
+        return f"{self.table}_stats"
+
     def _transform(self, batch: DataFrame) -> DataFrame:
         from ..operators.retrieval import doc_postings
         return doc_postings(batch, self.text_col, self.id_col)
+
+    def _index_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        super()._index_batch(batch, epoch_id)
+        # one sidecar row per epoch, derived from THIS epoch's
+        # postings partition (not the raw batch) so the sidecar and
+        # the postings can never disagree on NULL-text / tokenization
+        # semantics; the epoch partition is batch-sized.
+        row = (self.spark.table(self.table)
+               .filter(F.col("epoch") == int(epoch_id))
+               .select("doc_id", "dl").distinct()
+               .agg(F.count("*").alias("n_docs"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("tot"))
+               .withColumn("epoch", F.lit(int(epoch_id))))
+        row.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if not self.spark.catalog.tableExists(self.stats_table):
+            row.write.mode("overwrite").partitionBy("epoch") \
+                .saveAsTable(self.stats_table)
+        else:
+            row.write.insertInto(self.stats_table, overwrite=True)
+
+    def compact(self) -> int:
+        n = super().compact()
+        # fold the sidecar the same way: all rows re-land under epoch
+        # -1 (the SUM — the only readout — is partition-invariant)
+        staging = f"{self.stats_table}__staging"
+        live = self.spark.table(self.stats_table)
+        (live.drop("epoch").withColumn("epoch", F.lit(-1))
+         .write.mode("overwrite").partitionBy("epoch")
+         .saveAsTable(staging))
+        (self.spark.table(staging)
+         .write.mode("overwrite").partitionBy("epoch")
+         .saveAsTable(self.stats_table))
+        self.spark.sql(f"DROP TABLE {staging}")
+        return n
 
     def _metrics_prefix(self) -> str:
         return "postings_index"
 
     def probe(self, query_terms: list, k: int = 10) -> DataFrame:
         from ..operators.retrieval import bm25_from_index
+        stats = (self.spark.table(self.stats_table)
+                 .agg(F.sum("n_docs").alias("n_docs"),
+                      F.sum("tot").alias("tot")))
         return bm25_from_index(
-            self.spark.table(self.table).drop("epoch"), query_terms, k=k)
+            self.spark.table(self.table).drop("epoch"), query_terms,
+            k=k, stats=stats)

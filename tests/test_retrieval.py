@@ -282,6 +282,81 @@ def test_bm25_from_index_row_identical_to_direct(spark):
     assert got == want
 
 
+def test_term_bucket_python_twin_matches_spark(spark):
+    """The driver-side partition-pruning hinge: the pure-Python
+    ``term_bucket`` must assign every term the SAME bucket as the
+    Spark ``hash_bucket`` column the index was partitioned with —
+    over the full fixture vocabulary plus unicode/edge strings."""
+    from market_data_ingestor_go_spark.operators.retrieval import (
+        N_TERM_BUCKETS, term_bucket)
+    from market_data_ingestor_go_spark.operators.training import (
+        hash_bucket)
+
+    docs = _spark_docs(spark)
+    vocab = [r[0] for r in docs.filter("text is not null")
+             .select(F.explode(F.split(F.trim("text"), r"\s+"))
+                     .alias("t")).distinct().collect()]
+    vocab += ["", "a", "ünïcode", "日本語", "x" * 100]
+    sp = {r["t"]: r["b"] for r in
+          spark.createDataFrame([(v,) for v in vocab], "t STRING")
+          .withColumn("b", hash_bucket("t", N_TERM_BUCKETS)).collect()}
+    assert sp == {v: term_bucket(v) for v in vocab}
+
+
+def test_bm25_from_bucketed_index_row_identical(spark):
+    """A term-bucket-PARTITIONED index (bm25_index(term_buckets=n) +
+    partitionBy write) serves rows bit-identical to the direct path:
+    the driver-side bucket prune is a strict superset of the vocab
+    join, and stats still aggregate over ALL partitions."""
+    import os
+    import tempfile
+
+    from market_data_ingestor_go_spark.operators.retrieval import (
+        N_TERM_BUCKETS, bm25_from_index, bm25_index)
+
+    docs = _spark_docs(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "postings_bkt")
+        bm25_index(docs, term_buckets=N_TERM_BUCKETS) \
+            .write.partitionBy("term_bkt").parquet(path)
+        got = sorted(map(tuple, bm25_from_index(
+            spark.read.parquet(path), FIXTURE_QUERIES, k=10).collect()))
+    want = sorted(map(tuple, bm25_topk(
+        docs, FIXTURE_QUERIES, k=10).collect()))
+    assert got == want
+
+
+def test_bm25_from_index_sidecar_stats_equal_derived(spark):
+    """The stats-sidecar serve contract: passing a precomputed
+    (n_docs, tot) one-row stats DataFrame returns rows bit-identical
+    to deriving stats from the full index — and a WRONG sidecar
+    changes scores (the test would catch a silently ignored param)."""
+    import os
+    import tempfile
+
+    from market_data_ingestor_go_spark.operators.retrieval import (
+        bm25_from_index, bm25_index)
+
+    docs = _spark_docs(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "postings_sc")
+        bm25_index(docs).write.parquet(path)
+        postings = spark.read.parquet(path)
+        stats = (postings.select("doc_id", "dl").distinct()
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum("dl").alias("tot")))
+        derived = sorted(map(tuple, bm25_from_index(
+            postings, FIXTURE_QUERIES, k=10).collect()))
+        sidecar = sorted(map(tuple, bm25_from_index(
+            postings, FIXTURE_QUERIES, k=10, stats=stats).collect()))
+        assert sidecar == derived
+        wrong = stats.select((F.col("n_docs") * 100).alias("n_docs"),
+                             (F.col("tot") * 100).alias("tot"))
+        perturbed = sorted(map(tuple, bm25_from_index(
+            postings, FIXTURE_QUERIES, k=10, stats=wrong).collect()))
+        assert perturbed != derived
+
+
 def test_hybrid_rrf_ann_overlap_vs_exact(spark):
     """The ANN-armed hybrid (IVF dense arm, probe 2/16 cells) against
     the exact hybrid: fused-top-10 overlap per fixture query. The

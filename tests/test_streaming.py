@@ -2059,10 +2059,21 @@ def test_streaming_postings_index_maintenance(spark, tmp_path):
         q.stop()
         assert ix.epochs == 2
 
-        # replaying an epoch rewrites only its own partition
+        # replaying an epoch rewrites only its own partition — for
+        # the postings AND the stats sidecar (same epoch discipline)
         before = spark.table("s_postings_idx").count()
+        stats_before = spark.table("s_postings_idx_stats") \
+            .agg(F.sum("n_docs"), F.sum("tot")).collect()[0]
         ix._index_batch(part2, epoch_id=1)
         assert spark.table("s_postings_idx").count() == before
+        assert spark.table("s_postings_idx_stats") \
+            .agg(F.sum("n_docs"), F.sum("tot")).collect()[0] == stats_before
+
+        # sidecar sums == stats derived from the full index (r10:
+        # probe serves corpus stats at metadata cost, still stale-free)
+        derived = spark.table("s_postings_idx").select("doc_id", "dl") \
+            .distinct().agg(F.count("*"), F.sum("dl")).collect()[0]
+        assert tuple(stats_before) == tuple(derived)
 
         got = sorted(map(tuple,
                          ix.probe(FIXTURE_QUERIES, k=10).collect()))
@@ -2070,11 +2081,23 @@ def test_streaming_postings_index_maintenance(spark, tmp_path):
             docs, FIXTURE_QUERIES, k=10).collect()))
         assert got == want
 
-        # compaction folds epochs without changing contents
+        # the sidecar-served probe plan reads the postings table for
+        # MATCHING terms only — no full-index (doc_id, dl) distinct
+        # (exactly one scan of the postings table)
+        plan = ix.probe(FIXTURE_QUERIES, k=10) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(".s_postings_idx[") == 1, plan
+        assert ".s_postings_idx_stats[" in plan, plan
+
+        # compaction folds epochs (and the sidecar) without changing
+        # contents
         assert ix.compact() == before
         assert sorted(map(tuple,
                           ix.probe(FIXTURE_QUERIES, k=10).collect())) \
             == got
+        assert spark.table("s_postings_idx_stats") \
+            .agg(F.sum("n_docs"), F.sum("tot")).collect()[0] == stats_before
     finally:
         ix.stop()
         spark.sql("DROP TABLE IF EXISTS s_postings_idx")
+        spark.sql("DROP TABLE IF EXISTS s_postings_idx_stats")
