@@ -206,41 +206,89 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Four runs per query, back-to-back: run 1 (cold) pays one-time
-    # whole-stage-codegen compilation (seconds for the 128-column LSH
-    # aggregates) and page-cache warming — real, but amortized to zero
-    # on any long-lived cluster; runs 2-4 are steady-state samples.
-    # Back-to-back (not full passes) so the steady number measures THIS
-    # query's plan, not cross-query JIT/GC interference. min + median +
-    # stdev of the steady runs separate plan regressions from host
-    # timing noise (round-2 lesson: 2 runs + min cannot tell them
-    # apart; host variance is ±20% run-to-run). release_pinned()
-    # between runs drops operator-internal persists: no cross-run data
-    # reuse, only warm JIT/page cache.
+    # Four runs per query: one cold pass (pays one-time whole-stage-
+    # codegen compilation — seconds for the 128-column LSH aggregates —
+    # and page-cache warming; amortized to zero on any long-lived
+    # cluster), then THREE steady passes INTERLEAVED ROUND-ROBIN
+    # across the whole query set (r10, supersedes the r2-r9
+    # back-to-back design): three consecutive rounds of verdicts spent
+    # attribution work on 12-37% cross-round swings in the CPU-bound
+    # dedup family that code-identical A/Bs kept proving were host
+    # noise — back-to-back samples of one query all land in the same
+    # ~10 s load pocket, so a transient spike poisons all three. With
+    # round-robin passes, each query's 3 samples are spread across the
+    # full ~x-minute window and the per-query min sees the same load
+    # profile every other query saw. min + median + stdev still
+    # separate plan regressions from timing noise; release_pinned()
+    # between runs drops operator-internal persists (no cross-run data
+    # reuse, only warm JIT/page cache). os.getloadavg() is recorded
+    # per run and >30% per-query deltas vs the previous round's
+    # artifact are auto-flagged WITH that load context (below), so
+    # cross-round drift triage starts from data, not forensics.
     import statistics
 
     STEADY_RUNS = 3
     cold: dict[str, float] = {}
-    steady: dict[str, float] = {}
-    steady_median: dict[str, float] = {}
-    steady_stdev: dict[str, float] = {}
-    for name in HEADLINE:
+    cold_load: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    run_loads: dict[str, list[float]] = {name: [] for name in HEADLINE}
+
+    def timed(name: str) -> float:
         t0 = time.perf_counter()
         materialize(ALL_QUERIES[name](spark, sf_dir))
-        cold[name] = round(time.perf_counter() - t0, 3)
+        dt = time.perf_counter() - t0
         release_pinned()
-        samples = []
-        for _ in range(STEADY_RUNS):
-            t0 = time.perf_counter()
-            materialize(ALL_QUERIES[name](spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-            release_pinned()
-        steady[name] = round(min(samples), 3)
-        steady_median[name] = round(statistics.median(samples), 3)
-        steady_stdev[name] = round(statistics.stdev(samples), 3)
+        return dt
+
+    for name in HEADLINE:  # cold pass
+        cold_load[name] = round(os.getloadavg()[0], 2)
+        cold[name] = round(timed(name), 3)
+    for _ in range(STEADY_RUNS):  # interleaved steady passes
+        for name in HEADLINE:
+            run_loads[name].append(round(os.getloadavg()[0], 2))
+            samples[name].append(timed(name))
+
+    steady = {n: round(min(s), 3) for n, s in samples.items()}
+    steady_median = {n: round(statistics.median(s), 3)
+                     for n, s in samples.items()}
+    steady_stdev = {n: round(statistics.stdev(s), 3)
+                    for n, s in samples.items()}
+
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # auto-flag >30% per-query drift vs the previous round's artifact,
+    # carrying the load context of THIS round's runs (sub-0.1 s
+    # queries skipped — absolute noise dominates them)
+    flags: list[dict] = []
+    prev_round, prev_queries = None, {}
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if arts:
+        try:
+            prev = json.load(open(arts[-1]))
+            prev_round = prev.get("n")
+            # only comparable at the same scale factor
+            if prev.get("sf") == sf_val:
+                prev_queries = (prev.get("parsed") or {}).get(
+                    "queries", {})
+        except Exception:
+            pass
+    for name, now in steady.items():
+        old = prev_queries.get(name)
+        if old is None or old < 0.1:
+            continue
+        delta = (now - old) / old
+        if abs(delta) > 0.30:
+            flags.append({
+                "query": name, "prev": old, "now": now,
+                "delta_pct": round(100 * delta, 1),
+                "prev_round": prev_round,
+                "samples": [round(s, 3) for s in samples[name]],
+                "loadavg_per_run": run_loads[name],
+            })
+    flags.sort(key=lambda f: -abs(f["delta_pct"]))
 
     total = round(sum(steady.values()), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -251,8 +299,12 @@ def main() -> None:
         "median_total_sec": round(sum(steady_median.values()), 3),
         "cold_total_sec": round(sum(cold.values()), 3),
         "runs_per_query": 1 + STEADY_RUNS,
-        "aggregation": "min of 3 steady back-to-back runs after 1 cold run"
-                       " (median/stdev reported; cache cleared between runs)",
+        "aggregation": "min of 3 ROUND-ROBIN-interleaved steady passes "
+                       "after 1 cold pass (median/stdev reported; cache "
+                       "cleared between runs; 1-min loadavg per run)",
+        "loadavg_cold": cold_load,
+        "loadavg_steady": run_loads,
+        "flags_vs_prev_round": flags,
         "sf": sf_val,
     }
     # Full detail: penultimate stdout line + sidecar file next to this
@@ -275,6 +327,7 @@ def main() -> None:
         "median_total_sec": detail["median_total_sec"],
         "n_queries": len(steady),
         "queries_omitted": 0,
+        "n_flags_vs_prev": len(flags),
         "sf": sf_val,
     }
     MAX_LINE = 1900  # driver tail window is 2000 chars

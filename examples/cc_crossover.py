@@ -96,6 +96,18 @@ def run_case(spark, tag: str, edges):
 
 
 def main():
+    # validate the invocation BEFORE paying for a SparkSession
+    usage = ("usage: cc_crossover.py [N_EDGES ...] "
+             "| cc_crossover.py chain N_NODES")
+    args = sys.argv[1:]
+    if args[:1] == ["chain"] and (len(args) != 2
+                                  or not args[1].isdigit()):
+        print(usage, file=sys.stderr)
+        sys.exit(2)
+    if args[:1] != ["chain"] and not all(a.isdigit() for a in args):
+        print(usage, file=sys.stderr)
+        sys.exit(2)
+
     spark = (SparkSession.builder.master("local[32]")
              .appName("cc_crossover")
              .config("spark.sql.shuffle.partitions", "32")
@@ -104,7 +116,6 @@ def main():
     pin_session_confs(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
-    args = sys.argv[1:]
     # warm-up both engines (JIT/codegen)
     e0 = synth_edges(spark, 10_000).localCheckpoint(eager=True)
     mat(neardup_clusters(e0, engine="labelprop"))
