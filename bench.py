@@ -193,6 +193,11 @@ HEADLINE = [
     # r9: PMI collocation extraction (two corpus exchanges + a
     # vocabulary-sized global top-k)
     "doc_pmi_collocations",
+    # r10: doc-level 3-gram novelty vs the held-out reference split
+    # (one corpus exchange + broadcast membership probe) and the
+    # alpha=1/2 temperature mixing weights (one corpus aggregate)
+    "doc_ngram_novelty",
+    "source_mix_weights",
 ]
 
 

@@ -486,6 +486,52 @@ def ks_from_counts(counts: DataFrame) -> DataFrame:
                         * F.col("nb").cast("double"))).alias("ks")))
 
 
+def ngram_novelty(train: DataFrame, ref: DataFrame, n: int = 3,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus →
+    (doc_id, n_shingles, n_seen, novelty) — the doc-level
+    decontamination/freshness signal next to the pair-level
+    contamination check: novelty = fraction of a doc's DISTINCT word
+    n-grams absent from the reference's n-gram set (novelty ≈ 0 ⇒
+    the doc is assembled from reference phrases — an eval-set leak or
+    boilerplate; ≈ 1 ⇒ genuinely new text). The mirror image of Lee
+    et al. 2022-style overlap scoring, kept exact: integer shingle
+    counts, ONE IEEE division (bit-identical cross-engine).
+
+    Docs with < n tokens yield no shingles and are excluded (no
+    denominator exists); NULL-text docs likewise.
+
+    Shapes (100 TB posture): the train corpus crosses ONE exchange
+    (the per-doc distinct-shingle aggregate); the reference n-gram
+    set is an eval/held-out corpus — bounded by definition — so its
+    distinct set BROADCASTS and the membership probe is a map-side
+    hash lookup, never a corpus shuffle. For a reference too big to
+    broadcast, swap the broadcast for a Bloom-filter prefilter +
+    equi-join (the bloom_semi_join_agg pattern) — same semantics.
+    """
+    from ..functions.text import shingles
+
+    sh = shingles(text_col, n)
+    t = (train.filter(F.col(text_col).isNotNull())
+         .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("sh")))
+    seen = F.broadcast(
+        ref.filter(F.col(text_col).isNotNull())
+        .select(F.explode(sh).alias("sh")).distinct()
+        .withColumn("hit", F.lit(1)))
+    return (t.join(seen, "sh", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count("hit").alias("n_seen"))
+            .select("doc_id",
+                    F.col("n_shingles").cast("bigint").alias("n_shingles"),
+                    F.col("n_seen").cast("bigint").alias("n_seen"),
+                    ((F.col("n_shingles") - F.col("n_seen"))
+                     .cast("double")
+                     / F.col("n_shingles").cast("double"))
+                    .alias("novelty")))
+
+
 # Decimal headroom for pmi_from_counts' cross-products: the largest
 # exact integer formed is num = c_ab·T_uni² ≤ T_uni³ (c_ab ≤ T_bi <
 # T_uni) and den = c_a·c_b·T_bi ≤ T_uni³, so DECIMAL(38,0) holds both

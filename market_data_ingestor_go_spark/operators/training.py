@@ -101,6 +101,57 @@ def corpus_mix_weights(df: DataFrame, group_col: str = "lang",
         ((F.lit(1.0) / n_groups) / share).alias("mix_weight"))
 
 
+def source_temperature_weights(df: DataFrame, group_col: str = "source",
+                               text_col: str = "text") -> DataFrame:
+    """α = ½ temperature-scaled sampling weights per group — the
+    multilingual/multi-source pretraining recipe (sample group g
+    proportional to n_g^α with α < 1, upweighting small groups
+    relative to proportional sampling without the uniform mix's
+    extreme repetition of tiny ones) → (group, n_docs, n_tokens,
+    token_share, temp_rel_weight, upsample_boost).
+
+    α is FIXED at ½ because ½ is the one exponent that stays
+    bit-exact cross-engine: n^½ is ``sqrt``, correctly rounded by
+    IEEE 754 (unlike ``pow(x, 0.3)``, whose last ULP differs across
+    libm builds — the same reason the repo's scores are log-free).
+    Normalization is by the LARGEST group, not the sum: a sum of k
+    sqrt-doubles is fold-order-dependent (DuckDB window sums tree-
+    fold, Spark folds left — the EWMA lesson), while
+
+        temp_rel_weight = sqrt(n_g) / sqrt(n_max)
+        token_share     = n_g / n_tot
+        upsample_boost  = temp_rel_weight / (n_g / n_max)
+                        (the factor vs proportional sampling; > 1 for
+                         every non-largest group, sqrt(n_max/n_g) up
+                         to rounding)
+
+    are each a fixed tree of correctly-rounded IEEE ops over EXACT
+    integer aggregates — bit-identical in Spark and DuckDB. Exact
+    while n_tokens < 2^53 (≈ 9e15; a 100 TB corpus is ~1e14 tokens).
+    Relative weights feed samplers unchanged (only ratios matter).
+
+    One corpus aggregate; everything after is |groups| rows through
+    an unpartitioned window (driver-sized, the corpus_mix_weights
+    shape). NULL-text docs are excluded (no token count exists).
+    """
+    per_group = (df.filter(F.col(text_col).isNotNull())
+                 .groupBy(group_col)
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum(token_count(text_col)).alias("n_tokens")))
+    w = Window.partitionBy()  # |groups| rows — a driver-size aggregate
+    tot = F.sum("n_tokens").over(w)        # BIGINT-exact
+    mx = F.max("n_tokens").over(w)         # BIGINT-exact
+    d = lambda c: c.cast("double")         # noqa: E731
+    temp = F.sqrt(d(F.col("n_tokens"))) / F.sqrt(d(mx))
+    return per_group.select(
+        group_col,
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (d(F.col("n_tokens")) / d(tot)).alias("token_share"),
+        temp.alias("temp_rel_weight"),
+        (temp / (d(F.col("n_tokens")) / d(mx))).alias("upsample_boost"))
+
+
 def weighted_resample(df: DataFrame, weights: dict[str, float],
                       group_col: str = "lang", id_col: str = "doc_id",
                       seed: str = "resample:v1") -> DataFrame:

@@ -2471,6 +2471,61 @@ WHERE rnk <= 50
 """
 
 
+# Per-doc 3-gram novelty vs the held-out reference split (r10): the
+# doc-level decontamination/freshness score. Distinct shingles via
+# positional token indexing (range is end-exclusive: i in
+# [1, len-2] for 3-grams, empty for short docs — matching Spark's
+# shingles() CASE guard); integer counts, one IEEE division.
+EXTRA_ORACLES["doc_ngram_novelty"] = """
+WITH tr AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE text IS NOT NULL AND doc_id % 20 != 0),
+tsh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+  FROM tr, unnest(range(1, len(ts) - 1)) AS t(i)),
+ref AS (
+  SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS ts
+        FROM documents WHERE text IS NOT NULL AND doc_id % 20 = 0),
+       unnest(range(1, len(ts) - 1)) AS t(i))
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(r.sh) AS BIGINT) AS n_seen,
+       CAST(COUNT(*) - COUNT(r.sh) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM tsh t LEFT JOIN ref r ON t.sh = r.sh
+GROUP BY t.doc_id
+"""
+
+
+# α=½ temperature-scaled source mixing weights (r10): sqrt is
+# IEEE-correctly-rounded (the one bit-exact sub-linear exponent);
+# normalization by the LARGEST group's integer count (max, never a
+# fold-order-dependent float sum); window SUM routes HUGEINT→BIGINT
+# before the double cast (int128→double is not correctly rounded).
+EXTRA_ORACLES["source_mix_weights"] = """
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL GROUP BY source)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE)
+         / CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) AS DOUBLE)
+         AS token_share,
+       sqrt(CAST(n_tokens AS DOUBLE))
+         / sqrt(CAST(MAX(n_tokens) OVER () AS DOUBLE))
+         AS temp_rel_weight,
+       (sqrt(CAST(n_tokens AS DOUBLE))
+          / sqrt(CAST(MAX(n_tokens) OVER () AS DOUBLE)))
+         / (CAST(n_tokens AS DOUBLE)
+              / CAST(MAX(n_tokens) OVER () AS DOUBLE))
+         AS upsample_boost
+FROM per
+"""
+
+
 # ---------------------------------------------------------------------------
 # ROUND-10 WINDOW ROTATION (mechanical; mirrors plans/queries.py):
 # both ROTATION_CANDIDATES_R9 promote into the driver window's oracle

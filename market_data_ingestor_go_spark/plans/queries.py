@@ -2609,6 +2609,36 @@ def doc_bm25_from_index(spark, sf_dir):
     return bm25_from_index(postings, FIXTURE_QUERIES, k=10)
 
 
+def doc_ngram_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty of the training split against the
+    held-out reference split (doc_id % 20 == 0 — the
+    contamination_check convention;
+    operators/lm_quality.py::ngram_novelty): fraction of each train
+    doc's DISTINCT word 3-grams absent from the reference's 3-gram
+    set — the doc-level decontamination/freshness score next to the
+    pair-level contamination check. Integer shingle counts, one IEEE
+    division ⇒ bit-exact; reference set broadcasts (eval corpora are
+    bounded by definition)."""
+    from ..operators.lm_quality import ngram_novelty
+    d = _t(spark, sf_dir, "documents")
+    return ngram_novelty(d.filter(F.col("doc_id") % 20 != 0),
+                         d.filter(F.col("doc_id") % 20 == 0), n=3)
+
+
+def source_mix_weights(spark, sf_dir):
+    """α=½ temperature-scaled sampling weights per source
+    (operators/training.py::source_temperature_weights) — the
+    multilingual/multi-source pretraining mix next to corpus_mix's
+    uniform-target weights. sqrt is the one sub-linear exponent that
+    is IEEE-correctly-rounded, and normalization is by the largest
+    group (max, not a fold-order-dependent float sum) ⇒ every output
+    double is a fixed tree of correctly-rounded ops over exact BIGINT
+    aggregates — bit-exact cross-engine."""
+    from ..operators.training import source_temperature_weights
+    return source_temperature_weights(
+        _t(spark, sf_dir, "documents"), group_col="source")
+
+
 def hybrid_rrf_ann(spark, sf_dir):
     """The DEPLOYMENT-scale twin of hybrid_rrf_retrieval: the dense
     arm runs IVF-cell ANN (probe 2 of 16 cells) instead of exact
@@ -2848,6 +2878,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # assignment is engine-side, the knn_ann_* precedent); overlap
     # floor vs the exact hybrid tested in tests/test_retrieval.py
     "hybrid_rrf_ann": hybrid_rrf_ann,
+    # round-10 additions — oracle-backed (oracles added same commit),
+    # listed in ROTATION_CANDIDATES_R10 per the r9 policy
+    "doc_ngram_novelty": doc_ngram_novelty,
+    "source_mix_weights": source_mix_weights,
     # round-10 rotation: 2 thrice-green (r7+r8+r9) shapes demoted so
     # both ROTATION_CANDIDATES_R9 queries get their first external
     # CORRECTNESS row — in-window twin noted per entry; both stay
@@ -3002,6 +3036,8 @@ ROTATED_IN_R10: list[str] = list(ROTATION_CANDIDATES_R9)
 # adds its oracle (the r9 policy, enforced by the never-verified scan
 # in tests/test_parity.py).
 ROTATION_CANDIDATES_R10: list[str] = [
+    "doc_ngram_novelty",          # added r10, oracle added same commit
+    "source_mix_weights",         # added r10, oracle added same commit
 ]
 
 

@@ -320,6 +320,37 @@ def test_pmi_collocations_hand_case(spark):
         Fraction(10 * t_uni * t_uni, 15 * 10 * t_bi)
 
 
+def test_ngram_novelty_hand_case(spark):
+    """3-gram novelty on a hand corpus: exact seen/unseen counts, a
+    fully-novel doc scores 1.0, a doc built from reference phrases
+    scores low, short (<n tokens) and NULL-text docs are excluded."""
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        ngram_novelty)
+
+    ref = spark.createDataFrame(
+        [Row(doc_id=100, text="a b c d"),
+         Row(doc_id=101, text=None)])
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e"),   # {abc,bcd,cde}: 2 seen
+         Row(doc_id=2, text="x y z"),       # {xyz}: fully novel
+         Row(doc_id=3, text="a b"),         # <3 tokens: no shingles
+         Row(doc_id=4, text=None)])         # NULL: excluded
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(train, ref, n=3).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["n_shingles"], out[1]["n_seen"]) == (3, 2)
+    assert out[1]["novelty"] == 1.0 / 3.0
+    assert (out[2]["n_shingles"], out[2]["n_seen"]) == (1, 0)
+    assert out[2]["novelty"] == 1.0
+    # repeated shingles within a doc count ONCE (distinct semantics):
+    # 9 tokens -> 7 positional 3-grams but only {abc, bca, cab}
+    # distinct, of which "a b c" appears in the reference
+    rep = spark.createDataFrame([Row(doc_id=5, text="a b c a b c a b c")])
+    r5 = ngram_novelty(rep, ref, n=3).collect()[0]
+    assert (r5["n_shingles"], r5["n_seen"]) == (3, 1)
+    assert r5["novelty"] == 2.0 / 3.0
+
+
 def test_pmi_decimal_headroom_guard(spark):
     """The runtime headroom guard (PMI_MAX_TOTAL_TOKENS): a corpus
     whose T_uni³ would overflow DECIMAL(38,0) fails LOUDLY at the

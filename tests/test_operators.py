@@ -730,6 +730,31 @@ def test_kmeans_codebook_ivf(spark):
     assert recall >= 0.61, f"trained-codebook IVF recall too low: {recall}"
 
 
+def test_source_temperature_weights_hand_case(spark):
+    """α=½ temperature weights on a hand corpus with exact sqrt
+    values: the largest source anchors at rel-weight 1.0 and boost
+    1.0; a 4x-smaller source gets rel-weight 0.5 (sqrt(1/4)) and
+    boost 2.0 (sqrt upweights small groups); token_share is the exact
+    proportional ratio; NULL-text docs are excluded."""
+    from market_data_ingestor_go_spark.operators.training import (
+        source_temperature_weights)
+
+    rows = ([Row(doc_id=i, source="big", text="t " * 3 + "t")
+             for i in range(4)]            # 4 docs x 4 tokens = 16
+            + [Row(doc_id=9, source="small", text="a b c d")]  # 4
+            + [Row(doc_id=10, source="small", text=None)])     # excluded
+    out = {r["source"]: r for r in source_temperature_weights(
+        spark.createDataFrame(rows), group_col="source").collect()}
+    big, small = out["big"], out["small"]
+    assert (big["n_docs"], big["n_tokens"]) == (4, 16)
+    assert (small["n_docs"], small["n_tokens"]) == (1, 4)
+    assert big["token_share"] == 16.0 / 20.0
+    assert small["token_share"] == 4.0 / 20.0
+    assert big["temp_rel_weight"] == 1.0 and big["upsample_boost"] == 1.0
+    assert small["temp_rel_weight"] == 0.5      # sqrt(4)/sqrt(16)
+    assert small["upsample_boost"] == 2.0       # 0.5 / (4/16)
+
+
 def test_weighted_resample_invariants(spark):
     """Seeded stratified resampling: deterministic, subset of input,
     per-group keep rates within tolerance of the weights, and a
