@@ -198,6 +198,9 @@ HEADLINE = [
     # alpha=1/2 temperature mixing weights (one corpus aggregate)
     "doc_ngram_novelty",
     "source_mix_weights",
+    # r10: Heaps'-law vocab growth (one token pass serves all 10
+    # nested-subsample steps)
+    "corpus_vocab_growth",
 ]
 
 

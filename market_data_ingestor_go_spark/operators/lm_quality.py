@@ -532,6 +532,61 @@ def ngram_novelty(train: DataFrame, ref: DataFrame, n: int = 3,
                     .alias("novelty")))
 
 
+def vocab_growth_curve(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       steps: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary growth over NESTED deterministic
+    subsamples → (sample_pct, n_docs, n_tokens, n_vocab, ttr) — the
+    corpus-analysis curve that says whether a corpus keeps yielding
+    new vocabulary as it grows (tokenizer sizing, dedup saturation,
+    diminishing-returns checks before buying more data).
+
+    A literal prefix curve (vocab after the first k documents) needs
+    a GLOBAL document rank — a one-task sort at corpus scale. The
+    scale-correct estimator subsamples instead: bucket every doc by
+    the md5 coin (``hash_bucket``, the repo's engine-exact split
+    device), and step k reads the nested uniform sample
+    {docs: bucket < k}, k = 1..steps. Each step is a k/steps uniform
+    sample, the samples nest (the curve is monotone by construction),
+    and everything is exact integers:
+
+        n_vocab(k) = |{terms whose MINIMUM bucket < k}|
+
+    so ONE corpus token pass (term → min-bucket aggregate) serves all
+    steps; docs/tokens come from one doc-level pass; the step grid is
+    ``steps`` rows broadcast against the vocabulary-sized min-bucket
+    table. ``ttr`` (type-token ratio, the raw Heaps signal) is one
+    IEEE division of exact integers — bit-identical cross-engine.
+    NULL-text docs are excluded throughout.
+    """
+    from .training import hash_bucket
+
+    base = (docs.filter(F.col(text_col).isNotNull())
+            .select(hash_bucket(id_col, steps).alias("b"),
+                    _tokens(text_col).alias("ts")))
+    per_bucket = (base.groupBy("b")
+                  .agg(F.count("*").alias("docs"),
+                       F.sum(F.size("ts")).alias("toks")))
+    term_fb = (base.select("b", F.explode("ts").alias("term"))
+               .groupBy("term").agg(F.min("b").alias("fb")))
+    grid = F.broadcast(
+        docs.sparkSession.range(1, steps + 1)
+        .select(F.col("id").cast("int").alias("k")))
+    sizes = (per_bucket.join(grid, F.col("b") < F.col("k"))
+             .groupBy("k").agg(F.sum("docs").alias("n_docs"),
+                               F.sum("toks").alias("n_tokens")))
+    vocab = (term_fb.join(grid, F.col("fb") < F.col("k"))
+             .groupBy("k").agg(F.count("*").alias("n_vocab")))
+    return (sizes.join(vocab, "k")
+            .select((F.col("k").cast("bigint") * (100 // steps))
+                    .alias("sample_pct"),
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.col("n_vocab").cast("bigint").alias("n_vocab"),
+                    (F.col("n_vocab").cast("double")
+                     / F.col("n_tokens").cast("double")).alias("ttr")))
+
+
 # Decimal headroom for pmi_from_counts' cross-products: the largest
 # exact integer formed is num = c_ab·T_uni² ≤ T_uni³ (c_ab ≤ T_bi <
 # T_uni) and den = c_a·c_b·T_bi ≤ T_uni³, so DECIMAL(38,0) holds both

@@ -2498,6 +2498,35 @@ GROUP BY t.doc_id
 """
 
 
+# Heaps'-law vocabulary growth over nested md5-bucket subsamples
+# (r10): n_vocab(k) = |terms with min bucket < k| — one token pass
+# serves every step; exact integers, one IEEE division for ttr.
+EXTRA_ORACLES["corpus_vocab_growth"] = """
+WITH base AS (
+  SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % 10 AS b,
+         regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE text IS NOT NULL),
+per_bucket AS (
+  SELECT b, COUNT(*) AS docs, SUM(len(ts)) AS toks
+  FROM base GROUP BY b),
+term_fb AS (
+  SELECT term, MIN(b) AS fb
+  FROM (SELECT b, unnest(ts) AS term FROM base) GROUP BY term),
+grid AS (SELECT CAST(k AS INT) AS k FROM range(1, 11) t(k)),
+sizes AS (
+  SELECT k, CAST(SUM(docs) AS BIGINT) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens
+  FROM per_bucket JOIN grid ON b < k GROUP BY k),
+vocab AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vocab
+  FROM term_fb JOIN grid ON fb < k GROUP BY k)
+SELECT CAST(k * 10 AS BIGINT) AS sample_pct, n_docs, n_tokens, n_vocab,
+       CAST(n_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+FROM sizes JOIN vocab USING (k)
+"""
+
+
 # α=½ temperature-scaled source mixing weights (r10): sqrt is
 # IEEE-correctly-rounded (the one bit-exact sub-linear exponent);
 # normalization by the LARGEST group's integer count (max, never a

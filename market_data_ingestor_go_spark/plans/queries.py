@@ -2625,6 +2625,19 @@ def doc_ngram_novelty(spark, sf_dir):
                          d.filter(F.col("doc_id") % 20 == 0), n=3)
 
 
+def corpus_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve over nested md5-bucket
+    subsamples (operators/lm_quality.py::vocab_growth_curve):
+    (sample_pct, n_docs, n_tokens, n_vocab, ttr) at 10%..100% — does
+    the corpus keep yielding new vocabulary as it grows? A literal
+    prefix curve needs a global doc rank (one-task sort at scale);
+    the nested-uniform-subsample estimator serves every step from ONE
+    term→min-bucket aggregate. Exact integers, one IEEE division for
+    ttr ⇒ bit-exact."""
+    from ..operators.lm_quality import vocab_growth_curve
+    return vocab_growth_curve(_t(spark, sf_dir, "documents"), steps=10)
+
+
 def source_mix_weights(spark, sf_dir):
     """α=½ temperature-scaled sampling weights per source
     (operators/training.py::source_temperature_weights) — the
@@ -2882,6 +2895,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # listed in ROTATION_CANDIDATES_R10 per the r9 policy
     "doc_ngram_novelty": doc_ngram_novelty,
     "source_mix_weights": source_mix_weights,
+    "corpus_vocab_growth": corpus_vocab_growth,
     # round-10 rotation: 2 thrice-green (r7+r8+r9) shapes demoted so
     # both ROTATION_CANDIDATES_R9 queries get their first external
     # CORRECTNESS row — in-window twin noted per entry; both stay
@@ -3038,6 +3052,7 @@ ROTATED_IN_R10: list[str] = list(ROTATION_CANDIDATES_R9)
 ROTATION_CANDIDATES_R10: list[str] = [
     "doc_ngram_novelty",          # added r10, oracle added same commit
     "source_mix_weights",         # added r10, oracle added same commit
+    "corpus_vocab_growth",        # added r10, oracle added same commit
 ]
 
 

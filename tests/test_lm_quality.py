@@ -351,6 +351,49 @@ def test_ngram_novelty_hand_case(spark):
     assert r5["novelty"] == 2.0 / 3.0
 
 
+def test_vocab_growth_curve_matches_python_twin(spark):
+    """Heaps'-law curve vs an exact Python twin of the md5-bucket
+    nested-subsample estimator on the fixture corpus — every row
+    (counts AND the ttr double) bit-identical — plus the structural
+    property the nesting guarantees: all columns monotone
+    nondecreasing in sample_pct."""
+    import hashlib
+    import re as _re
+
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        vocab_growth_curve)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = sorted(map(tuple, vocab_growth_curve(docs, steps=10).collect()))
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10
+
+    rows = [(r["doc_id"], r["text"]) for r in
+            docs.select("doc_id", "text").collect()
+            if r["text"] is not None]
+    per_b_docs, per_b_toks, term_fb = {}, {}, {}
+    for i, t in rows:
+        b = bucket(i)
+        ws = _re.split(r"\s+", t.strip()) or [""]
+        per_b_docs[b] = per_b_docs.get(b, 0) + 1
+        per_b_toks[b] = per_b_toks.get(b, 0) + len(ws)
+        for w in ws:
+            term_fb[w] = min(term_fb.get(w, 10), b)
+    want = []
+    for k in range(1, 11):
+        nd = sum(v for b, v in per_b_docs.items() if b < k)
+        nt = sum(v for b, v in per_b_toks.items() if b < k)
+        nv = sum(1 for fb in term_fb.values() if fb < k)
+        if nd:
+            want.append((k * 10, nd, nt, nv, float(nv) / float(nt)))
+    assert got == sorted(want)
+    by_pct = sorted(got)
+    for a, b in zip(by_pct, by_pct[1:]):
+        assert a[1] <= b[1] and a[2] <= b[2] and a[3] <= b[3]
+
+
 def test_pmi_decimal_headroom_guard(spark):
     """The runtime headroom guard (PMI_MAX_TOTAL_TOKENS): a corpus
     whose T_uni³ would overflow DECIMAL(38,0) fails LOUDLY at the
