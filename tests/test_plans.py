@@ -562,6 +562,41 @@ def test_pmi_topk_is_distributed_and_single_pass(spark):
     assert plan.index("Window [") < plan.index("TakeOrderedAndProject"), plan
 
 
+def test_ngram_novelty_reference_broadcasts(spark):
+    """doc_ngram_novelty: the reference n-gram set must BROADCAST
+    (membership is a map-side probe — the train corpus never shuffles
+    to be checked); exactly two pruned documents scans (train + ref
+    shingle explodes), nothing sort-merge joins."""
+    plan = _plan(ALL_QUERIES["doc_ngram_novelty"](spark, SF))
+    assert len(re.findall(r"documents\.parquet", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
+
+
+def test_vocab_growth_two_scans_grid_broadcast(spark):
+    """corpus_vocab_growth: one doc-level pass + one token pass (two
+    pruned documents scans — every one of the 10 steps is served from
+    the same term→min-bucket aggregate, never a per-step corpus
+    scan); the step grid joins by broadcast (nested-loop on the
+    inequality is fine — 10 rows); nothing sort-merge joins."""
+    plan = _plan(ALL_QUERIES["corpus_vocab_growth"](spark, SF))
+    assert len(re.findall(r"documents\.parquet", plan)) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
+
+
+def test_source_mix_weights_single_pass(spark):
+    """source_mix_weights: ONE pruned documents scan feeding one
+    aggregate exchange; the normalization window runs over the
+    |groups|-row aggregate (partition-less is correct there — it is
+    driver-sized by construction, the corpus_mix_weights shape)."""
+    plan = _plan(ALL_QUERIES["source_mix_weights"](spark, SF))
+    assert len(re.findall(r"documents\.parquet", plan)) == 1, plan
+    assert _scan_columns(plan, "documents") == {"source", "text"}, plan
+
+
 def test_bm25_from_index_serve_has_no_tokenize(spark):
     """doc_bm25_from_index: the serve plan touches ONLY the
     materialized postings table — zero Generate (no tokenize/explode
