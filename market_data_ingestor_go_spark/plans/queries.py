@@ -1276,17 +1276,25 @@ def lineitem_price_qty_corr(spark, sf_dir):
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape (top supplier by quarterly revenue) without the
     view: revenue per supplier over a 3-month shipdate window, keep
-    the max-revenue supplier(s) via a window max over the one-row-per-
-    supplier aggregate — no re-aggregation, decimal-exact ties."""
+    the max-revenue supplier(s) — decimal-exact ties, no
+    re-aggregation of lineitem.
+
+    r10 (the PMI-audit class): the max used to be a PARTITION-LESS
+    window over the per-supplier aggregate — a one-task sort of a
+    supplier-count-sized table (10⁸ rows at 100 TB). Now it is a
+    partial-combining one-row aggregate BROADCAST back onto the
+    supplier table; the supplier aggregate is pinned once so its two
+    consumers (the max and the filter) never replay the lineitem
+    scan."""
     li = (_t(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= "1996-01-01")
                   & (F.col("l_shipdate") < "1996-04-01")))
     rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                      "total_revenue")))
-    mx = Window.partitionBy()
-    top = rev.withColumn("__mx", F.max("total_revenue").over(mx)) \
-        .filter(F.col("total_revenue") == F.col("__mx")).drop("__mx")
+                      "total_revenue"))
+           .localCheckpoint(eager=True))
+    mx = F.broadcast(rev.agg(F.max("total_revenue").alias("__mx")))
+    top = rev.join(mx, rev["total_revenue"] == mx["__mx"]).drop("__mx")
     s = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("supplier_no"), "s_name")
     return top.join(F.broadcast(s), "supplier_no") \

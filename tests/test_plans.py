@@ -562,6 +562,20 @@ def test_pmi_topk_is_distributed_and_single_pass(spark):
     assert plan.index("Window [") < plan.index("TakeOrderedAndProject"), plan
 
 
+def test_q15_max_is_broadcast_not_global_window(spark):
+    """q15_top_supplier (r10 PMI-audit class): the global revenue max
+    must be a partial-combining one-row aggregate broadcast back onto
+    the supplier table — never a partition-less Window that sorts the
+    supplier-count-sized aggregate in one task. The supplier
+    aggregate is pinned, so the final plan replays zero lineitem
+    scans."""
+    plan = _plan(ALL_QUERIES["q15_top_supplier"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "lineitem.parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_ngram_novelty_reference_broadcasts(spark):
     """doc_ngram_novelty: the reference n-gram set must BROADCAST
     (membership is a map-side probe — the train corpus never shuffles
