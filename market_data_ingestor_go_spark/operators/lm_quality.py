@@ -486,6 +486,45 @@ def ks_from_counts(counts: DataFrame) -> DataFrame:
                         * F.col("nb").cast("double"))).alias("ks")))
 
 
+def reference_shingles(ref: DataFrame, n: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """(sh) — the DISTINCT word n-gram set of a reference corpus, the
+    static artifact the novelty score probes. Split out so the batch
+    operator and the streaming gate share one construction (eval
+    corpora are bounded by definition, so this set broadcasts /
+    persists as a model side)."""
+    from ..functions.text import shingles
+    return (ref.filter(F.col(text_col).isNotNull())
+            .select(F.explode(shingles(text_col, n)).alias("sh"))
+            .distinct())
+
+
+def novelty_against(docs: DataFrame, ref_sh: DataFrame, n: int = 3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Score ``docs`` against a prebuilt ``reference_shingles`` set —
+    the scoring half of ``ngram_novelty`` (module contract there);
+    reused verbatim by the streaming gate so a streamed doc's score
+    is bit-identical to the batch operator's."""
+    from ..functions.text import shingles
+
+    t = (docs.filter(F.col(text_col).isNotNull())
+         .select(F.col(id_col).alias("doc_id"),
+                 F.explode(shingles(text_col, n)).alias("sh")))
+    seen = F.broadcast(ref_sh.withColumn("hit", F.lit(1)))
+    return (t.join(seen, "sh", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count("hit").alias("n_seen"))
+            .select("doc_id",
+                    F.col("n_shingles").cast("bigint").alias("n_shingles"),
+                    F.col("n_seen").cast("bigint").alias("n_seen"),
+                    ((F.col("n_shingles") - F.col("n_seen"))
+                     .cast("double")
+                     / F.col("n_shingles").cast("double"))
+                    .alias("novelty")))
+
+
 def ngram_novelty(train: DataFrame, ref: DataFrame, n: int = 3,
                   text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
@@ -510,26 +549,8 @@ def ngram_novelty(train: DataFrame, ref: DataFrame, n: int = 3,
     broadcast, swap the broadcast for a Bloom-filter prefilter +
     equi-join (the bloom_semi_join_agg pattern) — same semantics.
     """
-    from ..functions.text import shingles
-
-    sh = shingles(text_col, n)
-    t = (train.filter(F.col(text_col).isNotNull())
-         .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("sh")))
-    seen = F.broadcast(
-        ref.filter(F.col(text_col).isNotNull())
-        .select(F.explode(sh).alias("sh")).distinct()
-        .withColumn("hit", F.lit(1)))
-    return (t.join(seen, "sh", "left")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_shingles"),
-                 F.count("hit").alias("n_seen"))
-            .select("doc_id",
-                    F.col("n_shingles").cast("bigint").alias("n_shingles"),
-                    F.col("n_seen").cast("bigint").alias("n_seen"),
-                    ((F.col("n_shingles") - F.col("n_seen"))
-                     .cast("double")
-                     / F.col("n_shingles").cast("double"))
-                    .alias("novelty")))
+    return novelty_against(train, reference_shingles(ref, n, text_col),
+                           n, text_col, id_col)
 
 
 def vocab_growth_curve(docs: DataFrame, text_col: str = "text",

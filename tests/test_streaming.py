@@ -1736,6 +1736,83 @@ def test_streaming_lm_quality_gate(spark, tmp_path):
     gate.stop()
 
 
+def test_streaming_novelty_gate(spark, tmp_path):
+    """n-gram novelty gate e2e (r10): documents stream in two
+    micro-batches and every audit row is BIT-identical to the batch
+    ngram_novelty operator against the same reference split; a doc
+    copied verbatim from the reference flags at novelty 0, a <n-token
+    doc flags unscorable (null novelty) instead of being dropped, and
+    epoch replay overwrites into identical rows (static reference,
+    deterministic score)."""
+    import json as _json
+    import time as _time
+
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        ngram_novelty)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.novelty_gate import (
+        NoveltyGate)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ref = docs.filter("doc_id % 20 = 0")
+    train = [(r["doc_id"], r["text"]) for r in
+             docs.filter("doc_id % 20 != 0")
+             .select("doc_id", "text").limit(6).collect()]
+    leak_text = ref.select("text").first()["text"]   # verbatim copy
+    extra = [(100001, leak_text), (100002, "x y")]   # leak, 2-token
+    batches = [train[:3], train[3:] + extra]
+
+    src = str(tmp_path / "nsrc")
+    os.makedirs(src)
+    for i, batch in enumerate(batches):
+        fp = os.path.join(src, f"b{i}.json")
+        with open(fp, "w") as fh:
+            for did, text in batch:
+                fh.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        _time.sleep(0.01)
+        os.utime(fp, (1700000000 + i, 1700000000 + i))
+
+    gate = NoveltyGate(reference=ref,
+                       audit_path=str(tmp_path / "naudit"),
+                       lo_novelty=0.5)
+    stream = (spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = gate.attach(stream, str(tmp_path / "nckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["doc_id"]: r for r in gate.scores().collect()}
+    assert len(got) == 8
+
+    # bit-agreement with the batch operator on the same docs
+    all_docs = spark.createDataFrame(
+        [(d, t) for d, t in train + extra], "doc_id BIGINT, text STRING")
+    batch = {r["doc_id"]: r for r in
+             ngram_novelty(all_docs, ref).collect()}
+    for did, r in batch.items():
+        for c in ("n_shingles", "n_seen", "novelty"):
+            assert got[did][c] == r[c], (did, c)
+
+    # flags: the verbatim reference copy scores novelty 0 and flags;
+    # the 2-token doc is unscorable (null novelty) and flags
+    assert got[100001]["novelty"] == 0.0 and got[100001]["flagged"]
+    assert got[100002]["novelty"] is None and got[100002]["flagged"]
+    m = gate.metrics()
+    assert m["novelty_gate_docs_scored"] == 8
+    assert m["novelty_gate_docs_flagged"] >= 2
+
+    # replay idempotence
+    before = sorted(map(tuple, gate.scores().collect()))
+    b1 = spark.createDataFrame(
+        [(d, t) for d, t in batches[1]], "doc_id BIGINT, text STRING")
+    gate._gate_batch(b1, 1)
+    after = sorted(map(tuple, gate.scores().collect()))
+    assert before == after
+    gate.stop()
+
+
 def test_streaming_semdedup_gate(spark, tmp_path):
     """Semantic dedup gate e2e: (1) within-batch duplicate rejected;
     (2) an epoch-1 vector near-duplicating an accepted epoch-0
