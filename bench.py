@@ -201,6 +201,8 @@ HEADLINE = [
     # r10: Heaps'-law vocab growth (one token pass serves all 10
     # nested-subsample steps)
     "corpus_vocab_growth",
+    # r10: between-crawls snapshot diff (one full-outer doc_id join)
+    "corpus_snapshot_diff",
 ]
 
 

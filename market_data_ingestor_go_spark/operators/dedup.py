@@ -763,3 +763,48 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     return (inter.join(sizes, "a_id")
             .select("a_id", "b_id", cont.alias("containment"))
             .filter(F.col("containment") >= F.lit(threshold)))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  group_col: str = "source") -> DataFrame:
+    """Corpus SNAPSHOT DIFF → (source, status, n_docs, token_delta) —
+    the between-crawls accounting pass an incremental training-data
+    pipeline runs before reprocessing: which documents were ADDED,
+    REMOVED, CHANGED (same id, different content fingerprint), or
+    UNCHANGED per source, and how the token budget moved. Content
+    identity is the repo's normalized md5 fingerprint
+    (functions/text.py::fingerprint — case/whitespace variants do not
+    read as changes); token_delta = Σ (new_tokens − old_tokens) with
+    a missing side contributing 0, so the deltas SUM to the corpus
+    token movement exactly (BIGINT arithmetic, no floats anywhere).
+    NULL-text docs are excluded on both sides (no fingerprint/token
+    count exists for them).
+
+    Shapes (100 TB posture): one narrow projection per snapshot
+    (doc_id, group, fingerprint, token count — no text past the
+    scan), ONE full-outer equi-join co-partitioned on doc_id (the
+    only corpus exchange; at scale both snapshots bucket by doc_id at
+    write time and this join is shuffle-free), then a group-count-
+    sized aggregate."""
+    from ..functions.text import token_count
+
+    def prep(df, tag):
+        return (df.filter(F.col(text_col).isNotNull())
+                .select(F.col(id_col).alias("doc_id"),
+                        F.col(group_col).alias(f"grp_{tag}"),
+                        fingerprint(text_col).alias(f"fp_{tag}"),
+                        token_count(text_col).alias(f"ntok_{tag}")))
+
+    j = prep(old, "o").join(prep(new, "n"), "doc_id", "full_outer")
+    status = (F.when(F.col("fp_o").isNull(), F.lit("added"))
+              .when(F.col("fp_n").isNull(), F.lit("removed"))
+              .when(F.col("fp_o") != F.col("fp_n"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    delta = (F.coalesce(F.col("ntok_n"), F.lit(0))
+             - F.coalesce(F.col("ntok_o"), F.lit(0)))
+    return (j.select(F.coalesce("grp_n", "grp_o").alias("source"),
+                     status.alias("status"), delta.alias("d"))
+            .groupBy("source", "status")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("d").cast("bigint").alias("token_delta")))

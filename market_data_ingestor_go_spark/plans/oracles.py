@@ -2498,6 +2498,43 @@ GROUP BY t.doc_id
 """
 
 
+# Between-crawls corpus snapshot diff (r10): one FULL OUTER join on
+# doc_id, normalized-md5 content identity, BIGINT token deltas. The
+# "new crawl" is the same deterministic perturbation the Spark query
+# builds (%17 removed, %13 edited, %23 re-landed under new ids).
+EXTRA_ORACLES["corpus_snapshot_diff"] = """
+WITH oldc AS (SELECT doc_id, source, text FROM documents),
+newc AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 1 THEN text || ' updated'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 17 != 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text || ' fresh' AS text
+  FROM documents WHERE doc_id % 23 = 2),
+po AS (
+  SELECT doc_id, source AS grp_o,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_o,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS ntok_o
+  FROM oldc WHERE text IS NOT NULL),
+pn AS (
+  SELECT doc_id, source AS grp_n,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_n,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS ntok_n
+  FROM newc WHERE text IS NOT NULL)
+SELECT COALESCE(grp_n, grp_o) AS source,
+       CASE WHEN fp_o IS NULL THEN 'added'
+            WHEN fp_n IS NULL THEN 'removed'
+            WHEN fp_o != fp_n THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(ntok_n, 0) - COALESCE(ntok_o, 0)) AS BIGINT)
+         AS token_delta
+FROM po FULL OUTER JOIN pn USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 # Heaps'-law vocabulary growth over nested md5-bucket subsamples
 # (r10): n_vocab(k) = |terms with min bucket < k| — one token pass
 # serves every step; exact integers, one IEEE division for ttr.

@@ -2633,6 +2633,28 @@ def doc_ngram_novelty(spark, sf_dir):
                          d.filter(F.col("doc_id") % 20 == 0), n=3)
 
 
+def corpus_snapshot_diff(spark, sf_dir):
+    """Between-crawls corpus diff (operators/dedup.py::snapshot_diff):
+    per-source added/removed/changed/unchanged doc counts + exact
+    token deltas between the fixture corpus and a deterministically
+    perturbed next crawl (docs %17==3 removed, %13==1 edited,
+    %23==2 re-landed under new ids) — the accounting pass an
+    incremental pipeline runs before reprocessing. One full-outer
+    doc_id join; BIGINT arithmetic throughout ⇒ bit-exact."""
+    from ..operators.dedup import snapshot_diff
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept = d.filter(F.col("doc_id") % 17 != 3)
+    changed = kept.withColumn(
+        "text", F.when(F.col("doc_id") % 13 == 1,
+                       F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text")))
+    added = (d.filter(F.col("doc_id") % 23 == 2)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     "source",
+                     F.concat(F.col("text"), F.lit(" fresh")).alias("text")))
+    return snapshot_diff(d, changed.unionByName(added))
+
+
 def corpus_vocab_growth(spark, sf_dir):
     """Heaps'-law vocabulary growth curve over nested md5-bucket
     subsamples (operators/lm_quality.py::vocab_growth_curve):
@@ -2904,6 +2926,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ngram_novelty": doc_ngram_novelty,
     "source_mix_weights": source_mix_weights,
     "corpus_vocab_growth": corpus_vocab_growth,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
     # round-10 rotation: 2 thrice-green (r7+r8+r9) shapes demoted so
     # both ROTATION_CANDIDATES_R9 queries get their first external
     # CORRECTNESS row — in-window twin noted per entry; both stay
@@ -3061,6 +3084,7 @@ ROTATION_CANDIDATES_R10: list[str] = [
     "doc_ngram_novelty",          # added r10, oracle added same commit
     "source_mix_weights",         # added r10, oracle added same commit
     "corpus_vocab_growth",        # added r10, oracle added same commit
+    "corpus_snapshot_diff",       # added r10, oracle added same commit
 ]
 
 

@@ -730,7 +730,30 @@ def test_kmeans_codebook_ivf(spark):
     assert recall >= 0.61, f"trained-codebook IVF recall too low: {recall}"
 
 
-def test_source_temperature_weights_hand_case(spark):
+def test_snapshot_diff_hand_case(spark):
+    """Corpus snapshot diff on a hand pair: statuses and exact token
+    deltas per class; whitespace/case-only edits are NOT changes
+    (normalized fingerprint identity); NULL-text docs are excluded on
+    both sides."""
+    from market_data_ingestor_go_spark.operators.dedup import (
+        snapshot_diff)
+
+    old = spark.createDataFrame(
+        [Row(doc_id=1, source="s", text="hello world foo"),
+         Row(doc_id=2, source="s", text="the same text"),
+         Row(doc_id=3, source="s", text="gone now"),
+         Row(doc_id=4, source="s", text=None)])
+    new = spark.createDataFrame(
+        [Row(doc_id=1, source="s", text="hello brave new world"),
+         Row(doc_id=2, source="s", text="THE   SAME text"),
+         Row(doc_id=5, source="s", text="brand new doc here"),
+         Row(doc_id=6, source="s", text=None)])
+    got = {r["status"]: (r["n_docs"], r["token_delta"])
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {"added": (1, 4),       # 4 new tokens
+                   "removed": (1, -2),    # "gone now"
+                   "changed": (1, 1),     # 3 -> 4 tokens
+                   "unchanged": (1, 0)}   # case/ws-only edit
     """α=½ temperature weights on a hand corpus with exact sqrt
     values: the largest source anchors at rel-weight 1.0 and boost
     1.0; a 4x-smaller source gets rel-weight 0.5 (sqrt(1/4)) and
