@@ -43,6 +43,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_snapshot_diff_bucketed_join_no_shuffle(spark, tmp_path):
+    """snapshot_diff's docstring claim as a plan artifact: with both
+    corpus snapshots bucketed by doc_id at write time, the full-outer
+    diff join plans with NO shuffle Exchange — the pay-the-shuffle-
+    once shape an incremental pipeline relies on between crawls."""
+    from pyspark.sql import functions as F
+
+    from market_data_ingestor_go_spark.operators.dedup import snapshot_diff
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text")
+    new = docs.filter("doc_id % 17 != 3")
+    write_bucketed(docs, "b_snap_old", "doc_id", 8)
+    write_bucketed(new, "b_snap_new", "doc_id", 8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = snapshot_diff(spark.table("b_snap_old"),
+                            spark.table("b_snap_new"))
+        plan = _plan(out)
+        # the only exchange is the final group-count-sized aggregate's
+        # — nothing corpus-sized shuffles for the join itself
+        join_part = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in join_part, plan
+        # and it still computes the right thing
+        got = {r["status"]: r["n_docs"] for r in out.collect()}
+        want = {r["status"]: r["n_docs"]
+                for r in snapshot_diff(docs, new).collect()}
+        assert got == want and "removed" in got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_snap_old")
+        spark.sql("DROP TABLE IF EXISTS b_snap_new")
+
+
 def test_bootstrap_tables_idempotent(spark):
     # K3 (postgres.go:46-97): create-if-absent, safe to call twice
     from market_data_ingestor_go_spark.sources.tables import bootstrap_tables
