@@ -203,6 +203,9 @@ HEADLINE = [
     "corpus_vocab_growth",
     # r10: between-crawls snapshot diff (one full-outer doc_id join)
     "corpus_snapshot_diff",
+    # r10: embedding-space drift (one dim-exploded aggregate +
+    # |groups|-sized centroid pair join)
+    "source_embedding_drift",
 ]
 
 

@@ -1489,3 +1489,59 @@ def jl_project(df: DataFrame, in_dim: int, out_dim: int = 16,
     return df.select(F.col(id_col),
                      *[F.col(c) for c in (keep_cols or [])],
                      jl.alias("jl_vec"))
+
+
+def centroid_table(vectors: DataFrame, group_col: str = "label",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(grp, n_vecs, centroid ARRAY<DOUBLE>) — the per-group mean
+    embedding, EXACT cross-engine: per-dimension sums run through
+    DECIMAL(27,6)-cast terms (the DSIR decimal-sum device — a float
+    sum would be fold-order-dependent), then ONE string-routed IEEE
+    division per dimension. The dim-exploded aggregate is the only
+    corpus exchange (partial map-side combine on (grp, pos)); the
+    result is |groups|·dims rows folded to |groups| arrays
+    (array_sort on the unique pos key ⇒ deterministic element
+    order)."""
+    dims = (vectors.select(F.col(group_col).alias("grp"),
+                           F.posexplode(as_double(vec_col))
+                           .alias("pos", "v")))
+    sums = (dims.groupBy("grp", "pos")
+            .agg(F.sum(F.col("v").cast("decimal(27,6)")).alias("s"),
+                 F.count("*").alias("n")))
+    c = (F.col("s").cast("string").cast("double")
+         / F.col("n").cast("double"))
+    return (sums.select("grp", "pos", c.alias("c"), "n")
+            .groupBy("grp")
+            .agg(F.max("n").cast("bigint").alias("n_vecs"),
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                     lambda s: s["c"]).alias("centroid")))
+
+
+def embedding_centroid_drift(vectors: DataFrame,
+                             group_col: str = "label",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Pairwise centroid cosine between embedding groups →
+    (group_a, group_b, n_a, n_b, centroid_cos) — the EMBEDDING-space
+    drift monitor next to the token-space TV/KS monitors: when a new
+    source/snapshot/model-version lands, a centroid that swings away
+    from its peers (low cosine) flags a representation shift long
+    before token statistics move. Exact-decimal centroids
+    (``centroid_table``), then the repo's deterministic left-fold
+    cosine between bit-identical doubles ⇒ bit-exact cross-engine.
+
+    Shapes (100 TB posture): one dim-exploded corpus aggregate; the
+    pinned centroid table is |groups| rows, so the pair join is
+    model-sized (never the corpus)."""
+    cents = centroid_table(vectors, group_col, vec_col) \
+        .localCheckpoint(eager=True)  # |groups| rows, consumed twice
+    a = cents.select(F.col("grp").alias("group_a"),
+                     F.col("n_vecs").alias("n_a"),
+                     F.col("centroid").alias("ca"))
+    b = cents.select(F.col("grp").alias("group_b"),
+                     F.col("n_vecs").alias("n_b"),
+                     F.col("centroid").alias("cb"))
+    return (a.join(b, F.col("group_a") < F.col("group_b"))
+            .select("group_a", "group_b", "n_a", "n_b",
+                    cosine(F.col("ca"), F.col("cb"))
+                    .alias("centroid_cos")))

@@ -2498,6 +2498,35 @@ GROUP BY t.doc_id
 """
 
 
+# Embedding-space drift monitor (r10): exact-decimal per-dimension
+# centroid means (the DSIR decimal-sum device; one string-routed
+# division per dim), then the deterministic left-fold cosine
+# (list_inner_product ≡ Spark's aggregate/zip_with fold — proven
+# bit-identical) between |groups|-sized centroid arrays. Parallel
+# positional unnest (1-based here, 0-based in Spark — pos is only an
+# ordering key and never projected).
+EXTRA_ORACLES["source_embedding_drift"] = """
+WITH dims AS (
+  SELECT label AS grp, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+sums AS (
+  SELECT grp, i, SUM(CAST(v AS DECIMAL(27,6))) AS s, COUNT(*) AS n
+  FROM dims GROUP BY grp, i),
+cents AS (
+  SELECT grp, CAST(MAX(n) AS BIGINT) AS n_vecs,
+         list(CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+              ORDER BY i) AS centroid
+  FROM sums GROUP BY grp)
+SELECT a.grp AS group_a, b.grp AS group_b,
+       a.n_vecs AS n_a, b.n_vecs AS n_b,
+       list_inner_product(a.centroid, b.centroid)
+         / sqrt(list_inner_product(a.centroid, a.centroid)
+                * list_inner_product(b.centroid, b.centroid))
+         AS centroid_cos
+FROM cents a JOIN cents b ON a.grp < b.grp
+"""
+
+
 # Between-crawls corpus snapshot diff (r10): one FULL OUTER join on
 # doc_id, normalized-md5 content identity, BIGINT token deltas. The
 # "new crawl" is the same deterministic perturbation the Spark query

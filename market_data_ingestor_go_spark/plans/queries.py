@@ -2633,6 +2633,19 @@ def doc_ngram_novelty(spark, sf_dir):
                          d.filter(F.col("doc_id") % 20 == 0), n=3)
 
 
+def source_embedding_drift(spark, sf_dir):
+    """Embedding-space drift monitor
+    (operators/similarity.py::embedding_centroid_drift): pairwise
+    centroid cosine between the embedding table's label groups — the
+    representation-shift signal next to the token-space TV/KS
+    monitors. Exact-decimal per-dim centroid sums (the DSIR device),
+    one string-routed division per dim, deterministic left-fold
+    cosine ⇒ bit-exact."""
+    from ..operators.similarity import embedding_centroid_drift
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(e, group_col="label")
+
+
 def corpus_snapshot_diff(spark, sf_dir):
     """Between-crawls corpus diff (operators/dedup.py::snapshot_diff):
     per-source added/removed/changed/unchanged doc counts + exact
@@ -2927,6 +2940,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mix_weights": source_mix_weights,
     "corpus_vocab_growth": corpus_vocab_growth,
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "source_embedding_drift": source_embedding_drift,
     # round-10 rotation: 2 thrice-green (r7+r8+r9) shapes demoted so
     # both ROTATION_CANDIDATES_R9 queries get their first external
     # CORRECTNESS row — in-window twin noted per entry; both stay
@@ -3085,6 +3099,7 @@ ROTATION_CANDIDATES_R10: list[str] = [
     "source_mix_weights",         # added r10, oracle added same commit
     "corpus_vocab_growth",        # added r10, oracle added same commit
     "corpus_snapshot_diff",       # added r10, oracle added same commit
+    "source_embedding_drift",     # added r10, oracle added same commit
 ]
 
 

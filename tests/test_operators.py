@@ -2245,6 +2245,43 @@ def test_semdedup_rule_and_coverage(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
+def test_embedding_centroid_drift_hand_case(spark):
+    """Exact-decimal centroids and fold-cosine on a hand case: known
+    mean vectors, the exact IEEE cosine value (same association as
+    the operator: dot / sqrt(dot·dot)), identical groups at cosine
+    1.0, and the decimal-sum path immune to row order (reversed input
+    gives bit-identical centroids)."""
+    import math
+
+    from market_data_ingestor_go_spark.operators.similarity import (
+        centroid_table, embedding_centroid_drift)
+
+    rows = [Row(vec_id=0, label=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, label=0, embedding=[0.0, 1.0]),
+            Row(vec_id=2, label=1, embedding=[1.0, 0.0]),
+            Row(vec_id=3, label=2, embedding=[0.5, 0.5])]
+    df = spark.createDataFrame(rows)
+    cents = {r["grp"]: (r["n_vecs"], r["centroid"])
+             for r in centroid_table(df).collect()}
+    assert cents[0] == (2, [0.5, 0.5])
+    assert cents[1] == (1, [1.0, 0.0])
+    assert cents[2] == (1, [0.5, 0.5])
+
+    out = {(r["group_a"], r["group_b"]): r
+           for r in embedding_centroid_drift(df).collect()}
+    want01 = 0.5 / math.sqrt(0.5 * 1.0)       # dot/sqrt(na*nb), exact
+    assert out[(0, 1)]["centroid_cos"] == want01
+    assert out[(0, 2)]["centroid_cos"] == 1.0  # identical centroids
+    assert (out[(0, 1)]["n_a"], out[(0, 1)]["n_b"]) == (2, 1)
+
+    # row-order independence: the decimal sums make the centroid a
+    # function of the multiset, not the fold order
+    rev = spark.createDataFrame(list(reversed(rows))).repartition(3)
+    cents2 = {r["grp"]: (r["n_vecs"], r["centroid"])
+              for r in centroid_table(rev).collect()}
+    assert cents2 == cents
+
+
 def test_jl_projection_properties(spark):
     """Achlioptas JL transform (similarity.py::jl_project): (1) the
     distortion distribution matches the lemma on the fixture —
