@@ -1491,23 +1491,32 @@ def jl_project(df: DataFrame, in_dim: int, out_dim: int = 16,
                      jl.alias("jl_vec"))
 
 
-def centroid_table(vectors: DataFrame, group_col: str = "label",
-                   vec_col: str = "embedding") -> DataFrame:
-    """(grp, n_vecs, centroid ARRAY<DOUBLE>) — the per-group mean
-    embedding, EXACT cross-engine: per-dimension sums run through
-    DECIMAL(27,6)-cast terms (the DSIR decimal-sum device — a float
-    sum would be fold-order-dependent), then ONE string-routed IEEE
-    division per dimension. The dim-exploded aggregate is the only
-    corpus exchange (partial map-side combine on (grp, pos)); the
-    result is |groups|·dims rows folded to |groups| arrays
-    (array_sort on the unique pos key ⇒ deterministic element
-    order)."""
+def dim_sums(vectors: DataFrame, group_col: str = "label",
+             vec_col: str = "embedding") -> DataFrame:
+    """(grp, pos, s DECIMAL, n) — per-group per-dimension EXACT
+    decimal sums of the embedding column, the additive half of the
+    centroid/drift monitor: DECIMAL(27,6)-cast terms (the DSIR
+    decimal-sum device — a float sum would be fold-order-dependent)
+    make the aggregate order-independent AND mergeable, so the SAME
+    transform runs as a streaming aggregation with bounded state
+    (|groups|·dims rows; streaming/sketches.py::
+    streaming_centroid_sums) bit-identical to the batch sums. The
+    dim-exploded aggregate is the only corpus exchange (partial
+    map-side combine on (grp, pos))."""
     dims = (vectors.select(F.col(group_col).alias("grp"),
                            F.posexplode(as_double(vec_col))
                            .alias("pos", "v")))
-    sums = (dims.groupBy("grp", "pos")
+    return (dims.groupBy("grp", "pos")
             .agg(F.sum(F.col("v").cast("decimal(27,6)")).alias("s"),
                  F.count("*").alias("n")))
+
+
+def centroids_from_sums(sums: DataFrame) -> DataFrame:
+    """(grp, n_vecs, centroid ARRAY<DOUBLE>) readout from a
+    ``dim_sums`` table — ONE string-routed IEEE division per
+    dimension, |groups|·dims rows folded to |groups| arrays
+    (array_sort on the unique pos key ⇒ deterministic element
+    order). Everything here is model-sized."""
     c = (F.col("s").cast("string").cast("double")
          / F.col("n").cast("double"))
     return (sums.select("grp", "pos", c.alias("c"), "n")
@@ -1516,6 +1525,34 @@ def centroid_table(vectors: DataFrame, group_col: str = "label",
                  F.transform(
                      F.array_sort(F.collect_list(F.struct("pos", "c"))),
                      lambda s: s["c"]).alias("centroid")))
+
+
+def centroid_table(vectors: DataFrame, group_col: str = "label",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(grp, n_vecs, centroid ARRAY<DOUBLE>) — the per-group mean
+    embedding, EXACT cross-engine (``dim_sums`` +
+    ``centroids_from_sums``; contracts there)."""
+    return centroids_from_sums(dim_sums(vectors, group_col, vec_col))
+
+
+def centroid_drift_from_sums(sums: DataFrame) -> DataFrame:
+    """Drift readout from a ``dim_sums`` table — the
+    finish-from-the-sink half shared by the batch monitor and the
+    streaming twin (the ``ks_from_counts`` pattern): the decimal sums
+    are plain additive state, so a complete-mode streaming sink feeds
+    this readout bit-identically to the batch path (tested)."""
+    cents = centroids_from_sums(sums) \
+        .localCheckpoint(eager=True)  # |groups| rows, consumed twice
+    a = cents.select(F.col("grp").alias("group_a"),
+                     F.col("n_vecs").alias("n_a"),
+                     F.col("centroid").alias("ca"))
+    b = cents.select(F.col("grp").alias("group_b"),
+                     F.col("n_vecs").alias("n_b"),
+                     F.col("centroid").alias("cb"))
+    return (a.join(b, F.col("group_a") < F.col("group_b"))
+            .select("group_a", "group_b", "n_a", "n_b",
+                    cosine(F.col("ca"), F.col("cb"))
+                    .alias("centroid_cos")))
 
 
 def embedding_centroid_drift(vectors: DataFrame,
@@ -1533,15 +1570,5 @@ def embedding_centroid_drift(vectors: DataFrame,
     Shapes (100 TB posture): one dim-exploded corpus aggregate; the
     pinned centroid table is |groups| rows, so the pair join is
     model-sized (never the corpus)."""
-    cents = centroid_table(vectors, group_col, vec_col) \
-        .localCheckpoint(eager=True)  # |groups| rows, consumed twice
-    a = cents.select(F.col("grp").alias("group_a"),
-                     F.col("n_vecs").alias("n_a"),
-                     F.col("centroid").alias("ca"))
-    b = cents.select(F.col("grp").alias("group_b"),
-                     F.col("n_vecs").alias("n_b"),
-                     F.col("centroid").alias("cb"))
-    return (a.join(b, F.col("group_a") < F.col("group_b"))
-            .select("group_a", "group_b", "n_a", "n_b",
-                    cosine(F.col("ca"), F.col("cb"))
-                    .alias("centroid_cos")))
+    return centroid_drift_from_sums(dim_sums(vectors, group_col,
+                                             vec_col))

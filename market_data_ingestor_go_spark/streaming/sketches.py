@@ -112,6 +112,24 @@ def run_sketch_stream(sketch_df: DataFrame, name: str,
             .start())
 
 
+def streaming_centroid_sums(stream: DataFrame,
+                            group_col: str = "label",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Per-(group, dimension) exact-decimal embedding sums as a
+    streaming aggregation — the state store IS the |groups|·dims
+    table (never stream-length), so no watermark/TTL is needed and
+    `complete` mode re-emits the whole table each trigger. The
+    transform is SHARED with the batch monitor
+    (operators/similarity.py::dim_sums — decimal addition is exact
+    and order-independent), so the streamed state after any
+    micro-batch split is BIT-identical to the batch sums, and the
+    embedding drift monitor finishes from the sink at read time via
+    centroid_drift_from_sums — the streaming twin of
+    source_embedding_drift (tested both ways)."""
+    from ..operators.similarity import dim_sums
+    return dim_sums(stream, group_col, vec_col)
+
+
 def streaming_value_histogram(stream: DataFrame, group_col: str,
                               value_col: str) -> DataFrame:
     """Per-(group, value) counts as a streaming aggregation — the

@@ -2092,6 +2092,57 @@ def test_streaming_value_histogram_ks_equals_batch(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS ks_hist_stream")
 
 
+def test_streaming_centroid_sums_drift_equals_batch(spark, tmp_path):
+    """Streaming embedding-drift twin (r10): the complete-mode
+    (grp, pos, s, n) decimal-sum state is BIT-identical to the batch
+    dim_sums aggregate after any micro-batch split (decimal addition
+    is exact and order-independent), and centroid_drift_from_sums
+    over the sink reproduces batch embedding_centroid_drift
+    row-for-row, including the double cosine."""
+    import shutil
+
+    from market_data_ingestor_go_spark.operators.similarity import (
+        centroid_drift_from_sums, dim_sums, embedding_centroid_drift)
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_centroid_sums)
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "label", "embedding")
+    src = tmp_path / "esrc"
+    src.mkdir()
+
+    def drop_file(df, name):
+        stage = str(tmp_path / f"estage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, part), str(src / f"{name}.parquet"))
+
+    for i in range(3):  # three micro-batches
+        drop_file(e.filter(f"vec_id % 3 = {i}"), f"b{i}")
+
+    stream = (spark.readStream.schema(e.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = run_sketch_stream(streaming_centroid_sums(stream),
+                          "centroid_sums_stream",
+                          str(tmp_path / "eckpt"))
+    try:
+        q.processAllAvailable()
+        n_state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+
+    sink = spark.table("centroid_sums_stream")
+    batch_sums = dim_sums(e)
+    assert n_state == batch_sums.count()      # |groups|*dims state
+    assert sorted(map(tuple, sink.collect())) == \
+        sorted(map(tuple, batch_sums.collect()))
+
+    got = sorted(map(tuple, centroid_drift_from_sums(sink).collect()))
+    want = sorted(map(tuple, embedding_centroid_drift(e).collect()))
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS centroid_sums_stream")
+
+
 def test_streaming_postings_index_maintenance(spark, tmp_path):
     """Round 9: the BM25 inverted index stays fresh from a document
     stream (tokenize on ingest, doc-local rows only) — bootstrap a
