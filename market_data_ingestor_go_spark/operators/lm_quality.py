@@ -582,6 +582,9 @@ def vocab_growth_curve(docs: DataFrame, text_col: str = "text",
     """
     from .training import hash_bucket
 
+    if 100 % steps:
+        raise ValueError(f"steps must divide 100 (sample_pct is an "
+                         f"exact integer percent): got {steps}")
     base = (docs.filter(F.col(text_col).isNotNull())
             .select(hash_bucket(id_col, steps).alias("b"),
                     _tokens(text_col).alias("ts")))

@@ -254,7 +254,8 @@ def bm25_index(docs: DataFrame, text_col: str = "text",
 
 def bm25_from_index(postings: DataFrame,
                     query_terms: list[tuple[str, str]],
-                    k: int = 10, stats: DataFrame | None = None) -> DataFrame:
+                    k: int = 10, stats: DataFrame | None = None,
+                    n_term_buckets: int = N_TERM_BUCKETS) -> DataFrame:
     """Serve path: BM25 top-k against the MATERIALIZED inverted index
     (``bm25_index`` output, or ``StreamingPostingsIndex``'s epoch
     union) with zero tokenize/explode work per query — the
@@ -287,9 +288,13 @@ def bm25_from_index(postings: DataFrame,
     carries a ``term_bkt`` partition column (``bm25_index(...,
     term_buckets=n)``), the query vocabulary's buckets are computed
     driver-side and pruned BEFORE the scan — partition pruning, zero
-    non-matching postings read. Row-identical to ``bm25_topk``
-    (shared scoring tail and query canonicalization; equality
-    tested)."""
+    non-matching postings read. ``n_term_buckets`` MUST equal the
+    build's ``term_buckets`` (it is the modulus of the driver-side
+    hash): a mismatch would prune partitions that DO hold matching
+    postings — silently missing results, not slow ones — so a
+    non-default build must thread its count to every serve call.
+    Row-identical to ``bm25_topk`` (shared scoring tail and query
+    canonicalization; equality tested)."""
     qt, vocab = _query_tables(postings.sparkSession, query_terms)
     if stats is None:
         stats = (postings.select("doc_id", "dl").distinct()
@@ -298,7 +303,8 @@ def bm25_from_index(postings: DataFrame,
     stats = F.broadcast(stats)
     matched = postings
     if "term_bkt" in postings.columns:
-        bkts = sorted({term_bucket(t) for _, t in set(query_terms)})
+        bkts = sorted({term_bucket(t, n_term_buckets)
+                       for _, t in set(query_terms)})
         matched = postings.filter(F.col("term_bkt").isin(bkts))
     tf = (matched.select("doc_id", "dl", "term", "tf")
           .join(vocab, "term")

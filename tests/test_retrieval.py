@@ -326,6 +326,36 @@ def test_bm25_from_bucketed_index_row_identical(spark):
     assert got == want
 
 
+def test_bm25_bucket_count_threads_to_serve(spark):
+    """A non-default term_buckets build serves row-identically when
+    the serve call threads the SAME count — and the documented
+    mismatch hazard is real: pruning with the wrong modulus loses
+    matching postings (results change), which is why n_term_buckets
+    is a contract, not a tuning knob."""
+    import os
+    import tempfile
+
+    from market_data_ingestor_go_spark.operators.retrieval import (
+        bm25_from_index, bm25_index)
+
+    docs = _spark_docs(spark)
+    want = sorted(map(tuple, bm25_topk(docs, FIXTURE_QUERIES,
+                                       k=10).collect()))
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "postings_b4")
+        bm25_index(docs, term_buckets=4) \
+            .write.partitionBy("term_bkt").parquet(path)
+        postings = spark.read.parquet(path)
+        got = sorted(map(tuple, bm25_from_index(
+            postings, FIXTURE_QUERIES, k=10,
+            n_term_buckets=4).collect()))
+        assert got == want
+        mismatched = sorted(map(tuple, bm25_from_index(
+            postings, FIXTURE_QUERIES, k=10,
+            n_term_buckets=16).collect()))
+        assert mismatched != want
+
+
 def test_bm25_from_index_sidecar_stats_equal_derived(spark):
     """The stats-sidecar serve contract: passing a precomputed
     (n_docs, tot) one-row stats DataFrame returns rows bit-identical
