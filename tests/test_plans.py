@@ -601,6 +601,19 @@ def test_vocab_growth_two_scans_grid_broadcast(spark):
     assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
 
 
+def test_embedding_drift_pair_join_is_model_sized(spark):
+    """source_embedding_drift: the corpus is dim-exploded and
+    aggregated exactly once — the |groups|-row centroid table is
+    pinned, so the final plan reads ExistingRDDs (ZERO embeddings
+    scans) and the pair join is a broadcast nested-loop over
+    group-count-sized sides, never a corpus sort-merge."""
+    plan = _plan(ALL_QUERIES["source_embedding_drift"](spark, SF))
+    assert "embeddings.parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
 def test_source_mix_weights_single_pass(spark):
     """source_mix_weights: ONE pruned documents scan feeding one
     aggregate exchange; the normalization window runs over the
