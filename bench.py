@@ -206,6 +206,8 @@ HEADLINE = [
     # r10: embedding-space drift (one dim-exploded aggregate +
     # |groups|-sized centroid pair join)
     "source_embedding_drift",
+    # r10: per-doc change magnitude for the snapshot 'changed' class
+    "snapshot_change_magnitude",
 ]
 
 

@@ -808,3 +808,46 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
             .groupBy("source", "status")
             .agg(F.count("*").cast("bigint").alias("n_docs"),
                  F.sum("d").cast("bigint").alias("token_delta")))
+
+
+def snapshot_change_profile(old: DataFrame, new: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """HOW MUCH changed: for docs whose content differs between two
+    snapshots (same id, different normalized fingerprint — the
+    ``snapshot_diff`` 'changed' class), the distinct-token-set
+    Jaccard between versions → (doc_id, n_old, n_new, n_common,
+    jacc). jacc ≈ 1 is a touch-up (timestamp, byline); jacc ≈ 0 is a
+    rewrite under a reused id — the signal that decides whether an
+    incremental pipeline re-embeds/re-scores a doc or just re-lands
+    its metadata. Exact: integer set sizes (both engines dedup), one
+    IEEE division (bit-identical); union by |A|+|B|−|A∩B| (never the
+    engine-specific element order of a list union — the
+    jaccard_ranks device).
+
+    Shapes (100 TB posture): one narrow projection per snapshot
+    (id, fingerprint, distinct-token array), ONE inner equi-join
+    co-partitioned on doc_id (shuffle-free over doc_id-bucketed
+    snapshots, like snapshot_diff), fingerprint inequality filters
+    to the changed class before any set arithmetic."""
+    from ..functions.text import tokens as _tok
+
+    def prep(df, tag):
+        return (df.filter(F.col(text_col).isNotNull())
+                .select(F.col(id_col).alias("doc_id"),
+                        fingerprint(text_col).alias(f"fp_{tag}"),
+                        F.array_distinct(_tok(text_col))
+                        .alias(f"ts_{tag}")))
+
+    j = (prep(old, "o").join(prep(new, "n"), "doc_id")
+         .filter(F.col("fp_o") != F.col("fp_n")))
+    inter = F.size(F.array_intersect(F.col("ts_o"), F.col("ts_n")))
+    n_old = F.size("ts_o")
+    n_new = F.size("ts_n")
+    return j.select(
+        "doc_id",
+        n_old.cast("bigint").alias("n_old"),
+        n_new.cast("bigint").alias("n_new"),
+        inter.cast("bigint").alias("n_common"),
+        (inter.cast("double")
+         / (n_old + n_new - inter).cast("double")).alias("jacc"))

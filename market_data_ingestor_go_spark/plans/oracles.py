@@ -2498,6 +2498,40 @@ GROUP BY t.doc_id
 """
 
 
+# Change magnitude for the snapshot 'changed' class (r10): distinct-
+# token Jaccard old-vs-new per doc. Integer set sizes (both engines
+# dedup via list_distinct/array_distinct), union by |A|+|B|-|A∩B|
+# (list_intersect is only ever len()'d — its element order is
+# engine-specific), one IEEE division.
+EXTRA_ORACLES["snapshot_change_magnitude"] = """
+WITH oldc AS (SELECT doc_id, text FROM documents),
+newc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 1 THEN text || ' updated'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 17 != 3),
+po AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_o,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ts_o
+  FROM oldc WHERE text IS NOT NULL),
+pn AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_n,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ts_n
+  FROM newc WHERE text IS NOT NULL)
+SELECT doc_id,
+       CAST(len(ts_o) AS BIGINT) AS n_old,
+       CAST(len(ts_n) AS BIGINT) AS n_new,
+       CAST(len(list_intersect(ts_o, ts_n)) AS BIGINT) AS n_common,
+       CAST(len(list_intersect(ts_o, ts_n)) AS DOUBLE)
+         / CAST(len(ts_o) + len(ts_n) - len(list_intersect(ts_o, ts_n))
+                AS DOUBLE) AS jacc
+FROM po JOIN pn USING (doc_id)
+WHERE fp_o != fp_n
+"""
+
+
 # Embedding-space drift monitor (r10): exact-decimal per-dimension
 # centroid means (the DSIR decimal-sum device; one string-routed
 # division per dim), then the deterministic left-fold cosine

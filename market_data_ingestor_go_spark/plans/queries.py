@@ -2668,6 +2668,23 @@ def corpus_snapshot_diff(spark, sf_dir):
     return snapshot_diff(d, changed.unionByName(added))
 
 
+def snapshot_change_magnitude(spark, sf_dir):
+    """HOW MUCH each changed doc changed between crawls
+    (operators/dedup.py::snapshot_change_profile): distinct-token
+    Jaccard old-vs-new for the snapshot_diff 'changed' class (same
+    deterministic perturbation) — jacc≈1 touch-ups vs jacc≈0
+    rewrites decide re-embed/re-score vs metadata-only relanding.
+    Integer set sizes, one IEEE division ⇒ bit-exact."""
+    from ..operators.dedup import snapshot_change_profile
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept = d.filter(F.col("doc_id") % 17 != 3)
+    changed = kept.withColumn(
+        "text", F.when(F.col("doc_id") % 13 == 1,
+                       F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text")))
+    return snapshot_change_profile(d, changed)
+
+
 def corpus_vocab_growth(spark, sf_dir):
     """Heaps'-law vocabulary growth curve over nested md5-bucket
     subsamples (operators/lm_quality.py::vocab_growth_curve):
@@ -2941,6 +2958,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_vocab_growth": corpus_vocab_growth,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "source_embedding_drift": source_embedding_drift,
+    "snapshot_change_magnitude": snapshot_change_magnitude,
     # round-10 rotation: 2 thrice-green (r7+r8+r9) shapes demoted so
     # both ROTATION_CANDIDATES_R9 queries get their first external
     # CORRECTNESS row — in-window twin noted per entry; both stay
@@ -3100,6 +3118,7 @@ ROTATION_CANDIDATES_R10: list[str] = [
     "corpus_vocab_growth",        # added r10, oracle added same commit
     "corpus_snapshot_diff",       # added r10, oracle added same commit
     "source_embedding_drift",     # added r10, oracle added same commit
+    "snapshot_change_magnitude",  # added r10, oracle added same commit
 ]
 
 

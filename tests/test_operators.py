@@ -754,6 +754,39 @@ def test_snapshot_diff_hand_case(spark):
                    "removed": (1, -2),    # "gone now"
                    "changed": (1, 1),     # 3 -> 4 tokens
                    "unchanged": (1, 0)}   # case/ws-only edit
+
+
+def test_snapshot_change_profile_hand_case(spark):
+    """Change magnitude on a hand pair: exact Jaccard for a one-token
+    edit, 0.0 for a full rewrite; unchanged and whitespace-only-edit
+    docs are excluded (fingerprint identity), as are ids present in
+    only one snapshot (inner join: the added/removed classes belong
+    to snapshot_diff)."""
+    from market_data_ingestor_go_spark.operators.dedup import (
+        snapshot_change_profile)
+
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d"),
+         Row(doc_id=2, text="same here"),
+         Row(doc_id=3, text="x  y"),
+         Row(doc_id=4, text="p q"),
+         Row(doc_id=5, text="only old")])
+    new = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c x"),
+         Row(doc_id=2, text="same here"),
+         Row(doc_id=3, text="x y"),
+         Row(doc_id=4, text="r s"),
+         Row(doc_id=6, text="only new")])
+    got = {r["doc_id"]: r for r in
+           snapshot_change_profile(old, new).collect()}
+    assert set(got) == {1, 4}
+    r1 = got[1]
+    assert (r1["n_old"], r1["n_new"], r1["n_common"]) == (4, 4, 3)
+    assert r1["jacc"] == 3.0 / 5.0
+    assert got[4]["jacc"] == 0.0 and got[4]["n_common"] == 0
+
+
+def test_source_temperature_weights_hand_case(spark):
     """α=½ temperature weights on a hand corpus with exact sqrt
     values: the largest source anchors at rel-weight 1.0 and boost
     1.0; a 4x-smaller source gets rel-weight 0.5 (sqrt(1/4)) and
