@@ -208,6 +208,9 @@ HEADLINE = [
     "source_embedding_drift",
     # r10: per-doc change magnitude for the snapshot 'changed' class
     "snapshot_change_magnitude",
+    # r10: span-level eval-leak localization (broadcast reference
+    # windows, per-doc island merge)
+    "eval_leak_spans",
 ]
 
 

@@ -851,3 +851,56 @@ def snapshot_change_profile(old: DataFrame, new: DataFrame,
         inter.cast("bigint").alias("n_common"),
         (inter.cast("double")
          / (n_old + n_new - inter).cast("double")).alias("jacc"))
+
+
+def cross_corpus_span_extents(train: DataFrame, ref: DataFrame,
+                              w: int = 8, text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """SPAN-LEVEL eval-leak localization → (doc_id, n_spans,
+    leaked_tokens, max_span_tokens): which maximal token spans of each
+    TRAIN document occur verbatim (as ≥w-token windows) anywhere in
+    the REFERENCE corpus — the Lee et al. 2022 exact-substring
+    machinery pointed ACROSS corpora (decontamination's "cut the
+    leaked passage" step, localizing what ``ngram_novelty`` only
+    scores and ``contamination_check`` only pairs). Overlapping
+    w-token windows of train docs are marked when their text is a
+    reference window; a doc's overlapping/contiguous marked windows
+    merge into maximal spans via gaps-and-islands (break when the
+    next window starts past the previous span's end). All integers ⇒
+    bit-exact cross-engine.
+
+    Shapes (100 TB posture): the train windows never shuffle — the
+    reference window set (eval corpora are bounded) BROADCASTS and
+    marking is a map-side join; the island merge is a per-doc window
+    (partitioned by doc_id, never global). At 100 TB swap the window
+    STRING key for xxhash64(window) on both sides — identical plan,
+    8-byte probe keys; the string key here keeps the DuckDB oracle
+    hash-exact (the dup_span_extents convention)."""
+
+    def wins(df):
+        toks = df.select(F.col(id_col).alias("doc_id"),
+                         F.split(F.trim(F.col(text_col)), r"\s+")
+                         .alias("w"))
+        return (toks.filter(F.size("w") >= w)
+                .select("doc_id", F.posexplode(F.expr(
+                    f"transform(sequence(0, size(w) - {w}),"
+                    f" i -> concat_ws(' ', slice(w, i + 1, {w})))"
+                )).alias("pos", "win")))
+
+    ref_wins = F.broadcast(wins(ref).select("win").distinct())
+    marked = wins(train).join(ref_wins, "win").select("doc_id", "pos")
+    from pyspark.sql.window import Window
+    ww = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(ww)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + w), 1) \
+        .otherwise(0)
+    isl = (marked.withColumn("brk", brk)
+           .withColumn("grp", F.sum("brk").over(ww)))
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(w - 1)).alias("e"))
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint")
+        .alias("leaked_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).cast("bigint")
+        .alias("max_span_tokens"))

@@ -2498,6 +2498,39 @@ GROUP BY t.doc_id
 """
 
 
+# Span-level eval-leak localization (r10): dup_span_extents' window
+# + gaps-and-islands SQL pointed ACROSS corpora — a train window is
+# marked when its text appears anywhere in the reference split.
+EXTRA_ORACLES["eval_leak_spans"] = """
+WITH tw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents WHERE doc_id % 20 != 0),
+rw AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+       FROM documents WHERE doc_id % 20 = 0),
+twin AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                array_to_string(w[i+1:i+8], ' ') AS win
+         FROM tw, unnest(range(0, greatest(len(w) - 7, 0))) AS t(i)),
+rwin AS (SELECT DISTINCT array_to_string(w[i+1:i+8], ' ') AS win
+         FROM rw, unnest(range(0, greatest(len(w) - 7, 0))) AS t(i)),
+m AS (SELECT twin.doc_id, twin.pos FROM twin JOIN rwin USING (win)),
+b AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) + 8
+             THEN 1 ELSE 0 END AS brk
+      FROM m),
+g AS (SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM b),
+s AS (SELECT doc_id, grp, MIN(pos) AS sp, MAX(pos) + 7 AS ep
+      FROM g GROUP BY doc_id, grp)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(ep - sp + 1) AS BIGINT) AS leaked_tokens,
+       CAST(MAX(ep - sp + 1) AS BIGINT) AS max_span_tokens
+FROM s GROUP BY doc_id
+"""
+
+
 # Change magnitude for the snapshot 'changed' class (r10): distinct-
 # token Jaccard old-vs-new per doc. Integer set sizes (both engines
 # dedup via list_distinct/array_distinct), union by |A|+|B|-|A∩B|

@@ -2668,6 +2668,22 @@ def corpus_snapshot_diff(spark, sf_dir):
     return snapshot_diff(d, changed.unionByName(added))
 
 
+def eval_leak_spans(spark, sf_dir):
+    """Span-level eval-leak localization
+    (operators/dedup.py::cross_corpus_span_extents): maximal token
+    spans of TRAIN docs occurring verbatim (8-token windows) in the
+    held-out reference split (doc_id % 20 == 0 — the
+    contamination_check convention) — decontamination's
+    cut-the-passage step, localizing what ngram_novelty scores and
+    contamination_check pairs. Integer gaps-and-islands ⇒
+    bit-exact; reference windows broadcast."""
+    from ..operators.dedup import cross_corpus_span_extents
+    d = _t(spark, sf_dir, "documents")
+    return cross_corpus_span_extents(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0), w=8)
+
+
 def snapshot_change_magnitude(spark, sf_dir):
     """HOW MUCH each changed doc changed between crawls
     (operators/dedup.py::snapshot_change_profile): distinct-token
@@ -2959,6 +2975,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "source_embedding_drift": source_embedding_drift,
     "snapshot_change_magnitude": snapshot_change_magnitude,
+    "eval_leak_spans": eval_leak_spans,
     # round-10 rotation: 2 thrice-green (r7+r8+r9) shapes demoted so
     # both ROTATION_CANDIDATES_R9 queries get their first external
     # CORRECTNESS row — in-window twin noted per entry; both stay
@@ -3119,6 +3136,7 @@ ROTATION_CANDIDATES_R10: list[str] = [
     "corpus_snapshot_diff",       # added r10, oracle added same commit
     "source_embedding_drift",     # added r10, oracle added same commit
     "snapshot_change_magnitude",  # added r10, oracle added same commit
+    "eval_leak_spans",            # added r10, oracle added same commit
 ]
 
 

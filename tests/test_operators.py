@@ -756,6 +756,34 @@ def test_snapshot_diff_hand_case(spark):
                    "unchanged": (1, 0)}   # case/ws-only edit
 
 
+def test_cross_corpus_span_extents_hand_case(spark):
+    """Leak localization on a hand pair: a doc embedding one verbatim
+    8-token reference run yields exactly that span; a full verbatim
+    copy merges overlapping windows into one whole-doc span; two
+    separated leaks stay two islands; docs without a matching window
+    (or < 8 tokens) are absent."""
+    from market_data_ingestor_go_spark.operators.dedup import (
+        cross_corpus_span_extents)
+
+    refrun = " ".join(f"r{i}" for i in range(1, 9))      # 8 tokens
+    ref = spark.createDataFrame(
+        [Row(doc_id=0, text=refrun + " r9")])            # windows 0,1
+    junk = " ".join(f"j{i}" for i in range(9))           # 9 tokens
+    train = spark.createDataFrame(
+        [Row(doc_id=10, text="x " + refrun + " y"),      # one leak
+         Row(doc_id=11, text=refrun + " r9"),            # verbatim copy
+         Row(doc_id=12, text="a b c"),                   # too short
+         Row(doc_id=13, text=refrun + " " + junk + " " + refrun)])
+    got = {r["doc_id"]: r for r in
+           cross_corpus_span_extents(train, ref, w=8).collect()}
+    assert set(got) == {10, 11, 13}
+    assert (got[10]["n_spans"], got[10]["leaked_tokens"],
+            got[10]["max_span_tokens"]) == (1, 8, 8)
+    assert (got[11]["n_spans"], got[11]["leaked_tokens"]) == (1, 9)
+    assert (got[13]["n_spans"], got[13]["leaked_tokens"],
+            got[13]["max_span_tokens"]) == (2, 16, 8)
+
+
 def test_snapshot_change_profile_hand_case(spark):
     """Change magnitude on a hand pair: exact Jaccard for a one-token
     edit, 0.0 for a full rewrite; unchanged and whitespace-only-edit
