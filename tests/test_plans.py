@@ -601,6 +601,21 @@ def test_vocab_growth_two_scans_grid_broadcast(spark):
     assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
 
 
+def test_eval_leak_spans_marking_is_broadcast(spark):
+    """eval_leak_spans: the reference window set BROADCASTS (marking
+    is map-side — train windows never shuffle to be checked), exactly
+    two pruned documents scans (train + reference window explodes),
+    and every Window is keyed by doc_id (the island merge is per-doc,
+    never global)."""
+    plan = _plan(ALL_QUERIES["eval_leak_spans"](spark, SF))
+    assert len(re.findall(r"documents\.parquet", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^,]*)", plan):
+        assert m.group(1).startswith("doc_id#"), plan
+    assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
+
+
 def test_embedding_drift_pair_join_is_model_sized(spark):
     """source_embedding_drift: the corpus is dim-exploded and
     aggregated exactly once — the |groups|-row centroid table is
