@@ -601,6 +601,28 @@ def test_vocab_growth_two_scans_grid_broadcast(spark):
     assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
 
 
+def test_snapshot_diff_one_fullouter_join(spark):
+    """corpus_snapshot_diff: the ONLY sort-merge join is the
+    full-outer doc_id diff itself (broadcast can't do full outer);
+    nothing else corpus-sized joins, and no text column survives past
+    the scan projection (fingerprint + token count only)."""
+    plan = _plan(ALL_QUERIES["corpus_snapshot_diff"](spark, SF))
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert len(smj) == 1 and "FullOuter" in smj[0], plan
+    assert _scan_columns(plan, "documents") <= {
+        "doc_id", "source", "text"}, plan
+
+
+def test_snapshot_change_magnitude_two_pruned_scans(spark):
+    """snapshot_change_magnitude: two pruned snapshot scans feeding
+    one doc_id equi-join (broadcast at fixture scale; co-partitioned
+    SMJ over bucketed snapshots at scale — the bucketing test), and
+    only (doc_id, text) read."""
+    plan = _plan(ALL_QUERIES["snapshot_change_magnitude"](spark, SF))
+    assert len(re.findall(r"documents\.parquet", plan)) == 2, plan
+    assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
+
+
 def test_eval_leak_spans_marking_is_broadcast(spark):
     """eval_leak_spans: the reference window set BROADCASTS (marking
     is map-side — train windows never shuffle to be checked), exactly
