@@ -580,21 +580,55 @@ def vocab_growth_curve(docs: DataFrame, text_col: str = "text",
     IEEE division of exact integers — bit-identical cross-engine.
     NULL-text docs are excluded throughout.
     """
-    from .training import hash_bucket
-
     if 100 % steps:
         raise ValueError(f"steps must divide 100 (sample_pct is an "
                          f"exact integer percent): got {steps}")
-    base = (docs.filter(F.col(text_col).isNotNull())
+    base = _bucketed_tokens(docs, text_col, id_col, steps)
+    per_bucket = bucket_sizes(base)
+    term_fb = term_first_bucket(base)
+    return vocab_growth_from_state(per_bucket, term_fb, steps)
+
+
+def _bucketed_tokens(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     steps: int = 10) -> DataFrame:
+    """(b, ts) — md5 sample bucket + token array per non-NULL doc;
+    the shared projection under both state aggregates (batch and
+    streaming), so the two can never drift on bucket/tokenization
+    semantics."""
+    from .training import hash_bucket
+    return (docs.filter(F.col(text_col).isNotNull())
             .select(hash_bucket(id_col, steps).alias("b"),
                     _tokens(text_col).alias("ts")))
-    per_bucket = (base.groupBy("b")
-                  .agg(F.count("*").alias("docs"),
-                       F.sum(F.size("ts")).alias("toks")))
-    term_fb = (base.select("b", F.explode("ts").alias("term"))
-               .groupBy("term").agg(F.min("b").alias("fb")))
+
+
+def bucket_sizes(base: DataFrame) -> DataFrame:
+    """(b, docs, toks) — per-bucket doc/token counts. Plain additive
+    aggregate ⇒ runs as bounded-state streaming (``steps`` rows)
+    bit-identical to batch."""
+    return (base.groupBy("b")
+            .agg(F.count("*").alias("docs"),
+                 F.sum(F.size("ts")).alias("toks")))
+
+
+def term_first_bucket(base: DataFrame) -> DataFrame:
+    """(term, fb) — each term's MINIMUM sample bucket. min is
+    commutative/associative/idempotent ⇒ runs as bounded-state
+    streaming (|vocab| rows) bit-identical to batch, replay-immune
+    even without exactly-once."""
+    return (base.select("b", F.explode("ts").alias("term"))
+            .groupBy("term").agg(F.min("b").alias("fb")))
+
+
+def vocab_growth_from_state(per_bucket: DataFrame, term_fb: DataFrame,
+                            steps: int = 10) -> DataFrame:
+    """Curve readout from the two state tables — the
+    finish-from-the-sink half shared by ``vocab_growth_curve`` and
+    the streaming twin (streaming/sketches.py::streaming_vocab_state;
+    both aggregates are mergeable, so complete-mode sinks feed this
+    bit-identically). Everything here is steps/vocabulary-sized."""
     grid = F.broadcast(
-        docs.sparkSession.range(1, steps + 1)
+        per_bucket.sparkSession.range(1, steps + 1)
         .select(F.col("id").cast("int").alias("k")))
     sizes = (per_bucket.join(grid, F.col("b") < F.col("k"))
              .groupBy("k").agg(F.sum("docs").alias("n_docs"),

@@ -130,6 +130,27 @@ def streaming_centroid_sums(stream: DataFrame,
     return dim_sums(stream, group_col, vec_col)
 
 
+def streaming_vocab_state(stream: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          steps: int = 10) -> tuple[DataFrame, DataFrame]:
+    """The vocabulary-growth curve maintained FROM A DOCUMENT STREAM:
+    two bounded streaming aggregations over the SHARED batch
+    projection (operators/lm_quality.py::_bucketed_tokens) —
+    per-bucket doc/token counts (``steps`` rows of state, additive)
+    and per-term minimum sample bucket (|vocab| rows, min is
+    idempotent ⇒ replay-immune). Both are mergeable, so complete-mode
+    state after any micro-batch split is BIT-identical to the batch
+    aggregates, and the curve finishes from the two sinks at read
+    time via vocab_growth_from_state — the streaming twin of
+    corpus_vocab_growth (tested both ways). Returns
+    (bucket_sizes_df, term_first_bucket_df) to attach as two queries
+    over the same source."""
+    from ..operators.lm_quality import (_bucketed_tokens, bucket_sizes,
+                                        term_first_bucket)
+    base = _bucketed_tokens(stream, text_col, id_col, steps)
+    return bucket_sizes(base), term_first_bucket(base)
+
+
 def streaming_value_histogram(stream: DataFrame, group_col: str,
                               value_col: str) -> DataFrame:
     """Per-(group, value) counts as a streaming aggregation — the

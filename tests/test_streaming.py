@@ -2092,6 +2092,59 @@ def test_streaming_value_histogram_ks_equals_batch(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS ks_hist_stream")
 
 
+def test_streaming_vocab_state_curve_equals_batch(spark, tmp_path):
+    """Streaming vocabulary-growth twin (r10): both state tables
+    (per-bucket sizes — additive; per-term min bucket — idempotent)
+    are BIT-identical to the batch aggregates after a 3-way
+    micro-batch split, and vocab_growth_from_state over the two sinks
+    reproduces batch vocab_growth_curve row-for-row including the
+    ttr double."""
+    import json as _json
+
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        _bucketed_tokens, bucket_sizes, term_first_bucket,
+        vocab_growth_curve, vocab_growth_from_state)
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_vocab_state)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "vsrc")
+    os.makedirs(src)
+    rows = docs.collect()
+    for i, part in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in part:
+                fh.write(_json.dumps({"doc_id": r.doc_id,
+                                      "text": r.text}) + "\n")
+
+    stream = (spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", 1).json(src))
+    sizes_df, fb_df = streaming_vocab_state(stream)
+    q1 = run_sketch_stream(sizes_df, "vg_sizes", str(tmp_path / "c1"))
+    q2 = run_sketch_stream(fb_df, "vg_fb", str(tmp_path / "c2"))
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+
+    base = _bucketed_tokens(docs)
+    assert sorted(map(tuple, spark.table("vg_sizes").collect())) == \
+        sorted(map(tuple, bucket_sizes(base).collect()))
+    assert sorted(map(tuple, spark.table("vg_fb").collect())) == \
+        sorted(map(tuple, term_first_bucket(base).collect()))
+
+    got = sorted(map(tuple, vocab_growth_from_state(
+        spark.table("vg_sizes"), spark.table("vg_fb")).collect()))
+    want = sorted(map(tuple, vocab_growth_curve(docs).collect()))
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS vg_sizes")
+    spark.sql("DROP TABLE IF EXISTS vg_fb")
+
+
 def test_streaming_centroid_sums_drift_equals_batch(spark, tmp_path):
     """Streaming embedding-drift twin (r10): the complete-mode
     (grp, pos, s, n) decimal-sum state is BIT-identical to the batch
