@@ -756,6 +756,54 @@ def test_snapshot_diff_hand_case(spark):
                    "unchanged": (1, 0)}   # case/ws-only edit
 
 
+def test_snapshot_diff_accounting_invariants(spark):
+    """The diff is an exact accounting identity on the fixture
+    perturbation: per-class doc counts equal the id-set algebra
+    (added = new∖old, removed = old∖new, changed+unchanged = old∩new)
+    and the token deltas SUM to the exact corpus token movement."""
+    from market_data_ingestor_go_spark.operators.dedup import (
+        snapshot_diff)
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    old = load_table(spark, sf, "documents") \
+        .select("doc_id", "source", "text")
+    # the same deterministic "next crawl" the fixture query builds
+    kept = old.filter("doc_id % 17 != 3")
+    new = kept.withColumn(
+        "text", F.when(F.col("doc_id") % 13 == 1,
+                       F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text"))).unionByName(
+        old.filter("doc_id % 23 = 2")
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "source",
+                F.concat(F.col("text"), F.lit(" fresh")).alias("text")))
+    out = snapshot_diff(old, new).collect()
+    by_status: dict = {}
+    delta_total = 0
+    for r in out:
+        by_status[r["status"]] = by_status.get(r["status"], 0) \
+            + r["n_docs"]
+        delta_total += r["token_delta"]
+
+    o_ids = {r["doc_id"] for r in
+             old.filter("text is not null").select("doc_id").collect()}
+    n_ids = {r["doc_id"] for r in
+             new.filter("text is not null").select("doc_id").collect()}
+    assert by_status.get("added", 0) == len(n_ids - o_ids)
+    assert by_status.get("removed", 0) == len(o_ids - n_ids)
+    assert (by_status.get("changed", 0)
+            + by_status.get("unchanged", 0)) == len(o_ids & n_ids)
+
+    ntok = F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    tot_old = old.filter("text is not null").agg(ntok).collect()[0][0]
+    tot_new = new.filter("text is not null").agg(ntok).collect()[0][0]
+    assert delta_total == tot_new - tot_old
+    # matches the declared fixture query exactly
+    assert sorted(map(tuple, out)) == sorted(map(tuple, ALL_QUERIES[
+        "corpus_snapshot_diff"](spark, sf).collect()))
+
+
 def test_cross_corpus_span_extents_hand_case(spark):
     """Leak localization on a hand pair: a doc embedding one verbatim
     8-token reference run yields exactly that span; a full verbatim
