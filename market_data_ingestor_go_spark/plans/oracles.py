@@ -2705,3 +2705,28 @@ for _k in _R10_IN:
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in _R10_OUT:
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+
+# ---------------------------------------------------------------------------
+# ROUND-11 WINDOW ROTATION (mechanical; mirrors plans/queries.py):
+# all seven ROTATION_CANDIDATES_R10 promote into the driver window's
+# oracle set; seven four-times-green (r7+r8+r9+r10) shapes demote to
+# EXTRA (still parity-swept locally every round). ORACLES must equal
+# the declared window's oracle-backed set (pinned by
+# test_driver_window_is_at_most_50).
+# ---------------------------------------------------------------------------
+_R11_IN = [  # promoted into the driver window (all oracle-backed)
+    "doc_ngram_novelty", "source_mix_weights", "corpus_vocab_growth",
+    "corpus_snapshot_diff", "source_embedding_drift",
+    "snapshot_change_magnitude", "eval_leak_spans",
+]
+_R11_OUT = [  # demoted to EXTRA (all keep an in-window twin)
+    "q10_returned_items", "q12_late_shipment_priority",
+    "q13_customer_distribution", "q19_disjunctive_filter",
+    "events_drawdown", "doc_containment_pairs",
+    "jl_projection_distortion",
+]
+for _k in _R11_IN:
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in _R11_OUT:
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

@@ -2811,12 +2811,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_click_context": range_join_click_context,
     "skew_salted_agg": skew_salted_agg,
     # -- r7-rotated shapes KEPT in-window through the round-9
-    #    rotation (twice-green r7+r8; each anchors a family whose
-    #    demoted siblings note it as their twin).
-    "q10_returned_items": q10_returned_items,
-    "q12_late_shipment_priority": q12_late_shipment_priority,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q19_disjunctive_filter": q19_disjunctive_filter,
+    #    rotation (each anchors a family whose demoted siblings note
+    #    it as their twin; q10/q12/q13/q19 demoted round 11 after
+    #    four green rounds, twins noted in EXTRA_QUERIES).
     "sql_api_pricing_summary": sql_api_pricing_summary,
     "set_ops_all_variants": set_ops_all_variants,
     "unpivot_event_matrix": unpivot_event_matrix,
@@ -2827,15 +2824,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix": corpus_mix,
     "events_moving_stats": events_moving_stats,
     "doc_sparse_cosine_neardup": doc_sparse_cosine_neardup,
-    "doc_containment_pairs": doc_containment_pairs,
     "doc_lm_quality": doc_lm_quality,
     "lm_quality_bands": lm_quality_bands,
-    "jl_projection_distortion": jl_projection_distortion,
     "corpus_datacard": corpus_datacard,
     "neardup_pagerank": neardup_pagerank,
     "events_user_growth": events_user_growth,
     "events_vwap": events_vwap,
-    "events_drawdown": events_drawdown,
     # -- ROTATED IN (round 9): all nine ROTATION_CANDIDATES_R8 —
     #    the round-8 TPC-H shape completion, the two late-r8 curation
     #    operators, and the retrieval/KS family whose oracles landed
@@ -2859,6 +2853,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    in EXTRA_QUERIES).
     "doc_bm25_from_index": doc_bm25_from_index,
     "doc_pmi_collocations": doc_pmi_collocations,
+    # -- ROTATED IN (round 11): all seven ROTATION_CANDIDATES_R10 —
+    #    the round-10 curation/monitoring build (3-gram novelty,
+    #    temperature mixing weights, Heaps'-law vocab growth, the
+    #    snapshot diff/magnitude pair, embedding-centroid drift, and
+    #    span-level eval-leak localization) — externally verified for
+    #    the first time this round. Seven four-times-green
+    #    (r7+r8+r9+r10) shapes demoted in exchange (twin noted per
+    #    entry in EXTRA_QUERIES).
+    "doc_ngram_novelty": doc_ngram_novelty,
+    "source_mix_weights": source_mix_weights,
+    "corpus_vocab_growth": corpus_vocab_growth,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
+    "source_embedding_drift": source_embedding_drift,
+    "snapshot_change_magnitude": snapshot_change_magnitude,
+    "eval_leak_spans": eval_leak_spans,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"
@@ -2940,16 +2949,16 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cap_sample": source_cap_sample,          # per-key top-k ⊂ order_limit_topk + corpus_datacard
     "shard_manifest": shard_manifest,                # cum window ⊂ window_running_total
     "curation_pipeline_summary": curation_pipeline_summary,  # signal composition ⊂ corpus_datacard
-    "embedding_cosine_neardup": embedding_cosine_neardup,  # exact cosine ⊂ jl_projection_distortion + knn_bruteforce
-    "embedding_quantize_stats": embedding_quantize_stats,  # array exprs ⊂ jl_projection_distortion
+    "embedding_cosine_neardup": embedding_cosine_neardup,  # exact cosine ⊂ knn_bruteforce + source_embedding_drift
+    "embedding_quantize_stats": embedding_quantize_stats,  # array exprs ⊂ source_embedding_drift (dim-exploded decimal aggregate)
     "source_overlap_exact": source_overlap_exact,    # ∩/∪ ⊂ set_ops_all_variants
     "bloom_semi_join_agg": bloom_semi_join_agg,      # EXISTS semi ⊂ q4_order_priority
     "token_heavy_hitters_sketch": token_heavy_hitters_sketch,  # rows-only CMS; exact twin token_frequencies IN-window
     "distinct_rollup_hll": distinct_rollup_hll,      # rows-only HLL; grouping-sets distinct ⊂ agg_cube_year_status
-    "p9_exchange_enrichment": p9_exchange_enrichment,  # broadcast dim join ⊂ q7_nation_volume/q10_returned_items
+    "p9_exchange_enrichment": p9_exchange_enrichment,  # broadcast dim join ⊂ q9_product_profit (broadcast nation dim)
     "j2_anti_join_unmatched": j2_anti_join_unmatched,  # anti join ⊂ q22_idle_customers
     "q1_pricing_summary": q1_pricing_summary,        # plan ≡ sql_api_pricing_summary
-    "q15_top_supplier": q15_top_supplier,            # agg-join-topk ⊂ q10_returned_items/q17_small_qty_revenue
+    "q15_top_supplier": q15_top_supplier,            # agg-join-topk ⊂ q9_product_profit + order_limit_topk
     "events_variant_extract": events_variant_extract,  # VARIANT path ⊂ events_vwap
     "events_gapfill_locf": events_gapfill_locf,      # grid/join/window ⊂ events_gapfill_interpolate (kept)
     "events_twap": events_twap,                      # weighted mean ⊂ events_vwap + events_gapfill_interpolate
@@ -2958,7 +2967,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_trend_slope": events_trend_slope,        # moments ⊂ events_pair_correlation (kept)
     "lineitem_price_qty_corr": lineitem_price_qty_corr,  # moments ⊂ events_pair_correlation (kept)
     "events_funnel_conversion": events_funnel_conversion,  # first-touch ⊂ events_user_growth
-    "orders_cohort_matrix": orders_cohort_matrix,    # cohort histogram ⊂ q13_customer_distribution
+    "orders_cohort_matrix": orders_cohort_matrix,    # cohort histogram ⊂ q16_supplier_part_counts (count-of-counts)
     # round-9 rotation: 9 twice-green (r7+r8) shapes demoted so every
     # ROTATION_CANDIDATES_R8 query gets its first external
     # CORRECTNESS row — in-window twin noted per entry; all stay
@@ -2967,15 +2976,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # assignment is engine-side, the knn_ann_* precedent); overlap
     # floor vs the exact hybrid tested in tests/test_retrieval.py
     "hybrid_rrf_ann": hybrid_rrf_ann,
-    # round-10 additions — oracle-backed (oracles added same commit),
-    # listed in ROTATION_CANDIDATES_R10 per the r9 policy
-    "doc_ngram_novelty": doc_ngram_novelty,
-    "source_mix_weights": source_mix_weights,
-    "corpus_vocab_growth": corpus_vocab_growth,
-    "corpus_snapshot_diff": corpus_snapshot_diff,
-    "source_embedding_drift": source_embedding_drift,
-    "snapshot_change_magnitude": snapshot_change_magnitude,
-    "eval_leak_spans": eval_leak_spans,
     # round-10 rotation: 2 thrice-green (r7+r8+r9) shapes demoted so
     # both ROTATION_CANDIDATES_R9 queries get their first external
     # CORRECTNESS row — in-window twin noted per entry; both stay
@@ -2991,6 +2991,17 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank_stats": window_rank_stats,          # rank windows ⊂ doc_bm25_topk top-k + events_mad_outliers rank-median (rotated in)
     "source_tv_drift": source_tv_drift,              # pairwise common-denominator drift ⊂ source_ks_drift (rotated in)
     "dsir_importance_weights": dsir_importance_weights,  # broadcast-model decimal-mean scoring ⊂ doc_lm_quality (kept)
+    # round-11 rotation: 7 four-times-green (r7+r8+r9+r10) shapes
+    # demoted so every ROTATION_CANDIDATES_R10 query gets its first
+    # external CORRECTNESS row — in-window twin noted per entry; all
+    # stay parity-tested locally every round.
+    "q10_returned_items": q10_returned_items,        # multi-join agg-topk ⊂ q9_product_profit (multi-join agg) + order_limit_topk (top-k)
+    "q12_late_shipment_priority": q12_late_shipment_priority,  # conditional lineitem aggs ⊂ sql_api_pricing_summary + q9_product_profit (orders×lineitem join)
+    "q13_customer_distribution": q13_customer_distribution,  # count-of-counts histogram ⊂ q16_supplier_part_counts (distinct-count per group)
+    "q19_disjunctive_filter": q19_disjunctive_filter,  # disjunctive part×lineitem predicate join ⊂ q20_part_promotion
+    "events_drawdown": events_drawdown,              # per-key running-peak window ⊂ events_moving_stats (ordered frames) + events_user_growth (cumulative window)
+    "doc_containment_pairs": doc_containment_pairs,  # inverted-index pair equi-join ⊂ doc_sparse_cosine_neardup (kept)
+    "jl_projection_distortion": jl_projection_distortion,  # exact-decimal embedding arithmetic ⊂ source_embedding_drift (rotated in) + knn_bruteforce (pairwise cosine)
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3139,6 +3150,23 @@ ROTATION_CANDIDATES_R10: list[str] = [
     "eval_leak_spans",            # added r10, oracle added same commit
 ]
 
+# Round-11 rotation (EXECUTED this round, window literal above): all
+# seven ROTATION_CANDIDATES_R10 rotated INTO the driver window for
+# their first external CORRECTNESS row; seven four-times-green
+# (r7+r8+r9+r10) shapes demoted to EXTRA_QUERIES (twin per entry
+# there). Pinned by
+# tests/test_parity.py::test_round11_rotated_operators_sit_in_declared_window.
+ROTATED_IN_R11: list[str] = list(ROTATION_CANDIDATES_R10)
+
+# Round-11 rotation candidates: oracle-backed queries that have never
+# held a green external CORRECTNESS row AND are not already in the
+# declared window collecting one. Empty at the START of round 11 (the
+# r11 rotation queued the whole backlog); every oracle-backed query
+# added during round 11 must be listed here in the SAME commit that
+# adds its oracle (the r9 policy, enforced by the never-verified scan
+# in tests/test_parity.py).
+ROTATION_CANDIDATES_R11: list[str] = []
+
 
 # Frozen at the close of round 7: every oracle-backed query name that
 # existed when the round-7 rotation completed (all have held a green
@@ -3285,3 +3313,13 @@ ORACLE_BACKED_AT_R8_CLOSE: frozenset = frozenset(
 # tests/test_parity.py::test_rotation_candidates_are_rotatable.
 ORACLE_BACKED_AT_R9_CLOSE: frozenset = frozenset(
     ORACLE_BACKED_AT_R8_CLOSE | set(ROTATION_CANDIDATES_R9))
+
+# Frozen at the close of round 10: the round-9 set plus the seven
+# round-10 additions (ROTATION_CANDIDATES_R10), which sit in the
+# round-11 window collecting their first external row. Any
+# oracle-backed query NOT in this set was added in round 11 or later
+# and must appear in ROTATION_CANDIDATES_R11 or already sit in the
+# declared window — enforced by
+# tests/test_parity.py::test_rotation_candidates_are_rotatable.
+ORACLE_BACKED_AT_R10_CLOSE: frozenset = frozenset(
+    ORACLE_BACKED_AT_R9_CLOSE | set(ROTATION_CANDIDATES_R10))

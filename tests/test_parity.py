@@ -120,29 +120,46 @@ def test_round10_rotated_operators_sit_in_declared_window():
         "window must be 100% hash-checked after the r10 rotation")
 
 
+def test_round11_rotated_operators_sit_in_declared_window():
+    """The round-11 rotation's whole point: all seven
+    ROTATION_CANDIDATES_R10 (the round-10 curation/monitoring build —
+    novelty, mixing weights, vocab growth, snapshot diff/magnitude,
+    embedding drift, leak spans) must sit inside the first-50 window
+    the driver externally verifies, each exposing its oracle through
+    oracle_sql() (= ORACLES) — the rotated window has zero rows-only
+    entries."""
+    from market_data_ingestor_go_spark.plans.queries import ROTATED_IN_R11
+
+    window = set(list(QUERIES)[:50])
+    assert set(ROTATED_IN_R11) <= window, set(ROTATED_IN_R11) - window
+    assert set(ROTATED_IN_R11) <= set(ORACLES)
+    assert set(QUERIES) <= set(ORACLES), (
+        "window must be 100% hash-checked after the r11 rotation")
+
+
 def test_rotation_candidates_are_rotatable():
     """The next-rotation list must stay mechanically valid: every
     candidate exists, sits OUTSIDE the declared window (else it needs
     no rotation), and has an oracle so rotating it in yields a full
     row+schema+hash check. The never-verified scan then enforces the
-    listing policy: every oracle-backed query added AFTER the round-9
-    close (i.e. not in the frozen ORACLE_BACKED_AT_R9_CLOSE set) must
+    listing policy: every oracle-backed query added AFTER the round-10
+    close (i.e. not in the frozen ORACLE_BACKED_AT_R10_CLOSE set) must
     either sit in the declared window already or be listed as a
     rotation candidate — new work cannot accumulate unverified."""
     from market_data_ingestor_go_spark.plans.queries import (
-        ORACLE_BACKED_AT_R9_CLOSE, QUERIES, ROTATION_CANDIDATES_R10)
+        ORACLE_BACKED_AT_R10_CLOSE, QUERIES, ROTATION_CANDIDATES_R11)
 
-    for name in ROTATION_CANDIDATES_R10:
+    for name in ROTATION_CANDIDATES_R11:
         assert name in ALL_QUERIES, name
         assert name not in QUERIES, f"{name} already in the window"
         assert name in ALL_ORACLES, f"{name} lacks an oracle"
 
     never_verified = (
         set(ALL_ORACLES)
-        - ORACLE_BACKED_AT_R9_CLOSE   # held a green row in r1-r9 or
-                                      # collecting it in the r10 window
+        - ORACLE_BACKED_AT_R10_CLOSE  # held a green row in r1-r10 or
+                                      # collecting it in the r11 window
         - set(QUERIES)                # in-window: verified this round
-        - set(ROTATION_CANDIDATES_R10)  # queued for the next rotation
+        - set(ROTATION_CANDIDATES_R11)  # queued for the next rotation
     )
     assert not never_verified, (
         f"oracle-backed queries neither verified, in-window, nor "
