@@ -211,6 +211,10 @@ HEADLINE = [
     # r10: span-level eval-leak localization (broadcast reference
     # windows, per-doc island merge)
     "eval_leak_spans",
+    # r11: the scrub transform acting on that localization (same span
+    # machinery + one leaked-doc-sized broadcast join back onto the
+    # train corpus; per-row array reconstruction, no extra exchange)
+    "eval_leak_scrub",
 ]
 
 

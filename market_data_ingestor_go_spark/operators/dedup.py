@@ -876,6 +876,34 @@ def cross_corpus_span_extents(train: DataFrame, ref: DataFrame,
     STRING key for xxhash64(window) on both sides — identical plan,
     8-byte probe keys; the string key here keeps the DuckDB oracle
     hash-exact (the dup_span_extents convention)."""
+    spans = leak_span_table(train, ref, w, text_col, id_col)
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint")
+        .alias("leaked_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).cast("bigint")
+        .alias("max_span_tokens"))
+
+
+def leak_span_table(train: DataFrame, ref: DataFrame, w: int = 8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The maximal-leaked-span TABLE → (doc_id, s, e): inclusive
+    0-based token extents of every maximal train-doc span whose
+    ≥w-token windows all occur verbatim in the reference corpus —
+    the shared core of ``cross_corpus_span_extents`` (the monitor
+    readout) and ``scrub_leaked_spans`` (the transform). Overlapping
+    w-token train windows are marked when their text is a reference
+    window; a doc's overlapping/contiguous marked windows merge into
+    maximal spans via gaps-and-islands (break when the next marked
+    window starts past the previous span's end). All integers ⇒
+    bit-exact cross-engine.
+
+    Shapes: the train windows never shuffle — the reference window
+    set broadcasts and marking is a map-side join; the island merge
+    is a per-doc window (see cross_corpus_span_extents' posture
+    notes, which apply verbatim — this is the same plan up to the
+    final readout)."""
 
     def wins(df):
         toks = df.select(F.col(id_col).alias("doc_id"),
@@ -896,11 +924,79 @@ def cross_corpus_span_extents(train: DataFrame, ref: DataFrame,
         .otherwise(0)
     isl = (marked.withColumn("brk", brk)
            .withColumn("grp", F.sum("brk").over(ww)))
-    spans = isl.groupBy("doc_id", "grp").agg(
-        F.min("pos").alias("s"), (F.max("pos") + F.lit(w - 1)).alias("e"))
-    return spans.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).cast("bigint")
-        .alias("leaked_tokens"),
-        F.max(F.col("e") - F.col("s") + 1).cast("bigint")
-        .alias("max_span_tokens"))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(w - 1)).alias("e")).drop("grp")
+
+
+def scrub_leaked_spans(train: DataFrame, ref: DataFrame, w: int = 8,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """ACT on span-level eval-leak localization: rewrite each train
+    doc with its maximal leaked spans removed → (doc_id, status,
+    n_spans, tokens_removed, n_tokens_kept, text) — the cut-the-
+    passage decontamination TRANSFORM (Lee et al. 2022's remediation
+    step) that ``cross_corpus_span_extents`` only monitors. Every
+    train doc passes through exactly once:
+
+    - ``clean``    — no leaked span (including docs shorter than w
+      tokens and NULL-text docs): ``text`` is the ORIGINAL value
+      verbatim (no whitespace normalization on untouched docs).
+    - ``scrubbed`` — ≥1 leaked span, ≥1 surviving token: ``text`` is
+      the token-exact reconstruction of the survivors — tokens whose
+      0-based position falls inside no (s, e) extent, in original
+      order, joined by single spaces (scrubbed docs ARE whitespace-
+      normalized: token identity is the unit the span arithmetic
+      works in, so inter-token whitespace cannot survive a cut).
+    - ``dropped``  — every token sits in a leaked span: ``text`` is
+      NULL (the doc leaves the corpus; the row IS the audit record).
+
+    tokens_removed + n_tokens_kept = the doc's token count (identity
+    tested); adjacent/overlapping windows were already merged into
+    maximal spans upstream, so a mid-doc cut removes one contiguous
+    block per span. All arithmetic is integer span/position algebra
+    ⇒ bit-exact cross-engine.
+
+    Shapes (100 TB posture): ``leak_span_table``'s posture carries
+    over (reference windows broadcast, marking map-side, island
+    merge per-doc); the only additions are one spans-per-doc partial
+    aggregate (leaked-doc-sized, tiny) and ONE left equi-join back
+    to the train corpus on doc_id — token filtering and
+    reconstruction are per-row array expressions, no extra exchange.
+    """
+    spans = (leak_span_table(train, ref, w, text_col, id_col)
+             .groupBy("doc_id")
+             .agg(F.collect_list(F.struct("s", "e")).alias("spans"),
+                  F.count("*").alias("n_spans"),
+                  F.sum(F.col("e") - F.col("s") + 1)
+                  .alias("tokens_removed")))
+    base = train.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("orig"),
+                        F.when(F.col(text_col).isNotNull(),
+                               F.split(F.trim(F.col(text_col)), r"\s+"))
+                        .alias("w0"))
+    j = base.join(spans, "doc_id", "left")
+    # survivors: tokens whose position is inside no leaked extent.
+    # Guarded by the spans-NULL branch below, so the NULL-propagating
+    # exists() never decides a clean doc's fate.
+    kept = F.expr(
+        "transform(filter(transform(w0, (t, i) -> struct(t AS t, i AS i)),"
+        " x -> NOT exists(spans, sp -> x.i >= sp.s AND x.i <= sp.e)),"
+        " x -> x.t)")
+    n_kept = (F.when(F.col("spans").isNull(),
+                     F.coalesce(F.size("w0"), F.lit(0)))
+              .otherwise(F.size(kept)))
+    status = (F.when(F.col("spans").isNull(), F.lit("clean"))
+              .when(F.size(kept) > 0, F.lit("scrubbed"))
+              .otherwise(F.lit("dropped")))
+    text = (F.when(F.col("spans").isNull(), F.col("orig"))
+            .when(F.size(kept) > 0, F.concat_ws(" ", kept))
+            .otherwise(F.lit(None).cast("string")))
+    return j.select(
+        "doc_id", status.alias("status"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint")
+        .alias("n_spans"),
+        F.coalesce(F.col("tokens_removed"), F.lit(0)).cast("bigint")
+        .alias("tokens_removed"),
+        n_kept.cast("bigint").alias("n_tokens_kept"),
+        text.alias("text"))

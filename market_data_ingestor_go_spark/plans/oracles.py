@@ -2730,3 +2730,65 @@ for _k in _R11_IN:
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in _R11_OUT:
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+
+# Span-scrub transform (r11): the eval_leak_spans window/island SQL
+# re-used to produce the (s, e) extent table, then every train doc is
+# rewritten — tokens (0-based position) anti-range-joined against the
+# extents, survivors string_agg'd back in position order. Clean docs
+# keep their ORIGINAL text (no whitespace normalization on untouched
+# rows); fully-leaked docs emit NULL text with their audit counts.
+EXTRA_ORACLES["eval_leak_scrub"] = """
+WITH tw AS (SELECT doc_id, text,
+                   CASE WHEN text IS NOT NULL THEN
+                        regexp_split_to_array(trim(text), '\\s+') END AS w
+            FROM documents WHERE doc_id % 20 != 0),
+rwin AS (SELECT DISTINCT array_to_string(w[i+1:i+8], ' ') AS win
+         FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+               FROM documents WHERE doc_id % 20 = 0),
+              unnest(range(0, greatest(len(w) - 7, 0))) AS t(i)),
+twin AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                array_to_string(w[i+1:i+8], ' ') AS win
+         FROM tw, unnest(range(0, greatest(len(w) - 7, 0))) AS t(i)),
+m AS (SELECT twin.doc_id, twin.pos FROM twin JOIN rwin USING (win)),
+b AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) + 8
+             THEN 1 ELSE 0 END AS brk
+      FROM m),
+g AS (SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM b),
+s AS (SELECT doc_id, grp, MIN(pos) AS sp, MAX(pos) + 7 AS ep
+      FROM g GROUP BY doc_id, grp),
+agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(ep - sp + 1) AS tokens_removed
+        FROM s GROUP BY doc_id),
+tok AS (SELECT doc_id, w, unnest(range(len(w))) AS i
+        FROM tw WHERE doc_id IN (SELECT doc_id FROM agg)),
+tok2 AS (SELECT doc_id, CAST(i AS INT) AS i, w[i+1] AS t FROM tok),
+kept AS (SELECT k.doc_id, k.i, k.t
+         FROM tok2 k LEFT JOIN s
+           ON s.doc_id = k.doc_id AND k.i BETWEEN s.sp AND s.ep
+         WHERE s.doc_id IS NULL),
+krows AS (SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(t, ' ' ORDER BY i) AS newtext
+          FROM kept GROUP BY doc_id)
+SELECT tw.doc_id,
+       CASE WHEN agg.doc_id IS NULL THEN 'clean'
+            WHEN COALESCE(krows.n_kept, 0) > 0 THEN 'scrubbed'
+            ELSE 'dropped' END AS status,
+       CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(agg.tokens_removed, 0) AS BIGINT)
+         AS tokens_removed,
+       CAST(CASE WHEN agg.doc_id IS NULL THEN COALESCE(len(tw.w), 0)
+                 ELSE COALESCE(krows.n_kept, 0) END AS BIGINT)
+         AS n_tokens_kept,
+       CASE WHEN agg.doc_id IS NULL THEN tw.text
+            WHEN COALESCE(krows.n_kept, 0) > 0 THEN krows.newtext
+            END AS text
+FROM tw LEFT JOIN agg ON tw.doc_id = agg.doc_id
+        LEFT JOIN krows ON tw.doc_id = krows.doc_id
+"""

@@ -2684,6 +2684,23 @@ def eval_leak_spans(spark, sf_dir):
         d.filter(F.col("doc_id") % 20 == 0), w=8)
 
 
+def eval_leak_scrub(spark, sf_dir):
+    """ACT on the leak localization (operators/dedup.py::
+    scrub_leaked_spans): rewrite every train doc (doc_id % 20 != 0)
+    with its maximal leaked spans — 8-token windows occurring
+    verbatim in the held-out reference split — removed. Every train
+    doc passes through once: 'clean' docs keep their original text
+    verbatim, 'scrubbed' docs get the token-exact survivor
+    reconstruction, fully-leaked docs are 'dropped' with NULL text
+    (the row is the audit record). Integer span/position algebra ⇒
+    bit-exact; reference windows broadcast."""
+    from ..operators.dedup import scrub_leaked_spans
+    d = _t(spark, sf_dir, "documents")
+    return scrub_leaked_spans(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0), w=8)
+
+
 def snapshot_change_magnitude(spark, sf_dir):
     """HOW MUCH each changed doc changed between crawls
     (operators/dedup.py::snapshot_change_profile): distinct-token
@@ -3002,6 +3019,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_drawdown": events_drawdown,              # per-key running-peak window ⊂ events_moving_stats (ordered frames) + events_user_growth (cumulative window)
     "doc_containment_pairs": doc_containment_pairs,  # inverted-index pair equi-join ⊂ doc_sparse_cosine_neardup (kept)
     "jl_projection_distortion": jl_projection_distortion,  # exact-decimal embedding arithmetic ⊂ source_embedding_drift (rotated in) + knn_bruteforce (pairwise cosine)
+    # round-11 addition — oracle-backed (oracle added same commit),
+    # listed in ROTATION_CANDIDATES_R11 per the r9 policy
+    "eval_leak_scrub": eval_leak_scrub,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3165,7 +3185,9 @@ ROTATED_IN_R11: list[str] = list(ROTATION_CANDIDATES_R10)
 # added during round 11 must be listed here in the SAME commit that
 # adds its oracle (the r9 policy, enforced by the never-verified scan
 # in tests/test_parity.py).
-ROTATION_CANDIDATES_R11: list[str] = []
+ROTATION_CANDIDATES_R11: list[str] = [
+    "eval_leak_scrub",            # added r11, oracle added same commit
+]
 
 
 # Frozen at the close of round 7: every oracle-backed query name that

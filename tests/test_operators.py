@@ -832,6 +832,65 @@ def test_cross_corpus_span_extents_hand_case(spark):
             got[13]["max_span_tokens"]) == (2, 16, 8)
 
 
+def test_scrub_leaked_spans_hand_cases(spark):
+    """The scrub transform on hand pairs: a mid-doc leak cuts exactly
+    the leaked block (token-exact survivors, single-space rejoin); a
+    verbatim copy drops whole-doc with NULL text; two separated leaks
+    cut two islands and keep the separator; overlapping/contiguous
+    windows merge into ONE span before cutting; clean and short docs
+    pass through with ORIGINAL text verbatim (whitespace untouched);
+    and tokens_removed + n_tokens_kept equals the doc's token count
+    on every row."""
+    from market_data_ingestor_go_spark.operators.dedup import (
+        scrub_leaked_spans)
+
+    refrun = " ".join(f"r{i}" for i in range(1, 9))      # 8 tokens
+    ref = spark.createDataFrame(
+        [Row(doc_id=0, text=refrun + " r9")])            # windows 0,1
+    junk = " ".join(f"j{i}" for i in range(9))           # 9 tokens
+    train = spark.createDataFrame(
+        [Row(doc_id=10, text="x " + refrun + " y"),      # mid-doc cut
+         Row(doc_id=11, text=refrun + " r9"),            # whole-doc drop
+         Row(doc_id=12, text="a  b   c"),                # short: verbatim
+         Row(doc_id=13, text=refrun + " " + junk + " " + refrun),
+         Row(doc_id=14, text=None)])                     # NULL passthrough
+    got = {r["doc_id"]: r for r in
+           scrub_leaked_spans(train, ref, w=8).collect()}
+    assert set(got) == {10, 11, 12, 13, 14}
+
+    r = got[10]  # leak at positions 1..8 of 10 tokens
+    assert (r["status"], r["text"]) == ("scrubbed", "x y")
+    assert (r["n_spans"], r["tokens_removed"], r["n_tokens_kept"]) \
+        == (1, 8, 2)
+
+    r = got[11]  # overlapping windows 0 and 1 merge → whole doc
+    assert (r["status"], r["text"]) == ("dropped", None)
+    assert (r["n_spans"], r["tokens_removed"], r["n_tokens_kept"]) \
+        == (1, 9, 0)
+
+    r = got[12]  # < w tokens: clean, original whitespace preserved
+    assert (r["status"], r["text"]) == ("clean", "a  b   c")
+    assert (r["n_spans"], r["tokens_removed"], r["n_tokens_kept"]) \
+        == (0, 0, 3)
+
+    r = got[13]  # two islands (8 + 8), the 9 junk tokens survive
+    assert (r["status"], r["text"]) == ("scrubbed", junk)
+    assert (r["n_spans"], r["tokens_removed"], r["n_tokens_kept"]) \
+        == (2, 16, 9)
+
+    r = got[14]  # NULL text: clean, 0 tokens, text stays NULL
+    assert (r["status"], r["text"], r["n_tokens_kept"]) \
+        == ("clean", None, 0)
+
+    # accounting identity: removed + kept == token count, every row
+    from market_data_ingestor_go_spark.functions.text import token_count
+    ntok = {r["doc_id"]: r["n"] for r in train.select(
+        "doc_id", F.coalesce(token_count("text"), F.lit(0)).alias("n")
+    ).collect()}
+    for did, r in got.items():
+        assert r["tokens_removed"] + r["n_tokens_kept"] == ntok[did], did
+
+
 def test_snapshot_change_profile_hand_case(spark):
     """Change magnitude on a hand pair: exact Jaccard for a one-token
     edit, 0.0 for a full rewrite; unchanged and whitespace-only-edit

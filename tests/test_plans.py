@@ -638,6 +638,22 @@ def test_eval_leak_spans_marking_is_broadcast(spark):
     assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
 
 
+def test_eval_leak_scrub_reference_broadcast_and_per_doc(spark):
+    """eval_leak_scrub: exactly three pruned documents scans (train
+    windows, reference windows, the train join-back), every join
+    broadcast (the reference window set for map-side marking, the
+    leaked-doc-sized span table back onto the corpus — never a
+    corpus-side sort-merge), and every Window keyed by doc_id (the
+    island merge stays per-doc)."""
+    plan = _plan(ALL_QUERIES["eval_leak_scrub"](spark, SF))
+    assert len(re.findall(r"documents\.parquet", plan)) == 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^,]*)", plan):
+        assert m.group(1).startswith("doc_id#"), plan
+    assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
+
+
 def test_embedding_drift_pair_join_is_model_sized(spark):
     """source_embedding_drift: the corpus is dim-exploded and
     aggregated exactly once — the |groups|-row centroid table is
