@@ -51,6 +51,16 @@ numbers; durations — and therefore oracle parity — are identical).
 Results materialize through the noop sink (full execution, no driver
 collect).
 
+Round-11: cross-round comparisons are now LOAD-INVARIANT — a fixed
+pure-CPU calibration query is interleaved through every steady pass
+and each query reports `queries_calibrated` = min over passes of
+(query_sec / nearest-in-time calibration_sec). Host noise (the
+r9/r10 saga: code-identical queries swinging ±2x under recorded
+loadavg 1.6-7.8) divides out of the ratio; the calibration's own
+cross-round ratio isolates any true host-speed change. The >30%
+auto-flags compare calibrated ratios whenever the previous round's
+committed bench_detail.json carries them.
+
 Round-5 host-variance evidence (for cross-round comparisons): late in
 round 5 the SAME code measured +60%..+270% vs the BENCH_r04 artifact
 on queries that had not changed a byte (dedup_fingerprint 0.23→0.88,
@@ -222,6 +232,28 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# Fixed CALIBRATION query (r11, verdict #3): pure CPU work — no table
+# I/O, no shuffle reuse, 8 fixed partitions, string-routed xxhash64
+# per row, pmod-bounded so the ungrouped sum stays inside a long
+# under ANSI — interleaved through every steady pass so each query
+# sample gets a near-in-time measure of the host's CURRENT speed.
+# Calibrated ratio = query_sec / nearest calibration_sec: ambient
+# co-tenant load (the r9/r10 noise saga — code-identical queries
+# swinging ±2x with recorded loadavg 1.6-7.8) divides OUT, so
+# cross-round per-query comparisons become load-invariant. The
+# calibration's own samples are reported too: their cross-round ratio
+# IS the host-speed delta, attributing any uniform drift.
+CAL_EVERY = 10  # queries between calibration samples within a pass
+
+
+def calibration(spark):
+    from pyspark.sql import functions as F
+    return (spark.range(0, 24_000_000, 1, 8)
+            .select(F.pmod(F.xxhash64(F.col("id").cast("string")),
+                           F.lit(1_000_003)).alias("h"))
+            .agg(F.sum("h").alias("s")))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -253,7 +285,9 @@ def main() -> None:
     cold: dict[str, float] = {}
     cold_load: dict[str, float] = {}
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    ratios: dict[str, list[float]] = {name: [] for name in HEADLINE}
     run_loads: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    cal_samples: list[float] = []
 
     def timed(name: str) -> float:
         t0 = time.perf_counter()
@@ -262,50 +296,83 @@ def main() -> None:
         release_pinned()
         return dt
 
+    def timed_cal() -> float:
+        t0 = time.perf_counter()
+        materialize(calibration(spark))
+        dt = time.perf_counter() - t0
+        cal_samples.append(round(dt, 3))
+        return dt
+
+    timed_cal()  # warm the calibration's codegen with the cold pass
     for name in HEADLINE:  # cold pass
         cold_load[name] = round(os.getloadavg()[0], 2)
         cold[name] = round(timed(name), 3)
     for _ in range(STEADY_RUNS):  # interleaved steady passes
-        for name in HEADLINE:
+        cur_cal = None
+        for i, name in enumerate(HEADLINE):
+            if i % CAL_EVERY == 0:  # refresh the host-speed measure
+                cur_cal = timed_cal()
             run_loads[name].append(round(os.getloadavg()[0], 2))
-            samples[name].append(timed(name))
+            dt = timed(name)
+            samples[name].append(dt)
+            ratios[name].append(dt / cur_cal)
 
     steady = {n: round(min(s), 3) for n, s in samples.items()}
     steady_median = {n: round(statistics.median(s), 3)
                      for n, s in samples.items()}
     steady_stdev = {n: round(statistics.stdev(s), 3)
                     for n, s in samples.items()}
+    # load-invariant per-query number: min over passes of
+    # (query_sec / nearest-in-time calibration_sec)
+    calibrated = {n: round(min(r), 3) for n, r in ratios.items()}
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # auto-flag >30% per-query drift vs the previous round's artifact,
     # carrying the load context of THIS round's runs (sub-0.1 s
-    # queries skipped — absolute noise dominates them)
+    # queries skipped — absolute noise dominates them). Compared on
+    # CALIBRATED ratios when the previous round's committed
+    # bench_detail.json carries them (load-invariant — host noise
+    # divides out); raw steady seconds otherwise (pre-r11 artifacts).
     flags: list[dict] = []
-    prev_round, prev_queries = None, {}
+    prev_round, prev_queries, basis = None, {}, "steady_sec"
+    now_by_name = steady
     import glob
     here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "bench_detail.json")
+    try:  # last round's committed detail (read BEFORE overwriting)
+        prev_detail = json.load(open(detail_path))
+        if (prev_detail.get("sf") == sf_val
+                and prev_detail.get("queries_calibrated")):
+            prev_queries = prev_detail["queries_calibrated"]
+            basis = "calibrated_ratio"
+            now_by_name = calibrated
+    except Exception:
+        pass
     arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     if arts:
         try:
             prev = json.load(open(arts[-1]))
             prev_round = prev.get("n")
-            # only comparable at the same scale factor
-            if prev.get("sf") == sf_val:
+            # raw fallback, only comparable at the same scale factor
+            if basis == "steady_sec" and prev.get("sf") == sf_val:
                 prev_queries = (prev.get("parsed") or {}).get(
                     "queries", {})
         except Exception:
             pass
-    for name, now in steady.items():
+    for name, now in now_by_name.items():
         old = prev_queries.get(name)
-        if old is None or old < 0.1:
+        if old is None or old < 0.1 or steady.get(name, 0) < 0.1:
             continue
         delta = (now - old) / old
         if abs(delta) > 0.30:
             flags.append({
                 "query": name, "prev": old, "now": now,
+                "basis": basis,
                 "delta_pct": round(100 * delta, 1),
                 "prev_round": prev_round,
                 "samples": [round(s, 3) for s in samples[name]],
+                "calibrated_per_run": [round(r, 3)
+                                       for r in ratios[name]],
                 "loadavg_per_run": run_loads[name],
             })
     flags.sort(key=lambda f: -abs(f["delta_pct"]))
@@ -318,6 +385,20 @@ def main() -> None:
         "queries": steady,
         "queries_median": steady_median,
         "queries_stdev": steady_stdev,
+        "queries_calibrated": calibrated,
+        "calibrated_total": round(sum(calibrated.values()), 3),
+        "calibration_sec": {
+            "samples": cal_samples,
+            "min": round(min(cal_samples), 3),
+            "median": round(statistics.median(cal_samples), 3),
+            "what": "fixed pure-CPU query (range->xxhash->sum, 8 "
+                    "partitions, no I/O) interleaved every "
+                    f"{CAL_EVERY} queries; queries_calibrated = min "
+                    "over passes of query_sec / nearest cal_sec — "
+                    "cross-round comparisons should use these "
+                    "(load-invariant); the calibration's own "
+                    "cross-round ratio is the host-speed delta",
+        },
         "median_total_sec": round(sum(steady_median.values()), 3),
         "cold_total_sec": round(sum(cold.values()), 3),
         "runs_per_query": 1 + STEADY_RUNS,
@@ -347,6 +428,8 @@ def main() -> None:
         "unit": "sec",
         "queries": dict(sorted(steady.items(), key=lambda kv: -kv[1])),
         "median_total_sec": detail["median_total_sec"],
+        "calibrated_total": detail["calibrated_total"],
+        "cal_sec_median": detail["calibration_sec"]["median"],
         "n_queries": len(steady),
         "queries_omitted": 0,
         "n_flags_vs_prev": len(flags),
