@@ -118,8 +118,9 @@ def bm25_topk(docs: DataFrame, query_terms: list[tuple[str, str]],
             .select(F.col(id_col).alias("doc_id"),
                     _tokens(text_col).alias("ts"))
             .withColumn("dl", F.size("ts")))
-    stats = F.broadcast(base.agg(F.count("*").alias("n_docs"),
-                                 F.sum("dl").alias("tot")))
+    stats = base.agg(F.count("*").alias("n_docs"),
+                     F.sum("dl").alias("tot"),
+                     F.max("dl").alias("max_dl"))
     # postings filtered to the query vocabulary BEFORE the tf
     # aggregate — only matching postings shuffle
     posts = (base.select("doc_id", "dl", F.explode("ts").alias("term"))
@@ -151,13 +152,42 @@ def _query_tables(spark, query_terms: list[tuple[str, str]]):
     return qt, F.broadcast(qt.select("term").distinct())
 
 
+# Runtime decimal-headroom bound (the PMI_MAX_TOTAL_TOKENS pattern,
+# r11): the module doc derives num, den ≤ 45·N·D·TOT for the exact
+# DECIMAL(38,0) cross-products, so the job fails LOUDLY — on the
+# one-row broadcast stats, evaluated once — the moment N·D·TOT could
+# overflow, instead of silently nulling scores. Past the bound, shard
+# the corpus per index partition (module doc).
+BM25_MAX_N_D_TOT = 2.2e36
+
+
 def _score_and_rank(tf: DataFrame, stats: DataFrame, qt: DataFrame,
                     k: int) -> DataFrame:
     """Shared surrogate-BM25 scoring tail: (doc_id, dl, term, tf, df)
-    × broadcast (n_docs, tot) × broadcast (query_id, term) →
-    per-query exact-decimal sums, ranked. One expression tree for
+    × broadcast (n_docs, tot[, max_dl]) × broadcast (query_id, term)
+    → per-query exact-decimal sums, ranked. One expression tree for
     both the direct and the from-index paths ⇒ bit-identity between
-    them holds by construction."""
+    them holds by construction. When the stats row carries ``max_dl``
+    the N·D·TOT ≤ 2.2e36 decimal-headroom bound is runtime-enforced
+    on it (folded into n_docs so column pruning can never drop the
+    assert); a legacy (n_docs, tot) sidecar sum has no D and skips
+    the guard."""
+    if "max_dl" in stats.columns:
+        prod = (F.col("n_docs").cast("double")
+                * F.col("max_dl").cast("double")
+                * F.col("tot").cast("double"))
+        guard = F.assert_true(
+            prod <= F.lit(BM25_MAX_N_D_TOT),
+            F.concat(F.lit("bm25 decimal headroom exceeded: "
+                           "n_docs*max_dl*tot="),
+                     prod.cast("string"),
+                     F.lit(f" > {BM25_MAX_N_D_TOT} (the exact "
+                           "DECIMAL(38,0) cross-products would "
+                           "overflow; shard the corpus)")))
+        stats = stats.select(
+            F.when(guard.isNull(), F.col("n_docs")).alias("n_docs"),
+            "tot")
+    stats = F.broadcast(stats)
     num = ((2 * F.col("n_docs") - 2 * F.col("df") + 1).cast(_D38)
            * F.lit(22).cast(_D38) * F.col("tf").cast(_D38)
            * F.col("tot").cast(_D38))
@@ -211,6 +241,26 @@ def doc_postings(docs: DataFrame, text_col: str = "text",
 # a 100 TB index raises it to O(cluster parallelism).
 N_TERM_BUCKETS = 16
 
+# The bucket MODULUS travels in the partition column's NAME
+# (``term_bkt16``): self-describing at schema level, zero extra I/O,
+# and it survives any DataFrame slice of the index — so a serve call
+# can never silently prune with the wrong modulus (the r10 hazard:
+# an index built with term_buckets=4 served with the default 16
+# pruned partitions that DID hold matching postings — missing
+# results, not slow ones). ``bm25_from_index`` derives the modulus
+# from the name and REFUSES a conflicting explicit n_term_buckets;
+# only a legacy plain ``term_bkt`` column still relies on the caller
+# threading the count.
+import re as _re
+
+_TERM_BKT_RE = _re.compile(r"^term_bkt(\d+)$")
+
+
+def term_bkt_name(n_buckets: int) -> str:
+    """Partition-column name carrying the bucket modulus —
+    ``term_bkt16`` for a 16-bucket build."""
+    return f"term_bkt{int(n_buckets)}"
+
 
 def term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
     """Pure-Python twin of ``hash_bucket(term, n_buckets)`` (md5 of
@@ -248,14 +298,44 @@ def bm25_index(docs: DataFrame, text_col: str = "text",
         tf = tf.withColumn("df", F.count("*").over(
             Window.partitionBy("term")))
     if term_buckets is not None:
-        tf = tf.withColumn("term_bkt", hash_bucket("term", term_buckets))
+        # modulus-carrying column name (module doc): write with
+        # .partitionBy(term_bkt_name(term_buckets))
+        tf = tf.withColumn(term_bkt_name(term_buckets),
+                           hash_bucket("term", term_buckets))
     return tf
+
+
+def latest_epoch_postings(postings: DataFrame,
+                          id_col: str = "doc_id",
+                          epoch_col: str = "epoch") -> DataFrame:
+    """The UPDATE path for the append-only postings contract: keep
+    only each doc's NEWEST epoch's posting set → same columns, one
+    (doc_id, dl, term, tf, epoch, …) row set per doc from a single
+    epoch. Re-ingesting a changed document as a new epoch then stops
+    double-counting it: dedup-to-latest before stats/scoring makes
+    the newest text the only one that serves (equality tested — the
+    re-ingested doc scores ONLY its new text; N/TOT count it once).
+
+    Use it (a) ad hoc, ``bm25_from_index(latest_epoch_postings(idx),
+    …, stats=None)`` — the sidecar sums CANNOT be used with it,
+    they count every epoch — or (b) permanently, as the dedup a
+    compaction applies so the folded index is update-clean.
+
+    Shape: one window over the index keyed by doc_id (max-epoch
+    filter). At scale the index stores doc_id-bucketed and this is
+    shuffle-free; it is the same exchange the stats=None distinct
+    pays, so the ad-hoc form costs no extra pass."""
+    w = Window.partitionBy(id_col)
+    return (postings
+            .withColumn("__max_e", F.max(epoch_col).over(w))
+            .filter(F.col(epoch_col) == F.col("__max_e"))
+            .drop("__max_e"))
 
 
 def bm25_from_index(postings: DataFrame,
                     query_terms: list[tuple[str, str]],
                     k: int = 10, stats: DataFrame | None = None,
-                    n_term_buckets: int = N_TERM_BUCKETS) -> DataFrame:
+                    n_term_buckets: int | None = None) -> DataFrame:
     """Serve path: BM25 top-k against the MATERIALIZED inverted index
     (``bm25_index`` output, or ``StreamingPostingsIndex``'s epoch
     union) with zero tokenize/explode work per query — the
@@ -265,47 +345,70 @@ def bm25_from_index(postings: DataFrame,
     doc_ids) but never update — re-ingesting an existing doc_id with
     changed text would leave both posting sets live, double-counting
     that doc in df/N/TOT and scoring both versions silently.
-    Updates must dedup postings to the latest epoch per doc_id before
-    serving (``StreamingPostingsIndex`` states the same contract).
+    A source with updates deduped to the newest epoch per doc_id via
+    ``latest_epoch_postings`` serves correctly (the supported
+    re-ingest path; ``StreamingPostingsIndex`` states the same
+    contract).
 
     The corpus-GLOBAL quantities are derived from the postings being
     served, never trusted from build time — so an index that has
     grown by appended epochs serves the df/stats of its CURRENT
     contents (a stored df column, frozen at build, is ignored):
 
-    - ``stats=None``: N/TOT from one distinct over (doc_id, dl)
-      (every doc carries ≥1 posting since tokenization yields ≥1
+    - ``stats=None``: N/TOT/max-dl from one distinct over (doc_id,
+      dl) (every doc carries ≥1 posting since tokenization yields ≥1
       token) — correct but a FULL-INDEX pass per query batch.
-    - ``stats=<(n_docs, tot) one-row DataFrame>``: the per-epoch
-      sidecar sum a maintainer keeps (``StreamingPostingsIndex``
-      writes (epoch, n_docs, tot) as it lands postings; summing
-      sidecar rows is metadata-cost and stays stale-free because the
-      sidecar lands in the SAME epoch write). Equality across
-      appended epochs is tested.
+    - ``stats=<(n_docs, tot[, max_dl]) one-row DataFrame>``: the
+      per-epoch sidecar sum a maintainer keeps
+      (``StreamingPostingsIndex`` writes (epoch, n_docs, tot,
+      max_dl) as it lands postings; summing sidecar rows is
+      metadata-cost and stays stale-free because the sidecar lands
+      in the SAME epoch write). Equality across appended epochs is
+      tested. NOT valid over ``latest_epoch_postings`` output — the
+      sidecar counts every epoch.
 
     df always comes from a window over the vocab-filtered postings
     (query-vocabulary-sized, never a full-index pass). If the index
-    carries a ``term_bkt`` partition column (``bm25_index(...,
-    term_buckets=n)``), the query vocabulary's buckets are computed
-    driver-side and pruned BEFORE the scan — partition pruning, zero
-    non-matching postings read. ``n_term_buckets`` MUST equal the
-    build's ``term_buckets`` (it is the modulus of the driver-side
-    hash): a mismatch would prune partitions that DO hold matching
-    postings — silently missing results, not slow ones — so a
-    non-default build must thread its count to every serve call.
+    carries a modulus-carrying partition column (``term_bkt16`` —
+    ``bm25_index(..., term_buckets=n)``), the bucket count is derived
+    from the COLUMN NAME, the query vocabulary's buckets are computed
+    driver-side, and non-matching partitions are pruned BEFORE the
+    scan — and a conflicting explicit ``n_term_buckets`` raises
+    instead of silently missing results. Only a LEGACY plain
+    ``term_bkt`` column still relies on the caller threading the
+    build's count (default ``N_TERM_BUCKETS``): a mismatch there
+    prunes partitions that DO hold matching postings — silently
+    missing results, not slow ones (tested both ways).
     Row-identical to ``bm25_topk`` (shared scoring tail and query
     canonicalization; equality tested)."""
     qt, vocab = _query_tables(postings.sparkSession, query_terms)
     if stats is None:
         stats = (postings.select("doc_id", "dl").distinct()
                  .agg(F.count("*").alias("n_docs"),
-                      F.sum("dl").alias("tot")))
-    stats = F.broadcast(stats)
+                      F.sum("dl").alias("tot"),
+                      F.max("dl").alias("max_dl")))
     matched = postings
-    if "term_bkt" in postings.columns:
-        bkts = sorted({term_bucket(t, n_term_buckets)
+    bkt_col, modulus = None, None
+    for c in postings.columns:
+        m = _TERM_BKT_RE.match(c)
+        if m:
+            bkt_col, modulus = c, int(m.group(1))
+            break
+    if bkt_col is not None:
+        if n_term_buckets is not None and n_term_buckets != modulus:
+            raise ValueError(
+                f"index column {bkt_col} says the build used "
+                f"{modulus} term buckets, but n_term_buckets="
+                f"{n_term_buckets} was passed — a mismatched modulus "
+                f"would silently prune matching postings")
+    elif "term_bkt" in postings.columns:  # legacy, modulus not stored
+        bkt_col = "term_bkt"
+        modulus = n_term_buckets if n_term_buckets is not None \
+            else N_TERM_BUCKETS
+    if bkt_col is not None:
+        bkts = sorted({term_bucket(t, modulus)
                        for _, t in set(query_terms)})
-        matched = postings.filter(F.col("term_bkt").isin(bkts))
+        matched = postings.filter(F.col(bkt_col).isin(bkts))
     tf = (matched.select("doc_id", "dl", "term", "tf")
           .join(vocab, "term")
           .withColumn("df", F.count("*").over(Window.partitionBy("term"))))

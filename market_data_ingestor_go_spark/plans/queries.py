@@ -2581,12 +2581,14 @@ def _bm25_index_path(spark, sf_dir):
     import os
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BM25_IDX:
-        from ..operators.retrieval import N_TERM_BUCKETS, bm25_index
+        from ..operators.retrieval import (N_TERM_BUCKETS, bm25_index,
+                                           term_bkt_name)
         tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
         path = os.path.join(_pq_enc_root(), tag, "bm25_postings")
         bm25_index(_t(spark, sf_dir, "documents"),
                    term_buckets=N_TERM_BUCKETS) \
-            .write.mode("overwrite").partitionBy("term_bkt").parquet(path)
+            .write.mode("overwrite") \
+            .partitionBy(term_bkt_name(N_TERM_BUCKETS)).parquet(path)
         _BM25_IDX[key] = path
     return _BM25_IDX[key]
 

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import passage_df
 from ..operators.sketch import bloom_build, bloom_might_contain
+from .audit import audit_layout
 
 
 @dataclass
@@ -62,6 +63,12 @@ class PassageBoilerplateGate:
     k: int = 5
     threshold: float = 0.5
     trigger_seconds: int = 2
+    # audit file layout: None = the batch's own parallelism (the
+    # gate audits EVERY scored doc per epoch — never one task);
+    # fixture tests pass 1 (streaming/audit.py). The Bloom STATE
+    # writes below keep coalesce(1): bounded word lists, and the
+    # load_state reader unions per-epoch single files.
+    audit_partitions: int | None = None
     docs_seen: int = 0
     docs_flagged: int = 0
     queries: list = field(default_factory=list)
@@ -132,7 +139,8 @@ class PassageBoilerplateGate:
 
         # audit + state under this epoch's partition — both idempotent
         epoch_dir = os.path.join(self.audit_path, f"epoch={int(epoch_id)}")
-        scored.coalesce(1).write.mode("overwrite").parquet(epoch_dir)
+        audit_layout(scored, self.audit_partitions)\
+            .write.mode("overwrite").parquet(epoch_dir)
         partial = bloom_build(p, "digest", self.n_bits, self.k)
         state_dir = os.path.join(self.state_dir, f"epoch={int(epoch_id)}")
         partial.coalesce(1).write.mode("overwrite").parquet(state_dir)

@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .audit import audit_layout
 from ..operators.dedup import (banded_signatures, minhash_signatures,
                                shingle_df)
 
@@ -56,6 +57,9 @@ class ContaminationGate:
     num_perms: int = 128
     num_bands: int = 32
     trigger_seconds: int = 2
+    # audit file layout: None = the batch's own parallelism;
+    # fixture tests pass 1 (streaming/audit.py)
+    audit_partitions: int | None = None
     docs_checked: int = 0
     docs_flagged: int = 0
     epochs: int = 0
@@ -105,7 +109,8 @@ class ContaminationGate:
             hits = self.check_batch(batch).persist()
             n_hits = hits.count()
             epoch_dir = os.path.join(self.flags_path, f"epoch={int(epoch_id)}")
-            hits.coalesce(1).write.mode("overwrite").parquet(epoch_dir)
+            audit_layout(hits, self.audit_partitions)\
+                .write.mode("overwrite").parquet(epoch_dir)
             self.docs_checked += batch.count()
             self.docs_flagged += n_hits
             self.epochs += 1

@@ -47,6 +47,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .audit import audit_layout
 from ..operators.dedup import (banded_signatures, minhash_signatures,
                                ngram_jaccard_pairs, shingle_df)
 
@@ -66,6 +67,9 @@ class StreamingDedupGate:
     num_bands: int = 32
     n_buckets: int = 16
     trigger_seconds: int = 2
+    # audit file layout: None = the batch's own parallelism;
+    # fixture tests pass 1 (streaming/audit.py)
+    audit_partitions: int | None = None
     docs_seen: int = 0
     docs_accepted: int = 0
     docs_rejected: int = 0
@@ -181,7 +185,8 @@ class StreamingDedupGate:
         dups = internal_dups if corpus_dups is None else \
             internal_dups.unionByName(corpus_dups)
         epoch_dir = os.path.join(self.dups_path, f"epoch={int(epoch_id)}")
-        dups.coalesce(1).write.mode("overwrite").parquet(epoch_dir)
+        audit_layout(dups, self.audit_partitions)\
+            .write.mode("overwrite").parquet(epoch_dir)
         self.docs_rejected += dups.count()
         self.docs_accepted += n_accepted
 

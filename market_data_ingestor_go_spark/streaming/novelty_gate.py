@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.lm_quality import novelty_against, reference_shingles
+from .audit import audit_layout
 
 
 @dataclass
@@ -57,6 +58,10 @@ class NoveltyGate:
     id_col: str = "doc_id"
     lo_novelty: float = 0.5
     trigger_seconds: int = 2
+    # audit file layout: None = the batch's own parallelism (the
+    # gate audits EVERY scored doc per epoch — never one task);
+    # fixture tests pass 1 (streaming/audit.py)
+    audit_partitions: int | None = None
     docs_scored: int = 0
     docs_flagged: int = 0
     epochs: int = 0
@@ -87,7 +92,8 @@ class NoveltyGate:
     def _gate_batch(self, batch: DataFrame, epoch_id: int) -> None:
         out = self.score_batch(batch)
         epoch_dir = os.path.join(self.audit_path, f"epoch={int(epoch_id)}")
-        out.coalesce(1).write.mode("overwrite").parquet(epoch_dir)
+        audit_layout(out, self.audit_partitions)\
+            .write.mode("overwrite").parquet(epoch_dir)
         # counters are observability only — the audit table is the
         # source of truth (replay double-counts here, like the other
         # gates; documented trade). One read-back job for both counts.

@@ -49,6 +49,8 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
+from .audit import audit_layout
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -69,6 +71,9 @@ class StreamingSemanticDedupGate:
     n_probes: int = 2
     n_cell_buckets: int = 8
     trigger_seconds: int = 2
+    # audit file layout: None = the batch's own parallelism;
+    # fixture tests pass 1 (streaming/audit.py)
+    audit_partitions: int | None = None
     vecs_seen: int = 0
     vecs_accepted: int = 0
     vecs_rejected: int = 0
@@ -184,8 +189,11 @@ class StreamingSemanticDedupGate:
             out.write.insertInto(self.state_table, overwrite=True)
 
         audit_dir = os.path.join(self.dups_dir, f"epoch={int(epoch_id)}")
-        (rejected.select(F.col("q_id").alias("new_id"), "dup_of", "cos")
-         .coalesce(1).write.mode("overwrite").parquet(audit_dir))
+        audit_layout(
+            rejected.select(F.col("q_id").alias("new_id"), "dup_of",
+                            "cos"),
+            self.audit_partitions).write.mode("overwrite")\
+            .parquet(audit_dir)
 
         n_batch = batch.count()
         n_acc = accepted.count()

@@ -223,10 +223,12 @@ class StreamingPostingsIndex(_EpochPartitionedIndex):
     APPEND-ONLY CONTRACT (stated, not just implied): epochs may only
     add NEW doc_ids. Re-ingesting an existing doc_id with changed
     text appends a second posting set — both would serve, and the
-    duplicate (doc_id, dl) pair double-counts N/TOT. A source with
-    updates must dedup to the latest epoch per doc_id before this
-    maintainer (or compact with such a dedup); ``bm25_from_index``
-    documents the same contract.
+    duplicate (doc_id, dl) pair double-counts N/TOT. The SUPPORTED
+    update path is ``operators/retrieval.py::latest_epoch_postings``:
+    dedup the index to each doc's newest epoch before stats/scoring
+    (serve it with stats=None — the sidecar counts every epoch), or
+    apply the same dedup at compaction so the folded index is
+    update-clean; ``bm25_from_index`` documents the same contract.
 
     Only DOC-LOCAL quantities are stored; everything corpus-GLOBAL
     (df, N, total length) is derived by ``bm25_from_index`` from the
@@ -236,16 +238,20 @@ class StreamingPostingsIndex(_EpochPartitionedIndex):
     Per-batch work is the batch's explode + partial-agg only; the
     existing index never rewrites.
 
-    STATS SIDECAR (r10): each epoch write also lands ONE
-    (epoch, n_docs, tot) row in ``<table>_stats`` — same epoch
-    partitioning, same dynamic-overwrite replay idempotence, landed
-    by the same ``_index_batch`` call so it can never lag the
-    postings. ``probe`` sums the sidecar instead of running
-    ``bm25_from_index``'s full-index distinct — corpus stats at
-    METADATA cost (one row per epoch), still stale-free. Equality of
-    sidecar-summed vs index-derived stats across appended epochs is
-    tested. Epoch partitions give the same idempotent-replay contract
-    as the other maintainers."""
+    STATS SIDECAR (r10; r11 adds max_dl): each epoch write also lands
+    ONE (epoch, n_docs, tot, max_dl) row in ``<table>_stats`` — same
+    epoch partitioning, same dynamic-overwrite replay idempotence,
+    landed by the same ``_index_batch`` call so it can never lag the
+    postings. ``probe`` sums the sidecar (n_docs/tot summed, max_dl
+    maxed) instead of running ``bm25_from_index``'s full-index
+    distinct — corpus stats at METADATA cost (one row per epoch),
+    still stale-free, and max_dl arms the serve path's runtime
+    decimal-headroom guard. Equality of sidecar-summed vs
+    index-derived stats across appended epochs is tested. A
+    pre-sidecar index (or one whose sidecar table is missing) falls
+    back to stats=None — the full-index distinct — instead of
+    failing (r11, ADVICE). Epoch partitions give the same
+    idempotent-replay contract as the other maintainers."""
 
     text_col: str = "text"
     id_col: str = "doc_id"
@@ -268,7 +274,8 @@ class StreamingPostingsIndex(_EpochPartitionedIndex):
                .filter(F.col("epoch") == int(epoch_id))
                .select("doc_id", "dl").distinct()
                .agg(F.count("*").alias("n_docs"),
-                    F.coalesce(F.sum("dl"), F.lit(0)).alias("tot"))
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("tot"),
+                    F.coalesce(F.max("dl"), F.lit(0)).alias("max_dl"))
                .withColumn("epoch", F.lit(int(epoch_id))))
         row.sparkSession.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -298,9 +305,17 @@ class StreamingPostingsIndex(_EpochPartitionedIndex):
 
     def probe(self, query_terms: list, k: int = 10) -> DataFrame:
         from ..operators.retrieval import bm25_from_index
-        stats = (self.spark.table(self.stats_table)
-                 .agg(F.sum("n_docs").alias("n_docs"),
-                      F.sum("tot").alias("tot")))
+        stats = None
+        if self.spark.catalog.tableExists(self.stats_table):
+            side = self.spark.table(self.stats_table)
+            aggs = [F.sum("n_docs").alias("n_docs"),
+                    F.sum("tot").alias("tot")]
+            if "max_dl" in side.columns:  # r10 sidecars predate it
+                aggs.append(F.max("max_dl").alias("max_dl"))
+            stats = side.agg(*aggs)
+        # stats=None (sidecar-less index, e.g. registered externally
+        # or created pre-r10): bm25_from_index's full-index distinct —
+        # the previously-working derived-stats path, not an error
         return bm25_from_index(
             self.spark.table(self.table).drop("epoch"), query_terms,
             k=k, stats=stats)

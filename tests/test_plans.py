@@ -692,18 +692,20 @@ def test_bm25_from_index_serve_has_no_tokenize(spark):
 
 def test_bm25_from_index_prunes_term_partitions(spark):
     """r10: the fixture index is written PARTITIONED BY the md5 term
-    bucket and the serve path turns its query vocabulary into a
-    driver-side partition-value IN-list — the postings scan must
-    carry a PartitionFilters IN on term_bkt selecting a PROPER subset
-    of the 16 buckets (partition pruning: zero non-matching postings
-    read, the docstring's scale claim as a plan artifact). The stats
-    branch (corpus-global N/TOT) correctly scans ALL partitions but
-    only (doc_id, dl)."""
+    bucket (r11: under the modulus-carrying name term_bkt16, so the
+    serve path derives the bucket count from the schema and can never
+    prune with the wrong modulus) and the serve path turns its query
+    vocabulary into a driver-side partition-value IN-list — the
+    postings scan must carry a PartitionFilters IN on term_bkt16
+    selecting a PROPER subset of the 16 buckets (partition pruning:
+    zero non-matching postings read, the docstring's scale claim as a
+    plan artifact). The stats branch (corpus-global N/TOT) correctly
+    scans ALL partitions but only (doc_id, dl)."""
     from market_data_ingestor_go_spark.operators.retrieval import (
         FIXTURE_QUERIES, N_TERM_BUCKETS, term_bucket)
 
     plan = _plan(ALL_QUERIES["doc_bm25_from_index"](spark, SF))
-    m = re.search(r"PartitionFilters: \[term_bkt#\d+ IN \(([^)]*)\)\]",
+    m = re.search(r"PartitionFilters: \[term_bkt16#\d+ IN \(([^)]*)\)\]",
                   plan)
     assert m, plan
     got = sorted(int(x) for x in m.group(1).split(","))

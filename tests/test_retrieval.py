@@ -305,20 +305,22 @@ def test_term_bucket_python_twin_matches_spark(spark):
 
 def test_bm25_from_bucketed_index_row_identical(spark):
     """A term-bucket-PARTITIONED index (bm25_index(term_buckets=n) +
-    partitionBy write) serves rows bit-identical to the direct path:
-    the driver-side bucket prune is a strict superset of the vocab
-    join, and stats still aggregate over ALL partitions."""
+    partitionBy write under the modulus-carrying column name) serves
+    rows bit-identical to the direct path: the driver-side bucket
+    prune is a strict superset of the vocab join, and stats still
+    aggregate over ALL partitions."""
     import os
     import tempfile
 
     from market_data_ingestor_go_spark.operators.retrieval import (
-        N_TERM_BUCKETS, bm25_from_index, bm25_index)
+        N_TERM_BUCKETS, bm25_from_index, bm25_index, term_bkt_name)
 
     docs = _spark_docs(spark)
     with tempfile.TemporaryDirectory() as tmp:
         path = os.path.join(tmp, "postings_bkt")
         bm25_index(docs, term_buckets=N_TERM_BUCKETS) \
-            .write.partitionBy("term_bkt").parquet(path)
+            .write.partitionBy(term_bkt_name(N_TERM_BUCKETS)) \
+            .parquet(path)
         got = sorted(map(tuple, bm25_from_index(
             spark.read.parquet(path), FIXTURE_QUERIES, k=10).collect()))
     want = sorted(map(tuple, bm25_topk(
@@ -326,17 +328,20 @@ def test_bm25_from_bucketed_index_row_identical(spark):
     assert got == want
 
 
-def test_bm25_bucket_count_threads_to_serve(spark):
-    """A non-default term_buckets build serves row-identically when
-    the serve call threads the SAME count — and the documented
-    mismatch hazard is real: pruning with the wrong modulus loses
-    matching postings (results change), which is why n_term_buckets
-    is a contract, not a tuning knob."""
+def test_bm25_bucket_modulus_self_describing(spark):
+    """r11 (ADVICE): the bucket modulus travels in the partition
+    column NAME (term_bkt4), so (1) a non-default build serves
+    row-identically with NO count threaded — derived from the
+    schema; (2) a CONFLICTING explicit n_term_buckets raises instead
+    of silently pruning matching postings; (3) the matching explicit
+    count still works."""
     import os
     import tempfile
 
+    import pytest
+
     from market_data_ingestor_go_spark.operators.retrieval import (
-        bm25_from_index, bm25_index)
+        bm25_from_index, bm25_index, term_bkt_name)
 
     docs = _spark_docs(spark)
     want = sorted(map(tuple, bm25_topk(docs, FIXTURE_QUERIES,
@@ -344,6 +349,40 @@ def test_bm25_bucket_count_threads_to_serve(spark):
     with tempfile.TemporaryDirectory() as tmp:
         path = os.path.join(tmp, "postings_b4")
         bm25_index(docs, term_buckets=4) \
+            .write.partitionBy(term_bkt_name(4)).parquet(path)
+        postings = spark.read.parquet(path)
+        derived = sorted(map(tuple, bm25_from_index(
+            postings, FIXTURE_QUERIES, k=10).collect()))
+        assert derived == want
+        explicit = sorted(map(tuple, bm25_from_index(
+            postings, FIXTURE_QUERIES, k=10,
+            n_term_buckets=4).collect()))
+        assert explicit == want
+        with pytest.raises(ValueError, match="4 term buckets"):
+            bm25_from_index(postings, FIXTURE_QUERIES, k=10,
+                            n_term_buckets=16)
+
+
+def test_bm25_legacy_bucket_count_threads_to_serve(spark):
+    """A LEGACY index whose partition column is plain ``term_bkt``
+    (no modulus in the name) still relies on the caller threading the
+    build's count — row-identical with the right one, and the
+    documented mismatch hazard is real: pruning with the wrong
+    modulus loses matching postings (results change) BOTH ways, which
+    is why new builds self-describe."""
+    import os
+    import tempfile
+
+    from market_data_ingestor_go_spark.operators.retrieval import (
+        bm25_from_index, bm25_index, term_bkt_name)
+
+    docs = _spark_docs(spark)
+    want = sorted(map(tuple, bm25_topk(docs, FIXTURE_QUERIES,
+                                       k=10).collect()))
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "postings_b4l")
+        bm25_index(docs, term_buckets=4) \
+            .withColumnRenamed(term_bkt_name(4), "term_bkt") \
             .write.partitionBy("term_bkt").parquet(path)
         postings = spark.read.parquet(path)
         got = sorted(map(tuple, bm25_from_index(
@@ -439,3 +478,75 @@ def test_bm25_null_text_docs_excluded_consistently(spark):
         got = sorted(map(tuple, bm25_from_index(
             spark.read.parquet(path), q, k=10).collect()))
     assert got == direct
+
+
+def test_latest_epoch_postings_reingest_path(spark):
+    """r11 (verdict #5): the supported UPDATE path for the
+    append-only postings contract. A doc re-ingested with changed
+    text as a NEW epoch double-counts when served raw (both versions
+    live, N/TOT inflated); after latest_epoch_postings the serve is
+    row-identical to bm25_topk over the corpus where the doc has ONLY
+    its new text, and N/TOT count it once."""
+    from market_data_ingestor_go_spark.operators.retrieval import (
+        bm25_from_index, doc_postings, latest_epoch_postings)
+
+    v1 = spark.createDataFrame(
+        [(1, "hash join merge sort"), (2, "scan filter vector data")],
+        "doc_id BIGINT, text STRING")
+    new1 = spark.createDataFrame(
+        [(1, "customer order data entry pipeline")],
+        "doc_id BIGINT, text STRING")
+    idx = (doc_postings(v1).withColumn("epoch", F.lit(0))
+           .unionByName(doc_postings(new1).withColumn("epoch", F.lit(1))))
+
+    latest = latest_epoch_postings(idx)
+    # doc 1 carries ONLY its epoch-1 postings; doc 2 is untouched
+    assert latest.filter("doc_id = 1").select("epoch").distinct() \
+        .collect() == [Row(epoch=1)]
+    stats = (latest.select("doc_id", "dl").distinct()
+             .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
+             .collect()[0])
+    assert (stats["n"], stats["t"]) == (2, 5 + 4)  # counted ONCE
+
+    after = v1.filter("doc_id != 1").unionByName(new1)
+    want = sorted(map(tuple, bm25_topk(
+        after, FIXTURE_QUERIES, k=10).collect()))
+    got = sorted(map(tuple, bm25_from_index(
+        latest, FIXTURE_QUERIES, k=10).collect()))
+    assert got == want
+
+    # the hazard the dedup removes: served RAW, doc 1's two posting
+    # sets both live and N/TOT double-count it
+    raw = sorted(map(tuple, bm25_from_index(
+        idx, FIXTURE_QUERIES, k=10).collect()))
+    assert raw != want
+
+
+def test_bm25_decimal_guard_past_bound(spark):
+    """r11 (verdict #6): the N·D·TOT ≤ 2.2e36 decimal-headroom bound
+    (module-doc derivation) is RUNTIME-enforced on the broadcast
+    stats row — mirroring PMI_MAX_TOTAL_TOKENS — so a corpus past it
+    fails loudly instead of silently nulling scores. Just inside the
+    bound still executes."""
+    import pytest
+
+    from market_data_ingestor_go_spark.operators.retrieval import (
+        bm25_from_index, doc_postings)
+
+    docs = spark.createDataFrame(
+        [(1, "hash join merge"), (2, "scan filter hash")],
+        "doc_id BIGINT, text STRING")
+    postings = doc_postings(docs)
+
+    over = spark.createDataFrame(
+        [(10**12, 10**18, 10**7)],
+        "n_docs BIGINT, tot BIGINT, max_dl BIGINT")  # 1e37 > 2.2e36
+    with pytest.raises(Exception, match="decimal headroom"):
+        bm25_from_index(postings, FIXTURE_QUERIES, k=10,
+                        stats=over).collect()
+
+    under = spark.createDataFrame(
+        [(10**11, 10**15, 10**5)],
+        "n_docs BIGINT, tot BIGINT, max_dl BIGINT")  # 1e31 ≪ bound
+    assert bm25_from_index(postings, FIXTURE_QUERIES, k=10,
+                           stats=under).collect() is not None

@@ -2282,3 +2282,74 @@ def test_streaming_postings_index_maintenance(spark, tmp_path):
         ix.stop()
         spark.sql("DROP TABLE IF EXISTS s_postings_idx")
         spark.sql("DROP TABLE IF EXISTS s_postings_idx_stats")
+
+
+def test_gate_audit_partitions_knob(spark, tmp_path):
+    """r11 (verdict #4): the gates' per-epoch audit writes no longer
+    funnel through one task. With the default audit_partitions=None a
+    multi-partition batch lands MULTIPLE part files per epoch, epoch
+    replay still overwrites into identical rows (>1-file idempotence),
+    and audit_partitions=1 restores the single-file fixture layout —
+    same rows either way."""
+    import glob as _glob
+
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.novelty_gate import (
+        NoveltyGate)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ref = docs.filter("doc_id % 20 = 0")
+    batch = (docs.filter("doc_id % 20 != 0")
+             .select("doc_id", "text").limit(8).repartition(4))
+
+    gate = NoveltyGate(reference=ref,
+                       audit_path=str(tmp_path / "naudit"))
+    gate._gate_batch(batch, 0)
+    parts = _glob.glob(str(tmp_path / "naudit" / "epoch=0" / "part-*"))
+    assert len(parts) > 1, parts  # the batch's parallelism, not 1
+    before = sorted(map(tuple, gate.scores().collect()))
+
+    gate._gate_batch(batch, 0)  # crash-replay of the same epoch
+    after = sorted(map(tuple, gate.scores().collect()))
+    assert before == after
+
+    single = NoveltyGate(reference=ref,
+                         audit_path=str(tmp_path / "naudit1"),
+                         audit_partitions=1)
+    single._gate_batch(batch, 0)
+    parts1 = _glob.glob(str(tmp_path / "naudit1" / "epoch=0" / "part-*"))
+    assert len(parts1) == 1, parts1
+    assert sorted(map(tuple, single.scores().collect())) == before
+    gate.stop()
+    single.stop()
+
+
+def test_postings_probe_falls_back_without_sidecar(spark):
+    """r11 (ADVICE): probing a postings index whose stats sidecar
+    table is missing (registered externally, created pre-r10, or
+    dropped) serves through the derived-stats path (full-index
+    distinct) instead of throwing table-not-found — row-identical to
+    the sidecar-served probe."""
+    from market_data_ingestor_go_spark.operators.retrieval import (
+        FIXTURE_QUERIES)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.vector_index import (
+        StreamingPostingsIndex)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text").limit(40)
+    ix = StreamingPostingsIndex(spark, "s_postings_nosc")
+    try:
+        ix.bootstrap(docs)
+        with_sidecar = sorted(map(tuple,
+                                  ix.probe(FIXTURE_QUERIES, k=10)
+                                  .collect()))
+        spark.sql("DROP TABLE s_postings_nosc_stats")
+        without = sorted(map(tuple,
+                             ix.probe(FIXTURE_QUERIES, k=10)
+                             .collect()))
+        assert without == with_sidecar
+    finally:
+        ix.stop()
+        spark.sql("DROP TABLE IF EXISTS s_postings_nosc")
+        spark.sql("DROP TABLE IF EXISTS s_postings_nosc_stats")
