@@ -679,22 +679,43 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     low-frequency-bias control); ranks break ties on (prev, cur).
 
     Shapes (100 TB posture): one narrow bigram explode + one
-    partial-agg shuffle into UNPRUNED pair counts, one token explode
-    + shuffle into unigram counts — corpus-sized data crosses exactly
-    two exchanges, each aggregated ONCE (the count tables are pinned
-    in ``pmi_from_counts``; before the r10 pin Catalyst replayed the
-    explode lineage per consumer — bg twice for pair_counts/T_bi,
-    uni three times for ua/ub/T_uni). Everything downstream is
-    bigram-TYPE-sized, and the global top-k is a distributed
-    TakeOrderedAndProject (per-partition top-k, one k-row merge) —
-    never a single-partition sort of the pair table.
+    partial-agg shuffle, one token explode + shuffle — corpus-sized
+    data crosses exactly two exchanges, each aggregated ONCE. Each
+    aggregate runs as GROUPING SETS ((keys), ()) so the grand total
+    (T_bi / T_uni) lands in the SAME job as the counts, and only the
+    min_count SURVIVORS plus the one total row are pinned — the
+    UNPRUNED pair table (the largest intermediate) is never stored
+    anywhere (r11, ADVICE; the r10 version localCheckpointed it —
+    corpus-vocabulary²-bounded rows into executor-local non-fault-
+    tolerant storage). Everything downstream is survivor-sized, and
+    the global top-k is a distributed TakeOrderedAndProject
+    (per-partition top-k, one k-row merge) — never a
+    single-partition sort of the pair table.
     """
     bg = bigram_stream(docs, text_col, id_col)
-    pair_counts = (bg.groupBy("prev", "cur")
-                   .agg(F.count("*").alias("n_pair")))
-    uni = (docs.select(F.explode(_tokens(text_col)).alias("term"))
-           .groupBy("term").agg(F.count("*").alias("n_term")))
-    return pmi_from_counts(pair_counts, uni, min_count=min_count, k=k)
+    # ONE aggregation job yields pair counts AND the unpruned grand
+    # total (grouping_id 3 = the () set); pin survivors + total only
+    gs_pairs = (bg.groupingSets([["prev", "cur"], []], "prev", "cur")
+                .agg(F.count("*").alias("n_pair"),
+                     F.grouping_id().alias("gid")))
+    pairs = (gs_pairs.filter((F.col("gid") == 3)
+                             | (F.col("n_pair") >= min_count))
+             .localCheckpoint(eager=True))
+    t_bi = (pairs.filter(F.col("gid") == 3)
+            .select(F.col("n_pair").alias("t_bi")))
+    pruned = (pairs.filter(F.col("gid") == 0)
+              .select("prev", "cur", "n_pair"))
+    # unigram side: the vocabulary is needed whole (both broadcast
+    # join sides), so the pin is vocabulary-sized + one total row
+    gs_uni = (docs.select(F.explode(_tokens(text_col)).alias("term"))
+              .groupingSets([["term"], []], "term")
+              .agg(F.count("*").alias("n_term"),
+                   F.grouping_id().alias("gid"))
+              .localCheckpoint(eager=True))
+    t_uni = (gs_uni.filter(F.col("gid") == 1)
+             .select(F.col("n_term").alias("t_uni")))
+    uni = gs_uni.filter(F.col("gid") == 0).select("term", "n_term")
+    return _pmi_score(pruned, uni, _pmi_totals(t_bi, t_uni), k)
 
 
 def pmi_from_counts(pair_counts: DataFrame, uni: DataFrame,
@@ -704,7 +725,12 @@ def pmi_from_counts(pair_counts: DataFrame, uni: DataFrame,
     (the ``ks_from_counts`` pattern): both count tables are plain
     additive aggregates, so a streaming complete-mode sink feeds the
     same readout bit-identically. Everything here is bigram-TYPE /
-    vocabulary-sized, never corpus-sized.
+    vocabulary-sized, never corpus-sized — the inputs are already
+    MATERIALIZED count tables (a sink, a stored aggregate), which is
+    why the multi-consumer pin below is bounded; the batch operator
+    (``pmi_collocations``) does NOT route corpus lineage through
+    here — it computes totals in the same grouping-sets job as the
+    counts so the unpruned pair table is never stored (r11).
 
     T_bi = Σ n_pair over the UNPRUNED counts (the true pair mass, not
     the min_count survivors'); T_uni = Σ n_term. Decimal headroom is
@@ -714,25 +740,40 @@ def pmi_from_counts(pair_counts: DataFrame, uni: DataFrame,
     """
     # Pin both count tables ONCE: each is read by multiple consumers
     # (pair_counts → T_bi + the pruned score input; uni → T_uni + the
-    # two broadcast sides), and Catalyst replays the upstream —
-    # possibly corpus-exploding — lineage per consumer (the same
-    # no-subplan-reuse pattern pinned in ks/tv/bigram-lm, r9). Swap
-    # localCheckpoint for reliable checkpoint on a cluster.
+    # two broadcast sides), and Catalyst replays the upstream lineage
+    # per consumer (the same no-subplan-reuse pattern pinned in
+    # ks/tv/bigram-lm, r9). Bigram-type-sized pins (see docstring).
     pair_counts = pair_counts.localCheckpoint(eager=True)
     uni = uni.localCheckpoint(eager=True)
-    totals = (pair_counts.agg(F.sum("n_pair").alias("t_bi"))
-              .crossJoin(uni.agg(F.sum("n_term").alias("t_uni"))))
-    # headroom guard rides the single totals row (evaluated once);
-    # folded into t_bi so column pruning can never drop it
+    t_bi = pair_counts.agg(F.sum("n_pair").alias("t_bi"))
+    t_uni = uni.agg(F.sum("n_term").alias("t_uni"))
+    pruned = pair_counts.filter(F.col("n_pair") >= min_count)
+    return _pmi_score(pruned, uni, _pmi_totals(t_bi, t_uni), k)
+
+
+def _pmi_totals(t_bi: DataFrame, t_uni: DataFrame) -> DataFrame:
+    """Broadcast one-row (t_bi, t_uni) totals with the
+    ``PMI_MAX_TOTAL_TOKENS`` headroom guard riding the row (evaluated
+    once; folded into t_bi so column pruning can never drop it).
+    Shared by the batch and finish-from-the-sink paths."""
+    totals = t_bi.crossJoin(t_uni)
     guard = F.assert_true(
         F.col("t_uni") <= F.lit(PMI_MAX_TOTAL_TOKENS),
         F.concat(F.lit("pmi decimal headroom exceeded: t_uni="),
                  F.col("t_uni").cast("string"),
                  F.lit(f" > {PMI_MAX_TOTAL_TOKENS}"
                        " (T_uni^3 would overflow DECIMAL(38,0))")))
-    totals = F.broadcast(totals.select(
+    return F.broadcast(totals.select(
         F.when(guard.isNull(), F.col("t_bi")).alias("t_bi"), "t_uni"))
-    pruned = pair_counts.filter(F.col("n_pair") >= min_count)
+
+
+def _pmi_score(pruned: DataFrame, uni: DataFrame, totals: DataFrame,
+               k: int) -> DataFrame:
+    """Shared PMI scoring tail: min_count-pruned (prev, cur, n_pair)
+    × broadcast unigram sides × broadcast totals → exact-decimal
+    surrogate scores, distributed top-k, rank. ONE expression tree
+    for the batch and finish-from-the-sink paths ⇒ bit-identity
+    between them holds by construction."""
     d38 = "decimal(38,0)"
     ua = F.broadcast(uni.select(F.col("term").alias("prev"),
                                 F.col("n_term").alias("n_prev")))
