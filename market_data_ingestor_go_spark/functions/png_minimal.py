@@ -15,8 +15,8 @@ Scope (honest bounds, enforced with clear errors):
 
 This module is registered for cloudpickle BY-VALUE serialization in
 operators/multimodal.py so mapInPandas workers never need this
-package importable on their own sys.path (the driver may run from
-any cwd — see .claude/skills/verify).
+package importable on their own sys.path (a driver process may import
+this library from any cwd).
 """
 
 from __future__ import annotations
