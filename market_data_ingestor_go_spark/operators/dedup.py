@@ -885,9 +885,38 @@ def cross_corpus_span_extents(train: DataFrame, ref: DataFrame,
         .alias("max_span_tokens"))
 
 
-def leak_span_table(train: DataFrame, ref: DataFrame, w: int = 8,
-                    text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+def _span_windows(df: DataFrame, w: int, text_col: str,
+                  id_col: str) -> DataFrame:
+    """(doc_id, pos, win): every overlapping w-token window of every
+    doc with ≥ w tokens — the probe unit of the cross-corpus span
+    machinery."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.split(F.trim(F.col(text_col)), r"\s+")
+                     .alias("w"))
+    return (toks.filter(F.size("w") >= w)
+            .select("doc_id", F.posexplode(F.expr(
+                f"transform(sequence(0, size(w) - {w}),"
+                f" i -> concat_ws(' ', slice(w, i + 1, {w})))"
+            )).alias("pos", "win")))
+
+
+def reference_windows(ref: DataFrame, w: int = 8,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The distinct reference window-string set the span machinery
+    probes against — build it ONCE (eval corpora are bounded) and
+    pass it to ``leak_span_table``/``scrub_leaked_spans`` via
+    ``ref_windows`` to amortize it across calls (the streaming
+    ScrubGate persists it at construction, the reference_shingles
+    pattern)."""
+    return _span_windows(ref, w, text_col, id_col) \
+        .select("win").distinct()
+
+
+def leak_span_table(train: DataFrame, ref: DataFrame | None,
+                    w: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id", *,
+                    ref_windows: DataFrame | None = None) -> DataFrame:
     """The maximal-leaked-span TABLE → (doc_id, s, e): inclusive
     0-based token extents of every maximal train-doc span whose
     ≥w-token windows all occur verbatim in the reference corpus —
@@ -899,24 +928,21 @@ def leak_span_table(train: DataFrame, ref: DataFrame, w: int = 8,
     window starts past the previous span's end). All integers ⇒
     bit-exact cross-engine.
 
+    Pass either ``ref`` (the reference corpus, windows derived here)
+    or a precomputed ``ref_windows`` set (``reference_windows``
+    output — MUST have been built with the same w/tokenization; a
+    persistent caller like the streaming gate builds it once).
+
     Shapes: the train windows never shuffle — the reference window
     set broadcasts and marking is a map-side join; the island merge
     is a per-doc window (see cross_corpus_span_extents' posture
     notes, which apply verbatim — this is the same plan up to the
     final readout)."""
-
-    def wins(df):
-        toks = df.select(F.col(id_col).alias("doc_id"),
-                         F.split(F.trim(F.col(text_col)), r"\s+")
-                         .alias("w"))
-        return (toks.filter(F.size("w") >= w)
-                .select("doc_id", F.posexplode(F.expr(
-                    f"transform(sequence(0, size(w) - {w}),"
-                    f" i -> concat_ws(' ', slice(w, i + 1, {w})))"
-                )).alias("pos", "win")))
-
-    ref_wins = F.broadcast(wins(ref).select("win").distinct())
-    marked = wins(train).join(ref_wins, "win").select("doc_id", "pos")
+    if ref_windows is None:
+        ref_windows = reference_windows(ref, w, text_col, id_col)
+    ref_wins = F.broadcast(ref_windows)
+    marked = (_span_windows(train, w, text_col, id_col)
+              .join(ref_wins, "win").select("doc_id", "pos"))
     from pyspark.sql.window import Window
     ww = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(ww)
@@ -929,9 +955,10 @@ def leak_span_table(train: DataFrame, ref: DataFrame, w: int = 8,
         (F.max("pos") + F.lit(w - 1)).alias("e")).drop("grp")
 
 
-def scrub_leaked_spans(train: DataFrame, ref: DataFrame, w: int = 8,
-                       text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+def scrub_leaked_spans(train: DataFrame, ref: DataFrame | None,
+                       w: int = 8, text_col: str = "text",
+                       id_col: str = "doc_id", *,
+                       ref_windows: DataFrame | None = None) -> DataFrame:
     """ACT on span-level eval-leak localization: rewrite each train
     doc with its maximal leaked spans removed → (doc_id, status,
     n_spans, tokens_removed, n_tokens_kept, text) — the cut-the-
@@ -964,7 +991,8 @@ def scrub_leaked_spans(train: DataFrame, ref: DataFrame, w: int = 8,
     to the train corpus on doc_id — token filtering and
     reconstruction are per-row array expressions, no extra exchange.
     """
-    spans = (leak_span_table(train, ref, w, text_col, id_col)
+    spans = (leak_span_table(train, ref, w, text_col, id_col,
+                             ref_windows=ref_windows)
              .groupBy("doc_id")
              .agg(F.collect_list(F.struct("s", "e")).alias("spans"),
                   F.count("*").alias("n_spans"),

@@ -2353,3 +2353,86 @@ def test_postings_probe_falls_back_without_sidecar(spark):
         ix.stop()
         spark.sql("DROP TABLE IF EXISTS s_postings_nosc")
         spark.sql("DROP TABLE IF EXISTS s_postings_nosc_stats")
+
+
+def test_streaming_scrub_gate(spark, tmp_path):
+    """Span-scrub gate e2e (r11): documents stream in two
+    micro-batches and every audit row is BIT-identical to the batch
+    scrub_leaked_spans operator against the same reference split —
+    the decontamination TRANSFORM applied at the door. A doc copied
+    verbatim from the reference lands 'dropped' with NULL text, a doc
+    embedding one reference run lands 'scrubbed' with the leaked
+    block cut, clean docs keep their original text verbatim, and
+    epoch replay overwrites into identical rows (static reference,
+    deterministic span algebra)."""
+    import json as _json
+    import time as _time
+
+    from market_data_ingestor_go_spark.operators.dedup import (
+        scrub_leaked_spans)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.scrub_gate import (
+        ScrubGate)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ref = docs.filter("doc_id % 20 = 0")
+    train = [(r["doc_id"], r["text"]) for r in
+             docs.filter("doc_id % 20 != 0")
+             .select("doc_id", "text").limit(6).collect()]
+    leak_text = ref.select("text").first()["text"]   # verbatim copy
+    extra = [(100001, leak_text),
+             (100002, "own words " + leak_text + " more own words")]
+    batches = [train[:3], train[3:] + extra]
+
+    src = str(tmp_path / "scsrc")
+    os.makedirs(src)
+    for i, batch in enumerate(batches):
+        fp = os.path.join(src, f"b{i}.json")
+        with open(fp, "w") as fh:
+            for did, text in batch:
+                fh.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        _time.sleep(0.01)
+        os.utime(fp, (1700000000 + i, 1700000000 + i))
+
+    gate = ScrubGate(reference=ref,
+                     audit_path=str(tmp_path / "scaudit"), w=8)
+    stream = (spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = gate.attach(stream, str(tmp_path / "scckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["doc_id"]: r for r in gate.scrubbed().collect()}
+    assert len(got) == 8
+
+    # bit-agreement with the batch transform on the same docs,
+    # regardless of which micro-batch a doc arrived in
+    all_docs = spark.createDataFrame(
+        [(d, t) for d, t in train + extra], "doc_id BIGINT, text STRING")
+    batch_rows = {r["doc_id"]: r for r in
+                  scrub_leaked_spans(all_docs, ref, w=8).collect()}
+    for did, r in batch_rows.items():
+        for c in ("status", "n_spans", "tokens_removed",
+                  "n_tokens_kept", "text"):
+            assert got[did][c] == r[c], (did, c)
+
+    # the verbatim copy drops; the embedded leak scrubs to own words
+    assert (got[100001]["status"], got[100001]["text"]) \
+        == ("dropped", None)
+    assert got[100002]["status"] == "scrubbed"
+    assert got[100002]["text"] == "own words more own words"
+    m = gate.metrics()
+    assert m["scrub_gate_docs_seen"] == 8
+    assert m["scrub_gate_docs_dropped"] >= 1
+    assert m["scrub_gate_docs_scrubbed"] >= 1
+
+    # replay idempotence
+    before = sorted(map(tuple, gate.scrubbed().collect()))
+    b1 = spark.createDataFrame(
+        [(d, t) for d, t in batches[1]], "doc_id BIGINT, text STRING")
+    gate._gate_batch(b1, 1)
+    after = sorted(map(tuple, gate.scrubbed().collect()))
+    assert before == after
+    gate.stop()
