@@ -225,6 +225,9 @@ HEADLINE = [
     # machinery + one leaked-doc-sized broadcast join back onto the
     # train corpus; per-row array reconstruction, no extra exchange)
     "eval_leak_scrub",
+    # r11: incremental-crawl upsert (one full-outer doc_id join; the
+    # corpus rewrite that acts on the snapshot diff)
+    "crawl_delta_apply",
 ]
 
 

@@ -810,6 +810,60 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
                  F.sum("d").cast("bigint").alias("token_delta")))
 
 
+def apply_crawl_delta(base: DataFrame, delta: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      group_col: str = "source") -> DataFrame:
+    """APPLY an incremental crawl onto the corpus → the merged
+    corpus (doc_id, source, op, text) — the upsert step that acts on
+    what ``snapshot_diff`` reports and ``snapshot_change_profile``
+    sizes (the doc-level analog of the postings index's
+    ``latest_epoch_postings``): delta rows take precedence over base
+    rows of the same id, and a delta row with NULL ``text_col`` is a
+    TOMBSTONE — the doc leaves the corpus (the one place NULL text is
+    an instruction, not content; base-side NULL text is carried as
+    ordinary content). ``op`` labels every surviving row:
+
+    - ``carried``   — no delta row: the base row passes unchanged.
+    - ``refreshed`` — delta re-landed CONTENT-identical text (the
+      repo's normalized fingerprint — case/whitespace variants do
+      not read as updates); the delta's exact text/group win.
+    - ``updated``   — delta changed the content.
+    - ``added``     — delta id absent from the base.
+
+    Tombstoned docs are excluded (the diff accounting, not this
+    rewrite, is the audit for them). All classification is
+    fingerprint/flag algebra on BIGINT ids and md5 strings ⇒
+    bit-exact cross-engine.
+
+    Shapes (100 TB posture): ONE full-outer equi-join co-partitioned
+    on doc_id (shuffle-free over doc_id-bucketed snapshots, exactly
+    the snapshot_diff join) carrying only (id, group, text,
+    fingerprint); output is corpus-sized BY DESIGN — this is the
+    corpus rewrite, and nothing else corpus-sized moves."""
+
+    def prep(df, tag):
+        return df.select(F.col(id_col).alias("doc_id"),
+                         F.col(group_col).alias(f"grp_{tag}"),
+                         F.col(text_col).alias(f"txt_{tag}"),
+                         fingerprint(text_col).alias(f"fp_{tag}"),
+                         F.lit(True).alias(f"in_{tag}"))
+
+    j = prep(base, "b").join(prep(delta, "d"), "doc_id", "full_outer")
+    op = (F.when(F.col("in_d").isNull(), F.lit("carried"))
+          .when(F.col("txt_d").isNull(), F.lit("deleted"))
+          .when(F.col("in_b").isNull(), F.lit("added"))
+          .when(F.col("fp_b") == F.col("fp_d"), F.lit("refreshed"))
+          .otherwise(F.lit("updated")))
+    return (j.withColumn("op", op)
+            .filter(F.col("op") != "deleted")
+            .select("doc_id",
+                    F.when(F.col("op") == "carried", F.col("grp_b"))
+                    .otherwise(F.col("grp_d")).alias("source"),
+                    "op",
+                    F.when(F.col("op") == "carried", F.col("txt_b"))
+                    .otherwise(F.col("txt_d")).alias("text")))
+
+
 def snapshot_change_profile(old: DataFrame, new: DataFrame,
                             text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:

@@ -2792,3 +2792,45 @@ SELECT tw.doc_id,
 FROM tw LEFT JOIN agg ON tw.doc_id = agg.doc_id
         LEFT JOIN krows ON tw.doc_id = krows.doc_id
 """
+
+
+# Incremental-crawl apply (r11): upsert the deterministic delta over
+# the corpus — full-outer join on doc_id, op classification by
+# presence flags + the normalized md5 fingerprint (refreshed =
+# content-identical re-land), tombstones (delta NULL text) excluded.
+EXTRA_ORACLES["crawl_delta_apply"] = """
+WITH delta AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 17 = 3 THEN NULL
+              WHEN doc_id % 13 = 1 THEN text || ' updated'
+              ELSE '  ' || text END AS text
+  FROM documents
+  WHERE text IS NOT NULL
+    AND (doc_id % 17 = 3 OR doc_id % 13 = 1 OR doc_id % 19 = 5)
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text || ' fresh' AS text
+  FROM documents WHERE doc_id % 23 = 2 AND text IS NOT NULL),
+b AS (SELECT doc_id, source AS grp_b, text AS txt_b,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS fp_b,
+             TRUE AS in_b
+      FROM documents),
+d AS (SELECT doc_id, source AS grp_d, text AS txt_d,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS fp_d,
+             TRUE AS in_d
+      FROM delta),
+j AS (SELECT doc_id, grp_b, txt_b, fp_b, in_b, grp_d, txt_d, fp_d,
+             in_d,
+             CASE WHEN in_d IS NULL THEN 'carried'
+                  WHEN txt_d IS NULL THEN 'deleted'
+                  WHEN in_b IS NULL THEN 'added'
+                  WHEN fp_b = fp_d THEN 'refreshed'
+                  ELSE 'updated' END AS op
+      FROM b FULL OUTER JOIN d USING (doc_id))
+SELECT doc_id,
+       CASE WHEN op = 'carried' THEN grp_b ELSE grp_d END AS source,
+       op,
+       CASE WHEN op = 'carried' THEN txt_b ELSE txt_d END AS text
+FROM j WHERE op != 'deleted'
+"""

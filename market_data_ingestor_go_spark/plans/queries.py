@@ -2703,6 +2703,34 @@ def eval_leak_scrub(spark, sf_dir):
         d.filter(F.col("doc_id") % 20 == 0), w=8)
 
 
+def crawl_delta_apply(spark, sf_dir):
+    """APPLY an incremental crawl onto the corpus
+    (operators/dedup.py::apply_crawl_delta): a deterministic delta —
+    tombstones (%17==3, NULL text), edits (%13==1, ' updated'),
+    content-identical re-lands (%19==5, leading whitespace only) and
+    new docs (%23==2 under fresh ids) — upserts over the fixture
+    corpus into the merged corpus with per-row op labels
+    (carried/refreshed/updated/added; tombstoned docs leave). ONE
+    full-outer doc_id join; fingerprint/flag algebra ⇒ bit-exact."""
+    from ..operators.dedup import apply_crawl_delta
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    in_delta = ((F.col("doc_id") % 17 == 3) | (F.col("doc_id") % 13 == 1)
+                | (F.col("doc_id") % 19 == 5))
+    delta_text = (F.when(F.col("doc_id") % 17 == 3,
+                         F.lit(None).cast("string"))
+                  .when(F.col("doc_id") % 13 == 1,
+                        F.concat(F.col("text"), F.lit(" updated")))
+                  .otherwise(F.concat(F.lit("  "), F.col("text"))))
+    changed = (d.filter(F.col("text").isNotNull() & in_delta)
+               .withColumn("text", delta_text))
+    added = (d.filter((F.col("doc_id") % 23 == 2)
+                      & F.col("text").isNotNull())
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     "source",
+                     F.concat(F.col("text"), F.lit(" fresh")).alias("text")))
+    return apply_crawl_delta(d, changed.unionByName(added))
+
+
 def snapshot_change_magnitude(spark, sf_dir):
     """HOW MUCH each changed doc changed between crawls
     (operators/dedup.py::snapshot_change_profile): distinct-token
@@ -3021,9 +3049,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_drawdown": events_drawdown,              # per-key running-peak window ⊂ events_moving_stats (ordered frames) + events_user_growth (cumulative window)
     "doc_containment_pairs": doc_containment_pairs,  # inverted-index pair equi-join ⊂ doc_sparse_cosine_neardup (kept)
     "jl_projection_distortion": jl_projection_distortion,  # exact-decimal embedding arithmetic ⊂ source_embedding_drift (rotated in) + knn_bruteforce (pairwise cosine)
-    # round-11 addition — oracle-backed (oracle added same commit),
+    # round-11 additions — oracle-backed (oracles added same commit),
     # listed in ROTATION_CANDIDATES_R11 per the r9 policy
     "eval_leak_scrub": eval_leak_scrub,
+    "crawl_delta_apply": crawl_delta_apply,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3189,6 +3218,7 @@ ROTATED_IN_R11: list[str] = list(ROTATION_CANDIDATES_R10)
 # in tests/test_parity.py).
 ROTATION_CANDIDATES_R11: list[str] = [
     "eval_leak_scrub",            # added r11, oracle added same commit
+    "crawl_delta_apply",          # added r11, oracle added same commit
 ]
 
 

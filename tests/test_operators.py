@@ -3008,3 +3008,34 @@ def test_cc_engines_identical_through_public_entry_points(spark, monkeypatch):
         DD.neardup_clusters(
             spark.createDataFrame([(1, 2)], "doc_a LONG, doc_b LONG"),
             engine="bogus")
+
+
+def test_apply_crawl_delta_hand_case(spark):
+    """Upsert semantics on a hand pair: delta precedence per id, an
+    edit lands 'updated' with the delta's text, a content-identical
+    re-land (whitespace-only difference) lands 'refreshed' with the
+    delta's EXACT text, an untouched base row is 'carried' verbatim,
+    a delta NULL text tombstones the doc out of the merge, and a new
+    id lands 'added' — and the merge has exactly one row per
+    surviving id."""
+    from market_data_ingestor_go_spark.operators.dedup import (
+        apply_crawl_delta)
+
+    base = spark.createDataFrame(
+        [Row(doc_id=1, source="s1", text="a b"),
+         Row(doc_id=2, source="s1", text="keep me"),
+         Row(doc_id=3, source="s2", text="x  y"),
+         Row(doc_id=4, source="s2", text="gone")])
+    delta = spark.createDataFrame(
+        [Row(doc_id=1, source="s1", text="a b c"),
+         Row(doc_id=3, source="s2", text=" x y "),
+         Row(doc_id=4, source="s2", text=None),
+         Row(doc_id=5, source="s3", text="new doc")])
+    got = {r["doc_id"]: r for r in
+           apply_crawl_delta(base, delta).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert (got[1]["op"], got[1]["text"]) == ("updated", "a b c")
+    assert (got[2]["op"], got[2]["text"]) == ("carried", "keep me")
+    assert (got[3]["op"], got[3]["text"]) == ("refreshed", " x y ")
+    assert (got[5]["op"], got[5]["source"], got[5]["text"]) \
+        == ("added", "s3", "new doc")

@@ -654,6 +654,20 @@ def test_eval_leak_scrub_reference_broadcast_and_per_doc(spark):
     assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
 
 
+def test_crawl_delta_apply_single_full_outer_join(spark):
+    """crawl_delta_apply: the merge is ONE full-outer doc_id
+    sort-merge join (full-outer cannot broadcast; over doc_id-
+    bucketed snapshots it is shuffle-free) and nothing else — three
+    pruned documents scans (base + the delta's two fixture classes),
+    each reading only (doc_id, source, text)."""
+    plan = _plan(ALL_QUERIES["crawl_delta_apply"](spark, SF))
+    assert len(re.findall(r"documents\.parquet", plan)) == 3, plan
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "full" in plan.lower(), plan
+    assert _scan_columns(plan, "documents") == \
+        {"doc_id", "source", "text"}, plan
+
+
 def test_embedding_drift_pair_join_is_model_sized(spark):
     """source_embedding_drift: the corpus is dim-exploded and
     aggregated exactly once — the |groups|-row centroid table is
