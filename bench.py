@@ -228,6 +228,10 @@ HEADLINE = [
     # r11: incremental-crawl upsert (one full-outer doc_id join; the
     # corpus rewrite that acts on the snapshot diff)
     "crawl_delta_apply",
+    # r11: winnowed-fingerprint near-dup (the MOSS selection — same
+    # inverted-index join as rolling_fingerprint_neardup over a
+    # ~2/(w+1) posting subset with a detection guarantee)
+    "winnow_fingerprint_neardup",
 ]
 
 

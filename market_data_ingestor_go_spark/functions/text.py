@@ -160,6 +160,47 @@ def rolling_window_hashes(hash_arr: str, window: int = 8) -> Column:
         f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
 
 
+def winnow_selected(wh_arr: str, w: int = 4) -> Column:
+    """Winnowing fingerprint SELECTION (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm) over a per-doc window-hash array
+    (``rolling_window_hashes`` output): from every window of ``w``
+    consecutive hashes keep the MINIMUM, ties to the RIGHTMOST
+    position (the paper's rule — it makes consecutive windows reuse
+    the same selection), then dedup → ARRAY<BIGINT> of encoded
+    (pos, fp) pairs, ``pos · (2³¹−1) + fp`` (injective: fp <
+    2³¹−1 = ROLL_MOD; a single BIGINT survives array_distinct
+    identically in every engine, structs do not). Decode with
+    ``fp = v % ROLL_MOD``, ``pos = v div ROLL_MOD``.
+
+    Guarantee (the paper's): every w consecutive hashes contribute
+    ≥1 selection, so any shared token run of ≥ k + w − 1 tokens
+    (k = the rolling window) is always detected through a shared
+    fingerprint, while only ~2/(w+1) of hashes are kept — the index
+    shrinks ~(w+1)/2× with NO detection gap above the guarantee
+    length. Docs with 1 ≤ m < w hashes keep their single global
+    minimum (one fingerprint per non-empty doc); empty → empty.
+
+    Rightmost-argmin without an indexed fold (neither engine reduces
+    over indices portably): mn = min(window), then the rightmost
+    index of mn is ``w − first-position-of-mn-in-reversed-window``
+    (1-based position functions in both engines)."""
+    M = ROLL_MOD
+
+    def sel(i_expr: str, width, arr: str) -> str:
+        s = f"slice({arr}, {i_expr} + 1, {width})"
+        mn = f"array_min({s})"
+        pos = f"{i_expr} + {width} - array_position(reverse({s}), {mn})"
+        return f"CAST({pos} AS BIGINT) * {M}L + {mn}"
+
+    return F.expr(
+        f"CASE WHEN size({wh_arr}) >= {w} THEN "
+        f"array_distinct(transform(sequence(0, size({wh_arr}) - {w}),"
+        f" i -> {sel('i', w, wh_arr)})) "
+        f"WHEN size({wh_arr}) >= 1 THEN "
+        f"array({sel('0', f'size({wh_arr})', wh_arr)}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+
+
 # PII patterns deliberately use only syntax shared by Java regex and
 # RE2-family engines (no lookbehind) so the DuckDB oracle can run the
 # same pattern strings verbatim.

@@ -1082,3 +1082,66 @@ def scrub_leaked_spans(train: DataFrame, ref: DataFrame | None,
         .alias("tokens_removed"),
         n_kept.cast("bigint").alias("n_tokens_kept"),
         text.alias("text"))
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — MOSS) → (doc_id, pos, fp): the guaranteed-coverage SUBSET
+    of the Rabin-Karp window hashes — per window of ``w`` consecutive
+    k-gram hashes keep the minimum (ties rightmost), dedup. Any
+    shared token run of ≥ k + w − 1 tokens is always detected via a
+    shared fp, while only ~2/(w+1) of window hashes are stored — the
+    fingerprint index shrinks ~(w+1)/2× against the full rolling-hash
+    table (``doc_rolling_fingerprint``) with NO detection gap above
+    the guarantee length. All integers (md5-prefix token hashes,
+    mod-reduced Rabin-Karp, encoded argmin) ⇒ bit-exact cross-engine.
+
+    Shapes (100 TB posture): selection is per-row array expressions —
+    the corpus never shuffles to be fingerprinted; the output is the
+    ~2/(w+1)-sized posting table downstream joins consume."""
+    from ..functions.text import (ROLL_MOD, rolling_window_hashes,
+                                  token_hash_array, winnow_selected)
+
+    base = (docs.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    token_hash_array(text_col).alias("hs")))
+    sel = (base.withColumn("wh", rolling_window_hashes("hs", k))
+           .select("doc_id",
+                   F.explode(winnow_selected("wh", w)).alias("v")))
+    return sel.select(
+        "doc_id",
+        (F.col("v") - F.col("v") % F.lit(ROLL_MOD))
+        .cast("bigint").alias("enc"),
+        (F.col("v") % F.lit(ROLL_MOD)).cast("bigint").alias("fp")) \
+        .select("doc_id",
+                (F.col("enc") / F.lit(ROLL_MOD)).cast("bigint")
+                .alias("pos"), "fp")
+
+
+def winnowing_neardup_pairs(docs: DataFrame, k: int = 8, w: int = 4,
+                            min_shared: int = 2,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidate pairs over the WINNOWED fingerprint index →
+    (doc_a, doc_b, n_shared): docs sharing ≥ min_shared selected
+    fingerprint VALUES — the MOSS detector, and the scale upgrade of
+    ``rolling_fingerprint_neardup`` (same inverted-index equi-join,
+    ~(w+1)/2× fewer postings, detection guaranteed for shared runs
+    ≥ k + w − 1 tokens). Distinct fp per doc so n_shared counts
+    distinct shared fingerprints, not repeats.
+
+    Shapes: one explode + ONE equi-join on the 31-bit fp — postings
+    are the winnowed subset, so the join's build side is ~(w+1)/2×
+    smaller than the full rolling-hash join at identical plan shape.
+    """
+    fps = (winnowing_fingerprints(docs, k, w, text_col, id_col)
+           .select("doc_id", "fp").distinct())
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= F.lit(min_shared)))

@@ -2834,3 +2834,50 @@ SELECT doc_id,
        CASE WHEN op = 'carried' THEN txt_b ELSE txt_d END AS text
 FROM j WHERE op != 'deleted'
 """
+
+
+# Winnowing fingerprint near-dup (r11): the rolling-hash wh table
+# winnowed — per window of 4 consecutive hashes keep the min (ties
+# RIGHTMOST: position = w − first-position-in-reversed-window, the
+# same expression the engine uses), encode (pos, fp) as one BIGINT
+# (pos·(2³¹−1) + fp) so list_distinct behaves identically, then the
+# rolling_fingerprint_neardup equi-join over the selected VALUES.
+_WINNOW_M = 2147483647
+_WINNOW_SEL = (
+    "CAST(i + 4 - list_position(list_reverse(wh[i+1:i+4]),"
+    " list_min(wh[i+1:i+4])) AS BIGINT) * 2147483647"
+    " + list_min(wh[i+1:i+4])")
+_WINNOW_SHORT = (
+    "CAST(len(wh) - list_position(list_reverse(wh), list_min(wh))"
+    " AS BIGINT) * 2147483647 + list_min(wh)")
+EXTRA_ORACLES["winnow_fingerprint_neardup"] = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                        t -> CAST(concat('0x', substring(md5(t), 1, 8))
+                                  AS BIGINT)) AS hs
+  FROM documents WHERE text IS NOT NULL
+), w AS (
+  SELECT doc_id,
+         [({_ROLL_TERMS}) % {_ROLL_P}
+          for i in range(1, len(hs) - 8 + 2)] AS wh
+  FROM h
+), sel AS (
+  SELECT doc_id,
+         CASE WHEN len(wh) >= 4 THEN
+           list_distinct([{_WINNOW_SEL}
+                          for i in range(0, len(wh) - 4 + 1)])
+         WHEN len(wh) >= 1 THEN [{_WINNOW_SHORT}]
+         ELSE CAST([] AS BIGINT[]) END AS s
+  FROM w
+), x AS (
+  SELECT doc_id, UNNEST(s) AS v FROM sel
+), fps AS (
+  SELECT DISTINCT doc_id, v % {_WINNOW_M} AS fp FROM x
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""

@@ -2703,6 +2703,20 @@ def eval_leak_scrub(spark, sf_dir):
         d.filter(F.col("doc_id") % 20 == 0), w=8)
 
 
+def winnow_fingerprint_neardup(spark, sf_dir):
+    """Near-dup candidate pairs over WINNOWED fingerprints
+    (operators/dedup.py::winnowing_neardup_pairs — Schleimer,
+    Wilkerson & Aiken 2003, the MOSS algorithm): per window of 4
+    consecutive Rabin-Karp 8-gram hashes keep the minimum (ties
+    rightmost), join docs sharing ≥2 selected fingerprint values.
+    ~2/(w+1) of the rolling-hash postings with detection GUARANTEED
+    for shared runs ≥ k+w−1 = 11 tokens — the scale upgrade of
+    rolling_fingerprint_neardup. All integers ⇒ bit-exact."""
+    from ..operators.dedup import winnowing_neardup_pairs
+    return winnowing_neardup_pairs(
+        _t(spark, sf_dir, "documents"), k=8, w=4, min_shared=2)
+
+
 def crawl_delta_apply(spark, sf_dir):
     """APPLY an incremental crawl onto the corpus
     (operators/dedup.py::apply_crawl_delta): a deterministic delta —
@@ -3053,6 +3067,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # listed in ROTATION_CANDIDATES_R11 per the r9 policy
     "eval_leak_scrub": eval_leak_scrub,
     "crawl_delta_apply": crawl_delta_apply,
+    "winnow_fingerprint_neardup": winnow_fingerprint_neardup,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3219,6 +3234,7 @@ ROTATED_IN_R11: list[str] = list(ROTATION_CANDIDATES_R10)
 ROTATION_CANDIDATES_R11: list[str] = [
     "eval_leak_scrub",            # added r11, oracle added same commit
     "crawl_delta_apply",          # added r11, oracle added same commit
+    "winnow_fingerprint_neardup",  # added r11, oracle added same commit
 ]
 
 

@@ -3039,3 +3039,88 @@ def test_apply_crawl_delta_hand_case(spark):
     assert (got[3]["op"], got[3]["text"]) == ("refreshed", " x y ")
     assert (got[5]["op"], got[5]["source"], got[5]["text"]) \
         == ("added", "s3", "new doc")
+
+
+def test_winnowing_matches_python_twin_and_guarantee(spark):
+    """Winnowing (Schleimer et al. 2003) selection is BIT-identical
+    to an exact Python twin — (pos, fp) pairs, rightmost-tie argmin,
+    short-doc single selection — over a tiny-vocabulary random corpus
+    crafted to force hash ties, and the paper's GUARANTEE holds:
+    every window of w consecutive hashes contains ≥1 selected
+    position (so any shared run ≥ k+w−1 tokens is detected)."""
+    import hashlib
+    import random
+
+    from market_data_ingestor_go_spark.functions.text import (
+        ROLL_BASE, ROLL_MOD)
+    from market_data_ingestor_go_spark.operators.dedup import (
+        winnowing_fingerprints)
+
+    k, w = 8, 4
+
+    def tokh(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+
+    def whs(toks):
+        hs = [tokh(t) for t in toks]
+        if len(hs) < k:
+            return []
+        return [sum((h * pow(ROLL_BASE, k - 1 - j, ROLL_MOD)) % ROLL_MOD
+                    for j, h in enumerate(hs[i:i + k])) % ROLL_MOD
+                for i in range(len(hs) - k + 1)]
+
+    def winnow(wh):
+        m, sel = len(wh), set()
+        if m >= w:
+            for i in range(m - w + 1):
+                win = wh[i:i + w]
+                mn = min(win)
+                sel.add((i + max(j for j, v in enumerate(win)
+                                 if v == mn), mn))
+        elif m >= 1:
+            mn = min(wh)
+            sel.add((max(j for j, v in enumerate(wh) if v == mn), mn))
+        return sel
+
+    random.seed(7)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab → real hash ties
+    texts = [(d, " ".join(random.choice(vocab)
+                          for _ in range(random.randint(1, 40))))
+             for d in range(30)]
+    df = spark.createDataFrame(texts, "doc_id BIGINT, text STRING")
+    got: dict[int, set] = {}
+    for r in winnowing_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for d, t in texts:
+        wh = whs(t.strip().split())
+        assert got.get(d, set()) == winnow(wh), d
+        if len(wh) >= w:  # the coverage guarantee
+            sel = {p for p, _ in got[d]}
+            for i in range(len(wh) - w + 1):
+                assert any(i <= p < i + w for p in sel), (d, i)
+
+
+def test_winnowing_detects_guaranteed_shared_run(spark):
+    """The detection guarantee end-to-end: two docs sharing a
+    verbatim run of exactly k+w−1 = 11 tokens (surrounded by
+    disjoint text) MUST share ≥1 winnowed fingerprint; the winnowed
+    index is a proper subset of the rolling-hash window table."""
+    from market_data_ingestor_go_spark.functions.text import (
+        rolling_window_hashes, token_hash_array)
+    from market_data_ingestor_go_spark.operators.dedup import (
+        winnowing_fingerprints, winnowing_neardup_pairs)
+
+    run = " ".join(f"s{i}" for i in range(11))           # 11 tokens
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a1 a2 a3 " + run + " a4 a5"),
+         Row(doc_id=2, text="b1 b2 " + run + " b3 b4 b5 b6"),
+         Row(doc_id=3, text="c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")])
+    pairs = winnowing_neardup_pairs(docs, k=8, w=4, min_shared=1) \
+        .collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+    n_sel = winnowing_fingerprints(docs, k=8, w=4).count()
+    n_all = (docs.select(token_hash_array("text").alias("hs"))
+             .select(F.explode(rolling_window_hashes("hs", 8)))
+             .count())
+    assert 0 < n_sel < n_all  # a proper, guaranteed-coverage subset
