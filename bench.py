@@ -232,6 +232,9 @@ HEADLINE = [
     # inverted-index join as rolling_fingerprint_neardup over a
     # ~2/(w+1) posting subset with a detection guarantee)
     "winnow_fingerprint_neardup",
+    # r11: within-corpus exact-substring self-dedup (keep-first rule;
+    # one window-key exchange + the scrub reconstruction join)
+    "dup_span_scrub",
 ]
 
 

@@ -997,6 +997,14 @@ def leak_span_table(train: DataFrame, ref: DataFrame | None,
     ref_wins = F.broadcast(ref_windows)
     marked = (_span_windows(train, w, text_col, id_col)
               .join(ref_wins, "win").select("doc_id", "pos"))
+    return _mark_to_spans(marked, w)
+
+
+def _mark_to_spans(marked: DataFrame, w: int) -> DataFrame:
+    """Gaps-and-islands merge of marked (doc_id, pos) windows into
+    maximal inclusive token extents (doc_id, s, e) — break when the
+    next marked window starts past the previous span's end. Per-doc
+    window, never global."""
     from pyspark.sql.window import Window
     ww = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(ww)
@@ -1045,14 +1053,29 @@ def scrub_leaked_spans(train: DataFrame, ref: DataFrame | None,
     to the train corpus on doc_id — token filtering and
     reconstruction are per-row array expressions, no extra exchange.
     """
-    spans = (leak_span_table(train, ref, w, text_col, id_col,
-                             ref_windows=ref_windows)
+    return scrub_spans(train,
+                       leak_span_table(train, ref, w, text_col, id_col,
+                                       ref_windows=ref_windows),
+                       text_col, id_col)
+
+
+def scrub_spans(docs: DataFrame, span_table: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Apply ANY maximal-extent (doc_id, s, e) span table as a cut
+    over ``docs`` → (doc_id, status, n_spans, tokens_removed,
+    n_tokens_kept, text) — the reconstruction half shared by
+    ``scrub_leaked_spans`` (cross-corpus extents) and
+    ``scrub_duplicate_spans`` (within-corpus keep-first extents).
+    Semantics and posture are the callers' docstrings; extents must
+    already be maximal/merged (``_mark_to_spans`` output)."""
+    spans = (span_table
              .groupBy("doc_id")
              .agg(F.collect_list(F.struct("s", "e")).alias("spans"),
                   F.count("*").alias("n_spans"),
                   F.sum(F.col("e") - F.col("s") + 1)
                   .alias("tokens_removed")))
-    base = train.select(F.col(id_col).alias("doc_id"),
+    base = docs.select(F.col(id_col).alias("doc_id"),
                         F.col(text_col).alias("orig"),
                         F.when(F.col(text_col).isNotNull(),
                                F.split(F.trim(F.col(text_col)), r"\s+"))
@@ -1145,3 +1168,62 @@ def winnowing_neardup_pairs(docs: DataFrame, k: int = 8, w: int = 4,
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").cast("bigint").alias("n_shared"))
             .filter(F.col("n_shared") >= F.lit(min_shared)))
+
+
+def duplicate_span_table(docs: DataFrame, w: int = 8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """WITHIN-corpus duplicated-span extents under the KEEP-FIRST
+    rule → (doc_id, s, e): for every w-token window string occurring
+    more than once in the corpus, the occurrence with the smallest
+    (doc_id, pos) is the keeper; every OTHER occurrence is marked and
+    a doc's marked windows merge into maximal extents — the span
+    table ``scrub_duplicate_spans`` cuts (Lee et al. 2022's exact-
+    substring deduplication pointed WITHIN the corpus, where
+    ``dup_span_extents`` only measures). First-occurrence identity is
+    the encoded BIGINT ``doc_id · 2³¹ + pos`` (one MIN per window —
+    portable; struct mins order differently across engines). All
+    integers ⇒ bit-exact cross-engine.
+
+    Shapes (100 TB posture): unlike the cross-corpus path there is no
+    bounded side to broadcast — the window table IS corpus-sized and
+    the first-occurrence rule is one hash partial-agg + join-back on
+    the window key (the Spark-idiomatic stand-in for Lee et al.'s
+    suffix array; at 100 TB swap the window STRING key for
+    xxhash64(win) on both sides — identical plan, 8-byte keys; the
+    string key keeps the oracle hash-exact). The island merge stays
+    per-doc."""
+    enc = (F.col("doc_id") * F.lit(1 << 31) + F.col("pos")) \
+        .cast("bigint")
+    wins = (_span_windows(docs, w, text_col, id_col)
+            .withColumn("enc", enc))
+    first = (wins.groupBy("win")
+             .agg(F.min("enc").alias("first_enc"),
+                  F.count("*").alias("n_occ"))
+             .filter(F.col("n_occ") > 1))
+    marked = (wins.join(first, "win")
+              .filter(F.col("enc") != F.col("first_enc"))
+              .select("doc_id", "pos"))
+    return _mark_to_spans(marked, w)
+
+
+def scrub_duplicate_spans(docs: DataFrame, w: int = 8,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring SELF-deduplication (Lee et al. 2022, the
+    within-corpus transform): rewrite each doc with every duplicated
+    maximal span removed EXCEPT its first occurrence → (doc_id,
+    status, n_spans, tokens_removed, n_tokens_kept, text). The
+    keep-first rule makes the cut deterministic and content-
+    preserving: every duplicated w-token window's text survives in
+    exactly the doc holding its smallest (doc_id, pos) occurrence;
+    boilerplate repeated across thousands of pages survives once.
+    Output semantics (clean verbatim / scrubbed reconstruction /
+    dropped NULL, removed + kept = token count) are ``scrub_spans``'s.
+
+    Shapes: ``duplicate_span_table``'s one window-key exchange is the
+    whole cost; the reconstruction join and array expressions add no
+    corpus exchange beyond the one doc_id join-back."""
+    return scrub_spans(docs, duplicate_span_table(docs, w, text_col,
+                                                  id_col),
+                       text_col, id_col)

@@ -2881,3 +2881,68 @@ FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= 2
 """
+
+
+# Within-corpus exact-substring self-dedup scrub (r11): the
+# eval_leak_scrub reconstruction tail over KEEP-FIRST duplicate
+# extents — first occurrence of each >1-occurrence window by the
+# encoded doc_id*2^31+pos minimum, every other occurrence marked,
+# islands merged per doc, survivors string_agg'd back.
+EXTRA_ORACLES["dup_span_scrub"] = """
+WITH tw AS (SELECT doc_id, text,
+                   CASE WHEN text IS NOT NULL THEN
+                        regexp_split_to_array(trim(text), '\\s+') END AS w
+            FROM documents),
+twin AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                array_to_string(w[i+1:i+8], ' ') AS win
+         FROM tw, unnest(range(0, greatest(len(w) - 7, 0))) AS t(i)),
+firsts AS (SELECT win,
+                  MIN(CAST(doc_id AS BIGINT) * 2147483648 + pos)
+                    AS first_enc,
+                  COUNT(*) AS n_occ
+           FROM twin GROUP BY win HAVING COUNT(*) > 1),
+m AS (SELECT twin.doc_id, twin.pos
+      FROM twin JOIN firsts USING (win)
+      WHERE CAST(twin.doc_id AS BIGINT) * 2147483648 + twin.pos
+            != firsts.first_enc),
+b AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) + 8
+             THEN 1 ELSE 0 END AS brk
+      FROM m),
+g AS (SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM b),
+s AS (SELECT doc_id, grp, MIN(pos) AS sp, MAX(pos) + 7 AS ep
+      FROM g GROUP BY doc_id, grp),
+agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(ep - sp + 1) AS tokens_removed
+        FROM s GROUP BY doc_id),
+tok AS (SELECT doc_id, w, unnest(range(len(w))) AS i
+        FROM tw WHERE doc_id IN (SELECT doc_id FROM agg)),
+tok2 AS (SELECT doc_id, CAST(i AS INT) AS i, w[i+1] AS t FROM tok),
+kept AS (SELECT k.doc_id, k.i, k.t
+         FROM tok2 k LEFT JOIN s
+           ON s.doc_id = k.doc_id AND k.i BETWEEN s.sp AND s.ep
+         WHERE s.doc_id IS NULL),
+krows AS (SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(t, ' ' ORDER BY i) AS newtext
+          FROM kept GROUP BY doc_id)
+SELECT tw.doc_id,
+       CASE WHEN agg.doc_id IS NULL THEN 'clean'
+            WHEN COALESCE(krows.n_kept, 0) > 0 THEN 'scrubbed'
+            ELSE 'dropped' END AS status,
+       CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(agg.tokens_removed, 0) AS BIGINT)
+         AS tokens_removed,
+       CAST(CASE WHEN agg.doc_id IS NULL THEN COALESCE(len(tw.w), 0)
+                 ELSE COALESCE(krows.n_kept, 0) END AS BIGINT)
+         AS n_tokens_kept,
+       CASE WHEN agg.doc_id IS NULL THEN tw.text
+            WHEN COALESCE(krows.n_kept, 0) > 0 THEN krows.newtext
+            END AS text
+FROM tw LEFT JOIN agg ON tw.doc_id = agg.doc_id
+        LEFT JOIN krows ON tw.doc_id = krows.doc_id
+"""

@@ -2703,6 +2703,19 @@ def eval_leak_scrub(spark, sf_dir):
         d.filter(F.col("doc_id") % 20 == 0), w=8)
 
 
+def dup_span_scrub(spark, sf_dir):
+    """Exact-substring SELF-deduplication
+    (operators/dedup.py::scrub_duplicate_spans — Lee et al. 2022
+    within the corpus): every duplicated maximal 8-token-window span
+    is cut from all but its first (smallest doc_id, pos) occurrence;
+    each doc lands once as clean (original text verbatim), scrubbed
+    (token-exact survivor reconstruction) or dropped (fully
+    duplicated, NULL text). Integer keep-first + islands algebra ⇒
+    bit-exact."""
+    from ..operators.dedup import scrub_duplicate_spans
+    return scrub_duplicate_spans(_t(spark, sf_dir, "documents"), w=8)
+
+
 def winnow_fingerprint_neardup(spark, sf_dir):
     """Near-dup candidate pairs over WINNOWED fingerprints
     (operators/dedup.py::winnowing_neardup_pairs — Schleimer,
@@ -3068,6 +3081,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_leak_scrub": eval_leak_scrub,
     "crawl_delta_apply": crawl_delta_apply,
     "winnow_fingerprint_neardup": winnow_fingerprint_neardup,
+    "dup_span_scrub": dup_span_scrub,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3235,6 +3249,7 @@ ROTATION_CANDIDATES_R11: list[str] = [
     "eval_leak_scrub",            # added r11, oracle added same commit
     "crawl_delta_apply",          # added r11, oracle added same commit
     "winnow_fingerprint_neardup",  # added r11, oracle added same commit
+    "dup_span_scrub",             # added r11, oracle added same commit
 ]
 
 

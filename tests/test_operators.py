@@ -3124,3 +3124,45 @@ def test_winnowing_detects_guaranteed_shared_run(spark):
              .select(F.explode(rolling_window_hashes("hs", 8)))
              .count())
     assert 0 < n_sel < n_all  # a proper, guaranteed-coverage subset
+
+
+def test_scrub_duplicate_spans_hand_case(spark):
+    """Within-corpus keep-first self-dedup on a hand corpus: the
+    FIRST (smallest doc_id, pos) occurrence of a duplicated 8-token
+    run survives untouched (clean, original text verbatim); later
+    occurrences are cut (scrubbed) or, for a fully-duplicated doc,
+    dropped; a doc repeating the run twice loses both copies (its
+    first occurrence lives in an earlier doc); a WITHIN-doc repeat
+    keeps its first position and cuts the second; and removed + kept
+    equals the token count everywhere."""
+    from market_data_ingestor_go_spark.operators.dedup import (
+        scrub_duplicate_spans)
+
+    run = " ".join(f"r{i}" for i in range(8))            # 8 tokens
+    urun = " ".join(f"u{i}" for i in range(8))
+    junk = " ".join(f"j{i}" for i in range(9))
+    fill = " ".join(f"f{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x " + run + " y"),          # keeper
+         Row(doc_id=2, text="a b " + run),               # later copy
+         Row(doc_id=3, text=run),                        # fully dup
+         Row(doc_id=4, text=run + " " + junk + " " + run),
+         Row(doc_id=5, text=urun + " " + fill + " " + urun),
+         Row(doc_id=6, text="all unique tokens only here")])
+    got = {r["doc_id"]: r for r in
+           scrub_duplicate_spans(docs, w=8).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert (got[1]["status"], got[1]["text"]) \
+        == ("clean", "x " + run + " y")
+    assert (got[2]["status"], got[2]["text"]) == ("scrubbed", "a b")
+    assert (got[3]["status"], got[3]["text"]) == ("dropped", None)
+    assert (got[4]["status"], got[4]["text"]) == ("scrubbed", junk)
+    assert got[4]["n_spans"] == 2
+    assert (got[5]["status"], got[5]["text"]) \
+        == ("scrubbed", urun + " " + fill)
+    assert (got[6]["status"], got[6]["text"]) \
+        == ("clean", "all unique tokens only here")
+    # accounting identity
+    for did, r in got.items():
+        n = len({1: 10, 2: 10, 3: 8, 4: 25, 5: 25, 6: 5}[did] * "x")
+        assert r["tokens_removed"] + r["n_tokens_kept"] == n, did

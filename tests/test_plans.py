@@ -668,6 +668,22 @@ def test_crawl_delta_apply_single_full_outer_join(spark):
         {"doc_id", "source", "text"}, plan
 
 
+def test_dup_span_scrub_per_doc_windows_and_pruned_scans(spark):
+    """dup_span_scrub: exactly three pruned (doc_id, text) documents
+    scans (the window table for the first-occurrence aggregate, the
+    window table for the marked join-back, the corpus for
+    reconstruction), and every Window keyed by doc_id — the island
+    merge never goes global. The window-key exchange is the
+    operator's one corpus-sized cost by design (docstring); join
+    strategy is left to AQE (broadcast at fixture scale, shuffle at
+    100 TB)."""
+    plan = _plan(ALL_QUERIES["dup_span_scrub"](spark, SF))
+    assert len(re.findall(r"documents\.parquet", plan)) == 3, plan
+    for m in re.finditer(r"windowspecdefinition\(([^,]*)", plan):
+        assert m.group(1).startswith("doc_id#"), plan
+    assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
+
+
 def test_embedding_drift_pair_join_is_model_sized(spark):
     """source_embedding_drift: the corpus is dim-exploded and
     aggregated exactly once — the |groups|-row centroid table is
