@@ -235,6 +235,8 @@ HEADLINE = [
     # r11: within-corpus exact-substring self-dedup (keep-first rule;
     # one window-key exchange + the scrub reconstruction join)
     "dup_span_scrub",
+    # r11: chi-square drift — third monitor in the KS/TV family
+    "source_chi2_drift",
 ]
 
 

@@ -67,6 +67,13 @@ from .training import hash_bucket
 UNK = "<unk>"
 
 
+def _dstr(c):
+    """Exact-decimal → double via the string route (int128→double
+    direct casts differ at 1 ULP between engines; string parse is
+    correctly rounded everywhere — the retrieval.py/BM25 device)."""
+    return c.cast("string").cast("double")
+
+
 def bigram_stream(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   extra_cols: list[str] | None = None) -> DataFrame:
@@ -395,6 +402,90 @@ def token_tv_divergence(docs: DataFrame, text_col: str = "text",
                 (s_total.cast("string").cast("double")
                  / (F.col("ca").cast("double") * F.col("cb").cast("double")
                     * F.lit(2.0))).alias("tv")))
+
+
+def chi2_value_drift(df: DataFrame, value_col: str = "n_chars",
+                     group_col: str = "source",
+                     bin_width: int = 50) -> DataFrame:
+    """Pairwise two-sample CHI-SQUARE homogeneity statistic between
+    per-group distributions of a numeric property, over fixed-width
+    integer bins (bin = value div bin_width) → (source_a, source_b,
+    shared_bins, chi2) — the third drift monitor next to TV
+    (token-frequency drift) and KS (CDF shape drift): χ² weights
+    per-bin deviations by 1/expected, so it is the sensitive choice
+    for tail-bin changes both TV and KS average away.
+
+    χ²(a,b) = Σ_bins (n_a·N_b − n_b·N_a)² / (N_a·N_b·(n_a + n_b))
+    — the standard two-sample form. Bins private to one side fold
+    analytically: a bin with n_b = 0 contributes n_a·N_b/N_a, so the
+    private mass folds into (N_a − Σ_shared n_a)·N_b/N_a per side
+    (the token_tv_divergence complement device — the pair join stays
+    INNER on the shared support).
+
+    Cross-engine exactness (the BM25/DSIR device): the per-bin
+    difference and the N_a·N_b product are EXACT DECIMAL(38,0)
+    integers (headroom: totals ≤ 1e19), string-routed to double
+    (correctly-rounded parse); the per-bin term is then two IEEE
+    multiplies + one divide of identical doubles, quantized to
+    DECIMAL(27,6) and summed EXACTLY (order-free); the two private
+    folds quantize the same way. Bit-identical in Spark and DuckDB.
+
+    Shapes: the count table is |groups|·|bins| rows (one
+    partial-combine shuffle; bins are value-range/bin_width — tiny);
+    everything downstream is bin-table-sized, the spine broadcast.
+    """
+    d38 = "decimal(38,0)"
+    # integer div, NOT double-divide + cast: double→bigint TRUNCATES
+    # in Spark but ROUNDS in DuckDB — div/`//` agree on ints ≥ 0
+    binc = F.expr(f"cast({value_col} as bigint) div {bin_width}")
+    counts = (df.select(F.col(group_col).alias("g"),
+                        binc.alias("bin"))
+              .groupBy("g", "bin").agg(F.count("*").alias("c")))
+    # bin-table-sized; pinned once for its four consumers (the
+    # token_tv_divergence no-subplan-reuse lesson)
+    counts = counts.localCheckpoint(eager=True)
+    totals = counts.groupBy("g").agg(F.sum("c").alias("ctot"))
+
+    a, bb = counts.alias("a"), counts.alias("bb")
+    diff = F.abs(F.col("a.c").cast(d38) * F.col("cb").cast(d38)
+                 - F.col("bb.c").cast(d38) * F.col("ca").cast(d38))
+    dnn = _dstr((F.col("ca").cast(d38) * F.col("cb").cast(d38)))
+    term = ((_dstr(diff) * _dstr(diff))
+            / (dnn * (F.col("a.c") + F.col("bb.c")).cast("double"))
+            ).cast("decimal(27,6)")
+    shared = (
+        a.join(bb, (F.col("a.bin") == F.col("bb.bin"))
+               & (F.col("a.g") < F.col("bb.g")))
+        .join(F.broadcast(totals.select(F.col("g").alias("ga_t"),
+                                        F.col("ctot").alias("ca"))),
+              F.col("a.g") == F.col("ga_t"))
+        .join(F.broadcast(totals.select(F.col("g").alias("gb_t"),
+                                        F.col("ctot").alias("cb"))),
+              F.col("bb.g") == F.col("gb_t"))
+        .groupBy(F.col("a.g").alias("ga"), F.col("bb.g").alias("gb"))
+        .agg(F.count("*").alias("shared_bins"),
+             F.sum("a.c").alias("sa"), F.sum("bb.c").alias("sb"),
+             F.sum(term).alias("s_shared")))
+
+    ta = totals.select(F.col("g").alias("ga"), F.col("ctot").alias("ca"))
+    tb = totals.select(F.col("g").alias("gb"), F.col("ctot").alias("cb"))
+    spine = ta.join(F.broadcast(tb), F.col("ga") < F.col("gb"))
+    fold = lambda n, s, other, own: (  # noqa: E731
+        _dstr((n.cast(d38) - s.cast(d38)) * other.cast(d38))
+        / own.cast("double")).cast("decimal(27,6)")
+    q0 = F.lit(0).cast("decimal(27,6)")
+    chi2 = (F.coalesce(F.col("s_shared"), q0)
+            + fold(F.col("ca"), F.coalesce(F.col("sa"), F.lit(0)),
+                   F.col("cb"), F.col("ca"))
+            + fold(F.col("cb"), F.coalesce(F.col("sb"), F.lit(0)),
+                   F.col("ca"), F.col("cb")))
+    return (
+        spine.join(F.broadcast(shared), ["ga", "gb"], "left")
+        .select(F.col("ga").alias("source_a"),
+                F.col("gb").alias("source_b"),
+                F.coalesce("shared_bins", F.lit(0)).cast("bigint")
+                .alias("shared_bins"),
+                _dstr(chi2).alias("chi2")))
 
 
 def ks_value_drift(df: DataFrame, value_col: str = "n_chars",

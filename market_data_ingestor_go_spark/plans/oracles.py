@@ -2946,3 +2946,54 @@ SELECT tw.doc_id,
 FROM tw LEFT JOIN agg ON tw.doc_id = agg.doc_id
         LEFT JOIN krows ON tw.doc_id = krows.doc_id
 """
+
+# Pairwise two-sample chi-square homogeneity over per-source 50-char
+# doc-length bins, exact: HUGEINT (= Spark DECIMAL(38,0))
+# cross-products, string-routed to double, per-bin terms quantized
+# DECIMAL(27,6) and summed exactly; private-bin mass folds
+# analytically per side ((N_a - shared_a)*N_b/N_a). Bin = n_chars
+# div 50 (integer division — NOT double-cast, which rounds here but
+# truncates in Spark).
+EXTRA_ORACLES["source_chi2_drift"] = """
+WITH counts AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) // 50 AS bin,
+         COUNT(*) AS c
+  FROM documents GROUP BY g, bin
+), totals AS (
+  SELECT g, SUM(c) AS ctot FROM counts GROUP BY g
+), shared AS (
+  SELECT a.g AS ga, b.g AS gb, COUNT(*) AS shared_bins,
+         SUM(a.c) AS sa, SUM(b.c) AS sb,
+         SUM(CAST(
+           CAST(CAST(ABS(CAST(a.c AS HUGEINT) * CAST(tb.ctot AS HUGEINT)
+                         - CAST(b.c AS HUGEINT) * CAST(ta.ctot AS HUGEINT))
+                     AS VARCHAR) AS DOUBLE)
+           * CAST(CAST(ABS(CAST(a.c AS HUGEINT) * CAST(tb.ctot AS HUGEINT)
+                           - CAST(b.c AS HUGEINT) * CAST(ta.ctot AS HUGEINT))
+                       AS VARCHAR) AS DOUBLE)
+           / (CAST(CAST(CAST(ta.ctot AS HUGEINT) * CAST(tb.ctot AS HUGEINT)
+                        AS VARCHAR) AS DOUBLE)
+              * CAST(a.c + b.c AS DOUBLE))
+           AS DECIMAL(27,6))) AS s_shared
+  FROM counts a
+  JOIN counts b ON a.bin = b.bin AND a.g < b.g
+  JOIN totals ta ON a.g = ta.g
+  JOIN totals tb ON b.g = tb.g
+  GROUP BY a.g, b.g
+), spine AS (
+  SELECT ta.g AS ga, ta.ctot AS ca, tb.g AS gb, tb.ctot AS cb
+  FROM totals ta JOIN totals tb ON ta.g < tb.g
+)
+SELECT ga AS source_a, gb AS source_b,
+       CAST(COALESCE(shared_bins, 0) AS BIGINT) AS shared_bins,
+       CAST(CAST(
+         COALESCE(s_shared, CAST(0 AS DECIMAL(27,6)))
+         + CAST(CAST(CAST((ca - COALESCE(sa, 0)) * CAST(cb AS HUGEINT)
+                          AS VARCHAR) AS DOUBLE)
+                / CAST(ca AS DOUBLE) AS DECIMAL(27,6))
+         + CAST(CAST(CAST((cb - COALESCE(sb, 0)) * CAST(ca AS HUGEINT)
+                          AS VARCHAR) AS DOUBLE)
+                / CAST(cb AS DOUBLE) AS DECIMAL(27,6))
+         AS VARCHAR) AS DOUBLE) AS chi2
+FROM spine LEFT JOIN shared USING (ga, gb)
+"""

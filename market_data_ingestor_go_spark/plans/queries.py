@@ -2552,6 +2552,21 @@ def source_ks_drift(spark, sf_dir):
     return ks_value_drift(d, value_col="n_chars", group_col="source")
 
 
+def source_chi2_drift(spark, sf_dir):
+    """Pairwise two-sample chi-square homogeneity statistic over
+    per-source doc-length histograms, 50-char bins
+    (operators/lm_quality.py::chi2_value_drift) — the TAIL-sensitive
+    drift monitor next to source_tv_drift (token frequencies) and
+    source_ks_drift (CDF shape): chi-square weights per-bin deviations
+    by 1/expected, so sparse-bin changes both TV and KS average away
+    move it first. Integer cross-products in DECIMAL(38,0), per-bin
+    terms quantized DECIMAL(27,6) and summed exactly ⇒ bit-exact."""
+    from ..operators.lm_quality import chi2_value_drift
+    d = _t(spark, sf_dir, "documents")
+    return chi2_value_drift(d, value_col="n_chars", group_col="source",
+                            bin_width=50)
+
+
 def doc_bm25_topk(spark, sf_dir):
     """Okapi-BM25 top-10 docs per fixture query over the documents
     table (operators/retrieval.py::bm25_topk) — the lexical retrieval
@@ -3082,6 +3097,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_delta_apply": crawl_delta_apply,
     "winnow_fingerprint_neardup": winnow_fingerprint_neardup,
     "dup_span_scrub": dup_span_scrub,
+    "source_chi2_drift": source_chi2_drift,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3250,6 +3266,7 @@ ROTATION_CANDIDATES_R11: list[str] = [
     "crawl_delta_apply",          # added r11, oracle added same commit
     "winnow_fingerprint_neardup",  # added r11, oracle added same commit
     "dup_span_scrub",             # added r11, oracle added same commit
+    "source_chi2_drift",          # added r11, oracle added same commit
 ]
 
 

@@ -202,6 +202,79 @@ def test_tv_divergence_fixture_sane(spark):
     assert all(r["shared_terms"] > 0 for r in out)
 
 
+def test_chi2_drift_closed_form_cases(spark):
+    """Identical distributions → 0; disjoint supports → N_a + N_b
+    (the standard two-sample degenerate case: every bin is fully
+    private); a hand case → exact rational 25/36 + 25/48."""
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        chi2_value_drift)
+    rows = [
+        Row(doc_id=i, source=s, v=v)
+        for i, (s, v) in enumerate([
+            ("s1", 0), ("s1", 0), ("s1", 1),
+            ("s2", 0), ("s2", 0), ("s2", 1),   # identical to s1
+            ("s3", 5), ("s3", 6),              # disjoint from s1
+            ("s4", 0), ("s4", 1), ("s4", 1), ("s4", 1),
+        ])]
+    df = spark.createDataFrame(rows)
+    out = {(r["source_a"], r["source_b"]): r
+           for r in chi2_value_drift(df, value_col="v",
+                                     group_col="source",
+                                     bin_width=1).collect()}
+    assert len(out) == 6
+    assert out[("s1", "s2")]["chi2"] == 0.0
+    # disjoint: fold_a = N_b, fold_b = N_a → χ² = N_a + N_b = 5
+    assert out[("s1", "s3")]["chi2"] == 5.0
+    assert out[("s1", "s3")]["shared_bins"] == 0
+    # s1 bins {0:2, 1:1} N=3; s4 bins {0:1, 1:3} N=4; no private mass
+    # bin0: (2·4−1·3)²/(3·4·3) = 25/36; bin1: (1·4−3·3)²/(3·4·4) = 25/48
+    assert out[("s1", "s4")]["chi2"] == pytest.approx(
+        25 / 36 + 25 / 48, abs=2e-6)
+
+
+def test_chi2_drift_matches_exact_python(spark):
+    """Randomized corpus vs an exact Decimal twin replicating every
+    IEEE/quantization step (d38 cross-products → string-routed
+    doubles → DECIMAL(27,6) terms → exact sum): bit-identical."""
+    import itertools
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        chi2_value_drift)
+    rng = random.Random(411)
+    rows = [Row(doc_id=i, source=f"g{rng.randrange(4)}",
+                v=rng.randrange(0, 40))
+            for i in range(300)]
+    got = {(r["source_a"], r["source_b"]): r["chi2"]
+           for r in chi2_value_drift(
+               spark.createDataFrame(rows), value_col="v",
+               group_col="source", bin_width=7).collect()}
+
+    cnt, tot = Counter(), Counter()
+    for r in rows:
+        cnt[(r.source, r.v // 7)] += 1
+        tot[r.source] += 1
+
+    def q276(x):  # double → DECIMAL(27,6): 17-digit repr, HALF_UP
+        return Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP)
+
+    for ga, gb in itertools.combinations(sorted(tot), 2):
+        na, nb = tot[ga], tot[gb]
+        ba = {b: c for (g, b), c in cnt.items() if g == ga}
+        bb = {b: c for (g, b), c in cnt.items() if g == gb}
+        s, sa, sb = Decimal(0), 0, 0
+        for b in sorted(set(ba) & set(bb)):
+            ca, cb = ba[b], bb[b]
+            sa, sb = sa + ca, sb + cb
+            d = float(abs(ca * nb - cb * na))
+            s += q276(d * d / (float(na * nb) * float(ca + cb)))
+        s += q276(float((na - sa) * nb) / float(na))
+        s += q276(float((nb - sb) * na) / float(nb))
+        assert got[(ga, gb)] == float(s), (ga, gb)
+
+
 def test_lm_score_random_corpora_match_exact_python(spark):
     """Property test: on RANDOM corpora (including empty docs,
     singleton docs, all-OOV docs, heavy duplication) the Spark

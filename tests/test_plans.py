@@ -542,6 +542,16 @@ def test_tv_drift_single_corpus_pass(spark):
     assert "Scan ExistingRDD" in plan, plan
 
 
+def test_chi2_drift_single_corpus_pass(spark):
+    """source_chi2_drift: same single-pass pin as the KS/TV monitors
+    — the (g, bin) histogram is materialized once (bin-table-sized)
+    and its four consumers (totals, both pair-join sides, the spine)
+    read the pinned table, never the corpus."""
+    plan = _plan(ALL_QUERIES["source_chi2_drift"](spark, SF))
+    assert "documents.parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_pmi_topk_is_distributed_and_single_pass(spark):
     """doc_pmi_collocations (r10 fix): the global top-k is a
     distributed TakeOrderedAndProject (per-partition top-k, one k-row
