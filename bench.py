@@ -237,6 +237,8 @@ HEADLINE = [
     "dup_span_scrub",
     # r11: chi-square drift — third monitor in the KS/TV family
     "source_chi2_drift",
+    # r11: Gopher within-doc repetition quality signals
+    "doc_repetition_signals",
 ]
 
 

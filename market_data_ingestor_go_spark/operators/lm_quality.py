@@ -577,6 +577,126 @@ def ks_from_counts(counts: DataFrame) -> DataFrame:
                         * F.col("nb").cast("double"))).alias("ks")))
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       top_ns: tuple = (2, 3),
+                       dup_ns: tuple = (5,)) -> DataFrame:
+    """Within-document repetition quality signals (Rae et al. 2021
+    "Gopher", Table A1; the RefinedWeb/DataTrove filter family) — the
+    classic pre-training filters for boilerplate-heavy and
+    degenerate-repetition docs:
+
+    - ``dup_line_frac``: line occurrences beyond the first / lines
+      (lines split on '\\n'; Σ(count−1) over duplicated lines).
+    - ``dup_line_char_frac``: characters in those beyond-first line
+      occurrences / Σ line characters.
+    - ``top{n}gram_char_frac`` (n ∈ top_ns): characters covered by
+      the single most frequent word n-gram (count × gram token
+      chars, separators excluded) / Σ token chars. Tie-break: the
+      lexicographically smallest gram among the most frequent.
+    - ``dup{n}gram_char_frac`` (n ∈ dup_ns): characters of token
+      POSITIONS covered by any n-gram occurring more than once /
+      Σ token chars — positions union so overlapping duplicated
+      grams never double-count (the Gopher "careful not to double
+      count" rule).
+
+    All numerators/denominators are exact BIGINTs; each fraction is
+    ONE int/int IEEE division (exact ints < 2^53 ⇒ correctly rounded
+    and bit-identical cross-engine). Empty docs (0 token chars)
+    score 0.0 everywhere, guarded at the EXPRESSION level (ANSI).
+
+    Shapes at 100 TB: line signals are pure in-row array expressions
+    (zero shuffle). Each top-n signal is one explode + per-(doc,
+    gram) count — all of a doc's grams originate from one row, so
+    map-side partial aggregation collapses them before the shuffle,
+    which carries only distinct grams per doc. Each dup-n signal
+    shuffles its gram stream once (Window keyed by (doc_id, gram) —
+    occurrence positions must meet their count); the dup-position
+    union folds back as a per-doc collect_set (≤ n_tokens ints)
+    joined doc-sized. Every Window/aggregate is per-doc — no global
+    exchange anywhere; the corpus text is scanned ONCE (base pin)."""
+    from pyspark.sql import Window
+
+    zero = F.lit(0).cast("bigint")
+    txt = F.coalesce(F.col(text_col), F.lit(""))  # NULL text ≡ empty
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        _tokens(txt).alias("w"),
+                        F.split(txt, "\n").alias("lines"))
+            .withColumn("n_tokens", F.size("w").cast("bigint"))
+            .withColumn("tok_chars", F.expr(
+                "aggregate(w, 0L, (a, x) -> a + length(x))"))
+            .withColumn("line_chars", F.expr(
+                "aggregate(lines, 0L, (a, x) -> a + length(x))"))
+            .withColumn("dup_lines",
+                        (F.size("lines")
+                         - F.size(F.array_distinct("lines")))
+                        .cast("bigint"))
+            .withColumn("dup_line_chars", F.col("line_chars") - F.expr(
+                "aggregate(array_distinct(lines), 0L,"
+                " (a, x) -> a + length(x))")))
+    # grams are formed IN-ROW (transform over start offsets), one
+    # explode per n; the (doc, gram) count collapses map-side
+    base = base.localCheckpoint(eager=True)  # one corpus scan total
+
+    def _grams(n: int):
+        # guard size(w) >= n: sequence(0, negative) DESCENDS in Spark
+        return base.select(
+            "doc_id",
+            F.expr(f"case when size(w) >= {n} then"
+                   f" transform(sequence(0, size(w) - {n}),"
+                   f" i -> struct(i AS i,"
+                   f" concat_ws(' ', slice(w, i + 1, {n})) AS g))"
+                   f" else array() end")
+            .alias("gs")).select(
+                "doc_id", F.explode("gs").alias("s")).select(
+                "doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("g"))
+
+    out = base
+    for n in top_ns:
+        top = (_grams(n).groupBy("doc_id", "g")
+               .agg(F.count("*").alias("cnt"))
+               .groupBy("doc_id")
+               .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                   F.col("g"))).alias("m"))
+               .select("doc_id",
+                       ((-F.col("m.nc"))
+                        * (F.length("m.g") - F.lit(n - 1)))
+                       .cast("bigint").alias(f"_top{n}")))
+        out = out.join(top, "doc_id", "left")
+    for n in dup_ns:
+        g = _grams(n)
+        cnt = F.count("*").over(
+            Window.partitionBy("doc_id", "g"))
+        dup_pos = (g.withColumn("cnt", cnt)
+                   .filter(F.col("cnt") > 1)
+                   .select("doc_id", F.explode(
+                       F.expr(f"sequence(i, i + {n - 1})")).alias("p"))
+                   .groupBy("doc_id")
+                   .agg(F.collect_set("p").alias("ps")))
+        dup = (base.select("doc_id", "w").join(dup_pos, "doc_id")
+               .select("doc_id", F.expr(
+                   "aggregate(ps, 0L,"
+                   " (a, p) -> a + length(element_at(w, p + 1)))")
+                   .alias(f"_dup{n}")))
+        out = out.join(dup, "doc_id", "left")
+
+    def frac(num, den):
+        return F.when(den > 0, F.coalesce(num, zero).cast("double")
+                      / den.cast("double")).otherwise(F.lit(0.0))
+
+    return out.select(
+        "doc_id", "n_tokens",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        frac(F.col("dup_lines"), F.size("lines").cast("bigint"))
+        .alias("dup_line_frac"),
+        frac(F.col("dup_line_chars"), F.col("line_chars"))
+        .alias("dup_line_char_frac"),
+        *[frac(F.col(f"_top{n}"), F.col("tok_chars"))
+          .alias(f"top{n}gram_char_frac") for n in top_ns],
+        *[frac(F.col(f"_dup{n}"), F.col("tok_chars"))
+          .alias(f"dup{n}gram_char_frac") for n in dup_ns])
+
+
 def reference_shingles(ref: DataFrame, n: int = 3,
                        text_col: str = "text") -> DataFrame:
     """(sh) — the DISTINCT word n-gram set of a reference corpus, the

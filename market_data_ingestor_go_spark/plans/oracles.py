@@ -2997,3 +2997,89 @@ SELECT ga AS source_a, gb AS source_b,
          AS VARCHAR) AS DOUBLE) AS chi2
 FROM spine LEFT JOIN shared USING (ga, gb)
 """
+
+# Gopher repetition signals: exact integer numerators/denominators,
+# one int/int IEEE division per fraction (exact ints < 2^53 divide
+# correctly-rounded on both engines). Grams are 1-based list slices;
+# the dup-5 numerator is the POSITION-UNION char sum (DISTINCT
+# (doc, pos) before the token-length join — overlapping duplicated
+# grams never double-count). Line split on chr(10), non-regex (Spark
+# split('\n') is the same literal split).
+EXTRA_ORACLES["doc_repetition_signals"] = """
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS w,
+         string_split(COALESCE(text, ''), chr(10)) AS lines
+  FROM documents
+), b AS (
+  SELECT doc_id, w, lines,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+              AS BIGINT) AS tok_chars,
+         CAST(COALESCE(list_sum(list_transform(lines, x -> length(x))),
+                       0) AS BIGINT) AS line_chars,
+         CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+           AS dup_lines,
+         CAST(COALESCE(list_sum(list_transform(lines, x -> length(x))),
+                       0)
+              - COALESCE(list_sum(list_transform(list_distinct(lines),
+                                                 x -> length(x))), 0)
+              AS BIGINT) AS dup_line_chars
+  FROM base
+), g2 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, array_to_string(w[i:i+1], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM b WHERE len(w) >= 2)
+), g3 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, array_to_string(w[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM b WHERE len(w) >= 3)
+), t2 AS (
+  SELECT doc_id, CAST(cnt * (length(g) - 1) AS BIGINT) AS topchars
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, g ASC) AS rn
+        FROM g2 GROUP BY doc_id, g)
+  WHERE rn = 1
+), t3 AS (
+  SELECT doc_id, CAST(cnt * (length(g) - 2) AS BIGINT) AS topchars
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, g ASC) AS rn
+        FROM g3 GROUP BY doc_id, g)
+  WHERE rn = 1
+), d3 AS (
+  SELECT dp.doc_id, CAST(SUM(length(b2.w[dp.p])) AS BIGINT) AS dupchars
+  FROM (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+        FROM (SELECT doc_id, unnest(range(i, i + 3)) AS p
+              FROM (SELECT doc_id, i,
+                           COUNT(*) OVER (PARTITION BY doc_id, g) AS cnt
+                    FROM g3)
+              WHERE cnt > 1)) dp
+  JOIN b b2 USING (doc_id)
+  GROUP BY dp.doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_lines,
+       CASE WHEN b.n_lines > 0 THEN CAST(b.dup_lines AS DOUBLE)
+                                    / CAST(b.n_lines AS DOUBLE)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN b.line_chars > 0 THEN CAST(b.dup_line_chars AS DOUBLE)
+                                       / CAST(b.line_chars AS DOUBLE)
+            ELSE 0.0 END AS dup_line_char_frac,
+       CASE WHEN b.tok_chars > 0
+            THEN CAST(COALESCE(t2.topchars, 0) AS DOUBLE)
+                 / CAST(b.tok_chars AS DOUBLE)
+            ELSE 0.0 END AS top2gram_char_frac,
+       CASE WHEN b.tok_chars > 0
+            THEN CAST(COALESCE(t3.topchars, 0) AS DOUBLE)
+                 / CAST(b.tok_chars AS DOUBLE)
+            ELSE 0.0 END AS top3gram_char_frac,
+       CASE WHEN b.tok_chars > 0
+            THEN CAST(COALESCE(d3.dupchars, 0) AS DOUBLE)
+                 / CAST(b.tok_chars AS DOUBLE)
+            ELSE 0.0 END AS dup3gram_char_frac
+FROM b LEFT JOIN t2 USING (doc_id)
+       LEFT JOIN t3 USING (doc_id)
+       LEFT JOIN d3 USING (doc_id)
+"""

@@ -2552,6 +2552,22 @@ def source_ks_drift(spark, sf_dir):
     return ks_value_drift(d, value_col="n_chars", group_col="source")
 
 
+def doc_repetition_signals(spark, sf_dir):
+    """Gopher-style within-document repetition quality signals
+    (operators/lm_quality.py::repetition_signals; Rae et al. 2021
+    Table A1): duplicate-line fraction + char fraction, most-frequent
+    {2,3}-gram char coverage, and position-union char coverage of
+    duplicated 3-grams (3, not Gopher's 5-10, because the synthetic
+    corpus has no duplicated 5-grams — dup-3 is nonzero on 27 docs,
+    so the union path is exercised by the external hash; larger n is
+    pinned by hand tests) — the classic pre-training filters for
+    boilerplate and degenerate repetition. Exact integer numerators
+    and denominators, one int/int division per fraction ⇒ bit-exact."""
+    from ..operators.lm_quality import repetition_signals
+    d = _t(spark, sf_dir, "documents")
+    return repetition_signals(d, top_ns=(2, 3), dup_ns=(3,))
+
+
 def source_chi2_drift(spark, sf_dir):
     """Pairwise two-sample chi-square homogeneity statistic over
     per-source doc-length histograms, 50-char bins
@@ -3098,6 +3114,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint_neardup": winnow_fingerprint_neardup,
     "dup_span_scrub": dup_span_scrub,
     "source_chi2_drift": source_chi2_drift,
+    "doc_repetition_signals": doc_repetition_signals,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3267,6 +3284,7 @@ ROTATION_CANDIDATES_R11: list[str] = [
     "winnow_fingerprint_neardup",  # added r11, oracle added same commit
     "dup_span_scrub",             # added r11, oracle added same commit
     "source_chi2_drift",          # added r11, oracle added same commit
+    "doc_repetition_signals",     # added r11, oracle added same commit
 ]
 
 

@@ -202,6 +202,44 @@ def test_tv_divergence_fixture_sane(spark):
     assert all(r["shared_terms"] > 0 for r in out)
 
 
+def test_repetition_signals_hand_cases(spark):
+    """Gopher signals on crafted docs: beyond-first line accounting,
+    top-gram tie-break + separator-free char count, the dup-gram
+    POSITION UNION (overlapping duplicated grams never double-count),
+    and short/empty-doc zero guards."""
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        repetition_signals)
+    rows = [
+        Row(doc_id=1, text="a b\na b\nc d"),
+        Row(doc_id=2, text="x y x y x y z"),
+        Row(doc_id=3, text="q"),
+        Row(doc_id=4, text=""),
+        Row(doc_id=5, text="p q r s t p q r s t u v"),
+    ]
+    out = {r["doc_id"]: r for r in repetition_signals(
+        spark.createDataFrame(rows), top_ns=(2, 3),
+        dup_ns=(2, 5)).collect()}
+    r1 = out[1]   # lines [a b, a b, c d]: 1 beyond-first of 3
+    assert r1["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r1["dup_line_char_frac"] == pytest.approx(3 / 9)
+    # 'a b' x2, gram chars 2 (separator excluded) over tok_chars 6
+    assert r1["top2gram_char_frac"] == pytest.approx(4 / 6)
+    # all 3-grams unique -> count 1, tie -> smallest gram 'a b a'
+    assert r1["top3gram_char_frac"] == pytest.approx(3 / 6)
+    r2 = out[2]   # 'x y' x3; dup-2 union covers positions 0..5 of 7
+    assert r2["top2gram_char_frac"] == pytest.approx(6 / 7)
+    assert r2["dup2gram_char_frac"] == pytest.approx(6 / 7)
+    assert r2["dup5gram_char_frac"] == 0.0
+    r5 = out[5]   # 'p q r s t' at 0 and 5: union = 10 positions of 12
+    assert r5["dup5gram_char_frac"] == pytest.approx(10 / 12)
+    # overlapping dup 2-grams union to 0..9, never 2x-counted
+    assert r5["dup2gram_char_frac"] == pytest.approx(10 / 12)
+    for i in (3, 4):  # shorter than any n / empty: all-zero signals
+        r = out[i]
+        assert all(r[c] == 0.0 for c in r.asDict()
+                   if c.endswith("_frac")), r
+
+
 def test_chi2_drift_closed_form_cases(spark):
     """Identical distributions → 0; disjoint supports → N_a + N_b
     (the standard two-sample degenerate case: every bin is fully

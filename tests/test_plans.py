@@ -552,6 +552,17 @@ def test_chi2_drift_single_corpus_pass(spark):
     assert "Scan ExistingRDD" in plan, plan
 
 
+def test_repetition_signals_single_scan_per_doc_windows(spark):
+    """doc_repetition_signals: the corpus text is scanned once (the
+    tokenized base is pinned; every gram pass reads the ExistingRDD),
+    and every window is keyed by doc_id — no global exchange."""
+    plan = _plan(ALL_QUERIES["doc_repetition_signals"](spark, SF))
+    assert "documents.parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^,]*)", plan):
+        assert m.group(1).startswith("doc_id#"), plan
+
+
 def test_pmi_topk_is_distributed_and_single_pass(spark):
     """doc_pmi_collocations (r10 fix): the global top-k is a
     distributed TakeOrderedAndProject (per-partition top-k, one k-row
