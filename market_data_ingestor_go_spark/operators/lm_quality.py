@@ -434,13 +434,24 @@ def chi2_value_drift(df: DataFrame, value_col: str = "n_chars",
     partial-combine shuffle; bins are value-range/bin_width — tiny);
     everything downstream is bin-table-sized, the spine broadcast.
     """
-    d38 = "decimal(38,0)"
     # integer div, NOT double-divide + cast: double→bigint TRUNCATES
     # in Spark but ROUNDS in DuckDB — div/`//` agree on ints ≥ 0
     binc = F.expr(f"cast({value_col} as bigint) div {bin_width}")
     counts = (df.select(F.col(group_col).alias("g"),
-                        binc.alias("bin"))
-              .groupBy("g", "bin").agg(F.count("*").alias("c")))
+                        binc.alias("x"))
+              .groupBy("g", "x").agg(F.count("*").alias("c")))
+    return chi2_from_counts(counts)
+
+
+def chi2_from_counts(counts: DataFrame) -> DataFrame:
+    """χ² readout from a (g, x, c) histogram table — the
+    finish-from-the-sink half shared by ``chi2_value_drift`` (batch;
+    x = the bin index) and ``streaming_value_histogram``'s
+    complete-mode sink (bin the stream value first: the histogram is
+    a plain additive aggregate, so the streamed state is
+    bit-identical to the batch histogram and this readout gives the
+    same χ² rows — tested). Everything here is bin-table-sized."""
+    d38 = "decimal(38,0)"
     # bin-table-sized; pinned once for its four consumers (the
     # token_tv_divergence no-subplan-reuse lesson)
     counts = counts.localCheckpoint(eager=True)
@@ -454,7 +465,7 @@ def chi2_value_drift(df: DataFrame, value_col: str = "n_chars",
             / (dnn * (F.col("a.c") + F.col("bb.c")).cast("double"))
             ).cast("decimal(27,6)")
     shared = (
-        a.join(bb, (F.col("a.bin") == F.col("bb.bin"))
+        a.join(bb, (F.col("a.x") == F.col("bb.x"))
                & (F.col("a.g") < F.col("bb.g")))
         .join(F.broadcast(totals.select(F.col("g").alias("ga_t"),
                                         F.col("ctot").alias("ca"))),

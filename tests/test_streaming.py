@@ -2092,6 +2092,51 @@ def test_streaming_value_histogram_ks_equals_batch(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS ks_hist_stream")
 
 
+def test_streaming_value_histogram_chi2_equals_batch(spark, tmp_path):
+    """Streaming χ²-drift twin: the SAME complete-mode histogram
+    sink serves the chi-square monitor — bin the stream value first
+    (x = n_chars div 50), then chi2_from_counts over the sink
+    reproduces batch chi2_value_drift row-for-row (bit-exact doubles
+    included), after any micro-batch split."""
+    import json as _json
+
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        chi2_from_counts, chi2_value_drift)
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_value_histogram)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("source", "n_chars")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = docs.collect()
+    for i, part in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in part:
+                fh.write(_json.dumps({"source": r.source,
+                                      "n_chars": r.n_chars}) + "\n")
+
+    stream = (spark.readStream.schema("source STRING, n_chars LONG")
+              .option("maxFilesPerTrigger", 1)  # force ≥3 micro-batches
+              .json(src)
+              .selectExpr("source", "n_chars div 50 AS bin"))
+    q = run_sketch_stream(streaming_value_histogram(stream, "source",
+                                                    "bin"),
+                          "chi2_hist_stream", str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple,
+                     chi2_from_counts(spark.table("chi2_hist_stream"))
+                     .collect()))
+    want = sorted(map(tuple, chi2_value_drift(docs, bin_width=50)
+                      .collect()))
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS chi2_hist_stream")
+
+
 def test_streaming_vocab_state_curve_equals_batch(spark, tmp_path):
     """Streaming vocabulary-growth twin (r10): both state tables
     (per-bucket sizes — additive; per-term min bucket — idempotent)
