@@ -603,8 +603,11 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
       occurrences / Σ line characters.
     - ``top{n}gram_char_frac`` (n ∈ top_ns): characters covered by
       the single most frequent word n-gram (count × gram token
-      chars, separators excluded) / Σ token chars. Tie-break: the
-      lexicographically smallest gram among the most frequent.
+      chars, separators excluded) / Σ token chars — 0 unless that
+      gram occurs ≥ 2 times (a unique gram is not repetition; without
+      this rule every short doc tops the threshold spuriously).
+      Tie-break: the lexicographically smallest gram among the most
+      frequent.
     - ``dup{n}gram_char_frac`` (n ∈ dup_ns): characters of token
       POSITIONS covered by any n-gram occurring more than once /
       Σ token chars — positions union so overlapping duplicated
@@ -670,8 +673,10 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
                .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
                                    F.col("g"))).alias("m"))
                .select("doc_id",
-                       ((-F.col("m.nc"))
-                        * (F.length("m.g") - F.lit(n - 1)))
+                       F.when(-F.col("m.nc") >= 2,
+                              (-F.col("m.nc"))
+                              * (F.length("m.g") - F.lit(n - 1)))
+                       .otherwise(F.lit(0))
                        .cast("bigint").alias(f"_top{n}")))
         out = out.join(top, "doc_id", "left")
     for n in dup_ns:

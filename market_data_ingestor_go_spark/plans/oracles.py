@@ -2999,6 +2999,7 @@ FROM spine LEFT JOIN shared USING (ga, gb)
 """
 
 # Gopher repetition signals: exact integer numerators/denominators,
+# top-gram numerators zero unless the gram repeats (count >= 2),
 # one int/int IEEE division per fraction (exact ints < 2^53 divide
 # correctly-rounded on both engines). Grams are 1-based list slices;
 # the dup-5 numerator is the POSITION-UNION char sum (DISTINCT
@@ -3036,14 +3037,18 @@ WITH base AS (
   FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
         FROM b WHERE len(w) >= 3)
 ), t2 AS (
-  SELECT doc_id, CAST(cnt * (length(g) - 1) AS BIGINT) AS topchars
+  SELECT doc_id, CAST(CASE WHEN cnt >= 2
+                         THEN cnt * (length(g) - 1)
+                         ELSE 0 END AS BIGINT) AS topchars
   FROM (SELECT doc_id, g, COUNT(*) AS cnt,
                ROW_NUMBER() OVER (PARTITION BY doc_id
                                   ORDER BY COUNT(*) DESC, g ASC) AS rn
         FROM g2 GROUP BY doc_id, g)
   WHERE rn = 1
 ), t3 AS (
-  SELECT doc_id, CAST(cnt * (length(g) - 2) AS BIGINT) AS topchars
+  SELECT doc_id, CAST(CASE WHEN cnt >= 2
+                         THEN cnt * (length(g) - 2)
+                         ELSE 0 END AS BIGINT) AS topchars
   FROM (SELECT doc_id, g, COUNT(*) AS cnt,
                ROW_NUMBER() OVER (PARTITION BY doc_id
                                   ORDER BY COUNT(*) DESC, g ASC) AS rn

@@ -224,8 +224,9 @@ def test_repetition_signals_hand_cases(spark):
     assert r1["dup_line_char_frac"] == pytest.approx(3 / 9)
     # 'a b' x2, gram chars 2 (separator excluded) over tok_chars 6
     assert r1["top2gram_char_frac"] == pytest.approx(4 / 6)
-    # all 3-grams unique -> count 1, tie -> smallest gram 'a b a'
-    assert r1["top3gram_char_frac"] == pytest.approx(3 / 6)
+    # all 3-grams unique -> nothing REPEATS -> 0 (the count>=2 rule;
+    # a count-1 gram is not repetition and must not trip the filter)
+    assert r1["top3gram_char_frac"] == 0.0
     r2 = out[2]   # 'x y' x3; dup-2 union covers positions 0..5 of 7
     assert r2["top2gram_char_frac"] == pytest.approx(6 / 7)
     assert r2["dup2gram_char_frac"] == pytest.approx(6 / 7)
