@@ -239,6 +239,9 @@ HEADLINE = [
     "source_chi2_drift",
     # r11: Gopher within-doc repetition quality signals
     "doc_repetition_signals",
+    # r11: cohort retention + Markov transitions (event analytics)
+    "events_cohort_retention",
+    "events_markov_transitions",
 ]
 
 

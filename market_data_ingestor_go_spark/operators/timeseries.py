@@ -642,3 +642,77 @@ def drawdown_chunked(df: DataFrame, key_col: str, order_cols: list[str],
            .withColumn("peak", F.greatest("__carry", "__inmax"))
            .withColumn("dd", F.col("peak") - F.col(value_col)))
     return out.drop("__cc", "__inmax", "__k_c", "__cc_c", "__carry")
+
+
+def cohort_retention(events: DataFrame, ts_ms_col: str = "ts_ms",
+                     user_col: str = "user_id") -> DataFrame:
+    """Classic triangle retention matrix: users are cohorted by their
+    first active day; retention(cohort, k) = |cohort members active
+    on cohort day + k| / |cohort| → (cohort_day_ms, day_offset,
+    cohort_users, active_users, retention). Offset 0 is 1.0 by
+    construction (every member is active on their first day).
+
+    Day = epoch-millis div 86400000 (the events_user_growth
+    timezone-proof grain). All counts are exact BIGINTs; retention is
+    one int/int IEEE division (exact < 2^53 ⇒ bit-exact
+    cross-engine).
+
+    Shapes at 100 TB: the only event-stream-sized exchange is the
+    (user, day) DISTINCT (map-side partial); first-day and the
+    activity join are user-keyed (co-partitioned after the distinct);
+    cohort sizes are a |days|-row broadcast. No window over the
+    event stream anywhere."""
+    day = F.expr(f"{ts_ms_col} div 86400000")
+    ud = (events.select(F.col(user_col).alias("u"), day.alias("d"))
+          .distinct())
+    first = ud.groupBy("u").agg(F.min("d").alias("cohort"))
+    sizes = (first.groupBy("cohort")
+             .agg(F.count("*").alias("cohort_users")))
+    act = (ud.join(first, "u")
+           .groupBy("cohort", (F.col("d") - F.col("cohort"))
+                    .alias("day_offset"))
+           .agg(F.count("*").alias("active_users")))
+    return (act.join(F.broadcast(sizes), "cohort")
+            .select((F.col("cohort") * 86400000).alias("cohort_day_ms"),
+                    F.col("day_offset").cast("bigint").alias("day_offset"),
+                    F.col("cohort_users").cast("bigint")
+                    .alias("cohort_users"),
+                    F.col("active_users").cast("bigint")
+                    .alias("active_users"),
+                    (F.col("active_users").cast("double")
+                     / F.col("cohort_users").cast("double"))
+                    .alias("retention")))
+
+
+def event_transitions(events: DataFrame, ts_ms_col: str = "ts_ms",
+                      user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition estimates over per-user event
+    streams: count consecutive (prev → cur) event-type pairs ordered
+    by (ts, id) within each user, row-normalized → (prev_type,
+    event_type, n_transitions, p) with p = n(prev→cur)/Σ_cur.
+
+    ``id_col`` must be a per-user tiebreak (unique event id) so the
+    ordering — and therefore every count — is total and deterministic
+    under any partitioning. p is one exact-int IEEE division ⇒
+    bit-exact cross-engine.
+
+    Shapes at 100 TB: ONE user-keyed shuffle for the lag window (the
+    stream never exchanges again); the pair count collapses map-side
+    to ≤ |types|² rows per partition; row totals broadcast."""
+    w = Window.partitionBy(user_col).orderBy(ts_ms_col, id_col)
+    pairs = (events.select(user_col, ts_ms_col, id_col,
+                           F.col(type_col).alias("event_type"))
+             .withColumn("prev_type", F.lag("event_type").over(w))
+             .filter(F.col("prev_type").isNotNull()))
+    counts = (pairs.groupBy("prev_type", "event_type")
+              .agg(F.count("*").alias("n_transitions")))
+    totals = (counts.groupBy("prev_type")
+              .agg(F.sum("n_transitions").alias("n_from")))
+    return (counts.join(F.broadcast(totals), "prev_type")
+            .select("prev_type", "event_type",
+                    F.col("n_transitions").cast("bigint")
+                    .alias("n_transitions"),
+                    (F.col("n_transitions").cast("double")
+                     / F.col("n_from").cast("double")).alias("p")))

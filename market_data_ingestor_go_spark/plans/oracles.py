@@ -3088,3 +3088,47 @@ FROM b LEFT JOIN t2 USING (doc_id)
        LEFT JOIN t3 USING (doc_id)
        LEFT JOIN d3 USING (doc_id)
 """
+
+# Cohort retention: day = epoch_ms // 86400000 (the
+# events_user_growth grain — `//`/div agree on positive millis);
+# exact BIGINT counts, one int/int double division.
+EXTRA_ORACLES["events_cohort_retention"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, epoch_ms(ts) // 86400000 AS d
+  FROM events),
+first AS (SELECT u, MIN(d) AS cohort FROM ud GROUP BY u),
+sizes AS (SELECT cohort, COUNT(*) AS cohort_users
+          FROM first GROUP BY cohort),
+act AS (
+  SELECT f.cohort, ud.d - f.cohort AS day_offset,
+         COUNT(*) AS active_users
+  FROM ud JOIN first f USING (u)
+  GROUP BY f.cohort, ud.d - f.cohort)
+SELECT CAST(a.cohort * 86400000 AS BIGINT) AS cohort_day_ms,
+       CAST(a.day_offset AS BIGINT) AS day_offset,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       CAST(a.active_users AS BIGINT) AS active_users,
+       CAST(a.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
+         AS retention
+FROM act a JOIN sizes s USING (cohort)
+"""
+
+# Markov transitions: lag over (epoch_ms(ts), event_id) — the unique
+# id totalizes the order, so counts are engine-independent; p is one
+# exact-int double division.
+EXTRA_ORACLES["events_markov_transitions"] = """
+WITH p AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ms(ts), event_id)
+           AS prev_type
+  FROM events),
+c AS (SELECT prev_type, event_type, COUNT(*) AS n
+      FROM p WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+t AS (SELECT prev_type, SUM(n) AS n_from FROM c GROUP BY prev_type)
+SELECT c.prev_type, c.event_type,
+       CAST(c.n AS BIGINT) AS n_transitions,
+       CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+FROM c JOIN t USING (prev_type)
+"""

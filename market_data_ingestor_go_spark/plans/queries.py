@@ -2321,6 +2321,27 @@ def events_user_growth(spark, sf_dir):
             .select("day_start_ms", "n_active", "n_new", "cum_users"))
 
 
+def events_cohort_retention(spark, sf_dir):
+    """Triangle retention matrix
+    (operators/timeseries.py::cohort_retention): users cohorted by
+    first-active day, retention(k) = cohort members active k days
+    later / cohort size. Exact integer counts, one int/int division
+    ⇒ bit-exact; day = epoch-millis div 86400000 (timezone-proof,
+    the events_user_growth grain)."""
+    from ..operators.timeseries import cohort_retention
+    return cohort_retention(_events(spark, sf_dir))
+
+
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams (operators/timeseries.py::event_transitions): consecutive
+    (prev → cur) event-type counts ordered by (ts, event_id) — the
+    unique id makes the order total, so counts are deterministic
+    under any partitioning — row-normalized by exact-int division."""
+    from ..operators.timeseries import event_transitions
+    return event_transitions(_events(spark, sf_dir))
+
+
 def neardup_pagerank(spark, sf_dir):
     """Fixed-point integer PageRank over the exact near-dup pair
     graph (operators/graph.py::pagerank_fixed_point) — the
@@ -3115,6 +3136,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_scrub": dup_span_scrub,
     "source_chi2_drift": source_chi2_drift,
     "doc_repetition_signals": doc_repetition_signals,
+    "events_cohort_retention": events_cohort_retention,
+    "events_markov_transitions": events_markov_transitions,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3285,6 +3308,8 @@ ROTATION_CANDIDATES_R11: list[str] = [
     "dup_span_scrub",             # added r11, oracle added same commit
     "source_chi2_drift",          # added r11, oracle added same commit
     "doc_repetition_signals",     # added r11, oracle added same commit
+    "events_cohort_retention",    # added r11, oracle added same commit
+    "events_markov_transitions",  # added r11, oracle added same commit
 ]
 
 

@@ -3166,3 +3166,46 @@ def test_scrub_duplicate_spans_hand_case(spark):
     for did, r in got.items():
         n = len({1: 10, 2: 10, 3: 8, 4: 25, 5: 25, 6: 5}[did] * "x")
         assert r["tokens_removed"] + r["n_tokens_kept"] == n, did
+
+
+def test_cohort_retention_hand_case(spark):
+    """Two-cohort hand case: offset-0 retention is 1.0 by
+    construction, a returning user halves, multiple same-day events
+    count a user once (the (user, day) distinct)."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        cohort_retention)
+    D = 86400000
+    rows = [  # (user, ts_ms): u1/u2 start day0, only u1 returns day1;
+              # u3 starts day1; u1 has TWO events on day0
+        (1, 10), (1, 20), (2, 30), (1, D + 10), (3, D + 20),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long")
+    got = {(r["cohort_day_ms"], r["day_offset"]): r
+           for r in cohort_retention(df).collect()}
+    assert set(got) == {(0, 0), (0, 1), (D, 0)}
+    assert (got[(0, 0)]["cohort_users"], got[(0, 0)]["active_users"],
+            got[(0, 0)]["retention"]) == (2, 2, 1.0)
+    assert (got[(0, 1)]["active_users"], got[(0, 1)]["retention"]) \
+        == (1, 0.5)
+    assert (got[(D, 0)]["cohort_users"], got[(D, 0)]["retention"]) \
+        == (1, 1.0)
+
+
+def test_event_transitions_hand_case(spark):
+    """Markov hand case: row-normalized counts, first event per user
+    contributes no pair, same-ts events ordered by the unique id."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        event_transitions)
+    rows = [  # (user, ts, id, type): u1 v->c->v; u2 c->c with a
+              # same-ts pair ordered by event_id (c then v => c->v)
+        (1, 10, 1, "v"), (1, 20, 2, "c"), (1, 30, 3, "v"),
+        (2, 10, 4, "c"), (2, 20, 5, "c"), (2, 20, 6, "v"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_ms long, event_id long, event_type string")
+    got = {(r["prev_type"], r["event_type"]):
+           (r["n_transitions"], r["p"])
+           for r in event_transitions(df).collect()}
+    assert got == {("v", "c"): (1, 1.0),
+                   ("c", "v"): (2, 2 / 3),
+                   ("c", "c"): (1, 1 / 3)}

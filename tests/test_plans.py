@@ -552,6 +552,27 @@ def test_chi2_drift_single_corpus_pass(spark):
     assert "Scan ExistingRDD" in plan, plan
 
 
+def test_cohort_retention_shapes(spark):
+    """events_cohort_retention: the scan reads only (ts, user_id);
+    cohort sizes join broadcast (|days|-row side); no window over the
+    event stream (the distinct + aggregates are the only exchanges)."""
+    plan = _plan(ALL_QUERIES["events_cohort_retention"](spark, SF))
+    assert _scan_columns(plan, "events") <= {"ts", "user_id"}, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_event_transitions_shapes(spark):
+    """events_markov_transitions: scan pruned to the four needed
+    columns; the lag window is user-keyed; row totals broadcast."""
+    plan = _plan(ALL_QUERIES["events_markov_transitions"](spark, SF))
+    assert _scan_columns(plan, "events") <= \
+        {"ts", "user_id", "event_type", "event_id"}, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for m in re.finditer(r"windowspecdefinition\(([^,]*)", plan):
+        assert m.group(1).startswith("user_id#"), plan
+
+
 def test_repetition_signals_single_scan_per_doc_windows(spark):
     """doc_repetition_signals: the corpus text is scanned once (the
     tokenized base is pinned; every gram pass reads the ExistingRDD),
