@@ -242,6 +242,8 @@ HEADLINE = [
     # r11: cohort retention + Markov transitions (event analytics)
     "events_cohort_retention",
     "events_markov_transitions",
+    # r11: CUSUM change-point — WHEN the level shifted
+    "events_cusum_changepoint",
 ]
 
 

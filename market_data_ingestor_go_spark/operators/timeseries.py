@@ -716,3 +716,57 @@ def event_transitions(events: DataFrame, ts_ms_col: str = "ts_ms",
                     .alias("n_transitions"),
                     (F.col("n_transitions").cast("double")
                      / F.col("n_from").cast("double")).alias("p")))
+
+
+def cusum_changepoint(df: DataFrame, key_col: str = "event_type",
+                      order_cols: list[str] | None = None,
+                      value_col: str = "value") -> DataFrame:
+    """Per-key CUSUM change-point localization: with x_1..x_n the
+    key's value sequence in ``order_cols`` order and x̄ its mean,
+    S_i = Σ_{j≤i} (x_j − x̄); the change point is argmax_i |S_i|
+    (smallest i on ties) — a level shift at t makes |S| peak at t.
+    The TIME-axis complement of the group-wise drift monitors
+    (TV/KS/χ² localize WHICH source drifted; CUSUM localizes WHEN).
+    → (key, n, change_idx, cusum_mag) with cusum_mag = max|S_i|.
+
+    Exactness: values quantize to DECIMAL(27,6) (single rounding,
+    identical in Spark and DuckDB); the comparison statistic
+    n·S_i = n·prefix_i − i·total is exact decimal arithmetic — the
+    argmax and tie-break are decided with ZERO float error — and the
+    reported magnitude is one exact-by-exact string-routed division.
+    Factor widths are decimal(27,6) × decimal(10,0) so the product
+    stays ≤ 38 digits on BOTH engines (DuckDB errors past 38):
+    valid for n < 1e10 rows per key and |prefix| < 1e21.
+
+    Shapes at 100 TB: ONE key shuffle; the rank is materialized
+    BEFORE the cumulative window reads it (never nest row_number in
+    a windowed aggregate's input — r5 lesson); all three windows are
+    keyed; the argmax is a per-key max-of-struct aggregate. A single
+    monster key serializes its own scan (chunk by calendar range if
+    a key exceeds one task — the gap-fill caveat)."""
+    order_cols = order_cols or ["ts_ms", "event_id"]
+    d276, d100 = "decimal(27,6)", "decimal(10,0)"
+    w_ord = Window.partitionBy("k").orderBy(*order_cols)
+    d = (df.select(F.col(key_col).alias("k"), *order_cols,
+                   F.col(value_col).cast(d276).alias("v"))
+         .withColumn("i", F.row_number().over(w_ord)))
+    w_cum = (Window.partitionBy("k").orderBy("i")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = (Window.partitionBy("k")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    d = (d.withColumn("prefix", F.sum("v").over(w_cum).cast(d276))
+          .withColumn("total", F.sum("v").over(w_all).cast(d276))
+          .withColumn("n", F.count("*").over(w_all)))
+    dd = F.abs(F.col("n").cast(d100) * F.col("prefix")
+               - F.col("i").cast(d100) * F.col("total"))
+    return (d.withColumn("dd", dd)
+            .groupBy("k")
+            .agg(F.max("n").alias("n"),
+                 F.max(F.struct(F.col("dd").alias("d"),
+                                (-F.col("i")).alias("ni"))).alias("m"))
+            .select(F.col("k").alias(key_col),
+                    F.col("n").cast("bigint").alias("n"),
+                    (-F.col("m.ni")).cast("bigint").alias("change_idx"),
+                    (F.col("m.d").cast("string").cast("double")
+                     / F.col("n").cast("double")).alias("cusum_mag")))

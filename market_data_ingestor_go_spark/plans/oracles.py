@@ -3132,3 +3132,39 @@ SELECT c.prev_type, c.event_type,
        CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
 FROM c JOIN t USING (prev_type)
 """
+
+# CUSUM change-point: the argmax of |n*prefix_i - i*total| is exact
+# decimal arithmetic (values quantized DECIMAL(27,6) — single
+# rounding both engines; factors 27,6 x 10,0 keep the product <= 38
+# digits, DuckDB's hard cap); magnitude = one string-routed
+# exact/exact division. Ties -> smallest i.
+EXTRA_ORACLES["events_cusum_changepoint"] = """
+WITH d AS (
+  SELECT event_type AS k,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY epoch_ms(ts), event_id) AS i,
+         CAST(value AS DECIMAL(27,6)) AS v
+  FROM events),
+c AS (
+  SELECT k, i,
+         CAST(SUM(v) OVER (PARTITION BY k ORDER BY i) AS DECIMAL(27,6))
+           AS prefix,
+         CAST(SUM(v) OVER (PARTITION BY k) AS DECIMAL(27,6)) AS total,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM d),
+s AS (
+  SELECT k, n, i,
+         ABS(CAST(n AS DECIMAL(10,0)) * prefix
+             - CAST(i AS DECIMAL(10,0)) * total) AS dd
+  FROM c),
+m AS (
+  SELECT k, n, dd, MIN(i) AS change_idx
+  FROM (SELECT k, n, i, dd, MAX(dd) OVER (PARTITION BY k) AS dmax
+        FROM s)
+  WHERE dd = dmax GROUP BY k, n, dd)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(change_idx AS BIGINT) AS change_idx,
+       CAST(CAST(dd AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+         AS cusum_mag
+FROM m
+"""

@@ -2342,6 +2342,17 @@ def events_markov_transitions(spark, sf_dir):
     return event_transitions(_events(spark, sf_dir))
 
 
+def events_cusum_changepoint(spark, sf_dir):
+    """Per-event-type CUSUM change-point
+    (operators/timeseries.py::cusum_changepoint): argmax_i |S_i| of
+    the mean-centered cumulative sum — WHEN the value level shifted,
+    complementing the TV/KS/χ² monitors' WHICH. The argmax is decided
+    in exact decimal arithmetic (n·S_i = n·prefix − i·total, values
+    quantized DECIMAL(27,6)) ⇒ bit-exact including the tie-break."""
+    from ..operators.timeseries import cusum_changepoint
+    return cusum_changepoint(_events(spark, sf_dir))
+
+
 def neardup_pagerank(spark, sf_dir):
     """Fixed-point integer PageRank over the exact near-dup pair
     graph (operators/graph.py::pagerank_fixed_point) — the
@@ -3138,6 +3149,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_signals": doc_repetition_signals,
     "events_cohort_retention": events_cohort_retention,
     "events_markov_transitions": events_markov_transitions,
+    "events_cusum_changepoint": events_cusum_changepoint,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3310,6 +3322,7 @@ ROTATION_CANDIDATES_R11: list[str] = [
     "doc_repetition_signals",     # added r11, oracle added same commit
     "events_cohort_retention",    # added r11, oracle added same commit
     "events_markov_transitions",  # added r11, oracle added same commit
+    "events_cusum_changepoint",   # added r11, oracle added same commit
 ]
 
 

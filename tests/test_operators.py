@@ -3209,3 +3209,26 @@ def test_event_transitions_hand_case(spark):
     assert got == {("v", "c"): (1, 1.0),
                    ("c", "v"): (2, 2 / 3),
                    ("c", "c"): (1, 1 / 3)}
+
+
+def test_cusum_changepoint_hand_cases(spark):
+    """A clean level shift peaks |S| at the last pre-shift index; an
+    exact |S| tie breaks to the smallest i (decided in exact decimal
+    arithmetic, not float compare); constant series -> idx 1, mag 0."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        cusum_changepoint)
+    rows = ([("a", t + 1, t + 1, 0.0) for t in range(3)]
+            + [("a", t + 4, t + 4, 10.0) for t in range(3)]
+            + [("tie", 1, 1, 0.0), ("tie", 2, 2, 10.0),
+               ("tie", 3, 3, 0.0)]
+            + [("flat", t + 1, t + 1, 7.5) for t in range(4)])
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_ms long, event_id long, value double")
+    got = {r["event_type"]: r for r in cusum_changepoint(df).collect()}
+    # a: mean 5, S = -5,-10,-15,-10,-5,0 -> max|S|=15 at i=3
+    assert (got["a"]["change_idx"], got["a"]["cusum_mag"]) == (3, 15.0)
+    # tie: |S_1| = |S_2| = 10/3 exactly -> smallest i
+    assert got["tie"]["change_idx"] == 1
+    assert got["tie"]["cusum_mag"] == 10.0 / 3.0
+    assert (got["flat"]["change_idx"], got["flat"]["cusum_mag"]) \
+        == (1, 0.0)

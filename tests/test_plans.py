@@ -573,6 +573,17 @@ def test_event_transitions_shapes(spark):
         assert m.group(1).startswith("user_id#"), plan
 
 
+def test_cusum_changepoint_shapes(spark):
+    """events_cusum_changepoint: scan pruned to the needed columns;
+    every window (rank, cumulative, key totals) is keyed by the
+    event_type alias — one key shuffle, no global window."""
+    plan = _plan(ALL_QUERIES["events_cusum_changepoint"](spark, SF))
+    assert _scan_columns(plan, "events") <= \
+        {"ts", "event_id", "event_type", "value"}, plan
+    for m in re.finditer(r"windowspecdefinition\(([^,]*)", plan):
+        assert m.group(1).startswith("k#"), plan
+
+
 def test_repetition_signals_single_scan_per_doc_windows(spark):
     """doc_repetition_signals: the corpus text is scanned once (the
     tokenized base is pinned; every gram pass reads the ExistingRDD),
