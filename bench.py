@@ -244,6 +244,8 @@ HEADLINE = [
     "events_markov_transitions",
     # r11: CUSUM change-point — WHEN the level shifted
     "events_cusum_changepoint",
+    # r11: Gopher heuristic quality filters (map-only)
+    "doc_quality_signals",
 ]
 
 

@@ -713,6 +713,96 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
           .alias(f"dup{n}gram_char_frac") for n in dup_ns])
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and",
+                    "that", "have", "with")
+
+
+def quality_signals(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_words: int = 50, max_words: int = 100_000,
+                    min_mwl: float = 3.0, max_mwl: float = 10.0,
+                    max_symbol_ratio: float = 0.1,
+                    max_bullet_frac: float = 0.9,
+                    max_ellipsis_frac: float = 0.3,
+                    min_alpha_frac: float = 0.8,
+                    min_stop_hits: int = 2) -> DataFrame:
+    """The heuristic half of Gopher's Table A1 quality filters (Rae
+    et al. 2021) — the companion of ``repetition_signals``: per doc,
+
+    - ``n_words`` and ``mean_word_len`` (token chars / tokens);
+    - ``symbol_word_ratio``: '#' and '...' occurrences / words
+      (non-overlapping left-to-right '...' count via replace — the
+      same greedy rule both engines);
+    - ``bullet_line_frac`` / ``ellipsis_line_frac``: lines starting
+      with a bullet ('•', '-', '*') / ending with '...' or '…';
+    - ``alpha_word_frac``: words containing ≥1 ASCII letter;
+    - ``stop_hits``: how many of Gopher's eight required stopwords
+      appear (the paper keeps docs with ≥ 2);
+    - ``keep``: the paper's conjunction (thresholds are keyword
+      params defaulting to Gopher's published cutoffs) —
+      50 ≤ words ≤ 100 000, 3 ≤ mean word length ≤ 10, symbol ratio
+      ≤ 0.1, bullet lines ≤ 90 %, ellipsis lines ≤ 30 %, alpha words
+      ≥ 80 %, stop_hits ≥ 2.
+
+    Every count is an exact BIGINT formed in-row; each ratio is one
+    int/int IEEE division compared against the same double literal on
+    both engines ⇒ keep/drop verdicts are bit-reproducible. Zero
+    shuffle: the whole operator is per-row Column algebra (contrast
+    repetition_signals' per-doc aggregates) — at 100 TB this is a
+    map-only pass that fuses into whatever scan feeds it."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    w, lines = _tokens(txt), F.split(txt, "\n")
+    n_words = F.size(w).cast("bigint")
+    tok_chars = F.expr("aggregate(W, 0L, (a, x) -> a + length(x))")
+    n_lines = F.size(lines).cast("bigint")
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), w.alias("W"),
+        lines.alias("LS"), n_words.alias("n_words"),
+        n_lines.alias("n_lines"), txt.alias("T"))
+    d = d.select(
+        "doc_id", "n_words", "n_lines",
+        tok_chars.alias("tok_chars"),
+        ((F.length("T") - F.length(F.replace(F.col("T"), F.lit("#"),
+                                             F.lit(""))))
+         + (F.length("T") - F.length(F.replace(F.col("T"), F.lit("..."),
+                                               F.lit("")))) / F.lit(3))
+        .cast("bigint").alias("n_symbols"),
+        F.size(F.filter("LS", lambda x: F.ltrim(x).startswith("•")
+                        | F.ltrim(x).startswith("-")
+                        | F.ltrim(x).startswith("*")))
+        .cast("bigint").alias("n_bullet"),
+        F.size(F.filter("LS", lambda x: F.rtrim(x).endswith("...")
+                        | F.rtrim(x).endswith("…")))
+        .cast("bigint").alias("n_ellipsis"),
+        F.size(F.filter("W", lambda x: x.rlike("[a-zA-Z]")))
+        .cast("bigint").alias("n_alpha"),
+        sum((F.array_contains("W", s).cast("int")
+             for s in GOPHER_STOPWORDS), F.lit(0))
+        .cast("bigint").alias("stop_hits"))
+
+    def frac(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double")) \
+                .otherwise(F.lit(0.0))
+
+    mwl = frac(F.col("tok_chars"), F.col("n_words"))
+    sym = frac(F.col("n_symbols"), F.col("n_words"))
+    bul = frac(F.col("n_bullet"), F.col("n_lines"))
+    ell = frac(F.col("n_ellipsis"), F.col("n_lines"))
+    alp = frac(F.col("n_alpha"), F.col("n_words"))
+    keep = ((F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (mwl >= min_mwl) & (mwl <= max_mwl)
+            & (sym <= max_symbol_ratio) & (bul <= max_bullet_frac)
+            & (ell <= max_ellipsis_frac) & (alp >= min_alpha_frac)
+            & (F.col("stop_hits") >= min_stop_hits))
+    return d.select(
+        "doc_id", "n_words", mwl.alias("mean_word_len"),
+        sym.alias("symbol_word_ratio"), bul.alias("bullet_line_frac"),
+        ell.alias("ellipsis_line_frac"), alp.alias("alpha_word_frac"),
+        "stop_hits", keep.alias("keep"))
+
+
 def reference_shingles(ref: DataFrame, n: int = 3,
                        text_col: str = "text") -> DataFrame:
     """(sh) — the DISTINCT word n-gram set of a reference corpus, the

@@ -3168,3 +3168,74 @@ SELECT k AS event_type, CAST(n AS BIGINT) AS n,
          AS cusum_mag
 FROM m
 """
+
+# Gopher heuristic quality signals: exact in-row integer counts, one
+# int/int division per ratio, same double-literal thresholds ->
+# bit-reproducible keep verdicts (min_stop_hits relaxed to 1 on
+# this fixture -- see the query docstring). '...' occurrences via replace
+# (non-overlapping left-to-right greedy on both engines).
+EXTRA_ORACLES["doc_quality_signals"] = """
+WITH b AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+         regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS w,
+         string_split(COALESCE(text, ''), chr(10)) AS lines
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+              AS BIGINT) AS tok_chars,
+         CAST((length(t) - length(replace(t, '#', '')))
+              + (length(t) - length(replace(t, '...', ''))) // 3
+              AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(lines, x ->
+                starts_with(ltrim(x), chr(8226))
+                OR starts_with(ltrim(x), '-')
+                OR starts_with(ltrim(x), '*'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, x ->
+                ends_with(rtrim(x), '...')
+                OR ends_with(rtrim(x), chr(8230)))) AS BIGINT)
+           AS n_ellipsis,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(CAST(list_contains(w, 'the') AS INT)
+              + CAST(list_contains(w, 'be') AS INT)
+              + CAST(list_contains(w, 'to') AS INT)
+              + CAST(list_contains(w, 'of') AS INT)
+              + CAST(list_contains(w, 'and') AS INT)
+              + CAST(list_contains(w, 'that') AS INT)
+              + CAST(list_contains(w, 'have') AS INT)
+              + CAST(list_contains(w, 'with') AS INT) AS BIGINT)
+           AS stop_hits
+  FROM b
+), f AS (
+  SELECT doc_id, n_words, stop_hits,
+         CASE WHEN n_words > 0 THEN CAST(tok_chars AS DOUBLE)
+                                    / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE)
+                                    / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE)
+                                    / CAST(n_lines AS DOUBLE)
+              ELSE 0.0 END AS bullet_line_frac,
+         CASE WHEN n_lines > 0 THEN CAST(n_ellipsis AS DOUBLE)
+                                    / CAST(n_lines AS DOUBLE)
+              ELSE 0.0 END AS ellipsis_line_frac,
+         CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE)
+                                    / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END AS alpha_word_frac
+  FROM c)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+       stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND stop_hits >= 1) AS keep
+FROM f
+"""

@@ -2600,6 +2600,24 @@ def doc_repetition_signals(spark, sf_dir):
     return repetition_signals(d, top_ns=(2, 3), dup_ns=(3,))
 
 
+def doc_quality_signals(spark, sf_dir):
+    """The heuristic half of Gopher Table A1
+    (operators/lm_quality.py::quality_signals), companion of
+    doc_repetition_signals: word-count/mean-word-length bounds,
+    symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, required-stopword hits, and the paper's conjunctive
+    keep verdict. min_stop_hits relaxed to 1 HERE because the
+    synthetic vocabulary contains only 'the' of Gopher's eight
+    required stopwords — at the paper's 2 the verdict is constant
+    False on this fixture (the default is exercised by hand tests);
+    with 1 the fixture keeps 251/500. Exact integer counts formed
+    in-row (zero shuffle — a map-only pass), one int/int division
+    per ratio ⇒ bit-exact."""
+    from ..operators.lm_quality import quality_signals
+    return quality_signals(_t(spark, sf_dir, "documents"),
+                           min_stop_hits=1)
+
+
 def source_chi2_drift(spark, sf_dir):
     """Pairwise two-sample chi-square homogeneity statistic over
     per-source doc-length histograms, 50-char bins
@@ -3150,6 +3168,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cohort_retention": events_cohort_retention,
     "events_markov_transitions": events_markov_transitions,
     "events_cusum_changepoint": events_cusum_changepoint,
+    "doc_quality_signals": doc_quality_signals,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3323,6 +3342,7 @@ ROTATION_CANDIDATES_R11: list[str] = [
     "events_cohort_retention",    # added r11, oracle added same commit
     "events_markov_transitions",  # added r11, oracle added same commit
     "events_cusum_changepoint",   # added r11, oracle added same commit
+    "doc_quality_signals",        # added r11, oracle added same commit
 ]
 
 

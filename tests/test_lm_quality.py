@@ -241,6 +241,37 @@ def test_repetition_signals_hand_cases(spark):
                    if c.endswith("_frac")), r
 
 
+def test_quality_signals_hand_cases(spark):
+    """Gopher heuristic filters on crafted docs: each cutoff trips
+    exactly the doc built to trip it, a clean doc passes at the
+    paper's defaults (stop_hits ≥ 2 included), ratios are exact."""
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        quality_signals)
+    good = ("the cat and the dog have fun with all of that house "
+            * 5).strip()
+    rows = [
+        Row(doc_id=1, text=good),                    # passes everything
+        Row(doc_id=2, text="# " * 60),               # symbol soup
+        Row(doc_id=3, text="- a\n- b\nplain"),       # bullets 2/3
+        Row(doc_id=4, text="so...\nand more...\nok"),  # ellipsis 2/3
+        Row(doc_id=5, text="123 456 789 " * 20),     # no alpha words
+        Row(doc_id=6, text=""),                      # empty
+    ]
+    got = {r["doc_id"]: r for r in quality_signals(
+        spark.createDataFrame(rows)).collect()}
+    r1 = got[1]
+    assert r1["keep"] and r1["stop_hits"] >= 2 and r1["n_words"] == 60
+    assert not got[2]["keep"] and got[2]["symbol_word_ratio"] == 1.0
+    assert got[3]["bullet_line_frac"] == pytest.approx(2 / 3)
+    assert got[4]["ellipsis_line_frac"] == pytest.approx(2 / 3)
+    # '...' occurrences also count as symbols: 2 of 4 words
+    assert got[4]["symbol_word_ratio"] == 0.5
+    assert got[5]["alpha_word_frac"] == 0.0 and not got[5]["keep"]
+    assert got[6]["n_words"] == 1 and not got[6]["keep"]
+    for i in (2, 3, 4, 5, 6):
+        assert not got[i]["keep"]
+
+
 def test_chi2_drift_closed_form_cases(spark):
     """Identical distributions → 0; disjoint supports → N_a + N_b
     (the standard two-sample degenerate case: every bin is fully

@@ -573,6 +573,17 @@ def test_event_transitions_shapes(spark):
         assert m.group(1).startswith("user_id#"), plan
 
 
+def test_quality_signals_map_only(spark):
+    """doc_quality_signals: a pure map-only pass — no exchange, no
+    window, no join anywhere in the plan; scan pruned to (doc_id,
+    text)."""
+    plan = _plan(ALL_QUERIES["doc_quality_signals"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert _scan_columns(plan, "documents") == {"doc_id", "text"}, plan
+
+
 def test_cusum_changepoint_shapes(spark):
     """events_cusum_changepoint: scan pruned to the needed columns;
     every window (rank, cumulative, key totals) is keyed by the
