@@ -246,6 +246,8 @@ HEADLINE = [
     "events_cusum_changepoint",
     # r11: Gopher heuristic quality filters (map-only)
     "doc_quality_signals",
+    # r11: embedding covariance (in-row pair products, d^2/2 agg)
+    "embedding_covariance_matrix",
 ]
 
 

@@ -1572,3 +1572,63 @@ def embedding_centroid_drift(vectors: DataFrame,
     model-sized (never the corpus)."""
     return centroid_drift_from_sums(dim_sums(vectors, group_col,
                                              vec_col))
+
+
+def embedding_covariance(vectors: DataFrame,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding distribution
+    → (dim_i, dim_j, n, cov) with dim_i ≤ dim_j — the second-moment
+    QA aggregate behind whitening/PCA decisions (anisotropy, dead or
+    collinear dimensions) and the model-sized input an offline eigen
+    step consumes.
+
+    Exactness: per-row products x_i·x_j are double multiplies of
+    exactly-widened floats, quantized to DECIMAL(27,6) and summed
+    EXACTLY (order-free — the DSIR single-rounding device), same for
+    the per-dim sums; the final
+    cov = (Sxy − Sx·Sy/n)/(n−1) evaluates the identical IEEE
+    expression on both engines (string-routed decimal→double hops).
+    Bit-identical in Spark and DuckDB.
+
+    Shapes at 100 TB: the d(d+1)/2 pair products are formed IN-ROW
+    (nested transform over the array and its tail slice — the corpus
+    never shuffles to be paired) and collapse map-side to d(d+1)/2
+    rows per partition; the only exchanges are that partial-combined
+    aggregate and a d-row broadcast of the per-dim sums. Per-row cost
+    is O(d²) — that is the covariance's arithmetic lower bound, not a
+    plan artifact (an Arrow Gram-matrix kernel would shave the
+    interpreted-HOF constant at the price of leaving the all-JVM
+    plan, the knn_ann_pq trade)."""
+    pair_expr = f"""
+      flatten(transform({vec_col}, (x, i) ->
+        transform(slice({vec_col}, i + 1, size({vec_col}) - i),
+                  (y, j) -> struct(i AS i, i + j AS j,
+                    cast(cast(x AS double) * cast(y AS double)
+                         AS decimal(27,6)) AS p))))
+    """
+    pairs = (vectors.select(F.explode(F.expr(pair_expr)).alias("s"))
+             .select("s.i", "s.j", "s.p"))
+    sxy = (pairs.groupBy("i", "j")
+           .agg(F.sum("p").alias("sxy"), F.count("*").alias("n")))
+    dims = (vectors.select(F.explode(F.expr(
+        f"transform({vec_col}, (x, i) -> struct(i AS i,"
+        f" cast(cast(x AS double) AS decimal(27,6)) AS v))")).alias("s"))
+        .groupBy("s.i").agg(F.sum("s.v").alias("sx"))
+        .select(F.col("i"), "sx"))
+    d = (sxy
+         .join(F.broadcast(dims.select(F.col("i"),
+                                       F.col("sx").alias("sxi"))), "i")
+         .join(F.broadcast(dims.select(F.col("i").alias("j"),
+                                       F.col("sx").alias("sxj"))), "j"))
+
+    def _s(c):
+        return F.col(c).cast("string").cast("double")
+
+    nn = F.col("n").cast("double")
+    cov = F.when(
+        F.col("n") > 1,
+        (_s("sxy") - _s("sxi") * _s("sxj") / nn) / (nn - F.lit(1.0)))
+    return d.select(F.col("i").cast("int").alias("dim_i"),
+                    F.col("j").cast("int").alias("dim_j"),
+                    F.col("n").cast("bigint").alias("n"),
+                    cov.alias("cov"))

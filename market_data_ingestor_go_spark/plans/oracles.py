@@ -3239,3 +3239,35 @@ SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
         AND stop_hits >= 1) AS keep
 FROM f
 """
+
+# Embedding covariance: per-row products quantized DECIMAL(27,6) and
+# summed exactly (the DSIR device), per-dim sums likewise; the final
+# (Sxy - Sx*Sy/n)/(n-1) is the IDENTICAL IEEE expression (string-
+# routed decimal->double hops) -> bit-exact. 1-based unnest indices
+# shift to the operator's 0-based dims.
+EXTRA_ORACLES["embedding_covariance_matrix"] = """
+WITH e AS (
+  SELECT vec_id, i - 1 AS i, CAST(v[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding AS v,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), sxy AS (
+  SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+         SUM(CAST(a.x * b.x AS DECIMAL(27,6))) AS sxy
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+), dims AS (
+  SELECT i, SUM(CAST(x AS DECIMAL(27,6))) AS sx FROM e GROUP BY i
+)
+SELECT CAST(s.i AS INT) AS dim_i, CAST(s.j AS INT) AS dim_j,
+       CAST(s.n AS BIGINT) AS n,
+       CASE WHEN s.n > 1 THEN
+         (CAST(CAST(s.sxy AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(da.sx AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(db.sx AS VARCHAR) AS DOUBLE)
+            / CAST(s.n AS DOUBLE))
+         / (CAST(s.n AS DOUBLE) - 1.0)
+       END AS cov
+FROM sxy s JOIN dims da ON s.i = da.i
+           JOIN dims db ON s.j = db.i
+"""

@@ -2600,6 +2600,16 @@ def doc_repetition_signals(spark, sf_dir):
     return repetition_signals(d, top_ns=(2, 3), dup_ns=(3,))
 
 
+def embedding_covariance_matrix(spark, sf_dir):
+    """Upper-triangle covariance of the 64-dim embedding distribution
+    (operators/similarity.py::embedding_covariance) — 2080
+    model-sized cells; per-row products quantized DECIMAL(27,6) and
+    summed exactly, identical final IEEE expression both engines ⇒
+    bit-exact. The pair products form IN-ROW (no corpus shuffle)."""
+    from ..operators.similarity import embedding_covariance
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"))
+
+
 def doc_quality_signals(spark, sf_dir):
     """The heuristic half of Gopher Table A1
     (operators/lm_quality.py::quality_signals), companion of
@@ -3169,6 +3179,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_markov_transitions": events_markov_transitions,
     "events_cusum_changepoint": events_cusum_changepoint,
     "doc_quality_signals": doc_quality_signals,
+    "embedding_covariance_matrix": embedding_covariance_matrix,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3343,6 +3354,7 @@ ROTATION_CANDIDATES_R11: list[str] = [
     "events_markov_transitions",  # added r11, oracle added same commit
     "events_cusum_changepoint",   # added r11, oracle added same commit
     "doc_quality_signals",        # added r11, oracle added same commit
+    "embedding_covariance_matrix",  # added r11, oracle added same commit
 ]
 
 

@@ -3232,3 +3232,28 @@ def test_cusum_changepoint_hand_cases(spark):
     assert got["tie"]["cusum_mag"] == 10.0 / 3.0
     assert (got["flat"]["change_idx"], got["flat"]["cusum_mag"]) \
         == (1, 0.0)
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """The quantized-exact covariance tracks numpy's float64 np.cov
+    to ~1e-7 (DECIMAL(27,6) per-term quantization over n=100 rows),
+    diagonals are non-negative variances, and the triangle is
+    complete: d(d+1)/2 cells, every pair i <= j exactly once."""
+    import numpy as np
+
+    from market_data_ingestor_go_spark.operators.similarity import (
+        embedding_covariance)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = embedding_covariance(emb).collect()
+    d = 64
+    assert len(rows) == d * (d + 1) // 2
+    assert {(r["dim_i"], r["dim_j"]) for r in rows} \
+        == {(i, j) for i in range(d) for j in range(i, d)}
+    vecs = np.array([r["embedding"] for r in
+                     emb.orderBy("vec_id").collect()], dtype=np.float64)
+    C = np.cov(vecs, rowvar=False)
+    for r in rows:
+        assert abs(r["cov"] - C[r["dim_i"], r["dim_j"]]) < 1e-6, r
+        if r["dim_i"] == r["dim_j"]:
+            assert r["cov"] >= 0.0, r

@@ -573,6 +573,18 @@ def test_event_transitions_shapes(spark):
         assert m.group(1).startswith("user_id#"), plan
 
 
+def test_embedding_covariance_shapes(spark):
+    """embedding_covariance_matrix: pair products form IN-ROW — no
+    join pairs the corpus with itself (the only joins are d-row
+    broadcasts of the per-dim sums); scan pruned to the vector
+    column; no window."""
+    plan = _plan(ALL_QUERIES["embedding_covariance_matrix"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert _scan_columns(plan, "embeddings") == {"embedding"}, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
 def test_quality_signals_map_only(spark):
     """doc_quality_signals: a pure map-only pass — no exchange, no
     window, no join anywhere in the plan; scan pruned to (doc_id,
