@@ -248,6 +248,8 @@ HEADLINE = [
     "doc_quality_signals",
     # r11: embedding covariance (in-row pair products, d^2/2 agg)
     "embedding_covariance_matrix",
+    # r11: PCA spectrum readout over the covariance artifact
+    "embedding_pca_spectrum",
 ]
 
 

@@ -1632,3 +1632,41 @@ def embedding_covariance(vectors: DataFrame,
                     F.col("j").cast("int").alias("dim_j"),
                     F.col("n").cast("bigint").alias("n"),
                     cov.alias("cov"))
+
+
+def embedding_pca_variance(vectors: DataFrame,
+                           vec_col: str = "embedding") -> DataFrame:
+    """PCA spectrum readout over ``embedding_covariance``'s output →
+    (component, eigenvalue, explained_frac, cum_frac), eigenvalues
+    descending — how many directions carry the corpus's variance (the
+    whitening/compression decision input; a near-zero tail means JL/
+    PQ budgets can shrink).
+
+    The covariance is computed DISTRIBUTED (bit-exact, see
+    ``embedding_covariance``); only the d(d+1)/2-cell matrix — a
+    bounded model artifact, never corpus-sized (the k-means codebook
+    contract) — collects to the driver for numpy's symmetric eigh.
+    Rows-only by design (an eigendecomposition is not
+    SQL-expressible); the test pins the invariants instead: Σλ equals
+    the covariance trace, λ are non-negative up to the DECIMAL(27,6)
+    quantization floor, and fractions telescope to 1."""
+    import numpy as np
+
+    rows = embedding_covariance(vectors, vec_col).collect()
+    d = max(r["dim_j"] for r in rows) + 1
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["dim_i"], r["dim_j"]] = C[r["dim_j"], r["dim_i"]] = r["cov"]
+    lam = np.linalg.eigvalsh(C)[::-1]          # descending
+    tot = float(lam.sum())
+    spark = vectors.sparkSession
+    out = [(int(i), float(v), float(v / tot) if tot > 0 else 0.0)
+           for i, v in enumerate(lam)]
+    cum, acc = [], 0.0
+    for _, _, f in out:
+        acc += f
+        cum.append(acc)
+    return spark.createDataFrame(
+        [(c, v, f, cf) for (c, v, f), cf in zip(out, cum)],
+        "component INT, eigenvalue DOUBLE, explained_frac DOUBLE,"
+        " cum_frac DOUBLE")

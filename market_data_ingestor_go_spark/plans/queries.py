@@ -2610,6 +2610,18 @@ def embedding_covariance_matrix(spark, sf_dir):
     return embedding_covariance(_t(spark, sf_dir, "embeddings"))
 
 
+def embedding_pca_spectrum(spark, sf_dir):
+    """PCA eigen-spectrum of the embedding covariance
+    (operators/similarity.py::embedding_pca_variance): how many
+    directions carry the variance. Distributed bit-exact covariance;
+    only the 2080-cell matrix collects for the driver eigh (codebook
+    contract). Rows-only by design — eigendecomposition is not
+    SQL-expressible; invariants (Σλ = trace, λ ≥ −quantization floor,
+    fractions telescope) are pinned in tests."""
+    from ..operators.similarity import embedding_pca_variance
+    return embedding_pca_variance(_t(spark, sf_dir, "embeddings"))
+
+
 def doc_quality_signals(spark, sf_dir):
     """The heuristic half of Gopher Table A1
     (operators/lm_quality.py::quality_signals), companion of
@@ -3180,6 +3192,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cusum_changepoint": events_cusum_changepoint,
     "doc_quality_signals": doc_quality_signals,
     "embedding_covariance_matrix": embedding_covariance_matrix,
+    "embedding_pca_spectrum": embedding_pca_spectrum,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

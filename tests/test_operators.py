@@ -3257,3 +3257,24 @@ def test_embedding_covariance_matches_numpy(spark):
         assert abs(r["cov"] - C[r["dim_i"], r["dim_j"]]) < 1e-6, r
         if r["dim_i"] == r["dim_j"]:
             assert r["cov"] >= 0.0, r
+
+
+def test_embedding_pca_spectrum_invariants(spark):
+    """Eigen-spectrum invariants over the bit-exact covariance:
+    eigenvalues descending and non-negative (up to the DECIMAL(27,6)
+    quantization floor), their sum equals the covariance trace,
+    explained fractions telescope to 1."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        embedding_covariance, embedding_pca_variance)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = embedding_pca_variance(emb).orderBy("component").collect()
+    assert len(rows) == 64
+    lam = [r["eigenvalue"] for r in rows]
+    assert all(a >= b - 1e-12 for a, b in zip(lam, lam[1:]))
+    assert all(v >= -1e-9 for v in lam)
+    trace = sum(r["cov"] for r in embedding_covariance(emb).collect()
+                if r["dim_i"] == r["dim_j"])
+    assert abs(sum(lam) - trace) < 1e-9 * max(1.0, abs(trace))
+    assert abs(rows[-1]["cum_frac"] - 1.0) < 1e-12
+    assert abs(sum(r["explained_frac"] for r in rows) - 1.0) < 1e-12
