@@ -250,6 +250,8 @@ HEADLINE = [
     "embedding_covariance_matrix",
     # r11: PCA spectrum readout over the covariance artifact
     "embedding_pca_spectrum",
+    # r11: Arrow/BLAS covariance twin (the measured fast path)
+    "embedding_covariance_arrow",
 ]
 
 

@@ -2610,6 +2610,18 @@ def embedding_covariance_matrix(spark, sf_dir):
     return embedding_covariance(_t(spark, sf_dir, "embeddings"))
 
 
+def embedding_covariance_arrow_q(spark, sf_dir):
+    """Arrow/BLAS twin of embedding_covariance_matrix
+    (operators/similarity.py::embedding_covariance_arrow): one numpy
+    matmul per Arrow batch, d²-row partial reduce — the measured
+    fast path (sf0.1: 14.6 s exact → 3.8 s). Rows-only by design:
+    float64 matmul accumulation order is hardware-defined, so it
+    cannot be bit-pinned to a SQL oracle; agreement with the exact
+    operator is equality-tested within the quantization headroom."""
+    from ..operators.similarity import embedding_covariance_arrow
+    return embedding_covariance_arrow(_t(spark, sf_dir, "embeddings"))
+
+
 def embedding_pca_spectrum(spark, sf_dir):
     """PCA eigen-spectrum of the embedding covariance
     (operators/similarity.py::embedding_pca_variance): how many
@@ -3193,6 +3205,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_signals": doc_quality_signals,
     "embedding_covariance_matrix": embedding_covariance_matrix,
     "embedding_pca_spectrum": embedding_pca_spectrum,
+    "embedding_covariance_arrow": embedding_covariance_arrow_q,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
