@@ -1599,6 +1599,18 @@ def embedding_covariance(vectors: DataFrame,
     plan artifact (an Arrow Gram-matrix kernel would shave the
     interpreted-HOF constant at the price of leaving the all-JVM
     plan, the knn_ann_pq trade)."""
+    return covariance_from_sums(cov_pair_sums(vectors, vec_col),
+                                cov_dim_sums(vectors, vec_col))
+
+
+def cov_pair_sums(vectors: DataFrame,
+                  vec_col: str = "embedding") -> DataFrame:
+    """(i, j, sxy, n) quantized-exact second-moment sums — the
+    additive half of the covariance sufficient statistic. Decimal
+    sums are plain additive aggregates, so a complete-mode streaming
+    aggregation of this exact expression is BIT-identical to the
+    batch table under any micro-batch split
+    (streaming/sketches.py::streaming_embedding_covariance)."""
     pair_expr = f"""
       flatten(transform({vec_col}, (x, i) ->
         transform(slice({vec_col}, i + 1, size({vec_col}) - i),
@@ -1606,15 +1618,28 @@ def embedding_covariance(vectors: DataFrame,
                     cast(cast(x AS double) * cast(y AS double)
                          AS decimal(27,6)) AS p))))
     """
-    pairs = (vectors.select(F.explode(F.expr(pair_expr)).alias("s"))
-             .select("s.i", "s.j", "s.p"))
-    sxy = (pairs.groupBy("i", "j")
-           .agg(F.sum("p").alias("sxy"), F.count("*").alias("n")))
-    dims = (vectors.select(F.explode(F.expr(
+    return (vectors.select(F.explode(F.expr(pair_expr)).alias("s"))
+            .select("s.i", "s.j", "s.p")
+            .groupBy("i", "j")
+            .agg(F.sum("p").alias("sxy"), F.count("*").alias("n")))
+
+
+def cov_dim_sums(vectors: DataFrame,
+                 vec_col: str = "embedding") -> DataFrame:
+    """(i, sx) quantized-exact first-moment sums — the other additive
+    half (same streaming-twin property)."""
+    return (vectors.select(F.explode(F.expr(
         f"transform({vec_col}, (x, i) -> struct(i AS i,"
         f" cast(cast(x AS double) AS decimal(27,6)) AS v))")).alias("s"))
         .groupBy("s.i").agg(F.sum("s.v").alias("sx"))
         .select(F.col("i"), "sx"))
+
+
+def covariance_from_sums(sxy: DataFrame, dims: DataFrame) -> DataFrame:
+    """Covariance readout from the two sufficient-statistic tables —
+    the finish-from-the-sink half shared by ``embedding_covariance``
+    (batch) and the streaming twin's complete-mode sinks (the
+    ks_from_counts pattern). Everything here is d²-sized."""
     d = (sxy
          .join(F.broadcast(dims.select(F.col("i"),
                                        F.col("sx").alias("sxi"))), "i")

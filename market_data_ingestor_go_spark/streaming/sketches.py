@@ -165,3 +165,20 @@ def streaming_value_histogram(stream: DataFrame, group_col: str,
     return (stream.select(F.col(group_col).alias("g"),
                           F.col(value_col).alias("x"))
             .groupBy("g", "x").agg(F.count("*").alias("c")))
+
+
+def streaming_embedding_covariance(stream: DataFrame,
+                                   vec_col: str = "embedding"):
+    """Streaming twin of the embedding covariance: the two
+    sufficient-statistic tables — quantized-exact (i, j) second-
+    moment sums and (i) first-moment sums — as complete-mode
+    streaming aggregations (state is d²-sized, never stream-length;
+    no watermark/TTL). Decimal sums are plain additive aggregates, so
+    the streamed state after any micro-batch split is BIT-identical
+    to the batch tables, and the covariance finishes from the sinks
+    at read time via operators/similarity.py::covariance_from_sums —
+    the vocab-growth two-sink pattern (tested both ways). Returns
+    (pair_sums_df, dim_sums_df) to attach as two queries over the
+    same source."""
+    from ..operators.similarity import cov_dim_sums, cov_pair_sums
+    return cov_pair_sums(stream, vec_col), cov_dim_sums(stream, vec_col)

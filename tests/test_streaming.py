@@ -2560,3 +2560,50 @@ def test_streaming_repetition_gate(spark, tmp_path):
     after = sorted(map(tuple, gate.scores(spark).collect()))
     assert before == after
     gate.stop()
+
+
+def test_streaming_embedding_covariance_equals_batch(spark, tmp_path):
+    """Streaming covariance twin: both sufficient-statistic state
+    tables (quantized-exact pair sums + dim sums — plain additive
+    decimal aggregates) are BIT-identical to the batch tables after a
+    3-way micro-batch split (parquet splits, so float bits survive
+    the transport), and covariance_from_sums over the sinks
+    reproduces batch embedding_covariance row-for-row, doubles
+    included."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        cov_dim_sums, cov_pair_sums, covariance_from_sums,
+        embedding_covariance)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_embedding_covariance)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .select("vec_id", "embedding")
+    src = str(tmp_path / "esrc")
+    os.makedirs(src)
+    for i in range(3):   # 3 parquet files -> 3 micro-batches
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1) \
+           .write.parquet(os.path.join(src, f"b{i}"))
+    stream = spark.readStream.schema(emb.schema) \
+        .option("maxFilesPerTrigger", 1) \
+        .parquet(src + "/b*")
+    pair_df, dim_df = streaming_embedding_covariance(stream)
+    q1 = run_sketch_stream(pair_df, "cov_pairs", str(tmp_path / "c1"))
+    q2 = run_sketch_stream(dim_df, "cov_dims", str(tmp_path / "c2"))
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+
+    assert sorted(map(tuple, spark.table("cov_pairs").collect())) == \
+        sorted(map(tuple, cov_pair_sums(emb).collect()))
+    assert sorted(map(tuple, spark.table("cov_dims").collect())) == \
+        sorted(map(tuple, cov_dim_sums(emb).collect()))
+    got = sorted(map(tuple, covariance_from_sums(
+        spark.table("cov_pairs"), spark.table("cov_dims")).collect()))
+    want = sorted(map(tuple, embedding_covariance(emb).collect()))
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS cov_pairs")
+    spark.sql("DROP TABLE IF EXISTS cov_dims")
