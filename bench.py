@@ -252,6 +252,8 @@ HEADLINE = [
     "embedding_pca_spectrum",
     # r11: Arrow/BLAS covariance twin (the measured fast path)
     "embedding_covariance_arrow",
+    # r11: Pearson correlation readout from the covariance
+    "embedding_correlation_matrix",
 ]
 
 

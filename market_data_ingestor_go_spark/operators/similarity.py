@@ -1751,3 +1751,31 @@ def embedding_covariance_arrow(vectors: DataFrame,
                       F.col("j").alias("dim_j"),
                       F.col("n").cast("bigint").alias("n"),
                       cov.alias("cov"))
+
+
+def embedding_correlation(vectors: DataFrame,
+                          vec_col: str = "embedding") -> DataFrame:
+    """Pearson correlation matrix from the bit-exact covariance:
+    corr_ij = cov_ij / sqrt(var_i · var_j) → (dim_i, dim_j, n, corr)
+    — the scale-free collinearity readout (redundant-dimension
+    detection). IEEE sqrt is CORRECTLY ROUNDED on both engines and
+    the covariances are bit-identical, so the correlation is
+    bit-exact too (same multiply/divide order both sides).
+    Zero-variance dims → NULL corr (expression-level guard, ANSI).
+    Shapes: one covariance pass + a d-row broadcast of the diagonal;
+    everything after the aggregate is d²-sized."""
+    cov = embedding_covariance(vectors, vec_col).localCheckpoint(
+        eager=True)  # d²-sized; feeds the diag broadcast AND the body
+    diag = (cov.filter(F.col("dim_i") == F.col("dim_j"))
+            .select(F.col("dim_i").alias("d_"),
+                    F.col("cov").alias("var_")))
+    out = (cov
+           .join(F.broadcast(diag.select(F.col("d_").alias("dim_i"),
+                                         F.col("var_").alias("vi"))),
+                 "dim_i")
+           .join(F.broadcast(diag.select(F.col("d_").alias("dim_j"),
+                                         F.col("var_").alias("vj"))),
+                 "dim_j"))
+    corr = F.when((F.col("vi") > 0) & (F.col("vj") > 0),
+                  F.col("cov") / (F.sqrt("vi") * F.sqrt("vj")))
+    return out.select("dim_i", "dim_j", "n", corr.alias("corr"))

@@ -3271,3 +3271,41 @@ SELECT CAST(s.i AS INT) AS dim_i, CAST(s.j AS INT) AS dim_j,
 FROM sxy s JOIN dims da ON s.i = da.i
            JOIN dims db ON s.j = db.i
 """
+
+# Pearson correlation from the bit-exact covariance: IEEE sqrt is
+# correctly rounded on both engines, so corr = cov/(sqrt(vi)*sqrt(vj))
+# over bit-identical covs is bit-exact; zero-variance dims -> NULL.
+EXTRA_ORACLES["embedding_correlation_matrix"] = """
+WITH e AS (
+  SELECT vec_id, i - 1 AS i, CAST(v[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding AS v,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), sxy AS (
+  SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+         SUM(CAST(a.x * b.x AS DECIMAL(27,6))) AS sxy
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+), dims AS (
+  SELECT i, SUM(CAST(x AS DECIMAL(27,6))) AS sx FROM e GROUP BY i
+), cov AS (
+  SELECT CAST(s.i AS INT) AS dim_i, CAST(s.j AS INT) AS dim_j,
+         CAST(s.n AS BIGINT) AS n,
+         CASE WHEN s.n > 1 THEN
+           (CAST(CAST(s.sxy AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(da.sx AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(db.sx AS VARCHAR) AS DOUBLE)
+              / CAST(s.n AS DOUBLE))
+           / (CAST(s.n AS DOUBLE) - 1.0)
+         END AS cov
+  FROM sxy s JOIN dims da ON s.i = da.i
+             JOIN dims db ON s.j = db.i
+), diag AS (
+  SELECT dim_i AS d_, cov AS var_ FROM cov WHERE dim_i = dim_j
+)
+SELECT c.dim_i, c.dim_j, c.n,
+       CASE WHEN vi.var_ > 0 AND vj.var_ > 0
+            THEN c.cov / (sqrt(vi.var_) * sqrt(vj.var_)) END AS corr
+FROM cov c JOIN diag vi ON c.dim_i = vi.d_
+           JOIN diag vj ON c.dim_j = vj.d_
+"""

@@ -2622,6 +2622,15 @@ def embedding_covariance_arrow_q(spark, sf_dir):
     return embedding_covariance_arrow(_t(spark, sf_dir, "embeddings"))
 
 
+def embedding_correlation_matrix(spark, sf_dir):
+    """Pearson correlation matrix from the bit-exact covariance
+    (operators/similarity.py::embedding_correlation): scale-free
+    collinearity readout. IEEE sqrt is correctly rounded both
+    engines over bit-identical covariances ⇒ bit-exact."""
+    from ..operators.similarity import embedding_correlation
+    return embedding_correlation(_t(spark, sf_dir, "embeddings"))
+
+
 def embedding_pca_spectrum(spark, sf_dir):
     """PCA eigen-spectrum of the embedding covariance
     (operators/similarity.py::embedding_pca_variance): how many
@@ -3206,6 +3215,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance_matrix": embedding_covariance_matrix,
     "embedding_pca_spectrum": embedding_pca_spectrum,
     "embedding_covariance_arrow": embedding_covariance_arrow_q,
+    "embedding_correlation_matrix": embedding_correlation_matrix,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3381,6 +3391,7 @@ ROTATION_CANDIDATES_R11: list[str] = [
     "events_cusum_changepoint",   # added r11, oracle added same commit
     "doc_quality_signals",        # added r11, oracle added same commit
     "embedding_covariance_matrix",  # added r11, oracle added same commit
+    "embedding_correlation_matrix",  # added r11, oracle added same commit
 ]
 
 

@@ -3301,3 +3301,27 @@ def test_embedding_covariance_arrow_agrees_with_exact(spark):
     for k, r in exact.items():
         assert fast[k]["n"] == r["n"]
         assert abs(fast[k]["cov"] - r["cov"]) <= bound, (k, bound)
+
+
+def test_embedding_correlation_matches_numpy(spark):
+    """Correlation readout tracks numpy corrcoef to 1e-4 (the
+    covariance's DECIMAL(27,6) quantization amplified by the 1/sqrt
+    normalization over O(1) variances — measured ~2e-6 worst cell),
+    diagonals are 1 within 1 ULP of sqrt(v)*sqrt(v), and every cell
+    obeys |corr| <= 1 + 1e-12."""
+    import numpy as np
+
+    from market_data_ingestor_go_spark.operators.similarity import (
+        embedding_correlation)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = embedding_correlation(emb).collect()
+    assert len(rows) == 64 * 65 // 2
+    vecs = np.array([r["embedding"] for r in
+                     emb.orderBy("vec_id").collect()], dtype=np.float64)
+    R = np.corrcoef(vecs, rowvar=False)
+    for r in rows:
+        assert abs(r["corr"]) <= 1.0 + 1e-12, r
+        assert abs(r["corr"] - R[r["dim_i"], r["dim_j"]]) < 1e-4, r
+        if r["dim_i"] == r["dim_j"]:
+            assert abs(r["corr"] - 1.0) < 1e-15, r
