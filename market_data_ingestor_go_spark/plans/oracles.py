@@ -3309,3 +3309,29 @@ SELECT c.dim_i, c.dim_j, c.n,
 FROM cov c JOIN diag vi ON c.dim_i = vi.d_
            JOIN diag vj ON c.dim_j = vj.d_
 """
+
+# --- round-12 window rotation (EXECUTED, mirrors queries.py): all
+# twelve ROTATION_CANDIDATES_R11 promote into the driver window's
+# oracle dict for their first external CORRECTNESS row; twelve
+# long-green shapes demote to EXTRA (each keeps an in-window twin and
+# stays parity-tested locally every round). ORACLES must equal the
+# declared window's oracle-backed set (pinned by
+# test_driver_window_is_at_most_50).
+_R12_IN = [  # promoted into the driver window (all oracle-backed)
+    "eval_leak_scrub", "crawl_delta_apply", "winnow_fingerprint_neardup",
+    "dup_span_scrub", "source_chi2_drift", "doc_repetition_signals",
+    "events_cohort_retention", "events_markov_transitions",
+    "events_cusum_changepoint", "doc_quality_signals",
+    "embedding_covariance_matrix", "embedding_correlation_matrix",
+]
+_R12_OUT = [  # demoted to EXTRA (all keep an in-window twin)
+    "passage_dedup_scrub", "rolling_fingerprint_neardup",
+    "dup_span_extents", "source_ks_drift", "events_user_growth",
+    "events_pair_correlation", "corpus_mix", "doc_lm_quality",
+    "doc_bm25_topk", "events_mad_outliers", "events_motif_search",
+    "knn_filtered_bruteforce",
+]
+for _k in _R12_IN:
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in _R12_OUT:
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

@@ -2994,18 +2994,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    skew-salted agg.
     "dedup_cluster_keepers": dedup_cluster_keepers,
     "contamination_check": contamination_check,
-    "passage_dedup_scrub": passage_dedup_scrub,
-    "rolling_fingerprint_neardup": rolling_fingerprint_neardup,
     "stratified_resample_stats": stratified_resample_stats,
     "knn_bruteforce": knn_bruteforce,
-    "knn_filtered_bruteforce": knn_filtered_bruteforce,
     "multimodal_binary_meta": multimodal_binary_meta,
     "p5p6p7_config_pipeline": p5p6p7_config_pipeline,
     "a1_latest_per_key": a1_latest_per_key,
     "fuzzy_name_block_join": fuzzy_name_block_join,
     "events_gapfill_interpolate": events_gapfill_interpolate,
-    "events_pair_correlation": events_pair_correlation,
-    "events_motif_search": events_motif_search,
     "range_join_click_context": range_join_click_context,
     "skew_salted_agg": skew_salted_agg,
     # -- r7-rotated shapes KEPT in-window through the round-9
@@ -3019,14 +3014,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_functions": string_functions,
     "agg_cube_year_status": agg_cube_year_status,
     "order_limit_topk": order_limit_topk,
-    "corpus_mix": corpus_mix,
     "events_moving_stats": events_moving_stats,
     "doc_sparse_cosine_neardup": doc_sparse_cosine_neardup,
-    "doc_lm_quality": doc_lm_quality,
     "lm_quality_bands": lm_quality_bands,
     "corpus_datacard": corpus_datacard,
     "neardup_pagerank": neardup_pagerank,
-    "events_user_growth": events_user_growth,
     "events_vwap": events_vwap,
     # -- ROTATED IN (round 9): all nine ROTATION_CANDIDATES_R8 —
     #    the round-8 TPC-H shape completion, the two late-r8 curation
@@ -3038,11 +3030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_important_stock": q11_important_stock,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_part_promotion": q20_part_promotion,
-    "dup_span_extents": dup_span_extents,
-    "events_mad_outliers": events_mad_outliers,
-    "doc_bm25_topk": doc_bm25_topk,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
-    "source_ks_drift": source_ks_drift,
     # -- ROTATED IN (round 10): both ROTATION_CANDIDATES_R9 — the
     #    materialized-index BM25 serve path and the (r10-fixed,
     #    TakeOrdered top-k) PMI collocation extraction — externally
@@ -3066,6 +3054,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_embedding_drift": source_embedding_drift,
     "snapshot_change_magnitude": snapshot_change_magnitude,
     "eval_leak_spans": eval_leak_spans,
+    # -- ROTATED IN (round 12): all twelve ROTATION_CANDIDATES_R11 —
+    #    the round-11 build (decontamination scrub ×2, crawl-delta
+    #    upsert, winnowing near-dup, χ² drift, Gopher quality +
+    #    repetition signals, cohort retention, Markov transitions,
+    #    CUSUM changepoint, embedding covariance + correlation) —
+    #    collecting their first external CORRECTNESS row this round.
+    #    Twelve long-green (≥3 external rounds each) shapes demoted in
+    #    exchange (twin noted per entry in EXTRA_QUERIES).
+    "eval_leak_scrub": eval_leak_scrub,
+    "crawl_delta_apply": crawl_delta_apply,
+    "winnow_fingerprint_neardup": winnow_fingerprint_neardup,
+    "dup_span_scrub": dup_span_scrub,
+    "source_chi2_drift": source_chi2_drift,
+    "doc_repetition_signals": doc_repetition_signals,
+    "events_cohort_retention": events_cohort_retention,
+    "events_markov_transitions": events_markov_transitions,
+    "events_cusum_changepoint": events_cusum_changepoint,
+    "doc_quality_signals": doc_quality_signals,
+    "embedding_covariance_matrix": embedding_covariance_matrix,
+    "embedding_correlation_matrix": embedding_correlation_matrix,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"
@@ -3200,22 +3208,29 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_drawdown": events_drawdown,              # per-key running-peak window ⊂ events_moving_stats (ordered frames) + events_user_growth (cumulative window)
     "doc_containment_pairs": doc_containment_pairs,  # inverted-index pair equi-join ⊂ doc_sparse_cosine_neardup (kept)
     "jl_projection_distortion": jl_projection_distortion,  # exact-decimal embedding arithmetic ⊂ source_embedding_drift (rotated in) + knn_bruteforce (pairwise cosine)
-    # round-11 additions — oracle-backed (oracles added same commit),
-    # listed in ROTATION_CANDIDATES_R11 per the r9 policy
-    "eval_leak_scrub": eval_leak_scrub,
-    "crawl_delta_apply": crawl_delta_apply,
-    "winnow_fingerprint_neardup": winnow_fingerprint_neardup,
-    "dup_span_scrub": dup_span_scrub,
-    "source_chi2_drift": source_chi2_drift,
-    "doc_repetition_signals": doc_repetition_signals,
-    "events_cohort_retention": events_cohort_retention,
-    "events_markov_transitions": events_markov_transitions,
-    "events_cusum_changepoint": events_cusum_changepoint,
-    "doc_quality_signals": doc_quality_signals,
-    "embedding_covariance_matrix": embedding_covariance_matrix,
+    # round-11 additions that stay EXTRA: rows-only by design (PCA
+    # eigen-decomposition is driver-side eigh over the d×d matrix;
+    # the Arrow/BLAS covariance twin is float64, equality-tested
+    # against the exact in-window embedding_covariance_matrix)
     "embedding_pca_spectrum": embedding_pca_spectrum,
     "embedding_covariance_arrow": embedding_covariance_arrow_q,
-    "embedding_correlation_matrix": embedding_correlation_matrix,
+    # round-12 rotation: 12 long-green (≥3 external rounds each)
+    # shapes demoted so every ROTATION_CANDIDATES_R11 query gets its
+    # first external CORRECTNESS row — in-window twin noted per entry;
+    # all stay parity-tested against their DuckDB oracles locally
+    # every round (tests/test_parity.py).
+    "passage_dedup_scrub": passage_dedup_scrub,      # window-key scrub ⊂ dup_span_scrub + eval_leak_scrub (rotated in)
+    "rolling_fingerprint_neardup": rolling_fingerprint_neardup,  # rolling-hash postings join ⊂ winnow_fingerprint_neardup (rotated in; same Rabin-Karp machinery + winnowed selection)
+    "dup_span_extents": dup_span_extents,            # gaps-and-islands extents ⊂ dup_span_scrub (rotated in; same island merge feeding the scrub)
+    "source_ks_drift": source_ks_drift,              # shared-histogram drift ⊂ source_chi2_drift (rotated in; same ONE-shuffle histogram spine)
+    "events_user_growth": events_user_growth,        # user-day cumulative windows ⊂ events_cohort_retention (rotated in; same (user,day) distinct base)
+    "events_pair_correlation": events_pair_correlation,  # exact decimal moments ⊂ embedding_correlation_matrix (rotated in) + events_cusum_changepoint (keyed exact stats)
+    "corpus_mix": corpus_mix,                        # corpus mixing aggregate ⊂ source_mix_weights (in window) + stratified_resample_stats (kept)
+    "doc_lm_quality": doc_lm_quality,                # broadcast-model scoring ⊂ doc_quality_signals + doc_repetition_signals (rotated in) + lm_quality_bands (kept)
+    "doc_bm25_topk": doc_bm25_topk,                  # BM25 rank top-k ⊂ doc_bm25_from_index (in window; same scoring over the materialized index)
+    "events_mad_outliers": events_mad_outliers,      # rank-median windows ⊂ events_moving_stats (kept ordered frames) + events_cusum_changepoint (keyed argmax)
+    "events_motif_search": events_motif_search,      # chunked sliding windows + WindowGroupLimit ⊂ order_limit_topk (kept top-k) + events_moving_stats (kept frames)
+    "knn_filtered_bruteforce": knn_filtered_bruteforce,  # predicate-first exact kNN ⊂ knn_bruteforce (kept; same dot-product top-k)
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3394,6 +3409,23 @@ ROTATION_CANDIDATES_R11: list[str] = [
     "embedding_correlation_matrix",  # added r11, oracle added same commit
 ]
 
+# Round-12 rotation (EXECUTED this round, window literal above): all
+# twelve ROTATION_CANDIDATES_R11 rotated INTO the driver window for
+# their first external CORRECTNESS row; twelve long-green (≥3 external
+# rounds each) shapes demoted to EXTRA_QUERIES (twin per entry there).
+# Pinned by
+# tests/test_parity.py::test_round12_rotated_operators_sit_in_declared_window.
+ROTATED_IN_R12: list[str] = list(ROTATION_CANDIDATES_R11)
+
+# Round-12 rotation candidates: oracle-backed queries that have never
+# held a green external CORRECTNESS row AND are not already in the
+# declared window collecting one. Empty at the START of round 12 (the
+# r12 rotation queued the whole backlog); every oracle-backed query
+# added during round 12 must be listed here in the SAME commit that
+# adds its oracle (the r9 policy, enforced by the never-verified scan
+# in tests/test_parity.py).
+ROTATION_CANDIDATES_R12: list[str] = []
+
 
 # Frozen at the close of round 7: every oracle-backed query name that
 # existed when the round-7 rotation completed (all have held a green
@@ -3550,3 +3582,13 @@ ORACLE_BACKED_AT_R9_CLOSE: frozenset = frozenset(
 # tests/test_parity.py::test_rotation_candidates_are_rotatable.
 ORACLE_BACKED_AT_R10_CLOSE: frozenset = frozenset(
     ORACLE_BACKED_AT_R9_CLOSE | set(ROTATION_CANDIDATES_R10))
+
+# Frozen at the close of round 11: the round-10 set plus the twelve
+# round-11 additions (ROTATION_CANDIDATES_R11), which sit in the
+# round-12 window collecting their first external row. Any
+# oracle-backed query NOT in this set was added in round 12 or later
+# and must appear in ROTATION_CANDIDATES_R12 or already sit in the
+# declared window — enforced by
+# tests/test_parity.py::test_rotation_candidates_are_rotatable.
+ORACLE_BACKED_AT_R11_CLOSE: frozenset = frozenset(
+    ORACLE_BACKED_AT_R10_CLOSE | set(ROTATION_CANDIDATES_R11))

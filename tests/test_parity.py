@@ -87,21 +87,12 @@ def test_driver_window_is_at_most_50():
     assert not oracle_only, f"oracles outside the declared window: {oracle_only}"
 
 
-def test_round9_rotated_operators_sit_in_declared_window():
-    """The round-9 rotation's whole point: all nine
-    ROTATION_CANDIDATES_R8 (the r8 TPC-H shape completion, the two
-    late-r8 curation operators, and the retrieval/KS family whose
-    oracles landed r9) must sit inside the first-50 window the driver
-    externally verifies, every one exposing its oracle through
-    oracle_sql() (= ORACLES) — the rotated window has zero rows-only
-    entries."""
-    from market_data_ingestor_go_spark.plans.queries import ROTATED_IN_R9
-
-    window = set(list(QUERIES)[:50])
-    assert set(ROTATED_IN_R9) <= window, set(ROTATED_IN_R9) - window
-    assert set(ROTATED_IN_R9) <= set(ORACLES)
-    assert set(QUERIES) <= set(ORACLES), (
-        "window must be 100% hash-checked after the r9 rotation")
+# (The r6–r9 window-membership tests were retired as their rotated-in
+# names earned their green external rows and later demoted to
+# EXTRA_QUERIES with in-window twins — r9's dup_span_extents,
+# events_mad_outliers, doc_bm25_topk, and source_ks_drift demoted in
+# the round-12 rotation after three green rounds each. Every such name
+# stays parity-tested via test_parity above.)
 
 
 def test_round10_rotated_operators_sit_in_declared_window():
@@ -137,29 +128,48 @@ def test_round11_rotated_operators_sit_in_declared_window():
         "window must be 100% hash-checked after the r11 rotation")
 
 
+def test_round12_rotated_operators_sit_in_declared_window():
+    """The round-12 rotation's whole point: all twelve
+    ROTATION_CANDIDATES_R11 (the round-11 build — leak/dup-span
+    scrubs, crawl-delta apply, winnowing near-dup, χ² drift, Gopher
+    quality + repetition signals, cohort retention, Markov
+    transitions, CUSUM changepoint, embedding covariance +
+    correlation) must sit inside the first-50 window the driver
+    externally verifies, each exposing its oracle through
+    oracle_sql() (= ORACLES) — the rotated window has zero rows-only
+    entries."""
+    from market_data_ingestor_go_spark.plans.queries import ROTATED_IN_R12
+
+    window = set(list(QUERIES)[:50])
+    assert set(ROTATED_IN_R12) <= window, set(ROTATED_IN_R12) - window
+    assert set(ROTATED_IN_R12) <= set(ORACLES)
+    assert set(QUERIES) <= set(ORACLES), (
+        "window must be 100% hash-checked after the r12 rotation")
+
+
 def test_rotation_candidates_are_rotatable():
     """The next-rotation list must stay mechanically valid: every
     candidate exists, sits OUTSIDE the declared window (else it needs
     no rotation), and has an oracle so rotating it in yields a full
     row+schema+hash check. The never-verified scan then enforces the
-    listing policy: every oracle-backed query added AFTER the round-10
-    close (i.e. not in the frozen ORACLE_BACKED_AT_R10_CLOSE set) must
+    listing policy: every oracle-backed query added AFTER the round-11
+    close (i.e. not in the frozen ORACLE_BACKED_AT_R11_CLOSE set) must
     either sit in the declared window already or be listed as a
     rotation candidate — new work cannot accumulate unverified."""
     from market_data_ingestor_go_spark.plans.queries import (
-        ORACLE_BACKED_AT_R10_CLOSE, QUERIES, ROTATION_CANDIDATES_R11)
+        ORACLE_BACKED_AT_R11_CLOSE, QUERIES, ROTATION_CANDIDATES_R12)
 
-    for name in ROTATION_CANDIDATES_R11:
+    for name in ROTATION_CANDIDATES_R12:
         assert name in ALL_QUERIES, name
         assert name not in QUERIES, f"{name} already in the window"
         assert name in ALL_ORACLES, f"{name} lacks an oracle"
 
     never_verified = (
         set(ALL_ORACLES)
-        - ORACLE_BACKED_AT_R10_CLOSE  # held a green row in r1-r10 or
-                                      # collecting it in the r11 window
+        - ORACLE_BACKED_AT_R11_CLOSE  # held a green row in r1-r11 or
+                                      # collecting it in the r12 window
         - set(QUERIES)                # in-window: verified this round
-        - set(ROTATION_CANDIDATES_R11)  # queued for the next rotation
+        - set(ROTATION_CANDIDATES_R12)  # queued for the next rotation
     )
     assert not never_verified, (
         f"oracle-backed queries neither verified, in-window, nor "
