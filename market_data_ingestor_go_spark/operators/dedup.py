@@ -1133,14 +1133,13 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
     sel = (base.withColumn("wh", rolling_window_hashes("hs", k))
            .select("doc_id",
                    F.explode(winnow_selected("wh", w)).alias("v")))
+    # integer `div`, not `/`: float division round-trips through
+    # double, which is inexact for encoded values >= 2^53 (docs with
+    # ~4.2M+ windows) and the truncating cast would then be off by one
     return sel.select(
         "doc_id",
-        (F.col("v") - F.col("v") % F.lit(ROLL_MOD))
-        .cast("bigint").alias("enc"),
-        (F.col("v") % F.lit(ROLL_MOD)).cast("bigint").alias("fp")) \
-        .select("doc_id",
-                (F.col("enc") / F.lit(ROLL_MOD)).cast("bigint")
-                .alias("pos"), "fp")
+        F.expr(f"v div {ROLL_MOD}").cast("bigint").alias("pos"),
+        (F.col("v") % F.lit(ROLL_MOD)).cast("bigint").alias("fp"))
 
 
 def winnowing_neardup_pairs(docs: DataFrame, k: int = 8, w: int = 4,

@@ -434,9 +434,17 @@ def chi2_value_drift(df: DataFrame, value_col: str = "n_chars",
     partial-combine shuffle; bins are value-range/bin_width — tiny);
     everything downstream is bin-table-sized, the spine broadcast.
     """
-    # integer div, NOT double-divide + cast: double→bigint TRUNCATES
-    # in Spark but ROUNDS in DuckDB — div/`//` agree on ints ≥ 0
-    binc = F.expr(f"cast({value_col} as bigint) div {bin_width}")
+    # exact integer FLOOR division, NOT bare `div` (truncates toward
+    # zero) and NOT double-divide + cast (truncates in Spark, rounds
+    # in DuckDB): DuckDB's `//` floors, so a negative-valued column
+    # would bin differently under `div` (Spark would merge
+    # -bin_width+1..bin_width-1 into bin 0). floor(x/w) for w > 0 is
+    # x div w minus 1 when the truncated remainder is negative.
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    _q = F.expr(f"cast({value_col} as bigint) div {bin_width}")
+    _r = F.expr(f"cast({value_col} as bigint) % {bin_width}")
+    binc = F.when(_r < 0, _q - 1).otherwise(_q)
     counts = (df.select(F.col(group_col).alias("g"),
                         binc.alias("x"))
               .groupBy("g", "x").agg(F.count("*").alias("c")))

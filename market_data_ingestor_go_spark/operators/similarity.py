@@ -1736,7 +1736,12 @@ def embedding_covariance_arrow(vectors: DataFrame,
                 "g": G[iu, ju], "si": s[iu], "sj": s[ju],
                 "nb": np.full(len(iu), n, dtype="int64")})
 
-    parts = (vectors.selectExpr(
+    # NULL rows drop BEFORE the kernel (the winnowing_fingerprints
+    # isNotNull device) — the exact twin silently skips them via
+    # explode, and np.stack would crash on None; the two paths must
+    # share one row universe
+    parts = (vectors.filter(F.col(vec_col).isNotNull())
+             .selectExpr(
         f"transform({vec_col}, x -> cast(x as double)) AS v")
         .mapInPandas(kernel, "i int, j int, g double, si double,"
                              " sj double, nb long"))

@@ -72,6 +72,11 @@ class RepetitionGate:
     queries: list = field(default_factory=list)
 
     def __post_init__(self) -> None:
+        if not self.thresholds:
+            raise ValueError(
+                "thresholds must name at least one signal column — an "
+                "empty gate flags nothing and score_batch would crash "
+                "folding zero predicates")
         produced = ({"dup_line_frac", "dup_line_char_frac"}
                     | {f"top{n}gram_char_frac" for n in self.top_ns}
                     | {f"dup{n}gram_char_frac" for n in self.dup_ns})

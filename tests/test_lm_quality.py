@@ -345,6 +345,54 @@ def test_chi2_drift_matches_exact_python(spark):
         assert got[(ga, gb)] == float(s), (ga, gb)
 
 
+def test_chi2_drift_negative_values_bin_by_floor(spark):
+    """ADVICE r11 regression: chi2_value_drift must FLOOR-divide when
+    binning (DuckDB's `//` floors; Spark's bare `div` truncates toward
+    zero and would merge -bin_width+1..bin_width-1 into bin 0).
+    Negative-valued corpus vs the exact Decimal twin binned with
+    Python's floor `//`: bit-identical — and the floor/truncate
+    difference is material on this data (asserted)."""
+    import itertools
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        chi2_value_drift)
+    rng = random.Random(412)
+    rows = [Row(doc_id=i, source=f"g{rng.randrange(3)}",
+                v=rng.randrange(-20, 21))
+            for i in range(200)]
+    got = {(r["source_a"], r["source_b"]): r["chi2"]
+           for r in chi2_value_drift(
+               spark.createDataFrame(rows), value_col="v",
+               group_col="source", bin_width=7).collect()}
+
+    cnt, tot, trunc = Counter(), Counter(), Counter()
+    for r in rows:
+        cnt[(r.source, r.v // 7)] += 1          # floor (DuckDB `//`)
+        trunc[(r.source, int(r.v / 7))] += 1    # truncation (old bug)
+        tot[r.source] += 1
+    assert cnt != trunc, "fixture must distinguish floor from truncate"
+
+    def q276(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP)
+
+    for ga, gb in itertools.combinations(sorted(tot), 2):
+        na, nb = tot[ga], tot[gb]
+        ba = {b: c for (g, b), c in cnt.items() if g == ga}
+        bb = {b: c for (g, b), c in cnt.items() if g == gb}
+        s, sa, sb = Decimal(0), 0, 0
+        for b in sorted(set(ba) & set(bb)):
+            ca, cb = ba[b], bb[b]
+            sa, sb = sa + ca, sb + cb
+            d = float(abs(ca * nb - cb * na))
+            s += q276(d * d / (float(na * nb) * float(ca + cb)))
+        s += q276(float((na - sa) * nb) / float(na))
+        s += q276(float((nb - sb) * na) / float(nb))
+        assert got[(ga, gb)] == float(s), (ga, gb)
+
+
 def test_lm_score_random_corpora_match_exact_python(spark):
     """Property test: on RANDOM corpora (including empty docs,
     singleton docs, all-OOV docs, heavy duplication) the Spark

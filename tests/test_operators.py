@@ -3100,6 +3100,40 @@ def test_winnowing_matches_python_twin_and_guarantee(spark):
                 assert any(i <= p < i + w for p in sel), (d, i)
 
 
+def test_winnow_pos_decode_exact_past_2_53(spark):
+    """ADVICE r11 regression: the (pos, fp) decode from the encoded
+    pos*ROLL_MOD + fp value must use integer `div`, not float `/` —
+    double round-trip is inexact for encodings ≥ 2^53 (docs with
+    ~4.2M+ windows) and the truncating bigint cast can land pos off
+    by one. Crafted encodings straddling 2^53..2^62: the fixed
+    expression decodes every one exactly; the old float path is shown
+    to disagree on at least one of them."""
+    from pyspark.sql import functions as F
+
+    from market_data_ingestor_go_spark.functions.text import ROLL_MOD
+
+    cases = []
+    for shift in (53, 55, 58, 62):
+        base_pos = (1 << shift) // ROLL_MOD
+        for dp in (0, 1, 7):
+            for fp in (0, 1, ROLL_MOD - 1):
+                cases.append((base_pos + dp, fp))
+    rows = [(pos * ROLL_MOD + fp, pos, fp) for pos, fp in cases
+            if pos * ROLL_MOD + fp < (1 << 63)]
+    df = spark.createDataFrame(rows, "v LONG, pos LONG, fp LONG")
+    dec = df.select(
+        "pos", "fp",
+        F.expr(f"v div {ROLL_MOD}").cast("bigint").alias("got_pos"),
+        (F.col("v") % F.lit(ROLL_MOD)).cast("bigint").alias("got_fp"),
+        ((F.col("v") - F.col("v") % F.lit(ROLL_MOD)) / F.lit(ROLL_MOD))
+        .cast("bigint").alias("old_pos"))
+    out = dec.collect()
+    for r in out:
+        assert r["got_pos"] == r["pos"] and r["got_fp"] == r["fp"], r
+    assert any(r["old_pos"] != r["pos"] for r in out), (
+        "fixture must include an encoding where the float path breaks")
+
+
 def test_winnowing_detects_guaranteed_shared_run(spark):
     """The detection guarantee end-to-end: two docs sharing a
     verbatim run of exactly k+w−1 = 11 tokens (surrounded by
@@ -3301,6 +3335,28 @@ def test_embedding_covariance_arrow_agrees_with_exact(spark):
     for k, r in exact.items():
         assert fast[k]["n"] == r["n"]
         assert abs(fast[k]["cov"] - r["cov"]) <= bound, (k, bound)
+
+
+def test_embedding_covariance_arrow_drops_null_rows_like_exact(spark):
+    """ADVICE r11 regression: NULL embedding rows used to crash the
+    Arrow kernel (np.stack over None) while the exact twin silently
+    dropped them via explode — the twins diverged on the same input.
+    Both paths must share one row universe: NULLs dropped, identical
+    n, covariances within the quantization bound."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        embedding_covariance, embedding_covariance_arrow)
+    rows = [(0, [1.0, 2.0, 3.0]), (1, None), (2, [2.0, 1.0, 0.5]),
+            (3, [0.25, 4.0, 1.5]), (4, None), (5, [3.0, 0.125, 2.0])]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    exact = {(r["dim_i"], r["dim_j"]): r
+             for r in embedding_covariance(emb).collect()}
+    fast = {(r["dim_i"], r["dim_j"]): r
+            for r in embedding_covariance_arrow(emb).collect()}
+    assert set(exact) == set(fast) and len(exact) == 3 * 4 // 2
+    for k, r in exact.items():
+        assert fast[k]["n"] == r["n"] == 4, k
+        assert abs(fast[k]["cov"] - r["cov"]) <= 1e-5, k
 
 
 def test_embedding_correlation_matches_numpy(spark):

@@ -2546,6 +2546,11 @@ def test_streaming_repetition_gate(spark, tmp_path):
         RepetitionGate(audit_path="x",
                        thresholds={"dup9gram_char_frac": 0.1})
 
+    # ADVICE r11 regression: an empty thresholds dict used to pass
+    # validation (empty unknown set) then crash score_batch at over[0]
+    with _pytest.raises(ValueError, match="at least one"):
+        RepetitionGate(audit_path="x", thresholds={})
+
     gate = RepetitionGate(audit_path=str(tmp_path / "raudit"),
                           audit_partitions=1)
     stream = (spark.readStream.schema("doc_id BIGINT, text STRING")
