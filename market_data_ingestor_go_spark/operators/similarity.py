@@ -1660,7 +1660,8 @@ def covariance_from_sums(sxy: DataFrame, dims: DataFrame) -> DataFrame:
 
 
 def embedding_pca_variance(vectors: DataFrame,
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           cov: DataFrame | None = None) -> DataFrame:
     """PCA spectrum readout over ``embedding_covariance``'s output →
     (component, eigenvalue, explained_frac, cum_frac), eigenvalues
     descending — how many directions carry the corpus's variance (the
@@ -1674,10 +1675,17 @@ def embedding_pca_variance(vectors: DataFrame,
     Rows-only by design (an eigendecomposition is not
     SQL-expressible); the test pins the invariants instead: Σλ equals
     the covariance trace, λ are non-negative up to the DECIMAL(27,6)
-    quantization floor, and fractions telescope to 1."""
+    quantization floor, and fractions telescope to 1.
+
+    ``cov``: optionally a PRECOMPUTED covariance table (the exact
+    operator's (dim_i, dim_j, n, cov) schema) so a deployment
+    computing the whole second-moment family (covariance +
+    correlation + PCA) pays the corpus pass ONCE — same output either
+    way (the readout is a pure function of the matrix)."""
     import numpy as np
 
-    rows = embedding_covariance(vectors, vec_col).collect()
+    rows = (cov if cov is not None
+            else embedding_covariance(vectors, vec_col)).collect()
     d = max(r["dim_j"] for r in rows) + 1
     C = np.zeros((d, d))
     for r in rows:
@@ -1759,7 +1767,8 @@ def embedding_covariance_arrow(vectors: DataFrame,
 
 
 def embedding_correlation(vectors: DataFrame,
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          cov: DataFrame | None = None) -> DataFrame:
     """Pearson correlation matrix from the bit-exact covariance:
     corr_ij = cov_ij / sqrt(var_i · var_j) → (dim_i, dim_j, n, corr)
     — the scale-free collinearity readout (redundant-dimension
@@ -1768,8 +1777,14 @@ def embedding_correlation(vectors: DataFrame,
     bit-exact too (same multiply/divide order both sides).
     Zero-variance dims → NULL corr (expression-level guard, ANSI).
     Shapes: one covariance pass + a d-row broadcast of the diagonal;
-    everything after the aggregate is d²-sized."""
-    cov = embedding_covariance(vectors, vec_col).localCheckpoint(
+    everything after the aggregate is d²-sized.
+
+    ``cov``: optionally a PRECOMPUTED covariance table (same schema as
+    ``embedding_covariance``) — the one-pass family device: compute
+    the covariance once, derive correlation AND PCA from it. Output
+    identical either way (pure function of the matrix)."""
+    cov = (cov if cov is not None
+           else embedding_covariance(vectors, vec_col)).localCheckpoint(
         eager=True)  # d²-sized; feeds the diag broadcast AND the body
     diag = (cov.filter(F.col("dim_i") == F.col("dim_j"))
             .select(F.col("dim_i").alias("d_"),

@@ -2600,14 +2600,38 @@ def doc_repetition_signals(spark, sf_dir):
     return repetition_signals(d, top_ns=(2, 3), dup_ns=(3,))
 
 
+# One-pass second-moment family (r12): covariance, correlation, and
+# PCA are all pure functions of ONE d(d+1)/2-cell covariance matrix,
+# so the fixture trio shares a single corpus pass per (application,
+# sf_dir) — the matrix localCheckpoints (d²-sized, bounded) and the
+# two readouts derive from it. At 100 TB this is the difference
+# between one corpus scan and three. Keyed by applicationId so a
+# fresh SparkSession (driver re-run, bare-worker contract test) never
+# sees a stale checkpoint handle.
+_COV_MEMO: dict = {}
+
+
+def _cov_once(spark, sf_dir):
+    from ..operators.similarity import embedding_covariance
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _COV_MEMO.get(key)
+    if hit is None:
+        hit = embedding_covariance(
+            _t(spark, sf_dir, "embeddings")).localCheckpoint(eager=True)
+        _COV_MEMO.clear()          # bound the cache: one live entry
+        _COV_MEMO[key] = hit
+    return hit
+
+
 def embedding_covariance_matrix(spark, sf_dir):
     """Upper-triangle covariance of the 64-dim embedding distribution
     (operators/similarity.py::embedding_covariance) — 2080
     model-sized cells; per-row products quantized DECIMAL(27,6) and
     summed exactly, identical final IEEE expression both engines ⇒
-    bit-exact. The pair products form IN-ROW (no corpus shuffle)."""
-    from ..operators.similarity import embedding_covariance
-    return embedding_covariance(_t(spark, sf_dir, "embeddings"))
+    bit-exact. The pair products form IN-ROW (no corpus shuffle).
+    Shares the one-pass family matrix (_cov_once) with the
+    correlation and PCA readouts."""
+    return _cov_once(spark, sf_dir)
 
 
 def embedding_covariance_arrow_q(spark, sf_dir):
@@ -2626,9 +2650,11 @@ def embedding_correlation_matrix(spark, sf_dir):
     """Pearson correlation matrix from the bit-exact covariance
     (operators/similarity.py::embedding_correlation): scale-free
     collinearity readout. IEEE sqrt is correctly rounded both
-    engines over bit-identical covariances ⇒ bit-exact."""
+    engines over bit-identical covariances ⇒ bit-exact. Derives from
+    the one-pass family matrix (_cov_once) — no second corpus pass."""
     from ..operators.similarity import embedding_correlation
-    return embedding_correlation(_t(spark, sf_dir, "embeddings"))
+    return embedding_correlation(_t(spark, sf_dir, "embeddings"),
+                                 cov=_cov_once(spark, sf_dir))
 
 
 def embedding_pca_spectrum(spark, sf_dir):
@@ -2638,9 +2664,11 @@ def embedding_pca_spectrum(spark, sf_dir):
     only the 2080-cell matrix collects for the driver eigh (codebook
     contract). Rows-only by design — eigendecomposition is not
     SQL-expressible; invariants (Σλ = trace, λ ≥ −quantization floor,
-    fractions telescope) are pinned in tests."""
+    fractions telescope) are pinned in tests. Derives from the
+    one-pass family matrix (_cov_once) — no third corpus pass."""
     from ..operators.similarity import embedding_pca_variance
-    return embedding_pca_variance(_t(spark, sf_dir, "embeddings"))
+    return embedding_pca_variance(_t(spark, sf_dir, "embeddings"),
+                                  cov=_cov_once(spark, sf_dir))
 
 
 def doc_quality_signals(spark, sf_dir):

@@ -3359,6 +3359,41 @@ def test_embedding_covariance_arrow_drops_null_rows_like_exact(spark):
         assert abs(fast[k]["cov"] - r["cov"]) <= 1e-5, k
 
 
+def test_one_pass_covariance_family(spark):
+    """r12 one-pass family: correlation and PCA accept a PRECOMPUTED
+    covariance table and produce BIT-identical output to their
+    compute-it-themselves default (pure functions of the matrix);
+    the fixture trio shares one corpus pass via the _cov_once memo
+    (same checkpointed object across all three queries)."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        embedding_correlation, embedding_covariance,
+        embedding_pca_variance)
+    from market_data_ingestor_go_spark.plans.queries import (
+        _COV_MEMO, embedding_correlation_matrix,
+        embedding_covariance_matrix, embedding_pca_spectrum)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cov = embedding_covariance(emb).localCheckpoint(eager=True)
+
+    assert sorted(map(tuple, embedding_correlation(emb, cov=cov)
+                      .collect())) == \
+        sorted(map(tuple, embedding_correlation(emb).collect()))
+    assert sorted(map(tuple, embedding_pca_variance(emb, cov=cov)
+                      .collect())) == \
+        sorted(map(tuple, embedding_pca_variance(emb).collect()))
+
+    _COV_MEMO.clear()
+    c1 = embedding_covariance_matrix(spark, sf)
+    assert len(_COV_MEMO) == 1
+    embedding_correlation_matrix(spark, sf)
+    embedding_pca_spectrum(spark, sf)
+    assert len(_COV_MEMO) == 1, "readouts must reuse the one pass"
+    assert embedding_covariance_matrix(spark, sf) is c1
+    _COV_MEMO.clear()
+
+
 def test_embedding_correlation_matches_numpy(spark):
     """Correlation readout tracks numpy corrcoef to 1e-4 (the
     covariance's DECIMAL(27,6) quantization amplified by the 1/sqrt
