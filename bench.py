@@ -270,6 +270,10 @@ HEADLINE = [
     "embedding_covariance_arrow",
     # r11: Pearson correlation readout from the covariance
     "embedding_correlation_matrix",
+    # r12: perceptual image near-dup (dHash + pigeonhole Hamming join)
+    "image_dhash_neardup",
+    # r12: bucket-grain CUSUM (the streamable drift-localization form)
+    "events_cusum_bucketed",
 ]
 
 

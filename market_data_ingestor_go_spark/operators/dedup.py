@@ -567,40 +567,61 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return agg.select("id", sig.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3,
+def hamming_pairs(sig: DataFrame, id_col: str = "id",
+                  sig_col: str = "sig", max_hamming: int = 3,
                   num_blocks: int = 4) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+    """Pairs of rows whose 64-bit signatures differ in ≤ ``max_hamming``
+    bits → (id_a, id_b, hamming).
 
     Pigeonhole blocking: split 64 bits into ``num_blocks`` blocks; any
     pair within Hamming ≤ num_blocks-1 shares at least one intact block,
     so candidates come from an equi-join on (block_idx, block_value) —
-    never an all-pairs scan.
+    never an all-pairs scan. The same machinery serves every 64-bit
+    perceptual signature: SimHash over token streams (``simhash_pairs``)
+    and dHash over decoded images
+    (``operators/multimodal.py::image_neardup_pairs``).
     """
-    sig = pin(simhash(df, text_col, id_col))
+    if max_hamming > num_blocks - 1:
+        raise ValueError(
+            f"pigeonhole completeness needs max_hamming <= num_blocks-1 "
+            f"(got {max_hamming} > {num_blocks - 1})")
+    sig = pin(sig.select(F.col(id_col).alias("id"),
+                         F.col(sig_col).alias("sig")))
     width = 64 // num_blocks
     mask = (1 << width) - 1
     blocks = F.array(*[
         F.struct(F.lit(i).alias("blk"),
-                 F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("bv"))
+                 F.shiftright(F.col("sig"), i * width).bitwiseAND(F.lit(mask)).alias("bv"))
         for i in range(num_blocks)
     ])
-    bucketed = sig.select("id", "simhash", F.explode(blocks).alias("b")) \
-                  .select("id", "simhash", "b.blk", "b.bv")
+    bucketed = sig.select("id", "sig", F.explode(blocks).alias("b")) \
+                  .select("id", "sig", "b.blk", "b.bv")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))
                & (F.col("a.bv") == F.col("b.bv"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
-                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= F.lit(max_hamming))
     )
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  num_blocks: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — the
+    pigeonhole block equi-join (see ``hamming_pairs``) over the
+    sign-aggregated token sketch."""
+    sig = simhash(df, text_col, id_col)
+    pairs = hamming_pairs(sig, "id", "simhash", max_hamming, num_blocks)
+    return pairs.select(F.col("id_a").alias("doc_a"),
+                        F.col("id_b").alias("doc_b"), "hamming")
 
 
 def passage_df(df: DataFrame, text_col: str = "text",

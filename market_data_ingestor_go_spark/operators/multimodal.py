@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import (gif_minimal, jpeg_minimal,
+from ..functions import (dhash_minimal, gif_minimal, jpeg_minimal,
                          jpeg_progressive_minimal, media_meta_minimal,
                          png_minimal, wav_minimal)
 
@@ -54,6 +54,7 @@ _cloudpickle.register_pickle_by_value(media_meta_minimal)
 _cloudpickle.register_pickle_by_value(gif_minimal)
 _cloudpickle.register_pickle_by_value(jpeg_minimal)
 _cloudpickle.register_pickle_by_value(jpeg_progressive_minimal)
+_cloudpickle.register_pickle_by_value(dhash_minimal)
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),    # image|audio|video
@@ -179,6 +180,163 @@ def extract_image_features(df: DataFrame, binary_col: str = "content") -> DataFr
                 "content_sha256", "width", "height", "n_channels", "mean_luma"])
 
     return df.select(binary_col).mapInPandas(kernel, IMAGE_FEATURE_SCHEMA)
+
+
+def _make_dhash_decoder():
+    """dHash kernel factory: decode a blob's LUMA plane (real for
+    PNG/GIF and baseline+progressive JPEG — the same codecs the
+    feature kernel uses) and difference-hash it
+    (``functions/dhash_minimal``, Krawetz 2013). Closure-built so
+    cloudpickle ships the codecs by value (see _make_image_decoder).
+
+    Returns (width, height, dhash | None); undecodable or
+    out-of-scope blobs emit (-1, -1, None) — the honest-NULL posture
+    of the feature kernel (a corrupt blob must never kill the stage,
+    and a fake hash must never enter a dedup join)."""
+    is_png = png_minimal.is_png
+    png_decode = png_minimal.png_decode
+    is_gif = gif_minimal.is_gif
+    gif_decode = gif_minimal.gif_decode
+    is_jpeg = media_meta_minimal.is_jpeg
+    jpeg_luma = jpeg_minimal.jpeg_decode_luma
+    jpeg_prog = jpeg_progressive_minimal.jpeg_decode_luma_progressive
+    luma_plane = dhash_minimal.luma_plane
+    dhash64 = dhash_minimal.dhash64
+
+    def decode(blob: bytes) -> tuple[int, int, int | None]:
+        try:
+            if is_png(blob):
+                w, h, ch, px = png_decode(blob)
+                return w, h, dhash64(w, h, luma_plane(ch, px))
+            if is_gif(blob):
+                w, h, ch, px = gif_decode(blob)
+                return w, h, dhash64(w, h, luma_plane(ch, px))
+            if is_jpeg(blob):
+                for dec in (jpeg_luma, jpeg_prog):
+                    try:
+                        w, h, _nc, ly = dec(blob)
+                        return w, h, dhash64(w, h, ly)
+                    except ValueError:
+                        continue
+        except Exception:
+            pass
+        return -1, -1, None
+    return decode
+
+
+_dhash_blob = _make_dhash_decoder()
+
+IMAGE_DHASH_SCHEMA = T.StructType([
+    T.StructField("img_id", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("dhash", T.LongType()),
+])
+
+
+def image_dhash(df: DataFrame, binary_col: str = "content",
+                id_col: str = "img_id") -> DataFrame:
+    """Per-image 64-bit perceptual dHash → (img_id, width, height,
+    dhash), Arrow-batched over ``mapInPandas`` like every decode
+    kernel here. ``dhash`` is NULL for blobs no codec in this
+    container decodes — downstream joins must (and do) filter it.
+
+    Scale posture: the blob column is read ONCE (select prunes to id +
+    binary before the kernel), the output is a narrow 28-byte-ish row
+    per image — the sidecar-table shape — and everything after this
+    point (the Hamming join) never touches pixels again."""
+    decode = _dhash_blob  # closure-built → pickled by value
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, hashes = [], [], [], []
+            for img_id, blob in zip(pdf[id_col], pdf[binary_col]):
+                blob = bytes(blob) if blob is not None else b""
+                w, h, dh = decode(blob)
+                ids.append(img_id)
+                ws.append(w)
+                hs.append(h)
+                hashes.append(dh)
+            yield pd.DataFrame({
+                "img_id": ids,
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "dhash": pd.Series(hashes, dtype="Int64"),
+            })
+
+    return (df.select(F.col(id_col).alias(id_col), binary_col)
+            .mapInPandas(kernel, IMAGE_DHASH_SCHEMA))
+
+
+def image_neardup_pairs(df: DataFrame, binary_col: str = "content",
+                        id_col: str = "img_id", max_hamming: int = 2,
+                        num_blocks: int = 4) -> DataFrame:
+    """Perceptual image near-dup pairs → (id_a, id_b, hamming):
+    dHash each decodable blob, then the SimHash pigeonhole block
+    equi-join (``operators/dedup.py::hamming_pairs`` — complete for
+    Hamming ≤ num_blocks−1, never an all-pairs scan). This is the
+    image leg of the dedup family: re-encoded, resized, or
+    brightness-shifted copies of one image hash within a few bits of
+    each other while every byte/text/embedding dedup path sees
+    unrelated blobs."""
+    from .dedup import hamming_pairs
+    sig = (image_dhash(df, binary_col, id_col)
+           .filter(F.col("dhash").isNotNull()))
+    return hamming_pairs(sig, "img_id", "dhash", max_hamming, num_blocks)
+
+
+def synthetic_doc_images(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic REAL-PNG image corpus derived from a document
+    table — the oracle-shared fixture for perceptual dedup
+    (``plans/queries.py::image_dhash_neardup``; testdata ships no
+    image blobs).
+
+    Per doc: a 9×8 grayscale PNG whose 72 pixels are
+    ``64 + 8·nibble`` over the hex nibbles of sha256(text) followed by
+    sha256(text ‖ ':1') — both computable in DuckDB, so the oracle
+    derives each image's dHash straight from the nibble comparisons
+    while THIS side earns it end-to-end (PNG encode → decode → box
+    downsample → gradient bits). Variants that perceptual dedup must
+    catch and byte-level dedup provably can't:
+    - ``{id}:up2``  (doc_id % 3 == 0): 2× nearest-neighbor upscale to
+      18×16 — different bytes AND different dimensions, dHash-exact
+      because the box average recovers the 9×8 grid;
+    - ``{id}:b16``  (doc_id % 5 == 0): +16 global brightness — pixels
+      stay ≤ 200 < 255 (no clipping), every gradient comparison is
+      shift-invariant, dHash-exact.
+
+    Emits (img_id STRING, content BINARY) via mapInPandas (row
+    fan-out: 1 doc → 1-3 images)."""
+    out_schema = T.StructType([
+        T.StructField("img_id", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    png_encode = png_minimal.png_encode
+    resample = png_minimal.resize_nearest
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = str(text).encode("utf-8")
+                hx = (hashlib.sha256(b).hexdigest()
+                      + hashlib.sha256(b + b":1").hexdigest())
+                px = bytes(64 + int(ch, 16) * 8 for ch in hx[:72])
+                doc_id = int(doc_id)
+                rows.append((f"{doc_id}:orig", png_encode(9, 8, 1, px)))
+                if doc_id % 3 == 0:
+                    rows.append((f"{doc_id}:up2", png_encode(
+                        18, 16, 1, resample(9, 8, 1, px, 18, 16))))
+                if doc_id % 5 == 0:
+                    rows.append((f"{doc_id}:b16", png_encode(
+                        9, 8, 1, bytes(p + 16 for p in px))))
+            yield pd.DataFrame(rows, columns=["img_id", "content"])
+
+    return (df.select(id_col, text_col)
+            .filter(F.col(text_col).isNotNull())
+            .mapInPandas(kernel, out_schema))
 
 
 def resize_images(df: DataFrame, binary_col: str = "content",

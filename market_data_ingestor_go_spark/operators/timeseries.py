@@ -665,10 +665,25 @@ def cohort_retention(events: DataFrame, ts_ms_col: str = "ts_ms",
     day = F.expr(f"{ts_ms_col} div 86400000")
     ud = (events.select(F.col(user_col).alias("u"), day.alias("d"))
           .distinct())
-    first = ud.groupBy("u").agg(F.min("d").alias("cohort"))
+    return retention_from_user_days(ud)
+
+
+def retention_from_user_days(ud: DataFrame) -> DataFrame:
+    """The retention readout over an already-distinct (u, d) table —
+    SHARED by batch ``cohort_retention`` and the streaming twin
+    (``streaming/sketches.py::streaming_user_days`` maintains the same
+    (u, d) set as a complete-mode state table; both being the identical
+    distinct set, the readout is bit-identical either way — tested).
+    Everything downstream of the distinct is user-keyed or
+    |days|-broadcast; nothing here re-touches the event stream."""
+    # the first-day side is re-keyed under a fresh attribute so the
+    # ud⋈first self-join stays unambiguous for ANY input lineage (a
+    # streaming memory-sink view hit "Conflicting attributes: u")
+    first = (ud.groupBy("u").agg(F.min("d").alias("cohort"))
+             .select(F.col("u").alias("u_first"), "cohort"))
     sizes = (first.groupBy("cohort")
              .agg(F.count("*").alias("cohort_users")))
-    act = (ud.join(first, "u")
+    act = (ud.join(first, F.col("u") == F.col("u_first"))
            .groupBy("cohort", (F.col("d") - F.col("cohort"))
                     .alias("day_offset"))
            .agg(F.count("*").alias("active_users")))
@@ -768,5 +783,82 @@ def cusum_changepoint(df: DataFrame, key_col: str = "event_type",
             .select(F.col("k").alias(key_col),
                     F.col("n").cast("bigint").alias("n"),
                     (-F.col("m.ni")).cast("bigint").alias("change_idx"),
+                    (F.col("m.d").cast("string").cast("double")
+                     / F.col("n").cast("double")).alias("cusum_mag")))
+
+
+def cusum_bucket_stats(df: DataFrame, key_col: str = "event_type",
+                       ts_ms_col: str = "ts_ms",
+                       value_col: str = "value",
+                       bucket_ms: int = 3_600_000) -> DataFrame:
+    """Per-(key, time-bucket) CUSUM sufficient statistics → (k, b,
+    n_b, s_b): row count and exact DECIMAL(27,6)-quantized value sum
+    per ``bucket_ms`` grain. This is the SHARED transform of the
+    batch bucket-grain CUSUM and its streaming twin
+    (``streaming/sketches.py::streaming_cusum_stats``): both counts
+    and decimal sums are plain additive aggregates, so the streamed
+    complete-mode state after any micro-batch split is BIT-identical
+    to this batch aggregate. State is |keys|·|active buckets| rows —
+    time-domain-sized, never stream-length."""
+    if bucket_ms <= 0:
+        raise ValueError(f"bucket_ms must be positive (got {bucket_ms})")
+    v = F.col(value_col).cast("decimal(27,6)")
+    # floor-divide (not `div`, which truncates toward zero) so a
+    # pre-epoch timestamp lands in the same bucket on any engine —
+    # the chi2_value_drift ADVICE lesson, applied at birth here
+    b = F.floor(F.col(ts_ms_col) / F.lit(bucket_ms)) * bucket_ms
+    return (df.select(F.col(key_col).alias("k"),
+                      b.cast("bigint").alias("b"), v.alias("v"))
+            .groupBy("k", "b")
+            .agg(F.count("v").alias("n_b"),
+                 F.sum("v").cast("decimal(27,6)").alias("s_b")))
+
+
+def cusum_from_bucket_stats(stats: DataFrame) -> DataFrame:
+    """Bucket-grain CUSUM readout over ``cusum_bucket_stats`` rows →
+    (k, n, change_bucket_ms, change_cum_idx, cusum_mag).
+
+    RESOLUTION CONTRACT: |S_i| is evaluated only at bucket END
+    boundaries (i = cumulative row count through bucket b); the
+    change point is reported as the START ms of the bucket whose end
+    boundary maximizes |S|, so the answer is the row-grain
+    ``cusum_changepoint`` answer rounded to ``bucket_ms`` resolution. When every bucket holds at
+    most one row the two forms agree exactly (tested); a level shift
+    mid-bucket localizes to that bucket's end. Ties break to the
+    earliest bucket, mirroring the row-grain smallest-i rule.
+
+    Exactness: identical decimal algebra to the row-grain form —
+    n·S_b = n·prefix_b − cum_n_b·total in DECIMAL arithmetic, argmax
+    decided with zero float error, magnitude one exact-by-exact
+    string-routed division. Valid for n < 1e10 rows/key, |prefix| <
+    1e21 (the cusum_changepoint width budget).
+
+    Shapes at 100 TB: input is already bucket-grain (tiny); ONE key
+    shuffle for the cumulative windows; per-key argmax is a
+    max-of-struct aggregate."""
+    d276, d100 = "decimal(27,6)", "decimal(10,0)"
+    w_cum = (Window.partitionBy("k").orderBy("b")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = (Window.partitionBy("k")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    d = (stats
+         .withColumn("prefix", F.sum("s_b").over(w_cum).cast(d276))
+         .withColumn("cum_n", F.sum("n_b").over(w_cum))
+         .withColumn("total", F.sum("s_b").over(w_all).cast(d276))
+         .withColumn("n", F.sum("n_b").over(w_all)))
+    dd = F.abs(F.col("n").cast(d100) * F.col("prefix")
+               - F.col("cum_n").cast(d100) * F.col("total"))
+    return (d.withColumn("dd", dd)
+            .groupBy("k")
+            .agg(F.max("n").alias("n"),
+                 F.max(F.struct(F.col("dd").alias("d"),
+                                (-F.col("b")).alias("nb"),
+                                (-F.col("cum_n")).alias("nc"))).alias("m"))
+            .select(F.col("k").alias("event_type"),
+                    F.col("n").cast("bigint").alias("n"),
+                    (-F.col("m.nb")).cast("bigint")
+                    .alias("change_bucket_ms"),
+                    (-F.col("m.nc")).cast("bigint").alias("change_cum_idx"),
                     (F.col("m.d").cast("string").cast("double")
                      / F.col("n").cast("double")).alias("cusum_mag")))

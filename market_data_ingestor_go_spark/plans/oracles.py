@@ -3310,6 +3310,90 @@ FROM cov c JOIN diag vi ON c.dim_i = vi.d_
            JOIN diag vj ON c.dim_j = vj.d_
 """
 
+# Bucket-grain CUSUM (r12): the streamable form of
+# events_cusum_changepoint — identical decimal algebra evaluated only
+# at hourly bucket END boundaries, change point reported as the START
+# ms of the argmax bucket (ties -> earliest bucket). `//` floors in
+# DuckDB exactly like the query's F.floor (the chi2 ADVICE lesson).
+EXTRA_ORACLES["events_cusum_bucketed"] = """
+WITH d AS (
+  SELECT event_type AS k,
+         (epoch_ms(ts) // 3600000) * 3600000 AS b,
+         CAST(value AS DECIMAL(27,6)) AS v
+  FROM events),
+g AS (
+  SELECT k, b, COUNT(v) AS n_b, CAST(SUM(v) AS DECIMAL(27,6)) AS s_b
+  FROM d GROUP BY k, b),
+c AS (
+  SELECT k, b, cum_n,
+         CAST(SUM(s_b) OVER (PARTITION BY k ORDER BY b)
+              AS DECIMAL(27,6)) AS prefix,
+         CAST(SUM(s_b) OVER (PARTITION BY k) AS DECIMAL(27,6)) AS total,
+         SUM(n_b) OVER (PARTITION BY k) AS n
+  FROM (SELECT *, SUM(n_b) OVER (PARTITION BY k ORDER BY b) AS cum_n
+        FROM g)),
+s AS (
+  SELECT k, n, b, cum_n,
+         ABS(CAST(n AS DECIMAL(10,0)) * prefix
+             - CAST(cum_n AS DECIMAL(10,0)) * total) AS dd
+  FROM c),
+m AS (
+  SELECT k, n, dd AS dmax, MIN(b) AS change_b
+  FROM (SELECT k, n, b, dd, MAX(dd) OVER (PARTITION BY k) AS dm FROM s)
+  WHERE dd = dm GROUP BY k, n, dd)
+SELECT m.k AS event_type, CAST(m.n AS BIGINT) AS n,
+       CAST(m.change_b AS BIGINT) AS change_bucket_ms,
+       CAST(s.cum_n AS BIGINT) AS change_cum_idx,
+       CAST(CAST(m.dmax AS VARCHAR) AS DOUBLE) / CAST(m.n AS DOUBLE)
+         AS cusum_mag
+FROM m JOIN s ON m.k = s.k AND m.change_b = s.b
+"""
+
+
+# Perceptual image near-dup (r12): the Spark side EARNS each 64-bit
+# dHash end-to-end (sha256-nibble pixels → real PNG encode →
+# from-scratch decode → box downsample → gradient bits → pigeonhole
+# Hamming join); this oracle derives the identical bits directly from
+# the nibble comparisons — bit r*8+c is set iff nibble(r*9+c) >
+# nibble(r*9+c+1) over the 72 nibbles of sha256(text) ‖
+# sha256(text||':1') — because the fixture pixels are 64+8·nibble and
+# both variants (2× NN upscale, +16 brightness) are dHash-invariant
+# by construction (see operators/multimodal.py::synthetic_doc_images).
+# Exact 500-image self-join is the oracle-side ground truth; the
+# engine's pigeonhole join is complete for Hamming ≤ 3 ≥ the 2 asked.
+def _dhash_nib(p: int) -> str:
+    """1-based strpos of pixel p's hex nibble (the −1 cancels in >)."""
+    if p < 64:
+        return f"strpos('0123456789abcdef', substring(h1, {p + 1}, 1))"
+    return f"strpos('0123456789abcdef', substring(h2, {p - 63}, 1))"
+
+
+_DHASH_BITS = " + ".join(
+    f"CASE WHEN {_dhash_nib(r * 9 + c)} > {_dhash_nib(r * 9 + c + 1)} "
+    f"THEN CAST({-(1 << 63) if r * 8 + c == 63 else (1 << (r * 8 + c))} "
+    f"AS BIGINT) ELSE 0 END"
+    for r in range(8) for c in range(8))
+
+EXTRA_ORACLES["image_dhash_neardup"] = f"""
+WITH d AS (
+  SELECT doc_id, sha256(text) AS h1, sha256(text || ':1') AS h2
+  FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT doc_id, ({_DHASH_BITS}) AS dh FROM d
+), imgs AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':orig' AS img_id, dh FROM h
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) || ':up2', dh FROM h WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) || ':b16', dh FROM h WHERE doc_id % 5 = 0
+)
+SELECT a.img_id AS img_a, b.img_id AS img_b,
+       CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+FROM imgs a JOIN imgs b ON a.img_id < b.img_id
+WHERE bit_count(xor(a.dh, b.dh)) <= 2
+"""
+
+
 # --- round-12 window rotation (EXECUTED, mirrors queries.py): all
 # twelve ROTATION_CANDIDATES_R11 promote into the driver window's
 # oracle dict for their first external CORRECTNESS row; twelve

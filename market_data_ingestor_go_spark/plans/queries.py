@@ -2992,6 +2992,60 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     return rrf_fuse(sparse, dense, k=10)
 
 
+def events_cusum_bucketed(spark, sf_dir):
+    """Bucket-grain CUSUM change-point per event type
+    (operators/timeseries.py::cusum_bucket_stats +
+    cusum_from_bucket_stats, hourly buckets): the STREAMABLE form of
+    events_cusum_changepoint — the per-(key, bucket) count/decimal-sum
+    sufficient statistics are additive, so the identical transform
+    runs as a complete-mode streaming aggregation
+    (streaming/sketches.py::streaming_cusum_stats; batch↔streaming
+    bit-agreement tested) and the change point finishes from the sink
+    under the documented bucket-resolution contract. Exact decimal
+    argmax ⇒ bit-exact. Scale: the heavy exchange is the tiny
+    bucket-grain aggregate (map-side collapse); the windows run over
+    |keys|·|buckets| rows only."""
+    from ..operators.timeseries import (cusum_bucket_stats,
+                                        cusum_from_bucket_stats)
+    e = _events(spark, sf_dir)
+    return cusum_from_bucket_stats(
+        cusum_bucket_stats(e, "event_type", "ts_ms", "value",
+                           bucket_ms=3_600_000))
+
+
+def image_dhash_neardup(spark, sf_dir):
+    """Perceptual image near-dup (dHash, Krawetz 2013) — the image leg
+    of the dedup family, closing the modality the r11 verdict flagged
+    (text ✓, embedding ✓, image ✗): re-encoded / resized /
+    brightness-shifted copies of one image are DISTINCT to every
+    byte/text/embedding dedup path but hash within a few bits here.
+
+    Fixture (testdata ships no image blobs): real 9×8 grayscale PNGs
+    whose pixels derive from sha256(text) nibbles, plus a 2× upscaled
+    variant (doc_id%3==0) and a +16-brightness variant (doc_id%5==0) —
+    operators/multimodal.py::synthetic_doc_images documents why the
+    dHash is bit-invariant to both edits. This side EARNS each hash
+    end-to-end (PNG encode → from-scratch decode → box downsample →
+    gradient bits → pigeonhole Hamming join); the DuckDB oracle
+    derives the same 64 bits directly from nibble comparisons and
+    self-joins on bit_count(xor) ≤ 2. All-integer ⇒ bit-exact.
+
+    Scale shape: pixels are touched exactly once per image (two narrow
+    Arrow kernels back-to-back); the join is the SimHash pigeonhole
+    block equi-join (operators/dedup.py::hamming_pairs — complete for
+    Hamming ≤ 3, never an all-pairs scan), shuffling four 16-bit block
+    keys per image, so 100 TB of images costs one decode pass + an
+    images×4 equi-join."""
+    from ..operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents")
+    imgs = MM.synthetic_doc_images(d, "doc_id", "text")
+    pairs = MM.image_neardup_pairs(imgs, "content", "img_id",
+                                   max_hamming=2, num_blocks=4)
+    return pairs.select(F.col("id_a").alias("img_a"),
+                        F.col("id_b").alias("img_b"),
+                        F.col("hamming").cast("bigint").alias("hamming"))
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # queries() (CORRECTNESS_r01 stopped at exactly entry 50, leaving the
 # whole §2.11 extension surface unverified). QUERIES is therefore a
@@ -3259,6 +3313,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mad_outliers": events_mad_outliers,      # rank-median windows ⊂ events_moving_stats (kept ordered frames) + events_cusum_changepoint (keyed argmax)
     "events_motif_search": events_motif_search,      # chunked sliding windows + WindowGroupLimit ⊂ order_limit_topk (kept top-k) + events_moving_stats (kept frames)
     "knn_filtered_bruteforce": knn_filtered_bruteforce,  # predicate-first exact kNN ⊂ knn_bruteforce (kept; same dot-product top-k)
+    # round-12 additions: oracle-backed, queued in
+    # ROTATION_CANDIDATES_R12 for their first external row next round.
+    "image_dhash_neardup": image_dhash_neardup,
+    "events_cusum_bucketed": events_cusum_bucketed,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3452,7 +3510,10 @@ ROTATED_IN_R12: list[str] = list(ROTATION_CANDIDATES_R11)
 # added during round 12 must be listed here in the SAME commit that
 # adds its oracle (the r9 policy, enforced by the never-verified scan
 # in tests/test_parity.py).
-ROTATION_CANDIDATES_R12: list[str] = []
+ROTATION_CANDIDATES_R12: list[str] = [
+    "image_dhash_neardup",        # added r12, oracle added same commit
+    "events_cusum_bucketed",      # added r12, oracle added same commit
+]
 
 
 # Frozen at the close of round 7: every oracle-backed query name that

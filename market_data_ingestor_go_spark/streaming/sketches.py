@@ -167,6 +167,46 @@ def streaming_value_histogram(stream: DataFrame, group_col: str,
             .groupBy("g", "x").agg(F.count("*").alias("c")))
 
 
+def streaming_user_days(stream: DataFrame, ts_ms_col: str = "ts_ms",
+                        user_col: str = "user_id") -> DataFrame:
+    """The (user, active-day) set maintained FROM AN EVENT STREAM —
+    the state behind continuous cohort retention. A plain streaming
+    groupBy(user, day) count: state is |users|·|active days| rows
+    (user-×-day DOMAIN-sized, never stream-length; counts are
+    additive ⇒ replay lands on identical state). The complete-mode
+    sink IS the distinct (u, d) table of batch
+    ``operators/timeseries.py::cohort_retention``, so
+    ``retention_from_user_days`` over the sink (drop the count)
+    reproduces the batch retention matrix BIT-identically after any
+    micro-batch split — the vocab-growth state+readout pattern
+    (tested both ways)."""
+    day = F.expr(f"{ts_ms_col} div 86400000")
+    return (stream.select(F.col(user_col).alias("u"), day.alias("d"))
+            .groupBy("u", "d").agg(F.count("*").alias("n_events")))
+
+
+def streaming_cusum_stats(stream: DataFrame,
+                          key_col: str = "event_type",
+                          ts_ms_col: str = "ts_ms",
+                          value_col: str = "value",
+                          bucket_ms: int = 3_600_000) -> DataFrame:
+    """Bucket-grain CUSUM sufficient statistics maintained FROM AN
+    EVENT STREAM — the transform is SHARED with the batch form
+    (``operators/timeseries.py::cusum_bucket_stats``: per-(key,
+    bucket) counts + exact decimal sums, both additive ⇒ streamed
+    complete-mode state after any micro-batch split is BIT-identical
+    to the batch aggregate), and the change-point finishes from the
+    sink at read time via ``cusum_from_bucket_stats`` under its
+    documented bucket-resolution contract. This completes the drift
+    family's streaming coverage: TV/KS/χ² histograms stream WHICH
+    group drifted; this streams WHEN the level shifted. State is
+    |keys|·|active buckets| rows — time-domain-sized, never
+    stream-length."""
+    from ..operators.timeseries import cusum_bucket_stats
+    return cusum_bucket_stats(stream, key_col, ts_ms_col, value_col,
+                              bucket_ms)
+
+
 def streaming_embedding_covariance(stream: DataFrame,
                                    vec_col: str = "embedding"):
     """Streaming twin of the embedding covariance: the two

@@ -3416,3 +3416,99 @@ def test_embedding_correlation_matches_numpy(spark):
         assert abs(r["corr"] - R[r["dim_i"], r["dim_j"]]) < 1e-4, r
         if r["dim_i"] == r["dim_j"]:
             assert abs(r["corr"] - 1.0) < 1e-15, r
+
+
+def test_dhash_invariances_unit():
+    """dHash (functions/dhash_minimal) is bit-invariant to the edits
+    the fixture exercises — integer-ratio NN upscale and a global
+    non-clipping brightness shift — and a genuinely different image
+    lands far away in Hamming space."""
+    import hashlib
+
+    from market_data_ingestor_go_spark.functions.dhash_minimal import (
+        dhash64)
+    from market_data_ingestor_go_spark.functions.png_minimal import (
+        resize_nearest)
+
+    def pixels(seed: bytes) -> bytes:
+        hx = (hashlib.sha256(seed).hexdigest()
+              + hashlib.sha256(seed + b":1").hexdigest())
+        return bytes(64 + int(ch, 16) * 8 for ch in hx[:72])
+
+    px = pixels(b"doc one")
+    base = dhash64(9, 8, px)
+    # 2x and 3x nearest-neighbor upscales: the box average recovers
+    # the 9x8 grid exactly
+    assert dhash64(18, 16, resize_nearest(9, 8, 1, px, 18, 16)) == base
+    assert dhash64(27, 24, resize_nearest(9, 8, 1, px, 27, 24)) == base
+    # +16 brightness without clipping: every comparison shifts equally
+    assert dhash64(9, 8, bytes(p + 16 for p in px)) == base
+    # a different image is far away (not within the join's Hamming 2)
+    other = dhash64(9, 8, pixels(b"doc two"))
+    assert bin((base ^ other) & ((1 << 64) - 1)).count("1") > 2
+
+
+def test_image_dhash_neardup_catches_what_byte_dedup_misses(spark):
+    """The hand case the r11 verdict asked for: re-encoded/resized/
+    brightness-shifted copies of one image are DISTINCT to byte-level
+    dedup (every content sha256 unique) but the dHash pigeonhole join
+    pairs them all at Hamming 0; a corrupt blob rides along as a NULL
+    hash and never enters the join."""
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        image_dhash, image_neardup_pairs, synthetic_doc_images)
+
+    docs = spark.createDataFrame(
+        [(15, "the quick brown fox jumps over the lazy dog"),
+         (1, "an entirely different document body")],
+        ["doc_id", "text"])
+    imgs = synthetic_doc_images(docs)  # 15 -> orig+up2+b16, 1 -> orig
+    blobs = imgs.collect()
+    assert {r["img_id"] for r in blobs} == {
+        "15:orig", "15:up2", "15:b16", "1:orig"}
+    # byte-level dedup sees four unrelated blobs
+    import hashlib
+    assert len({hashlib.sha256(bytes(r["content"])).hexdigest()
+                for r in blobs}) == 4
+
+    corrupt = spark.createDataFrame([("bad", b"\x89PNG\r\n\x1a\ntrunc")],
+                                    ["img_id", "content"])
+    sigs = {r["img_id"]: r["dhash"]
+            for r in image_dhash(imgs.union(corrupt)).collect()}
+    assert sigs["bad"] is None
+    assert sigs["15:orig"] == sigs["15:up2"] == sigs["15:b16"]
+    assert sigs["1:orig"] != sigs["15:orig"]
+
+    pairs = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+             image_neardup_pairs(imgs.union(corrupt)).collect()}
+    assert pairs == {("15:b16", "15:orig", 0), ("15:b16", "15:up2", 0),
+                     ("15:orig", "15:up2", 0)}
+
+
+def test_cusum_bucket_grain_agrees_with_row_grain_at_unit_buckets(spark):
+    """The bucket-resolution contract's exact corner: when every
+    bucket holds at most one row (bucket_ms=1, unique per-key ts) the
+    bucket-grain readout IS the row-grain cusum_changepoint — same n,
+    same cumulative change index, same exact-decimal magnitude — and
+    change_bucket_ms is the change row's own timestamp."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        cusum_bucket_stats, cusum_from_bucket_stats, cusum_changepoint)
+
+    rows = [("a", t, i, 1.0 if t <= 8 else 5.0)
+            for i, t in enumerate(range(1, 13))] + \
+           [("b", t, i, 2.5) for i, t in enumerate(range(1, 6))]
+    df = spark.createDataFrame(
+        rows, ["event_type", "ts_ms", "event_id", "value"])
+
+    row_grain = {r["event_type"]: r for r in cusum_changepoint(
+        df, "event_type", ["ts_ms", "event_id"], "value").collect()}
+    bucket = {r["event_type"]: r for r in cusum_from_bucket_stats(
+        cusum_bucket_stats(df, bucket_ms=1)).collect()}
+
+    assert set(bucket) == set(row_grain) == {"a", "b"}
+    for k in bucket:
+        assert bucket[k]["n"] == row_grain[k]["n"]
+        assert bucket[k]["change_cum_idx"] == row_grain[k]["change_idx"]
+        assert bucket[k]["cusum_mag"] == row_grain[k]["cusum_mag"]
+    # the level shift after ts=8 localizes to ts 8 exactly
+    assert bucket["a"]["change_bucket_ms"] == 8
+    assert bucket["a"]["change_cum_idx"] == 8

@@ -818,3 +818,15 @@ def test_bm25_from_index_prunes_term_partitions(spark):
     want = sorted({term_bucket(t) for _, t in set(FIXTURE_QUERIES)})
     assert got == want, (got, want)          # exactly the vocab's buckets
     assert 0 < len(got) < N_TERM_BUCKETS     # a proper subset prunes
+
+
+def test_image_dhash_pairs_block_local(spark):
+    """image_dhash_neardup: candidate pairs form ONLY via the
+    pigeonhole block equi-join on (blk, bv) — never an all-pairs
+    cartesian/nested-loop — and the documents scan feeding the image
+    fixture prunes to (doc_id, text)."""
+    df = ALL_QUERIES["image_dhash_neardup"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert _scan_columns(plan, "documents") <= {"doc_id", "text"}

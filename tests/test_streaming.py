@@ -2637,3 +2637,98 @@ def test_streaming_embedding_covariance_equals_batch(spark, tmp_path):
     assert got == want
     spark.sql("DROP TABLE IF EXISTS cov_pairs")
     spark.sql("DROP TABLE IF EXISTS cov_dims")
+
+
+def test_streaming_user_days_retention_equals_batch(spark, tmp_path):
+    """Streaming cohort-retention twin (r12): the complete-mode
+    (u, d, n_events) state is the distinct (user, day) set of the
+    batch operator (counts additive ⇒ identical after any micro-batch
+    split), and retention_from_user_days over the sink reproduces
+    batch cohort_retention row-for-row including the double ratio."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        cohort_retention, retention_from_user_days)
+    from market_data_ingestor_go_spark.plans.queries import _events
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_user_days)
+
+    events = _events(spark, "/root/testdata/sf0.001") \
+        .select("user_id", "ts_ms")
+    src = str(tmp_path / "rsrc")
+    os.makedirs(src)
+    rows = events.collect()
+    for i, part in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in part:
+                fh.write(json.dumps({"user_id": r.user_id,
+                                     "ts_ms": r.ts_ms}) + "\n")
+
+    stream = (spark.readStream.schema("user_id BIGINT, ts_ms BIGINT")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(streaming_user_days(stream), "ud_state",
+                          str(tmp_path / "c"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.table("ud_state")
+    # the state IS the batch distinct (u, d) set
+    batch_ud = (events.select(F.col("user_id").alias("u"),
+                              F.expr("ts_ms div 86400000").alias("d"))
+                .distinct())
+    assert sorted(map(tuple, state.select("u", "d").collect())) == \
+        sorted(map(tuple, batch_ud.collect()))
+
+    got = sorted(map(tuple, retention_from_user_days(
+        state.select("u", "d")).collect()))
+    want = sorted(map(tuple, cohort_retention(events).collect()))
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS ud_state")
+
+
+def test_streaming_cusum_stats_equals_batch(spark, tmp_path):
+    """Streaming bucket-grain CUSUM twin (r12): the complete-mode
+    (k, b, n_b, s_b) state is BIT-identical to the batch
+    cusum_bucket_stats aggregate after a 3-way micro-batch split
+    (counts + decimal sums are additive), and cusum_from_bucket_stats
+    over the sink reproduces the batch readout row-for-row including
+    the double magnitude."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        cusum_bucket_stats, cusum_from_bucket_stats)
+    from market_data_ingestor_go_spark.plans.queries import _events
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_cusum_stats)
+
+    events = _events(spark, "/root/testdata/sf0.001") \
+        .select("event_type", "ts_ms", "value")
+    src = str(tmp_path / "csrc")
+    os.makedirs(src)
+    rows = events.collect()
+    for i, part in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in part:
+                fh.write(json.dumps({"event_type": r.event_type,
+                                     "ts_ms": r.ts_ms,
+                                     "value": r.value}) + "\n")
+
+    stream = (spark.readStream
+              .schema("event_type STRING, ts_ms BIGINT, value DOUBLE")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(
+        streaming_cusum_stats(stream, bucket_ms=3_600_000),
+        "cusum_state", str(tmp_path / "c"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.table("cusum_state")
+    want_state = cusum_bucket_stats(events, bucket_ms=3_600_000)
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, want_state.collect()))
+
+    got = sorted(map(tuple, cusum_from_bucket_stats(state).collect()))
+    want = sorted(map(tuple,
+                      cusum_from_bucket_stats(want_state).collect()))
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS cusum_state")
