@@ -40,9 +40,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import (dhash_minimal, gif_minimal, jpeg_minimal,
-                         jpeg_progressive_minimal, media_meta_minimal,
-                         png_minimal, wav_minimal)
+from ..functions import (afp_minimal, dhash_minimal, gif_minimal,
+                         jpeg_minimal, jpeg_progressive_minimal,
+                         media_meta_minimal, png_minimal, wav_minimal)
 
 # Ship the codecs BY VALUE inside every pickled kernel: the driver
 # may run from any cwd (the grading driver does), so python workers
@@ -55,6 +55,7 @@ _cloudpickle.register_pickle_by_value(gif_minimal)
 _cloudpickle.register_pickle_by_value(jpeg_minimal)
 _cloudpickle.register_pickle_by_value(jpeg_progressive_minimal)
 _cloudpickle.register_pickle_by_value(dhash_minimal)
+_cloudpickle.register_pickle_by_value(afp_minimal)
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),    # image|audio|video
@@ -283,6 +284,144 @@ def image_neardup_pairs(df: DataFrame, binary_col: str = "content",
     sig = (image_dhash(df, binary_col, id_col)
            .filter(F.col("dhash").isNotNull()))
     return hamming_pairs(sig, "img_id", "dhash", max_hamming, num_blocks)
+
+
+AUDIO_AFP_SCHEMA = T.StructType([
+    T.StructField("audio_id", T.StringType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("afp", T.LongType()),
+])
+
+
+def audio_afp(df: DataFrame, binary_col: str = "content",
+              id_col: str = "audio_id") -> DataFrame:
+    """Per-clip 64-bit perceptual audio fingerprint → (audio_id,
+    n_samples, afp): decode WAV through the from-scratch RIFF/PCM
+    codec, mono-mix, spectral-band-gradient hash
+    (``functions/afp_minimal`` — the dHash idea on the
+    time-frequency plane, after Haitsma & Kalker 2002). Arrow-batched
+    ``mapInPandas``; non-WAV/corrupt/too-short blobs emit an honest
+    NULL fingerprint (the image_dhash posture: never kills the
+    stage, never fakes a dup). Same narrow-sidecar scale shape as
+    image_dhash — PCM is touched once, the Hamming join never sees
+    samples."""
+    is_wav = wav_minimal.is_wav
+    wav_decode = wav_minimal.wav_decode
+    pcm_samples = wav_minimal.pcm_samples
+    afp64 = afp_minimal.afp64
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            ids, ns, fps = [], [], []
+            for audio_id, blob in zip(pdf[id_col], pdf[binary_col]):
+                blob = bytes(blob) if blob is not None else b""
+                n, fp = -1, None
+                try:
+                    if is_wav(blob):
+                        _rate, n_ch, bits, pcm = wav_decode(blob)
+                        s = np.asarray(pcm_samples(pcm, bits))
+                        if n_ch > 1:   # mono mix: mean across channels
+                            s = s[:len(s) - len(s) % n_ch] \
+                                .reshape(-1, n_ch).mean(axis=1)
+                        n, fp = len(s), afp64(s)
+                except Exception:
+                    n, fp = -1, None
+                ids.append(audio_id)
+                ns.append(n)
+                fps.append(fp)
+            yield pd.DataFrame({
+                "audio_id": ids,
+                "n_samples": pd.Series(ns, dtype="int32"),
+                "afp": pd.Series(fps, dtype="Int64"),
+            })
+
+    return (df.select(F.col(id_col).alias(id_col), binary_col)
+            .mapInPandas(kernel, AUDIO_AFP_SCHEMA))
+
+
+def audio_neardup_pairs(df: DataFrame, binary_col: str = "content",
+                        id_col: str = "audio_id", max_hamming: int = 3,
+                        num_blocks: int = 4) -> DataFrame:
+    """Perceptual audio near-dup pairs → (id_a, id_b, hamming):
+    fingerprint each decodable clip, then the shared pigeonhole
+    Hamming block join (``operators/dedup.py::hamming_pairs``). The
+    audio leg of the perceptual dedup family — gain-changed or
+    re-quantized copies of one clip pair up while byte dedup sees
+    unrelated blobs."""
+    from .dedup import hamming_pairs
+    sig = (audio_afp(df, binary_col, id_col)
+           .filter(F.col("afp").isNotNull()))
+    return hamming_pairs(sig, "audio_id", "afp", max_hamming, num_blocks)
+
+
+def synthetic_doc_audio(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Deterministic REAL-WAV audio corpus derived from a document
+    table — the fixture for perceptual audio dedup
+    (``plans/queries.py::audio_afp_neardup``; testdata ships no audio
+    blobs). Per doc: a 0.25 s 8 kHz mono 16-bit clip of three
+    sha256-seeded sinusoids over a sha256-counter-mode broadband bed
+    (the bed keeps every spectral band's energy well off zero, so
+    requantization noise can't flip near-tie gradient bits — no RNG,
+    fully deterministic). Variants perceptual dedup must catch and
+    byte dedup provably can't:
+    - ``{id}:vol`` (doc_id % 3 == 0): gain ×0.5 re-encode — every
+      band energy scales together, fingerprint-invariant;
+    - ``{id}:b24`` (doc_id % 5 == 0): 24-bit re-pack of the same
+      samples — ``pcm_samples`` normalizes (s·2^8)/2^23 = s/2^15, so
+      the decoded floats (hence the fingerprint) are BIT-identical
+      while the container bytes are entirely different.
+
+    Emits (audio_id STRING, content BINARY) via mapInPandas."""
+    out_schema = T.StructType([
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    wav_encode = wav_minimal.wav_encode
+    n, rate = 2000, 8000
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        def synth(seed: bytes) -> np.ndarray:
+            h = hashlib.sha256(seed).digest()
+            t = np.arange(n) / rate
+            sig = np.zeros(n)
+            for i in range(3):
+                f = 100 + h[i * 3] * 12            # 100..3160 Hz
+                a = 0.15 + h[i * 3 + 1] / 512      # 0.15..0.65
+                ph = h[i * 3 + 2] / 256 * 2 * np.pi
+                sig += a * np.sin(2 * np.pi * f * t + ph)
+            # counter-mode sha256 noise bed: byte-stable everywhere
+            # (no library RNG stream to depend on)
+            blocks = [hashlib.sha256(h + i.to_bytes(4, "little")).digest()
+                      for i in range((n + 31) // 32)]
+            noise = np.frombuffer(b"".join(blocks)[:n], dtype=np.uint8)
+            sig += 0.08 * (noise.astype(np.float64) / 127.5 - 1.0)
+            return sig / max(1.0, float(np.max(np.abs(sig))) * 1.1)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                sig = synth(str(text).encode("utf-8"))
+                doc_id = int(doc_id)
+                s16 = [int(s * 32767) for s in sig]
+                rows.append((f"{doc_id}:orig",
+                             wav_encode(rate, 1, 16, s16)))
+                if doc_id % 3 == 0:
+                    rows.append((f"{doc_id}:vol", wav_encode(
+                        rate, 1, 16, [int(s * 0.5 * 32767) for s in sig])))
+                if doc_id % 5 == 0:
+                    rows.append((f"{doc_id}:b24", wav_encode(
+                        rate, 1, 24, [s << 8 for s in s16])))
+            yield pd.DataFrame(rows, columns=["audio_id", "content"])
+
+    return (df.select(id_col, text_col)
+            .filter(F.col(text_col).isNotNull())
+            .mapInPandas(kernel, out_schema))
 
 
 def synthetic_doc_images(df: DataFrame, id_col: str = "doc_id",

@@ -3046,6 +3046,30 @@ def image_dhash_neardup(spark, sf_dir):
                         F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def audio_afp_neardup(spark, sf_dir):
+    """Perceptual AUDIO near-dup — the audio leg of the perceptual
+    dedup family next to image_dhash_neardup: spectral-band-gradient
+    fingerprints (functions/afp_minimal.py, after Haitsma & Kalker
+    2002) over real WAV decode, paired by the shared pigeonhole
+    Hamming join. Fixture: deterministic sha256-seeded tone+noise
+    clips per doc with gain-halved (doc_id%3==0) and 24-bit-repacked
+    (doc_id%5==0) variants — different bytes, same perceptual content
+    (operators/multimodal.py::synthetic_doc_audio). Rows-only BY
+    DESIGN (FFT is not SQL-expressible — the simhash_neardup/knn_ann
+    precedent); correctness pinned by invariance/discrimination unit
+    tests and the e2e variant-recall test instead. Scale shape
+    identical to the image leg: one Arrow decode pass, narrow
+    fingerprint sidecar, 4-block equi-join."""
+    from ..operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents")
+    clips = MM.synthetic_doc_audio(d, "doc_id", "text")
+    pairs = MM.audio_neardup_pairs(clips, "content", "audio_id",
+                                   max_hamming=3, num_blocks=4)
+    return pairs.select(F.col("id_a").alias("audio_a"),
+                        F.col("id_b").alias("audio_b"),
+                        F.col("hamming").cast("bigint").alias("hamming"))
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # queries() (CORRECTNESS_r01 stopped at exactly entry 50, leaving the
 # whole §2.11 extension surface unverified). QUERIES is therefore a
@@ -3317,6 +3341,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ROTATION_CANDIDATES_R12 for their first external row next round.
     "image_dhash_neardup": image_dhash_neardup,
     "events_cusum_bucketed": events_cusum_bucketed,
+    # rows-only by design (FFT not SQL-expressible; invariance +
+    # recall tests pin correctness — the simhash/knn_ann precedent)
+    "audio_afp_neardup": audio_afp_neardup,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

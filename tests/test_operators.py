@@ -3512,3 +3512,92 @@ def test_cusum_bucket_grain_agrees_with_row_grain_at_unit_buckets(spark):
     # the level shift after ts=8 localizes to ts 8 exactly
     assert bucket["a"]["change_bucket_ms"] == 8
     assert bucket["a"]["change_cum_idx"] == 8
+
+
+def test_audio_afp_invariances_unit():
+    """The spectral-band-gradient audio fingerprint
+    (functions/afp_minimal) is invariant to uniform gain change and a
+    lossless 24-bit re-pack, robust (small Hamming) to 8-bit
+    requantization, and far from a different clip."""
+    import hashlib
+
+    import numpy as np
+
+    from market_data_ingestor_go_spark.functions.afp_minimal import afp64
+    from market_data_ingestor_go_spark.functions.wav_minimal import (
+        pcm_samples, wav_decode, wav_encode)
+
+    def synth(seed: bytes, n=2000, rate=8000):
+        h = hashlib.sha256(seed).digest()
+        t = np.arange(n) / rate
+        sig = np.zeros(n)
+        for i in range(3):
+            sig += (0.15 + h[i * 3 + 1] / 512) * np.sin(
+                2 * np.pi * (100 + h[i * 3] * 12) * t
+                + h[i * 3 + 2] / 256 * 2 * np.pi)
+        blocks = [hashlib.sha256(h + i.to_bytes(4, "little")).digest()
+                  for i in range((n + 31) // 32)]
+        noise = np.frombuffer(b"".join(blocks)[:n], dtype=np.uint8)
+        sig += 0.08 * (noise.astype(np.float64) / 127.5 - 1.0)
+        return sig / max(1.0, float(np.max(np.abs(sig))) * 1.1)
+
+    def afp_of(blob):
+        _r, _c, bits, pcm = wav_decode(blob)
+        return afp64(np.asarray(pcm_samples(pcm, bits)))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for k in range(8):
+        sig = synth(f"clip {k}".encode())
+        s16 = [int(s * 32767) for s in sig]
+        base = afp_of(wav_encode(8000, 1, 16, s16))
+        # gain x0.5: every band energy scales together
+        vol = afp_of(wav_encode(8000, 1, 16,
+                                [int(s * 0.5 * 32767) for s in sig]))
+        assert ham(base, vol) <= 1
+        # 24-bit re-pack decodes to BIT-identical floats
+        b24 = afp_of(wav_encode(8000, 1, 24, [s << 8 for s in s16]))
+        assert b24 == base
+        # 8-bit requantization: small perturbation, not identity
+        req = afp_of(wav_encode(8000, 1, 8, [int(s * 127) for s in sig]))
+        assert ham(base, req) <= 10
+        # a different clip is far outside the join's Hamming 3
+        other = afp_of(wav_encode(
+            8000, 1, 16, [int(s * 32767) for s in synth(f"z{k}".encode())]))
+        assert ham(base, other) > 3
+
+
+def test_audio_afp_neardup_catches_what_byte_dedup_misses(spark):
+    """The audio hand case: gain-halved and 24-bit-repacked copies of
+    one clip are DISTINCT blobs to byte dedup but pair at tiny Hamming
+    through the fingerprint join; a corrupt clip rides along as a
+    NULL fingerprint and never enters the join."""
+    import hashlib
+
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        audio_afp, audio_neardup_pairs, synthetic_doc_audio)
+
+    docs = spark.createDataFrame(
+        [(15, "the quick brown fox jumps over the lazy dog"),
+         (1, "an entirely different document body")],
+        ["doc_id", "text"])
+    clips = synthetic_doc_audio(docs)  # 15 -> orig+vol+b24, 1 -> orig
+    blobs = clips.collect()
+    assert {r["audio_id"] for r in blobs} == {
+        "15:orig", "15:vol", "15:b24", "1:orig"}
+    assert len({hashlib.sha256(bytes(r["content"])).hexdigest()
+                for r in blobs}) == 4  # byte dedup sees 4 unrelated blobs
+
+    corrupt = spark.createDataFrame([("bad", b"RIFF\x00\x00\x00\x00WAVE")],
+                                    ["audio_id", "content"])
+    sigs = {r["audio_id"]: r["afp"]
+            for r in audio_afp(clips.union(corrupt)).collect()}
+    assert sigs["bad"] is None
+    assert sigs["15:b24"] == sigs["15:orig"]
+    assert sigs["1:orig"] != sigs["15:orig"]
+
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             audio_neardup_pairs(clips.union(corrupt)).collect()}
+    assert pairs == {("15:b24", "15:orig"), ("15:b24", "15:vol"),
+                     ("15:orig", "15:vol")}

@@ -830,3 +830,13 @@ def test_image_dhash_pairs_block_local(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert _scan_columns(plan, "documents") <= {"doc_id", "text"}
+
+
+def test_audio_afp_pairs_block_local(spark):
+    """audio_afp_neardup: same pigeonhole posture as the image leg —
+    no cartesian/nested-loop pair formation, pruned documents scan."""
+    df = ALL_QUERIES["audio_afp_neardup"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert _scan_columns(plan, "documents") <= {"doc_id", "text"}

@@ -2732,3 +2732,103 @@ def test_streaming_cusum_stats_equals_batch(spark, tmp_path):
                       cusum_from_bucket_stats(want_state).collect()))
     assert got == want
     spark.sql("DROP TABLE IF EXISTS cusum_state")
+
+
+def test_perceptual_gate_dedups_across_batches(spark, tmp_path):
+    """PerceptualGate (r12): an upscaled and a brightness-shifted copy
+    of an ACCEPTED image arriving in a later micro-batch are rejected
+    against the fingerprint index (with the right dup_of), an
+    in-batch re-encode is rejected internally, an undecodable blob is
+    accepted-but-unindexed, and a crash-replay of the same epoch
+    leaves state and audit unchanged."""
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        synthetic_doc_images)
+    from market_data_ingestor_go_spark.streaming.perceptual_gate import (
+        PerceptualGate)
+
+    docs = spark.createDataFrame(
+        [(15, "the quick brown fox jumps over the lazy dog"),
+         (1, "an entirely different document body"),
+         (20, "a third body of text for the second batch")],
+        ["doc_id", "text"])
+    # 15 -> orig+up2+b16 ; 1 -> orig ; 20 -> orig+b16
+    imgs = {r["img_id"]: bytes(r["content"])
+            for r in synthetic_doc_images(docs).collect()}
+    mk = lambda ids: spark.createDataFrame(
+        [(i, imgs[i]) for i in ids], ["img_id", "content"])
+
+    gate = PerceptualGate(spark, "pg_state", modality="image",
+                          dups_dir=str(tmp_path / "dups"),
+                          audit_partitions=1)
+    try:
+        gate._gate_batch(mk(["15:orig", "1:orig"]), epoch_id=0)
+        accepted = {r["id"] for r in gate.accepted_ids().collect()}
+        assert accepted == {"15:orig", "1:orig"}
+
+        b2 = mk(["15:up2", "15:b16", "20:orig", "20:b16"]).union(
+            spark.createDataFrame([("bad", b"\x89PNG\r\n\x1a\nxx")],
+                                  ["img_id", "content"]))
+        gate._gate_batch(b2, epoch_id=1)
+        accepted = {r["id"] for r in gate.accepted_ids().collect()}
+        # corrupt blob accepted-but-unindexed; both 15-variants
+        # rejected vs corpus; within batch 2 the min-id keeper is
+        # LEXICOGRAPHIC: '20:b16' < '20:orig', so orig is the dup
+        assert accepted == {"15:orig", "1:orig", "20:b16"}
+        dups = {(r["id"], r["dup_of"], r["hamming"]) for r in
+                gate.duplicates().collect()}
+        # 15:up2 pairs with its in-batch sibling first ('15:b16' <
+        # '15:up2'); b16 then rejects vs the corpus index
+        assert dups == {("15:up2", "15:b16", 0),
+                        ("15:b16", "15:orig", 0),
+                        ("20:orig", "20:b16", 0)}
+        assert gate.blobs_rejected == 3
+
+        # crash-replay epoch 1: no self-rejection, identical state
+        n_fp = spark.table("pg_state_fp").count()
+        gate._gate_batch(b2, epoch_id=1)
+        assert spark.table("pg_state_fp").count() == n_fp
+        assert {r["id"] for r in gate.accepted_ids().collect()} == accepted
+        assert {(r["id"], r["dup_of"]) for r in
+                gate.duplicates().collect()} == {
+            ("15:up2", "15:b16"), ("15:b16", "15:orig"),
+            ("20:orig", "20:b16")}
+    finally:
+        gate.stop()
+        spark.sql("DROP TABLE IF EXISTS pg_state_fp")
+
+
+def test_perceptual_gate_audio_modality(spark, tmp_path):
+    """The same gate gates AUDIO: a gain-halved re-encode of an
+    accepted clip arriving later is rejected against the fingerprint
+    index under modality='audio'."""
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        synthetic_doc_audio)
+    from market_data_ingestor_go_spark.streaming.perceptual_gate import (
+        PerceptualGate)
+
+    docs = spark.createDataFrame(
+        [(15, "the quick brown fox jumps over the lazy dog"),
+         (1, "an entirely different document body")],
+        ["doc_id", "text"])
+    clips = {r["audio_id"]: bytes(r["content"])
+             for r in synthetic_doc_audio(docs).collect()}
+    mk = lambda ids: spark.createDataFrame(
+        [(i, clips[i]) for i in ids], ["audio_id", "content"])
+
+    gate = PerceptualGate(spark, "pga_state", modality="audio",
+                          dups_dir=str(tmp_path / "dups"),
+                          id_col="audio_id", max_hamming=3,
+                          audit_partitions=1)
+    try:
+        gate._gate_batch(mk(["15:orig", "1:orig"]), epoch_id=0)
+        gate._gate_batch(mk(["15:vol", "15:b24"]), epoch_id=1)
+        assert {r["id"] for r in gate.accepted_ids().collect()} == {
+            "15:orig", "1:orig"}
+        # '15:b24' < '15:vol' ⇒ vol rejects internally against b24,
+        # then b24 rejects vs the corpus index
+        dups = {(r["id"], r["dup_of"]) for r in
+                gate.duplicates().collect()}
+        assert dups == {("15:vol", "15:b24"), ("15:b24", "15:orig")}
+    finally:
+        gate.stop()
+        spark.sql("DROP TABLE IF EXISTS pga_state_fp")
