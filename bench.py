@@ -272,6 +272,8 @@ HEADLINE = [
     "embedding_correlation_matrix",
     # r12: perceptual image near-dup (dHash + pigeonhole Hamming join)
     "image_dhash_neardup",
+    # r12: CC keepers over the perceptual pair graph
+    "image_dedup_keepers",
     # r12: bucket-grain CUSUM (the streamable drift-localization form)
     "events_cusum_bucketed",
     # r12: perceptual audio near-dup (spectral fingerprint + Hamming)

@@ -723,6 +723,17 @@ def event_transitions(events: DataFrame, ts_ms_col: str = "ts_ms",
              .filter(F.col("prev_type").isNotNull()))
     counts = (pairs.groupBy("prev_type", "event_type")
               .agg(F.count("*").alias("n_transitions")))
+    return transition_probs(counts)
+
+
+def transition_probs(counts: DataFrame) -> DataFrame:
+    """Row-normalize a (prev_type, event_type, n_transitions) count
+    table into the transition-matrix readout — the finisher SHARED by
+    batch ``event_transitions`` and the streaming maintainer
+    (``streaming/transitions.py``: per-epoch count deltas sum to the
+    identical integer table, so this one exact-int division makes the
+    two paths bit-identical — tested). Totals broadcast (≤ |types|
+    rows)."""
     totals = (counts.groupBy("prev_type")
               .agg(F.sum("n_transitions").alias("n_from")))
     return (counts.join(F.broadcast(totals), "prev_type")

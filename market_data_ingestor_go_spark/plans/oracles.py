@@ -3393,6 +3393,41 @@ FROM imgs a JOIN imgs b ON a.img_id < b.img_id
 WHERE bit_count(xor(a.dh, b.dh)) <= 2
 """
 
+# Canonical keepers over the perceptual pair graph: the
+# dedup_cluster_keepers recursive-CTE reachability fixpoint pointed at
+# the dHash pairs above. MIN over VARCHAR ids is byte-wise on both
+# engines (ASCII ids) ⇒ identical labels.
+EXTRA_ORACLES["image_dedup_keepers"] = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, sha256(text) AS h1, sha256(text || ':1') AS h2
+  FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT doc_id, ({_DHASH_BITS}) AS dh FROM d
+), imgs AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':orig' AS img_id, dh FROM h
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) || ':up2', dh FROM h WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) || ':b16', dh FROM h WHERE doc_id % 5 = 0
+), p AS (
+  SELECT a.img_id AS doc_a, b.img_id AS doc_b
+  FROM imgs a JOIN imgs b ON a.img_id < b.img_id
+  WHERE bit_count(xor(a.dh, b.dh)) <= 2
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+), reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+), comp AS (
+  SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+)
+SELECT cluster_id AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM comp GROUP BY 1
+"""
+
 
 # --- round-12 window rotation (EXECUTED, mirrors queries.py): all
 # twelve ROTATION_CANDIDATES_R11 promote into the driver window's

@@ -3046,6 +3046,35 @@ def image_dhash_neardup(spark, sf_dir):
                         F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def image_dedup_keepers(spark, sf_dir):
+    """Canonical-keeper selection over the PERCEPTUAL image pair graph
+    — the step a media dedup pipeline runs after image_dhash_neardup:
+    Hamming similarity is not transitive, so variant pairs merge into
+    keep-groups via connected components (operators/dedup.py::
+    neardup_clusters — min-label propagation / alternating star, the
+    dedup_cluster_keepers machinery over perceptual edges) and each
+    cluster reports its lexicographically-smallest keeper id + member
+    count. Oracle: the SAME recursive-CTE reachability fixpoint over
+    the nibble-derived dHash pairs. Cluster labels are MIN over STRING
+    ids — binary (byte-wise) comparison on both engines ⇒ bit-exact.
+    Scale: everything after the (already-linear) pair join is the CC
+    engine's per-round two equi-joins + partial-min — the 100 TB CC
+    recipe shared with the text path."""
+    from ..operators import multimodal as MM
+    from ..operators.dedup import neardup_clusters
+    d = _t(spark, sf_dir, "documents")
+    imgs = MM.synthetic_doc_images(d, "doc_id", "text")
+    pairs = (MM.image_neardup_pairs(imgs, "content", "img_id",
+                                    max_hamming=2, num_blocks=4)
+             .select(F.col("id_a").alias("doc_a"),
+                     F.col("id_b").alias("doc_b")))
+    clusters = neardup_clusters(pairs)
+    return (clusters.groupBy("cluster_id")
+            .agg(F.count("*").alias("n_members"))
+            .select(F.col("cluster_id").alias("keeper_id"),
+                    F.col("n_members").cast("bigint").alias("n_members")))
+
+
 def audio_afp_neardup(spark, sf_dir):
     """Perceptual AUDIO near-dup — the audio leg of the perceptual
     dedup family next to image_dhash_neardup: spectral-band-gradient
@@ -3340,6 +3369,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-12 additions: oracle-backed, queued in
     # ROTATION_CANDIDATES_R12 for their first external row next round.
     "image_dhash_neardup": image_dhash_neardup,
+    "image_dedup_keepers": image_dedup_keepers,
     "events_cusum_bucketed": events_cusum_bucketed,
     # rows-only by design (FFT not SQL-expressible; invariance +
     # recall tests pin correctness — the simhash/knn_ann precedent)
@@ -3539,6 +3569,7 @@ ROTATED_IN_R12: list[str] = list(ROTATION_CANDIDATES_R11)
 # in tests/test_parity.py).
 ROTATION_CANDIDATES_R12: list[str] = [
     "image_dhash_neardup",        # added r12, oracle added same commit
+    "image_dedup_keepers",        # added r12, oracle added same commit
     "events_cusum_bucketed",      # added r12, oracle added same commit
 ]
 

@@ -2832,3 +2832,45 @@ def test_perceptual_gate_audio_modality(spark, tmp_path):
     finally:
         gate.stop()
         spark.sql("DROP TABLE IF EXISTS pga_state_fp")
+
+
+def test_transition_maintainer_equals_batch_in_order(spark, tmp_path):
+    """Streaming Markov-transitions maintainer (r12): after in-order
+    (time-split) epochs the summed count deltas and the
+    transition_probs readout are BIT-identical to batch
+    event_transitions over the concatenated input, and a crash-replay
+    of the last epoch leaves both state tables unchanged."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        event_transitions)
+    from market_data_ingestor_go_spark.plans.queries import _events
+    from market_data_ingestor_go_spark.streaming.transitions import (
+        TransitionMaintainer)
+
+    events = _events(spark, "/root/testdata/sf0.001") \
+        .select("user_id", "ts_ms", "event_id", "event_type")
+    rows = sorted(events.collect(),
+                  key=lambda r: (r.ts_ms, r.event_id))
+    cut1, cut2 = len(rows) // 3, 2 * len(rows) // 3
+    mk = lambda part: spark.createDataFrame(
+        part, ["user_id", "ts_ms", "event_id", "event_type"])
+
+    tm = TransitionMaintainer(spark, "tmx_state")
+    try:
+        tm._gate_batch(mk(rows[:cut1]), epoch_id=0)
+        tm._gate_batch(mk(rows[cut1:cut2]), epoch_id=1)
+        tm._gate_batch(mk(rows[cut2:]), epoch_id=2)
+
+        got = sorted(map(tuple, tm.transitions().collect()))
+        want = sorted(map(tuple, event_transitions(events).collect()))
+        assert got == want
+
+        n_cnt = spark.table("tmx_state_cnt").count()
+        n_last = spark.table("tmx_state_last").count()
+        tm._gate_batch(mk(rows[cut2:]), epoch_id=2)  # crash-replay
+        assert spark.table("tmx_state_cnt").count() == n_cnt
+        assert spark.table("tmx_state_last").count() == n_last
+        assert sorted(map(tuple, tm.transitions().collect())) == want
+    finally:
+        tm.stop()
+        spark.sql("DROP TABLE IF EXISTS tmx_state_cnt")
+        spark.sql("DROP TABLE IF EXISTS tmx_state_last")
