@@ -278,6 +278,8 @@ HEADLINE = [
     "events_cusum_bucketed",
     # r12: perceptual audio near-dup (spectral fingerprint + Hamming)
     "audio_afp_neardup",
+    # r12: RFM user segmentation (quintile scores over exact ranks)
+    "events_rfm_segments",
 ]
 
 

@@ -3393,6 +3393,32 @@ FROM imgs a JOIN imgs b ON a.img_id < b.img_id
 WHERE bit_count(xor(a.dh, b.dh)) <= 2
 """
 
+# RFM segmentation (r12): quintile scores over total orders
+# (metric, user_id); NTILE's equal-bucket-remainder-first rule is
+# identical cross-engine; monetary ranks and sums on the exact
+# decimal, string-routed to double at the end.
+EXTRA_ORACLES["events_rfm_segments"] = """
+WITH pu AS (
+  SELECT user_id,
+         MAX(epoch_ms(ts) // 86400000) AS last_day,
+         COUNT(*) AS frequency,
+         SUM(CAST(value AS DECIMAL(27,6))) AS monetary_d
+  FROM events GROUP BY user_id),
+mx AS (SELECT MAX(last_day) AS corpus_day FROM pu),
+u AS (SELECT pu.*, (corpus_day - last_day) AS recency_days FROM pu, mx),
+s AS (
+  SELECT user_id, monetary_d,
+         NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_d ASC, user_id) AS m_score
+  FROM u)
+SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(monetary_d) AS VARCHAR) AS DOUBLE) AS sum_monetary
+FROM s GROUP BY 1
+"""
+
+
 # Canonical keepers over the perceptual pair graph: the
 # dedup_cluster_keepers recursive-CTE reachability fixpoint pointed at
 # the dHash pairs above. MIN over VARCHAR ids is byte-wise on both

@@ -3046,6 +3046,58 @@ def image_dhash_neardup(spark, sf_dir):
                         F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def events_rfm_segments(spark, sf_dir):
+    """RFM segmentation (Hughes 1994, the classic event-analytics
+    user scoring): per user — recency (days since last activity,
+    against the corpus max day), frequency (event count), monetary
+    (exact-decimal value sum) — each quintile-scored 1..5 (5 = most
+    recent / most frequent / highest value) and combined into the
+    3-digit segment code. → (user_id, recency_days, frequency,
+    monetary, r_score, f_score, m_score, segment), aggregated to one
+    row per segment (segment, n_users, sum_monetary) so the output is
+    segment-table-sized.
+
+    Determinism: every ntile orders by (metric, user_id) — a total
+    order, and NTILE's equal-bucket-with-remainder-first rule is
+    identical in Spark and DuckDB ⇒ bit-exact. Monetary ranks on the
+    exact DECIMAL (a double sum is fold-order-dependent).
+
+    Scale note: the per-user aggregate is one shuffle with map-side
+    combine; the GLOBAL ntile serializes |users| rows through one
+    task — at 100 TB swap exact ntile for approx-quantile boundaries
+    + scan-side assignment (the doc_length_buckets posture); this
+    exact form is that path's oracle-checkable ground truth."""
+    e = _events(spark, sf_dir)
+    per_user = (e.groupBy("user_id")
+                .agg(F.max(F.expr("ts_ms div 86400000")).alias("last_day"),
+                     F.count("*").alias("frequency"),
+                     F.sum(F.col("value").cast("decimal(27,6)"))
+                     .alias("monetary_d")))
+    max_day = per_user.agg(F.max("last_day").alias("corpus_day"))
+    u = (per_user.join(F.broadcast(max_day))
+         .withColumn("recency_days",
+                     (F.col("corpus_day") - F.col("last_day"))
+                     .cast("bigint")))
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(),
+                                       "user_id"))
+    f_ = F.ntile(5).over(Window.orderBy(F.col("frequency").asc(),
+                                        "user_id"))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary_d").asc(),
+                                       "user_id"))
+    scored = (u.withColumn("r_score", r)
+              .withColumn("f_score", f_)
+              .withColumn("m_score", m)
+              .withColumn("segment",
+                          (F.col("r_score") * 100 + F.col("f_score") * 10
+                           + F.col("m_score")).cast("bigint")))
+    return (scored.groupBy("segment")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum("monetary_d").cast("string").cast("double")
+                 .alias("sum_monetary"))
+            .select("segment", F.col("n_users").cast("bigint")
+                    .alias("n_users"), "sum_monetary"))
+
+
 def image_dedup_keepers(spark, sf_dir):
     """Canonical-keeper selection over the PERCEPTUAL image pair graph
     — the step a media dedup pipeline runs after image_dhash_neardup:
@@ -3371,6 +3423,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_dhash_neardup": image_dhash_neardup,
     "image_dedup_keepers": image_dedup_keepers,
     "events_cusum_bucketed": events_cusum_bucketed,
+    "events_rfm_segments": events_rfm_segments,
     # rows-only by design (FFT not SQL-expressible; invariance +
     # recall tests pin correctness — the simhash/knn_ann precedent)
     "audio_afp_neardup": audio_afp_neardup,
@@ -3571,6 +3624,7 @@ ROTATION_CANDIDATES_R12: list[str] = [
     "image_dhash_neardup",        # added r12, oracle added same commit
     "image_dedup_keepers",        # added r12, oracle added same commit
     "events_cusum_bucketed",      # added r12, oracle added same commit
+    "events_rfm_segments",        # added r12, oracle added same commit
 ]
 
 
