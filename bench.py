@@ -280,6 +280,8 @@ HEADLINE = [
     "audio_afp_neardup",
     # r12: RFM user segmentation (quintile scores over exact ranks)
     "events_rfm_segments",
+    # r12: video perceptual near-dup (frame dHash posting join)
+    "video_frame_neardup",
 ]
 
 

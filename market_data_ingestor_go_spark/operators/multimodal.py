@@ -43,6 +43,7 @@ from pyspark.sql import types as T
 from ..functions import (afp_minimal, dhash_minimal, gif_minimal,
                          jpeg_minimal, jpeg_progressive_minimal,
                          media_meta_minimal, png_minimal, wav_minimal)
+from .cache import pin
 
 # Ship the codecs BY VALUE inside every pickled kernel: the driver
 # may run from any cwd (the grading driver does), so python workers
@@ -353,6 +354,142 @@ def audio_neardup_pairs(df: DataFrame, binary_col: str = "content",
     sig = (audio_afp(df, binary_col, id_col)
            .filter(F.col("afp").isNotNull()))
     return hamming_pairs(sig, "audio_id", "afp", max_hamming, num_blocks)
+
+
+VIDEO_SIG_SCHEMA = T.StructType([
+    T.StructField("vid_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("dhash", T.LongType()),
+])
+
+
+def video_frame_signatures(df: DataFrame, binary_col: str = "content",
+                           id_col: str = "vid_id",
+                           every_nth: int = 1) -> DataFrame:
+    """Per-sampled-frame 64-bit dHash for animated-GIF clips →
+    (vid_id, frame_idx, dhash): REAL frame decode through the
+    from-scratch LZW decoder (``gif_frames``), luma-fold, dHash —
+    the frame-level signature table behind video perceptual dedup.
+    Undecodable/non-GIF blobs contribute ZERO rows (nothing to
+    compare; the clip simply cannot pair — the honest-NULL posture in
+    fan-out form). One Arrow pass; pixels never leave the kernel."""
+    is_gif = gif_minimal.is_gif
+    gif_frames = gif_minimal.gif_frames
+    luma_plane = dhash_minimal.luma_plane
+    dhash64 = dhash_minimal.dhash64
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid_id, blob in zip(pdf[id_col], pdf[binary_col]):
+                blob = bytes(blob) if blob is not None else b""
+                try:
+                    if not is_gif(blob):
+                        continue
+                    staged = []
+                    for idx, (w, h, ch, px) in enumerate(
+                            gif_frames(blob)):
+                        if idx % every_nth == 0:
+                            staged.append((vid_id, idx, dhash64(
+                                w, h, luma_plane(ch, px))))
+                    rows.extend(staged)  # corrupt mid-stream → 0 rows
+                except Exception:
+                    pass
+            yield pd.DataFrame(rows, columns=[
+                "vid_id", "frame_idx", "dhash"]).astype(
+                {"frame_idx": "int32", "dhash": "Int64"})
+
+    return (df.select(F.col(id_col).alias(id_col), binary_col)
+            .mapInPandas(kernel, VIDEO_SIG_SCHEMA))
+
+
+def video_neardup_pairs(df: DataFrame, binary_col: str = "content",
+                        id_col: str = "vid_id", every_nth: int = 1,
+                        min_shared: int = 3) -> DataFrame:
+    """Clip-level perceptual near-dup pairs → (id_a, id_b, n_shared):
+    two clips are near-dups when ≥ ``min_shared`` of their sampled
+    frames hash identically — the shared-fingerprint posting join
+    (the winnowing shape) over per-frame dHashes. Catches
+    re-encoded and frame-subsampled copies of one clip that byte
+    dedup sees as unrelated blobs. Scale: the join is an equi-join on
+    the 64-bit hash over DISTINCT (clip, hash) rows — clip count ×
+    frames-per-clip postings, never pixels."""
+    sig = (video_frame_signatures(df, binary_col, id_col, every_nth)
+           .select("vid_id", "dhash").distinct())
+    sig = pin(sig)
+    a = sig.select(F.col("vid_id").alias("id_a"),
+                   F.col("dhash").alias("dh"))
+    b = sig.select(F.col("vid_id").alias("id_b"),
+                   F.col("dhash").alias("dh"))
+    return (a.join(b, "dh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= F.lit(min_shared)))
+
+
+N_VIDEO_FRAMES = 6
+
+
+def synthetic_doc_videos(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic REAL animated-GIF corpus derived from a document
+    table — the oracle-shared fixture for video perceptual dedup
+    (``plans/queries.py::video_frame_neardup``). Per doc: a 6-frame
+    9×8 grayscale GIF whose frame-j pixels are ``64 + 8·nibble`` over
+    sha256(text ‖ ':fj') ‖ sha256(text ‖ ':fj:1') — per-frame dHashes
+    therefore derive in DuckDB from nibble comparisons while THIS
+    side earns them through real LZW encode → decode. Variants:
+    - ``{id}:sub2`` (doc_id % 3 == 0): every-2nd-frame subsample
+      (frames 0/2/4) — shares exactly 3 frame hashes with the
+      original;
+    - ``{id}:re``  (doc_id % 5 == 0): re-encode under a ROTATED
+      palette (identical decoded pixels, entirely different bytes) —
+      shares all 6.
+
+    The gray palette maps index i → (v,v,v) so integer Rec.601 luma
+    is exactly v: GIF round-trip is pixel-lossless by construction.
+    Emits (vid_id STRING, content BINARY) via mapInPandas."""
+    out_schema = T.StructType([
+        T.StructField("vid_id", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    encode = gif_minimal.gif_encode_animated
+    n_frames = N_VIDEO_FRAMES
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        gray = [(v, v, v) for v in range(256)]
+        rot = [((v + 16) % 256,) * 3 for v in range(256)]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = str(text).encode("utf-8")
+                frames = []
+                for j in range(n_frames):
+                    hx = (hashlib.sha256(b + f":f{j}".encode()).hexdigest()
+                          + hashlib.sha256(
+                              b + f":f{j}:1".encode()).hexdigest())
+                    frames.append([64 + int(ch, 16) * 8
+                                   for ch in hx[:72]])
+                doc_id = int(doc_id)
+                rows.append((f"{doc_id}:orig",
+                             encode(9, 8, gray, frames)))
+                if doc_id % 3 == 0:
+                    rows.append((f"{doc_id}:sub2",
+                                 encode(9, 8, gray, frames[::2])))
+                if doc_id % 5 == 0:
+                    # rotated palette: index (v-16)%256 renders value
+                    # v — same pixels, different container bytes
+                    rows.append((f"{doc_id}:re", encode(
+                        9, 8, rot,
+                        [[(v - 16) % 256 for v in fr]
+                         for fr in frames])))
+            yield pd.DataFrame(rows, columns=["vid_id", "content"])
+
+    return (df.select(id_col, text_col)
+            .filter(F.col(text_col).isNotNull())
+            .mapInPandas(kernel, out_schema))
 
 
 def synthetic_doc_audio(df: DataFrame, id_col: str = "doc_id",

@@ -798,6 +798,60 @@ def cusum_changepoint(df: DataFrame, key_col: str = "event_type",
                      / F.col("n").cast("double")).alias("cusum_mag")))
 
 
+def rfm_user_stats(events: DataFrame, user_col: str = "user_id",
+                   ts_ms_col: str = "ts_ms",
+                   value_col: str = "value") -> DataFrame:
+    """Per-user RFM sufficient statistics → (user_id, last_day,
+    frequency, monetary_d): last active day (max — idempotent), event
+    count (additive), exact-decimal value sum (additive). The SHARED
+    transform of batch ``events_rfm_segments`` and the streaming twin
+    (``streaming/sketches.py::streaming_rfm_stats``): every aggregate
+    is mergeable, so the streamed complete-mode state after any
+    micro-batch split is BIT-identical to this batch aggregate. One
+    map-side-combined shuffle; state is |users| rows."""
+    return (events.groupBy(F.col(user_col).alias("user_id"))
+            .agg(F.max(F.expr(f"{ts_ms_col} div 86400000"))
+                 .alias("last_day"),
+                 F.count("*").alias("frequency"),
+                 F.sum(F.col(value_col).cast("decimal(27,6)"))
+                 .alias("monetary_d")))
+
+
+def rfm_segments_from_stats(per_user: DataFrame) -> DataFrame:
+    """Quintile-score the RFM sufficient statistics and aggregate to
+    the (segment, n_users, sum_monetary) table — the finisher SHARED
+    by batch and streaming (pure function of the per-user stats, so
+    batch↔streaming readouts are bit-identical — tested). Every ntile
+    orders by (metric, user_id): a total order, and NTILE's
+    equal-bucket-remainder-first rule matches DuckDB's ⇒ bit-exact
+    cross-engine. The global ntile serializes |users| rows through
+    one task — at 100 TB swap for approx-quantile boundaries + a
+    scan-side assignment (the doc_length_buckets posture)."""
+    max_day = per_user.agg(F.max("last_day").alias("corpus_day"))
+    u = (per_user.join(F.broadcast(max_day))
+         .withColumn("recency_days",
+                     (F.col("corpus_day") - F.col("last_day"))
+                     .cast("bigint")))
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(),
+                                       "user_id"))
+    f_ = F.ntile(5).over(Window.orderBy(F.col("frequency").asc(),
+                                        "user_id"))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary_d").asc(),
+                                       "user_id"))
+    scored = (u.withColumn("r_score", r)
+              .withColumn("f_score", f_)
+              .withColumn("m_score", m)
+              .withColumn("segment",
+                          (F.col("r_score") * 100 + F.col("f_score") * 10
+                           + F.col("m_score")).cast("bigint")))
+    return (scored.groupBy("segment")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum("monetary_d").cast("string").cast("double")
+                 .alias("sum_monetary"))
+            .select("segment", F.col("n_users").cast("bigint")
+                    .alias("n_users"), "sum_monetary"))
+
+
 def cusum_bucket_stats(df: DataFrame, key_col: str = "event_type",
                        ts_ms_col: str = "ts_ms",
                        value_col: str = "value",

@@ -3361,18 +3361,26 @@ FROM m JOIN s ON m.k = s.k AND m.change_b = s.b
 # by construction (see operators/multimodal.py::synthetic_doc_images).
 # Exact 500-image self-join is the oracle-side ground truth; the
 # engine's pigeonhole join is complete for Hamming ≤ 3 ≥ the 2 asked.
-def _dhash_nib(p: int) -> str:
-    """1-based strpos of pixel p's hex nibble (the −1 cancels in >)."""
-    if p < 64:
-        return f"strpos('0123456789abcdef', substring(h1, {p + 1}, 1))"
-    return f"strpos('0123456789abcdef', substring(h2, {p - 63}, 1))"
+def _dhash_bits_expr(h1: str = "h1", h2: str = "h2") -> str:
+    """The 64-bit dHash as SQL over the 72 hex nibbles of two sha256
+    columns (the fixture's pixel law is 64+8·nibble, so pixel
+    comparisons reduce to nibble strpos comparisons — the −1 cancels
+    in >). Shared by the image fixture and the per-frame video
+    fixture (different digest columns per frame)."""
+    def nib(p: int) -> str:
+        if p < 64:
+            return (f"strpos('0123456789abcdef', "
+                    f"substring({h1}, {p + 1}, 1))")
+        return (f"strpos('0123456789abcdef', "
+                f"substring({h2}, {p - 63}, 1))")
+    return " + ".join(
+        f"CASE WHEN {nib(r * 9 + c)} > {nib(r * 9 + c + 1)} "
+        f"THEN CAST({-(1 << 63) if r * 8 + c == 63 else (1 << (r * 8 + c))} "
+        f"AS BIGINT) ELSE 0 END"
+        for r in range(8) for c in range(8))
 
 
-_DHASH_BITS = " + ".join(
-    f"CASE WHEN {_dhash_nib(r * 9 + c)} > {_dhash_nib(r * 9 + c + 1)} "
-    f"THEN CAST({-(1 << 63) if r * 8 + c == 63 else (1 << (r * 8 + c))} "
-    f"AS BIGINT) ELSE 0 END"
-    for r in range(8) for c in range(8))
+_DHASH_BITS = _dhash_bits_expr()
 
 EXTRA_ORACLES["image_dhash_neardup"] = f"""
 WITH d AS (
@@ -3416,6 +3424,41 @@ SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment,
        CAST(COUNT(*) AS BIGINT) AS n_users,
        CAST(CAST(SUM(monetary_d) AS VARCHAR) AS DOUBLE) AS sum_monetary
 FROM s GROUP BY 1
+"""
+
+
+# Video perceptual near-dup (r12): per-frame dHashes from the same
+# nibble law (frame j hashes sha256(text||':fj') / ':fj:1'), clips
+# join on shared frame hashes (>= 3) — the engine earns each hash
+# through real animated-GIF LZW encode -> decode; the rotated-palette
+# re-encode decodes to identical pixels so it shares all 6, the
+# every-2nd-frame subsample shares exactly 3.
+_VIDEO_FRAME_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {j} AS fi, ({_dhash_bits_expr()}) AS dh\n"
+    f"  FROM (SELECT doc_id, sha256(text || ':f{j}') AS h1,\n"
+    f"               sha256(text || ':f{j}:1') AS h2 FROM d)"
+    for j in range(6))
+
+EXTRA_ORACLES["video_frame_neardup"] = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+), fh AS (
+{_VIDEO_FRAME_SELECTS}
+), vids AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':orig' AS vid_id, dh FROM fh
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) || ':sub2', dh FROM fh
+  WHERE doc_id % 3 = 0 AND fi % 2 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) || ':re', dh FROM fh WHERE doc_id % 5 = 0
+), s AS (
+  SELECT DISTINCT vid_id, dh FROM vids
+)
+SELECT a.vid_id AS vid_a, b.vid_id AS vid_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM s a JOIN s b ON a.dh = b.dh AND a.vid_id < b.vid_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
 """
 
 

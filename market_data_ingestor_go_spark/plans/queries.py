@@ -3066,36 +3066,16 @@ def events_rfm_segments(spark, sf_dir):
     combine; the GLOBAL ntile serializes |users| rows through one
     task — at 100 TB swap exact ntile for approx-quantile boundaries
     + scan-side assignment (the doc_length_buckets posture); this
-    exact form is that path's oracle-checkable ground truth."""
+    exact form is that path's oracle-checkable ground truth.
+    Streaming twin: the per-user sufficient statistics (max day /
+    count / decimal sum — all mergeable) stream as
+    streaming/sketches.py::streaming_rfm_stats; the shared
+    rfm_segments_from_stats finisher makes the readouts bit-identical
+    (tested)."""
+    from ..operators.timeseries import (rfm_segments_from_stats,
+                                        rfm_user_stats)
     e = _events(spark, sf_dir)
-    per_user = (e.groupBy("user_id")
-                .agg(F.max(F.expr("ts_ms div 86400000")).alias("last_day"),
-                     F.count("*").alias("frequency"),
-                     F.sum(F.col("value").cast("decimal(27,6)"))
-                     .alias("monetary_d")))
-    max_day = per_user.agg(F.max("last_day").alias("corpus_day"))
-    u = (per_user.join(F.broadcast(max_day))
-         .withColumn("recency_days",
-                     (F.col("corpus_day") - F.col("last_day"))
-                     .cast("bigint")))
-    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(),
-                                       "user_id"))
-    f_ = F.ntile(5).over(Window.orderBy(F.col("frequency").asc(),
-                                        "user_id"))
-    m = F.ntile(5).over(Window.orderBy(F.col("monetary_d").asc(),
-                                       "user_id"))
-    scored = (u.withColumn("r_score", r)
-              .withColumn("f_score", f_)
-              .withColumn("m_score", m)
-              .withColumn("segment",
-                          (F.col("r_score") * 100 + F.col("f_score") * 10
-                           + F.col("m_score")).cast("bigint")))
-    return (scored.groupBy("segment")
-            .agg(F.count("*").alias("n_users"),
-                 F.sum("monetary_d").cast("string").cast("double")
-                 .alias("sum_monetary"))
-            .select("segment", F.col("n_users").cast("bigint")
-                    .alias("n_users"), "sum_monetary"))
+    return rfm_segments_from_stats(rfm_user_stats(e))
 
 
 def image_dedup_keepers(spark, sf_dir):
@@ -3125,6 +3105,34 @@ def image_dedup_keepers(spark, sf_dir):
             .agg(F.count("*").alias("n_members"))
             .select(F.col("cluster_id").alias("keeper_id"),
                     F.col("n_members").cast("bigint").alias("n_members")))
+
+
+def video_frame_neardup(spark, sf_dir):
+    """Perceptual VIDEO near-dup — the third perceptual modality next
+    to image_dhash_neardup and audio_afp_neardup: clips pair when ≥3
+    of their sampled frames dHash identically (the shared-fingerprint
+    posting join — the winnowing shape over per-frame hashes), which
+    catches frame-subsampled and re-encoded copies byte dedup can't
+    see. Fixture: deterministic 6-frame 9×8 grayscale animated GIFs
+    per doc (frame-j pixels from sha256(text‖':fj') nibbles) with an
+    every-2nd-frame subsample (doc_id%3==0, shares exactly 3 hashes)
+    and a rotated-palette re-encode (doc_id%5==0, identical pixels,
+    different bytes, shares all 6). The engine EARNS every frame hash
+    through REAL LZW encode → decode
+    (operators/multimodal.py::synthetic_doc_videos /
+    video_frame_signatures); the DuckDB oracle derives the same
+    per-frame 64-bit values from nibble comparisons and counts shared
+    hashes. All-integer ⇒ bit-exact. Scale: pixels touched once; the
+    pair join is an equi-join over DISTINCT (clip, hash) postings."""
+    from ..operators import multimodal as MM
+    d = _t(spark, sf_dir, "documents")
+    vids = MM.synthetic_doc_videos(d, "doc_id", "text")
+    pairs = MM.video_neardup_pairs(vids, "content", "vid_id",
+                                   every_nth=1, min_shared=3)
+    return pairs.select(F.col("id_a").alias("vid_a"),
+                        F.col("id_b").alias("vid_b"),
+                        F.col("n_shared").cast("bigint")
+                        .alias("n_shared"))
 
 
 def audio_afp_neardup(spark, sf_dir):
@@ -3424,6 +3432,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_dedup_keepers": image_dedup_keepers,
     "events_cusum_bucketed": events_cusum_bucketed,
     "events_rfm_segments": events_rfm_segments,
+    "video_frame_neardup": video_frame_neardup,
     # rows-only by design (FFT not SQL-expressible; invariance +
     # recall tests pin correctness — the simhash/knn_ann precedent)
     "audio_afp_neardup": audio_afp_neardup,
@@ -3625,6 +3634,7 @@ ROTATION_CANDIDATES_R12: list[str] = [
     "image_dedup_keepers",        # added r12, oracle added same commit
     "events_cusum_bucketed",      # added r12, oracle added same commit
     "events_rfm_segments",        # added r12, oracle added same commit
+    "video_frame_neardup",        # added r12, oracle added same commit
 ]
 
 

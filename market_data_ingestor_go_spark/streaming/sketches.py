@@ -207,6 +207,21 @@ def streaming_cusum_stats(stream: DataFrame,
                               bucket_ms)
 
 
+def streaming_rfm_stats(stream: DataFrame, user_col: str = "user_id",
+                        ts_ms_col: str = "ts_ms",
+                        value_col: str = "value") -> DataFrame:
+    """Per-user RFM sufficient statistics maintained FROM AN EVENT
+    STREAM — the transform is SHARED with the batch form
+    (``operators/timeseries.py::rfm_user_stats``: max day is
+    idempotent, count and exact-decimal sum are additive ⇒ streamed
+    complete-mode state after any micro-batch split is BIT-identical
+    to the batch aggregate), and the segment table finishes from the
+    sink at read time via ``rfm_segments_from_stats`` — continuous
+    user segmentation with |users|-row state."""
+    from ..operators.timeseries import rfm_user_stats
+    return rfm_user_stats(stream, user_col, ts_ms_col, value_col)
+
+
 def streaming_embedding_covariance(stream: DataFrame,
                                    vec_col: str = "embedding"):
     """Streaming twin of the embedding covariance: the two

@@ -3601,3 +3601,46 @@ def test_audio_afp_neardup_catches_what_byte_dedup_misses(spark):
              audio_neardup_pairs(clips.union(corrupt)).collect()}
     assert pairs == {("15:b24", "15:orig"), ("15:b24", "15:vol"),
                      ("15:orig", "15:vol")}
+
+
+def test_video_frame_neardup_catches_what_byte_dedup_misses(spark):
+    """The video hand case: a rotated-palette re-encode (identical
+    pixels, different bytes) shares all 6 frame hashes with the
+    original and an every-2nd-frame subsample shares exactly 3, while
+    byte dedup sees three unrelated blobs; a corrupt clip contributes
+    zero frame rows and never pairs."""
+    import hashlib
+
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        video_frame_signatures, video_neardup_pairs,
+        synthetic_doc_videos)
+
+    docs = spark.createDataFrame(
+        [(15, "the quick brown fox jumps over the lazy dog"),
+         (1, "an entirely different document body")],
+        ["doc_id", "text"])
+    vids = synthetic_doc_videos(docs)  # 15 -> orig+sub2+re, 1 -> orig
+    blobs = vids.collect()
+    assert {r["vid_id"] for r in blobs} == {
+        "15:orig", "15:sub2", "15:re", "1:orig"}
+    assert len({hashlib.sha256(bytes(r["content"])).hexdigest()
+                for r in blobs}) == 4
+
+    corrupt = spark.createDataFrame([("bad", b"GIF87a\x00")],
+                                    ["vid_id", "content"])
+    sigs = video_frame_signatures(vids.union(corrupt)).collect()
+    per_vid = {}
+    for r in sigs:
+        per_vid.setdefault(r["vid_id"], set()).add(r["dhash"])
+    assert "bad" not in per_vid
+    assert len(per_vid["15:orig"]) == 6
+    assert per_vid["15:re"] == per_vid["15:orig"]
+    assert per_vid["15:sub2"] < per_vid["15:orig"]
+    assert len(per_vid["15:sub2"]) == 3
+    assert per_vid["1:orig"].isdisjoint(per_vid["15:orig"])
+
+    pairs = {(r["id_a"], r["id_b"], r["n_shared"]) for r in
+             video_neardup_pairs(vids.union(corrupt)).collect()}
+    assert pairs == {("15:orig", "15:re", 6),
+                     ("15:re", "15:sub2", 3),
+                     ("15:orig", "15:sub2", 3)}

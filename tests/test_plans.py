@@ -574,11 +574,16 @@ def test_event_transitions_shapes(spark):
 
 
 def test_embedding_covariance_shapes(spark):
-    """embedding_covariance_matrix: pair products form IN-ROW — no
-    join pairs the corpus with itself (the only joins are d-row
-    broadcasts of the per-dim sums); scan pruned to the vector
-    column; no window."""
-    plan = _plan(ALL_QUERIES["embedding_covariance_matrix"](spark, SF))
+    """embedding_covariance: pair products form IN-ROW — no join
+    pairs the corpus with itself (the only joins are d-row broadcasts
+    of the per-dim sums); scan pruned to the vector column; no
+    window. Pinned on the OPERATOR: the fixture query serves the
+    one-pass family's memoized localCheckpoint (r12), whose truncated
+    plan is by design a bounded-RDD scan, not the corpus pass."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        embedding_covariance)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    plan = _plan(embedding_covariance(load_table(spark, SF, "embeddings")))
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert _scan_columns(plan, "embeddings") == {"embedding"}, plan
@@ -836,6 +841,17 @@ def test_audio_afp_pairs_block_local(spark):
     """audio_afp_neardup: same pigeonhole posture as the image leg —
     no cartesian/nested-loop pair formation, pruned documents scan."""
     df = ALL_QUERIES["audio_afp_neardup"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert _scan_columns(plan, "documents") <= {"doc_id", "text"}
+
+
+def test_video_frame_pairs_posting_join(spark):
+    """video_frame_neardup: clip pairs form via the hash posting
+    equi-join — no cartesian/nested-loop — over a pruned documents
+    scan."""
+    df = ALL_QUERIES["video_frame_neardup"](spark, SF)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan

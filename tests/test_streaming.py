@@ -2874,3 +2874,49 @@ def test_transition_maintainer_equals_batch_in_order(spark, tmp_path):
         tm.stop()
         spark.sql("DROP TABLE IF EXISTS tmx_state_cnt")
         spark.sql("DROP TABLE IF EXISTS tmx_state_last")
+
+
+def test_streaming_rfm_stats_equals_batch(spark, tmp_path):
+    """Streaming RFM twin (r12): the complete-mode per-user
+    (last_day, frequency, monetary) state is BIT-identical to the
+    batch rfm_user_stats aggregate after a 3-way micro-batch split
+    (max idempotent, count + decimal sum additive), and the shared
+    rfm_segments_from_stats finisher over the sink reproduces the
+    batch segment table row-for-row."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        rfm_segments_from_stats, rfm_user_stats)
+    from market_data_ingestor_go_spark.plans.queries import _events
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_rfm_stats)
+
+    events = _events(spark, "/root/testdata/sf0.001") \
+        .select("user_id", "ts_ms", "value")
+    src = str(tmp_path / "rfmsrc")
+    os.makedirs(src)
+    rows = events.collect()
+    for i, part in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in part:
+                fh.write(json.dumps({"user_id": r.user_id,
+                                     "ts_ms": r.ts_ms,
+                                     "value": r.value}) + "\n")
+
+    stream = (spark.readStream
+              .schema("user_id BIGINT, ts_ms BIGINT, value DOUBLE")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(streaming_rfm_stats(stream), "rfm_state",
+                          str(tmp_path / "c"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.table("rfm_state")
+    want_state = rfm_user_stats(events)
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, want_state.collect()))
+    got = sorted(map(tuple, rfm_segments_from_stats(state).collect()))
+    want = sorted(map(tuple,
+                      rfm_segments_from_stats(want_state).collect()))
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS rfm_state")
