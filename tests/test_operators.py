@@ -3644,3 +3644,74 @@ def test_video_frame_neardup_catches_what_byte_dedup_misses(spark):
     assert pairs == {("15:orig", "15:re", 6),
                      ("15:re", "15:sub2", 3),
                      ("15:orig", "15:sub2", 3)}
+
+
+def test_dhash_invariance_properties():
+    """Property tests (hypothesis) for the dHash invariance claims on
+    ARBITRARY images, not just the sha256-derived fixtures: for any
+    9×8 luma buffer, (a) any integer-ratio nearest-neighbor upscale
+    hashes identically (the box average recovers the grid), and
+    (b) any global brightness shift that stays within [0, 255]
+    flips no bit; (c) hashes round-trip the signed-BIGINT encoding."""
+    from hypothesis import given, settings, strategies as st
+
+    from market_data_ingestor_go_spark.functions.dhash_minimal import (
+        dhash64)
+    from market_data_ingestor_go_spark.functions.png_minimal import (
+        resize_nearest)
+
+    @settings(max_examples=40, deadline=None)
+    @given(px=st.lists(st.integers(16, 223), min_size=72, max_size=72),
+           k=st.integers(2, 4),
+           shift=st.integers(-16, 32))
+    def run(px, k, shift):
+        base = bytes(px)
+        h0 = dhash64(9, 8, base)
+        assert -(1 << 63) <= h0 < (1 << 63)
+        up = resize_nearest(9, 8, 1, base, 9 * k, 8 * k)
+        assert dhash64(9 * k, 8 * k, up) == h0
+        if all(0 <= p + shift <= 255 for p in px):
+            assert dhash64(9, 8, bytes(p + shift for p in px)) == h0
+
+    run()
+
+
+def test_equi_depth_scale_path_tracks_exact_ntile(spark):
+    """The approx-quantile + scan-side-assignment bucketing (the
+    100 TB swap the doc_length_buckets docstring promises) tracks the
+    exact ntile: with exact ranks (relative_error=0) every bucket's
+    size is within the boundary-tie slack of N/n, assignment is
+    monotone in the value, and the assignment plan is MAP-ONLY (no
+    exchange, no window)."""
+    from market_data_ingestor_go_spark.functions.text import token_count
+    from market_data_ingestor_go_spark.operators.training import (
+        assign_equi_depth_buckets, equi_depth_boundaries)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", token_count("text").cast("double")
+                .alias("n_tok"))
+    n_buckets = 8
+    bounds = equi_depth_boundaries(d, "n_tok", n_buckets, 0.0)
+    assert len(bounds) == n_buckets - 1
+    assert bounds == sorted(bounds)
+
+    assigned = assign_equi_depth_buckets(d, "n_tok", bounds)
+    rows = assigned.collect()
+    n = len(rows)
+    from collections import Counter
+    sizes = Counter(r["bucket"] for r in rows)
+    assert set(sizes) <= set(range(1, n_buckets + 1))
+    # ties at a boundary all fall one side, so a bucket can deviate
+    # from N/n by at most the largest tie group crossing a boundary
+    max_tie = Counter(r["n_tok"] for r in rows).most_common(1)[0][1]
+    for b in range(1, n_buckets + 1):
+        assert abs(sizes.get(b, 0) - n / n_buckets) <= max_tie + 1
+    # monotone: sort by value — bucket ids must be non-decreasing
+    by_val = sorted(rows, key=lambda r: r["n_tok"])
+    assert all(a["bucket"] <= b["bucket"]
+               for a, b in zip(by_val, by_val[1:]))
+    # map-only assignment
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "windowspecdefinition" not in plan
