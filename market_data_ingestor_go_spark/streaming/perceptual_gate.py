@@ -48,7 +48,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .audit import audit_layout
-from ..operators.multimodal import audio_afp, image_dhash
+from ..operators.multimodal import (audio_afp, image_dhash,
+                                    video_frame_signatures)
 
 _SIGNERS = {
     "image": (image_dhash, "img_id", "dhash"),
@@ -223,6 +224,156 @@ class PerceptualGate:
         return {"perceptual_gate_blobs_seen": self.blobs_seen,
                 "perceptual_gate_blobs_accepted": self.blobs_accepted,
                 "perceptual_gate_blobs_rejected": self.blobs_rejected}
+
+    def stop(self) -> None:
+        for q in self.queries:
+            q.stop()
+
+
+@dataclass
+class VideoGate:
+    """foreachBatch perceptual dedup for CLIPS: a clip is a SET of
+    frame dHashes, so duplicate identity is "≥ ``min_shared`` frames
+    hash identically against one accepted clip" — the posting-count
+    criterion of ``video_neardup_pairs``, applied at the door. Same
+    epoch-idempotent state/audit/replay contract as PerceptualGate,
+    with a posting-shaped state table:
+
+    - ``<table>_fp``   : (id, fp, epoch) — DISTINCT frame hashes of
+      accepted clips, bucketed by ``fp`` so the per-batch probe is a
+      broadcast equi-join into the bucketed store;
+    - ``<table>_dups`` : (id, dup_of, n_shared, epoch) — each
+      rejected clip's closest accepted twin (max shared frames, then
+      min id).
+
+    Undecodable/non-GIF clips contribute zero frame rows and are
+    accepted-but-unindexed (the honest-NULL posture in fan-out form).
+    """
+
+    spark: SparkSession
+    base_table: str
+    dups_dir: str | None = None
+    binary_col: str = "content"
+    id_col: str = "vid_id"
+    every_nth: int = 1
+    min_shared: int = 3
+    n_buckets: int = 16
+    trigger_seconds: int = 2
+    audit_partitions: int | None = None
+    clips_seen: int = 0
+    clips_accepted: int = 0
+    clips_rejected: int = 0
+    queries: list = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.min_shared < 1:
+            raise ValueError("min_shared must be >= 1")
+
+    @property
+    def fp_table(self) -> str:
+        return f"{self.base_table}_fp"
+
+    @property
+    def dups_path(self) -> str:
+        return self.dups_dir or f"{self.base_table}_dups"
+
+    def _write_state(self, rows: DataFrame, epoch_id: int) -> None:
+        rows.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        rows = rows.withColumn("epoch", F.lit(int(epoch_id)))
+        if not self.spark.catalog.tableExists(self.fp_table):
+            (rows.write.mode("overwrite").partitionBy("epoch")
+             .bucketBy(self.n_buckets, "fp").sortBy("fp")
+             .saveAsTable(self.fp_table))
+        else:
+            rows.write.insertInto(self.fp_table, overwrite=True)
+
+    def _gate_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        self.clips_seen += batch.count()
+        sig = (video_frame_signatures(batch, self.binary_col,
+                                      self.id_col, self.every_nth)
+               .select(F.col("vid_id").alias("id"),
+                       F.col("dhash").alias("fp"))
+               .distinct().localCheckpoint(eager=True))
+        all_ids = (batch.select(F.col(self.id_col).alias("id"))
+                   .distinct().localCheckpoint(eager=True))
+
+        # 1) batch-internal: shared-posting pairs within the batch,
+        # reject the larger id of each qualifying pair
+        a = sig.select(F.col("id").alias("a_id"), "fp")
+        b = sig.select(F.col("id").alias("b_id"), "fp")
+        internal = (a.join(b, "fp")
+                    .filter(F.col("a_id") < F.col("b_id"))
+                    .groupBy(F.col("b_id").alias("id"),
+                             F.col("a_id").alias("dup_of"))
+                    .agg(F.count("*").alias("n_shared"))
+                    .filter(F.col("n_shared") >= F.lit(self.min_shared))
+                    .groupBy("id")
+                    .agg(F.min_by("dup_of", F.struct(
+                        (-F.col("n_shared")).alias("ns"),
+                        F.col("dup_of").alias("t"))).alias("dup_of"),
+                        F.max("n_shared").alias("n_shared"))).persist()
+        keepers = sig.join(internal.select("id"), "id", "left_anti")
+
+        # 2) vs-corpus: batch postings broadcast-probe the bucketed
+        # store, excluding THIS epoch's partitions (replay contract)
+        corpus = None
+        if self.spark.catalog.tableExists(self.fp_table):
+            not_self = F.col("epoch") != F.lit(int(epoch_id))
+            idx = self.spark.table(self.fp_table).filter(not_self)
+            kb = keepers.select(F.col("id").alias("a_id"), "fp")
+            corpus = (F.broadcast(kb)
+                      .join(idx, "fp")
+                      .groupBy(F.col("a_id").alias("id"),
+                               F.col("id").alias("dup_of"))
+                      .agg(F.count("*").alias("n_shared"))
+                      .filter(F.col("n_shared")
+                              >= F.lit(self.min_shared))
+                      .groupBy("id")
+                      .agg(F.min_by("dup_of", F.struct(
+                          (-F.col("n_shared")).alias("ns"),
+                          F.col("dup_of").alias("t"))).alias("dup_of"),
+                          F.max("n_shared").alias("n_shared"))).persist()
+            accepted = keepers.join(corpus.select("id"), "id",
+                                    "left_anti")
+        else:
+            accepted = keepers
+
+        accepted_rows = accepted.localCheckpoint(eager=True)
+
+        dups = internal if corpus is None else internal.unionByName(corpus)
+        epoch_dir = os.path.join(self.dups_path, f"epoch={int(epoch_id)}")
+        audit_layout(dups, self.audit_partitions) \
+            .write.mode("overwrite").parquet(epoch_dir)
+        n_rejected = dups.count()
+        self.clips_rejected += n_rejected
+        self.clips_accepted += all_ids.count() - n_rejected
+
+        self._write_state(accepted_rows, epoch_id)
+        internal.unpersist()
+        if corpus is not None:
+            corpus.unpersist()
+
+    def attach(self, clip_stream: DataFrame, checkpoint_dir: str):
+        q = (clip_stream.writeStream
+             .foreachBatch(self._gate_batch)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(processingTime=f"{self.trigger_seconds} seconds")
+             .start())
+        self.queries.append(q)
+        return q
+
+    def duplicates(self) -> DataFrame:
+        df = self.spark.read.parquet(self.dups_path)
+        return df.drop("epoch") if "epoch" in df.columns else df
+
+    def accepted_ids(self) -> DataFrame:
+        return self.spark.table(self.fp_table).select("id").distinct()
+
+    def metrics(self) -> dict:
+        return {"video_gate_clips_seen": self.clips_seen,
+                "video_gate_clips_accepted": self.clips_accepted,
+                "video_gate_clips_rejected": self.clips_rejected}
 
     def stop(self) -> None:
         for q in self.queries:

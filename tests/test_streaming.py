@@ -2920,3 +2920,57 @@ def test_streaming_rfm_stats_equals_batch(spark, tmp_path):
                       rfm_segments_from_stats(want_state).collect()))
     assert got == want
     spark.sql("DROP TABLE IF EXISTS rfm_state")
+
+
+def test_video_gate_dedups_across_batches(spark, tmp_path):
+    """VideoGate (r12): a rotated-palette re-encode and an
+    every-2nd-frame subsample of an ACCEPTED clip arriving in a later
+    micro-batch reject against the frame-hash posting store (dup_of =
+    the accepted original, n_shared = 6 and 3), a corrupt clip is
+    accepted-but-unindexed, and replaying the epoch leaves state and
+    audit unchanged."""
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        synthetic_doc_videos)
+    from market_data_ingestor_go_spark.streaming.perceptual_gate import (
+        VideoGate)
+
+    docs = spark.createDataFrame(
+        [(15, "the quick brown fox jumps over the lazy dog"),
+         (1, "an entirely different document body")],
+        ["doc_id", "text"])
+    vids = {r["vid_id"]: bytes(r["content"])
+            for r in synthetic_doc_videos(docs).collect()}
+    mk = lambda ids: spark.createDataFrame(
+        [(i, vids[i]) for i in ids], ["vid_id", "content"])
+
+    gate = VideoGate(spark, "vg_state", dups_dir=str(tmp_path / "dups"),
+                     audit_partitions=1)
+    try:
+        gate._gate_batch(mk(["15:orig", "1:orig"]), epoch_id=0)
+        b2 = mk(["15:re", "15:sub2"]).union(
+            spark.createDataFrame([("bad", b"GIF87a\x00")],
+                                  ["vid_id", "content"]))
+        gate._gate_batch(b2, epoch_id=1)
+
+        assert {r["id"] for r in gate.accepted_ids().collect()} == {
+            "15:orig", "1:orig"}
+        # '15:re' pairs with its in-batch sibling first ('15:re' <
+        # '15:sub2' shares 3 frames) — but both ALSO hit the corpus;
+        # corpus check runs on internal keepers only, so sub2 rejects
+        # internally against re (3 shared) and re rejects vs corpus
+        dups = {(r["id"], r["dup_of"], r["n_shared"]) for r in
+                gate.duplicates().collect()}
+        assert dups == {("15:sub2", "15:re", 3),
+                        ("15:re", "15:orig", 6)}
+        assert gate.clips_rejected == 2
+        assert gate.clips_accepted == 3  # 15:orig, 1:orig, bad
+
+        n_fp = spark.table("vg_state_fp").count()
+        gate._gate_batch(b2, epoch_id=1)  # crash-replay
+        assert spark.table("vg_state_fp").count() == n_fp
+        assert {(r["id"], r["dup_of"]) for r in
+                gate.duplicates().collect()} == {
+            ("15:sub2", "15:re"), ("15:re", "15:orig")}
+    finally:
+        gate.stop()
+        spark.sql("DROP TABLE IF EXISTS vg_state_fp")
