@@ -44,6 +44,7 @@ from ..functions import (afp_minimal, dhash_minimal, gif_minimal,
                          jpeg_minimal, jpeg_progressive_minimal,
                          media_meta_minimal, png_minimal, wav_minimal)
 from .cache import pin
+from .partitioning import spread
 
 # Ship the codecs BY VALUE inside every pickled kernel: the driver
 # may run from any cwd (the grading driver does), so python workers
@@ -487,8 +488,14 @@ def synthetic_doc_videos(df: DataFrame, id_col: str = "doc_id",
                          for fr in frames])))
             yield pd.DataFrame(rows, columns=["vid_id", "content"])
 
-    return (df.select(id_col, text_col)
-            .filter(F.col(text_col).isNotNull())
+    # spread BEFORE the kernel: the (id, text) projection of a small
+    # dimension scan arrives in 1-3 partitions, which would serialize
+    # the whole synth+codec pass on as many cores (measured: 8.7 s of
+    # an 11.4 s audio fixture on ONE core at sf0.1) — the fuzzy-join
+    # probe-side lesson applied to media kernels; downstream
+    # signature kernels inherit the spread partitioning for free
+    return (spread(df.select(id_col, text_col)
+                   .filter(F.col(text_col).isNotNull()))
             .mapInPandas(kernel, out_schema))
 
 
@@ -556,8 +563,14 @@ def synthetic_doc_audio(df: DataFrame, id_col: str = "doc_id",
                         rate, 1, 24, [s << 8 for s in s16])))
             yield pd.DataFrame(rows, columns=["audio_id", "content"])
 
-    return (df.select(id_col, text_col)
-            .filter(F.col(text_col).isNotNull())
+    # spread BEFORE the kernel: the (id, text) projection of a small
+    # dimension scan arrives in 1-3 partitions, which would serialize
+    # the whole synth+codec pass on as many cores (measured: 8.7 s of
+    # an 11.4 s audio fixture on ONE core at sf0.1) — the fuzzy-join
+    # probe-side lesson applied to media kernels; downstream
+    # signature kernels inherit the spread partitioning for free
+    return (spread(df.select(id_col, text_col)
+                   .filter(F.col(text_col).isNotNull()))
             .mapInPandas(kernel, out_schema))
 
 
@@ -610,8 +623,14 @@ def synthetic_doc_images(df: DataFrame, id_col: str = "doc_id",
                         9, 8, 1, bytes(p + 16 for p in px))))
             yield pd.DataFrame(rows, columns=["img_id", "content"])
 
-    return (df.select(id_col, text_col)
-            .filter(F.col(text_col).isNotNull())
+    # spread BEFORE the kernel: the (id, text) projection of a small
+    # dimension scan arrives in 1-3 partitions, which would serialize
+    # the whole synth+codec pass on as many cores (measured: 8.7 s of
+    # an 11.4 s audio fixture on ONE core at sf0.1) — the fuzzy-join
+    # probe-side lesson applied to media kernels; downstream
+    # signature kernels inherit the spread partitioning for free
+    return (spread(df.select(id_col, text_col)
+                   .filter(F.col(text_col).isNotNull()))
             .mapInPandas(kernel, out_schema))
 
 
