@@ -10,8 +10,9 @@ candidates ≈ n·4/2^16-bucket collisions + true near-dups, so work
 grows ~linearly while the brute-force scan grows quadratically.
 
 Measured here per corpus size n (deterministic synthetic dHashes —
-xxhash64-derived 64-bit values with a planted 10% duplicate-variant
-rate, built with pure Column expressions):
+xxhash64-derived 64-bit values arranged in 10-row variant GROUPS:
+rows sharing id div 10 differ by 0-2 planted low bits, so every row
+has ~9 true near-dup partners; built with pure Column expressions):
 
 - pigeonhole: hamming_pairs (the production path);
 - brute: the exact all-pairs bit_count(xor) scan;
@@ -62,9 +63,15 @@ def main():
     sizes = [int(s) for s in sys.argv[1:]] or [1000, 2000, 4000, 8000]
     spark = get_spark("perceptual-crossover", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    # warm BOTH engines once at tiny size so neither measured run
+    # pays one-time codegen/plan-setup cost (r12 review catch: the
+    # first draft claimed this warm-up but never ran it, charging
+    # codegen to whichever engine ran first)
+    warm = synthetic_sigs(spark, 200).localCheckpoint(eager=True)
+    hamming_pairs(warm, "id", "sig", 3, 4).count()
+    brute_pairs(warm).count()
     for n in sizes:
         sig = synthetic_sigs(spark, n).localCheckpoint(eager=True)
-        # warm both paths once at tiny size to pay codegen
         results = {}
         for name, fn in (("pigeonhole",
                           lambda: hamming_pairs(sig, "id", "sig", 3, 4)),

@@ -434,11 +434,14 @@ def chi2_value_drift(df: DataFrame, value_col: str = "n_chars",
     partial-combine shuffle; bins are value-range/bin_width — tiny);
     everything downstream is bin-table-sized, the spine broadcast.
     """
-    # exact integer FLOOR division, NOT bare `div` (truncates toward
-    # zero) and NOT double-divide + cast (truncates in Spark, rounds
-    # in DuckDB): DuckDB's `//` floors, so a negative-valued column
-    # would bin differently under `div` (Spark would merge
-    # -bin_width+1..bin_width-1 into bin 0). floor(x/w) for w > 0 is
+    # exact integer FLOOR division — the deliberate binning contract:
+    # bare `div` would merge -bin_width+1..bin_width-1 into one bin 0
+    # twice as wide as every other. NOTE (r12, verified on duckdb
+    # 1.0.0): DuckDB's `//` TRUNCATES toward zero exactly like
+    # Spark's `div` (-7 // 2 = -3), so an oracle must apply the SAME
+    # remainder correction below — a bare `//` oracle silently
+    # truncates and diverges on negatives (engine-vs-engine pinned by
+    # test_chi2_negative_bins_match_duckdb). floor(x/w) for w > 0 is
     # x div w minus 1 when the truncated remainder is negative.
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")

@@ -868,10 +868,18 @@ def cusum_bucket_stats(df: DataFrame, key_col: str = "event_type",
     if bucket_ms <= 0:
         raise ValueError(f"bucket_ms must be positive (got {bucket_ms})")
     v = F.col(value_col).cast("decimal(27,6)")
-    # floor-divide (not `div`, which truncates toward zero) so a
-    # pre-epoch timestamp lands in the same bucket on any engine —
-    # the chi2_value_drift ADVICE lesson, applied at birth here
-    b = F.floor(F.col(ts_ms_col) / F.lit(bucket_ms)) * bucket_ms
+    # EXACT integer floor division (the chi2_value_drift remainder
+    # device) — floor is the bucketing contract so a pre-epoch
+    # timestamp gets its own bucket instead of widening bucket 0.
+    # Two traps verified r12: Spark `div` AND DuckDB `//` both
+    # truncate toward zero (duckdb 1.0.0: -7 // 2 = -3), and
+    # F.floor(col/lit) routes through a DOUBLE division (inexact past
+    # 2^53 — the winnowing ADVICE class), so both sides floor via
+    # div + negative-remainder correction (engine-vs-engine pinned by
+    # test_cusum_bucket_negative_ts_matches_duckdb).
+    _q = F.expr(f"cast({ts_ms_col} as bigint) div {bucket_ms}")
+    _r = F.expr(f"cast({ts_ms_col} as bigint) % {bucket_ms}")
+    b = (F.when(_r < 0, _q - 1).otherwise(_q)) * bucket_ms
     return (df.select(F.col(key_col).alias("k"),
                       b.cast("bigint").alias("b"), v.alias("v"))
             .groupBy("k", "b")

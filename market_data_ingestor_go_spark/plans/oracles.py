@@ -2956,7 +2956,13 @@ FROM tw LEFT JOIN agg ON tw.doc_id = agg.doc_id
 # truncates in Spark).
 EXTRA_ORACLES["source_chi2_drift"] = """
 WITH counts AS (
-  SELECT source AS g, CAST(n_chars AS BIGINT) // 50 AS bin,
+  SELECT source AS g,
+         -- exact integer FLOOR (DuckDB `//` truncates like Spark
+         -- `div`; n_chars >= 0 here, correction kept so the oracle
+         -- states the engine's actual binning law)
+         CAST(n_chars AS BIGINT) // 50
+         - CASE WHEN CAST(n_chars AS BIGINT) % 50 < 0
+                THEN 1 ELSE 0 END AS bin,
          COUNT(*) AS c
   FROM documents GROUP BY g, bin
 ), totals AS (
@@ -3313,12 +3319,17 @@ FROM cov c JOIN diag vi ON c.dim_i = vi.d_
 # Bucket-grain CUSUM (r12): the streamable form of
 # events_cusum_changepoint — identical decimal algebra evaluated only
 # at hourly bucket END boundaries, change point reported as the START
-# ms of the argmax bucket (ties -> earliest bucket). `//` floors in
-# DuckDB exactly like the query's F.floor (the chi2 ADVICE lesson).
+# ms of the argmax bucket (ties -> earliest bucket). Bucketing is
+# exact integer FLOOR division: DuckDB's `//` TRUNCATES toward zero
+# (verified, duckdb 1.0.0) exactly like Spark's `div`, so BOTH sides
+# apply the negative-remainder correction — a bare `//` here would
+# silently diverge from the engine on pre-epoch timestamps.
 EXTRA_ORACLES["events_cusum_bucketed"] = """
 WITH d AS (
   SELECT event_type AS k,
-         (epoch_ms(ts) // 3600000) * 3600000 AS b,
+         (epoch_ms(ts) // 3600000
+          - CASE WHEN epoch_ms(ts) % 3600000 < 0 THEN 1 ELSE 0 END)
+         * 3600000 AS b,
          CAST(value AS DECIMAL(27,6)) AS v
   FROM events),
 g AS (

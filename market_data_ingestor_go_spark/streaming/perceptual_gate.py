@@ -84,6 +84,9 @@ class PerceptualGate:
         if self.modality not in _SIGNERS:
             raise ValueError(f"unknown modality {self.modality!r} "
                              f"(expected one of {sorted(_SIGNERS)})")
+        # mirrors hamming_pairs' runtime guard, surfaced at
+        # CONSTRUCTION so a misconfigured gate fails before its first
+        # micro-batch rather than inside foreachBatch
         if self.max_hamming > self.num_blocks - 1:
             raise ValueError("pigeonhole completeness needs "
                              "max_hamming <= num_blocks-1")
@@ -133,19 +136,16 @@ class PerceptualGate:
         decodable = sig.filter(F.col("fp").isNotNull())
         undecodable = sig.filter(F.col("fp").isNull())
 
-        # 1) batch-internal dedup: pigeonhole pairs WITHIN the batch,
-        # reject the larger id of each pair (min-id keeper). The
-        # batch is small; the block join keeps even this side linear.
-        blocks = self._block_rows(decodable)
-        a, b = blocks.alias("a"), blocks.alias("b")
-        ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-        internal = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
-                           & (F.col("a.bv") == F.col("b.bv"))
-                           & (F.col("a.id") < F.col("b.id")))
-                    .select(F.col("b.id").alias("id"),
-                            F.col("a.id").alias("dup_of"),
-                            ham.alias("hamming"))
-                    .filter(F.col("hamming") <= F.lit(self.max_hamming))
+        # 1) batch-internal dedup: the SHARED pigeonhole machinery
+        # (operators/dedup.py::hamming_pairs — the factoring this
+        # round introduced exists precisely so this logic has ONE
+        # copy), rejecting the larger id of each pair (min-id keeper)
+        from ..operators.dedup import hamming_pairs
+        pairs = hamming_pairs(decodable, "id", "fp",
+                              self.max_hamming, self.num_blocks)
+        internal = (pairs
+                    .select(F.col("id_b").alias("id"),
+                            F.col("id_a").alias("dup_of"), "hamming")
                     .groupBy("id")
                     .agg(F.min_by("dup_of", F.struct(
                         F.col("hamming").alias("h"),

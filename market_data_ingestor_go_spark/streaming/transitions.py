@@ -32,10 +32,16 @@ earlier epoch's last event for that user. Watermarked/ordered ingest
 arrival changes which pairs are counted (exactly like the reference's
 arrival-order latest-state semantics, SURVEY.md §2.5).
 
-Scale posture: state is |users| + |types|²·epochs narrow rows; the
-per-batch exchange is one user-keyed lag window over (batch + touched
-users' last rows) — never the accumulated stream; count deltas
-collapse map-side to ≤ |types|² rows.
+Scale posture: the per-batch exchange is one user-keyed lag window
+over (batch + touched users' last rows) — never the accumulated
+stream; count deltas collapse map-side to ≤ |types|² rows. The state
+tables accumulate one partition per epoch (pointer rows for touched
+users; count deltas), so an UNCOMPACTED stream's last-table holds
+O(epochs × touched-users) rows and ``_prior_last`` re-aggregates all
+of them — call ``compact(upto_epoch)`` periodically (any epoch the
+checkpoint has committed) to fold history into one partition; after
+compaction the readback is |users| + |types|² + rows-since-compaction
+(r12 review catch: the un-compacted growth was undocumented).
 """
 
 from __future__ import annotations
@@ -142,6 +148,44 @@ class TransitionMaintainer:
             delta.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0])
         self._write(delta, self.cnt_table, epoch_id)
         self._write(new_last, self.last_table, epoch_id)
+
+    def compact(self, upto_epoch: int) -> None:
+        """Fold every state partition with epoch ≤ ``upto_epoch``
+        into ONE partition labeled ``upto_epoch`` (per-user (ts,
+        id)-max pointers; per-(prev, cur) summed count deltas), then
+        rewrite each table as that fold plus the untouched newer
+        partitions — the read-union-overwrite MERGE stand-in
+        (SCALING.md: Delta absent).
+
+        CALLER CONTRACT (replay safety): only compact epochs the
+        stream's checkpoint has committed. A replay of e >
+        ``upto_epoch`` still probes the folded rows correctly (their
+        label ``upto_epoch`` < e); a replay of a folded epoch would
+        see its own contribution, which the commit makes impossible.
+        """
+        upto = int(upto_epoch)
+        for table, fold in (
+            (self.last_table, lambda t: (
+                t.groupBy("u")
+                .agg(F.max(F.struct("ts_ms", "event_id",
+                                    "event_type")).alias("m"))
+                .select("u", F.col("m.ts_ms").alias("ts_ms"),
+                        F.col("m.event_id").alias("event_id"),
+                        F.col("m.event_type").alias("event_type")))),
+            (self.cnt_table, lambda t: (
+                t.groupBy("prev_type", "event_type")
+                .agg(F.sum("n").alias("n")))),
+        ):
+            if not self.spark.catalog.tableExists(table):
+                continue
+            cur = self.spark.table(table)
+            folded = (fold(cur.filter(F.col("epoch") <= F.lit(upto)))
+                      .withColumn("epoch", F.lit(upto)))
+            newer = cur.filter(F.col("epoch") > F.lit(upto))
+            merged = folded.unionByName(newer) \
+                .localCheckpoint(eager=True)
+            (merged.write.mode("overwrite").partitionBy("epoch")
+             .saveAsTable(table))
 
     def attach(self, event_stream: DataFrame, checkpoint_dir: str):
         q = (event_stream.writeStream

@@ -611,3 +611,49 @@ def test_pmi_decimal_headroom_guard(spark):
     # one past the bound (t_uni = bound + 2): the guard raises
     with pytest.raises(Exception, match="headroom"):
         run(PMI_MAX_TOTAL_TOKENS // 2 + 1)
+
+
+def test_chi2_negative_bins_match_duckdb(spark):
+    """Engine-vs-engine (not engine-vs-Python-twin): the chi2 binning
+    law over NEGATIVE values must agree with a DuckDB oracle written
+    with the documented `//` + negative-remainder correction — pinned
+    because duckdb 1.0.0's `//` TRUNCATES toward zero (-7 // 2 = -3),
+    same as Spark's `div`, so floor exists on neither side for free
+    (the r12 review catch that inverted the r11 ADVICE claim)."""
+    import duckdb
+    import pandas as pd
+
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        chi2_value_drift)
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"] * 6,
+        "v": [-101, -50, -49, -1, 0, 49, -101, -100, -99, 1, 50, 99],
+    })
+    got = sorted(map(tuple, chi2_value_drift(
+        spark.createDataFrame(pdf), value_col="v", group_col="g",
+        bin_width=50).collect()))
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(map(tuple, con.execute("""
+WITH counts AS (
+  SELECT g, CAST(v AS BIGINT) // 50
+         - CASE WHEN CAST(v AS BIGINT) % 50 < 0 THEN 1 ELSE 0 END AS x,
+         COUNT(*) AS c
+  FROM t GROUP BY g, x
+), totals AS (SELECT g, SUM(c) AS n FROM counts GROUP BY g)
+SELECT c.g, c.x, CAST(c.c AS BIGINT) FROM counts c ORDER BY 1, 2
+""").fetchall()))
+    # compare the BINNING (the law under test); chi2_from_counts is
+    # already parity-pinned downstream of identical histograms
+    spark_bins = sorted(
+        (r["g"], r["x"], r["c"]) for r in
+        spark.createDataFrame(pdf).selectExpr(
+            "g",
+            "cast(v as bigint) div 50 - "
+            "(case when cast(v as bigint) % 50 < 0 then 1 else 0 end)"
+            " as x").groupBy("g", "x").count()
+        .withColumnRenamed("count", "c").collect())
+    assert spark_bins == want
+    assert got  # chi2 over the negative corpus computes (smoke)

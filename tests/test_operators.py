@@ -3715,3 +3715,42 @@ def test_equi_depth_scale_path_tracks_exact_ntile(spark):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_cusum_bucket_negative_ts_matches_duckdb(spark):
+    """Engine-vs-engine: bucket assignment for PRE-EPOCH (negative)
+    timestamps must agree with the DuckDB oracle's `//` +
+    negative-remainder correction — duckdb 1.0.0's `//` truncates
+    toward zero like Spark's `div`, so the floor contract must be
+    spelled out identically on both sides (r12 review catch)."""
+    import duckdb
+    import pandas as pd
+
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        cusum_bucket_stats)
+
+    pdf = pd.DataFrame({
+        "event_type": ["a"] * 5,
+        "ts_ms": [-7_200_000, -3_600_001, -1, 0, 3_599_999],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    got = sorted((r["k"], r["b"], r["n_b"], str(r["s_b"])) for r in
+                 cusum_bucket_stats(spark.createDataFrame(pdf),
+                                    bucket_ms=3_600_000).collect())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(map(tuple, con.execute("""
+SELECT event_type AS k,
+       (ts_ms // 3600000
+        - CASE WHEN ts_ms % 3600000 < 0 THEN 1 ELSE 0 END)
+       * 3600000 AS b,
+       CAST(COUNT(value) AS BIGINT) AS n_b,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(27,6)))
+                 AS DECIMAL(27,6)) AS VARCHAR) AS s_b
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+""").fetchall()))
+    assert got == want
+    # -1 ms lands alone in the [-3600000, 0) bucket (not widening
+    # bucket 0); -3600001 floors down into [-7200000, -3600000)
+    assert any(b == -3_600_000 and n == 1 for _, b, n, _s in got)
+    assert any(b == -7_200_000 and n == 2 for _, b, n, _s in got)

@@ -2974,3 +2974,45 @@ def test_video_gate_dedups_across_batches(spark, tmp_path):
     finally:
         gate.stop()
         spark.sql("DROP TABLE IF EXISTS vg_state_fp")
+
+
+def test_transition_maintainer_compaction(spark, tmp_path):
+    """compact(upto) folds the per-epoch pointer/delta partitions into
+    one partition without changing any answer: after compacting the
+    first two epochs the last-table holds exactly one row per user,
+    the readout is unchanged, and a subsequent epoch still produces
+    the batch-identical transition matrix."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        event_transitions)
+    from market_data_ingestor_go_spark.plans.queries import _events
+    from market_data_ingestor_go_spark.streaming.transitions import (
+        TransitionMaintainer)
+
+    events = _events(spark, "/root/testdata/sf0.001") \
+        .select("user_id", "ts_ms", "event_id", "event_type")
+    rows = sorted(events.collect(), key=lambda r: (r.ts_ms, r.event_id))
+    cut1, cut2 = len(rows) // 3, 2 * len(rows) // 3
+    mk = lambda part: spark.createDataFrame(
+        part, ["user_id", "ts_ms", "event_id", "event_type"])
+
+    tm = TransitionMaintainer(spark, "tmc_state")
+    try:
+        tm._gate_batch(mk(rows[:cut1]), epoch_id=0)
+        tm._gate_batch(mk(rows[cut1:cut2]), epoch_id=1)
+        before = sorted(map(tuple, tm.transitions().collect()))
+
+        tm.compact(1)
+        last = spark.table("tmc_state_last")
+        assert last.select("epoch").distinct().collect()[0][0] == 1
+        n_users = last.select("u").distinct().count()
+        assert last.count() == n_users  # ONE pointer row per user
+        assert sorted(map(tuple, tm.transitions().collect())) == before
+
+        tm._gate_batch(mk(rows[cut2:]), epoch_id=2)
+        got = sorted(map(tuple, tm.transitions().collect()))
+        want = sorted(map(tuple, event_transitions(events).collect()))
+        assert got == want
+    finally:
+        tm.stop()
+        spark.sql("DROP TABLE IF EXISTS tmc_state_cnt")
+        spark.sql("DROP TABLE IF EXISTS tmc_state_last")
