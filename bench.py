@@ -282,6 +282,8 @@ HEADLINE = [
     "events_rfm_segments",
     # r12: video perceptual near-dup (frame dHash posting join)
     "video_frame_neardup",
+    # r12: triangle counting + clustering over the near-dup graph
+    "neardup_triangle_stats",
 ]
 
 

@@ -116,3 +116,55 @@ def cluster_keepers_by_rank(ranks: DataFrame, clusters: DataFrame,
                   .alias("keeper_id"),
                  F.count("*").alias("n_members"),
                  F.max("pr_scaled").alias("keeper_pr")))
+
+
+def triangle_counts(pairs: DataFrame, id_a: str = "doc_a",
+                    id_b: str = "doc_b") -> DataFrame:
+    """Per-node triangle participation over an undirected pair graph
+    → (id, degree, n_triangles, clustering) — the cohesion readout a
+    dedup pipeline runs AFTER pair generation: a near-dup cluster
+    whose members form triangles (template/boilerplate families) is
+    qualitatively different from a chain of marginal pairs, and the
+    local clustering coefficient 2t/(d(d−1)) separates the two.
+
+    Edge-orientation counting (Suri & Vassilvitskii 2011, "Counting
+    Triangles and the Curse of the Last Reducer"): orient every edge
+    low→high, build wedges (a<b<c) by self-joining edges on their
+    smaller endpoint, and close each wedge against the (b, c) edge —
+    each triangle is found EXACTLY once. All joins are equi-joins;
+    counts are exact BIGINTs; the coefficient is one fixed tree of
+    correctly-rounded double ops ⇒ bit-exact cross-engine.
+
+    Scale notes: wedge count is Σ_a deg(a)²/2 under id-orientation —
+    at 100 TB orient by DEGREE (join each edge's low-degree endpoint;
+    the paper's fix) so the heaviest hub never centers its own
+    wedges; the join shape is identical, only the orientation key
+    changes. Per-node aggregation collapses map-side.
+    """
+    e = (pairs.select(F.least(id_a, id_b).alias("a"),
+                      F.greatest(id_a, id_b).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
+    x, y = e.alias("x"), e.alias("y")
+    wedges = (x.join(y, (F.col("x.a") == F.col("y.a"))
+                     & (F.col("x.b") < F.col("y.b")))
+              .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
+                      F.col("y.b").alias("c")))
+    closing = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    node_tri = (tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+                .groupBy("id").agg(F.count("*").alias("t")))
+    deg = (e.select(F.col("a").alias("id"))
+           .unionAll(e.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count("*").alias("d")))
+    t = F.coalesce(F.col("t"), F.lit(0))
+    d = F.col("d")
+    clustering = F.when(
+        d > 1, (F.lit(2.0) * t.cast("double"))
+        / (d.cast("double") * (d.cast("double") - F.lit(1.0)))
+    ).otherwise(F.lit(0.0))
+    return (deg.join(node_tri, "id", "left")
+            .select(F.col("id"),
+                    d.cast("bigint").alias("degree"),
+                    t.cast("bigint").alias("n_triangles"),
+                    clustering.alias("clustering")))

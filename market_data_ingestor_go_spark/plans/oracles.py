@@ -3412,6 +3412,40 @@ FROM imgs a JOIN imgs b ON a.img_id < b.img_id
 WHERE bit_count(xor(a.dh, b.dh)) <= 2
 """
 
+# Triangle participation (r12): wedge-close counting over the exact
+# Jaccard pair graph — each triangle {a<b<c} found exactly once by
+# joining its two smallest-endpoint edges and closing against (b,c);
+# identical join tree to the engine. 2.0*t/(d*(d-1.0)) is the same
+# fixed IEEE expression both sides.
+EXTRA_ORACLES["neardup_triangle_stats"] = f"""
+WITH p AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) WHERE jacc >= 0.6
+), e AS (
+  SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+  FROM p WHERE doc_a <> doc_b GROUP BY 1, 2
+), tri AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM e x JOIN e y ON x.a = y.a AND x.b < y.b
+  JOIN e z ON z.a = x.b AND z.b = y.b
+), node_tri AS (
+  SELECT id, COUNT(*) AS t FROM (
+    SELECT a AS id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY id
+), deg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id
+)
+SELECT deg.id AS doc_id, CAST(d AS BIGINT) AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d > 1
+            THEN 2.0 * CAST(COALESCE(t, 0) AS DOUBLE)
+                 / (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0))
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN node_tri ON deg.id = node_tri.id
+"""
+
+
 # RFM segmentation (r12): quintile scores over total orders
 # (metric, user_id); NTILE's equal-bucket-remainder-first rule is
 # identical cross-engine; monetary ranks and sums on the exact

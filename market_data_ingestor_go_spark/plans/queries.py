@@ -3046,6 +3046,28 @@ def image_dhash_neardup(spark, sf_dir):
                         F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def neardup_triangle_stats(spark, sf_dir):
+    """Triangle participation + local clustering coefficient over the
+    exact near-dup pair graph (operators/graph.py::triangle_counts —
+    Suri & Vassilvitskii 2011 edge-orientation counting): separates
+    densely-interlinked template/boilerplate families (triangles,
+    clustering → 1) from chains of marginal pairs (clustering 0) —
+    the graph-cohesion readout next to CC keepers and PageRank.
+    Exact BIGINT counts; the coefficient is one fixed double tree ⇒
+    bit-exact oracle (same wedge-close joins in SQL over the shared
+    _JACCARD_PAIRS ground truth). Scale: the pair generation is the
+    O(n²) oracle side by design (the minhash/banded graph is the
+    production input); the counting itself is two equi-joins +
+    map-side aggregates with the degree-orientation upgrade
+    documented."""
+    from ..operators.graph import triangle_counts
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.6)
+    return (triangle_counts(pairs)
+            .select(F.col("id").alias("doc_id"), "degree",
+                    "n_triangles", "clustering"))
+
+
 def events_rfm_segments(spark, sf_dir):
     """RFM segmentation (Hughes 1994, the classic event-analytics
     user scoring): per user — recency (days since last activity,
@@ -3433,6 +3455,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cusum_bucketed": events_cusum_bucketed,
     "events_rfm_segments": events_rfm_segments,
     "video_frame_neardup": video_frame_neardup,
+    "neardup_triangle_stats": neardup_triangle_stats,
     # rows-only by design (FFT not SQL-expressible; invariance +
     # recall tests pin correctness — the simhash/knn_ann precedent)
     "audio_afp_neardup": audio_afp_neardup,
@@ -3635,6 +3658,7 @@ ROTATION_CANDIDATES_R12: list[str] = [
     "events_cusum_bucketed",      # added r12, oracle added same commit
     "events_rfm_segments",        # added r12, oracle added same commit
     "video_frame_neardup",        # added r12, oracle added same commit
+    "neardup_triangle_stats",     # added r12, oracle added same commit
 ]
 
 

@@ -3754,3 +3754,23 @@ FROM t GROUP BY 1, 2 ORDER BY 1, 2
     # bucket 0); -3600001 floors down into [-7200000, -3600000)
     assert any(b == -3_600_000 and n == 1 for _, b, n, _s in got)
     assert any(b == -7_200_000 and n == 2 for _, b, n, _s in got)
+
+
+def test_triangle_counts_hand_graph(spark):
+    """Known graph: a 4-clique {1,2,3,4} (every node in C(3,2)=3
+    triangles, clustering 1.0), a chain 5-6-7 (zero triangles,
+    mid-node clustering 0), and a dangling edge 7-8; duplicate and
+    reversed input pairs must not change any count."""
+    from market_data_ingestor_go_spark.operators.graph import (
+        triangle_counts)
+
+    pairs = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4)
+             if a < b] + [(5, 6), (6, 7), (7, 8),
+                          (6, 5), (5, 6)]  # reversed + duplicate
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {r["id"]: (r["degree"], r["n_triangles"], r["clustering"])
+           for r in triangle_counts(df).collect()}
+    assert got == {
+        1: (3, 3, 1.0), 2: (3, 3, 1.0), 3: (3, 3, 1.0), 4: (3, 3, 1.0),
+        5: (1, 0, 0.0), 6: (2, 0, 0.0), 7: (2, 0, 0.0), 8: (1, 0, 0.0),
+    }
