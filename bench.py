@@ -284,6 +284,8 @@ HEADLINE = [
     "video_frame_neardup",
     # r12: triangle counting + clustering over the near-dup graph
     "neardup_triangle_stats",
+    # r12: interval x interval overlap join (bucketized grid cells)
+    "interval_overlap_shipments",
 ]
 
 

@@ -935,3 +935,37 @@ def cusum_from_bucket_stats(stats: DataFrame) -> DataFrame:
                     (-F.col("m.nc")).cast("bigint").alias("change_cum_idx"),
                     (F.col("m.d").cast("string").cast("double")
                      / F.col("n").cast("double")).alias("cusum_mag")))
+
+
+def interval_overlap_join(a: DataFrame, b: DataFrame,
+                          a_start: str, a_end: str,
+                          b_start: str, b_end: str,
+                          bucket: int = 32) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join — the two-sided sibling of the
+    point-in-range join (range_join_click_context): emit every (a, b)
+    row pair whose CLOSED integer intervals intersect
+    (a_start ≤ b_end ∧ b_start ≤ a_end), plus ``overlap`` =
+    min(ends) − max(starts) + 1.
+
+    Scale shape: a naive theta join is a cartesian product — the
+    classic Spark interval-join trap. Bucketize instead: explode each
+    interval into the ``bucket``-width grid cells it touches
+    (sequence + explode, interval-length/bucket rows per interval),
+    equi-join on the cell, de-duplicate pairs, and verify the exact
+    overlap predicate as a post-filter — the equi-join carries ALL
+    the pruning, so work is proportional to co-located cells, never
+    |A|·|B|. Pick ``bucket`` near the typical interval length: too
+    small multiplies postings, too large multiplies per-cell
+    candidates (the standard tradeoff; both ends stay correct).
+    Columns from both inputs pass through ⇒ callers project first.
+    """
+    cells = lambda s, e: F.sequence(
+        F.expr(f"{s} div {bucket}"), F.expr(f"{e} div {bucket}"))
+    ax = a.withColumn("__cell", F.explode(cells(a_start, a_end)))
+    bx = b.withColumn("__cell", F.explode(cells(b_start, b_end)))
+    joined = (ax.join(bx, "__cell").drop("__cell").distinct()
+              .filter((F.col(a_start) <= F.col(b_end))
+                      & (F.col(b_start) <= F.col(a_end))))
+    overlap = (F.least(F.col(a_end), F.col(b_end))
+               - F.greatest(F.col(a_start), F.col(b_start)) + 1)
+    return joined.withColumn("overlap", overlap)

@@ -3412,6 +3412,34 @@ FROM imgs a JOIN imgs b ON a.img_id < b.img_id
 WHERE bit_count(xor(a.dh, b.dh)) <= 2
 """
 
+# Interval overlap join (r12): the oracle runs the exact theta join
+# (ground truth; cartesian by nature, fine at oracle scale) over
+# epoch-day integers; the engine's bucketized equi-join must emit the
+# identical pair set + closed-interval overlap lengths.
+EXTRA_ORACLES["interval_overlap_shipments"] = """
+WITH a AS (
+  SELECT l_orderkey, l_linenumber,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(l_shipdate AS DATE)) AS a_s,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(l_shipdate AS DATE))
+         + 1 + CAST(l_quantity AS INT) AS a_e
+  FROM lineitem WHERE l_partkey % 97 = 0
+), b AS (
+  SELECT o_orderkey AS promo_orderkey,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS b_s
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND EXTRACT(year FROM o_orderdate) = 1995
+)
+SELECT l_orderkey, l_linenumber, promo_orderkey,
+       CAST(LEAST(a_e, b_s + 30) - GREATEST(a_s, b_s) + 1 AS BIGINT)
+         AS overlap_days
+FROM a JOIN b ON a_s <= b_s + 30 AND b_s <= a_e
+"""
+
+
 # Triangle participation (r12): wedge-close counting over the exact
 # Jaccard pair graph — each triangle {a<b<c} found exactly once by
 # joining its two smallest-endpoint edges and closing against (b,c);

@@ -3046,6 +3046,46 @@ def image_dhash_neardup(spark, sf_dir):
                         F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def interval_overlap_shipments(spark, sf_dir):
+    """INTERVAL × INTERVAL overlap join
+    (operators/timeseries.py::interval_overlap_join — the two-sided
+    sibling of the in-window point-in-range join): every shipment
+    transit interval [shipdate, shipdate + 1 + quantity days] of a
+    part-sampled lineitem slice (testdata's lineitem carries no
+    receiptdate — transit length derives deterministically from the
+    integral quantity) × every 30-day urgent-order window opening in
+    1995, with the exact closed-interval overlap in days. Dates
+    reduce to epoch-day integers on both engines ⇒ bit-exact.
+
+    Scale: the naive form is a cartesian theta join (the classic
+    Spark interval-join trap — the oracle runs it as ground truth);
+    the engine bucketizes both sides onto a 32-day grid and
+    equi-joins on the cell, so candidates are co-located cells, never
+    |A|·|B| (plan-pinned: no cartesian/nested-loop)."""
+    from ..operators.timeseries import interval_overlap_join
+    day0 = F.lit("1970-01-01").cast("date")
+    a = (_t(spark, sf_dir, "lineitem")
+         .filter(F.col("l_partkey") % 97 == 0)
+         .select("l_orderkey", "l_linenumber",
+                 F.datediff(F.col("l_shipdate").cast("date"), day0)
+                 .alias("a_s"),
+                 (F.datediff(F.col("l_shipdate").cast("date"), day0)
+                  + 1 + F.col("l_quantity").cast("int"))
+                 .alias("a_e")))
+    b = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderpriority") == "1-URGENT")
+                 & (F.year("o_orderdate") == 1995))
+         .select(F.col("o_orderkey").alias("promo_orderkey"),
+                 F.datediff(F.col("o_orderdate").cast("date"), day0)
+                 .alias("b_s")))
+    b = b.withColumn("b_e", F.col("b_s") + 30)
+    out = interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e",
+                                bucket=32)
+    return out.select("l_orderkey", "l_linenumber", "promo_orderkey",
+                      F.col("overlap").cast("bigint")
+                      .alias("overlap_days"))
+
+
 def neardup_triangle_stats(spark, sf_dir):
     """Triangle participation + local clustering coefficient over the
     exact near-dup pair graph (operators/graph.py::triangle_counts —
@@ -3459,6 +3499,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rfm_segments": events_rfm_segments,
     "video_frame_neardup": video_frame_neardup,
     "neardup_triangle_stats": neardup_triangle_stats,
+    "interval_overlap_shipments": interval_overlap_shipments,
     # rows-only by design (FFT not SQL-expressible; invariance +
     # recall tests pin correctness — the simhash/knn_ann precedent)
     "audio_afp_neardup": audio_afp_neardup,
@@ -3662,6 +3703,7 @@ ROTATION_CANDIDATES_R12: list[str] = [
     "events_rfm_segments",        # added r12, oracle added same commit
     "video_frame_neardup",        # added r12, oracle added same commit
     "neardup_triangle_stats",     # added r12, oracle added same commit
+    "interval_overlap_shipments",  # added r12, oracle added same commit
 ]
 
 

@@ -3774,3 +3774,27 @@ def test_triangle_counts_hand_graph(spark):
         1: (3, 3, 1.0), 2: (3, 3, 1.0), 3: (3, 3, 1.0), 4: (3, 3, 1.0),
         5: (1, 0, 0.0), 6: (2, 0, 0.0), 7: (2, 0, 0.0), 8: (1, 0, 0.0),
     }
+
+
+def test_interval_overlap_join_hand_cases(spark):
+    """Closed-interval semantics on a known set: touching endpoints
+    overlap by 1 day, containment reports the inner length, disjoint
+    pairs never appear, and intervals spanning bucket boundaries are
+    still found exactly once (the distinct after the cell explode)."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        interval_overlap_join)
+
+    a = spark.createDataFrame(
+        [("a1", 0, 10), ("a2", 40, 45), ("a3", 100, 200)],
+        ["a_id", "s", "e"])
+    b = spark.createDataFrame(
+        [("b1", 10, 20),    # touches a1 at day 10 -> overlap 1
+         ("b2", 2, 5),      # inside a1 -> overlap 4
+         ("b3", 50, 60),    # disjoint from everything
+         ("b4", 150, 160)],  # inside a3 (spans bucket boundaries)
+        ["b_id", "s2", "e2"])
+    got = {(r["a_id"], r["b_id"]): r["overlap"] for r in
+           interval_overlap_join(a, b, "s", "e", "s2", "e2",
+                                 bucket=32).collect()}
+    assert got == {("a1", "b1"): 1, ("a1", "b2"): 4,
+                   ("a3", "b4"): 11}

@@ -856,3 +856,18 @@ def test_video_frame_pairs_posting_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert _scan_columns(plan, "documents") <= {"doc_id", "text"}
+
+
+def test_interval_overlap_is_bucketized_equi_join(spark):
+    """interval_overlap_shipments: candidates come from the grid-cell
+    equi-join — no cartesian/nested-loop anywhere — and both scans
+    prune to the interval + key columns."""
+    df = ALL_QUERIES["interval_overlap_shipments"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert _scan_columns(plan, "lineitem") <= {
+        "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate",
+        "l_quantity"}
+    assert _scan_columns(plan, "orders") <= {
+        "o_orderkey", "o_orderpriority", "o_orderdate"}
