@@ -286,6 +286,8 @@ HEADLINE = [
     "neardup_triangle_stats",
     # r12: interval x interval overlap join (bucketized grid cells)
     "interval_overlap_shipments",
+    # r12: per-source quality-floor curation (exact rank threshold)
+    "source_quality_floor",
 ]
 
 

@@ -406,3 +406,47 @@ def assign_equi_depth_buckets(df: DataFrame, col: str,
     for b in boundaries:
         bucket = bucket + (F.col(col) > F.lit(float(b))).cast("int")
     return df.withColumn(bucket_col, bucket)
+
+
+def quality_floor_summary(df: DataFrame, group_col: str,
+                          metric_col: str, id_col: str = "doc_id",
+                          q_num: int = 1, q_den: int = 4) -> DataFrame:
+    """Per-group quality-floor curation accounting → (group, n_docs,
+    threshold, n_kept, kept_metric_sum): each group's floor is the
+    metric value at EXACT ascending rank ⌈(q_num/q_den)·n⌉ (integer
+    ceil — no float quantile), and rows at or above it survive — the
+    per-source bottom-quartile cut a C4/Gopher-style pipeline applies
+    before mixing (drop each source's own worst tail rather than one
+    global cutoff that would gut low-resource sources).
+
+    Exactness: the rank is a total order over (metric, id) but the
+    value AT a rank is tie-independent, so the threshold — and every
+    count — is deterministic and identical cross-engine; all integer
+    arithmetic ⇒ bit-exact oracle. Shapes: one keyed window pass
+    (rank + count), the |groups|-row threshold table broadcasts back,
+    one aggregate — the group-window family's scale posture (a
+    monster group serializes its own rank; chunk by range if needed).
+    """
+    from pyspark.sql.window import Window
+    if not (0 < q_num < q_den):
+        raise ValueError(f"need 0 < q_num < q_den (got {q_num}/{q_den})")
+    g, m = F.col(group_col).alias("g"), F.col(metric_col).alias("m")
+    t = df.select(g, F.col(id_col).alias("id"), m)
+    w = Window.partitionBy("g").orderBy("m", "id")
+    wc = Window.partitionBy("g")
+    r = (t.withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count("*").over(wc)))
+    kth = F.expr(f"(n * {q_num} + {q_den} - 1) div {q_den}")
+    th = (r.filter(F.col("rn") == kth)
+          .select(F.col("g").alias("g_t"), F.col("n").alias("n_t"),
+                  F.col("m").alias("threshold")))
+    keep = (F.col("m") >= F.col("threshold")).cast("int")
+    return (r.join(F.broadcast(th), F.col("g") == F.col("g_t"))
+            .groupBy("g", "n_t", "threshold")
+            .agg(F.sum(keep).alias("n_kept"),
+                 F.sum(F.col("m") * keep).alias("kept_sum"))
+            .select(F.col("g").alias(group_col),
+                    F.col("n_t").cast("bigint").alias("n_docs"),
+                    F.col("threshold").cast("bigint").alias("threshold"),
+                    F.col("n_kept").cast("bigint").alias("n_kept"),
+                    F.col("kept_sum").cast("bigint").alias("kept_sum")))

@@ -3412,6 +3412,35 @@ FROM imgs a JOIN imgs b ON a.img_id < b.img_id
 WHERE bit_count(xor(a.dh, b.dh)) <= 2
 """
 
+# Per-source quality floor (r12): exact integer rank threshold at
+# ceil(n/4); the value AT a rank is tie-independent, so counts match
+# bit-for-bit under any tiebreak.
+EXTRA_ORACLES["source_quality_floor"] = """
+WITH t AS (
+  SELECT source AS g, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS m
+  FROM documents WHERE text IS NOT NULL
+), r AS (
+  SELECT g, doc_id, m,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY m, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM t
+), th AS (
+  SELECT g, n, m AS threshold FROM r
+  WHERE rn = (n * 1 + 4 - 1) // 4
+)
+SELECT r.g AS source, CAST(th.n AS BIGINT) AS n_docs,
+       CAST(th.threshold AS BIGINT) AS threshold,
+       CAST(SUM(CASE WHEN r.m >= th.threshold THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN r.m >= th.threshold THEN r.m ELSE 0 END)
+            AS BIGINT) AS kept_sum
+FROM r JOIN th ON r.g = th.g
+GROUP BY 1, 2, 3
+"""
+
+
 # Interval overlap join (r12): the oracle runs the exact theta join
 # (ground truth; cartesian by nature, fine at oracle scale) over
 # epoch-day integers; the engine's bucketized equi-join must emit the

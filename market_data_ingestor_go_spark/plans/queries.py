@@ -3046,6 +3046,27 @@ def image_dhash_neardup(spark, sf_dir):
                         F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def source_quality_floor(spark, sf_dir):
+    """Per-source quality-floor curation
+    (operators/training.py::quality_floor_summary): each source drops
+    its own bottom token-count quartile — the floor is the value at
+    exact ascending rank ⌈n/4⌉, no float quantile — and reports
+    (source, n_docs, threshold, n_kept, kept_sum). The per-source cut
+    a C4/Gopher-style mix applies before sampling, complementing the
+    global-grid doc_length_buckets and the per-source caps. Integer
+    ranks + tie-independent threshold values ⇒ bit-exact oracle.
+    Scale: one keyed window pass + a |sources|-row broadcast; the
+    approx-boundary swap (equi_depth_boundaries) is the documented
+    100 TB upgrade for monster groups."""
+    from ..functions.text import token_count
+    from ..operators.training import quality_floor_summary
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("source", "doc_id",
+                 token_count("text").cast("bigint").alias("n_tok")))
+    return quality_floor_summary(d, "source", "n_tok")
+
+
 def interval_overlap_shipments(spark, sf_dir):
     """INTERVAL × INTERVAL overlap join
     (operators/timeseries.py::interval_overlap_join — the two-sided
@@ -3500,6 +3521,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frame_neardup": video_frame_neardup,
     "neardup_triangle_stats": neardup_triangle_stats,
     "interval_overlap_shipments": interval_overlap_shipments,
+    "source_quality_floor": source_quality_floor,
     # rows-only by design (FFT not SQL-expressible; invariance +
     # recall tests pin correctness — the simhash/knn_ann precedent)
     "audio_afp_neardup": audio_afp_neardup,
@@ -3704,6 +3726,7 @@ ROTATION_CANDIDATES_R12: list[str] = [
     "video_frame_neardup",        # added r12, oracle added same commit
     "neardup_triangle_stats",     # added r12, oracle added same commit
     "interval_overlap_shipments",  # added r12, oracle added same commit
+    "source_quality_floor",       # added r12, oracle added same commit
 ]
 
 

@@ -3798,3 +3798,23 @@ def test_interval_overlap_join_hand_cases(spark):
                                  bucket=32).collect()}
     assert got == {("a1", "b1"): 1, ("a1", "b2"): 4,
                    ("a3", "b4"): 11}
+
+
+def test_quality_floor_hand_cases(spark):
+    """Known groups: a has metrics [1..8] (ceil(8/4)=2 -> threshold 2,
+    keeps 7 rows summing 35); b has ties at the threshold rank
+    ([5,5,5,5]: ceil(4/4)=1 -> threshold 5, keeps ALL — the value at
+    a rank is tie-independent); c is a singleton (ceil(1/4)=1 ->
+    threshold = its own value, kept)."""
+    from market_data_ingestor_go_spark.operators.training import (
+        quality_floor_summary)
+
+    rows = ([("a", i, i) for i in range(1, 9)]
+            + [("b", i, 5) for i in range(4)]
+            + [("c", 0, 42)])
+    df = spark.createDataFrame(rows, ["g", "doc_id", "m"])
+    got = {r["g"]: (r["n_docs"], r["threshold"], r["n_kept"],
+                    r["kept_sum"])
+           for r in quality_floor_summary(df, "g", "m").collect()}
+    assert got == {"a": (8, 2, 7, 35), "b": (4, 5, 4, 20),
+                   "c": (1, 42, 1, 42)}
