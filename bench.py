@@ -288,6 +288,8 @@ HEADLINE = [
     "interval_overlap_shipments",
     # r12: per-source quality-floor curation (exact rank threshold)
     "source_quality_floor",
+    # r12: per-column data-quality profile (single-pass multi-distinct)
+    "orders_dq_profile",
 ]
 
 

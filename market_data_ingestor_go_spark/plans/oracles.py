@@ -3412,6 +3412,20 @@ FROM imgs a JOIN imgs b ON a.img_id < b.img_id
 WHERE bit_count(xor(a.dh, b.dh)) <= 2
 """
 
+# Per-column data-quality profile (r12): exact row/null/distinct
+# counts per column of orders, one row per column. COUNT(DISTINCT)
+# excludes NULLs on both engines.
+_DQ_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+EXTRA_ORACLES["orders_dq_profile"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders""" for c in _DQ_COLS)
+
+
 # Per-source quality floor (r12): exact integer rank threshold at
 # ceil(n/4); the value AT a rank is tie-independent, so counts match
 # bit-for-bit under any tiebreak.

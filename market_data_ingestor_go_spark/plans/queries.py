@@ -3046,6 +3046,34 @@ def image_dhash_neardup(spark, sf_dir):
                         F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def orders_dq_profile(spark, sf_dir):
+    """ANALYZE-style per-column data-quality profile of a table —
+    the completeness/cardinality pass every warehouse engine exposes
+    and every ingest pipeline runs before trusting a new snapshot:
+    for each column of orders, exact row/null/distinct counts →
+    (column_name, n_rows, n_null, n_distinct). All exact BIGINTs ⇒
+    bit-exact. Scale: ONE scan feeds every per-column aggregate
+    (Spark plans the multi-distinct as a single Expand pass —
+    map-side partial per column); swap exact distinct for HLL
+    (approx_distinct_sketch machinery) when cardinality itself is
+    huge."""
+    o = _t(spark, sf_dir, "orders")
+    cols = o.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                    .alias(f"null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    row = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols)
+    return (row.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) AS (column_name, n_null, n_distinct)")
+        .select("column_name", F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_null").cast("bigint").alias("n_null"),
+                F.col("n_distinct").cast("bigint").alias("n_distinct")))
+
+
 def source_quality_floor(spark, sf_dir):
     """Per-source quality-floor curation
     (operators/training.py::quality_floor_summary): each source drops
@@ -3522,6 +3550,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_triangle_stats": neardup_triangle_stats,
     "interval_overlap_shipments": interval_overlap_shipments,
     "source_quality_floor": source_quality_floor,
+    "orders_dq_profile": orders_dq_profile,
     # rows-only by design (FFT not SQL-expressible; invariance +
     # recall tests pin correctness — the simhash/knn_ann precedent)
     "audio_afp_neardup": audio_afp_neardup,
@@ -3727,6 +3756,7 @@ ROTATION_CANDIDATES_R12: list[str] = [
     "neardup_triangle_stats",     # added r12, oracle added same commit
     "interval_overlap_shipments",  # added r12, oracle added same commit
     "source_quality_floor",       # added r12, oracle added same commit
+    "orders_dq_profile",          # added r12, oracle added same commit
 ]
 
 
