@@ -871,3 +871,13 @@ def test_interval_overlap_is_bucketized_equi_join(spark):
         "l_quantity"}
     assert _scan_columns(plan, "orders") <= {
         "o_orderkey", "o_orderpriority", "o_orderdate"}
+
+
+def test_dq_profile_single_scan_expand(spark):
+    """orders_dq_profile: ONE FileScan feeds every per-column
+    aggregate — the multi-distinct plans as a single Expand pass
+    (N+1 scans, one per COUNT(DISTINCT), would be the naive shape)."""
+    df = ALL_QUERIES["orders_dq_profile"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1, plan
+    assert "Expand" in plan, plan
