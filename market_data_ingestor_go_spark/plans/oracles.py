@@ -3639,3 +3639,27 @@ for _k in _R12_IN:
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in _R12_OUT:
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+
+# --- round-13 window rotation (EXECUTED, mirrors queries.py): all
+# nine ROTATION_CANDIDATES_R12 promote into the driver window's
+# oracle dict for their first external CORRECTNESS row; nine
+# long-green shapes demote to EXTRA (each keeps an in-window twin and
+# stays parity-tested locally every round). ORACLES must equal the
+# declared window's oracle-backed set (pinned by
+# test_driver_window_is_at_most_50).
+_R13_IN = [  # promoted into the driver window (all oracle-backed)
+    "image_dhash_neardup", "image_dedup_keepers", "events_cusum_bucketed",
+    "events_rfm_segments", "video_frame_neardup", "neardup_triangle_stats",
+    "interval_overlap_shipments", "source_quality_floor",
+    "orders_dq_profile",
+]
+_R13_OUT = [  # demoted to EXTRA (all keep an in-window twin)
+    "token_frequencies", "events_vwap", "corpus_datacard",
+    "neardup_pagerank", "doc_sparse_cosine_neardup", "lm_quality_bands",
+    "hybrid_rrf_retrieval", "q9_product_profit", "agg_cube_year_status",
+]
+for _k in _R13_IN:
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in _R13_OUT:
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

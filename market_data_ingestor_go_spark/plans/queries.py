@@ -3319,27 +3319,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_api_pricing_summary": sql_api_pricing_summary,
     "set_ops_all_variants": set_ops_all_variants,
     "unpivot_event_matrix": unpivot_event_matrix,
-    "token_frequencies": token_frequencies,
     "string_functions": string_functions,
-    "agg_cube_year_status": agg_cube_year_status,
     "order_limit_topk": order_limit_topk,
     "events_moving_stats": events_moving_stats,
-    "doc_sparse_cosine_neardup": doc_sparse_cosine_neardup,
-    "lm_quality_bands": lm_quality_bands,
-    "corpus_datacard": corpus_datacard,
-    "neardup_pagerank": neardup_pagerank,
-    "events_vwap": events_vwap,
     # -- ROTATED IN (round 9): all nine ROTATION_CANDIDATES_R8 —
     #    the round-8 TPC-H shape completion, the two late-r8 curation
     #    operators, and the retrieval/KS family whose oracles landed
     #    in round 9 — externally verified for the first time this
     #    round. Nine twice-green r7 shapes demoted in exchange (twin
     #    noted per entry in EXTRA_QUERIES).
-    "q9_product_profit": q9_product_profit,
     "q11_important_stock": q11_important_stock,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_part_promotion": q20_part_promotion,
-    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     # -- ROTATED IN (round 10): both ROTATION_CANDIDATES_R9 — the
     #    materialized-index BM25 serve path and the (r10-fixed,
     #    TakeOrdered top-k) PMI collocation extraction — externally
@@ -3383,6 +3374,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_signals": doc_quality_signals,
     "embedding_covariance_matrix": embedding_covariance_matrix,
     "embedding_correlation_matrix": embedding_correlation_matrix,
+    # -- ROTATED IN (round 13): all nine ROTATION_CANDIDATES_R12 —
+    #    the round-12 build (perceptual image dHash near-dup + CC
+    #    keepers, video frame near-dup, bucket-grain streaming CUSUM,
+    #    RFM segmentation, triangle counting over the production pair
+    #    graph, the interval×interval overlap join, per-source quality
+    #    floors, the per-column DQ profile) — collecting their first
+    #    external CORRECTNESS row this round. Nine long-green (≥3
+    #    external rounds each) shapes demoted in exchange (twin noted
+    #    per entry in EXTRA_QUERIES).
+    "image_dhash_neardup": image_dhash_neardup,
+    "image_dedup_keepers": image_dedup_keepers,
+    "events_cusum_bucketed": events_cusum_bucketed,
+    "events_rfm_segments": events_rfm_segments,
+    "video_frame_neardup": video_frame_neardup,
+    "neardup_triangle_stats": neardup_triangle_stats,
+    "interval_overlap_shipments": interval_overlap_shipments,
+    "source_quality_floor": source_quality_floor,
+    "orders_dq_profile": orders_dq_profile,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"
@@ -3540,17 +3549,20 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mad_outliers": events_mad_outliers,      # rank-median windows ⊂ events_moving_stats (kept ordered frames) + events_cusum_changepoint (keyed argmax)
     "events_motif_search": events_motif_search,      # chunked sliding windows + WindowGroupLimit ⊂ order_limit_topk (kept top-k) + events_moving_stats (kept frames)
     "knn_filtered_bruteforce": knn_filtered_bruteforce,  # predicate-first exact kNN ⊂ knn_bruteforce (kept; same dot-product top-k)
-    # round-12 additions: oracle-backed, queued in
-    # ROTATION_CANDIDATES_R12 for their first external row next round.
-    "image_dhash_neardup": image_dhash_neardup,
-    "image_dedup_keepers": image_dedup_keepers,
-    "events_cusum_bucketed": events_cusum_bucketed,
-    "events_rfm_segments": events_rfm_segments,
-    "video_frame_neardup": video_frame_neardup,
-    "neardup_triangle_stats": neardup_triangle_stats,
-    "interval_overlap_shipments": interval_overlap_shipments,
-    "source_quality_floor": source_quality_floor,
-    "orders_dq_profile": orders_dq_profile,
+    # round-13 rotation: nine long-green (≥3 external rounds each)
+    # shapes demoted so every ROTATION_CANDIDATES_R12 query gets its
+    # first external CORRECTNESS row — in-window twin noted per entry;
+    # all stay parity-tested against their DuckDB oracles locally
+    # every round (tests/test_parity.py).
+    "token_frequencies": token_frequencies,          # token-grain explode+agg ⊂ string_functions (kept) + doc_pmi_collocations (in window; same tokenize→aggregate spine)
+    "events_vwap": events_vwap,                      # keyed weighted decimal agg ⊂ sql_api_pricing_summary (kept decimal aggregate tree) + events_cusum_bucketed (rotated in; keyed decimal bucket aggregation)
+    "corpus_datacard": corpus_datacard,              # one-scan multi-aggregate profile ⊂ orders_dq_profile (rotated in; same single-scan profile readout) + source_mix_weights (kept corpus composition)
+    "neardup_pagerank": neardup_pagerank,            # per-round equi-join + integer agg over the pair graph ⊂ neardup_triangle_stats (rotated in; same banded pair graph) + dedup_cluster_keepers (kept CC rounds)
+    "doc_sparse_cosine_neardup": doc_sparse_cosine_neardup,  # df-capped postings pair equi-join ⊂ image_dhash_neardup (rotated in; pigeonhole posting join) + winnow_fingerprint_neardup (kept postings join)
+    "lm_quality_bands": lm_quality_bands,            # quality-score banding ⊂ doc_quality_signals (kept signal scoring) + source_quality_floor (rotated in; per-source quality thresholding)
+    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,    # BM25 + rank fusion top-k ⊂ doc_bm25_from_index (kept; same scoring over the materialized index)
+    "q9_product_profit": q9_product_profit,          # multi-join year agg ⊂ q20_part_promotion + q16_supplier_part_counts (kept multi-join agg family)
+    "agg_cube_year_status": agg_cube_year_status,    # Expand grouping-sets agg ⊂ orders_dq_profile (rotated in; same single-scan Expand machinery) + unpivot_event_matrix (kept reshape)
     # rows-only by design (FFT not SQL-expressible; invariance +
     # recall tests pin correctness — the simhash/knn_ann precedent)
     "audio_afp_neardup": audio_afp_neardup,
@@ -3759,6 +3771,23 @@ ROTATION_CANDIDATES_R12: list[str] = [
     "orders_dq_profile",          # added r12, oracle added same commit
 ]
 
+# Round-13 rotation (EXECUTED this round, window literal above): all
+# nine ROTATION_CANDIDATES_R12 rotated INTO the driver window for
+# their first external CORRECTNESS row; nine long-green (≥3 external
+# rounds each) shapes demoted to EXTRA_QUERIES (twin per entry there).
+# Pinned by
+# tests/test_parity.py::test_round13_rotated_operators_sit_in_declared_window.
+ROTATED_IN_R13: list[str] = list(ROTATION_CANDIDATES_R12)
+
+# Round-13 rotation candidates: oracle-backed queries that have never
+# held a green external CORRECTNESS row AND are not already in the
+# declared window collecting one. Empty at the START of round 13 (the
+# r13 rotation queued the whole backlog); every oracle-backed query
+# added during round 13 must be listed here in the SAME commit that
+# adds its oracle (the r9 policy, enforced by the never-verified scan
+# in tests/test_parity.py).
+ROTATION_CANDIDATES_R13: list[str] = []
+
 
 # Frozen at the close of round 7: every oracle-backed query name that
 # existed when the round-7 rotation completed (all have held a green
@@ -3925,3 +3954,13 @@ ORACLE_BACKED_AT_R10_CLOSE: frozenset = frozenset(
 # tests/test_parity.py::test_rotation_candidates_are_rotatable.
 ORACLE_BACKED_AT_R11_CLOSE: frozenset = frozenset(
     ORACLE_BACKED_AT_R10_CLOSE | set(ROTATION_CANDIDATES_R11))
+
+# Frozen at the close of round 12: the round-11 set plus the nine
+# round-12 additions (ROTATION_CANDIDATES_R12), which sit in the
+# round-13 window collecting their first external row. Any
+# oracle-backed query NOT in this set was added in round 13 or later
+# and must appear in ROTATION_CANDIDATES_R13 or already sit in the
+# declared window — enforced by
+# tests/test_parity.py::test_rotation_candidates_are_rotatable.
+ORACLE_BACKED_AT_R12_CLOSE: frozenset = frozenset(
+    ORACLE_BACKED_AT_R11_CLOSE | set(ROTATION_CANDIDATES_R12))

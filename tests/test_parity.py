@@ -147,29 +147,47 @@ def test_round12_rotated_operators_sit_in_declared_window():
         "window must be 100% hash-checked after the r12 rotation")
 
 
+def test_round13_rotated_operators_sit_in_declared_window():
+    """The round-13 rotation's whole point: all nine
+    ROTATION_CANDIDATES_R12 (the round-12 build — perceptual image
+    dHash near-dup + CC keepers, video frame near-dup, bucket-grain
+    CUSUM, RFM segmentation, triangle counting, the interval×interval
+    overlap join, per-source quality floors, the per-column DQ
+    profile) must sit inside the first-50 window the driver externally
+    verifies, each exposing its oracle through oracle_sql() (= ORACLES)
+    — the rotated window has zero rows-only entries."""
+    from market_data_ingestor_go_spark.plans.queries import ROTATED_IN_R13
+
+    window = set(list(QUERIES)[:50])
+    assert set(ROTATED_IN_R13) <= window, set(ROTATED_IN_R13) - window
+    assert set(ROTATED_IN_R13) <= set(ORACLES)
+    assert set(QUERIES) <= set(ORACLES), (
+        "window must be 100% hash-checked after the r13 rotation")
+
+
 def test_rotation_candidates_are_rotatable():
     """The next-rotation list must stay mechanically valid: every
     candidate exists, sits OUTSIDE the declared window (else it needs
     no rotation), and has an oracle so rotating it in yields a full
     row+schema+hash check. The never-verified scan then enforces the
-    listing policy: every oracle-backed query added AFTER the round-11
-    close (i.e. not in the frozen ORACLE_BACKED_AT_R11_CLOSE set) must
+    listing policy: every oracle-backed query added AFTER the round-12
+    close (i.e. not in the frozen ORACLE_BACKED_AT_R12_CLOSE set) must
     either sit in the declared window already or be listed as a
     rotation candidate — new work cannot accumulate unverified."""
     from market_data_ingestor_go_spark.plans.queries import (
-        ORACLE_BACKED_AT_R11_CLOSE, QUERIES, ROTATION_CANDIDATES_R12)
+        ORACLE_BACKED_AT_R12_CLOSE, QUERIES, ROTATION_CANDIDATES_R13)
 
-    for name in ROTATION_CANDIDATES_R12:
+    for name in ROTATION_CANDIDATES_R13:
         assert name in ALL_QUERIES, name
         assert name not in QUERIES, f"{name} already in the window"
         assert name in ALL_ORACLES, f"{name} lacks an oracle"
 
     never_verified = (
         set(ALL_ORACLES)
-        - ORACLE_BACKED_AT_R11_CLOSE  # held a green row in r1-r11 or
-                                      # collecting it in the r12 window
+        - ORACLE_BACKED_AT_R12_CLOSE  # held a green row in r1-r12 or
+                                      # collecting it in the r13 window
         - set(QUERIES)                # in-window: verified this round
-        - set(ROTATION_CANDIDATES_R12)  # queued for the next rotation
+        - set(ROTATION_CANDIDATES_R13)  # queued for the next rotation
     )
     assert not never_verified, (
         f"oracle-backed queries neither verified, in-window, nor "
