@@ -448,15 +448,18 @@ def main() -> None:
     except Exception:
         pass
     arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    prev_artifact_queries: dict[str, float] = {}
     if arts:
         try:
             prev = json.load(open(arts[-1]))
             prev_round = prev.get("n")
+            parsed = prev.get("parsed") or {}
+            if (parsed.get("sf") == sf_val
+                    or prev.get("sf") == sf_val):
+                prev_artifact_queries = parsed.get("queries", {})
             # raw fallback, only comparable at the same scale factor
-            if (basis == "steady_sec" and not prev_queries
-                    and prev.get("sf") == sf_val):
-                prev_queries = (prev.get("parsed") or {}).get(
-                    "queries", {})
+            if basis == "steady_sec" and not prev_queries:
+                prev_queries = dict(prev_artifact_queries)
         except Exception:
             pass
     for name, now in now_by_name.items():
@@ -487,6 +490,38 @@ def main() -> None:
             "loadavg_per_run": run_loads[name],
         })
     flags.sort(key=lambda f: -abs(f["delta_pct"]))
+
+    # r13 (closes the r12 verdict's ratchet blind spot): a SECOND flag
+    # pass against the previous round's COMMITTED driver artifact
+    # (BENCH_r{N-1}.json's parsed raw queries). The intra-round pass
+    # above compares against the last committed bench_detail.json,
+    # which is rewritten several times within a round — a query that
+    # drifts +20% per bench commit never trips the 30% gate against
+    # the PREVIOUS ROUND's closing number (that is exactly how
+    # events_twap's +41% r11→r12 move on untouched code sailed through
+    # with flags_vs_prev_round=[]). This pass is raw-basis (the driver
+    # artifact carries no calibrated ratios), so it inherits the
+    # documented host variance — read its entries WITH the attached
+    # load context as triage pointers, not verdicts; the calibrated
+    # intra-round list stays the load-invariant instrument.
+    artifact_flags: list[dict] = []
+    for name, now in steady.items():
+        old = prev_artifact_queries.get(name)
+        if old is None or old < 0.1 or now < 0.1:
+            continue
+        delta = (now - old) / old
+        if abs(delta) <= 0.30:
+            continue
+        artifact_flags.append({
+            "query": name, "prev": old, "now": now,
+            "basis": "steady_sec_vs_round_artifact",
+            "delta_pct": round(100 * delta, 1),
+            "prev_round": prev_round,
+            "samples": [round(s, 3) for s in samples[name]],
+            "calibrated_per_run": [round(r, 3) for r in ratios[name]],
+            "loadavg_per_run": run_loads[name],
+        })
+    artifact_flags.sort(key=lambda f: -abs(f["delta_pct"]))
 
     total = round(sum(steady.values()), 3)
     detail = {
@@ -524,6 +559,7 @@ def main() -> None:
         "loadavg_cold": cold_load,
         "loadavg_steady": run_loads,
         "flags_vs_prev_round": flags,
+        "flags_vs_prev_round_artifact": artifact_flags,
         "sf": sf_val,
     }
     # Full detail: penultimate stdout line + sidecar file next to this
@@ -549,6 +585,7 @@ def main() -> None:
         "n_queries": len(steady),
         "queries_omitted": 0,
         "n_flags_vs_prev": len(flags),
+        "n_flags_vs_prev_artifact": len(artifact_flags),
         "sf": sf_val,
     }
     MAX_LINE = 1900  # driver tail window is 2000 chars
