@@ -118,6 +118,54 @@ def cluster_keepers_by_rank(ranks: DataFrame, clusters: DataFrame,
                  F.max("pr_scaled").alias("keeper_pr")))
 
 
+def oriented_edges(pairs: DataFrame, id_a: str = "doc_a",
+                   id_b: str = "doc_b",
+                   by_degree: bool = True) -> DataFrame:
+    """Canonicalize an undirected pair list and orient every edge
+    along a TOTAL order → (src, dst, odst) where odst is the struct
+    orientation key of dst (for wedge-side comparisons).
+
+    by_degree=True (the production default): orient by (degree, id) —
+    Suri & Vassilvitskii 2011's fix for the curse of the last reducer.
+    Every edge points from its lower-degree endpoint (ties broken by
+    id), so a hub of degree Δ has out-degree ≤ √(2m) regardless of Δ
+    and never centers its own wedges: Σ outdeg² is O(m^1.5) on ANY
+    graph, where id-orientation degenerates to Σ deg² — quadratic in
+    the hub degree on power-law pair graphs (boilerplate families).
+    by_degree=False keeps plain id orientation (diagnostic / A-B).
+
+    Σ C(outdeg(v), 2) over this frame IS the exact wedge volume the
+    triangle join below will shuffle — the skew readout to check
+    before running the close on an unfamiliar corpus.
+    """
+    e = (pairs.select(F.least(id_a, id_b).alias("a"),
+                      F.greatest(id_a, id_b).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
+    if not by_degree:
+        # id order: a < b already ⇒ src=a, dst=b; odst = (0, b) keeps
+        # the comparison shape identical to the degree branch
+        return e.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"),
+            F.struct(F.lit(0).cast("long").alias("dd"),
+                     F.col("b").alias("nid")).alias("odst"))
+    deg = (e.select(F.col("a").alias("id"))
+           .unionAll(e.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count("*").alias("d")))
+    da = deg.select(F.col("id").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("d").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    asc = (F.struct(F.col("da").alias("dd"), F.col("a").alias("nid"))
+           < F.struct(F.col("db").alias("dd"), F.col("b").alias("nid")))
+    return ed.select(
+        F.when(asc, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(asc, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(asc, F.struct(F.col("db").alias("dd"),
+                             F.col("b").alias("nid")))
+        .otherwise(F.struct(F.col("da").alias("dd"),
+                            F.col("a").alias("nid"))).alias("odst"))
+
+
 def triangle_counts(pairs: DataFrame, id_a: str = "doc_a",
                     id_b: str = "doc_b") -> DataFrame:
     """Per-node triangle participation over an undirected pair graph
@@ -128,34 +176,36 @@ def triangle_counts(pairs: DataFrame, id_a: str = "doc_a",
     local clustering coefficient 2t/(d(d−1)) separates the two.
 
     Edge-orientation counting (Suri & Vassilvitskii 2011, "Counting
-    Triangles and the Curse of the Last Reducer"): orient every edge
-    low→high, build wedges (a<b<c) by self-joining edges on their
-    smaller endpoint, and close each wedge against the (b, c) edge —
-    each triangle is found EXACTLY once. All joins are equi-joins;
-    counts are exact BIGINTs; the coefficient is one fixed tree of
-    correctly-rounded double ops ⇒ bit-exact cross-engine.
-
-    Scale notes: wedge count is Σ_a deg(a)²/2 under id-orientation —
-    at 100 TB orient by DEGREE (join each edge's low-degree endpoint;
-    the paper's fix) so the heaviest hub never centers its own
-    wedges; the join shape is identical, only the orientation key
-    changes. Per-node aggregation collapses map-side.
+    Triangles and the Curse of the Last Reducer"), DEGREE-oriented
+    since r13 (the r12 verdict's upgrade): orient every edge along
+    the (degree, id) total order, build wedges by self-joining
+    oriented edges on their source, and close each wedge against the
+    oriented (b, c) edge — each triangle is found EXACTLY once, at
+    its minimum-order vertex. A hub never centers its own wedges, so
+    wedge volume is O(m^1.5) even on power-law pair graphs where the
+    old id orientation was quadratic in the hub degree (pinned by the
+    star-fixture test). All joins are equi-joins; counts are exact
+    BIGINTs; the coefficient is one fixed tree of correctly-rounded
+    double ops ⇒ bit-exact cross-engine. The reported degree is the
+    UNDIRECTED degree, so outputs are orientation-invariant (the
+    DuckDB oracle keeps its id-oriented SQL formulation).
+    Per-node aggregation collapses map-side.
     """
-    e = (pairs.select(F.least(id_a, id_b).alias("a"),
-                      F.greatest(id_a, id_b).alias("b"))
-         .filter(F.col("a") != F.col("b")).distinct()
-         .localCheckpoint(eager=True))
-    x, y = e.alias("x"), e.alias("y")
-    wedges = (x.join(y, (F.col("x.a") == F.col("y.a"))
-                     & (F.col("x.b") < F.col("y.b")))
-              .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
-                      F.col("y.b").alias("c")))
-    closing = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    oriented = (oriented_edges(pairs, id_a, id_b, by_degree=True)
+                .localCheckpoint(eager=True))
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = (x.join(y, (F.col("x.src") == F.col("y.src"))
+                     & (F.col("x.odst") < F.col("y.odst")))
+              .select(F.col("x.src").alias("a"),
+                      F.col("x.dst").alias("b"),
+                      F.col("y.dst").alias("c")))
+    closing = oriented.select(F.col("src").alias("b"),
+                              F.col("dst").alias("c"))
     tri = wedges.join(closing, ["b", "c"])
     node_tri = (tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
                 .groupBy("id").agg(F.count("*").alias("t")))
-    deg = (e.select(F.col("a").alias("id"))
-           .unionAll(e.select(F.col("b").alias("id")))
+    deg = (oriented.select(F.col("src").alias("id"))
+           .unionAll(oriented.select(F.col("dst").alias("id")))
            .groupBy("id").agg(F.count("*").alias("d")))
     t = F.coalesce(F.col("t"), F.lit(0))
     d = F.col("d")

@@ -3776,6 +3776,41 @@ def test_triangle_counts_hand_graph(spark):
     }
 
 
+def test_triangle_degree_orientation_kills_hub_wedges(spark):
+    """The Suri-Vassilvitskii skew guarantee (r12 verdict #3): on a
+    star graph with one hub of degree n, id-orientation centers all
+    C(n,2) wedges on the hub (quadratic — the curse of the last
+    reducer) while degree-orientation points every edge leaf→hub so
+    the wedge volume is ZERO. Wedge volume = Σ C(outdeg(src), 2) over
+    the oriented edge frame — the exact row count the triangle close
+    would shuffle. Outputs stay orientation-invariant: the star has
+    no triangles and every degree is undirected."""
+    from pyspark.sql import functions as F
+
+    from market_data_ingestor_go_spark.operators.graph import (
+        oriented_edges, triangle_counts)
+
+    n = 200
+    hub = 0  # smallest id -> id-orientation centers every wedge on it
+    pairs = spark.createDataFrame([(hub, i) for i in range(1, n + 1)],
+                                  ["doc_a", "doc_b"])
+
+    def wedge_volume(by_degree):
+        out = (oriented_edges(pairs, by_degree=by_degree)
+               .groupBy("src").agg(F.count("*").alias("od"))
+               .agg(F.sum(F.expr("od * (od - 1) div 2")).alias("w"))
+               .collect()[0]["w"])
+        return int(out or 0)
+
+    assert wedge_volume(by_degree=False) == n * (n - 1) // 2  # 19900
+    assert wedge_volume(by_degree=True) == 0
+
+    got = {r["id"]: (r["degree"], r["n_triangles"])
+           for r in triangle_counts(pairs).collect()}
+    assert got[hub] == (n, 0)
+    assert all(got[i] == (1, 0) for i in range(1, n + 1))
+
+
 def test_interval_overlap_join_hand_cases(spark):
     """Closed-interval semantics on a known set: touching endpoints
     overlap by 1 day, containment reports the inner length, disjoint
