@@ -940,7 +940,9 @@ def cusum_from_bucket_stats(stats: DataFrame) -> DataFrame:
 def interval_overlap_join(a: DataFrame, b: DataFrame,
                           a_start: str, a_end: str,
                           b_start: str, b_end: str,
-                          bucket: int = 32) -> DataFrame:
+                          bucket: int = 32,
+                          a_keys: list | None = None,
+                          b_keys: list | None = None) -> DataFrame:
     """INTERVAL × INTERVAL overlap join — the two-sided sibling of the
     point-in-range join (range_join_click_context): emit every (a, b)
     row pair whose CLOSED integer intervals intersect
@@ -951,21 +953,53 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
     classic Spark interval-join trap. Bucketize instead: explode each
     interval into the ``bucket``-width grid cells it touches
     (sequence + explode, interval-length/bucket rows per interval),
-    equi-join on the cell, de-duplicate pairs, and verify the exact
-    overlap predicate as a post-filter — the equi-join carries ALL
-    the pruning, so work is proportional to co-located cells, never
-    |A|·|B|. Pick ``bucket`` near the typical interval length: too
-    small multiplies postings, too large multiplies per-cell
-    candidates (the standard tradeoff; both ends stay correct).
-    Columns from both inputs pass through ⇒ callers project first.
+    equi-join on the cell, de-duplicate the multi-cell candidate
+    pairs, and verify the exact overlap predicate as a post-filter —
+    the equi-join carries ALL the pruning, so work is proportional to
+    co-located cells, never |A|·|B|. Pick ``bucket`` near the typical
+    interval length: too small multiplies postings, too large
+    multiplies per-cell candidates (the standard tradeoff; both ends
+    stay correct).
+
+    Pair identity (r12 verdict #2): pass ``a_keys``/``b_keys`` — the
+    columns that uniquely identify a row on each side. The cell join
+    then runs on the NARROW (keys + bounds) projection, the pair
+    dedup shuffles keys only, and any remaining payload columns are
+    re-attached by key equi-join AFTER the exact filter — wide
+    payloads never ride the candidate exchange, and two rows that
+    differ only in payload can no longer silently collapse into one
+    pair. Rows sharing a key collapse per the uniqueness contract.
+    With keys omitted (legacy), every column is identity: the dedup
+    compares (and shuffles) full rows — fine for pre-projected
+    inputs, both collapse-prone and exchange-heavy for wide ones.
     """
     cells = lambda s, e: F.sequence(
         F.expr(f"{s} div {bucket}"), F.expr(f"{e} div {bucket}"))
-    ax = a.withColumn("__cell", F.explode(cells(a_start, a_end)))
-    bx = b.withColumn("__cell", F.explode(cells(b_start, b_end)))
-    joined = (ax.join(bx, "__cell").drop("__cell").distinct()
-              .filter((F.col(a_start) <= F.col(b_end))
-                      & (F.col(b_start) <= F.col(a_end))))
+    keyed = bool(a_keys) and bool(b_keys)
+    if keyed:
+        a_keys, b_keys = list(a_keys), list(b_keys)
+        na = a.select(*dict.fromkeys(a_keys + [a_start, a_end]))
+        nb = b.select(*dict.fromkeys(b_keys + [b_start, b_end]))
+    else:
+        na, nb = a, b
+    ax = na.withColumn("__cell", F.explode(cells(a_start, a_end)))
+    bx = nb.withColumn("__cell", F.explode(cells(b_start, b_end)))
+    joined = ax.join(bx, "__cell").drop("__cell")
+    joined = (joined.dropDuplicates(a_keys + b_keys) if keyed
+              else joined.distinct())
+    joined = joined.filter((F.col(a_start) <= F.col(b_end))
+                           & (F.col(b_start) <= F.col(a_end)))
     overlap = (F.least(F.col(a_end), F.col(b_end))
                - F.greatest(F.col(a_start), F.col(b_start)) + 1)
-    return joined.withColumn("overlap", overlap)
+    out = joined.withColumn("overlap", overlap)
+    if keyed:
+        bound_cols = {a_start, a_end}
+        a_extra = [c for c in a.columns
+                   if c not in set(a_keys) | bound_cols]
+        if a_extra:
+            out = out.join(a.select(*a_keys, *a_extra), a_keys)
+        b_extra = [c for c in b.columns
+                   if c not in set(b_keys) | {b_start, b_end}]
+        if b_extra:
+            out = out.join(b.select(*b_keys, *b_extra), b_keys)
+    return out

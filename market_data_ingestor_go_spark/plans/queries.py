@@ -3129,7 +3129,9 @@ def interval_overlap_shipments(spark, sf_dir):
                  .alias("b_s")))
     b = b.withColumn("b_e", F.col("b_s") + 30)
     out = interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e",
-                                bucket=32)
+                                bucket=32,
+                                a_keys=["l_orderkey", "l_linenumber"],
+                                b_keys=["promo_orderkey"])
     return out.select("l_orderkey", "l_linenumber", "promo_orderkey",
                       F.col("overlap").cast("bigint")
                       .alias("overlap_days"))

@@ -3835,6 +3835,50 @@ def test_interval_overlap_join_hand_cases(spark):
                    ("a3", "b4"): 11}
 
 
+def test_interval_overlap_join_keyed_wide_payload(spark):
+    """r12 verdict #2: with explicit a_keys/b_keys the candidate
+    exchange is keys+bounds only — wide payload columns are
+    re-attached AFTER the exact filter and never ride the cell join
+    or the pair dedup — and pair identity is the declared keys, so
+    rows that differ only in payload each keep their pair. Pinned two
+    ways: (1) output correctness incl. per-row payloads on a fixture
+    whose two a-rows share one interval, (2) plan shape — the
+    dropDuplicates aggregate groups on keys alone under keyed mode,
+    while legacy mode's groups every column including the payload
+    (the exchange-carries-payload defect)."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        interval_overlap_join)
+
+    wide = "x" * 1000
+    a = spark.createDataFrame(
+        [("a1", 0, 10, wide + "1"), ("a2", 0, 10, wide + "2"),
+         ("a3", 100, 120, wide + "3")],
+        ["a_id", "s", "e", "payload"])
+    b = spark.createDataFrame(
+        [("b1", 5, 40, 7.5), ("b2", 200, 300, 1.0)],
+        ["b_id", "s2", "e2", "score"])
+
+    keyed = interval_overlap_join(a, b, "s", "e", "s2", "e2", bucket=8,
+                                  a_keys=["a_id"], b_keys=["b_id"])
+    got = {(r["a_id"], r["b_id"]): (r["overlap"], r["payload"],
+                                    r["score"])
+           for r in keyed.collect()}
+    assert got == {("a1", "b1"): (6, wide + "1", 7.5),
+                   ("a2", "b1"): (6, wide + "2", 7.5)}
+
+    def agg_key_lines(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [ln for ln in plan.splitlines()
+                if "HashAggregate(keys=" in ln]
+
+    # keyed: no dedup aggregate groups on the payload; legacy: the
+    # full-row distinct does (payload rides the exchange)
+    assert agg_key_lines(keyed), "expected a dedup aggregate"
+    assert not any("payload" in ln for ln in agg_key_lines(keyed))
+    legacy = interval_overlap_join(a, b, "s", "e", "s2", "e2", bucket=8)
+    assert any("payload" in ln for ln in agg_key_lines(legacy))
+
+
 def test_quality_floor_hand_cases(spark):
     """Known groups: a has metrics [1..8] (ceil(8/4)=2 -> threshold 2,
     keeps 7 rows summing 35); b has ties at the threshold rank
