@@ -290,6 +290,16 @@ HEADLINE = [
     "source_quality_floor",
     # r12: per-column data-quality profile (single-pass multi-distinct)
     "orders_dq_profile",
+    # r13: HLL sketch twin of the DQ profile (one plain aggregate
+    # scan, bounded per-column state — the corpus-scale form)
+    "orders_dq_profile_approx",
+    # r13: Benford first-digit conformance (one scan, 9-group agg)
+    "orders_benford_test",
+    # r13: session path mining (two keyed windows sharing one sort,
+    # path-grain count, global top-20 TakeOrdered)
+    "events_session_funnel_paths",
+    # r13: per-source Gini concentration (one keyed window + agg)
+    "source_gini_concentration",
 ]
 
 

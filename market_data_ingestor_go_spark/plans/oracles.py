@@ -3663,3 +3663,103 @@ for _k in _R13_IN:
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in _R13_OUT:
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+
+# --- round-13 additions (oracle-backed, queued in
+# ROTATION_CANDIDATES_R13; plans/queries.py docstrings carry the
+# operator rationale) -------------------------------------------------
+
+# Benford first-digit conformance. First digit via floor() on BOTH
+# engines: DuckDB's double→int CAST rounds half-to-even while Spark
+# truncates, but double floor() is exact IEEE and the result is
+# integral so the cast is exact. Benford probabilities are
+# repr-embedded double literals (string parse is correctly rounded);
+# the χ² tree is the identical fixed IEEE op sequence.
+EXTRA_ORACLES["orders_benford_test"] = """
+WITH f AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM f),
+g AS (SELECT digit, COUNT(*) AS n_obs FROM f GROUP BY digit),
+p (digit, expected_p) AS (VALUES
+  (1, CAST('0.3010299956639812' AS DOUBLE)),
+  (2, CAST('0.17609125905568124' AS DOUBLE)),
+  (3, CAST('0.12493873660829992' AS DOUBLE)),
+  (4, CAST('0.09691001300805642' AS DOUBLE)),
+  (5, CAST('0.07918124604762482' AS DOUBLE)),
+  (6, CAST('0.06694678963061322' AS DOUBLE)),
+  (7, CAST('0.05799194697768673' AS DOUBLE)),
+  (8, CAST('0.05115252244738129' AS DOUBLE)),
+  (9, CAST('0.04575749056067514' AS DOUBLE)))
+SELECT CAST(g.digit AS BIGINT) AS digit,
+       CAST(g.n_obs AS BIGINT) AS n_obs,
+       p.expected_p,
+       CAST(g.n_obs AS DOUBLE) / t AS observed_p,
+       (CAST(g.n_obs AS DOUBLE) - p.expected_p * t)
+       * (CAST(g.n_obs AS DOUBLE) - p.expected_p * t)
+       / (p.expected_p * t) AS chi2_term
+FROM g JOIN p USING (digit) CROSS JOIN tot
+"""
+
+# Session path mining: ms-floored timestamps on both engines (floor of
+# the difference ≠ difference of floors, so BOTH floor per-row first),
+# (ts_ms, event_id) total order everywhere, concat_ws skips NULLs on
+# both engines, and the top-20 is ordered by the unique (count, path).
+EXTRA_ORACLES["events_session_funnel_paths"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) // 1000 AS ts_ms
+  FROM events
+), marked AS (
+  SELECT user_id, event_type, ts_ms, event_id,
+         CASE WHEN lag(ts_ms) OVER w IS NULL THEN 1
+              WHEN ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1
+              ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                             ORDER BY ts_ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked
+), rn AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                               ORDER BY ts_ms, event_id) AS rn
+  FROM sess
+), paths AS (
+  SELECT user_id, sess,
+         concat_ws('>',
+                   MAX(CASE WHEN rn = 1 THEN event_type END),
+                   MAX(CASE WHEN rn = 2 THEN event_type END),
+                   MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+  FROM rn WHERE rn <= 3 GROUP BY user_id, sess
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+# Per-source Gini: exact BIGINT rank-mass and totals (HUGEINT sums
+# routed through BIGINT before the double hop — the int128→double
+# cast is not correctly rounded), one fixed IEEE finisher tree.
+EXTRA_ORACLES["source_gini_concentration"] = """
+WITH d AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rk
+  FROM documents WHERE n_chars IS NOT NULL
+), a AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(rk * n_chars) AS BIGINT) AS rank_mass
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, total_chars,
+       2.0 * CAST(rank_mass AS DOUBLE)
+       / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
+       - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE)
+       AS gini
+FROM a
+"""

@@ -3074,6 +3074,45 @@ def orders_dq_profile(spark, sf_dir):
                 F.col("n_distinct").cast("bigint").alias("n_distinct")))
 
 
+def orders_dq_profile_approx(spark, sf_dir):
+    """Sketch-based twin of orders_dq_profile — the HLL swap that
+    profile documents for corpus-scale cardinalities (r12 verdict #4):
+    row/null counts stay exact (cheap map-side sums), per-column
+    distinct counts come from Datasketches HLL (lgK=12, mergeable
+    per-partition sketches), all in ONE plain aggregate scan — no
+    Expand, no per-value dedup shuffle: the exact form's
+    count_distinct must move every distinct value through the
+    exchange, this form moves one 2^12-bucket sketch per column per
+    partition regardless of cardinality. Values sketch through a
+    canonical string cast (injective for orders' int/decimal/date/
+    string columns, so true cardinality is preserved). Rows-only BY
+    DESIGN (DuckDB's approx_count_distinct is a different sketch —
+    the token_heavy_hitters_sketch/distinct_rollup_hll precedent);
+    accuracy is pinned against the exact in-window profile by
+    tests/test_operators.py::test_dq_profile_approx_accuracy
+    (HLL lgK=12 standard error ≈1.6%; contract ≤5% per column)."""
+    o = _t(spark, sf_dir, "orders")
+    cols = o.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                    .alias(f"null_{c}"))
+        aggs.append(F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(c).cast("string"), 12))
+            .alias(f"dist_{c}"))
+    row = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols)
+    return (row.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) AS "
+        "(column_name, n_null, approx_distinct)")
+        .select("column_name",
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_null").cast("bigint").alias("n_null"),
+                F.col("approx_distinct").cast("bigint")
+                .alias("approx_distinct")))
+
+
 def source_quality_floor(spark, sf_dir):
     """Per-source quality-floor curation
     (operators/training.py::quality_floor_summary): each source drops
@@ -3273,6 +3312,128 @@ def audio_afp_neardup(spark, sf_dir):
     return pairs.select(F.col("id_a").alias("audio_a"),
                         F.col("id_b").alias("audio_b"),
                         F.col("hamming").cast("bigint").alias("hamming"))
+
+
+_BENFORD_P = {  # log10(1 + 1/d), embedded as repr-exact double
+    1: 0.3010299956639812, 2: 0.17609125905568124,
+    3: 0.12493873660829992, 4: 0.09691001300805642,
+    5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129,
+    9: 0.04575749056067514}
+
+
+def orders_benford_test(spark, sf_dir):
+    """Benford first-digit conformance test over order totals — the
+    distributional data-quality/fraud screen (Benford 1938; Nigrini
+    1996 popularized the audit use): naturally-occurring amounts
+    follow P(d) = log10(1+1/d), and a synthetic or manipulated feed
+    shows up as per-digit χ² excess. Per first significant digit →
+    (digit, n_obs, expected_p, observed_p, chi2_term); the drift
+    monitor family's conformance sibling (χ²/KS/TV test against data,
+    this tests against a LAW).
+
+    Determinism: the first digit comes from floor(price) — double
+    floor is exact IEEE and DuckDB's double→int CAST rounds
+    half-to-even while Spark truncates, so both engines cast the
+    already-integral floor. n/total division of exact ints and the
+    χ² tree over repr-embedded Benford literals are the same fixed
+    IEEE ops on both sides ⇒ bit-exact. Scale: ONE scan, 9-group
+    map-side-collapsing aggregate — nothing else."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice") >= 1)
+         .select(F.substring(F.floor("o_totalprice").cast("string"),
+                             1, 1).cast("int").alias("digit")))
+    n_tot = o.count()
+    exp = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _BENFORD_P.items()
+                       for x in kv]), F.col("digit"))
+    n = F.col("n_obs").cast("double")
+    e = F.col("expected_p") * F.lit(float(n_tot))
+    return (o.groupBy("digit").agg(F.count("*").alias("n_obs"))
+            .withColumn("expected_p", exp)
+            .select(F.col("digit").cast("bigint").alias("digit"),
+                    F.col("n_obs").cast("bigint").alias("n_obs"),
+                    "expected_p",
+                    (n / F.lit(float(n_tot))).alias("observed_p"),
+                    ((n - e) * (n - e) / e).alias("chi2_term")))
+
+
+def events_session_funnel_paths(spark, sf_dir):
+    """Session path mining — the top-20 most common 3-step opening
+    event paths: sessionize by (user, >30 min gap), take each
+    session's first three event types in (ts, event_id) order, count
+    sessions per 'a>b>c' path. The discovery-mode sibling of the
+    fixed-funnel events_funnel_conversion (which paths DO users take,
+    not how many complete a given one). All strings + exact counts;
+    top-20 ordered by (n_sessions DESC, path ASC) — a total order ⇒
+    bit-exact oracle.
+
+    Scale: two keyed window passes over the same (user, ts) sort
+    (session boundaries, then per-session row numbers — one exchange,
+    Spark reuses the sort), a per-session 3-row pivot aggregate, a
+    path-grain count with map-side partials, and a global top-20
+    TakeOrdered — no corpus-sized sort."""
+    e = _events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w_user)
+    e2 = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1_800_000), 1)
+        .otherwise(0))
+    e3 = e2.withColumn(
+        "sess", F.sum("new_s").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)))
+    w_sess = (Window.partitionBy("user_id", "sess")
+              .orderBy("ts_ms", "event_id"))
+    e4 = (e3.withColumn("rn", F.row_number().over(w_sess))
+          .filter(F.col("rn") <= 3))
+    paths = (e4.groupBy("user_id", "sess")
+             .agg(F.concat_ws(
+                 ">",
+                 F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+                 F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+                 F.max(F.when(F.col("rn") == 3, F.col("event_type"))))
+                 .alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count("*").alias("n_sessions"))
+            .orderBy(F.col("n_sessions").desc(), F.col("path"))
+            .limit(20)
+            .select("path",
+                    F.col("n_sessions").cast("bigint")
+                    .alias("n_sessions")))
+
+
+def source_gini_concentration(spark, sf_dir):
+    """Per-source Gini concentration of document length — the
+    inequality readout a corpus curator runs next to the mix weights
+    and caps: a source whose token mass concentrates in a few giant
+    documents (G→1) needs per-doc caps where an even source (G→0)
+    needs only per-source ones. G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending-ranked lengths (the exact rank form of the standard
+    estimator, Glasser 1962) → (source, n_docs, total_chars, gini).
+
+    Determinism: ranks are row_number over (n_chars, doc_id) — a
+    total order; Σ(i·xᵢ) and Σx are exact BIGINTs; the finisher is
+    one fixed IEEE tree over those ints ⇒ bit-exact. Scale: one
+    keyed window pass (rank within source) + one map-side-collapsing
+    aggregate; a |sources|-row result."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("n_chars").isNotNull())
+         .select("source", "doc_id", "n_chars"))
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.withColumn("rk", F.row_number().over(w))
+    agg = (r.groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum(F.col("rk").cast("long") * F.col("n_chars"))
+                .alias("rank_mass")))
+    n = F.col("n_docs").cast("double")
+    gini = (F.lit(2.0) * F.col("rank_mass").cast("double")
+            / (n * F.col("total_chars").cast("double"))
+            - (n + F.lit(1.0)) / n)
+    return agg.select(
+        "source", F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        gini.alias("gini"))
 
 
 # The driver's correctness gate checks the FIRST 50 entries of
@@ -3568,6 +3729,15 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only by design (FFT not SQL-expressible; invariance +
     # recall tests pin correctness — the simhash/knn_ann precedent)
     "audio_afp_neardup": audio_afp_neardup,
+    # r13: HLL swap of the in-window exact DQ profile — rows-only by
+    # design (Datasketches HLL ≠ DuckDB's sketch); accuracy pinned
+    # against the exact profile (≤5% relative-error contract test)
+    "orders_dq_profile_approx": orders_dq_profile_approx,
+    # round-13 additions: oracle-backed, queued in
+    # ROTATION_CANDIDATES_R13 for their first external row next round.
+    "orders_benford_test": orders_benford_test,
+    "events_session_funnel_paths": events_session_funnel_paths,
+    "source_gini_concentration": source_gini_concentration,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3788,7 +3958,11 @@ ROTATED_IN_R13: list[str] = list(ROTATION_CANDIDATES_R12)
 # added during round 13 must be listed here in the SAME commit that
 # adds its oracle (the r9 policy, enforced by the never-verified scan
 # in tests/test_parity.py).
-ROTATION_CANDIDATES_R13: list[str] = []
+ROTATION_CANDIDATES_R13: list[str] = [
+    "orders_benford_test",          # added r13, oracle added same commit
+    "events_session_funnel_paths",  # added r13, oracle added same commit
+    "source_gini_concentration",    # added r13, oracle added same commit
+]
 
 
 # Frozen at the close of round 7: every oracle-backed query name that

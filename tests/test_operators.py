@@ -3484,6 +3484,50 @@ def test_image_dhash_neardup_catches_what_byte_dedup_misses(spark):
                      ("15:orig", "15:up2", 0)}
 
 
+def test_image_dhash_cross_codec_png_jpeg_pairs(spark):
+    """r12 verdict #6: the cross-codec invariance claim end-to-end —
+    a baseline-JPEG re-encode of the SAME pixels a PNG carries pairs
+    at Hamming 0 through image_neardup_pairs (PNG decode and JPEG
+    Huffman+IDCT decode both earned by the from-scratch codecs).
+    Content is photo-like SMOOTH (a 36x32 ramp: adjacent downsampled
+    cells differ by 16 gray levels, Annex-K quantization error on
+    smooth content is <=3 levels measured) — on nibble-noise content
+    JPEG legitimately drifts ~8 bits (asserted too: the honest-lossy
+    posture, not a fixture accident), which is why the oracle-shared
+    PNG fixture doesn't re-encode noise through JPEG."""
+    from market_data_ingestor_go_spark.functions.dhash_minimal import (
+        dhash64)
+    from market_data_ingestor_go_spark.functions.jpeg_minimal import (
+        jpeg_decode_luma, jpeg_encode_gray)
+    from market_data_ingestor_go_spark.functions.png_minimal import (
+        png_encode)
+    from market_data_ingestor_go_spark.operators.multimodal import (
+        image_neardup_pairs)
+
+    w, h = 36, 32
+    smooth = bytes(min(255, 40 + 4 * x + 2 * y)
+                   for y in range(h) for x in range(w))
+    import hashlib
+    hx = (hashlib.sha256(b"noise doc").hexdigest()
+          + hashlib.sha256(b"noise doc:1").hexdigest())
+    noise = bytes(64 + int(c, 16) * 8 for c in hx[:72])
+
+    imgs = spark.createDataFrame(
+        [("r:png", png_encode(w, h, 1, smooth)),
+         ("r:jpeg", jpeg_encode_gray(w, h, smooth)),
+         ("n:png", png_encode(9, 8, 1, noise))],
+        ["img_id", "content"])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs(imgs).collect()}
+    assert pairs == {("r:jpeg", "r:png"): 0}
+
+    # noise through JPEG honestly drifts past the join's Hamming cap
+    jb = jpeg_encode_gray(9, 8, noise)
+    jw, jh, _nc, ly = jpeg_decode_luma(jb)
+    drift = bin(dhash64(9, 8, noise) ^ dhash64(jw, jh, ly)).count("1")
+    assert drift > 2
+
+
 def test_cusum_bucket_grain_agrees_with_row_grain_at_unit_buckets(spark):
     """The bucket-resolution contract's exact corner: when every
     bucket holds at most one row (bucket_ms=1, unique per-key ts) the
@@ -3877,6 +3921,31 @@ def test_interval_overlap_join_keyed_wide_payload(spark):
     assert not any("payload" in ln for ln in agg_key_lines(keyed))
     legacy = interval_overlap_join(a, b, "s", "e", "s2", "e2", bucket=8)
     assert any("payload" in ln for ln in agg_key_lines(legacy))
+
+
+def test_dq_profile_approx_accuracy(spark):
+    """The HLL profile twin's accuracy contract (the
+    equi_depth_boundaries-vs-exact-ntile pattern): per column of
+    orders at sf0.01, exact row/null counts must MATCH the exact
+    profile bit-for-bit (they are plain sums, not sketched) and the
+    HLL distinct estimate must sit within 5% relative error of the
+    exact distinct count (lgK=12 standard error ≈1.04/√4096 ≈ 1.6%;
+    5% is >3σ — a deterministic-sketch contract, not a flaky bound)."""
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["column_name"]: r for r in
+             ALL_QUERIES["orders_dq_profile"](spark, sf).collect()}
+    approx = {r["column_name"]: r for r in
+              ALL_QUERIES["orders_dq_profile_approx"](spark, sf)
+              .collect()}
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        assert a["n_rows"] == e["n_rows"]
+        assert a["n_null"] == e["n_null"]
+        rel = abs(a["approx_distinct"] - e["n_distinct"]) / e["n_distinct"]
+        assert rel <= 0.05, (c, a["approx_distinct"], e["n_distinct"])
 
 
 def test_quality_floor_hand_cases(spark):
