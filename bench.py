@@ -300,6 +300,12 @@ HEADLINE = [
     "events_session_funnel_paths",
     # r13: per-source Gini concentration (one keyed window + agg)
     "source_gini_concentration",
+    # r13: user-grain co-occurrence lift (one distinct shuffle +
+    # per-user bounded pair self-join)
+    "events_type_cooccurrence_lift",
+    # r13: chi-square independence over the lang x source table (one
+    # corpus exchange, window sums over the tiny cell table)
+    "docs_lang_source_independence",
 ]
 
 

@@ -3740,6 +3740,64 @@ ORDER BY n_sessions DESC, path
 LIMIT 20
 """
 
+# User-grain co-occurrence lift: exact counts over DISTINCT
+# (user, type); lift as (n_both·n_users)/(n_a·n_b) — the identical
+# two-products-one-division tree (no intermediate support rounding).
+EXTRA_ORACLES["events_type_cooccurrence_lift"] = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users FROM ut
+), per_type AS (
+  SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+), pr AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM ut x JOIN ut y ON x.user_id = y.user_id
+                     AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(a.n AS BIGINT) AS n_a,
+       CAST(b.n AS BIGINT) AS n_b,
+       CAST(n_both AS DOUBLE) / n_users AS support,
+       CAST(n_both AS DOUBLE) * n_users
+       / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS lift
+FROM pr
+JOIN per_type a ON a.event_type = type_a
+JOIN per_type b ON b.event_type = type_b
+CROSS JOIN tot
+"""
+
+# χ² independence: exact BIGINT cell/row/col/grand totals (window
+# sums routed through BIGINT before the double hop), identical
+# expected/χ² IEEE tree.
+EXTRA_ORACLES["docs_lang_source_independence"] = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n_obs
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source
+), t AS (
+  SELECT lang, source, n_obs,
+         CAST(SUM(n_obs) OVER (PARTITION BY lang) AS BIGINT) AS n_l,
+         CAST(SUM(n_obs) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+         CAST(SUM(n_obs) OVER () AS BIGINT) AS n
+  FROM cells
+)
+SELECT lang, source, CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)
+         AS expected,
+       (CAST(n_obs AS DOUBLE)
+        - CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE))
+       * (CAST(n_obs AS DOUBLE)
+          - CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE))
+       / (CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE))
+         AS chi2_term
+FROM t
+"""
+
 # Per-source Gini: exact BIGINT rank-mass and totals (HUGEINT sums
 # routed through BIGINT before the double hop — the int128→double
 # cast is not correctly rounded), one fixed IEEE finisher tree.

@@ -3436,6 +3436,88 @@ def source_gini_concentration(spark, sf_dir):
         gini.alias("gini"))
 
 
+def events_type_cooccurrence_lift(spark, sf_dir):
+    """User-grain market-basket co-occurrence (Agrawal & Srikant 1994
+    support/lift, at the user level): for every unordered pair of
+    event types, how many users do BOTH, with support n_both/n_users
+    and lift = support(a,b)/(support(a)·support(b)) — lift > 1 marks
+    behaviors that travel together, the unordered complement of the
+    ordered events_session_funnel_paths and the fixed-funnel
+    conversion. → (type_a, type_b, n_both, n_a, n_b, support, lift).
+
+    Determinism: all counts are exact BIGINTs over DISTINCT
+    (user, type); support and lift are one fixed IEEE tree over those
+    ints (lift computed as (n_both·n_users)/(n_a·n_b) — two products
+    and one division, no intermediate support rounding) ⇒ bit-exact.
+    Scale: ONE distinct shuffle on (user, type); the pair self-join
+    is equi on user_id with per-user fanout bounded by |types|²
+    (types is a small vocabulary); every aggregate collapses
+    map-side; per-type counts broadcast back onto the pair table."""
+    e = (_events(spark, sf_dir)
+         .select("user_id", "event_type").distinct()
+         .localCheckpoint(eager=True))  # feeds 3 aggregates + a join
+    n_users = e.select("user_id").distinct().count()
+    per_type = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    x = e.select(F.col("user_id").alias("u"),
+                 F.col("event_type").alias("type_a"))
+    y = e.select(F.col("user_id").alias("u"),
+                 F.col("event_type").alias("type_b"))
+    both = (x.join(y, "u").filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("n_both")))
+    nb = F.col("n_both").cast("double")
+    na = F.col("n_a").cast("double")
+    nbb = F.col("n_b").cast("double")
+    nu = F.lit(float(n_users))
+    return (both
+            .join(F.broadcast(per_type.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n").alias("n_a"))), "type_a")
+            .join(F.broadcast(per_type.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n").alias("n_b"))), "type_b")
+            .select("type_a", "type_b",
+                    F.col("n_both").cast("bigint").alias("n_both"),
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"),
+                    (nb / nu).alias("support"),
+                    (nb * nu / (na * nbb)).alias("lift")))
+
+
+def docs_lang_source_independence(spark, sf_dir):
+    """χ² test of INDEPENDENCE over the lang × source contingency
+    table (Pearson 1900) — the third member of the χ² family next to
+    the two-sample homogeneity drift monitor and the Benford law
+    conformance test: is language composition independent of source?
+    Per cell → (lang, source, n_obs, expected, chi2_term); summing
+    chi2_term gives the statistic at (|langs|−1)(|sources|−1) dof.
+
+    Determinism: observed counts are exact BIGINTs; expected =
+    row_total·col_total/n and the χ² term are one fixed IEEE tree
+    over those ints ⇒ bit-exact. Scale: ONE corpus exchange (the
+    cell groupBy with map-side partials); row/column/grand totals are
+    window sums over the |langs|·|sources|-row cell table — nothing
+    corpus-sized past the first aggregate."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("lang").isNotNull()
+                 & F.col("source").isNotNull()))
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
+    w_l = Window.partitionBy("lang")
+    w_s = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    c = (cells.withColumn("n_l", F.sum("n_obs").over(w_l))
+         .withColumn("n_s", F.sum("n_obs").over(w_s))
+         .withColumn("n", F.sum("n_obs").over(w_all)))
+    obs = F.col("n_obs").cast("double")
+    exp = (F.col("n_l").cast("double") * F.col("n_s").cast("double")
+           / F.col("n").cast("double"))
+    return c.select(
+        "lang", "source",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        exp.alias("expected"),
+        ((obs - exp) * (obs - exp) / exp).alias("chi2_term"))
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # queries() (CORRECTNESS_r01 stopped at exactly entry 50, leaving the
 # whole §2.11 extension surface unverified). QUERIES is therefore a
@@ -3738,6 +3820,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_benford_test": orders_benford_test,
     "events_session_funnel_paths": events_session_funnel_paths,
     "source_gini_concentration": source_gini_concentration,
+    "events_type_cooccurrence_lift": events_type_cooccurrence_lift,
+    "docs_lang_source_independence": docs_lang_source_independence,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3962,6 +4046,8 @@ ROTATION_CANDIDATES_R13: list[str] = [
     "orders_benford_test",          # added r13, oracle added same commit
     "events_session_funnel_paths",  # added r13, oracle added same commit
     "source_gini_concentration",    # added r13, oracle added same commit
+    "events_type_cooccurrence_lift",   # added r13, oracle same commit
+    "docs_lang_source_independence",   # added r13, oracle same commit
 ]
 
 
