@@ -306,6 +306,9 @@ HEADLINE = [
     # r13: chi-square independence over the lang x source table (one
     # corpus exchange, window sums over the tiny cell table)
     "docs_lang_source_independence",
+    # r13: GK-percentile quality-floor twin (two plain aggregates +
+    # broadcast - no keyed sort window; the monster-group form)
+    "source_quality_floor_approx",
 ]
 
 

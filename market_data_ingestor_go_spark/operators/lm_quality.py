@@ -1133,3 +1133,60 @@ def _pmi_score(pruned: DataFrame, uni: DataFrame, totals: DataFrame,
                     F.col("n_prev").cast("bigint").alias("n_prev"),
                     F.col("n_cur").cast("bigint").alias("n_cur"),
                     "score"))
+
+
+# --- Benford first-digit conformance (r13) ---------------------------
+#
+# The conformance sibling of the drift monitors above: χ²/KS/TV test a
+# distribution against ANOTHER SAMPLE; Benford tests it against a LAW.
+# Factored as additive counts + a finisher so the identical transform
+# streams (streaming/sketches.py::streaming_benford_counts — per-digit
+# counts are plain additive aggregates, complete-mode state after any
+# micro-batch split is bit-identical to the batch aggregate).
+
+BENFORD_P = {  # log10(1 + 1/d), repr-exact double literals
+    1: 0.3010299956639812, 2: 0.17609125905568124,
+    3: 0.12493873660829992, 4: 0.09691001300805642,
+    5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129,
+    9: 0.04575749056067514}
+
+
+def benford_digit_counts(df: DataFrame, amount_col: str) -> DataFrame:
+    """(digit, n_obs) — exact first-significant-digit counts of a
+    positive amount column (rows < 1 are excluded: their first
+    significant digit needs magnitude normalization the law's audit
+    use doesn't — Nigrini tests the integer part). The first digit
+    comes from floor(): double floor is exact IEEE and the result is
+    integral, so the int cast is exact on BOTH engines (DuckDB's
+    double→int CAST rounds half-to-even, Spark truncates — floor
+    sidesteps the divergence). ONE scan, ≤9-group map-side-collapsing
+    aggregate; counts are additive ⇒ streams complete-mode."""
+    return (df.filter(F.col(amount_col) >= 1)
+            .select(F.substring(F.floor(amount_col).cast("string"),
+                                1, 1).cast("int").alias("digit"))
+            .groupBy("digit").agg(F.count("*").alias("n_obs")))
+
+
+def benford_from_counts(counts: DataFrame) -> DataFrame:
+    """Finisher: (digit, n_obs, expected_p, observed_p, chi2_term)
+    from the additive count table — total derives from a window sum
+    over the ≤9-row counts (no second corpus pass), the Benford
+    probabilities are repr-embedded literals, and the χ² term is one
+    fixed IEEE tree over exact ints ⇒ bit-exact cross-engine."""
+    from pyspark.sql.window import Window
+    exp_p = F.element_at(
+        F.create_map(*[F.lit(x) for kv in BENFORD_P.items()
+                       for x in kv]), F.col("digit"))
+    c = (counts
+         .withColumn("t", F.sum("n_obs").over(Window.partitionBy()))
+         .withColumn("expected_p", exp_p))
+    n = F.col("n_obs").cast("double")
+    t = F.col("t").cast("double")
+    e = F.col("expected_p") * t
+    return c.select(
+        F.col("digit").cast("bigint").alias("digit"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        "expected_p",
+        (n / t).alias("observed_p"),
+        ((n - e) * (n - e) / e).alias("chi2_term"))

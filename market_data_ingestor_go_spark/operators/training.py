@@ -450,3 +450,43 @@ def quality_floor_summary(df: DataFrame, group_col: str,
                     F.col("threshold").cast("bigint").alias("threshold"),
                     F.col("n_kept").cast("bigint").alias("n_kept"),
                     F.col("kept_sum").cast("bigint").alias("kept_sum")))
+
+
+def quality_floor_summary_approx(df: DataFrame, group_col: str,
+                                 metric_col: str,
+                                 q_num: int = 1, q_den: int = 4,
+                                 accuracy: int = 10000) -> DataFrame:
+    """Sketch-based scale twin of ``quality_floor_summary`` — the
+    swap its docstring promises for monster groups (r13, the
+    equi_depth_boundaries pattern in per-group form): the per-group
+    floor comes from ``percentile_approx`` (Greenwald-Khanna, a
+    MERGEABLE aggregate with map-side partials), so the whole summary
+    is TWO plain aggregates and a |groups|-row broadcast — no keyed
+    sort window, no group serializing its own rank through one task.
+    Same output schema as the exact form.
+
+    Accuracy contract: GK at ``accuracy`` bounds the threshold's rank
+    error by n/accuracy per group (exact when n ≤ accuracy — fixture
+    sizes), and the kept-count error is bounded by the number of rows
+    whose metric sits between the exact and approx thresholds
+    (tests/test_operators.py::test_quality_floor_approx_accuracy).
+    Rows-only posture: the sketch is engine-internal, its exact twin
+    IS the oracle-checkable ground truth."""
+    if not (0 < q_num < q_den):
+        raise ValueError(f"need 0 < q_num < q_den (got {q_num}/{q_den})")
+    t = df.select(F.col(group_col).alias("g"),
+                  F.col(metric_col).alias("m"))
+    th = t.groupBy("g").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile_approx("m", q_num / q_den, accuracy)
+        .alias("threshold"))
+    keep = (F.col("m") >= F.col("threshold")).cast("int")
+    return (t.join(F.broadcast(th), "g")
+            .groupBy("g", "n_docs", "threshold")
+            .agg(F.sum(keep).alias("n_kept"),
+                 F.sum(F.col("m") * keep).alias("kept_sum"))
+            .select(F.col("g").alias(group_col),
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("threshold").cast("bigint").alias("threshold"),
+                    F.col("n_kept").cast("bigint").alias("n_kept"),
+                    F.col("kept_sum").cast("bigint").alias("kept_sum")))

@@ -3134,6 +3134,26 @@ def source_quality_floor(spark, sf_dir):
     return quality_floor_summary(d, "source", "n_tok")
 
 
+def source_quality_floor_approx(spark, sf_dir):
+    """Sketch-based twin of source_quality_floor — the monster-group
+    swap its exact form documents (operators/training.py::
+    quality_floor_summary_approx): per-source floors via the
+    percentile_approx GK aggregate (mergeable, map-side partials), so
+    the summary is two plain aggregates + a |sources|-row broadcast —
+    no keyed sort window, no group serializing its rank through one
+    task. Rows-only BY DESIGN (the sketch is engine-internal; the
+    exact in-window source_quality_floor is the oracle-checkable
+    ground truth); accuracy pinned by
+    tests/test_operators.py::test_quality_floor_approx_accuracy."""
+    from ..functions.text import token_count
+    from ..operators.training import quality_floor_summary_approx
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("source", "doc_id",
+                 token_count("text").cast("bigint").alias("n_tok")))
+    return quality_floor_summary_approx(d, "source", "n_tok")
+
+
 def interval_overlap_shipments(spark, sf_dir):
     """INTERVAL × INTERVAL overlap join
     (operators/timeseries.py::interval_overlap_join — the two-sided
@@ -3314,14 +3334,6 @@ def audio_afp_neardup(spark, sf_dir):
                         F.col("hamming").cast("bigint").alias("hamming"))
 
 
-_BENFORD_P = {  # log10(1 + 1/d), embedded as repr-exact double
-    1: 0.3010299956639812, 2: 0.17609125905568124,
-    3: 0.12493873660829992, 4: 0.09691001300805642,
-    5: 0.07918124604762482, 6: 0.06694678963061322,
-    7: 0.05799194697768673, 8: 0.05115252244738129,
-    9: 0.04575749056067514}
-
-
 def orders_benford_test(spark, sf_dir):
     """Benford first-digit conformance test over order totals — the
     distributional data-quality/fraud screen (Benford 1938; Nigrini
@@ -3330,32 +3342,23 @@ def orders_benford_test(spark, sf_dir):
     shows up as per-digit χ² excess. Per first significant digit →
     (digit, n_obs, expected_p, observed_p, chi2_term); the drift
     monitor family's conformance sibling (χ²/KS/TV test against data,
-    this tests against a LAW).
+    this tests against a LAW). Machinery shared with the streaming
+    twin (operators/lm_quality.py::benford_digit_counts — additive
+    counts — + benford_from_counts; the bucket-CUSUM factoring).
 
     Determinism: the first digit comes from floor(price) — double
     floor is exact IEEE and DuckDB's double→int CAST rounds
     half-to-even while Spark truncates, so both engines cast the
-    already-integral floor. n/total division of exact ints and the
-    χ² tree over repr-embedded Benford literals are the same fixed
-    IEEE ops on both sides ⇒ bit-exact. Scale: ONE scan, 9-group
-    map-side-collapsing aggregate — nothing else."""
-    o = (_t(spark, sf_dir, "orders")
-         .filter(F.col("o_totalprice") >= 1)
-         .select(F.substring(F.floor("o_totalprice").cast("string"),
-                             1, 1).cast("int").alias("digit")))
-    n_tot = o.count()
-    exp = F.element_at(
-        F.create_map(*[F.lit(x) for kv in _BENFORD_P.items()
-                       for x in kv]), F.col("digit"))
-    n = F.col("n_obs").cast("double")
-    e = F.col("expected_p") * F.lit(float(n_tot))
-    return (o.groupBy("digit").agg(F.count("*").alias("n_obs"))
-            .withColumn("expected_p", exp)
-            .select(F.col("digit").cast("bigint").alias("digit"),
-                    F.col("n_obs").cast("bigint").alias("n_obs"),
-                    "expected_p",
-                    (n / F.lit(float(n_tot))).alias("observed_p"),
-                    ((n - e) * (n - e) / e).alias("chi2_term")))
+    already-integral floor. The total derives from a window sum over
+    the ≤9-row count table (no second corpus pass); n/total division
+    of exact ints and the χ² tree over repr-embedded Benford literals
+    are the same fixed IEEE ops on both sides ⇒ bit-exact. Scale:
+    ONE scan, 9-group map-side-collapsing aggregate — nothing else."""
+    from ..operators.lm_quality import (benford_digit_counts,
+                                        benford_from_counts)
+    return benford_from_counts(
+        benford_digit_counts(_t(spark, sf_dir, "orders"),
+                             "o_totalprice"))
 
 
 def events_session_funnel_paths(spark, sf_dir):
@@ -3815,6 +3818,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # design (Datasketches HLL ≠ DuckDB's sketch); accuracy pinned
     # against the exact profile (≤5% relative-error contract test)
     "orders_dq_profile_approx": orders_dq_profile_approx,
+    # r13: GK-percentile swap of the in-window exact quality floor —
+    # rows-only by design (engine-internal sketch); accuracy pinned
+    # against the exact floor (rank-error contract test)
+    "source_quality_floor_approx": source_quality_floor_approx,
     # round-13 additions: oracle-backed, queued in
     # ROTATION_CANDIDATES_R13 for their first external row next round.
     "orders_benford_test": orders_benford_test,

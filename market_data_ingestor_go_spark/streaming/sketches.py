@@ -237,3 +237,18 @@ def streaming_embedding_covariance(stream: DataFrame,
     same source."""
     from ..operators.similarity import cov_dim_sums, cov_pair_sums
     return cov_pair_sums(stream, vec_col), cov_dim_sums(stream, vec_col)
+
+
+def streaming_benford_counts(stream: DataFrame,
+                             amount_col: str) -> DataFrame:
+    """Benford first-digit counts maintained FROM A STREAM — the
+    transform is SHARED with the batch form
+    (``operators/lm_quality.py::benford_digit_counts``: per-digit
+    counts are plain additive aggregates ⇒ streamed complete-mode
+    state after any micro-batch split is BIT-identical to the batch
+    aggregate), and the conformance readout (expected/observed/χ²
+    against Benford's law) finishes from the ≤9-row sink at read time
+    via ``benford_from_counts`` — the live feed-integrity monitor
+    next to the drift-histogram family, with ≤9 rows of state."""
+    from ..operators.lm_quality import benford_digit_counts
+    return benford_digit_counts(stream, amount_col)

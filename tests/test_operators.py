@@ -3948,6 +3948,54 @@ def test_dq_profile_approx_accuracy(spark):
         assert rel <= 0.05, (c, a["approx_distinct"], e["n_distinct"])
 
 
+def test_quality_floor_approx_accuracy(spark):
+    """The GK quality-floor twin's accuracy contract (the DQ-profile
+    approx pattern): on the real documents table at sf0.01, per
+    source — n_docs matches the exact form bit-for-bit (plain
+    counts), the approx threshold's exact ascending rank sits within
+    n/accuracy + 1 of the exact form's ceil(n/4) target (GK bound
+    plus the estimator's one-rank definitional offset), and the kept
+    accounting is internally consistent with the approx threshold
+    (n_kept/kept_sum recomputed from the data match exactly)."""
+    from pyspark.sql import functions as F
+
+    from market_data_ingestor_go_spark.functions.text import token_count
+    from market_data_ingestor_go_spark.operators.training import (
+        quality_floor_summary, quality_floor_summary_approx)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    d = (load_table(spark, "/root/testdata/sf0.01", "documents")
+         .filter(F.col("text").isNotNull())
+         .select("source", "doc_id",
+                 token_count("text").cast("bigint").alias("n_tok")))
+    exact = {r["source"]: r for r in
+             quality_floor_summary(d, "source", "n_tok").collect()}
+    approx = {r["source"]: r for r in
+              quality_floor_summary_approx(d, "source", "n_tok",
+                                           accuracy=10000).collect()}
+    assert set(exact) == set(approx)
+    vals = {s: sorted(r["n_tok"] for r in rows) for s, rows in
+            __import__("itertools").groupby(
+                sorted(d.collect(), key=lambda r: r["source"]),
+                key=lambda r: r["source"])}
+    for s, e in exact.items():
+        a = approx[s]
+        assert a["n_docs"] == e["n_docs"]
+        xs = vals[s]
+        n = len(xs)
+        # exact ascending rank of the approx threshold (first index
+        # holding it, 1-based) vs the exact target ceil(n/4)
+        import bisect
+        rk = bisect.bisect_left(xs, a["threshold"]) + 1
+        assert xs[rk - 1] == a["threshold"]  # GK returns an element
+        target = (n + 3) // 4
+        assert abs(rk - target) <= n // 10000 + 1, (s, rk, target)
+        # internal consistency of the kept accounting
+        kept = [x for x in xs if x >= a["threshold"]]
+        assert a["n_kept"] == len(kept)
+        assert a["kept_sum"] == sum(kept)
+
+
 def test_quality_floor_hand_cases(spark):
     """Known groups: a has metrics [1..8] (ceil(8/4)=2 -> threshold 2,
     keeps 7 rows summing 35); b has ties at the threshold rank

@@ -3075,3 +3075,48 @@ def test_interval_overlap_maintainer_prefix_complete_and_replay(
     finally:
         m.stop()
         spark.sql("DROP TABLE IF EXISTS iom_state_cells")
+
+
+def test_streaming_benford_counts_equals_batch(spark, tmp_path):
+    """Streaming Benford twin (r13): the complete-mode (digit, n_obs)
+    state is BIT-identical to the batch benford_digit_counts
+    aggregate after a 3-way micro-batch split (counts are additive),
+    and benford_from_counts over the sink reproduces the batch
+    conformance readout row-for-row including the double χ² terms."""
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        benford_digit_counts, benford_from_counts)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_benford_counts)
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders") \
+        .select("o_totalprice")
+    src = str(tmp_path / "bsrc")
+    os.makedirs(src)
+    rows = orders.collect()
+    for i, part in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in part:
+                fh.write(json.dumps(
+                    {"o_totalprice": r.o_totalprice}) + "\n")
+
+    stream = (spark.readStream.schema("o_totalprice DOUBLE")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(
+        streaming_benford_counts(stream, "o_totalprice"),
+        "benford_state", str(tmp_path / "b"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.table("benford_state")
+    want_state = benford_digit_counts(orders, "o_totalprice")
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, want_state.collect()))
+
+    got = sorted(map(tuple, benford_from_counts(state).collect()))
+    want = sorted(map(tuple,
+                      benford_from_counts(want_state).collect()))
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS benford_state")
