@@ -309,6 +309,9 @@ HEADLINE = [
     # r13: GK-percentile quality-floor twin (two plain aggregates +
     # broadcast - no keyed sort window; the monster-group form)
     "source_quality_floor_approx",
+    # r13: per-group embedding outliers (centroid broadcast + map-only
+    # fold distance + WindowGroupLimit top-k)
+    "embedding_outlier_docs",
 ]
 
 

@@ -1535,6 +1535,47 @@ def centroid_table(vectors: DataFrame, group_col: str = "label",
     return centroids_from_sums(dim_sums(vectors, group_col, vec_col))
 
 
+def centroid_outliers(vectors: DataFrame, group_col: str = "label",
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id", k: int = 3) -> DataFrame:
+    """(grp, id, dist_sq, outlier_rank) — each group's top-k FARTHEST
+    vectors from its exact centroid: the mislabel/outlier screen a
+    curation pipeline runs on labeled or source-grouped embeddings
+    (a vector far from its own group's center is a labeling error, a
+    contamination, or genuinely novel content worth a look) — the
+    per-doc readout next to the group-grain centroid drift monitor.
+
+    Exactness: centroids are the bit-exact ``centroid_table``
+    (decimal sums, string-routed division); the squared distance is
+    the repo's deterministic left fold (zip_with squared deltas,
+    0.0-seeded aggregate ≡ DuckDB list_reduce — the cosine device);
+    rank orders by (dist_sq DESC, id) — a total order ⇒ bit-exact.
+
+    Shapes at 100 TB: one dim-exploded corpus aggregate (the centroid
+    sums), a |groups|-row centroid broadcast back onto the corpus
+    scan (map-only distance), and a per-group top-k that
+    WindowGroupLimit prunes map-side — nothing corpus-sized past the
+    first aggregate."""
+    from pyspark.sql.window import Window
+    cents = centroid_table(vectors, group_col, vec_col)
+    v = vectors.select(F.col(group_col).alias("grp"),
+                       F.col(id_col).alias("id"),
+                       as_double(vec_col).alias("x"))
+    dist = F.aggregate(
+        F.zip_with(F.col("x"), F.col("centroid"),
+                   lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, t: acc + t)
+    w = Window.partitionBy("grp").orderBy(F.col("dist_sq").desc(),
+                                          F.col("id"))
+    return (v.join(F.broadcast(cents.select("grp", "centroid")), "grp")
+            .select("grp", "id", dist.alias("dist_sq"))
+            .withColumn("outlier_rank", F.row_number().over(w))
+            .filter(F.col("outlier_rank") <= k)
+            .select("grp", "id", "dist_sq",
+                    F.col("outlier_rank").cast("bigint")
+                    .alias("outlier_rank")))
+
+
 def centroid_drift_from_sums(sums: DataFrame) -> DataFrame:
     """Drift readout from a ``dim_sums`` table — the
     finish-from-the-sink half shared by the batch monitor and the

@@ -3798,6 +3798,42 @@ SELECT lang, source, CAST(n_obs AS BIGINT) AS n_obs,
 FROM t
 """
 
+# Per-group embedding outliers: the drift oracle's exact centroid CTE
+# (decimal dim sums, string-routed division, ORDER BY i lists), then
+# list_reduce squared-delta distance (≡ Spark's 0.0-seeded aggregate
+# over zip_with — the cosine-fold device) and a total-order rank.
+EXTRA_ORACLES["embedding_outlier_docs"] = """
+WITH dims AS (
+  SELECT label AS grp, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+sums AS (
+  SELECT grp, i, SUM(CAST(v AS DECIMAL(27,6))) AS s, COUNT(*) AS n
+  FROM dims GROUP BY grp, i),
+cents AS (
+  SELECT grp,
+         list(CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+              ORDER BY i) AS centroid
+  FROM sums GROUP BY grp),
+v AS (
+  SELECT label AS grp, vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings),
+d AS (
+  SELECT v.grp, v.vec_id,
+         list_reduce(list_transform(list_zip(v.x, c.centroid),
+                                    s -> (s[1] - s[2]) * (s[1] - s[2])),
+                     (a, b) -> a + b) AS dist_sq
+  FROM v JOIN cents c ON v.grp = c.grp),
+r AS (
+  SELECT grp, vec_id, dist_sq,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY dist_sq DESC, vec_id) AS rk
+  FROM d)
+SELECT grp AS label, vec_id, dist_sq,
+       CAST(rk AS BIGINT) AS outlier_rank
+FROM r WHERE rk <= 3
+"""
+
 # Per-source Gini: exact BIGINT rank-mass and totals (HUGEINT sums
 # routed through BIGINT before the double hop — the int128→double
 # cast is not correctly rounded), one fixed IEEE finisher tree.

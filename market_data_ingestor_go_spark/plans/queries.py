@@ -2800,6 +2800,23 @@ def source_embedding_drift(spark, sf_dir):
     return embedding_centroid_drift(e, group_col="label")
 
 
+def embedding_outlier_docs(spark, sf_dir):
+    """Per-group embedding outliers
+    (operators/similarity.py::centroid_outliers): each label group's
+    top-3 farthest vectors from its exact centroid — the
+    mislabel/contamination screen next to the group-grain drift
+    monitor. Bit-exact centroids (decimal sums + string-routed
+    division), deterministic left-fold squared distance, total-order
+    rank ⇒ bit-exact oracle. One dim-exploded aggregate + a
+    |groups|-row broadcast + map-side-pruned per-group top-k."""
+    from ..operators.similarity import centroid_outliers
+    e = _t(spark, sf_dir, "embeddings")
+    return (centroid_outliers(e, "label", "embedding", "vec_id", k=3)
+            .select(F.col("grp").alias("label"),
+                    F.col("id").alias("vec_id"),
+                    "dist_sq", "outlier_rank"))
+
+
 def corpus_snapshot_diff(spark, sf_dir):
     """Between-crawls corpus diff (operators/dedup.py::snapshot_diff):
     per-source added/removed/changed/unchanged doc counts + exact
@@ -3829,6 +3846,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_gini_concentration": source_gini_concentration,
     "events_type_cooccurrence_lift": events_type_cooccurrence_lift,
     "docs_lang_source_independence": docs_lang_source_independence,
+    "embedding_outlier_docs": embedding_outlier_docs,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4055,6 +4073,7 @@ ROTATION_CANDIDATES_R13: list[str] = [
     "source_gini_concentration",    # added r13, oracle added same commit
     "events_type_cooccurrence_lift",   # added r13, oracle same commit
     "docs_lang_source_independence",   # added r13, oracle same commit
+    "embedding_outlier_docs",          # added r13, oracle same commit
 ]
 
 
