@@ -3851,9 +3851,10 @@ WITH d AS (
   FROM d GROUP BY source
 )
 SELECT source, n_docs, total_chars,
-       2.0 * CAST(rank_mass AS DOUBLE)
-       / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
-       - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE)
-       AS gini
+       CASE WHEN total_chars > 0 THEN
+         2.0 * CAST(rank_mass AS DOUBLE)
+         / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
+         - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE)
+       END AS gini
 FROM a
 """

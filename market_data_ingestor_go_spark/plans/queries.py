@@ -3450,6 +3450,11 @@ def source_gini_concentration(spark, sf_dir):
     gini = (F.lit(2.0) * F.col("rank_mass").cast("double")
             / (n * F.col("total_chars").cast("double"))
             - (n + F.lit(1.0)) / n)
+    # expression-level zero guard (ANSI divide errors even for
+    # doubles, and Catalyst may evaluate the division before a row
+    # filter): an all-empty source reports NULL, mirrored in the
+    # oracle's CASE so degenerate data stays cross-engine-identical
+    gini = F.when(F.col("total_chars") > 0, gini)
     return agg.select(
         "source", F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("total_chars").cast("bigint").alias("total_chars"),

@@ -881,3 +881,68 @@ def test_dq_profile_single_scan_expand(spark):
     plan = _plan(df)
     assert plan.count("FileScan") == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_dq_profile_approx_no_expand_single_scan(spark):
+    """orders_dq_profile_approx: the HLL swap's whole point — ONE
+    FileScan, NO Expand (plain mergeable aggregate; the exact twin
+    needs the multi-distinct Expand pass), no per-value dedup
+    exchange beyond the single 1-row aggregate."""
+    df = ALL_QUERIES["orders_dq_profile_approx"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1, plan
+    assert "Expand" not in plan, plan
+
+
+def test_benford_single_scan_no_second_pass(spark):
+    """orders_benford_test: ONE FileScan pruned to the amount column
+    (the r13 refactor derives the total from a window sum over the
+    <=9-row count table, not a second corpus pass)."""
+    df = ALL_QUERIES["orders_benford_test"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1, plan
+    assert _scan_columns(plan, "orders") <= {"o_totalprice"}
+
+
+def test_session_funnel_windows_share_one_sort_exchange(spark):
+    """events_session_funnel_paths: the session-boundary and
+    per-session row-number windows both run under the user_id hash
+    partitioning — exactly ONE exchange below the path aggregate
+    (hashpartitioning(user_id) satisfies the (user_id, sess)
+    clustering), plus the path-grain aggregate exchange; the top-20
+    is TakeOrdered, never a global sort."""
+    df = ALL_QUERIES["events_session_funnel_paths"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_embedding_outliers_broadcast_and_group_limit(spark):
+    """embedding_outlier_docs: the centroid table BROADCASTS back
+    onto the corpus scan (map-only distance) and the per-group top-k
+    prunes via WindowGroupLimit before the rank window."""
+    df = ALL_QUERIES["embedding_outlier_docs"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_quality_floor_approx_has_no_sort_window(spark):
+    """source_quality_floor_approx: the GK twin's whole point — no
+    per-group rank window (the exact form's keyed sort), just plain
+    mergeable aggregates + a broadcast join back."""
+    df = ALL_QUERIES["source_quality_floor_approx"](spark, SF)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cooccurrence_pair_join_is_user_equi(spark):
+    """events_type_cooccurrence_lift: the pair generation is an
+    equi-join on the user id (never a cartesian over types), and the
+    per-type counts attach by broadcast."""
+    df = ALL_QUERIES["events_type_cooccurrence_lift"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan, plan
