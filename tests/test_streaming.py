@@ -3120,3 +3120,52 @@ def test_streaming_benford_counts_equals_batch(spark, tmp_path):
                       benford_from_counts(want_state).collect()))
     assert got == want
     spark.sql("DROP TABLE IF EXISTS benford_state")
+
+
+def test_interval_overlap_maintainer_live_stream(spark, tmp_path):
+    """The same prefix-completeness contract through a REAL
+    readStream → attach() → processAllAvailable drive (file source,
+    one file per trigger): emitted pairs equal the batch self-join
+    over everything streamed."""
+    from pyspark.sql import functions as F
+
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        interval_overlap_join)
+    from market_data_ingestor_go_spark.streaming.interval_index import (
+        IntervalOverlapMaintainer)
+
+    intervals = [("s1", 0, 12), ("s2", 10, 30), ("s3", 100, 110),
+                 ("s4", 25, 105), ("s5", 200, 210)]
+    src = str(tmp_path / "isrc")
+    os.makedirs(src)
+    for i, part in enumerate((intervals[:2], intervals[2:4],
+                              intervals[4:])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for iid, s, e in part:
+                fh.write(json.dumps({"id": iid, "s": s, "e": e}) + "\n")
+
+    stream = (spark.readStream.schema("id STRING, s BIGINT, e BIGINT")
+              .option("maxFilesPerTrigger", 1).json(src))
+    m = IntervalOverlapMaintainer(spark, "iom_live",
+                                  matches_dir=str(tmp_path / "lm"),
+                                  bucket=16, audit_partitions=1)
+    q = m.attach(stream, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        m.stop()
+
+    df = spark.createDataFrame(intervals, ["id", "s", "e"])
+    a = df.select(F.col("id").alias("id_a"), F.col("s").alias("a_s"),
+                  F.col("e").alias("a_e"))
+    b = df.select(F.col("id").alias("id_b"), F.col("s").alias("b_s"),
+                  F.col("e").alias("b_e"))
+    truth = {(r["id_a"], r["id_b"]): r["overlap"] for r in
+             interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e",
+                                   bucket=16, a_keys=["id_a"],
+                                   b_keys=["id_b"])
+             .filter(F.col("id_a") < F.col("id_b")).collect()}
+    got = {(r["id_a"], r["id_b"]): r["overlap"]
+           for r in m.matches().collect()}
+    assert got == truth and len(truth) == 3
+    spark.sql("DROP TABLE IF EXISTS iom_live_cells")
