@@ -1190,3 +1190,43 @@ def benford_from_counts(counts: DataFrame) -> DataFrame:
         "expected_p",
         (n / t).alias("observed_p"),
         ((n - e) * (n - e) / e).alias("chi2_term"))
+
+
+def contingency_counts(df: DataFrame, row_col: str,
+                       col_col: str) -> DataFrame:
+    """(row_key, col_key, n_obs) — exact contingency-table cell
+    counts over two categorical columns (NULL categories excluded):
+    the additive half of the χ² independence test. ONE corpus
+    exchange with map-side partials; counts are plain additive
+    aggregates ⇒ the identical transform streams complete-mode
+    (streaming/sketches.py::streaming_contingency_counts) with
+    |rows|·|cols| state, bit-identical to the batch table after any
+    micro-batch split."""
+    return (df.filter(F.col(row_col).isNotNull()
+                      & F.col(col_col).isNotNull())
+            .groupBy(F.col(row_col).alias("row_key"),
+                     F.col(col_col).alias("col_key"))
+            .agg(F.count("*").alias("n_obs")))
+
+
+def independence_from_counts(cells: DataFrame) -> DataFrame:
+    """Finisher: per-cell (row_key, col_key, n_obs, expected,
+    chi2_term) with expected = row_total·col_total/n (Pearson 1900) —
+    row/column/grand totals are window sums over the tiny cell table
+    (nothing corpus-sized), and the χ² term is one fixed IEEE tree
+    over exact ints ⇒ bit-exact cross-engine."""
+    from pyspark.sql.window import Window
+    c = (cells
+         .withColumn("n_r", F.sum("n_obs").over(
+             Window.partitionBy("row_key")))
+         .withColumn("n_c", F.sum("n_obs").over(
+             Window.partitionBy("col_key")))
+         .withColumn("n", F.sum("n_obs").over(Window.partitionBy())))
+    obs = F.col("n_obs").cast("double")
+    exp = (F.col("n_r").cast("double") * F.col("n_c").cast("double")
+           / F.col("n").cast("double"))
+    return c.select(
+        "row_key", "col_key",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        exp.alias("expected"),
+        ((obs - exp) * (obs - exp) / exp).alias("chi2_term"))

@@ -3522,25 +3522,18 @@ def docs_lang_source_independence(spark, sf_dir):
     over those ints ⇒ bit-exact. Scale: ONE corpus exchange (the
     cell groupBy with map-side partials); row/column/grand totals are
     window sums over the |langs|·|sources|-row cell table — nothing
-    corpus-sized past the first aggregate."""
-    d = (_t(spark, sf_dir, "documents")
-         .filter(F.col("lang").isNotNull()
-                 & F.col("source").isNotNull()))
-    cells = d.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
-    w_l = Window.partitionBy("lang")
-    w_s = Window.partitionBy("source")
-    w_all = Window.partitionBy()
-    c = (cells.withColumn("n_l", F.sum("n_obs").over(w_l))
-         .withColumn("n_s", F.sum("n_obs").over(w_s))
-         .withColumn("n", F.sum("n_obs").over(w_all)))
-    obs = F.col("n_obs").cast("double")
-    exp = (F.col("n_l").cast("double") * F.col("n_s").cast("double")
-           / F.col("n").cast("double"))
-    return c.select(
-        "lang", "source",
-        F.col("n_obs").cast("bigint").alias("n_obs"),
-        exp.alias("expected"),
-        ((obs - exp) * (obs - exp) / exp).alias("chi2_term"))
+    corpus-sized past the first aggregate. Machinery shared with the
+    streaming twin (operators/lm_quality.py::contingency_counts —
+    additive cells — + independence_from_counts; the Benford
+    factoring)."""
+    from ..operators.lm_quality import (contingency_counts,
+                                        independence_from_counts)
+    d = _t(spark, sf_dir, "documents")
+    return (independence_from_counts(
+        contingency_counts(d, "lang", "source"))
+        .select(F.col("row_key").alias("lang"),
+                F.col("col_key").alias("source"),
+                "n_obs", "expected", "chi2_term"))
 
 
 # The driver's correctness gate checks the FIRST 50 entries of

@@ -252,3 +252,18 @@ def streaming_benford_counts(stream: DataFrame,
     next to the drift-histogram family, with ≤9 rows of state."""
     from ..operators.lm_quality import benford_digit_counts
     return benford_digit_counts(stream, amount_col)
+
+
+def streaming_contingency_counts(stream: DataFrame, row_col: str,
+                                 col_col: str) -> DataFrame:
+    """Contingency-table cell counts maintained FROM A STREAM — the
+    transform is SHARED with the batch form
+    (``operators/lm_quality.py::contingency_counts``: cell counts are
+    plain additive aggregates ⇒ streamed complete-mode state after
+    any micro-batch split is BIT-identical to the batch table), and
+    the Pearson independence readout finishes from the
+    |rows|·|cols|-row sink at read time via
+    ``independence_from_counts`` — the live composition monitor next
+    to the Benford and drift-histogram twins."""
+    from ..operators.lm_quality import contingency_counts
+    return contingency_counts(stream, row_col, col_col)

@@ -3169,3 +3169,49 @@ def test_interval_overlap_maintainer_live_stream(spark, tmp_path):
            for r in m.matches().collect()}
     assert got == truth and len(truth) == 3
     spark.sql("DROP TABLE IF EXISTS iom_live_cells")
+
+
+def test_streaming_contingency_counts_equals_batch(spark, tmp_path):
+    """Streaming contingency twin (r13): the complete-mode
+    (row_key, col_key, n_obs) state is BIT-identical to the batch
+    contingency_counts table after a 3-way micro-batch split (cell
+    counts are additive), and independence_from_counts over the sink
+    reproduces the batch Pearson readout row-for-row including the
+    double expected/chi2 terms."""
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        contingency_counts, independence_from_counts)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_contingency_counts)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("lang", "source")
+    src = str(tmp_path / "ctsrc")
+    os.makedirs(src)
+    rows = docs.collect()
+    for i, part in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in part:
+                fh.write(json.dumps({"lang": r.lang,
+                                     "source": r.source}) + "\n")
+
+    stream = (spark.readStream.schema("lang STRING, source STRING")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(
+        streaming_contingency_counts(stream, "lang", "source"),
+        "cont_state", str(tmp_path / "ct"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.table("cont_state")
+    want_state = contingency_counts(docs, "lang", "source")
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, want_state.collect()))
+
+    got = sorted(map(tuple, independence_from_counts(state).collect()))
+    want = sorted(map(tuple,
+                      independence_from_counts(want_state).collect()))
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS cont_state")
