@@ -81,9 +81,16 @@ def test_zorder_enables_file_skipping_on_both_dims(lineitem, layouts):
            for i, c in enumerate(COLS)}
     plain_frac = prunable_file_fraction(file_column_stats(plain_path, COLS), box)
     z_frac = prunable_file_fraction(file_column_stats(z_path, COLS), box)
-    # unordered layout proves nothing prunable; Z-order skips most files
+    # unordered layout proves nothing prunable; Z-order skips most
+    # files. repartitionByRange's SAMPLED boundaries carry run-to-run
+    # jitter in where the 16 file splits land (observed z_frac
+    # 0.4375-0.5625 across full-suite runs on identical code — the
+    # 0.5 knife-edge flaked once under concurrent load, r13), so pin
+    # the floor at 6/16 plus a strict absolute win over the unordered
+    # layout — a layout regression (no Z locality) still fails both.
     assert plain_frac <= 0.25
-    assert z_frac >= 0.5
+    assert z_frac >= 6 / 16
+    assert z_frac >= plain_frac + 0.3
     # and a single-dimension slice also prunes (multi-column locality).
     # File boundaries carry run-to-run jitter (range-partitioner
     # sampling), so pin a 2-of-16-files floor plus a strict win over
