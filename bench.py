@@ -312,6 +312,9 @@ HEADLINE = [
     # r13: per-group embedding outliers (centroid broadcast + map-only
     # fold distance + WindowGroupLimit top-k)
     "embedding_outlier_docs",
+    # r13: rolling 7-day distinct actives (grid-explode sliding
+    # COUNT DISTINCT - three keyed exchanges, never per-day rescans)
+    "events_rolling_active_users",
 ]
 
 

@@ -3798,6 +3798,30 @@ SELECT lang, source, CAST(n_obs AS BIGINT) AS n_obs,
 FROM t
 """
 
+# Rolling 7-day distinct active users: DISTINCT is not frameable in
+# either engine's window frames, so both sides run the grid-explode
+# form — distinct (user, day), explode the ≤7 contributed days,
+# re-distinct, count. Integer day arithmetic (// on positives ≡ div).
+EXTRA_ORACLES["events_rolling_active_users"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day_num FROM events
+), ud AS (
+  SELECT DISTINCT user_id, day_num FROM e
+), contrib AS (
+  SELECT DISTINCT user_id, day_num + d AS day_num
+  FROM ud, unnest(range(0, 7)) AS t(d)
+), rolling AS (
+  SELECT day_num, COUNT(*) AS n_active_users
+  FROM contrib GROUP BY day_num
+), per_day AS (
+  SELECT day_num, COUNT(*) AS n_events_day FROM e GROUP BY day_num
+)
+SELECT CAST(p.day_num AS BIGINT) AS day_num,
+       CAST(r.n_active_users AS BIGINT) AS n_active_users,
+       CAST(p.n_events_day AS BIGINT) AS n_events_day
+FROM per_day p JOIN rolling r ON p.day_num = r.day_num
+"""
+
 # Per-group embedding outliers: the drift oracle's exact centroid CTE
 # (decimal dim sums, string-routed division, ORDER BY i lists), then
 # list_reduce squared-delta distance (≡ Spark's 0.0-seeded aggregate
