@@ -315,6 +315,9 @@ HEADLINE = [
     # r13: rolling 7-day distinct actives (grid-explode sliding
     # COUNT DISTINCT - three keyed exchanges, never per-day rescans)
     "events_rolling_active_users",
+    # r13: one-way ANOVA over part brands (one scan, map-side group
+    # moments, |groups|-row finisher)
+    "part_brand_price_anova",
 ]
 
 

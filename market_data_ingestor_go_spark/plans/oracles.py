@@ -3798,6 +3798,53 @@ SELECT lang, source, CAST(n_obs AS BIGINT) AS n_obs,
 FROM t
 """
 
+# One-way ANOVA: per-group exact decimal moments, string-routed
+# means, each group's SSB/SSW double term quantized to DECIMAL(27,6)
+# before the cross-group sum (order-independent reduction — a raw
+# double sum over groups would be fold-order-dependent), identical
+# F finisher tree with the degenerate-case CASE guard mirrored.
+EXTRA_ORACLES["part_brand_price_anova"] = """
+WITH g AS (
+  SELECT p_brand,
+         COUNT(*) AS n_g,
+         SUM(CAST(p_retailprice AS DECIMAL(27,6))) AS s_g,
+         SUM(CAST(p_retailprice * p_retailprice AS DECIMAL(27,6)))
+           AS ss_g
+  FROM part WHERE p_retailprice IS NOT NULL
+  GROUP BY p_brand
+), t AS (
+  SELECT *, SUM(n_g) OVER () AS n, SUM(s_g) OVER () AS s FROM g
+), terms AS (
+  SELECT n,
+         CAST(CAST(s_g AS VARCHAR) AS DOUBLE) / CAST(n_g AS DOUBLE)
+           AS mean_g,
+         CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+           AS mean,
+         CAST(n_g AS DOUBLE) AS n_g_d,
+         CAST(CAST(ss_g AS VARCHAR) AS DOUBLE) AS ss_g_d
+  FROM t
+), agg AS (
+  SELECT n, COUNT(*) AS k,
+         SUM(CAST(n_g_d * (mean_g - mean) * (mean_g - mean)
+                  AS DECIMAL(27,6))) AS ssb,
+         SUM(CAST(ss_g_d - n_g_d * mean_g * mean_g
+                  AS DECIMAL(27,6))) AS ssw
+  FROM terms GROUP BY n
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(CAST(ssb AS VARCHAR) AS DOUBLE) AS ss_between,
+       CAST(CAST(ssw AS VARCHAR) AS DOUBLE) AS ss_within,
+       CASE WHEN k > 1 AND n > k
+                 AND CAST(CAST(ssw AS VARCHAR) AS DOUBLE) > 0 THEN
+         (CAST(CAST(ssb AS VARCHAR) AS DOUBLE)
+          / (CAST(k AS DOUBLE) - 1.0))
+         / (CAST(CAST(ssw AS VARCHAR) AS DOUBLE)
+            / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+       END AS f_stat
+FROM agg
+"""
+
 # Rolling 7-day distinct active users: DISTINCT is not frameable in
 # either engine's window frames, so both sides run the grid-explode
 # form — distinct (user, day), explode the ≤7 contributed days,
