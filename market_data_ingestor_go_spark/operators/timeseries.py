@@ -972,12 +972,40 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
     With keys omitted (legacy), every column is identity: the dedup
     compares (and shuffles) full rows — fine for pre-projected
     inputs, both collapse-prone and exchange-heavy for wide ones.
+
+    Keyed NAME CONTRACT (enforced, raises ValueError): because the
+    re-attach joins run on the COMBINED pair frame, every payload
+    (non-key, non-bound) column name must be unique across BOTH
+    sides' outputs and must not collide with the emitted ``overlap``
+    column or the internal ``__cell``; the two key sets and the four
+    bound names must likewise be mutually disjoint. Rename before
+    calling (the shipments query aliases ``l_`` / ``o_`` prefixes)
+    rather than relying on positional disambiguation.
     """
     cells = lambda s, e: F.sequence(
         F.expr(f"{s} div {bucket}"), F.expr(f"{e} div {bucket}"))
     keyed = bool(a_keys) and bool(b_keys)
     if keyed:
         a_keys, b_keys = list(a_keys), list(b_keys)
+        a_bounds, b_bounds = {a_start, a_end}, {b_start, b_end}
+        a_payload = [c for c in a.columns
+                     if c not in set(a_keys) | a_bounds]
+        b_payload = [c for c in b.columns
+                     if c not in set(b_keys) | b_bounds]
+        reserved = {"overlap", "__cell"}
+        # The output is one flat pair frame, so every name must be
+        # unambiguous: keys/bounds across sides, payloads vs the
+        # whole other side, payloads vs the reserved output columns.
+        a_out = set(a_keys) | a_bounds | set(a_payload)
+        b_out = set(b_keys) | b_bounds | set(b_payload)
+        clashes = sorted(
+            (a_out & b_out)
+            | ((set(a_payload) | set(b_payload)) & reserved))
+        if clashes:
+            raise ValueError(
+                "interval_overlap_join keyed mode needs disjoint "
+                f"column names across sides (and none of {sorted(reserved)}); "
+                f"rename before calling — colliding: {clashes}")
         na = a.select(*dict.fromkeys(a_keys + [a_start, a_end]))
         nb = b.select(*dict.fromkeys(b_keys + [b_start, b_end]))
     else:

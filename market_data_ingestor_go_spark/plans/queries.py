@@ -3481,7 +3481,14 @@ def events_type_cooccurrence_lift(spark, sf_dir):
     e = (_events(spark, sf_dir)
          .select("user_id", "event_type").distinct()
          .localCheckpoint(eager=True))  # feeds 3 aggregates + a join
-    n_users = e.select("user_id").distinct().count()
+    # corpus-size denominator as a LAZY broadcast scalar row (the
+    # doc_top_terms device) — an eager .count() here would run a job
+    # at plan-build time and freeze a stale literal into the plan;
+    # count_distinct also excludes NULL user_ids, matching the
+    # oracle's COUNT(DISTINCT user_id) (distinct().count() would
+    # count a NULL row that DuckDB excludes)
+    n_row = F.broadcast(
+        e.agg(F.count_distinct("user_id").alias("n_users")))
     per_type = e.groupBy("event_type").agg(F.count("*").alias("n"))
     x = e.select(F.col("user_id").alias("u"),
                  F.col("event_type").alias("type_a"))
@@ -3493,7 +3500,7 @@ def events_type_cooccurrence_lift(spark, sf_dir):
     nb = F.col("n_both").cast("double")
     na = F.col("n_a").cast("double")
     nbb = F.col("n_b").cast("double")
-    nu = F.lit(float(n_users))
+    nu = F.col("n_users").cast("double")
     return (both
             .join(F.broadcast(per_type.select(
                 F.col("event_type").alias("type_a"),
@@ -3501,6 +3508,7 @@ def events_type_cooccurrence_lift(spark, sf_dir):
             .join(F.broadcast(per_type.select(
                 F.col("event_type").alias("type_b"),
                 F.col("n").alias("n_b"))), "type_b")
+            .crossJoin(n_row)
             .select("type_a", "type_b",
                     F.col("n_both").cast("bigint").alias("n_both"),
                     F.col("n_a").cast("bigint").alias("n_a"),

@@ -69,8 +69,11 @@ class IntervalOverlapMaintainer:
     n_buckets: int = 16
     trigger_seconds: int = 2
     audit_partitions: int | None = None
-    intervals_seen: int = 0
-    pairs_emitted: int = 0
+    # metrics keyed by epoch_id so a crash-replay OVERWRITES its
+    # epoch's counts instead of double-incrementing — metrics stay
+    # consistent with the epoch-idempotent state/match writes
+    _seen_by_epoch: dict = field(default_factory=dict)
+    _pairs_by_epoch: dict = field(default_factory=dict)
     queries: list = field(default_factory=list)
 
     def __post_init__(self):
@@ -112,7 +115,7 @@ class IntervalOverlapMaintainer:
 
     def _gate_batch(self, batch: DataFrame, epoch_id: int) -> None:
         rows = self._rows(batch).localCheckpoint(eager=True)
-        self.intervals_seen += rows.count()
+        self._seen_by_epoch[int(epoch_id)] = rows.count()
 
         # 1) batch-internal pairs: the shared keyed grid-cell join,
         # oriented id_a < id_b so each unordered pair appears once
@@ -152,12 +155,14 @@ class IntervalOverlapMaintainer:
 
         pairs = internal if corpus is None \
             else internal.unionByName(corpus)
+        # pin the pair set once so the metric count and the write see
+        # the SAME rows (no recompute divergence, no parquet re-read)
+        pairs = pairs.localCheckpoint(eager=True)
         epoch_dir = os.path.join(self.matches_path,
                                  f"epoch={int(epoch_id)}")
         audit_layout(pairs, self.audit_partitions) \
             .write.mode("overwrite").parquet(epoch_dir)
-        self.pairs_emitted += (
-            self.spark.read.parquet(epoch_dir).count())
+        self._pairs_by_epoch[int(epoch_id)] = pairs.count()
 
         self._write_state(self._cell_rows(rows), epoch_id)
 
@@ -179,6 +184,14 @@ class IntervalOverlapMaintainer:
     def indexed_ids(self) -> DataFrame:
         return (self.spark.table(self.cells_table)
                 .select("id").distinct())
+
+    @property
+    def intervals_seen(self) -> int:
+        return sum(self._seen_by_epoch.values())
+
+    @property
+    def pairs_emitted(self) -> int:
+        return sum(self._pairs_by_epoch.values())
 
     def metrics(self) -> dict:
         return {"interval_index_intervals_seen": self.intervals_seen,

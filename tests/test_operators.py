@@ -3923,6 +3923,39 @@ def test_interval_overlap_join_keyed_wide_payload(spark):
     assert any("payload" in ln for ln in agg_key_lines(legacy))
 
 
+def test_interval_overlap_join_keyed_rejects_name_collisions(spark):
+    """r14 (ADVICE): keyed mode's re-attach joins run on the combined
+    pair frame, so colliding payload names across sides — or a payload
+    named 'overlap'/'__cell' — would yield ambiguous columns; the
+    operator now rejects them eagerly with the offending names."""
+    import pytest
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        interval_overlap_join)
+
+    a = spark.createDataFrame([("a1", 0, 10, "pa")],
+                              ["a_id", "s", "e", "note"])
+    b_clash = spark.createDataFrame([("b1", 5, 8, "pb")],
+                                    ["b_id", "s2", "e2", "note"])
+    with pytest.raises(ValueError, match="note"):
+        interval_overlap_join(a, b_clash, "s", "e", "s2", "e2",
+                              a_keys=["a_id"], b_keys=["b_id"])
+
+    b_reserved = spark.createDataFrame([("b1", 5, 8, 1.0)],
+                                       ["b_id", "s2", "e2", "overlap"])
+    with pytest.raises(ValueError, match="overlap"):
+        interval_overlap_join(a, b_reserved, "s", "e", "s2", "e2",
+                              a_keys=["a_id"], b_keys=["b_id"])
+
+    # disjoint names still work (and legacy mode is untouched)
+    b_ok = spark.createDataFrame([("b1", 5, 8, 1.0)],
+                                 ["b_id", "s2", "e2", "score"])
+    rows = interval_overlap_join(a, b_ok, "s", "e", "s2", "e2",
+                                 a_keys=["a_id"],
+                                 b_keys=["b_id"]).collect()
+    assert [(r["a_id"], r["b_id"], r["overlap"], r["note"], r["score"])
+            for r in rows] == [("a1", "b1", 4, "pa", 1.0)]
+
+
 def test_dq_profile_approx_accuracy(spark):
     """The HLL profile twin's accuracy contract (the
     equi_depth_boundaries-vs-exact-ntile pattern): per column of

@@ -939,10 +939,12 @@ def test_quality_floor_approx_has_no_sort_window(spark):
 
 def test_cooccurrence_pair_join_is_user_equi(spark):
     """events_type_cooccurrence_lift: the pair generation is an
-    equi-join on the user id (never a cartesian over types), and the
-    per-type counts attach by broadcast."""
+    equi-join on the user id (never a cartesian over types), the
+    per-type counts attach by broadcast, and the ONLY nested-loop is
+    the 1-row n_users denominator cross-join (the lazy scalar-row
+    device — r14 fix for the eager plan-build-time count)."""
     df = ALL_QUERIES["events_type_cooccurrence_lift"](spark, SF)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
