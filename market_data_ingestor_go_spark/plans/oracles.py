@@ -3929,3 +3929,28 @@ SELECT source, n_docs, total_chars,
        END AS gini
 FROM a
 """
+
+
+# --- round-14 window rotation (EXECUTED, mirrors queries.py): all
+# eight ROTATION_CANDIDATES_R13 promote into the driver window's
+# oracle dict for their first external CORRECTNESS row; eight
+# long-green shapes demote to EXTRA (each keeps an in-window twin and
+# stays parity-tested locally every round). ORACLES must equal the
+# declared window's oracle-backed set (pinned by
+# test_driver_window_is_at_most_50).
+_R14_IN = [  # promoted into the driver window (all oracle-backed)
+    "orders_benford_test", "events_session_funnel_paths",
+    "source_gini_concentration", "events_type_cooccurrence_lift",
+    "docs_lang_source_independence", "embedding_outlier_docs",
+    "events_rolling_active_users", "part_brand_price_anova",
+]
+_R14_OUT = [  # demoted to EXTRA (all keep an in-window twin)
+    "doc_pmi_collocations", "doc_ngram_novelty", "source_mix_weights",
+    "corpus_vocab_growth", "corpus_snapshot_diff",
+    "source_embedding_drift", "snapshot_change_magnitude",
+    "eval_leak_spans",
+]
+for _k in _R14_IN:
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in _R14_OUT:
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

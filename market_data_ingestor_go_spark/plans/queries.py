@@ -3703,22 +3703,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    (r7+r8+r9) shapes demoted in exchange (twin noted per entry
     #    in EXTRA_QUERIES).
     "doc_bm25_from_index": doc_bm25_from_index,
-    "doc_pmi_collocations": doc_pmi_collocations,
-    # -- ROTATED IN (round 11): all seven ROTATION_CANDIDATES_R10 —
-    #    the round-10 curation/monitoring build (3-gram novelty,
-    #    temperature mixing weights, Heaps'-law vocab growth, the
-    #    snapshot diff/magnitude pair, embedding-centroid drift, and
-    #    span-level eval-leak localization) — externally verified for
-    #    the first time this round. Seven four-times-green
-    #    (r7+r8+r9+r10) shapes demoted in exchange (twin noted per
-    #    entry in EXTRA_QUERIES).
-    "doc_ngram_novelty": doc_ngram_novelty,
-    "source_mix_weights": source_mix_weights,
-    "corpus_vocab_growth": corpus_vocab_growth,
-    "corpus_snapshot_diff": corpus_snapshot_diff,
-    "source_embedding_drift": source_embedding_drift,
-    "snapshot_change_magnitude": snapshot_change_magnitude,
-    "eval_leak_spans": eval_leak_spans,
     # -- ROTATED IN (round 12): all twelve ROTATION_CANDIDATES_R11 —
     #    the round-11 build (decontamination scrub ×2, crawl-delta
     #    upsert, winnowing near-dup, χ² drift, Gopher quality +
@@ -3757,6 +3741,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_overlap_shipments": interval_overlap_shipments,
     "source_quality_floor": source_quality_floor,
     "orders_dq_profile": orders_dq_profile,
+    # -- ROTATED IN (round 14): all eight ROTATION_CANDIDATES_R13 —
+    #    the round-13 analytics build (Benford first-digit
+    #    conformance, session path mining, per-source Gini
+    #    concentration, user-grain co-occurrence lift, χ² lang×source
+    #    independence, per-group embedding outlier screen, rolling
+    #    7-day distinct actives, one-way ANOVA over brands) —
+    #    collecting their first external CORRECTNESS row this round.
+    #    Eight long-green (≥3 external rounds each) shapes demoted in
+    #    exchange (twin noted per entry in EXTRA_QUERIES).
+    "orders_benford_test": orders_benford_test,
+    "events_session_funnel_paths": events_session_funnel_paths,
+    "source_gini_concentration": source_gini_concentration,
+    "events_type_cooccurrence_lift": events_type_cooccurrence_lift,
+    "docs_lang_source_independence": docs_lang_source_independence,
+    "embedding_outlier_docs": embedding_outlier_docs,
+    "events_rolling_active_users": events_rolling_active_users,
+    "part_brand_price_anova": part_brand_price_anova,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"
@@ -3838,8 +3839,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cap_sample": source_cap_sample,          # per-key top-k ⊂ order_limit_topk + corpus_datacard
     "shard_manifest": shard_manifest,                # cum window ⊂ window_running_total
     "curation_pipeline_summary": curation_pipeline_summary,  # signal composition ⊂ corpus_datacard
-    "embedding_cosine_neardup": embedding_cosine_neardup,  # exact cosine ⊂ knn_bruteforce + source_embedding_drift
-    "embedding_quantize_stats": embedding_quantize_stats,  # array exprs ⊂ source_embedding_drift (dim-exploded decimal aggregate)
+    "embedding_cosine_neardup": embedding_cosine_neardup,  # exact cosine ⊂ knn_bruteforce + embedding_outlier_docs (rotated in r14; exact-decimal centroid + fold distance)
+    "embedding_quantize_stats": embedding_quantize_stats,  # array exprs ⊂ embedding_outlier_docs (rotated in r14; dim-exploded decimal centroid aggregate)
     "source_overlap_exact": source_overlap_exact,    # ∩/∪ ⊂ set_ops_all_variants
     "bloom_semi_join_agg": bloom_semi_join_agg,      # EXISTS semi ⊂ q4_order_priority
     "token_heavy_hitters_sketch": token_heavy_hitters_sketch,  # rows-only CMS; exact twin token_frequencies IN-window
@@ -3890,7 +3891,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_filter": q19_disjunctive_filter,  # disjunctive part×lineitem predicate join ⊂ q20_part_promotion
     "events_drawdown": events_drawdown,              # per-key running-peak window ⊂ events_moving_stats (ordered frames) + events_user_growth (cumulative window)
     "doc_containment_pairs": doc_containment_pairs,  # inverted-index pair equi-join ⊂ doc_sparse_cosine_neardup (kept)
-    "jl_projection_distortion": jl_projection_distortion,  # exact-decimal embedding arithmetic ⊂ source_embedding_drift (rotated in) + knn_bruteforce (pairwise cosine)
+    "jl_projection_distortion": jl_projection_distortion,  # exact-decimal embedding arithmetic ⊂ embedding_outlier_docs (rotated in r14) + knn_bruteforce (pairwise cosine)
     # round-11 additions that stay EXTRA: rows-only by design (PCA
     # eigen-decomposition is driver-side eigh over the d×d matrix;
     # the Arrow/BLAS covariance twin is float64, equality-tested
@@ -3908,7 +3909,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_ks_drift": source_ks_drift,              # shared-histogram drift ⊂ source_chi2_drift (rotated in; same ONE-shuffle histogram spine)
     "events_user_growth": events_user_growth,        # user-day cumulative windows ⊂ events_cohort_retention (rotated in; same (user,day) distinct base)
     "events_pair_correlation": events_pair_correlation,  # exact decimal moments ⊂ embedding_correlation_matrix (rotated in) + events_cusum_changepoint (keyed exact stats)
-    "corpus_mix": corpus_mix,                        # corpus mixing aggregate ⊂ source_mix_weights (in window) + stratified_resample_stats (kept)
+    "corpus_mix": corpus_mix,                        # corpus mixing aggregate ⊂ source_gini_concentration (rotated in r14; per-source composition) + stratified_resample_stats (kept)
     "doc_lm_quality": doc_lm_quality,                # broadcast-model scoring ⊂ doc_quality_signals + doc_repetition_signals (rotated in) + lm_quality_bands (kept)
     "doc_bm25_topk": doc_bm25_topk,                  # BM25 rank top-k ⊂ doc_bm25_from_index (in window; same scoring over the materialized index)
     "events_mad_outliers": events_mad_outliers,      # rank-median windows ⊂ events_moving_stats (kept ordered frames) + events_cusum_changepoint (keyed argmax)
@@ -3919,9 +3920,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # first external CORRECTNESS row — in-window twin noted per entry;
     # all stay parity-tested against their DuckDB oracles locally
     # every round (tests/test_parity.py).
-    "token_frequencies": token_frequencies,          # token-grain explode+agg ⊂ string_functions (kept) + doc_pmi_collocations (in window; same tokenize→aggregate spine)
+    "token_frequencies": token_frequencies,          # token-grain explode+agg ⊂ string_functions (kept tokenize exprs) + doc_quality_signals (in window; token-grain signal aggregation)
     "events_vwap": events_vwap,                      # keyed weighted decimal agg ⊂ sql_api_pricing_summary (kept decimal aggregate tree) + events_cusum_bucketed (rotated in; keyed decimal bucket aggregation)
-    "corpus_datacard": corpus_datacard,              # one-scan multi-aggregate profile ⊂ orders_dq_profile (rotated in; same single-scan profile readout) + source_mix_weights (kept corpus composition)
+    "corpus_datacard": corpus_datacard,              # one-scan multi-aggregate profile ⊂ orders_dq_profile (in window; same single-scan profile readout) + source_gini_concentration (rotated in r14; corpus composition)
     "neardup_pagerank": neardup_pagerank,            # per-round equi-join + integer agg over the pair graph ⊂ neardup_triangle_stats (rotated in; same banded pair graph) + dedup_cluster_keepers (kept CC rounds)
     "doc_sparse_cosine_neardup": doc_sparse_cosine_neardup,  # df-capped postings pair equi-join ⊂ image_dhash_neardup (rotated in; pigeonhole posting join) + winnow_fingerprint_neardup (kept postings join)
     "lm_quality_bands": lm_quality_bands,            # quality-score banding ⊂ doc_quality_signals (kept signal scoring) + source_quality_floor (rotated in; per-source quality thresholding)
@@ -3939,16 +3940,19 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only by design (engine-internal sketch); accuracy pinned
     # against the exact floor (rank-error contract test)
     "source_quality_floor_approx": source_quality_floor_approx,
-    # round-13 additions: oracle-backed, queued in
-    # ROTATION_CANDIDATES_R13 for their first external row next round.
-    "orders_benford_test": orders_benford_test,
-    "events_session_funnel_paths": events_session_funnel_paths,
-    "source_gini_concentration": source_gini_concentration,
-    "events_type_cooccurrence_lift": events_type_cooccurrence_lift,
-    "docs_lang_source_independence": docs_lang_source_independence,
-    "embedding_outlier_docs": embedding_outlier_docs,
-    "events_rolling_active_users": events_rolling_active_users,
-    "part_brand_price_anova": part_brand_price_anova,
+    # round-14 rotation: eight long-green (≥3 external rounds each)
+    # shapes demoted so every ROTATION_CANDIDATES_R13 query gets its
+    # first external CORRECTNESS row — in-window twin noted per entry;
+    # all stay parity-tested against their DuckDB oracles locally
+    # every round (tests/test_parity.py).
+    "doc_pmi_collocations": doc_pmi_collocations,    # pair support/lift arithmetic ⊂ events_type_cooccurrence_lift (rotated in; same co-occurrence counting, lift is PMI's exp form) + string_functions (kept tokenize exprs)
+    "doc_ngram_novelty": doc_ngram_novelty,          # n-gram explode + broadcast reference join ⊂ contamination_check (kept; same shingle/reference machinery)
+    "source_mix_weights": source_mix_weights,        # per-source composition weights ⊂ source_gini_concentration (rotated in; per-source composition readout) + stratified_resample_stats (kept)
+    "corpus_vocab_growth": corpus_vocab_growth,      # first-seen cumulative distinct growth ⊂ events_rolling_active_users (rotated in; windowed distinct-user machinery) + string_functions (kept tokenize)
+    "corpus_snapshot_diff": corpus_snapshot_diff,    # snapshot key diff ⊂ crawl_delta_apply (in window; same snapshot upsert/delta machinery)
+    "source_embedding_drift": source_embedding_drift,  # exact-decimal centroid + fold distance ⊂ embedding_outlier_docs (rotated in; same centroid broadcast + squared-delta fold)
+    "snapshot_change_magnitude": snapshot_change_magnitude,  # diff magnitude agg ⊂ crawl_delta_apply (in window; same snapshot delta base)
+    "eval_leak_spans": eval_leak_spans,              # span localization postings ⊂ eval_leak_scrub (in window; same span machinery feeding the scrub)
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4180,6 +4184,23 @@ ROTATION_CANDIDATES_R13: list[str] = [
     "part_brand_price_anova",          # added r13, oracle same commit
 ]
 
+# Round-14 rotation (EXECUTED this round, window literal above): all
+# eight ROTATION_CANDIDATES_R13 rotated INTO the driver window for
+# their first external CORRECTNESS row; eight long-green (≥3 external
+# rounds each) shapes demoted to EXTRA_QUERIES (twin per entry there).
+# Pinned by
+# tests/test_parity.py::test_round14_rotated_operators_sit_in_declared_window.
+ROTATED_IN_R14: list[str] = list(ROTATION_CANDIDATES_R13)
+
+# Round-14 rotation candidates: oracle-backed queries that have never
+# held a green external CORRECTNESS row AND are not already in the
+# declared window collecting one. Empty at the START of round 14 (the
+# r14 rotation queued the whole backlog); every oracle-backed query
+# added during round 14 must be listed here in the SAME commit that
+# adds its oracle (the r9 policy, enforced by the never-verified scan
+# in tests/test_parity.py).
+ROTATION_CANDIDATES_R14: list[str] = []
+
 
 # Frozen at the close of round 7: every oracle-backed query name that
 # existed when the round-7 rotation completed (all have held a green
@@ -4356,3 +4377,13 @@ ORACLE_BACKED_AT_R11_CLOSE: frozenset = frozenset(
 # tests/test_parity.py::test_rotation_candidates_are_rotatable.
 ORACLE_BACKED_AT_R12_CLOSE: frozenset = frozenset(
     ORACLE_BACKED_AT_R11_CLOSE | set(ROTATION_CANDIDATES_R12))
+
+# Frozen at the close of round 13: the round-12 set plus the eight
+# round-13 additions (ROTATION_CANDIDATES_R13), which sit in the
+# round-14 window collecting their first external row. Any
+# oracle-backed query NOT in this set was added in round 14 or later
+# and must appear in ROTATION_CANDIDATES_R14 or already sit in the
+# declared window — enforced by
+# tests/test_parity.py::test_rotation_candidates_are_rotatable.
+ORACLE_BACKED_AT_R13_CLOSE: frozenset = frozenset(
+    ORACLE_BACKED_AT_R12_CLOSE | set(ROTATION_CANDIDATES_R13))

@@ -87,45 +87,14 @@ def test_driver_window_is_at_most_50():
     assert not oracle_only, f"oracles outside the declared window: {oracle_only}"
 
 
-# (The r6–r9 window-membership tests were retired as their rotated-in
+# (The r6–r11 window-membership tests were retired as their rotated-in
 # names earned their green external rows and later demoted to
 # EXTRA_QUERIES with in-window twins — r9's dup_span_extents,
 # events_mad_outliers, doc_bm25_topk, and source_ks_drift demoted in
-# the round-12 rotation after three green rounds each. Every such name
-# stays parity-tested via test_parity above.)
-
-
-def test_round10_rotated_operators_sit_in_declared_window():
-    """The round-10 rotation's whole point: both
-    ROTATION_CANDIDATES_R9 (the materialized-index BM25 serve path
-    and the r10-fixed PMI collocation extraction) must sit inside the
-    first-50 window the driver externally verifies, each exposing its
-    oracle through oracle_sql() (= ORACLES) — the rotated window has
-    zero rows-only entries."""
-    from market_data_ingestor_go_spark.plans.queries import ROTATED_IN_R10
-
-    window = set(list(QUERIES)[:50])
-    assert set(ROTATED_IN_R10) <= window, set(ROTATED_IN_R10) - window
-    assert set(ROTATED_IN_R10) <= set(ORACLES)
-    assert set(QUERIES) <= set(ORACLES), (
-        "window must be 100% hash-checked after the r10 rotation")
-
-
-def test_round11_rotated_operators_sit_in_declared_window():
-    """The round-11 rotation's whole point: all seven
-    ROTATION_CANDIDATES_R10 (the round-10 curation/monitoring build —
-    novelty, mixing weights, vocab growth, snapshot diff/magnitude,
-    embedding drift, leak spans) must sit inside the first-50 window
-    the driver externally verifies, each exposing its oracle through
-    oracle_sql() (= ORACLES) — the rotated window has zero rows-only
-    entries."""
-    from market_data_ingestor_go_spark.plans.queries import ROTATED_IN_R11
-
-    window = set(list(QUERIES)[:50])
-    assert set(ROTATED_IN_R11) <= window, set(ROTATED_IN_R11) - window
-    assert set(ROTATED_IN_R11) <= set(ORACLES)
-    assert set(QUERIES) <= set(ORACLES), (
-        "window must be 100% hash-checked after the r11 rotation")
+# the round-12 rotation after three green rounds each; r10's
+# doc_pmi_collocations and r11's whole seven-query batch demoted in
+# the round-14 rotation after 4 and 3 green rounds respectively.
+# Every such name stays parity-tested via test_parity above.)
 
 
 def test_round12_rotated_operators_sit_in_declared_window():
@@ -165,29 +134,48 @@ def test_round13_rotated_operators_sit_in_declared_window():
         "window must be 100% hash-checked after the r13 rotation")
 
 
+def test_round14_rotated_operators_sit_in_declared_window():
+    """The round-14 rotation's whole point: all eight
+    ROTATION_CANDIDATES_R13 (the round-13 analytics build — Benford
+    first-digit conformance, session path mining, per-source Gini
+    concentration, user-grain co-occurrence lift, χ² lang×source
+    independence, per-group embedding outlier screen, rolling 7-day
+    distinct actives, one-way ANOVA over brands) must sit inside the
+    first-50 window the driver externally verifies, each exposing its
+    oracle through oracle_sql() (= ORACLES) — the rotated window has
+    zero rows-only entries."""
+    from market_data_ingestor_go_spark.plans.queries import ROTATED_IN_R14
+
+    window = set(list(QUERIES)[:50])
+    assert set(ROTATED_IN_R14) <= window, set(ROTATED_IN_R14) - window
+    assert set(ROTATED_IN_R14) <= set(ORACLES)
+    assert set(QUERIES) <= set(ORACLES), (
+        "window must be 100% hash-checked after the r14 rotation")
+
+
 def test_rotation_candidates_are_rotatable():
     """The next-rotation list must stay mechanically valid: every
     candidate exists, sits OUTSIDE the declared window (else it needs
     no rotation), and has an oracle so rotating it in yields a full
     row+schema+hash check. The never-verified scan then enforces the
-    listing policy: every oracle-backed query added AFTER the round-12
-    close (i.e. not in the frozen ORACLE_BACKED_AT_R12_CLOSE set) must
+    listing policy: every oracle-backed query added AFTER the round-13
+    close (i.e. not in the frozen ORACLE_BACKED_AT_R13_CLOSE set) must
     either sit in the declared window already or be listed as a
     rotation candidate — new work cannot accumulate unverified."""
     from market_data_ingestor_go_spark.plans.queries import (
-        ORACLE_BACKED_AT_R12_CLOSE, QUERIES, ROTATION_CANDIDATES_R13)
+        ORACLE_BACKED_AT_R13_CLOSE, QUERIES, ROTATION_CANDIDATES_R14)
 
-    for name in ROTATION_CANDIDATES_R13:
+    for name in ROTATION_CANDIDATES_R14:
         assert name in ALL_QUERIES, name
         assert name not in QUERIES, f"{name} already in the window"
         assert name in ALL_ORACLES, f"{name} lacks an oracle"
 
     never_verified = (
         set(ALL_ORACLES)
-        - ORACLE_BACKED_AT_R12_CLOSE  # held a green row in r1-r12 or
-                                      # collecting it in the r13 window
+        - ORACLE_BACKED_AT_R13_CLOSE  # held a green row in r1-r13 or
+                                      # collecting it in the r14 window
         - set(QUERIES)                # in-window: verified this round
-        - set(ROTATION_CANDIDATES_R13)  # queued for the next rotation
+        - set(ROTATION_CANDIDATES_R14)  # queued for the next rotation
     )
     assert not never_verified, (
         f"oracle-backed queries neither verified, in-window, nor "
