@@ -1230,3 +1230,62 @@ def independence_from_counts(cells: DataFrame) -> DataFrame:
         F.col("n_obs").cast("bigint").alias("n_obs"),
         exp.alias("expected"),
         ((obs - exp) * (obs - exp) / exp).alias("chi2_term"))
+
+
+def anova_group_moments(df: DataFrame, group_col: str,
+                        value_col: str) -> DataFrame:
+    """(g, n_g, s_g, ss_g) — per-group one-way-ANOVA sufficient
+    statistics (Fisher 1925): exact BIGINT count plus exact-decimal
+    Σx and Σx² (x² quantized to DECIMAL(27,6) per term — the DSIR
+    single-rounding device — so the sum is order-independent). NULL
+    values are excluded. ONE scan with a map-side-collapsing
+    aggregate; all three stats are plain additive ⇒ streams
+    complete-mode with |groups|-row state (the benford_digit_counts
+    factoring), and the streamed state after any micro-batch split is
+    BIT-identical to the batch aggregate."""
+    x = F.col(value_col)
+    return (df.filter(x.isNotNull())
+            .select(F.col(group_col).alias("g"), x.alias("x"))
+            .groupBy("g")
+            .agg(F.count("*").alias("n_g"),
+                 F.sum(F.col("x").cast("decimal(27,6)")).alias("s_g"),
+                 F.sum((F.col("x") * F.col("x")).cast("decimal(27,6)"))
+                 .alias("ss_g")))
+
+
+def anova_from_group_moments(g: DataFrame) -> DataFrame:
+    """Finisher: ONE row (k_groups, n_rows, ss_between, ss_within,
+    f_stat) from the additive per-group moment table — group means
+    and the grand mean are string-routed divisions, each group's
+    SSB/SSW double term is quantized to DECIMAL(27,6) before the
+    cross-group sum (order-independent k-term reduction), and the F
+    statistic is one fixed IEEE tree ⇒ bit-exact cross-engine.
+    Everything here is |groups|-row arithmetic — shared by the batch
+    part_brand_price_anova query and the streaming moments twin."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy()
+    tot = (g.withColumn("n", F.sum("n_g").over(w))
+           .withColumn("s", F.sum("s_g").over(w)))
+    mean_g = _dstr(F.col("s_g")) / F.col("n_g").cast("double")
+    mean = _dstr(F.col("s")) / F.col("n").cast("double")
+    ssb_term = (F.col("n_g").cast("double")
+                * (mean_g - mean) * (mean_g - mean))
+    ssw_term = (_dstr(F.col("ss_g"))
+                - F.col("n_g").cast("double") * mean_g * mean_g)
+    agg = (tot.groupBy("n")
+           .agg(F.count("*").alias("k"),
+                F.sum(ssb_term.cast("decimal(27,6)")).alias("ssb"),
+                F.sum(ssw_term.cast("decimal(27,6)")).alias("ssw")))
+    ssb_d, ssw_d = _dstr(F.col("ssb")), _dstr(F.col("ssw"))
+    k_d = F.col("k").cast("double")
+    n_d = F.col("n").cast("double")
+    f_stat = ((ssb_d / (k_d - F.lit(1.0)))
+              / (ssw_d / (n_d - k_d)))
+    return agg.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        ssb_d.alias("ss_between"),
+        ssw_d.alias("ss_within"),
+        F.when((F.col("k") > 1) & (F.col("n") > F.col("k"))
+               & (ssw_d > 0), f_stat)
+        .alias("f_stat"))

@@ -699,6 +699,90 @@ def retention_from_user_days(ud: DataFrame) -> DataFrame:
                     .alias("retention")))
 
 
+def rolling_active_users_from_user_days(ud_counts: DataFrame
+                                        ) -> DataFrame:
+    """Rolling 7-day distinct-actives readout over a (u, d, n_events)
+    per-(user, day) count table — SHARED by the batch
+    events_rolling_active_users query and the streaming twin
+    (``streaming/sketches.py::streaming_user_days`` maintains exactly
+    this table as complete-mode state; counts are additive ⇒ the
+    streamed state after any micro-batch split is BIT-identical to
+    the batch aggregate, so this readout agrees row-for-row — tested).
+    → (day_num, n_active_users, n_events_day).
+
+    Shape — the grid-explode device shared with the interval join:
+    each distinct (u, d) row explodes into the ≤7 trailing days it
+    CONTRIBUTES to, a second distinct collapses multi-active users
+    per contributed day, one count per day finishes; per-day event
+    totals are a sum over the same state table. Everything here runs
+    over |users|·|active days| narrow rows — never a per-day rescan
+    of the corpus, never a serialized global window. Days with zero
+    activity produce no row (inner join back to observed days)."""
+    ud = ud_counts.select("u", "d")
+    contrib = (ud.select(
+        "u", F.explode(F.sequence(F.col("d"), F.col("d") + 6))
+        .alias("d"))
+        .distinct())
+    rolling = (contrib.groupBy("d")
+               .agg(F.count("*").alias("n_active_users")))
+    per_day = (ud_counts.groupBy("d")
+               .agg(F.sum("n_events").alias("n_events_day")))
+    return (per_day.join(rolling, "d")
+            .select(F.col("d").cast("bigint").alias("day_num"),
+                    F.col("n_active_users").cast("bigint")
+                    .alias("n_active_users"),
+                    F.col("n_events_day").cast("bigint")
+                    .alias("n_events_day")))
+
+
+def cooccurrence_lift_from_user_types(ut: DataFrame) -> DataFrame:
+    """Market-basket co-occurrence lift readout over an
+    already-distinct (u, t) user×event-type table — SHARED by the
+    batch events_type_cooccurrence_lift query and the streaming twin
+    (``streaming/sketches.py::streaming_user_types`` maintains the
+    same (u, t) set as complete-mode state; counts additive ⇒
+    identical after any micro-batch split — tested).
+    → (type_a, type_b, n_both, n_a, n_b, support, lift).
+
+    All counts exact BIGINTs; support and lift one fixed IEEE tree
+    (lift = (n_both·n_users)/(n_a·n_b), no intermediate rounding) ⇒
+    bit-exact. The n_users denominator is a LAZY broadcast scalar row
+    (count_distinct excludes NULL users, matching the SQL oracle);
+    the pair join is equi on the user with per-user fanout bounded by
+    |types|²; per-type counts broadcast back onto the pair table."""
+    n_row = F.broadcast(
+        ut.agg(F.count_distinct("u").alias("n_users")))
+    per_type = ut.groupBy("t").agg(F.count("*").alias("n"))
+    x = ut.select("u", F.col("t").alias("type_a"))
+    # the pair side is re-keyed under a fresh attribute so the ut⋈ut
+    # self-join stays unambiguous for ANY input lineage (a streaming
+    # memory-sink view hits "conflicting references" otherwise — the
+    # retention_from_user_days device)
+    y = ut.select(F.col("u").alias("u_b"), F.col("t").alias("type_b"))
+    both = (x.join(y, F.col("u") == F.col("u_b"))
+            .filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("n_both")))
+    nb = F.col("n_both").cast("double")
+    na = F.col("n_a").cast("double")
+    nbb = F.col("n_b").cast("double")
+    nu = F.col("n_users").cast("double")
+    return (both
+            .join(F.broadcast(per_type.select(
+                F.col("t").alias("type_a"),
+                F.col("n").alias("n_a"))), "type_a")
+            .join(F.broadcast(per_type.select(
+                F.col("t").alias("type_b"),
+                F.col("n").alias("n_b"))), "type_b")
+            .crossJoin(n_row)
+            .select("type_a", "type_b",
+                    F.col("n_both").cast("bigint").alias("n_both"),
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"),
+                    (nb / nu).alias("support"),
+                    (nb * nu / (na * nbb)).alias("lift")))
+
+
 def event_transitions(events: DataFrame, ts_ms_col: str = "ts_ms",
                       user_col: str = "user_id",
                       type_col: str = "event_type",

@@ -3478,43 +3478,19 @@ def events_type_cooccurrence_lift(spark, sf_dir):
     is equi on user_id with per-user fanout bounded by |types|²
     (types is a small vocabulary); every aggregate collapses
     map-side; per-type counts broadcast back onto the pair table."""
-    e = (_events(spark, sf_dir)
-         .select("user_id", "event_type").distinct()
-         .localCheckpoint(eager=True))  # feeds 3 aggregates + a join
-    # corpus-size denominator as a LAZY broadcast scalar row (the
-    # doc_top_terms device) — an eager .count() here would run a job
-    # at plan-build time and freeze a stale literal into the plan;
-    # count_distinct also excludes NULL user_ids, matching the
-    # oracle's COUNT(DISTINCT user_id) (distinct().count() would
-    # count a NULL row that DuckDB excludes)
-    n_row = F.broadcast(
-        e.agg(F.count_distinct("user_id").alias("n_users")))
-    per_type = e.groupBy("event_type").agg(F.count("*").alias("n"))
-    x = e.select(F.col("user_id").alias("u"),
-                 F.col("event_type").alias("type_a"))
-    y = e.select(F.col("user_id").alias("u"),
-                 F.col("event_type").alias("type_b"))
-    both = (x.join(y, "u").filter(F.col("type_a") < F.col("type_b"))
-            .groupBy("type_a", "type_b")
-            .agg(F.count("*").alias("n_both")))
-    nb = F.col("n_both").cast("double")
-    na = F.col("n_a").cast("double")
-    nbb = F.col("n_b").cast("double")
-    nu = F.col("n_users").cast("double")
-    return (both
-            .join(F.broadcast(per_type.select(
-                F.col("event_type").alias("type_a"),
-                F.col("n").alias("n_a"))), "type_a")
-            .join(F.broadcast(per_type.select(
-                F.col("event_type").alias("type_b"),
-                F.col("n").alias("n_b"))), "type_b")
-            .crossJoin(n_row)
-            .select("type_a", "type_b",
-                    F.col("n_both").cast("bigint").alias("n_both"),
-                    F.col("n_a").cast("bigint").alias("n_a"),
-                    F.col("n_b").cast("bigint").alias("n_b"),
-                    (nb / nu).alias("support"),
-                    (nb * nu / (na * nbb)).alias("lift")))
+    # readout machinery SHARED with the streaming user-type state
+    # twin (operators/timeseries.py::cooccurrence_lift_from_user_types
+    # — the retention_from_user_days factoring); the n_users
+    # denominator inside it is a LAZY broadcast scalar row, so the
+    # query stays a pure transform (the r14 fix for the eager
+    # plan-build-time count the r13 advice flagged)
+    from ..operators.timeseries import cooccurrence_lift_from_user_types
+    ut = (_events(spark, sf_dir)
+          .select(F.col("user_id").alias("u"),
+                  F.col("event_type").alias("t"))
+          .distinct()
+          .localCheckpoint(eager=True))  # feeds 3 aggregates + a join
+    return cooccurrence_lift_from_user_types(ut)
 
 
 def docs_lang_source_independence(spark, sf_dir):
@@ -3563,25 +3539,17 @@ def events_rolling_active_users(spark, sf_dir):
     with zero activity produce no row (inner join back to observed
     days). All exact integer day arithmetic + BIGINT counts ⇒
     bit-exact oracle."""
-    e = (_events(spark, sf_dir)
-         .select("user_id",
-                 F.expr("ts_ms div 86400000").alias("day_num")))
-    ud = e.select("user_id", "day_num").distinct()
-    contrib = (ud.select(
-        "user_id",
-        F.explode(F.sequence(F.col("day_num"),
-                             F.col("day_num") + 6)).alias("day_num"))
-        .distinct())
-    rolling = (contrib.groupBy("day_num")
-               .agg(F.count("*").alias("n_active_users")))
-    per_day = (e.groupBy("day_num")
-               .agg(F.count("*").alias("n_events_day")))
-    return (per_day.join(rolling, "day_num")
-            .select(F.col("day_num").cast("bigint").alias("day_num"),
-                    F.col("n_active_users").cast("bigint")
-                    .alias("n_active_users"),
-                    F.col("n_events_day").cast("bigint")
-                    .alias("n_events_day")))
+    # readout machinery SHARED with the streaming user-days state
+    # (operators/timeseries.py::rolling_active_users_from_user_days
+    # finishes from the same (u, d, n_events) table that
+    # streaming_user_days maintains complete-mode — the
+    # retention_from_user_days factoring, r13 verdict #3)
+    from ..operators.timeseries import rolling_active_users_from_user_days
+    ud_counts = (_events(spark, sf_dir)
+                 .select(F.col("user_id").alias("u"),
+                         F.expr("ts_ms div 86400000").alias("d"))
+                 .groupBy("u", "d").agg(F.count("*").alias("n_events")))
+    return rolling_active_users_from_user_days(ud_counts)
 
 
 def part_brand_price_anova(spark, sf_dir):
@@ -3602,40 +3570,11 @@ def part_brand_price_anova(spark, sf_dir):
     fixed IEEE tree ⇒ bit-exact cross-engine. Scale: ONE scan with a
     map-side-collapsing per-group aggregate, then |groups|-row
     arithmetic — nothing corpus-sized past the first exchange."""
-    p = (_t(spark, sf_dir, "part")
-         .filter(F.col("p_retailprice").isNotNull())
-         .select("p_brand", F.col("p_retailprice").alias("x")))
-    g = (p.groupBy("p_brand")
-         .agg(F.count("*").alias("n_g"),
-              F.sum(F.col("x").cast("decimal(27,6)")).alias("s_g"),
-              F.sum((F.col("x") * F.col("x")).cast("decimal(27,6)"))
-              .alias("ss_g")))
-    w = Window.partitionBy()
-    tot = (g.withColumn("n", F.sum("n_g").over(w))
-           .withColumn("s", F.sum("s_g").over(w)))
-    mean_g = _dstr("s_g") / F.col("n_g").cast("double")
-    mean = _dstr("s") / F.col("n").cast("double")
-    ssb_term = (F.col("n_g").cast("double")
-                * (mean_g - mean) * (mean_g - mean))
-    ssw_term = (_dstr("ss_g")
-                - F.col("n_g").cast("double") * mean_g * mean_g)
-    agg = (tot.groupBy("n")
-           .agg(F.count("*").alias("k"),
-                F.sum(ssb_term.cast("decimal(27,6)")).alias("ssb"),
-                F.sum(ssw_term.cast("decimal(27,6)")).alias("ssw")))
-    ssb_d, ssw_d = _dstr("ssb"), _dstr("ssw")
-    k_d = F.col("k").cast("double")
-    n_d = F.col("n").cast("double")
-    f_stat = ((ssb_d / (k_d - F.lit(1.0)))
-              / (ssw_d / (n_d - k_d)))
-    return agg.select(
-        F.col("k").cast("bigint").alias("k_groups"),
-        F.col("n").cast("bigint").alias("n_rows"),
-        ssb_d.alias("ss_between"),
-        ssw_d.alias("ss_within"),
-        F.when((F.col("k") > 1) & (F.col("n") > F.col("k"))
-               & (ssw_d > 0), f_stat)
-        .alias("f_stat"))
+    from ..operators.lm_quality import (anova_from_group_moments,
+                                        anova_group_moments)
+    p = _t(spark, sf_dir, "part")
+    return anova_from_group_moments(
+        anova_group_moments(p, "p_brand", "p_retailprice"))
 
 
 # The driver's correctness gate checks the FIRST 50 entries of

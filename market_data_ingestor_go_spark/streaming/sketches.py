@@ -179,10 +179,47 @@ def streaming_user_days(stream: DataFrame, ts_ms_col: str = "ts_ms",
     ``retention_from_user_days`` over the sink (drop the count)
     reproduces the batch retention matrix BIT-identically after any
     micro-batch split — the vocab-growth state+readout pattern
-    (tested both ways)."""
+    (tested both ways). The SAME sink also finishes the rolling
+    7-day distinct-actives readout
+    (``rolling_active_users_from_user_days`` — r13 verdict #3): one
+    state table, two continuous engagement readouts."""
     day = F.expr(f"{ts_ms_col} div 86400000")
     return (stream.select(F.col(user_col).alias("u"), day.alias("d"))
             .groupBy("u", "d").agg(F.count("*").alias("n_events")))
+
+
+def streaming_user_types(stream: DataFrame, user_col: str = "user_id",
+                         type_col: str = "event_type") -> DataFrame:
+    """The (user, event-type) incidence set maintained FROM AN EVENT
+    STREAM — the state behind continuous market-basket co-occurrence
+    (r13 verdict #5: the streaming_user_days pattern verbatim, with
+    the type axis in place of the day axis). A plain streaming
+    groupBy(user, type) count: state is |users|·|types| rows
+    (domain-sized, never stream-length; counts additive ⇒ replay
+    lands on identical state). The complete-mode sink IS the distinct
+    (u, t) table of the batch events_type_cooccurrence_lift query, so
+    ``operators/timeseries.py::cooccurrence_lift_from_user_types``
+    over the sink reproduces the batch pair/support/lift table
+    BIT-identically after any micro-batch split (tested)."""
+    return (stream.select(F.col(user_col).alias("u"),
+                          F.col(type_col).alias("t"))
+            .groupBy("u", "t").agg(F.count("*").alias("n_events")))
+
+
+def streaming_anova_moments(stream: DataFrame, group_col: str,
+                            value_col: str) -> DataFrame:
+    """Per-group one-way-ANOVA sufficient statistics maintained FROM
+    A STREAM — the transform is SHARED with the batch form
+    (``operators/lm_quality.py::anova_group_moments``: exact BIGINT
+    count + exact-decimal Σx/Σx², all plain additive aggregates ⇒
+    streamed complete-mode state after any micro-batch split is
+    BIT-identical to the batch aggregate), and the F-statistic readout
+    finishes from the |groups|-row sink at read time via
+    ``anova_from_group_moments`` — the benford_from_counts factoring
+    (r13 verdict #5). Continuous "does this factor still explain the
+    metric" monitoring with |groups| rows of state."""
+    from ..operators.lm_quality import anova_group_moments
+    return anova_group_moments(stream, group_col, value_col)
 
 
 def streaming_cusum_stats(stream: DataFrame,
