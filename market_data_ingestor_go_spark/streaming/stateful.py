@@ -575,3 +575,129 @@ def streaming_motif_alerts(stream: DataFrame, key_col: str,
             timeoutConf="NoTimeout",
         )
     )
+
+
+SESSION_PATH_STATE_SCHEMA = T.StructType([
+    T.StructField("last_ts", T.LongType()),
+    T.StructField("n_rows", T.LongType()),
+    T.StructField("t1", T.StringType()),
+    T.StructField("t2", T.StringType()),
+    T.StructField("t3", T.StringType()),
+])
+
+SESSION_PATH_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("session_last_ts", T.LongType()),
+])
+
+
+def _make_session_paths(gap_ms: int):
+    """Per-user streaming session-path miner (closure — see
+    _make_update_latest). State is the OPEN session only: its last
+    event timestamp, its row count, and its first three event types.
+    A session CLOSES two ways, each emitting its opening path exactly
+    once:
+
+    - data-driven: a new event for the user arrives more than
+      ``gap_ms`` after the open session's last event (the batch
+      query's strict-``>`` gap rule verbatim) — the old session's
+      path emits and the event starts a fresh session;
+    - watermark-driven: the event-time timeout fires once the
+      watermark passes last_ts + gap_ms with no bridging event — the
+      open session can never be extended (any extender would be a
+      late event beyond the gap), so its path emits and state clears.
+
+    Same arrival contract as the EWMA/drawdown twins: in-batch rows
+    apply in (ts, event_id) order; cross-batch arrival must be
+    in-order for bit-equality with the batch sessionization (the
+    prefix-completeness test drives a time-ordered split). Paths are
+    '>'-joined first-three types — identical to the batch
+    concat_ws('>') including the <3-event truncation."""
+
+    def mine(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+             ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        user = key[0]
+        out = []
+
+        def emit(last_ts, n_rows, t1, t2, t3):
+            path = ">".join([t for t in (t1, t2, t3) if t is not None])
+            out.append((user, path, int(last_ts)))
+
+        if state.hasTimedOut:
+            if state.exists:
+                emit(*state.get)
+                state.remove()
+            if out:
+                yield _pd.DataFrame(
+                    out, columns=["user_id", "path", "session_last_ts"])
+            return
+
+        cur = list(state.get) if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                rows.append((int(row["ts_ms"]), str(row["event_id"]),
+                             str(row["event_type"])))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        for ts, _eid, etype in rows:
+            if cur is None:
+                cur = [ts, 1, etype, None, None]
+            elif ts - cur[0] > gap_ms:
+                emit(*cur)
+                cur = [ts, 1, etype, None, None]
+            else:
+                cur[0] = max(cur[0], ts)
+                cur[1] += 1
+                if cur[1] == 2:
+                    cur[3] = etype
+                elif cur[1] == 3:
+                    cur[4] = etype
+        if cur is not None:
+            state.update(tuple(cur))
+            # fire once the watermark passes the open session's close
+            state.setTimeoutTimestamp(int(cur[0]) + gap_ms)
+        if out:
+            yield _pd.DataFrame(
+                out, columns=["user_id", "path", "session_last_ts"])
+
+    return mine
+
+
+def streaming_session_paths(stream: DataFrame,
+                            gap_ms: int = 1_800_000,
+                            watermark: str = "0 seconds",
+                            user_col: str = "user_id",
+                            ts_ms_col: str = "ts_ms",
+                            id_col: str = "event_id",
+                            type_col: str = "event_type") -> DataFrame:
+    """Streaming twin of the batch session path mining
+    (plans/queries.py::events_session_funnel_paths, r13 verdict #7):
+    per-user opening-path state via applyInPandasWithState with an
+    EVENT-TIME timeout — a session's 3-step path emits exactly once,
+    when the session closes (bridged by a later event past the gap,
+    or the watermark passing last_ts + gap). The top-20 readout then
+    runs over the emitted closed-session rows at read time — on
+    closed sessions it matches the batch query's per-session paths
+    (prefix-completeness, tested). State is ONE open session per
+    active user (5 scalars) — bounded by live users inside the
+    watermark horizon, never by stream length."""
+    keyed = (stream.select(
+        F.col(user_col).cast("string").alias("user_id"),
+        F.col(ts_ms_col).cast("long").alias("ts_ms"),
+        F.col(id_col).cast("string").alias("event_id"),
+        F.col(type_col).cast("string").alias("event_type"),
+        F.timestamp_millis(F.col(ts_ms_col).cast("long")).alias("ts"))
+        .withWatermark("ts", watermark))
+    return (
+        keyed.groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_paths(int(gap_ms)),
+            outputStructType=SESSION_PATH_OUTPUT_SCHEMA,
+            stateStructType=SESSION_PATH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

@@ -3359,3 +3359,99 @@ def test_streaming_anova_moments_equals_batch(spark, tmp_path):
         spark, sf).collect()))
     assert got == want and len(got) == 1
     spark.sql("DROP TABLE IF EXISTS anova_state")
+
+
+def test_streaming_session_paths_prefix_complete(spark, tmp_path):
+    """Streaming session-path twin (r13 verdict #7): after a
+    time-ordered micro-batch split plus a watermark-advancing
+    sentinel, the emitted closed-session paths equal the BATCH
+    sessionization's per-session opening paths over the same events
+    (every real session closes once the watermark passes its gap),
+    and the top-20 readout over the emissions matches the batch
+    events_session_funnel_paths table."""
+    from pyspark.sql import Window
+    from market_data_ingestor_go_spark.plans.queries import (
+        ALL_QUERIES, _events)
+    from market_data_ingestor_go_spark.streaming.stateful import (
+        streaming_session_paths)
+
+    sf = "/root/testdata/sf0.001"
+    events = (_events(spark, sf)
+              .select("user_id", "ts_ms", "event_id", "event_type"))
+    rows = sorted(events.collect(), key=lambda r: (r.ts_ms, r.event_id))
+    max_ts = rows[-1].ts_ms
+    src = str(tmp_path / "spsrc")
+    os.makedirs(src)
+    third = (len(rows) + 2) // 3
+    chunks = [rows[:third], rows[third:2 * third], rows[2 * third:]]
+    # two sentinel batches for a dummy user far past every real
+    # session's close: the first advances the event-time max, the
+    # second runs with that watermark so every real user's timeout
+    # fires (timeouts use the PREVIOUS batches' watermark)
+    far = max_ts + 10 * 86400000
+    chunks.append([{"user_id": -1, "ts_ms": far,
+                    "event_id": "zz1", "event_type": "noop"}])
+    chunks.append([{"user_id": -1, "ts_ms": far + 1,
+                    "event_id": "zz2", "event_type": "noop"}])
+    for i, chunk in enumerate(chunks):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in chunk:
+                d = r if isinstance(r, dict) else {
+                    "user_id": r.user_id, "ts_ms": r.ts_ms,
+                    "event_id": r.event_id, "event_type": r.event_type}
+                fh.write(json.dumps(d) + "\n")
+
+    stream = (spark.readStream
+              .schema("user_id BIGINT, ts_ms BIGINT, "
+                      "event_id STRING, event_type STRING")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = (streaming_session_paths(stream).writeStream
+         .outputMode("append").format("memory").queryName("sp_out")
+         .option("checkpointLocation", str(tmp_path / "c"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted((r.user_id, r.path)
+                 for r in spark.table("sp_out").collect()
+                 if r.user_id != "-1")
+
+    # batch reference: per-session opening paths (the query's window
+    # machinery, pre-top-20)
+    w_user = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w_user)
+    e3 = (events
+          .withColumn("new_s", F.when(gap.isNull()
+                                      | (gap > 1_800_000), 1)
+                      .otherwise(0))
+          .withColumn("sess", F.sum("new_s").over(
+              w_user.rowsBetween(Window.unboundedPreceding, 0))))
+    w_sess = (Window.partitionBy("user_id", "sess")
+              .orderBy("ts_ms", "event_id"))
+    paths = (e3.withColumn("rn", F.row_number().over(w_sess))
+             .filter(F.col("rn") <= 3)
+             .groupBy("user_id", "sess")
+             .agg(F.concat_ws(
+                 ">",
+                 F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+                 F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+                 F.max(F.when(F.col("rn") == 3, F.col("event_type"))))
+                 .alias("path")))
+    want = sorted((str(r.user_id), r.path) for r in paths.collect())
+    assert got == want and len(got) > 0
+
+    # the top-20 readout over the emissions matches the batch query
+    emitted = (spark.table("sp_out")
+               .filter(F.col("user_id") != "-1"))
+    got_top = [(r.path, r.n_sessions) for r in
+               (emitted.groupBy("path")
+                .agg(F.count("*").cast("bigint").alias("n_sessions"))
+                .orderBy(F.col("n_sessions").desc(), F.col("path"))
+                .limit(20)).collect()]
+    want_top = [(r.path, r.n_sessions) for r in
+                ALL_QUERIES["events_session_funnel_paths"](
+                    spark, sf).collect()]
+    assert got_top == want_top
+    spark.sql("DROP TABLE IF EXISTS sp_out")
