@@ -321,6 +321,34 @@ HEADLINE = [
 ]
 
 
+# STABLE TIER (r14, verdict #4): queries measured in ALL of
+# BENCH_r10..r13 whose raw medians never spread past 1.6x across
+# those four rounds and that carry no open flag — minus the three
+# r13-rerun-flagged names (lineitem_price_qty_corr, knn_ann_pq,
+# doc_length_buckets: exonerated in SCALING.md r14, kept observable
+# anyway). Mid-round iteration can skip these with
+# SPARK_GRAFT_BENCH_TIER=active (~40 fewer queries per sweep); the
+# DEFAULT (the driver's invocation, no env) remains the FULL set, so
+# the closing artifact and both flag passes always measure everything.
+STABLE_TIER: frozenset = frozenset({
+    "bloom_semi_join_agg", "contamination_check", "corpus_datacard",
+    "dedup_cluster_keepers", "distinct_rollup_hll",
+    "doc_bm25_from_index", "doc_bm25_topk", "doc_containment_pairs",
+    "doc_lm_quality", "doc_ngram_novelty", "doc_pmi_collocations",
+    "doc_sparse_cosine_neardup", "dsir_importance_weights",
+    "dup_span_extents", "embedding_lsh_neardup", "eval_leak_spans",
+    "events_ewma_chunked", "events_mad_outliers",
+    "events_motif_search", "events_twap", "events_variant_extract",
+    "fuzzy_name_block_join", "hybrid_rrf_ann", "hybrid_rrf_retrieval",
+    "jl_projection_distortion", "knn_ann_hyperplane", "knn_ann_ivf",
+    "knn_ann_pq_serve", "lm_quality_bands", "minhash_neardup",
+    "passage_dedup_scrub", "q16_supplier_part_counts",
+    "q1_pricing_summary", "q20_part_promotion", "q9_product_profit",
+    "semantic_dedup_clusters", "semdedup_keepers", "simhash_neardup",
+    "source_ks_drift", "source_overlap_exact", "source_overlap_theta",
+})
+
+
 def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
@@ -355,6 +383,13 @@ def calibration(spark):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # tier selection (r14): "full" (default — the driver's closing
+    # invocation) measures every headline query; "active" is the
+    # mid-round iteration mode that skips the long-stable tier.
+    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "full")
+    global HEADLINE
+    if tier == "active":
+        HEADLINE = [q for q in HEADLINE if q not in STABLE_TIER]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -588,6 +623,7 @@ def main() -> None:
         "loadavg_steady": run_loads,
         "flags_vs_prev_round": flags,
         "flags_vs_prev_round_artifact": artifact_flags,
+        "tier": tier,
         "sf": sf_val,
     }
     # Full detail: penultimate stdout line + sidecar file next to this
@@ -597,8 +633,13 @@ def main() -> None:
     # "parsed": null), so the FINAL line below is a compact summary
     # hard-capped under the tail window, with the slowest queries kept
     # and the sub-millisecond ones dropped first if space runs out.
+    # A tiered (partial) run must NOT overwrite bench_detail.json —
+    # it is the committed intra-round flag baseline; active-mode
+    # detail goes to a sidecar instead (r14).
+    detail_name = ("bench_detail.json" if tier == "full"
+                   else f"bench_detail_{tier}.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_detail.json"), "w") as f:
+                           detail_name), "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail))
 
@@ -614,6 +655,7 @@ def main() -> None:
         "queries_omitted": 0,
         "n_flags_vs_prev": len(flags),
         "n_flags_vs_prev_artifact": len(artifact_flags),
+        "tier": tier,
         "sf": sf_val,
     }
     MAX_LINE = 1900  # driver tail window is 2000 chars
