@@ -318,6 +318,9 @@ HEADLINE = [
     # r13: one-way ANOVA over part brands (one scan, map-side group
     # moments, |groups|-row finisher)
     "part_brand_price_anova",
+    # r14: Gini-Simpson language diversity per source (one corpus
+    # exchange - the shared contingency cell aggregate)
+    "docs_source_lang_diversity",
 ]
 
 

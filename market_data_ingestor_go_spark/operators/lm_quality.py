@@ -1289,3 +1289,39 @@ def anova_from_group_moments(g: DataFrame) -> DataFrame:
         F.when((F.col("k") > 1) & (F.col("n") > F.col("k"))
                & (ssw_d > 0), f_stat)
         .alias("f_stat"))
+
+
+def diversity_from_counts(cells: DataFrame,
+                          group: str = "col_key") -> DataFrame:
+    """Gini–Simpson diversity readout over a contingency-count table
+    (Simpson 1949): per ``group`` (a cell-table key column), λ =
+    1 − Σnᵢ²/n² over the other axis's counts, plus the effective
+    category number 1/Σpᵢ² = n²/Σnᵢ² — "how many equally-common
+    categories would look like this". The log-free diversity index
+    (Shannon entropy's ln() diverges in the last ulp across libm
+    builds; Simpson's is exact rational arithmetic): Σnᵢ² and n are
+    exact BIGINTs routed through DECIMAL(38,0) products (n² overflows
+    a long past ~3·10⁹ rows) and the string hop, finished by one
+    fixed IEEE tree ⇒ bit-exact cross-engine.
+
+    SHARED by the batch docs_source_lang_diversity query and the
+    streaming twin: ``streaming/sketches.py::streaming_contingency_
+    counts`` maintains the identical additive cell table, so this
+    readout over the sink equals the batch readout after any
+    micro-batch split (the independence_from_counts factoring).
+    → (group key, n_rows, n_categories, simpson_lambda,
+    effective_categories)."""
+    d38 = "decimal(38,0)"
+    g = (cells.groupBy(F.col(group).alias("g"))
+         .agg(F.sum("n_obs").alias("n"),
+              F.count("*").alias("k"),
+              F.sum(F.col("n_obs").cast(d38) * F.col("n_obs").cast(d38))
+              .alias("ssq")))
+    nn = _dstr(F.col("n").cast(d38) * F.col("n").cast(d38))
+    ssq = _dstr(F.col("ssq"))
+    return g.select(
+        F.col("g"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("k").cast("bigint").alias("n_categories"),
+        (F.lit(1.0) - ssq / nn).alias("simpson_lambda"),
+        (nn / ssq).alias("effective_categories"))

@@ -3954,3 +3954,34 @@ for _k in _R14_IN:
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in _R14_OUT:
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+
+# Gini–Simpson diversity per source: exact BIGINT cell counts (the χ²
+# independence oracle's cell CTE), n²/Σnᵢ² through DECIMAL(38,0)
+# products (forces the int128 path) and the VARCHAR hop, two IEEE
+# divisions — 1.0 is exactly representable so DuckDB's DECIMAL
+# literal promotes to double with zero error.
+EXTRA_ORACLES["docs_source_lang_diversity"] = """
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n_obs
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY source, lang
+), g AS (
+  SELECT source,
+         CAST(SUM(n_obs) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         SUM(CAST(n_obs AS DECIMAL(38,0))
+             * CAST(n_obs AS DECIMAL(38,0))) AS ssq
+  FROM c GROUP BY source
+)
+SELECT source, n_rows, n_langs,
+       1.0 - CAST(CAST(ssq AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n_rows AS DECIMAL(38,0))
+                          * CAST(n_rows AS DECIMAL(38,0)) AS VARCHAR)
+                    AS DOUBLE) AS simpson_lambda,
+       CAST(CAST(CAST(n_rows AS DECIMAL(38,0))
+                 * CAST(n_rows AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(ssq AS VARCHAR) AS DOUBLE) AS effective_langs
+FROM g
+"""

@@ -3577,6 +3577,35 @@ def part_brand_price_anova(spark, sf_dir):
         anova_group_moments(p, "p_brand", "p_retailprice"))
 
 
+def docs_source_lang_diversity(spark, sf_dir):
+    """Gini–Simpson language diversity per source (Simpson 1949):
+    λ = 1 − Σnᵢ²/n² over a source's per-language counts, plus the
+    effective language number n²/Σnᵢ² — the corpus-composition
+    readout a curator runs next to the mix weights (is a source
+    monolingual or balanced?). The LOG-FREE diversity index: Shannon
+    entropy's ln() diverges in the last ulp across libm builds;
+    Simpson's is exact rational arithmetic → (source, n_rows,
+    n_langs, simpson_lambda, effective_langs).
+
+    Determinism: counts are exact BIGINTs; n² and Σnᵢ² go through
+    DECIMAL(38,0) products and the string hop; two IEEE divisions
+    finish ⇒ bit-exact. Scale: ONE corpus exchange (the shared
+    contingency cell aggregate with map-side partials) — the SAME
+    additive cell table the χ² independence test and the streaming
+    twin (streaming_contingency_counts) maintain; the diversity
+    readout is |cells|-row arithmetic
+    (operators/lm_quality.py::diversity_from_counts)."""
+    from ..operators.lm_quality import (contingency_counts,
+                                        diversity_from_counts)
+    d = _t(spark, sf_dir, "documents")
+    return (diversity_from_counts(
+        contingency_counts(d, "lang", "source"))
+        .select(F.col("g").alias("source"), "n_rows",
+                F.col("n_categories").alias("n_langs"),
+                "simpson_lambda",
+                F.col("effective_categories").alias("effective_langs")))
+
+
 # The driver's correctness gate checks the FIRST 50 entries of
 # queries() (CORRECTNESS_r01 stopped at exactly entry 50, leaving the
 # whole §2.11 extension surface unverified). QUERIES is therefore a
@@ -3892,6 +3921,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_embedding_drift": source_embedding_drift,  # exact-decimal centroid + fold distance ⊂ embedding_outlier_docs (rotated in; same centroid broadcast + squared-delta fold)
     "snapshot_change_magnitude": snapshot_change_magnitude,  # diff magnitude agg ⊂ crawl_delta_apply (in window; same snapshot delta base)
     "eval_leak_spans": eval_leak_spans,              # span localization postings ⊂ eval_leak_scrub (in window; same span machinery feeding the scrub)
+    # round-14 additions: oracle-backed, queued in
+    # ROTATION_CANDIDATES_R14 for their first external row next round.
+    "docs_source_lang_diversity": docs_source_lang_diversity,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4138,7 +4170,9 @@ ROTATED_IN_R14: list[str] = list(ROTATION_CANDIDATES_R13)
 # added during round 14 must be listed here in the SAME commit that
 # adds its oracle (the r9 policy, enforced by the never-verified scan
 # in tests/test_parity.py).
-ROTATION_CANDIDATES_R14: list[str] = []
+ROTATION_CANDIDATES_R14: list[str] = [
+    "docs_source_lang_diversity",   # added r14, oracle added same commit
+]
 
 
 # Frozen at the close of round 7: every oracle-backed query name that

@@ -3214,6 +3214,22 @@ def test_streaming_contingency_counts_equals_batch(spark, tmp_path):
     want = sorted(map(tuple,
                       independence_from_counts(want_state).collect()))
     assert got == want
+
+    # r14: the SAME contingency state also finishes the Gini–Simpson
+    # diversity readout — one state table, two continuous monitors
+    # (the user-days retention/rolling-actives precedent); the batch
+    # query over the full table agrees row-for-row
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        diversity_from_counts)
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+    got_div = sorted(map(tuple, diversity_from_counts(state)
+                         .collect()))
+    want_div = sorted(
+        (r.source, r.n_rows, r.n_langs, r.simpson_lambda,
+         r.effective_langs)
+        for r in ALL_QUERIES["docs_source_lang_diversity"](
+            spark, "/root/testdata/sf0.001").collect())
+    assert got_div == want_div and len(got_div) > 0
     spark.sql("DROP TABLE IF EXISTS cont_state")
 
 
