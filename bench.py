@@ -321,6 +321,8 @@ HEADLINE = [
     # r14: Gini-Simpson language diversity per source (one corpus
     # exchange - the shared contingency cell aggregate)
     "docs_source_lang_diversity",
+    # r14: referential-integrity audit (five key-only anti joins)
+    "fk_orphan_audit",
 ]
 
 

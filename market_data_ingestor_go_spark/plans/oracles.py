@@ -3985,3 +3985,57 @@ SELECT source, n_rows, n_langs,
        / CAST(CAST(ssq AS VARCHAR) AS DOUBLE) AS effective_langs
 FROM g
 """
+
+
+# FK orphan audit: per-edge exact counts via NOT-EXISTS anti
+# semantics; every integer count in the final projection CAST to
+# BIGINT (HUGEINT otherwise); the rate division mirrored behind the
+# same zero-guard CASE.
+EXTRA_ORACLES["fk_orphan_audit"] = """
+WITH e AS (
+  SELECT 'lineitem->orders' AS fk_edge,
+         (SELECT COUNT(*) FROM lineitem) AS n_child,
+         (SELECT COUNT(l_orderkey) FROM lineitem) AS n_nonnull,
+         (SELECT COUNT(*) FROM lineitem c
+          WHERE c.l_orderkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM orders p
+             WHERE p.o_orderkey = c.l_orderkey)) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem->part',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(l_partkey) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem c
+          WHERE c.l_partkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey))
+  UNION ALL
+  SELECT 'lineitem->supplier',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(l_suppkey) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem c
+          WHERE c.l_suppkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.l_suppkey))
+  UNION ALL
+  SELECT 'orders->customer',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(o_custkey) FROM orders),
+         (SELECT COUNT(*) FROM orders c
+          WHERE c.o_custkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey))
+  UNION ALL
+  SELECT 'customer->nation',
+         (SELECT COUNT(*) FROM customer),
+         (SELECT COUNT(c_nationkey) FROM customer),
+         (SELECT COUNT(*) FROM customer c
+          WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM nation p
+             WHERE p.n_nationkey = c.c_nationkey))
+)
+SELECT fk_edge,
+       CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_nonnull AS BIGINT) AS n_nonnull,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       CASE WHEN n_nonnull > 0 THEN
+         CAST(n_orphans AS DOUBLE) / CAST(n_nonnull AS DOUBLE)
+       END AS orphan_rate
+FROM e
+"""

@@ -3577,6 +3577,64 @@ def part_brand_price_anova(spark, sf_dir):
         anova_group_moments(p, "p_brand", "p_retailprice"))
 
 
+def fk_orphan_audit(spark, sf_dir):
+    """Referential-integrity audit over the warehouse's FK edges —
+    the relational completion of the per-column DQ profile: for each
+    child→parent foreign key, how many child rows, how many carry a
+    non-NULL key, how many are ORPHANS (non-NULL key with no parent
+    row), and the orphan rate. → one row per edge (fk_edge, n_child,
+    n_nonnull, n_orphans, orphan_rate) — the first thing a pipeline
+    owner checks after an ingest incident, and the join-safety
+    precondition every downstream query silently assumes.
+
+    Determinism: counts are exact BIGINTs; the rate is one int/int
+    IEEE division behind an expression-level zero guard (mirrored
+    CASE in the oracle) ⇒ bit-exact. Scale: each edge is ONE
+    co-partitioned LEFT ANTI join on the key (parent side
+    deduplicated first with map-side partials; small parents —
+    nation, supplier — broadcast under AQE) plus map-side-collapsing
+    count aggregates; the result is |edges| rows. No edge ever
+    materializes the join payload — keys only."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    pt = _t(spark, sf_dir, "part")
+    sp = _t(spark, sf_dir, "supplier")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+
+    def edge(child, fk, parent, pk, name):
+        c = child.select(F.col(fk).alias("k"))
+        p = parent.select(F.col(pk).alias("k")).distinct()
+        tot = c.agg(F.count("*").alias("n_child"),
+                    F.count("k").alias("n_nonnull"))
+        orph = (c.filter(F.col("k").isNotNull())
+                .join(p, "k", "left_anti")
+                .agg(F.count("*").alias("n_orphans")))
+        rate = (F.col("n_orphans").cast("double")
+                / F.col("n_nonnull").cast("double"))
+        return (tot.crossJoin(orph)
+                .select(F.lit(name).alias("fk_edge"),
+                        F.col("n_child").cast("bigint").alias("n_child"),
+                        F.col("n_nonnull").cast("bigint")
+                        .alias("n_nonnull"),
+                        F.col("n_orphans").cast("bigint")
+                        .alias("n_orphans"),
+                        F.when(F.col("n_nonnull") > 0, rate)
+                        .alias("orphan_rate")))
+
+    edges = [
+        edge(li, "l_orderkey", od, "o_orderkey", "lineitem->orders"),
+        edge(li, "l_partkey", pt, "p_partkey", "lineitem->part"),
+        edge(li, "l_suppkey", sp, "s_suppkey", "lineitem->supplier"),
+        edge(od, "o_custkey", cu, "c_custkey", "orders->customer"),
+        edge(cu, "c_nationkey", na, "n_nationkey", "customer->nation"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
 def docs_source_lang_diversity(spark, sf_dir):
     """Gini–Simpson language diversity per source (Simpson 1949):
     λ = 1 − Σnᵢ²/n² over a source's per-language counts, plus the
@@ -3924,6 +3982,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-14 additions: oracle-backed, queued in
     # ROTATION_CANDIDATES_R14 for their first external row next round.
     "docs_source_lang_diversity": docs_source_lang_diversity,
+    "fk_orphan_audit": fk_orphan_audit,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4172,6 +4231,7 @@ ROTATED_IN_R14: list[str] = list(ROTATION_CANDIDATES_R13)
 # in tests/test_parity.py).
 ROTATION_CANDIDATES_R14: list[str] = [
     "docs_source_lang_diversity",   # added r14, oracle added same commit
+    "fk_orphan_audit",              # added r14, oracle added same commit
 ]
 
 

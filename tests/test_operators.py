@@ -4047,3 +4047,42 @@ def test_quality_floor_hand_cases(spark):
            for r in quality_floor_summary(df, "g", "m").collect()}
     assert got == {"a": (8, 2, 7, 35), "b": (4, 5, 4, 20),
                    "c": (1, 42, 1, 42)}
+
+
+def test_fk_orphan_audit_detects_injected_orphans(spark, tmp_path):
+    """fk_orphan_audit (r14): the production testdata is clean, so
+    prove detection on a synthetic warehouse with KNOWN violations —
+    two lineitem rows pointing at missing orders, one NULL l_partkey
+    (not an orphan: NULLs are excluded from the rate denominator's
+    numerator), one orders row at a missing customer."""
+    import os as _os
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+
+    sf = str(tmp_path / "mini")
+    _os.makedirs(sf)
+
+    def w(name, df):
+        df.coalesce(1).write.parquet(_os.path.join(sf, f"{name}.parquet"))
+
+    w("orders", spark.createDataFrame(
+        [(1, 10), (2, 11)], "o_orderkey BIGINT, o_custkey BIGINT"))
+    w("lineitem", spark.createDataFrame(
+        [(1, 100, 200), (2, 101, 200), (7, 100, 201), (8, None, 200)],
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT"))
+    w("part", spark.createDataFrame(
+        [(100,), (101,)], "p_partkey BIGINT"))
+    w("supplier", spark.createDataFrame(
+        [(200,), (201,)], "s_suppkey BIGINT"))
+    w("customer", spark.createDataFrame(
+        [(10, 0), (12, 0)], "c_custkey BIGINT, c_nationkey INT"))
+    w("nation", spark.createDataFrame(
+        [(0,)], "n_nationkey INT"))
+
+    got = {r.fk_edge: (r.n_child, r.n_nonnull, r.n_orphans,
+                       r.orphan_rate)
+           for r in ALL_QUERIES["fk_orphan_audit"](spark, sf).collect()}
+    assert got["lineitem->orders"] == (4, 4, 2, 0.5)
+    assert got["lineitem->part"] == (4, 3, 0, 0.0)
+    assert got["lineitem->supplier"] == (4, 4, 0, 0.0)
+    assert got["orders->customer"] == (2, 2, 1, 0.5)
+    assert got["customer->nation"] == (2, 2, 0, 0.0)

@@ -948,3 +948,13 @@ def test_cooccurrence_pair_join_is_user_equi(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fk_orphan_audit_plan_is_anti_joins(spark):
+    """fk_orphan_audit: every edge is a key-only LEFT ANTI join —
+    never a cartesian — and the tiny one-row count frames combine
+    via the scalar-row nested-loop device only."""
+    df = ALL_QUERIES["fk_orphan_audit"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftAnti") >= 5, plan
