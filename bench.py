@@ -323,6 +323,12 @@ HEADLINE = [
     "docs_source_lang_diversity",
     # r14: referential-integrity audit (five key-only anti joins)
     "fk_orphan_audit",
+    # r14: Pareto revenue concentration (custkey agg + segment rank)
+    "customer_revenue_pareto",
+    # r14: conversion latency quantiles (two user-keyed aggs + rank)
+    "events_conversion_latency",
+    # r14: Mann-Whitney U on the value-grain histogram (one shuffle)
+    "events_mannwhitney_value_test",
 ]
 
 

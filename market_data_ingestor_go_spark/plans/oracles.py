@@ -4039,3 +4039,120 @@ SELECT fk_edge,
        END AS orphan_rate
 FROM e
 """
+
+
+# Pareto revenue concentration: exact DECIMAL(27,6) spend sums, a
+# (spend DESC, custkey) total-order rank, k = (n+9)//10 (truncating
+# // ≡ Spark div on positives), string-routed decimal division.
+EXTRA_ORACLES["customer_revenue_pareto"] = """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS spend
+  FROM orders GROUP BY o_custkey
+), s AS (
+  SELECT c.c_mktsegment, c.c_custkey, spend.spend,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY spend.spend DESC, c.c_custkey)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS n
+  FROM spend JOIN customer c ON spend.o_custkey = c.c_custkey
+), a AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(MAX((n + 9) // 10) AS BIGINT) AS k_top10,
+         SUM(spend) AS total_spend,
+         SUM(CASE WHEN rk <= (n + 9) // 10 THEN spend END) AS top_spend
+  FROM s GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_customers, k_top10,
+       CASE WHEN total_spend > 0 THEN
+         CAST(CAST(top_spend AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(total_spend AS VARCHAR) AS DOUBLE)
+       END AS top10_share
+FROM a
+"""
+
+
+# Conversion latency quantiles: exact BIGINT ms latencies, exact
+# lower-quantile elements at rank ceil(qn) over a (latency, user)
+# total order, exact-decimal mean through the VARCHAR hop.
+EXTRA_ORACLES["events_conversion_latency"] = """
+WITH fv AS (
+  SELECT user_id, MIN(epoch_ms(ts)) AS v_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT e.user_id,
+         MIN(epoch_ms(e.ts)) - MIN(fv.v_ts) AS lat
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= fv.v_ts
+  GROUP BY e.user_id
+), r AS (
+  SELECT user_id, lat,
+         row_number() OVER (ORDER BY lat, user_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM conv
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN lat END) AS BIGINT)
+         AS median_latency_ms,
+       CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN lat END)
+            AS BIGINT) AS p90_latency_ms,
+       CAST(CAST(SUM(CAST(lat AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+         / CAST(MAX(n) AS DOUBLE) AS mean_latency_ms
+FROM r
+"""
+
+
+# Mann-Whitney U on the value-grain histogram: exact DECIMAL(38,0)
+# integer arithmetic for 2U / m·n / the tie term, string-routed
+# double hops, one fixed IEEE z tree (sqrt is correctly rounded on
+# both engines), mirrored positivity guard.
+EXTRA_ORACLES["events_mannwhitney_value_test"] = """
+WITH h AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_b
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+  GROUP BY value
+), g AS (
+  SELECT n_a, n_b,
+         COALESCE(SUM(n_b) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_b
+  FROM h
+), a AS (
+  SELECT SUM(n_a) AS m, SUM(n_b) AS n,
+         SUM(CAST(n_a AS DECIMAL(38,0))
+             * (2 * CAST(cum_b AS DECIMAL(38,0))
+                + CAST(n_b AS DECIMAL(38,0)))) AS u2,
+         SUM(CAST(n_a + n_b AS DECIMAL(38,0))
+             * CAST(n_a + n_b AS DECIMAL(38,0))
+             * CAST(n_a + n_b AS DECIMAL(38,0))
+             - CAST(n_a + n_b AS DECIMAL(38,0))) AS ties
+  FROM g
+), b AS (
+  SELECT m, n, u2, ties,
+         CAST(m AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) AS mn,
+         CAST(m + n AS DECIMAL(38,0))
+           * CAST(m + n - 1 AS DECIMAL(38,0)) AS nn1
+  FROM a
+)
+SELECT CAST(m AS BIGINT) AS n_click,
+       CAST(n AS BIGINT) AS n_view,
+       CAST(CAST(u2 AS VARCHAR) AS DOUBLE) AS u2_statistic,
+       CASE WHEN m > 0 AND n > 0
+             AND CAST(CAST(mn AS VARCHAR) AS DOUBLE) / 12.0
+                 * (CAST(m + n + 1 AS DOUBLE)
+                    - CAST(CAST(ties AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(nn1 AS VARCHAR) AS DOUBLE)) > 0
+       THEN
+         (CAST(CAST(u2 AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(mn AS VARCHAR) AS DOUBLE))
+         / (2.0 * sqrt(CAST(CAST(mn AS VARCHAR) AS DOUBLE) / 12.0
+                       * (CAST(m + n + 1 AS DOUBLE)
+                          - CAST(CAST(ties AS VARCHAR) AS DOUBLE)
+                            / CAST(CAST(nn1 AS VARCHAR) AS DOUBLE))))
+       END AS z_score
+FROM b
+"""

@@ -3635,6 +3635,157 @@ def fk_orphan_audit(spark, sf_dir):
     return out
 
 
+def events_mannwhitney_value_test(spark, sf_dir):
+    """Mann–Whitney U rank-sum test (Mann & Whitney 1947) comparing
+    the 'click' vs 'view' value distributions — the NONPARAMETRIC
+    two-sample test completing the family next to KS (distribution
+    shape), χ² (categorical), and ANOVA (parametric means): does one
+    group stochastically dominate the other? → ONE row (n_click,
+    n_view, u2_statistic, z_score) with the normal approximation
+    including the tie correction.
+
+    Determinism: computed on the VALUE-GRAIN HISTOGRAM (the
+    source_ks_drift spine), never per-row ranks: 2U = Σ_v n_a(v) ·
+    (2·cum_b(<v) + n_b(v)) — exact integers through DECIMAL(38,0)
+    products; ties contribute the standard Σ(t³−t) variance
+    correction, also exact; the z finisher is one fixed IEEE tree
+    over string-routed decimals (sqrt is IEEE-correctly-rounded on
+    both engines) ⇒ bit-exact. Scale: ONE histogram shuffle with
+    map-side partials; the cumulative window and the finisher run
+    over |distinct values| rows — value-domain-sized, never
+    stream-length."""
+    d38 = "decimal(38,0)"
+    e = (_events(spark, sf_dir)
+         .filter(F.col("event_type").isin("click", "view")
+                 & F.col("value").isNotNull()))
+    h = (e.groupBy("value")
+         .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                    .otherwise(0)).alias("n_a"),
+              F.sum(F.when(F.col("event_type") == "view", 1)
+                    .otherwise(0)).alias("n_b")))
+    w_cum = (Window.partitionBy().orderBy("value")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    g = h.withColumn("cum_b",
+                     F.coalesce(F.sum("n_b").over(w_cum), F.lit(0)))
+    t = F.col("n_a") + F.col("n_b")
+    u2_term = (F.col("n_a").cast(d38)
+               * (F.lit(2).cast(d38) * F.col("cum_b").cast(d38)
+                  + F.col("n_b").cast(d38)))
+    tie_term = t.cast(d38) * t.cast(d38) * t.cast(d38) - t.cast(d38)
+    agg = (g.agg(F.sum("n_a").alias("m"),
+                 F.sum("n_b").alias("n"),
+                 F.sum(u2_term).alias("u2"),
+                 F.sum(tie_term).alias("ties")))
+    mn = _dstr_expr = (F.col("m").cast(d38) * F.col("n").cast(d38))
+    a2 = agg.select(
+        "m", "n", "u2", "ties",
+        mn.alias("mn"),
+        ((F.col("m") + F.col("n")).cast(d38)
+         * (F.col("m") + F.col("n") - 1).cast(d38)).alias("nn1"))
+    mn_d = _dstr("mn")
+    var = (mn_d / F.lit(12.0)
+           * ((F.col("m") + F.col("n") + 1).cast("double")
+              - _dstr("ties") / _dstr("nn1")))
+    z = (_dstr("u2") - mn_d) / (F.lit(2.0) * F.sqrt(var))
+    return a2.select(
+        F.col("m").cast("bigint").alias("n_click"),
+        F.col("n").cast("bigint").alias("n_view"),
+        F.col("u2").cast("string").cast("double").alias("u2_statistic"),
+        F.when((F.col("m") > 0) & (F.col("n") > 0) & (var > 0), z)
+        .alias("z_score"))
+
+
+def events_conversion_latency(spark, sf_dir):
+    """Conversion latency distribution: per user, the time from their
+    FIRST 'view' to their first 'purchase' at-or-after it; report the
+    converted-user count with exact median/p90/mean latency — the
+    time-dimension completion of the funnel family (the fixed funnel
+    counts WHO converts; this measures HOW LONG conversion takes).
+    → ONE row (n_converted, median_latency_ms, p90_latency_ms,
+    mean_latency_ms).
+
+    Determinism: latencies are exact BIGINT ms; quantiles are EXACT
+    lower-quantile elements at rank ⌈qn⌉ over the (latency, user_id)
+    total order — (n+1) div 2 and (9n+9) div 10 in integer
+    arithmetic; the mean is an exact decimal sum with one
+    string-routed division ⇒ bit-exact. Scale: two user-keyed
+    aggregates (first view, first qualifying purchase — map-side
+    partials) and ONE rank window over |converted users| rows; at
+    100 TB the documented GK-percentile swap replaces the exact rank
+    (the source_quality_floor_approx precedent)."""
+    e = _events(spark, sf_dir)
+    fv = (e.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts_ms").alias("v_ts")))
+    conv = (e.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts_ms")
+            .join(fv, "user_id")
+            .filter(F.col("ts_ms") >= F.col("v_ts"))
+            .groupBy("user_id")
+            .agg((F.min("ts_ms") - F.min("v_ts")).alias("lat")))
+    w = Window.partitionBy().orderBy("lat", "user_id")
+    r = (conv.withColumn("rk", F.row_number().over(w))
+         .withColumn("n", F.count("*").over(Window.partitionBy())))
+    med_idx = F.expr("(n + 1) div 2")
+    p90_idx = F.expr("(9 * n + 9) div 10")
+    return (r.groupBy("n")
+            .agg(F.max(F.when(F.col("rk") == med_idx, F.col("lat")))
+                 .alias("med"),
+                 F.max(F.when(F.col("rk") == p90_idx, F.col("lat")))
+                 .alias("p90"),
+                 F.sum(F.col("lat").cast("decimal(27,6)")).alias("s"))
+            .select(F.col("n").cast("bigint").alias("n_converted"),
+                    F.col("med").cast("bigint").alias("median_latency_ms"),
+                    F.col("p90").cast("bigint").alias("p90_latency_ms"),
+                    (_dstr("s") / F.col("n").cast("double"))
+                    .alias("mean_latency_ms")))
+
+
+def customer_revenue_pareto(spark, sf_dir):
+    """Pareto (80/20) revenue concentration per market segment: what
+    share of a segment's revenue comes from its top-10% customers —
+    the per-ENTITY concentration readout next to the per-ITEM Gini
+    (source_gini_concentration ranks documents; this ranks paying
+    customers), and the classic account-management "whale" metric.
+    → (c_mktsegment, n_customers, k_top10, top10_share).
+
+    Determinism: per-customer spend is an exact DECIMAL(27,6) sum;
+    ranks are row_number over (spend DESC, c_custkey) — a total
+    order; k = ⌈n/10⌉ via integer (n+9) div 10 (DuckDB's // truncates
+    like Spark's div — positive here, so identical); the share is one
+    string-routed decimal division ⇒ bit-exact. Customers with no
+    orders are out of scope (inner join — "paying customers").
+
+    Scale: ONE custkey shuffle for the spend aggregate (map-side
+    partials), the segment dim attaches by key join, one per-segment
+    rank window over |customers| rows (the source_quality_floor
+    shape — at 100 TB the documented GK-percentile threshold swap
+    applies verbatim), and the finisher collapses map-side."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+                  .alias("spend")))
+    s = (spend.join(c, spend["o_custkey"] == c["c_custkey"])
+         .select("c_mktsegment", "c_custkey", "spend"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend").desc(), "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    r = (s.withColumn("rk", F.row_number().over(w))
+         .withColumn("n", F.count("*").over(wn)))
+    in_top = F.col("rk") <= F.expr("(n + 9) div 10")
+    agg = (r.groupBy("c_mktsegment")
+           .agg(F.count("*").alias("n_customers"),
+                F.max(F.expr("(n + 9) div 10")).alias("k_top10"),
+                F.sum("spend").alias("total_spend"),
+                F.sum(F.when(in_top, F.col("spend"))).alias("top_spend")))
+    share = _dstr("top_spend") / _dstr("total_spend")
+    return agg.select(
+        "c_mktsegment",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("k_top10").cast("bigint").alias("k_top10"),
+        F.when(F.col("total_spend") > 0, share).alias("top10_share"))
+
+
 def docs_source_lang_diversity(spark, sf_dir):
     """Gini–Simpson language diversity per source (Simpson 1949):
     λ = 1 − Σnᵢ²/n² over a source's per-language counts, plus the
@@ -3983,6 +4134,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ROTATION_CANDIDATES_R14 for their first external row next round.
     "docs_source_lang_diversity": docs_source_lang_diversity,
     "fk_orphan_audit": fk_orphan_audit,
+    "customer_revenue_pareto": customer_revenue_pareto,
+    "events_conversion_latency": events_conversion_latency,
+    "events_mannwhitney_value_test": events_mannwhitney_value_test,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4232,6 +4386,9 @@ ROTATED_IN_R14: list[str] = list(ROTATION_CANDIDATES_R13)
 ROTATION_CANDIDATES_R14: list[str] = [
     "docs_source_lang_diversity",   # added r14, oracle added same commit
     "fk_orphan_audit",              # added r14, oracle added same commit
+    "customer_revenue_pareto",      # added r14, oracle added same commit
+    "events_conversion_latency",    # added r14, oracle added same commit
+    "events_mannwhitney_value_test",  # added r14, oracle same commit
 ]
 
 

@@ -4086,3 +4086,54 @@ def test_fk_orphan_audit_detects_injected_orphans(spark, tmp_path):
     assert got["lineitem->supplier"] == (4, 4, 0, 0.0)
     assert got["orders->customer"] == (2, 2, 1, 0.5)
     assert got["customer->nation"] == (2, 2, 0, 0.0)
+
+
+def test_mannwhitney_matches_python_reference(spark, tmp_path):
+    """events_mannwhitney_value_test (r14): the histogram-spine 2U and
+    tie-corrected z must equal the classic per-row rank computation on
+    a tie-heavy fixture (exact Fraction arithmetic for U/mean/var,
+    one float sqrt at the end — the honest reference)."""
+    import os as _os
+    from fractions import Fraction
+    import math
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+
+    a = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 8.0]     # click
+    b = [2.0, 2.0, 4.0, 5.0, 6.0, 6.0, 9.0]           # view
+    rows = ([(i, 1000 + i, 1, "click", v) for i, v in enumerate(a)]
+            + [(100 + i, 2000 + i, 2, "view", v)
+               for i, v in enumerate(b)])
+    sf = str(tmp_path / "mw")
+    _os.makedirs(sf)
+    (spark.createDataFrame(
+        rows, "event_id BIGINT, ts_ms BIGINT, user_id BIGINT, "
+              "event_type STRING, value DOUBLE")
+     .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+     .withColumn("props", F.lit("{}"))
+     .select("event_id", "ts", "user_id", "event_type", "value",
+             "props")
+     .coalesce(1).write.parquet(_os.path.join(sf, "events.parquet")))
+
+    got = ALL_QUERIES["events_mannwhitney_value_test"](
+        spark, sf).collect()[0]
+
+    # reference: U_a = sum over a of (#b < x) + 1/2 (#b == x)
+    U = Fraction(0)
+    for x in a:
+        U += sum(1 for y in b if y < x) + Fraction(
+            sum(1 for y in b if y == x), 2)
+    m, n = len(a), len(b)
+    pooled = a + b
+    ties = {}
+    for x in pooled:
+        ties[x] = ties.get(x, 0) + 1
+    tie_sum = sum(t ** 3 - t for t in ties.values())
+    mean_u = Fraction(m * n, 2)
+    var_u = (Fraction(m * n, 12)
+             * (Fraction(m + n + 1)
+                - Fraction(tie_sum, (m + n) * (m + n - 1))))
+    z_ref = float(U - mean_u) / math.sqrt(float(var_u))
+
+    assert got.n_click == m and got.n_view == n
+    assert got.u2_statistic == float(2 * U)
+    assert abs(got.z_score - z_ref) < 1e-12, (got.z_score, z_ref)
