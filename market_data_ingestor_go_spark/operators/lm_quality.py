@@ -1325,3 +1325,69 @@ def diversity_from_counts(cells: DataFrame,
         F.col("k").cast("bigint").alias("n_categories"),
         (F.lit(1.0) - ssq / nn).alias("simpson_lambda"),
         (nn / ssq).alias("effective_categories"))
+
+
+def mannwhitney_from_counts(h: DataFrame) -> DataFrame:
+    """Mann–Whitney U readout over a (value, n_a, n_b) additive
+    value-grain histogram (Mann & Whitney 1947): 2U = Σ_v n_a(v) ·
+    (2·cum_b(<v) + n_b(v)) with the Σ(t³−t) tie correction in the
+    normal-approximation variance → ONE row (n_a_total, n_b_total,
+    u2_statistic, z_score). Exact DECIMAL(38,0) integer arithmetic
+    through the string hop; the z finisher is one fixed IEEE tree
+    (sqrt is IEEE-correctly-rounded on both engines) ⇒ bit-exact
+    cross-engine.
+
+    SHARED by the batch events_mannwhitney_value_test query and the
+    streaming twin: ``streaming/sketches.py::streaming_value_
+    histogram`` maintains the identical additive (g, x, c) state, so
+    ``mannwhitney_from_value_histogram`` over the sink equals the
+    batch readout after any micro-batch split (the ks_from_counts
+    factoring — one histogram state, KS and Mann–Whitney both finish
+    from it). Everything here runs over |distinct values| rows."""
+    from pyspark.sql.window import Window
+    d38 = "decimal(38,0)"
+    w_cum = (Window.partitionBy().orderBy("value")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    g = h.withColumn("cum_b",
+                     F.coalesce(F.sum("n_b").over(w_cum), F.lit(0)))
+    t = F.col("n_a") + F.col("n_b")
+    u2_term = (F.col("n_a").cast(d38)
+               * (F.lit(2).cast(d38) * F.col("cum_b").cast(d38)
+                  + F.col("n_b").cast(d38)))
+    tie_term = t.cast(d38) * t.cast(d38) * t.cast(d38) - t.cast(d38)
+    agg = (g.agg(F.sum("n_a").alias("m"),
+                 F.sum("n_b").alias("n"),
+                 F.sum(u2_term).alias("u2"),
+                 F.sum(tie_term).alias("ties")))
+    a2 = agg.select(
+        "m", "n", "u2", "ties",
+        (F.col("m").cast(d38) * F.col("n").cast(d38)).alias("mn"),
+        ((F.col("m") + F.col("n")).cast(d38)
+         * (F.col("m") + F.col("n") - 1).cast(d38)).alias("nn1"))
+    mn_d = _dstr(F.col("mn"))
+    var = (mn_d / F.lit(12.0)
+           * ((F.col("m") + F.col("n") + 1).cast("double")
+              - _dstr(F.col("ties")) / _dstr(F.col("nn1"))))
+    z = (_dstr(F.col("u2")) - mn_d) / (F.lit(2.0) * F.sqrt(var))
+    return a2.select(
+        F.col("m").cast("bigint").alias("n_a_total"),
+        F.col("n").cast("bigint").alias("n_b_total"),
+        F.col("u2").cast("string").cast("double").alias("u2_statistic"),
+        F.when((F.col("m") > 0) & (F.col("n") > 0) & (var > 0), z)
+        .alias("z_score"))
+
+
+def mannwhitney_from_value_histogram(state: DataFrame, group_a,
+                                     group_b) -> DataFrame:
+    """Adapter: pivot the streaming (g, x, c) value-histogram state
+    into the (value, n_a, n_b) two-sample histogram and finish —
+    counts are additive, so the readout over the complete-mode sink
+    is bit-identical to the batch query after any micro-batch split
+    (tested)."""
+    h = (state.filter(F.col("g").isin(group_a, group_b))
+         .groupBy(F.col("x").alias("value"))
+         .agg(F.sum(F.when(F.col("g") == group_a, F.col("c"))
+                    .otherwise(0)).alias("n_a"),
+              F.sum(F.when(F.col("g") == group_b, F.col("c"))
+                    .otherwise(0)).alias("n_b")))
+    return mannwhitney_from_counts(h)

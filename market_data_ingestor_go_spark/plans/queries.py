@@ -3654,7 +3654,11 @@ def events_mannwhitney_value_test(spark, sf_dir):
     map-side partials; the cumulative window and the finisher run
     over |distinct values| rows — value-domain-sized, never
     stream-length."""
-    d38 = "decimal(38,0)"
+    # readout machinery SHARED with the streaming value-histogram
+    # state (operators/lm_quality.py::mannwhitney_from_counts — the
+    # ks_from_counts factoring: one additive histogram, KS and
+    # Mann–Whitney both finish from it)
+    from ..operators.lm_quality import mannwhitney_from_counts
     e = (_events(spark, sf_dir)
          .filter(F.col("event_type").isin("click", "view")
                  & F.col("value").isNotNull()))
@@ -3663,36 +3667,10 @@ def events_mannwhitney_value_test(spark, sf_dir):
                     .otherwise(0)).alias("n_a"),
               F.sum(F.when(F.col("event_type") == "view", 1)
                     .otherwise(0)).alias("n_b")))
-    w_cum = (Window.partitionBy().orderBy("value")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    g = h.withColumn("cum_b",
-                     F.coalesce(F.sum("n_b").over(w_cum), F.lit(0)))
-    t = F.col("n_a") + F.col("n_b")
-    u2_term = (F.col("n_a").cast(d38)
-               * (F.lit(2).cast(d38) * F.col("cum_b").cast(d38)
-                  + F.col("n_b").cast(d38)))
-    tie_term = t.cast(d38) * t.cast(d38) * t.cast(d38) - t.cast(d38)
-    agg = (g.agg(F.sum("n_a").alias("m"),
-                 F.sum("n_b").alias("n"),
-                 F.sum(u2_term).alias("u2"),
-                 F.sum(tie_term).alias("ties")))
-    mn = _dstr_expr = (F.col("m").cast(d38) * F.col("n").cast(d38))
-    a2 = agg.select(
-        "m", "n", "u2", "ties",
-        mn.alias("mn"),
-        ((F.col("m") + F.col("n")).cast(d38)
-         * (F.col("m") + F.col("n") - 1).cast(d38)).alias("nn1"))
-    mn_d = _dstr("mn")
-    var = (mn_d / F.lit(12.0)
-           * ((F.col("m") + F.col("n") + 1).cast("double")
-              - _dstr("ties") / _dstr("nn1")))
-    z = (_dstr("u2") - mn_d) / (F.lit(2.0) * F.sqrt(var))
-    return a2.select(
-        F.col("m").cast("bigint").alias("n_click"),
-        F.col("n").cast("bigint").alias("n_view"),
-        F.col("u2").cast("string").cast("double").alias("u2_statistic"),
-        F.when((F.col("m") > 0) & (F.col("n") > 0) & (var > 0), z)
-        .alias("z_score"))
+    return (mannwhitney_from_counts(h)
+            .select(F.col("n_a_total").alias("n_click"),
+                    F.col("n_b_total").alias("n_view"),
+                    "u2_statistic", "z_score"))
 
 
 def events_conversion_latency(spark, sf_dir):

@@ -3471,3 +3471,53 @@ def test_streaming_session_paths_prefix_complete(spark, tmp_path):
                     spark, sf).collect()]
     assert got_top == want_top
     spark.sql("DROP TABLE IF EXISTS sp_out")
+
+
+def test_streaming_value_histogram_mannwhitney_equals_batch(
+        spark, tmp_path):
+    """Streaming Mann–Whitney twin (r14): the SAME (g, x, c)
+    complete-mode value-histogram state that serves KS and χ² also
+    finishes the rank-sum test — mannwhitney_from_value_histogram
+    over an events-value sink reproduces the batch
+    events_mannwhitney_value_test row bit-exactly after a 3-way
+    micro-batch split (counts additive)."""
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        mannwhitney_from_value_histogram)
+    from market_data_ingestor_go_spark.plans.queries import (
+        ALL_QUERIES, _events)
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_value_histogram)
+
+    sf = "/root/testdata/sf0.001"
+    events = (_events(spark, sf)
+              .filter(F.col("event_type").isin("click", "view")
+                      & F.col("value").isNotNull())
+              .select("event_type", "value"))
+    src = str(tmp_path / "mwsrc")
+    os.makedirs(src)
+    rows = events.collect()
+    for i, part in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in part:
+                fh.write(json.dumps({"event_type": r.event_type,
+                                     "value": r.value}) + "\n")
+
+    stream = (spark.readStream
+              .schema("event_type STRING, value DOUBLE")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(
+        streaming_value_histogram(stream, "event_type", "value"),
+        "mw_hist", str(tmp_path / "c"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [(r.n_a_total, r.n_b_total, r.u2_statistic, r.z_score)
+           for r in mannwhitney_from_value_histogram(
+               spark.table("mw_hist"), "click", "view").collect()]
+    want = [(r.n_click, r.n_view, r.u2_statistic, r.z_score)
+            for r in ALL_QUERIES["events_mannwhitney_value_test"](
+                spark, sf).collect()]
+    assert got == want and len(got) == 1
+    spark.sql("DROP TABLE IF EXISTS mw_hist")
