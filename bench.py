@@ -329,6 +329,8 @@ HEADLINE = [
     "events_conversion_latency",
     # r14: Mann-Whitney U on the value-grain histogram (one shuffle)
     "events_mannwhitney_value_test",
+    # r14: growth accounting (one user-days window + day-grain aggs)
+    "events_user_growth_accounting",
 ]
 
 

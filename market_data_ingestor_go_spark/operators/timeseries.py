@@ -735,6 +735,51 @@ def rolling_active_users_from_user_days(ud_counts: DataFrame
                     .alias("n_events_day")))
 
 
+def growth_accounting_from_user_days(ud: DataFrame) -> DataFrame:
+    """Growth-accounting readout over an already-distinct (u, d)
+    user×active-day table — the per-day decomposition of the active
+    base into NEW (first-ever day), RETAINED (also active the
+    previous day), and RESURRECTED (returning after a gap), plus the
+    churn count n_churned_from_prev = |active(d−1)| − |retained(d)|
+    (the exact set identity: yesterday's actives split into today's
+    retained and the churned). The flow view of engagement next to
+    the stock views (cohort retention, rolling actives) — SHARED by
+    the batch events_user_growth_accounting query and the streaming
+    twin (``streaming_user_days`` maintains the same (u, d) set;
+    counts additive ⇒ identical after any micro-batch split —
+    tested). → (day_num, n_active, n_new, n_retained, n_resurrected,
+    n_churned_from_prev); days with no activity produce no row.
+
+    Determinism: pure integer day arithmetic + BIGINT counts ⇒
+    bit-exact. Scale: ONE user-keyed sort window over the (u, d)
+    table (user-days domain, never the event stream), day-grain
+    aggregates with map-side partials, and a day-shifted self-join of
+    the |days|-row per-day table."""
+    w = Window.partitionBy("u").orderBy("d")
+    lagged = ud.select("u", "d", F.lag("d").over(w).alias("prev_d"))
+    per_day = (lagged.groupBy("d")
+               .agg(F.count("*").alias("n_active"),
+                    F.sum(F.when(F.col("prev_d").isNull(), 1)
+                          .otherwise(0)).alias("n_new"),
+                    F.sum(F.when(F.col("prev_d") == F.col("d") - 1, 1)
+                          .otherwise(0)).alias("n_retained"),
+                    F.sum(F.when(F.col("prev_d") < F.col("d") - 1, 1)
+                          .otherwise(0)).alias("n_resurrected")))
+    prev = per_day.select((F.col("d") + 1).alias("d"),
+                          F.col("n_active").alias("n_active_prev"))
+    return (per_day.join(prev, "d", "left")
+            .select(F.col("d").cast("bigint").alias("day_num"),
+                    F.col("n_active").cast("bigint").alias("n_active"),
+                    F.col("n_new").cast("bigint").alias("n_new"),
+                    F.col("n_retained").cast("bigint")
+                    .alias("n_retained"),
+                    F.col("n_resurrected").cast("bigint")
+                    .alias("n_resurrected"),
+                    (F.coalesce(F.col("n_active_prev"), F.lit(0))
+                     - F.col("n_retained")).cast("bigint")
+                    .alias("n_churned_from_prev")))
+
+
 def cooccurrence_lift_from_user_types(ut: DataFrame) -> DataFrame:
     """Market-basket co-occurrence lift readout over an
     already-distinct (u, t) user×event-type table — SHARED by the

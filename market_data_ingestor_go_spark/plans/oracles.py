@@ -4156,3 +4156,35 @@ SELECT CAST(m AS BIGINT) AS n_click,
        END AS z_score
 FROM b
 """
+
+
+# Growth accounting: distinct (user, day), per-user lag window,
+# day-grain conditional counts, day-shifted self-join for the churn
+# identity; pure integer arithmetic, every count CAST to BIGINT.
+EXTRA_ORACLES["events_user_growth_accounting"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, epoch_ms(ts) // 86400000 AS d
+  FROM events
+), lagged AS (
+  SELECT u, d, lag(d) OVER (PARTITION BY u ORDER BY d) AS prev_d
+  FROM ud
+), per_day AS (
+  SELECT d,
+         COUNT(*) AS n_active,
+         SUM(CASE WHEN prev_d IS NULL THEN 1 ELSE 0 END) AS n_new,
+         SUM(CASE WHEN prev_d = d - 1 THEN 1 ELSE 0 END)
+           AS n_retained,
+         SUM(CASE WHEN prev_d < d - 1 THEN 1 ELSE 0 END)
+           AS n_resurrected
+  FROM lagged GROUP BY d
+)
+SELECT CAST(p.d AS BIGINT) AS day_num,
+       CAST(p.n_active AS BIGINT) AS n_active,
+       CAST(p.n_new AS BIGINT) AS n_new,
+       CAST(p.n_retained AS BIGINT) AS n_retained,
+       CAST(p.n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(q.n_active, 0) - p.n_retained AS BIGINT)
+         AS n_churned_from_prev
+FROM per_day p
+LEFT JOIN per_day q ON q.d = p.d - 1
+"""

@@ -3635,6 +3635,33 @@ def fk_orphan_audit(spark, sf_dir):
     return out
 
 
+def events_user_growth_accounting(spark, sf_dir):
+    """Growth accounting — per day, decompose the active-user base
+    into NEW / RETAINED / RESURRECTED and report the churn count
+    implied by yesterday's actives (the standard DAU growth-
+    accounting identity): the FLOW view of engagement next to the
+    stock views (cohort retention = fixed-cohort decay, rolling
+    actives = trailing distinct count, user growth = cumulative
+    firsts). → (day_num, n_active, n_new, n_retained, n_resurrected,
+    n_churned_from_prev).
+
+    Determinism: integer day arithmetic + BIGINT counts ⇒ bit-exact
+    oracle. Scale: the only event-stream-sized exchange is the
+    (user, day) DISTINCT (map-side partials); the lag window runs
+    over the user-days table; per-day aggregates collapse map-side;
+    the churn join is over the |days|-row table. Readout machinery
+    SHARED with the streaming user-days state
+    (operators/timeseries.py::growth_accounting_from_user_days —
+    the retention/rolling-actives factoring: ONE state table, three
+    continuous engagement readouts)."""
+    from ..operators.timeseries import growth_accounting_from_user_days
+    ud = (_events(spark, sf_dir)
+          .select(F.col("user_id").alias("u"),
+                  F.expr("ts_ms div 86400000").alias("d"))
+          .distinct())
+    return growth_accounting_from_user_days(ud)
+
+
 def events_mannwhitney_value_test(spark, sf_dir):
     """Mann–Whitney U rank-sum test (Mann & Whitney 1947) comparing
     the 'click' vs 'view' value distributions — the NONPARAMETRIC
@@ -4115,6 +4142,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_revenue_pareto": customer_revenue_pareto,
     "events_conversion_latency": events_conversion_latency,
     "events_mannwhitney_value_test": events_mannwhitney_value_test,
+    "events_user_growth_accounting": events_user_growth_accounting,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4367,6 +4395,7 @@ ROTATION_CANDIDATES_R14: list[str] = [
     "customer_revenue_pareto",      # added r14, oracle added same commit
     "events_conversion_latency",    # added r14, oracle added same commit
     "events_mannwhitney_value_test",  # added r14, oracle same commit
+    "events_user_growth_accounting",  # added r14, oracle same commit
 ]
 
 

@@ -3273,6 +3273,17 @@ def test_streaming_user_days_rolling_actives_equals_batch(
     want = sorted(map(tuple, ALL_QUERIES["events_rolling_active_users"](
         spark, sf).collect()))
     assert got == want and len(got) > 0
+
+    # r14: the SAME state also finishes the growth-accounting flow
+    # readout — one state table, three continuous engagement readouts
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        growth_accounting_from_user_days)
+    got_ga = sorted(map(tuple, growth_accounting_from_user_days(
+        spark.table("ra_ud_state").select("u", "d")).collect()))
+    want_ga = sorted(map(tuple,
+                         ALL_QUERIES["events_user_growth_accounting"](
+                             spark, sf).collect()))
+    assert got_ga == want_ga and len(got_ga) > 0
     spark.sql("DROP TABLE IF EXISTS ra_ud_state")
 
 
