@@ -331,6 +331,8 @@ HEADLINE = [
     "events_mannwhitney_value_test",
     # r14: growth accounting (one user-days window + day-grain aggs)
     "events_user_growth_accounting",
+    # r14: skewness/kurtosis per status (one scan, cents moments)
+    "orders_price_skew_kurtosis",
 ]
 
 

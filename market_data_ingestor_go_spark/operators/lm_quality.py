@@ -1391,3 +1391,69 @@ def mannwhitney_from_value_histogram(state: DataFrame, group_a,
               F.sum(F.when(F.col("g") == group_b, F.col("c"))
                     .otherwise(0)).alias("n_b")))
     return mannwhitney_from_counts(h)
+
+
+def raw_moments4(df: DataFrame, group_col: str,
+                 value_col: str) -> DataFrame:
+    """(g, n_g, s1, s2, s3, s4) — per-group raw power sums through
+    the fourth moment in EXACT INTEGER CENTS: the sufficient
+    statistics behind skewness and kurtosis. CONTRACT: ``value_col``
+    is a currency-grain column (≤2 decimal places, |x| < 10^7) — the
+    cents value round(x·100) is then an exact integer on both
+    engines (the double sits within ~1e-8 of it, never near a .5
+    boundary), and every power is EXACT decimal integer arithmetic:
+    no double→decimal quantization anywhere, so there is nothing to
+    round and the sums are bit-identical cross-engine by
+    construction (the double-product DSIR device diverges here —
+    x² of a 6-digit price needs 17+ significant digits, where
+    Spark's string-routed cast and DuckDB's binary-value cast round
+    differently; measured r14). Widths: cents ≤ 10^9 ⇒ x⁴ ≤ 10^36,
+    inside DECIMAL(38,0) products on both engines. All sums are
+    plain additive ⇒ streams complete-mode with |groups|-row state
+    (the anova_group_moments factoring). NULL values excluded."""
+    d9 = "decimal(9,0)"
+    xc = F.round(F.col(value_col) * F.lit(100)).cast(d9)
+    base = (df.filter(F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("g"), xc.alias("xc")))
+    x1 = F.col("xc")
+    x2 = x1 * x1
+    return (base
+            .groupBy("g")
+            .agg(F.count("*").alias("n_g"),
+                 F.sum(x1).alias("s1"),
+                 F.sum(x2).alias("s2"),
+                 F.sum(x2 * x1).alias("s3"),
+                 F.sum(x2 * x2).alias("s4")))
+
+
+def skew_kurtosis_from_moments(g: DataFrame) -> DataFrame:
+    """Finisher: per group (g, n_rows, mean, m2_variance, skewness,
+    kurtosis_excess) from the additive cents power sums — population
+    central moments via the standard raw→central identities in
+    CENTS space, then Fisher g1 = M3/(M2·√M2) and excess
+    g2 = M4/M2² − 3 (both SCALE-INVARIANT, so the cents grain drops
+    out), with mean and variance rescaled by 100 / 10⁴. Every step is
+    one fixed IEEE tree over string-routed exact decimals (sqrt is
+    correctly rounded on both engines) ⇒ bit-exact cross-engine;
+    degenerate groups (M2 ≤ 0) report NULL shape stats. |groups|-row
+    arithmetic — shared by the batch query and the streaming moments
+    twin."""
+    n_d = F.col("n_g").cast("double")
+    m1 = _dstr(F.col("s1")) / n_d
+    r2 = _dstr(F.col("s2")) / n_d
+    r3 = _dstr(F.col("s3")) / n_d
+    r4 = _dstr(F.col("s4")) / n_d
+    m2 = r2 - m1 * m1
+    m3 = r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1
+    m4 = (r4 - F.lit(4.0) * m1 * r3 + F.lit(6.0) * m1 * m1 * r2
+          - F.lit(3.0) * m1 * m1 * m1 * m1)
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    ok = (F.col("n_g") > 1) & (m2 > 0)
+    return g.select(
+        F.col("g"),
+        F.col("n_g").cast("bigint").alias("n_rows"),
+        (m1 / F.lit(100.0)).alias("mean"),
+        (m2 / F.lit(10000.0)).alias("m2_variance"),
+        F.when(ok, g1).alias("skewness"),
+        F.when(ok, g2).alias("kurtosis_excess"))

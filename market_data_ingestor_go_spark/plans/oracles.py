@@ -4188,3 +4188,52 @@ SELECT CAST(p.d AS BIGINT) AS day_num,
 FROM per_day p
 LEFT JOIN per_day q ON q.d = p.d - 1
 """
+
+
+# Skewness/kurtosis per order status: identical left-associated
+# power chains, per-term decimal quantization, string-routed central
+# moment identities, mirrored degenerate guard. Double literals
+# (2.0/3.0/4.0/6.0) are exactly representable so DuckDB's DECIMAL
+# literal promotion is lossless.
+EXTRA_ORACLES["orders_price_skew_kurtosis"] = """
+WITH b AS (
+  SELECT o_orderstatus AS g,
+         CAST(round(o_totalprice * 100) AS DECIMAL(9,0)) AS xc
+  FROM orders WHERE o_totalprice IS NOT NULL
+), b2 AS (
+  -- xc2 at DECIMAL(19,0): forces DuckDB's int128 multiply path
+  -- (the documented int64 fast-path overflow at width <= 18)
+  SELECT g, xc, CAST(xc * xc AS DECIMAL(19,0)) AS xc2 FROM b
+), m AS (
+  SELECT g,
+         COUNT(*) AS n_g,
+         SUM(xc) AS s1,
+         SUM(xc2) AS s2,
+         SUM(xc2 * xc) AS s3,
+         SUM(xc2 * xc2) AS s4
+  FROM b2 GROUP BY g
+), f AS (
+  SELECT g, n_g,
+         CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n_g AS DOUBLE) AS m1,
+         CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n_g AS DOUBLE) AS r2,
+         CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / CAST(n_g AS DOUBLE) AS r3,
+         CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / CAST(n_g AS DOUBLE) AS r4
+  FROM m
+), c AS (
+  SELECT g, n_g, m1,
+         r2 - m1 * m1 AS m2,
+         r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+         r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+            - 3.0 * m1 * m1 * m1 * m1 AS m4
+  FROM f
+)
+SELECT g AS o_orderstatus,
+       CAST(n_g AS BIGINT) AS n_rows,
+       m1 / 100.0 AS mean,
+       m2 / 10000.0 AS m2_variance,
+       CASE WHEN n_g > 1 AND m2 > 0
+         THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+       CASE WHEN n_g > 1 AND m2 > 0
+         THEN m4 / (m2 * m2) - 3.0 END AS kurtosis_excess
+FROM c
+"""

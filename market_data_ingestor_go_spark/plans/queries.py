@@ -3635,6 +3635,32 @@ def fk_orphan_audit(spark, sf_dir):
     return out
 
 
+def orders_price_skew_kurtosis(spark, sf_dir):
+    """Distribution SHAPE per order status: skewness (Fisher g1) and
+    excess kurtosis (g2) of order totals — the third/fourth-moment
+    completion of the exact-moments stats family (mean/variance/
+    correlation stop at the second moment; drift monitors compare
+    histograms; this quantifies asymmetry and tail weight directly).
+    → (o_orderstatus, n_rows, mean, m2_variance, skewness,
+    kurtosis_excess).
+
+    Determinism: per-group raw power sums are exact decimals with the
+    per-term single-rounding device (the power chain ((x·x)·x)·x is
+    the identical left-associated IEEE tree on both engines); the
+    raw→central identities and the g1/g2 finishers are one fixed IEEE
+    tree over string-routed decimals ⇒ bit-exact. Scale: ONE scan
+    with a map-side-collapsing per-group aggregate, then |groups|-row
+    arithmetic; the (n, Σx..Σx⁴) state is additive ⇒ streams
+    complete-mode (streaming_skew_moments — the anova factoring)."""
+    from ..operators.lm_quality import (raw_moments4,
+                                        skew_kurtosis_from_moments)
+    o = _t(spark, sf_dir, "orders")
+    return (skew_kurtosis_from_moments(
+        raw_moments4(o, "o_orderstatus", "o_totalprice"))
+        .select(F.col("g").alias("o_orderstatus"), "n_rows", "mean",
+                "m2_variance", "skewness", "kurtosis_excess"))
+
+
 def events_user_growth_accounting(spark, sf_dir):
     """Growth accounting — per day, decompose the active-user base
     into NEW / RETAINED / RESURRECTED and report the churn count
@@ -4143,6 +4169,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_conversion_latency": events_conversion_latency,
     "events_mannwhitney_value_test": events_mannwhitney_value_test,
     "events_user_growth_accounting": events_user_growth_accounting,
+    "orders_price_skew_kurtosis": orders_price_skew_kurtosis,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4396,6 +4423,7 @@ ROTATION_CANDIDATES_R14: list[str] = [
     "events_conversion_latency",    # added r14, oracle added same commit
     "events_mannwhitney_value_test",  # added r14, oracle same commit
     "events_user_growth_accounting",  # added r14, oracle same commit
+    "orders_price_skew_kurtosis",     # added r14, oracle same commit
 ]
 
 

@@ -222,6 +222,21 @@ def streaming_anova_moments(stream: DataFrame, group_col: str,
     return anova_group_moments(stream, group_col, value_col)
 
 
+def streaming_skew_moments(stream: DataFrame, group_col: str,
+                           value_col: str) -> DataFrame:
+    """Per-group power sums through the fourth moment maintained FROM
+    A STREAM — the transform is SHARED with the batch form
+    (``operators/lm_quality.py::raw_moments4``: exact integer-cents
+    powers, all plain additive ⇒ streamed complete-mode state after
+    any micro-batch split is BIT-identical to the batch aggregate),
+    and the skewness/kurtosis readout finishes from the |groups|-row
+    sink at read time via ``skew_kurtosis_from_moments`` — continuous
+    distribution-SHAPE monitoring (asymmetry, tail weight) next to
+    the mean/variance moments twin."""
+    from ..operators.lm_quality import raw_moments4
+    return raw_moments4(stream, group_col, value_col)
+
+
 def streaming_cusum_stats(stream: DataFrame,
                           key_col: str = "event_type",
                           ts_ms_col: str = "ts_ms",

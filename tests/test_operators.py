@@ -4137,3 +4137,43 @@ def test_mannwhitney_matches_python_reference(spark, tmp_path):
     assert got.n_click == m and got.n_view == n
     assert got.u2_statistic == float(2 * U)
     assert abs(got.z_score - z_ref) < 1e-12, (got.z_score, z_ref)
+
+
+def test_skew_kurtosis_matches_python_reference(spark):
+    """orders_price_skew_kurtosis (r14): the cents-exact moment
+    pipeline must agree with a direct exact-Fraction computation of
+    Fisher g1 / excess g2 over the same cents values (floats only in
+    the final sqrt/divisions — the honest reference)."""
+    from fractions import Fraction
+    import math
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.o_orderstatus: r for r in
+           ALL_QUERIES["orders_price_skew_kurtosis"](
+               spark, sf).collect()}
+    rows = load_table(spark, sf, "orders") \
+        .select("o_orderstatus", "o_totalprice").collect()
+    groups = {}
+    for r in rows:
+        if r.o_totalprice is not None:
+            groups.setdefault(r.o_orderstatus, []).append(
+                round(r.o_totalprice * 100))
+    for st, cents in groups.items():
+        n = len(cents)
+        m1 = Fraction(sum(cents), n)
+        m2 = Fraction(sum(c * c for c in cents), n) - m1 * m1
+        m3 = (Fraction(sum(c ** 3 for c in cents), n)
+              - 3 * m1 * Fraction(sum(c * c for c in cents), n)
+              + 2 * m1 ** 3)
+        m4 = (Fraction(sum(c ** 4 for c in cents), n)
+              - 4 * m1 * Fraction(sum(c ** 3 for c in cents), n)
+              + 6 * m1 * m1 * Fraction(sum(c * c for c in cents), n)
+              - 3 * m1 ** 4)
+        g1_ref = float(m3) / (float(m2) * math.sqrt(float(m2)))
+        g2_ref = float(m4) / float(m2) ** 2 - 3.0
+        r = got[st]
+        assert abs(r.mean - float(m1) / 100.0) < 1e-9 * float(m1)
+        assert abs(r.skewness - g1_ref) < 1e-9, (st, r.skewness, g1_ref)
+        assert abs(r.kurtosis_excess - g2_ref) < 1e-9

@@ -3532,3 +3532,53 @@ def test_streaming_value_histogram_mannwhitney_equals_batch(
                 spark, sf).collect()]
     assert got == want and len(got) == 1
     spark.sql("DROP TABLE IF EXISTS mw_hist")
+
+
+def test_streaming_skew_moments_equals_batch(spark, tmp_path):
+    """Streaming skewness/kurtosis twin (r14): the per-group integer-
+    cents power sums are plain additive aggregates ⇒ the complete-mode
+    state after a 3-way micro-batch split is BIT-identical to the
+    batch raw_moments4 table, and skew_kurtosis_from_moments over the
+    sink reproduces the batch orders_price_skew_kurtosis rows."""
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        raw_moments4, skew_kurtosis_from_moments)
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_skew_moments)
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders") \
+        .select("o_orderstatus", "o_totalprice")
+    src = str(tmp_path / "sksrc")
+    os.makedirs(src)
+    rows = orders.collect()
+    for i, chunk in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(
+                    {"o_orderstatus": r.o_orderstatus,
+                     "o_totalprice": float(r.o_totalprice)}) + "\n")
+
+    stream = (spark.readStream
+              .schema("o_orderstatus STRING, o_totalprice DOUBLE")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(
+        streaming_skew_moments(stream, "o_orderstatus", "o_totalprice"),
+        "skew_state", str(tmp_path / "c"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.table("skew_state")
+    want_state = raw_moments4(orders, "o_orderstatus", "o_totalprice")
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, want_state.collect()))
+
+    got = sorted(map(tuple,
+                     skew_kurtosis_from_moments(state).collect()))
+    want = sorted(map(tuple, ALL_QUERIES["orders_price_skew_kurtosis"](
+        spark, sf).collect()))
+    assert got == want and len(got) > 0
+    spark.sql("DROP TABLE IF EXISTS skew_state")
