@@ -958,3 +958,24 @@ def test_fk_orphan_audit_plan_is_anti_joins(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert plan.count("LeftAnti") >= 5, plan
+
+
+def test_r14_analytics_plans_have_no_cartesian(spark):
+    """The r14 analytics additions: pair/rank machinery must never
+    degrade to a cartesian, and the only nested-loop joins are the
+    tiny scalar-row devices (1-row count frames, |edges|-row unions).
+    Pinned per query with the worst acceptable nested-loop count."""
+    budget = {
+        "customer_revenue_pareto": 0,
+        "events_conversion_latency": 0,
+        "events_user_growth_accounting": 0,
+        "events_mannwhitney_value_test": 0,
+        "docs_source_lang_diversity": 0,
+        "orders_price_skew_kurtosis": 0,
+        "fk_orphan_audit": 5,   # five 1-row tot×orph count cross-joins
+    }
+    for name, max_bnlj in budget.items():
+        plan = _plan(ALL_QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, (name, plan)
+        n = plan.count("BroadcastNestedLoopJoin")
+        assert n <= max_bnlj, (name, n, plan)
