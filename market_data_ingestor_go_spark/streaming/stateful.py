@@ -701,3 +701,88 @@ def streaming_session_paths(stream: DataFrame,
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+CONVERSION_STATE_SCHEMA = T.StructType([
+    T.StructField("v_ts", T.LongType()),      # first view ts (or None)
+    T.StructField("converted", T.BooleanType()),
+])
+
+CONVERSION_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.StringType()),
+    T.StructField("v_ts", T.LongType()),
+    T.StructField("p_ts", T.LongType()),
+    T.StructField("latency_ms", T.LongType()),
+])
+
+
+def _make_conversion_tracker():
+    """Per-user streaming conversion tracker (closure — see
+    _make_update_latest). State is TWO scalars: the user's first
+    'view' timestamp and a converted flag. When the first 'purchase'
+    at-or-after the first view arrives, emit (user, v_ts, p_ts,
+    latency) exactly once and freeze the state — the batch
+    events_conversion_latency definition verbatim (first view, first
+    qualifying purchase). In-batch rows apply in (ts, event_id)
+    order (the EWMA/drawdown arrival contract); a purchase before
+    any view does not convert (no view to anchor the funnel)."""
+
+    def track(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+              ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        user = key[0]
+        v_ts, converted = state.get if state.exists else (None, False)
+        rows = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                rows.append((int(row["ts_ms"]), str(row["event_id"]),
+                             str(row["event_type"])))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        out = []
+        for ts, _eid, etype in rows:
+            if converted:
+                break
+            if etype == "view" and v_ts is None:
+                v_ts = ts
+            elif (etype == "purchase" and v_ts is not None
+                  and ts >= v_ts):
+                converted = True
+                out.append((user, v_ts, ts, ts - v_ts))
+        state.update((v_ts, converted))
+        if out:
+            yield _pd.DataFrame(
+                out, columns=["user_id", "v_ts", "p_ts", "latency_ms"])
+
+    return track
+
+
+def streaming_conversion_latency(stream: DataFrame,
+                                 user_col: str = "user_id",
+                                 ts_ms_col: str = "ts_ms",
+                                 id_col: str = "event_id",
+                                 type_col: str = "event_type"
+                                 ) -> DataFrame:
+    """Streaming twin of the batch conversion-latency base: emit one
+    (user, first-view ts, first-qualifying-purchase ts, latency) row
+    per CONVERTING user, the moment the purchase arrives — the
+    continuous funnel-latency feed whose quantile readout at read
+    time matches the batch events_conversion_latency query over the
+    same converted set (prefix-completeness tested). State is two
+    scalars per user — bounded by distinct users, never stream
+    length."""
+    keyed = stream.select(
+        F.col(user_col).cast("string").alias("user_id"),
+        F.col(ts_ms_col).cast("long").alias("ts_ms"),
+        F.col(id_col).cast("string").alias("event_id"),
+        F.col(type_col).cast("string").alias("event_type"))
+    return (
+        keyed.groupBy("user_id")
+        .applyInPandasWithState(
+            _make_conversion_tracker(),
+            outputStructType=CONVERSION_OUTPUT_SCHEMA,
+            stateStructType=CONVERSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -3582,3 +3582,79 @@ def test_streaming_skew_moments_equals_batch(spark, tmp_path):
         spark, sf).collect()))
     assert got == want and len(got) > 0
     spark.sql("DROP TABLE IF EXISTS skew_state")
+
+
+def test_streaming_conversion_latency_equals_batch(spark, tmp_path):
+    """Streaming conversion tracker (r14): after a time-ordered
+    micro-batch split, the emitted per-user (v_ts, p_ts, latency)
+    rows equal the batch first-view/first-qualifying-purchase base,
+    and the exact quantile readout over the emissions matches the
+    batch events_conversion_latency row."""
+    from pyspark.sql import Window
+    from market_data_ingestor_go_spark.plans.queries import (
+        ALL_QUERIES, _events)
+    from market_data_ingestor_go_spark.streaming.stateful import (
+        streaming_conversion_latency)
+
+    sf = "/root/testdata/sf0.001"
+    events = (_events(spark, sf)
+              .filter(F.col("event_type").isin("view", "purchase"))
+              .select("user_id", "ts_ms", "event_id", "event_type"))
+    rows = sorted(events.collect(), key=lambda r: (r.ts_ms, r.event_id))
+    src = str(tmp_path / "clsrc")
+    os.makedirs(src)
+    third = (len(rows) + 2) // 3
+    for i, chunk in enumerate((rows[:third], rows[third:2 * third],
+                               rows[2 * third:])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps({"user_id": r.user_id,
+                                     "ts_ms": r.ts_ms,
+                                     "event_id": str(r.event_id),
+                                     "event_type": r.event_type}) + "\n")
+
+    stream = (spark.readStream
+              .schema("user_id BIGINT, ts_ms BIGINT, "
+                      "event_id STRING, event_type STRING")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = (streaming_conversion_latency(stream).writeStream
+         .outputMode("append").format("memory").queryName("conv_out")
+         .option("checkpointLocation", str(tmp_path / "c"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.table("conv_out")
+    got = sorted((r.user_id, r.latency_ms)
+                 for r in emitted.collect())
+
+    # batch base: first view, first purchase at-or-after it
+    fv = (events.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts_ms").alias("v_ts")))
+    conv = (events.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts_ms")
+            .join(fv, "user_id")
+            .filter(F.col("ts_ms") >= F.col("v_ts"))
+            .groupBy("user_id")
+            .agg((F.min("ts_ms") - F.min("v_ts")).alias("lat")))
+    want = sorted((str(r.user_id), r.lat) for r in conv.collect())
+    assert got == want and len(got) > 0
+
+    # quantile readout over the emissions matches the batch query
+    w = Window.partitionBy().orderBy("latency_ms", "user_id")
+    r2 = (emitted.withColumn("rk", F.row_number().over(w))
+          .withColumn("n", F.count("*").over(Window.partitionBy())))
+    got_q = (r2.groupBy("n")
+             .agg(F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"),
+                               F.col("latency_ms"))).alias("med"),
+                  F.max(F.when(F.col("rk") == F.expr("(9*n + 9) div 10"),
+                               F.col("latency_ms"))).alias("p90"))
+             .collect()[0])
+    want_q = ALL_QUERIES["events_conversion_latency"](
+        spark, sf).collect()[0]
+    assert got_q.n == want_q.n_converted
+    assert got_q.med == want_q.median_latency_ms
+    assert got_q.p90 == want_q.p90_latency_ms
+    spark.sql("DROP TABLE IF EXISTS conv_out")
