@@ -333,6 +333,10 @@ HEADLINE = [
     "events_user_growth_accounting",
     # r14: skewness/kurtosis per status (one scan, cents moments)
     "orders_price_skew_kurtosis",
+    # r14: GK scale twins of the two rank-window queries (no sort
+    # window - mergeable sketch aggregates; the 100 TB forms)
+    "events_conversion_latency_approx",
+    "customer_revenue_pareto_approx",
 ]
 
 

@@ -3771,6 +3771,76 @@ def events_conversion_latency(spark, sf_dir):
                     .alias("mean_latency_ms")))
 
 
+def events_conversion_latency_approx(spark, sf_dir):
+    """GK-sketch twin of events_conversion_latency — the scale swap
+    its exact form documents: median/p90 via percentile_approx
+    (mergeable GK aggregate with map-side partials) instead of the
+    exact global rank window, so the readout is ONE plain aggregate
+    over the converted-user latencies — no single-partition sort,
+    no matter how many users convert. Rows-only BY DESIGN (the
+    sketch is engine-internal; the exact in-rotation
+    events_conversion_latency is the oracle-checkable ground truth);
+    accuracy pinned by
+    tests/test_operators.py::test_conversion_latency_approx_accuracy."""
+    e = _events(spark, sf_dir)
+    fv = (e.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts_ms").alias("v_ts")))
+    conv = (e.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts_ms")
+            .join(fv, "user_id")
+            .filter(F.col("ts_ms") >= F.col("v_ts"))
+            .groupBy("user_id")
+            .agg((F.min("ts_ms") - F.min("v_ts")).alias("lat")))
+    return (conv.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.percentile_approx("lat", 0.5, 10000).cast("bigint")
+        .alias("median_latency_ms"),
+        F.percentile_approx("lat", 0.9, 10000).cast("bigint")
+        .alias("p90_latency_ms"),
+        (F.sum(F.col("lat").cast("decimal(27,6)")).cast("string")
+         .cast("double") / F.count("*").cast("double"))
+        .alias("mean_latency_ms")))
+
+
+def customer_revenue_pareto_approx(spark, sf_dir):
+    """GK-sketch twin of customer_revenue_pareto — the scale swap its
+    exact form documents: the top-10% spend threshold per segment via
+    percentile_approx(0.9) (mergeable, map-side partials) and the
+    share via a threshold FILTER instead of the per-segment rank
+    window — two plain aggregates + a |segments|-row broadcast, no
+    keyed sort serializing a segment through one task. k_top10 counts
+    the customers at-or-above the sketched threshold (ties inflate it
+    slightly vs the exact ⌈n/10⌉ — the documented sketch contract).
+    Rows-only BY DESIGN; accuracy pinned by
+    tests/test_operators.py::test_revenue_pareto_approx_accuracy."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+                  .alias("spend")))
+    s = (spend.join(c, spend["o_custkey"] == c["c_custkey"])
+         .select("c_mktsegment", "spend"))
+    thr = (s.groupBy("c_mktsegment")
+           .agg(F.percentile_approx(
+               F.col("spend").cast("double"), 0.9, 10000).alias("thr")))
+    j = s.join(F.broadcast(thr), "c_mktsegment")
+    agg = (j.groupBy("c_mktsegment")
+           .agg(F.count("*").alias("n_customers"),
+                F.sum(F.when(F.col("spend").cast("double")
+                             >= F.col("thr"), 1).otherwise(0))
+                .alias("k_top10"),
+                F.sum("spend").alias("total_spend"),
+                F.sum(F.when(F.col("spend").cast("double")
+                             >= F.col("thr"), F.col("spend")))
+                .alias("top_spend")))
+    share = _dstr("top_spend") / _dstr("total_spend")
+    return agg.select(
+        "c_mktsegment",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("k_top10").cast("bigint").alias("k_top10"),
+        F.when(F.col("total_spend") > 0, share).alias("top10_share"))
+
+
 def customer_revenue_pareto(spark, sf_dir):
     """Pareto (80/20) revenue concentration per market segment: what
     share of a segment's revenue comes from its top-10% customers —
@@ -4170,6 +4240,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mannwhitney_value_test": events_mannwhitney_value_test,
     "events_user_growth_accounting": events_user_growth_accounting,
     "orders_price_skew_kurtosis": orders_price_skew_kurtosis,
+    # r14: GK scale twins of the two new rank-window queries — rows-
+    # only by design (engine-internal sketch; the exact forms are the
+    # oracle-checkable ground truth), accuracy-contract-tested
+    "events_conversion_latency_approx": events_conversion_latency_approx,
+    "customer_revenue_pareto_approx": customer_revenue_pareto_approx,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

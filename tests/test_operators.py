@@ -4177,3 +4177,65 @@ def test_skew_kurtosis_matches_python_reference(spark):
         assert abs(r.mean - float(m1) / 100.0) < 1e-9 * float(m1)
         assert abs(r.skewness - g1_ref) < 1e-9, (st, r.skewness, g1_ref)
         assert abs(r.kurtosis_excess - g2_ref) < 1e-9
+
+
+def test_conversion_latency_approx_accuracy(spark):
+    """The GK conversion-latency twin's accuracy contract (the
+    quality-floor pattern): n and the exact-decimal mean must MATCH
+    the exact query bit-for-bit (plain aggregates, not sketched), and
+    each sketched quantile must itself be a latency value whose exact
+    rank sits within the GK error bound of the target rank."""
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    exact = ALL_QUERIES["events_conversion_latency"](
+        spark, sf).collect()[0]
+    approx = ALL_QUERIES["events_conversion_latency_approx"](
+        spark, sf).collect()[0]
+    assert approx.n_converted == exact.n_converted
+    assert approx.mean_latency_ms == exact.mean_latency_ms
+    # rank-error contract: accuracy=10000 => eps = 1/10000
+    from market_data_ingestor_go_spark.plans.queries import _events
+    e = _events(spark, sf)
+    fv = (e.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts_ms").alias("v_ts")))
+    lats = sorted(r.lat for r in
+                  (e.filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts_ms").join(fv, "user_id")
+                   .filter(F.col("ts_ms") >= F.col("v_ts"))
+                   .groupBy("user_id")
+                   .agg((F.min("ts_ms") - F.min("v_ts")).alias("lat"))
+                   ).collect())
+    n = len(lats)
+    eps = 1.0 / 10000
+    for q, got in ((0.5, approx.median_latency_ms),
+                   (0.9, approx.p90_latency_ms)):
+        lo = sum(1 for x in lats if x < got)
+        hi = sum(1 for x in lats if x <= got)
+        target = q * n
+        assert lo - eps * n <= target <= hi + eps * n + 1, \
+            (q, got, lo, hi, target)
+
+
+def test_revenue_pareto_approx_accuracy(spark):
+    """The GK Pareto twin's accuracy contract: per segment,
+    n_customers and total spend agree with the exact query; the
+    sketched top-10% share sits within 2% absolute of the exact
+    share, and k_top10 within max(2, 5%) of the exact count (tie
+    inflation documented)."""
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.c_mktsegment: r for r in
+             ALL_QUERIES["customer_revenue_pareto"](spark, sf).collect()}
+    approx = {r.c_mktsegment: r for r in
+              ALL_QUERIES["customer_revenue_pareto_approx"](
+                  spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for seg, ex in exact.items():
+        ap = approx[seg]
+        assert ap.n_customers == ex.n_customers
+        assert abs(ap.top10_share - ex.top10_share) < 0.02, \
+            (seg, ap.top10_share, ex.top10_share)
+        assert abs(ap.k_top10 - ex.k_top10) <= max(
+            2, 0.05 * ex.k_top10), (seg, ap.k_top10, ex.k_top10)

@@ -979,3 +979,22 @@ def test_r14_analytics_plans_have_no_cartesian(spark):
         assert "CartesianProduct" not in plan, (name, plan)
         n = plan.count("BroadcastNestedLoopJoin")
         assert n <= max_bnlj, (name, n, plan)
+
+
+def test_pareto_approx_has_no_sort_window(spark):
+    """customer_revenue_pareto_approx: the GK twin's whole point — no
+    per-segment rank window, just mergeable aggregates + a broadcast
+    threshold join (the quality_floor_approx contract)."""
+    df = ALL_QUERIES["customer_revenue_pareto_approx"](spark, SF)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_conversion_latency_approx_has_no_window(spark):
+    """events_conversion_latency_approx: no global rank window — the
+    quantiles come from one mergeable GK aggregate."""
+    df = ALL_QUERIES["events_conversion_latency_approx"](spark, SF)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "percentile_approx" in plan, plan
