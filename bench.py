@@ -337,6 +337,9 @@ HEADLINE = [
     # window - mergeable sketch aggregates; the 100 TB forms)
     "events_conversion_latency_approx",
     "customer_revenue_pareto_approx",
+    # r14: exact weighted systematic corpus sample (one hash-order
+    # cumulative window)
+    "docs_weighted_sample",
 ]
 
 

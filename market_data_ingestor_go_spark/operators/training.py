@@ -490,3 +490,48 @@ def quality_floor_summary_approx(df: DataFrame, group_col: str,
                     F.col("threshold").cast("bigint").alias("threshold"),
                     F.col("n_kept").cast("bigint").alias("n_kept"),
                     F.col("kept_sum").cast("bigint").alias("kept_sum")))
+
+
+def weighted_systematic_sample(df: DataFrame, weight_col: str,
+                               k: int, id_col: str = "doc_id"
+                               ) -> DataFrame:
+    """Exact weight-proportional systematic sample: lay every row's
+    positive integer weight end-to-end along a deterministic
+    md5-shuffled axis and pick the k rows whose weight interval
+    crosses a multiple of total/k — the classic systematic
+    (grid-point) sampler, the DETERMINISTIC counterpart of A-ES
+    weighted reservoir sampling (whose u^(1/w) keys need pow/ln and
+    can never be bit-exact cross-engine). A row's selection
+    multiplicity ``n_picks`` = how many grid points its interval
+    covers (a "whale" heavier than total/k is picked with
+    multiplicity — the with-replacement view; distinct rows returned
+    ≤ k). Every step is integer arithmetic over the md5 total order
+    ⇒ bit-exact cross-engine.
+
+    Width budget: cum·k must fit a BIGINT — valid for
+    total_weight·k < 2^63 (100 TB of chars at k=100 is ~1e16 ✓).
+
+    Scale: ONE global cumulative-sum window over the hash order —
+    the shard_manifest/window_running_total shape; at 100 TB the
+    documented chunked running-total swap applies (row-space chunks
+    + carry scan), or partition the axis by hash prefix and sample
+    per partition with per-partition grids."""
+    h = F.md5(F.col(id_col).cast("string"))
+    base = (df.filter(F.col(weight_col).isNotNull()
+                      & (F.col(weight_col) > 0))
+            .select(F.col(id_col),
+                    F.col(weight_col).cast("bigint").alias("w"),
+                    h.alias("h")))
+    w_ord = (Window.orderBy("h", id_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy()
+    g = (base.withColumn("cum", F.sum("w").over(w_ord))
+         .withColumn("total", F.sum("w").over(w_all)))
+    picks = (F.expr(f"(cum * {int(k)}) div total")
+             - F.expr(f"((cum - w) * {int(k)}) div total"))
+    return (g.withColumn("n_picks", picks)
+            .filter(F.col("n_picks") >= 1)
+            .select(id_col,
+                    F.col("w").cast("bigint").alias("w"),
+                    F.col("cum").cast("bigint").alias("cum_w"),
+                    F.col("n_picks").cast("bigint").alias("n_picks")))

@@ -4237,3 +4237,27 @@ SELECT g AS o_orderstatus,
          THEN m4 / (m2 * m2) - 3.0 END AS kurtosis_excess
 FROM c
 """
+
+
+# Weighted systematic sample: identical md5 total order, BIGINT
+# cumulative sums, truncating integer division on positives (// ≡
+# Spark div), grid-crossing multiplicity.
+EXTRA_ORACLES["docs_weighted_sample"] = """
+WITH b AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), g AS (
+  SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(w) OVER () AS total
+  FROM b
+)
+SELECT doc_id, w, CAST(cum AS BIGINT) AS cum_w,
+       CAST((cum * 100) // total - ((cum - w) * 100) // total
+            AS BIGINT) AS n_picks
+FROM g
+WHERE (cum * 100) // total - ((cum - w) * 100) // total >= 1
+"""

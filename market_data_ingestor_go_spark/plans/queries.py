@@ -3771,6 +3771,27 @@ def events_conversion_latency(spark, sf_dir):
                     .alias("mean_latency_ms")))
 
 
+def docs_weighted_sample(spark, sf_dir):
+    """Exact weight-proportional systematic corpus sample — pick 100
+    documents with probability proportional to length (the training-
+    mix sampling step executed exactly): weights laid end-to-end
+    along a deterministic md5-shuffled axis, one doc per crossing of
+    a total/k grid point (operators/training.py::
+    weighted_systematic_sample — the deterministic counterpart of
+    A-ES reservoir sampling, whose u^(1/w) keys can never be
+    bit-exact cross-engine). → (doc_id, w, cum_w, n_picks), ≤100
+    rows, n_picks > 1 marks whales heavier than a grid step.
+
+    Determinism: the md5 order is a cross-engine total order (the
+    train/test-split coin device) and every step is BIGINT integer
+    arithmetic ⇒ bit-exact oracle. Scale: ONE cumulative-sum window
+    over the hash order (the shard_manifest shape; chunked carry
+    swap documented at 100 TB); width budget total·k < 2^63."""
+    from ..operators.training import weighted_systematic_sample
+    d = _t(spark, sf_dir, "documents")
+    return weighted_systematic_sample(d, "n_chars", 100, "doc_id")
+
+
 def events_conversion_latency_approx(spark, sf_dir):
     """GK-sketch twin of events_conversion_latency — the scale swap
     its exact form documents: median/p90 via percentile_approx
@@ -4240,6 +4261,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mannwhitney_value_test": events_mannwhitney_value_test,
     "events_user_growth_accounting": events_user_growth_accounting,
     "orders_price_skew_kurtosis": orders_price_skew_kurtosis,
+    "docs_weighted_sample": docs_weighted_sample,
     # r14: GK scale twins of the two new rank-window queries — rows-
     # only by design (engine-internal sketch; the exact forms are the
     # oracle-checkable ground truth), accuracy-contract-tested
@@ -4499,6 +4521,7 @@ ROTATION_CANDIDATES_R14: list[str] = [
     "events_mannwhitney_value_test",  # added r14, oracle same commit
     "events_user_growth_accounting",  # added r14, oracle same commit
     "orders_price_skew_kurtosis",     # added r14, oracle same commit
+    "docs_weighted_sample",           # added r14, oracle same commit
 ]
 
 

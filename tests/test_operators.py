@@ -4239,3 +4239,26 @@ def test_revenue_pareto_approx_accuracy(spark):
             (seg, ap.top10_share, ex.top10_share)
         assert abs(ap.k_top10 - ex.k_top10) <= max(
             2, 0.05 * ex.k_top10), (seg, ap.k_top10, ex.k_top10)
+
+
+def test_weighted_systematic_sample_invariants(spark):
+    """docs_weighted_sample (r14): grid-crossing invariants — the
+    pick multiplicities sum to EXACTLY k (every grid point lands in
+    exactly one weight interval), distinct picked rows <= k, and
+    every whale (w > total/k) is necessarily picked."""
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+    from market_data_ingestor_go_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = ALL_QUERIES["docs_weighted_sample"](spark, sf).collect()
+    k = 100
+    assert sum(r.n_picks for r in got) == k
+    assert len(got) <= k
+    total = (load_table(spark, sf, "documents")
+             .filter("n_chars IS NOT NULL AND n_chars > 0")
+             .agg(F.sum("n_chars")).collect()[0][0])
+    picked = {r.doc_id for r in got}
+    whales = [r.doc_id for r in
+              load_table(spark, sf, "documents")
+              .filter(F.col("n_chars") * k > total).collect()]
+    assert set(whales) <= picked
