@@ -340,6 +340,11 @@ HEADLINE = [
     # r14: exact weighted systematic corpus sample (one hash-order
     # cumulative window)
     "docs_weighted_sample",
+    # r14: fulfillment lag per priority (orderkey agg + key join +
+    # per-priority rank window)
+    "orders_fulfillment_lag",
+    # r14: Wilson lower-bound return-rate ranking (one brand agg)
+    "part_brand_return_rates",
 ]
 
 

@@ -4261,3 +4261,75 @@ SELECT doc_id, w, CAST(cum AS BIGINT) AS cum_w,
 FROM g
 WHERE (cum * 100) // total - ((cum - w) * 100) // total >= 1
 """
+
+
+# Fulfillment lag per priority: epoch-day integers, exact rank-⌈qn⌉
+# quantile elements over a (lag, orderkey) total order, exact-decimal
+# mean via the VARCHAR hop, BIGINT-cast final integers.
+EXTRA_ORACLES["orders_fulfillment_lag"] = """
+WITH li AS (
+  SELECT l_orderkey,
+         MAX(date_diff('day', DATE '1970-01-01',
+                       CAST(l_shipdate AS DATE))) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         li.last_ship - date_diff('day', DATE '1970-01-01',
+                                  CAST(o.o_orderdate AS DATE)) AS lag
+  FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+), r AS (
+  SELECT o_orderpriority, o_orderkey, lag,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY lag, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM j
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN lag END) AS BIGINT)
+         AS median_lag_days,
+       CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN lag END)
+            AS BIGINT) AS p90_lag_days,
+       CAST(CAST(SUM(CAST(lag AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+         / CAST(MAX(n) AS BIGINT) AS mean_lag_days
+FROM r GROUP BY o_orderpriority
+"""
+
+
+# Wilson lower-bound return-rate ranking: exact BIGINT counts, one
+# fixed IEEE tree (1.96 embeds exactly; sqrt correctly rounded),
+# (bound DESC, brand) total order, top 10.
+EXTRA_ORACLES["part_brand_return_rates"] = """
+WITH a AS (
+  SELECT p.p_brand,
+         COUNT(*) AS n,
+         SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+), f AS (
+  SELECT p_brand,
+         CAST(n AS BIGINT) AS n_items,
+         CAST(r AS BIGINT) AS n_returned,
+         CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         CAST(n AS DOUBLE) AS nd
+  FROM a
+)
+SELECT p_brand, n_items, n_returned,
+       p AS return_rate,
+       -- z routed through a VARCHAR-parsed double so both engines
+       -- compute the identical double product tree (a bare 1.96 is
+       -- DECIMAL in DuckDB and z*z would fold decimal-exactly)
+       CASE WHEN n_items > 0 THEN
+         (p + (CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE))
+              / (2.0 * nd)
+          - CAST('1.96' AS DOUBLE)
+            * sqrt((p * (1.0 - p)
+                    + (CAST('1.96' AS DOUBLE)
+                       * CAST('1.96' AS DOUBLE)) / (4.0 * nd)) / nd))
+         / (1.0 + (CAST('1.96' AS DOUBLE)
+                   * CAST('1.96' AS DOUBLE)) / nd)
+       END AS wilson_lower
+FROM f
+ORDER BY wilson_lower DESC, p_brand
+LIMIT 10
+"""

@@ -3771,6 +3771,101 @@ def events_conversion_latency(spark, sf_dir):
                     .alias("mean_latency_ms")))
 
 
+def orders_fulfillment_lag(spark, sf_dir):
+    """Fulfillment lag distribution per order priority: per order,
+    the days from order date to its LAST lineitem shipment; per
+    priority, the count with exact median/p90/mean lag — the
+    operational-SLA readout (does URGENT actually ship faster?),
+    completing the fact-to-fact latency family next to the
+    event-funnel conversion latency. → (o_orderpriority, n_orders,
+    median_lag_days, p90_lag_days, mean_lag_days).
+
+    Determinism: dates reduce to epoch-day integers (the shipments
+    device); quantiles are exact rank-⌈qn⌉ elements over a
+    (lag, orderkey) total order; the mean is an exact-decimal sum
+    with one string-routed division ⇒ bit-exact. Scale: ONE orderkey
+    aggregate over lineitem (map-side max), a co-partitioned key
+    join to orders, one per-priority rank window over |orders| rows
+    (the GK swap applies verbatim — the quality_floor/pareto
+    precedent); orders with no lineitems are out of scope (inner
+    join)."""
+    day0 = F.lit("1970-01-01").cast("date")
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey",
+                  F.datediff(F.col("l_shipdate").cast("date"), day0)
+                  .alias("ship_day"))
+          .groupBy("l_orderkey")
+          .agg(F.max("ship_day").alias("last_ship")))
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderpriority",
+                 F.datediff(F.col("o_orderdate").cast("date"), day0)
+                 .alias("order_day")))
+    j = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+         .select("o_orderkey", "o_orderpriority",
+                 (F.col("last_ship") - F.col("order_day")).alias("lag")))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "lag", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = (j.withColumn("rk", F.row_number().over(w))
+         .withColumn("n", F.count("*").over(wn)))
+    med_idx = F.expr("(n + 1) div 2")
+    p90_idx = F.expr("(9 * n + 9) div 10")
+    return (r.groupBy("o_orderpriority")
+            .agg(F.max("n").alias("n_orders"),
+                 F.max(F.when(F.col("rk") == med_idx, F.col("lag")))
+                 .alias("med"),
+                 F.max(F.when(F.col("rk") == p90_idx, F.col("lag")))
+                 .alias("p90"),
+                 F.sum(F.col("lag").cast("decimal(27,6)")).alias("s"))
+            .select("o_orderpriority",
+                    F.col("n_orders").cast("bigint").alias("n_orders"),
+                    F.col("med").cast("bigint").alias("median_lag_days"),
+                    F.col("p90").cast("bigint").alias("p90_lag_days"),
+                    (_dstr("s") / F.col("n_orders").cast("double"))
+                    .alias("mean_lag_days")))
+
+
+def part_brand_return_rates(spark, sf_dir):
+    """Return-rate ranking per part brand with the Wilson 95% lower
+    bound (Wilson 1927; the Agresti-recommended ranking score): raw
+    return share n_returned/n orders brands misleadingly when n is
+    small — the Wilson lower bound penalizes uncertainty, the
+    standard "sort by lower confidence bound" device for rates. Top
+    10 brands by the bound → (p_brand, n_items, n_returned,
+    return_rate, wilson_lower).
+
+    Determinism: counts are exact BIGINTs; the rate and the Wilson
+    bound are one fixed IEEE tree over those ints with z = 1.96
+    embedded as an exact double literal (sqrt is correctly rounded
+    on both engines); ties break on the brand — a total order ⇒
+    bit-exact. Scale: broadcast part dim onto lineitem (or key join
+    at 100 TB), ONE brand aggregate with map-side partials,
+    |brands|-row arithmetic, TakeOrdered top-10."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(pt, li["l_partkey"] == pt["p_partkey"])
+    agg = (j.groupBy("p_brand")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                      .otherwise(0)).alias("r")))
+    n = F.col("n").cast("double")
+    p = F.col("r").cast("double") / n
+    z = F.lit(1.96)
+    z2 = z * z
+    center = p + z2 / (F.lit(2.0) * n)
+    rad = z * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n)
+    denom = F.lit(1.0) + z2 / n
+    wilson = (center - rad) / denom
+    return (agg.select("p_brand",
+                       F.col("n").cast("bigint").alias("n_items"),
+                       F.col("r").cast("bigint").alias("n_returned"),
+                       p.alias("return_rate"),
+                       F.when(F.col("n") > 0, wilson)
+                       .alias("wilson_lower"))
+            .orderBy(F.col("wilson_lower").desc(), "p_brand")
+            .limit(10))
+
+
 def docs_weighted_sample(spark, sf_dir):
     """Exact weight-proportional systematic corpus sample — pick 100
     documents with probability proportional to length (the training-
@@ -4262,6 +4357,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_growth_accounting": events_user_growth_accounting,
     "orders_price_skew_kurtosis": orders_price_skew_kurtosis,
     "docs_weighted_sample": docs_weighted_sample,
+    "orders_fulfillment_lag": orders_fulfillment_lag,
+    "part_brand_return_rates": part_brand_return_rates,
     # r14: GK scale twins of the two new rank-window queries — rows-
     # only by design (engine-internal sketch; the exact forms are the
     # oracle-checkable ground truth), accuracy-contract-tested
@@ -4522,6 +4619,8 @@ ROTATION_CANDIDATES_R14: list[str] = [
     "events_user_growth_accounting",  # added r14, oracle same commit
     "orders_price_skew_kurtosis",     # added r14, oracle same commit
     "docs_weighted_sample",           # added r14, oracle same commit
+    "orders_fulfillment_lag",         # added r14, oracle same commit
+    "part_brand_return_rates",        # added r14, oracle same commit
 ]
 
 
