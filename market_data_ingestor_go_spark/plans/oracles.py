@@ -4333,3 +4333,30 @@ FROM f
 ORDER BY wilson_lower DESC, p_brand
 LIMIT 10
 """
+
+
+# --- round-15 window rotation (EXECUTED, mirrors queries.py): all
+# ten ROTATION_CANDIDATES_R14 promote into the driver window's
+# oracle dict for their first external CORRECTNESS row; ten
+# long-green (≥6 external rounds each) shapes demote to EXTRA (each
+# keeps an in-window twin and stays parity-tested locally every
+# round). ORACLES must equal the declared window's oracle-backed set
+# (pinned by test_driver_window_is_at_most_50).
+_R15_IN = [  # promoted into the driver window (all oracle-backed)
+    "fk_orphan_audit", "orders_fulfillment_lag",
+    "part_brand_return_rates", "docs_weighted_sample",
+    "orders_price_skew_kurtosis", "events_user_growth_accounting",
+    "customer_revenue_pareto", "events_conversion_latency",
+    "events_mannwhitney_value_test", "docs_source_lang_diversity",
+]
+_R15_OUT = [  # demoted to EXTRA (all keep an in-window twin)
+    "stratified_resample_stats", "multimodal_binary_meta",
+    "fuzzy_name_block_join", "range_join_click_context",
+    "sql_api_pricing_summary", "set_ops_all_variants",
+    "unpivot_event_matrix", "string_functions", "order_limit_topk",
+    "q11_important_stock",
+]
+for _k in _R15_IN:
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in _R15_OUT:
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

@@ -4062,24 +4062,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    skew-salted agg.
     "dedup_cluster_keepers": dedup_cluster_keepers,
     "contamination_check": contamination_check,
-    "stratified_resample_stats": stratified_resample_stats,
     "knn_bruteforce": knn_bruteforce,
-    "multimodal_binary_meta": multimodal_binary_meta,
     "p5p6p7_config_pipeline": p5p6p7_config_pipeline,
     "a1_latest_per_key": a1_latest_per_key,
-    "fuzzy_name_block_join": fuzzy_name_block_join,
     "events_gapfill_interpolate": events_gapfill_interpolate,
-    "range_join_click_context": range_join_click_context,
     "skew_salted_agg": skew_salted_agg,
-    # -- r7-rotated shapes KEPT in-window through the round-9
-    #    rotation (each anchors a family whose demoted siblings note
-    #    it as their twin; q10/q12/q13/q19 demoted round 11 after
-    #    four green rounds, twins noted in EXTRA_QUERIES).
-    "sql_api_pricing_summary": sql_api_pricing_summary,
-    "set_ops_all_variants": set_ops_all_variants,
-    "unpivot_event_matrix": unpivot_event_matrix,
-    "string_functions": string_functions,
-    "order_limit_topk": order_limit_topk,
+    # -- r7-rotated shapes KEPT in-window (anchors for ordered-frame
+    #    windows; their demoted siblings note them as twins).
     "events_moving_stats": events_moving_stats,
     # -- ROTATED IN (round 9): all nine ROTATION_CANDIDATES_R8 —
     #    the round-8 TPC-H shape completion, the two late-r8 curation
@@ -4087,7 +4076,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    in round 9 — externally verified for the first time this
     #    round. Nine twice-green r7 shapes demoted in exchange (twin
     #    noted per entry in EXTRA_QUERIES).
-    "q11_important_stock": q11_important_stock,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_part_promotion": q20_part_promotion,
     # -- ROTATED IN (round 10): both ROTATION_CANDIDATES_R9 — the
@@ -4152,6 +4140,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outlier_docs": embedding_outlier_docs,
     "events_rolling_active_users": events_rolling_active_users,
     "part_brand_price_anova": part_brand_price_anova,
+    # -- ROTATED IN (round 15): all ten ROTATION_CANDIDATES_R14 —
+    #    the round-14 analytics build (FK orphan audit, order
+    #    fulfillment lag, Wilson-interval return-rate ranking,
+    #    weighted systematic sampling, exact skew/kurtosis moments,
+    #    user growth accounting, Pareto revenue concentration,
+    #    view→purchase conversion latency, Mann–Whitney U test,
+    #    Gini–Simpson lang diversity) — collecting their first
+    #    external CORRECTNESS row this round. Ten long-green (≥6
+    #    external rounds each) shapes demoted in exchange (twin noted
+    #    per entry in EXTRA_QUERIES).
+    "fk_orphan_audit": fk_orphan_audit,
+    "orders_fulfillment_lag": orders_fulfillment_lag,
+    "part_brand_return_rates": part_brand_return_rates,
+    "docs_weighted_sample": docs_weighted_sample,
+    "orders_price_skew_kurtosis": orders_price_skew_kurtosis,
+    "events_user_growth_accounting": events_user_growth_accounting,
+    "customer_revenue_pareto": customer_revenue_pareto,
+    "events_conversion_latency": events_conversion_latency,
+    "events_mannwhitney_value_test": events_mannwhitney_value_test,
+    "docs_source_lang_diversity": docs_source_lang_diversity,
 }
 
 assert len(QUERIES) <= 50, "driver correctness window is 50 queries"
@@ -4347,23 +4355,26 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_embedding_drift": source_embedding_drift,  # exact-decimal centroid + fold distance ⊂ embedding_outlier_docs (rotated in; same centroid broadcast + squared-delta fold)
     "snapshot_change_magnitude": snapshot_change_magnitude,  # diff magnitude agg ⊂ crawl_delta_apply (in window; same snapshot delta base)
     "eval_leak_spans": eval_leak_spans,              # span localization postings ⊂ eval_leak_scrub (in window; same span machinery feeding the scrub)
-    # round-14 additions: oracle-backed, queued in
-    # ROTATION_CANDIDATES_R14 for their first external row next round.
-    "docs_source_lang_diversity": docs_source_lang_diversity,
-    "fk_orphan_audit": fk_orphan_audit,
-    "customer_revenue_pareto": customer_revenue_pareto,
-    "events_conversion_latency": events_conversion_latency,
-    "events_mannwhitney_value_test": events_mannwhitney_value_test,
-    "events_user_growth_accounting": events_user_growth_accounting,
-    "orders_price_skew_kurtosis": orders_price_skew_kurtosis,
-    "docs_weighted_sample": docs_weighted_sample,
-    "orders_fulfillment_lag": orders_fulfillment_lag,
-    "part_brand_return_rates": part_brand_return_rates,
     # r14: GK scale twins of the two new rank-window queries — rows-
     # only by design (engine-internal sketch; the exact forms are the
     # oracle-checkable ground truth), accuracy-contract-tested
     "events_conversion_latency_approx": events_conversion_latency_approx,
     "customer_revenue_pareto_approx": customer_revenue_pareto_approx,
+    # round-15 rotation: ten long-green (≥6 external rounds each)
+    # shapes demoted so every ROTATION_CANDIDATES_R14 query gets its
+    # first external CORRECTNESS row — in-window twin noted per entry;
+    # all stay parity-tested against their DuckDB oracles locally
+    # every round (tests/test_parity.py).
+    "stratified_resample_stats": stratified_resample_stats,  # deterministic hash-order sampling ⊂ docs_weighted_sample (rotated in; same md5-keyed systematic draw) + source_quality_floor (kept per-source thresholding)
+    "multimodal_binary_meta": multimodal_binary_meta,  # corrupt-safe binary decode mapInPandas ⊂ image_dhash_neardup + video_frame_neardup (in window; same codec/Arrow batch machinery)
+    "fuzzy_name_block_join": fuzzy_name_block_join,    # blocked candidate equi-join ⊂ winnow_fingerprint_neardup (in window; postings/block join) + image_dhash_neardup (pigeonhole block join)
+    "range_join_click_context": range_join_click_context,  # bounded-interval event pairing ⊂ interval_overlap_shipments (in window; interval×interval join) + events_conversion_latency (rotated in; ordered event pairing)
+    "sql_api_pricing_summary": sql_api_pricing_summary,  # spark.sql decimal aggregate tree ⊂ orders_price_skew_kurtosis (rotated in; exact decimal moments over the same scan family); plan ≡ q1_pricing_summary (EXTRA)
+    "set_ops_all_variants": set_ops_all_variants,      # ∩/∪/EXCEPT (ALL) ⊂ fk_orphan_audit (rotated in; anti/semi-join audit of the same key-membership class)
+    "unpivot_event_matrix": unpivot_event_matrix,      # Expand reshape ⊂ orders_dq_profile (in window; same single-scan Expand machinery)
+    "string_functions": string_functions,              # string expr surface ⊂ doc_quality_signals (in window; token/string signal exprs) + docs_source_lang_diversity (rotated in; lang-grain string aggregation)
+    "order_limit_topk": order_limit_topk,              # global/keyed top-k ⊂ customer_revenue_pareto (rotated in; global ordered rank window) + events_session_funnel_paths (in window; per-key ordered window)
+    "q11_important_stock": q11_important_stock,        # share-of-global-total threshold ⊂ customer_revenue_pareto (rotated in; cumulative share vs total) + q16_supplier_part_counts (kept multi-join agg)
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4623,6 +4634,23 @@ ROTATION_CANDIDATES_R14: list[str] = [
     "part_brand_return_rates",        # added r14, oracle same commit
 ]
 
+# Round-15 rotation (EXECUTED this round, window literal above): all
+# ten ROTATION_CANDIDATES_R14 rotated INTO the driver window for
+# their first external CORRECTNESS row; ten long-green (≥6 external
+# rounds each) shapes demoted to EXTRA_QUERIES (twin per entry there).
+# Pinned by
+# tests/test_parity.py::test_round15_rotated_operators_sit_in_declared_window.
+ROTATED_IN_R15: list[str] = list(ROTATION_CANDIDATES_R14)
+
+# Round-15 rotation candidates: oracle-backed queries that have never
+# held a green external CORRECTNESS row AND are not already in the
+# declared window collecting one. Empty at the START of round 15 (the
+# r15 rotation queued the whole backlog); every oracle-backed query
+# added during round 15 must be listed here in the SAME commit that
+# adds its oracle (the r9 policy, enforced by the never-verified scan
+# in tests/test_parity.py).
+ROTATION_CANDIDATES_R15: list[str] = []
+
 
 # Frozen at the close of round 7: every oracle-backed query name that
 # existed when the round-7 rotation completed (all have held a green
@@ -4809,3 +4837,13 @@ ORACLE_BACKED_AT_R12_CLOSE: frozenset = frozenset(
 # tests/test_parity.py::test_rotation_candidates_are_rotatable.
 ORACLE_BACKED_AT_R13_CLOSE: frozenset = frozenset(
     ORACLE_BACKED_AT_R12_CLOSE | set(ROTATION_CANDIDATES_R13))
+
+# Frozen at the close of round 14: the round-13 set plus the ten
+# round-14 additions (ROTATION_CANDIDATES_R14), which sit in the
+# round-15 window collecting their first external row. Any
+# oracle-backed query NOT in this set was added in round 15 or later
+# and must appear in ROTATION_CANDIDATES_R15 or already sit in the
+# declared window — enforced by
+# tests/test_parity.py::test_rotation_candidates_are_rotatable.
+ORACLE_BACKED_AT_R14_CLOSE: frozenset = frozenset(
+    ORACLE_BACKED_AT_R13_CLOSE | set(ROTATION_CANDIDATES_R14))

@@ -153,29 +153,48 @@ def test_round14_rotated_operators_sit_in_declared_window():
         "window must be 100% hash-checked after the r14 rotation")
 
 
+def test_round15_rotated_operators_sit_in_declared_window():
+    """The round-15 rotation's whole point: all ten
+    ROTATION_CANDIDATES_R14 (the round-14 analytics build — FK orphan
+    audit, order fulfillment lag, Wilson return-rate ranking, weighted
+    systematic sampling, exact skew/kurtosis, growth accounting,
+    Pareto revenue concentration, conversion latency, Mann–Whitney U,
+    Gini–Simpson lang diversity) must sit inside the first-50 window
+    the driver externally verifies, each exposing its oracle through
+    oracle_sql() (= ORACLES) — the rotated window has zero rows-only
+    entries."""
+    from market_data_ingestor_go_spark.plans.queries import ROTATED_IN_R15
+
+    window = set(list(QUERIES)[:50])
+    assert set(ROTATED_IN_R15) <= window, set(ROTATED_IN_R15) - window
+    assert set(ROTATED_IN_R15) <= set(ORACLES)
+    assert set(QUERIES) <= set(ORACLES), (
+        "window must be 100% hash-checked after the r15 rotation")
+
+
 def test_rotation_candidates_are_rotatable():
     """The next-rotation list must stay mechanically valid: every
     candidate exists, sits OUTSIDE the declared window (else it needs
     no rotation), and has an oracle so rotating it in yields a full
     row+schema+hash check. The never-verified scan then enforces the
-    listing policy: every oracle-backed query added AFTER the round-13
-    close (i.e. not in the frozen ORACLE_BACKED_AT_R13_CLOSE set) must
+    listing policy: every oracle-backed query added AFTER the round-14
+    close (i.e. not in the frozen ORACLE_BACKED_AT_R14_CLOSE set) must
     either sit in the declared window already or be listed as a
     rotation candidate — new work cannot accumulate unverified."""
     from market_data_ingestor_go_spark.plans.queries import (
-        ORACLE_BACKED_AT_R13_CLOSE, QUERIES, ROTATION_CANDIDATES_R14)
+        ORACLE_BACKED_AT_R14_CLOSE, QUERIES, ROTATION_CANDIDATES_R15)
 
-    for name in ROTATION_CANDIDATES_R14:
+    for name in ROTATION_CANDIDATES_R15:
         assert name in ALL_QUERIES, name
         assert name not in QUERIES, f"{name} already in the window"
         assert name in ALL_ORACLES, f"{name} lacks an oracle"
 
     never_verified = (
         set(ALL_ORACLES)
-        - ORACLE_BACKED_AT_R13_CLOSE  # held a green row in r1-r13 or
-                                      # collecting it in the r14 window
+        - ORACLE_BACKED_AT_R14_CLOSE  # held a green row in r1-r14 or
+                                      # collecting it in the r15 window
         - set(QUERIES)                # in-window: verified this round
-        - set(ROTATION_CANDIDATES_R14)  # queued for the next rotation
+        - set(ROTATION_CANDIDATES_R15)  # queued for the next rotation
     )
     assert not never_verified, (
         f"oracle-backed queries neither verified, in-window, nor "
