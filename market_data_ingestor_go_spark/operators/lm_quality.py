@@ -1408,22 +1408,49 @@ def raw_moments4(df: DataFrame, group_col: str,
     x² of a 6-digit price needs 17+ significant digits, where
     Spark's string-routed cast and DuckDB's binary-value cast round
     differently; measured r14). Widths: cents ≤ 10^9 ⇒ x⁴ ≤ 10^36,
-    inside DECIMAL(38,0) products on both engines. All sums are
-    plain additive ⇒ streams complete-mode with |groups|-row state
-    (the anova_group_moments factoring). NULL values excluded."""
+    inside DECIMAL(38,0) products on both engines — and the SUM has
+    its own budget: |s4| ≤ n_g·max(|cents|)⁴ must stay under 10^38,
+    else Spark's non-ANSI decimal sum goes NULL silently while DuckDB
+    errors (r15 ADVICE). That bound is ENFORCED loudly below via an
+    assert over the per-group max: a violating group raises instead
+    of poisoning the readout with NULLs (the s4 bound dominates
+    s1/s2/s3 whenever max ≥ 1; groups past it need the hash-bucket
+    chunk-and-resum composition, the weighted_systematic_sample
+    budget precedent). All sums are plain additive ⇒ streams
+    complete-mode with |groups|-row state (the anova_group_moments
+    factoring). NULL values excluded."""
     d9 = "decimal(9,0)"
     xc = F.round(F.col(value_col) * F.lit(100)).cast(d9)
     base = (df.filter(F.col(value_col).isNotNull())
             .select(F.col(group_col).alias("g"), xc.alias("xc")))
     x1 = F.col("xc")
     x2 = x1 * x1
-    return (base
-            .groupBy("g")
-            .agg(F.count("*").alias("n_g"),
-                 F.sum(x1).alias("s1"),
-                 F.sum(x2).alias("s2"),
-                 F.sum(x2 * x1).alias("s3"),
-                 F.sum(x2 * x2).alias("s4")))
+    agg = (base
+           .groupBy("g")
+           .agg(F.count("*").alias("n_g"),
+                F.sum(x1).alias("s1"),
+                F.sum(x2).alias("s2"),
+                F.sum(x2 * x1).alias("s3"),
+                F.sum(x2 * x2).alias("s4"),
+                F.max(F.abs(x1)).alias("_xmax")))
+    # Loud sum-width guard: n_g · max(|cents|, 1)^4 < 9.9·10^37 (double
+    # arithmetic; ~1e-16 relative error is irrelevant at this margin).
+    # assert_true returns NULL on success and raises on violation, so
+    # the when() wrapper is an identity projection that cannot pass a
+    # silently-overflowed NULL through.
+    xm = F.greatest(F.col("_xmax").cast("double"), F.lit(1.0))
+    ok = (F.col("n_g").cast("double") * xm * xm * xm * xm
+          < F.lit(9.9e37))
+    guard = F.assert_true(ok, F.concat(
+        F.lit("raw_moments4 sum-width budget exceeded for group "),
+        F.col("g").cast("string"),
+        F.lit(": n_g * max_cents^4 approaches 1e38 — the DECIMAL(38,0)"
+              " power sums would overflow (silent NULL in non-ANSI"
+              " Spark); chunk the group (hash-bucket partial sums,"
+              " re-sum) or widen the pipeline")))
+    return agg.select(
+        "g", "n_g", "s1", "s2", "s3",
+        F.when(guard.isNull(), F.col("s4")).alias("s4"))
 
 
 def skew_kurtosis_from_moments(g: DataFrame) -> DataFrame:

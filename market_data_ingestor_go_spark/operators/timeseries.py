@@ -1103,8 +1103,8 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
     inputs, both collapse-prone and exchange-heavy for wide ones.
 
     Keyed NAME CONTRACT (enforced, raises ValueError): because the
-    re-attach joins run on the COMBINED pair frame, every payload
-    (non-key, non-bound) column name must be unique across BOTH
+    re-attach joins run on the COMBINED pair frame, every column name
+    — keys, bounds, and payloads alike — must be unique across BOTH
     sides' outputs and must not collide with the emitted ``overlap``
     column or the internal ``__cell``; the two key sets and the four
     bound names must likewise be mutually disjoint. Rename before
@@ -1124,12 +1124,15 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
         reserved = {"overlap", "__cell"}
         # The output is one flat pair frame, so every name must be
         # unambiguous: keys/bounds across sides, payloads vs the
-        # whole other side, payloads vs the reserved output columns.
+        # whole other side, and EVERY name — keys and bounds included,
+        # not just payloads (r15 ADVICE) — vs the reserved output
+        # columns: a key or bound named 'overlap' would be silently
+        # overwritten by the emitted withColumn, and one named
+        # '__cell' collides with the internal grid column.
         a_out = set(a_keys) | a_bounds | set(a_payload)
         b_out = set(b_keys) | b_bounds | set(b_payload)
         clashes = sorted(
-            (a_out & b_out)
-            | ((set(a_payload) | set(b_payload)) & reserved))
+            (a_out & b_out) | ((a_out | b_out) & reserved))
         if clashes:
             raise ValueError(
                 "interval_overlap_join keyed mode needs disjoint "

@@ -4100,6 +4100,7 @@ SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
        CAST(CAST(SUM(CAST(lat AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
          / CAST(MAX(n) AS DOUBLE) AS mean_latency_ms
 FROM r
+HAVING COUNT(*) > 0
 """
 
 

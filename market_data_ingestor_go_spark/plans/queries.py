@@ -3743,7 +3743,11 @@ def events_conversion_latency(spark, sf_dir):
     aggregates (first view, first qualifying purchase — map-side
     partials) and ONE rank window over |converted users| rows; at
     100 TB the documented GK-percentile swap replaces the exact rank
-    (the source_quality_floor_approx precedent)."""
+    (the source_quality_floor_approx precedent). Empty-conversion
+    contract (r15 ADVICE): when NO user converts, all three forms —
+    this groupBy('n'), the oracle (HAVING COUNT(*) > 0), and the
+    approx twin (n_converted > 0 filter) — agree on ZERO rows (a
+    distribution over an empty set is empty, not a NULL row)."""
     e = _events(spark, sf_dir)
     fv = (e.filter(F.col("event_type") == "view")
           .groupBy("user_id").agg(F.min("ts_ms").alias("v_ts")))
@@ -3897,7 +3901,11 @@ def events_conversion_latency_approx(spark, sf_dir):
     sketch is engine-internal; the exact in-rotation
     events_conversion_latency is the oracle-checkable ground truth);
     accuracy pinned by
-    tests/test_operators.py::test_conversion_latency_approx_accuracy."""
+    tests/test_operators.py::test_conversion_latency_approx_accuracy.
+    Shares the exact form's empty-conversion contract (r15 ADVICE):
+    the n_converted > 0 filter on the 1-row aggregate yields ZERO
+    rows when no user converts, matching the exact query and the
+    oracle."""
     e = _events(spark, sf_dir)
     fv = (e.filter(F.col("event_type") == "view")
           .groupBy("user_id").agg(F.min("ts_ms").alias("v_ts")))
@@ -3915,7 +3923,8 @@ def events_conversion_latency_approx(spark, sf_dir):
         .alias("p90_latency_ms"),
         (F.sum(F.col("lat").cast("decimal(27,6)")).cast("string")
          .cast("double") / F.count("*").cast("double"))
-        .alias("mean_latency_ms")))
+        .alias("mean_latency_ms"))
+        .filter(F.col("n_converted") > 0))
 
 
 def customer_revenue_pareto_approx(spark, sf_dir):

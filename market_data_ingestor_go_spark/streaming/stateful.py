@@ -706,6 +706,12 @@ def streaming_session_paths(stream: DataFrame,
 CONVERSION_STATE_SCHEMA = T.StructType([
     T.StructField("v_ts", T.LongType()),      # first view ts (or None)
     T.StructField("converted", T.BooleanType()),
+    # latest purchase ts seen BEFORE any view (r15 ADVICE tie fix):
+    # under (ts, event_id)-ordered delivery every pre-view purchase
+    # has ts <= the eventual v_ts, so the only one that can still
+    # qualify (batch filter: p_ts >= v_ts) is a ts == v_ts tie — the
+    # max is a sufficient statistic for it.
+    T.StructField("pend_p", T.LongType()),
 ])
 
 CONVERSION_OUTPUT_SCHEMA = T.StructType([
@@ -718,21 +724,32 @@ CONVERSION_OUTPUT_SCHEMA = T.StructType([
 
 def _make_conversion_tracker():
     """Per-user streaming conversion tracker (closure — see
-    _make_update_latest). State is TWO scalars: the user's first
-    'view' timestamp and a converted flag. When the first 'purchase'
+    _make_update_latest). State is THREE scalars: the user's first
+    'view' timestamp, a converted flag, and the latest purchase ts
+    seen before any view (pend_p). When the first 'purchase'
     at-or-after the first view arrives, emit (user, v_ts, p_ts,
     latency) exactly once and freeze the state — the batch
     events_conversion_latency definition verbatim (first view, first
-    qualifying purchase). In-batch rows apply in (ts, event_id)
-    order (the EWMA/drawdown arrival contract); a purchase before
-    any view does not convert (no view to anchor the funnel)."""
+    qualifying purchase), INCLUDING same-timestamp ties (r15 ADVICE):
+    a purchase sharing ts_ms with the user's first view but sorting
+    before it — by event_id in the same batch, or landing in an
+    earlier micro-batch under a prefix split — is stashed in pend_p;
+    when the view then sets v_ts, pend_p == v_ts converts with
+    latency 0, exactly the batch filter ts >= v_ts. (Under ordered
+    delivery every pre-view purchase has ts <= the eventual v_ts, so
+    the tie is the only late-qualifying case and the max pre-view
+    purchase ts is a sufficient statistic for it.) In-batch rows
+    apply in (ts, event_id) order (the EWMA/drawdown arrival
+    contract); a purchase strictly before the first view never
+    converts (no view to anchor the funnel)."""
 
     def track(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
               ) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
         user = key[0]
-        v_ts, converted = state.get if state.exists else (None, False)
+        v_ts, converted, pend_p = (
+            state.get if state.exists else (None, False, None))
         rows = []
         for pdf in pdfs:
             for _, row in pdf.iterrows():
@@ -745,11 +762,16 @@ def _make_conversion_tracker():
                 break
             if etype == "view" and v_ts is None:
                 v_ts = ts
-            elif (etype == "purchase" and v_ts is not None
-                  and ts >= v_ts):
-                converted = True
-                out.append((user, v_ts, ts, ts - v_ts))
-        state.update((v_ts, converted))
+                if pend_p is not None and pend_p == v_ts:
+                    converted = True
+                    out.append((user, v_ts, pend_p, 0))
+            elif etype == "purchase":
+                if v_ts is not None and ts >= v_ts:
+                    converted = True
+                    out.append((user, v_ts, ts, ts - v_ts))
+                elif v_ts is None:
+                    pend_p = ts if pend_p is None else max(pend_p, ts)
+        state.update((v_ts, converted, pend_p))
         if out:
             yield _pd.DataFrame(
                 out, columns=["user_id", "v_ts", "p_ts", "latency_ms"])
@@ -768,9 +790,10 @@ def streaming_conversion_latency(stream: DataFrame,
     per CONVERTING user, the moment the purchase arrives — the
     continuous funnel-latency feed whose quantile readout at read
     time matches the batch events_conversion_latency query over the
-    same converted set (prefix-completeness tested). State is two
-    scalars per user — bounded by distinct users, never stream
-    length."""
+    same converted set (prefix-completeness tested, including the
+    same-timestamp view/purchase tie — see _make_conversion_tracker).
+    State is three scalars per user — bounded by distinct users,
+    never stream length."""
     keyed = stream.select(
         F.col(user_col).cast("string").alias("user_id"),
         F.col(ts_ms_col).cast("long").alias("ts_ms"),

