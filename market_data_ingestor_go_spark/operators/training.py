@@ -511,22 +511,41 @@ def weighted_systematic_sample(df: DataFrame, weight_col: str,
     Width budget: cum·k must fit a BIGINT — valid for
     total_weight·k < 2^63 (100 TB of chars at k=100 is ~1e16 ✓).
 
-    Scale: ONE global cumulative-sum window over the hash order —
-    the shard_manifest/window_running_total shape; at 100 TB the
-    documented chunked running-total swap applies (row-space chunks
-    + carry scan), or partition the axis by hash prefix and sample
-    per partition with per-partition grids."""
+    Scale (r15, the ewma_chunked/shard_manifest carry composition —
+    no single-task corpus window): the md5 axis is split into 256
+    CONTIGUOUS chunks by the hash's first two hex chars (hex-digit
+    ASCII order == numeric order, so chunk ranges tile the
+    lexicographic (h, id) total order). The cumulative sum is then
+    (a) a per-chunk window — partitionBy(chunk), 256-way parallel,
+    each task sorting |corpus|/256 rows — plus (b) a carry = the
+    prefix sum of the 256 chunk totals, computed by a window over
+    the ≤256-row aggregate (bounded by construction, never by corpus
+    size) and broadcast back. Integer addition is associative, so
+    chunk-local cum + carry is BIT-IDENTICAL to the former global
+    window (pinned by tests/test_operators.py::
+    test_weighted_sample_chunked_equals_global_window)."""
     h = F.md5(F.col(id_col).cast("string"))
     base = (df.filter(F.col(weight_col).isNotNull()
                       & (F.col(weight_col) > 0))
             .select(F.col(id_col),
                     F.col(weight_col).cast("bigint").alias("w"),
-                    h.alias("h")))
-    w_ord = (Window.orderBy("h", id_col)
+                    h.alias("h"))
+            .withColumn("chunk", F.conv(F.substring("h", 1, 2), 16, 10)
+                        .cast("int")))
+    # ≤256-row chunk ledger: per-chunk totals, exclusive prefix carry,
+    # and the grand total — tiny by construction, broadcast back.
+    w_carry = (Window.orderBy("chunk")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    ledger = (base.groupBy("chunk").agg(F.sum("w").alias("cw"))
+              .withColumn("carry",
+                          F.coalesce(F.sum("cw").over(w_carry), F.lit(0)))
+              .withColumn("total",
+                          F.sum("cw").over(Window.partitionBy()))
+              .select("chunk", "carry", "total"))
+    w_ord = (Window.partitionBy("chunk").orderBy("h", id_col)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_all = Window.partitionBy()
-    g = (base.withColumn("cum", F.sum("w").over(w_ord))
-         .withColumn("total", F.sum("w").over(w_all)))
+    g = (base.join(F.broadcast(ledger), "chunk")
+         .withColumn("cum", F.col("carry") + F.sum("w").over(w_ord)))
     picks = (F.expr(f"(cum * {int(k)}) div total")
              - F.expr(f"((cum - w) * {int(k)}) div total"))
     return (g.withColumn("n_picks", picks)

@@ -3883,9 +3883,12 @@ def docs_weighted_sample(spark, sf_dir):
 
     Determinism: the md5 order is a cross-engine total order (the
     train/test-split coin device) and every step is BIGINT integer
-    arithmetic ⇒ bit-exact oracle. Scale: ONE cumulative-sum window
-    over the hash order (the shard_manifest shape; chunked carry
-    swap documented at 100 TB); width budget total·k < 2^63."""
+    arithmetic ⇒ bit-exact oracle. Scale (r15): the cumulative sum
+    runs CHUNKED — 256 hash-prefix chunks tile the md5 order, the
+    per-chunk windows sort in parallel, and a ≤256-row carry ledger
+    broadcasts back (bit-identical to the global window by
+    associativity; no single-task corpus window remains). Width
+    budget total·k < 2^63."""
     from ..operators.training import weighted_systematic_sample
     d = _t(spark, sf_dir, "documents")
     return weighted_systematic_sample(d, "n_chars", 100, "doc_id")

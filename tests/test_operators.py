@@ -4313,3 +4313,48 @@ def test_conversion_latency_empty_conversion_shape(spark, tmp_path):
         f"'{out}/events.parquet/*.parquet')")
     sql = {**ORACLES, **EXTRA_ORACLES}["events_conversion_latency"]
     assert con.execute(sql).fetchall() == []
+
+
+def test_weighted_sample_chunked_equals_global_window(spark):
+    """r15 (verdict #4): the chunked-carry weighted systematic sampler
+    must be BIT-IDENTICAL to the single global cumulative-sum window
+    it replaced (integer addition is associative; the 256 hash-prefix
+    chunks tile the lexicographic md5 order), and the corpus-side
+    window in its plan must be PARTITIONED by the chunk — the only
+    unpartitioned window left runs over the ≤256-row carry ledger."""
+    from market_data_ingestor_go_spark.operators.training import (
+        weighted_systematic_sample)
+
+    sf = "/root/testdata/sf0.01"
+    d = load_table(spark, sf, "documents")
+    out = weighted_systematic_sample(d, "n_chars", 100, "doc_id")
+    got = sorted((r.doc_id, r.w, r.cum_w, r.n_picks)
+                 for r in out.collect())
+
+    # inline global-window twin (the pre-r15 form)
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = (d.filter(F.col("n_chars").isNotNull()
+                     & (F.col("n_chars") > 0))
+            .select("doc_id",
+                    F.col("n_chars").cast("bigint").alias("w"),
+                    h.alias("h")))
+    w_ord = (Window.orderBy("h", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = (base.withColumn("cum", F.sum("w").over(w_ord))
+         .withColumn("total", F.sum("w").over(Window.partitionBy())))
+    picks = (F.expr("(cum * 100) div total")
+             - F.expr("((cum - w) * 100) div total"))
+    want = sorted((r.doc_id, r.w, r.cum, r.n_picks) for r in
+                  g.withColumn("n_picks", picks)
+                  .filter(F.col("n_picks") >= 1).collect())
+    assert got == want and len(got) > 0
+
+    # plan shape: the corpus-scale window sorts WITHIN chunks — its
+    # sort prefix is the chunk column, so no Sort node orders the
+    # whole corpus globally by (h, id) alone.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "chunk" in plan
+    for line in plan.splitlines():
+        if "Sort [h" in line and "chunk" not in line:
+            raise AssertionError(
+                f"global (unchunked) corpus sort survives: {line}")
