@@ -1168,3 +1168,95 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
         if b_extra:
             out = out.join(b.select(*b_keys, *b_extra), b_keys)
     return out
+
+
+def _dstr_col(name: str):
+    """Decimal → double via STRING (correctly rounded on both engines;
+    direct casts differ at 1 ULP — verify-skill lesson)."""
+    return F.col(name).cast("string").cast("double")
+
+
+def brand_return_counts(df: DataFrame, brand_col: str = "p_brand",
+                        flag_col: str = "l_returnflag") -> DataFrame:
+    """Per-brand (n, r) return counts — the sufficient statistics
+    behind the Wilson-interval return-rate ranking. Plain additive
+    BIGINT counts ⇒ streams complete-mode with |brands|-row state
+    (the benford_from_counts factoring; r15 verdict #5): the streamed
+    state after any micro-batch split is BIT-identical to the batch
+    aggregate, and ``wilson_from_counts`` finishes from either."""
+    return (df.groupBy(F.col(brand_col).alias("p_brand"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col(flag_col) == "R", 1)
+                       .otherwise(0)).alias("r")))
+
+
+def wilson_from_counts(counts: DataFrame, top: int = 10) -> DataFrame:
+    """Finisher: top-``top`` brands by the Wilson 95% lower bound
+    from the additive (p_brand, n, r) counts — SHARED by the batch
+    part_brand_return_rates query and the streaming counts twin, so
+    the continuous readout is definitionally the batch readout. One
+    fixed IEEE tree over exact BIGINTs with z = 1.96 embedded as an
+    exact double literal (sqrt is correctly rounded on both engines);
+    ties break on the brand — a total order ⇒ bit-exact."""
+    n = F.col("n").cast("double")
+    p = F.col("r").cast("double") / n
+    z = F.lit(1.96)
+    z2 = z * z
+    center = p + z2 / (F.lit(2.0) * n)
+    rad = z * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n)
+    denom = F.lit(1.0) + z2 / n
+    wilson = (center - rad) / denom
+    return (counts.select("p_brand",
+                          F.col("n").cast("bigint").alias("n_items"),
+                          F.col("r").cast("bigint").alias("n_returned"),
+                          p.alias("return_rate"),
+                          F.when(F.col("n") > 0, wilson)
+                          .alias("wilson_lower"))
+            .orderBy(F.col("wilson_lower").desc(), "p_brand")
+            .limit(top))
+
+
+def customer_spend(df: DataFrame, cust_col: str = "o_custkey",
+                   price_col: str = "o_totalprice") -> DataFrame:
+    """Per-customer exact-decimal spend — the sufficient statistic
+    behind the Pareto revenue-concentration readout. A DECIMAL(27,6)
+    sum is a plain additive aggregate ⇒ streams complete-mode with
+    |customers|-row state (the streaming_rfm_stats pattern; r15
+    verdict #5): the streamed state after any micro-batch split is
+    BIT-identical to the batch aggregate, and ``pareto_from_spend``
+    finishes from either."""
+    return (df.groupBy(F.col(cust_col).alias("o_custkey"))
+            .agg(F.sum(F.col(price_col).cast("decimal(27,6)"))
+                 .alias("spend")))
+
+
+def pareto_from_spend(spend: DataFrame,
+                      customer_dim: DataFrame) -> DataFrame:
+    """Finisher: per-segment top-10% revenue share from the additive
+    (o_custkey, spend) state plus the (c_custkey, c_mktsegment)
+    dimension — SHARED by the batch customer_revenue_pareto query and
+    the streaming spend twin. Ranks are row_number over (spend DESC,
+    c_custkey) — a total order; k = ⌈n/10⌉ in integer arithmetic; the
+    share is one string-routed decimal division ⇒ bit-exact. One
+    per-segment rank window over |customers| rows (the GK threshold
+    swap applies at 100 TB — customer_revenue_pareto_approx)."""
+    s = (spend.join(customer_dim,
+                    spend["o_custkey"] == customer_dim["c_custkey"])
+         .select("c_mktsegment", "c_custkey", "spend"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend").desc(), "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    r = (s.withColumn("rk", F.row_number().over(w))
+         .withColumn("n", F.count("*").over(wn)))
+    in_top = F.col("rk") <= F.expr("(n + 9) div 10")
+    agg = (r.groupBy("c_mktsegment")
+           .agg(F.count("*").alias("n_customers"),
+                F.max(F.expr("(n + 9) div 10")).alias("k_top10"),
+                F.sum("spend").alias("total_spend"),
+                F.sum(F.when(in_top, F.col("spend"))).alias("top_spend")))
+    share = _dstr_col("top_spend") / _dstr_col("total_spend")
+    return agg.select(
+        "c_mktsegment",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("k_top10").cast("bigint").alias("k_top10"),
+        F.when(F.col("total_spend") > 0, share).alias("top10_share"))

@@ -3844,30 +3844,17 @@ def part_brand_return_rates(spark, sf_dir):
     on both engines); ties break on the brand — a total order ⇒
     bit-exact. Scale: broadcast part dim onto lineitem (or key join
     at 100 TB), ONE brand aggregate with map-side partials,
-    |brands|-row arithmetic, TakeOrdered top-10."""
+    |brands|-row arithmetic, TakeOrdered top-10. The (n, r) counts
+    are plain additive sufficient statistics SHARED with the
+    streaming twin (streaming/sketches.py::streaming_return_counts,
+    r15 verdict #5); the Wilson readout finishes from either state
+    via operators/timeseries.py::wilson_from_counts."""
+    from ..operators.timeseries import (brand_return_counts,
+                                        wilson_from_counts)
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
     pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     j = li.join(pt, li["l_partkey"] == pt["p_partkey"])
-    agg = (j.groupBy("p_brand")
-           .agg(F.count("*").alias("n"),
-                F.sum(F.when(F.col("l_returnflag") == "R", 1)
-                      .otherwise(0)).alias("r")))
-    n = F.col("n").cast("double")
-    p = F.col("r").cast("double") / n
-    z = F.lit(1.96)
-    z2 = z * z
-    center = p + z2 / (F.lit(2.0) * n)
-    rad = z * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n)
-    denom = F.lit(1.0) + z2 / n
-    wilson = (center - rad) / denom
-    return (agg.select("p_brand",
-                       F.col("n").cast("bigint").alias("n_items"),
-                       F.col("r").cast("bigint").alias("n_returned"),
-                       p.alias("return_rate"),
-                       F.when(F.col("n") > 0, wilson)
-                       .alias("wilson_lower"))
-            .orderBy(F.col("wilson_lower").desc(), "p_brand")
-            .limit(10))
+    return wilson_from_counts(brand_return_counts(j), top=10)
 
 
 def docs_weighted_sample(spark, sf_dir):
@@ -3988,31 +3975,16 @@ def customer_revenue_pareto(spark, sf_dir):
     partials), the segment dim attaches by key join, one per-segment
     rank window over |customers| rows (the source_quality_floor
     shape — at 100 TB the documented GK-percentile threshold swap
-    applies verbatim), and the finisher collapses map-side."""
+    applies verbatim), and the finisher collapses map-side. The
+    per-customer decimal spend is a plain additive sufficient
+    statistic SHARED with the streaming twin
+    (streaming/sketches.py::streaming_customer_spend, r15 verdict
+    #5); the Pareto readout finishes from either state via
+    operators/timeseries.py::pareto_from_spend."""
+    from ..operators.timeseries import customer_spend, pareto_from_spend
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    spend = (o.groupBy("o_custkey")
-             .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
-                  .alias("spend")))
-    s = (spend.join(c, spend["o_custkey"] == c["c_custkey"])
-         .select("c_mktsegment", "c_custkey", "spend"))
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("spend").desc(), "c_custkey")
-    wn = Window.partitionBy("c_mktsegment")
-    r = (s.withColumn("rk", F.row_number().over(w))
-         .withColumn("n", F.count("*").over(wn)))
-    in_top = F.col("rk") <= F.expr("(n + 9) div 10")
-    agg = (r.groupBy("c_mktsegment")
-           .agg(F.count("*").alias("n_customers"),
-                F.max(F.expr("(n + 9) div 10")).alias("k_top10"),
-                F.sum("spend").alias("total_spend"),
-                F.sum(F.when(in_top, F.col("spend"))).alias("top_spend")))
-    share = _dstr("top_spend") / _dstr("total_spend")
-    return agg.select(
-        "c_mktsegment",
-        F.col("n_customers").cast("bigint").alias("n_customers"),
-        F.col("k_top10").cast("bigint").alias("k_top10"),
-        F.when(F.col("total_spend") > 0, share).alias("top10_share"))
+    return pareto_from_spend(customer_spend(o), c)
 
 
 def docs_source_lang_diversity(spark, sf_dir):

@@ -319,3 +319,39 @@ def streaming_contingency_counts(stream: DataFrame, row_col: str,
     to the Benford and drift-histogram twins."""
     from ..operators.lm_quality import contingency_counts
     return contingency_counts(stream, row_col, col_col)
+
+
+def streaming_return_counts(stream: DataFrame,
+                            brand_col: str = "p_brand",
+                            flag_col: str = "l_returnflag") -> DataFrame:
+    """Per-brand return counts maintained FROM A STREAM — the
+    transform is SHARED with the batch form
+    (``operators/timeseries.py::brand_return_counts``: (n, r) are
+    plain additive BIGINT counts ⇒ streamed complete-mode state after
+    any micro-batch split is BIT-identical to the batch aggregate),
+    and the Wilson lower-bound ranking finishes from the
+    |brands|-row sink at read time via ``wilson_from_counts`` — the
+    benford_from_counts factoring (r15 verdict #5). Continuous
+    "which product lines are coming back" monitoring with |brands|
+    rows of state; the stream carries pre-joined (brand, returnflag)
+    rows (the enrich join runs upstream, the J1 broadcast pattern)."""
+    from ..operators.timeseries import brand_return_counts
+    return brand_return_counts(stream, brand_col, flag_col)
+
+
+def streaming_customer_spend(stream: DataFrame,
+                             cust_col: str = "o_custkey",
+                             price_col: str = "o_totalprice"
+                             ) -> DataFrame:
+    """Per-customer exact-decimal spend maintained FROM A STREAM —
+    the transform is SHARED with the batch form
+    (``operators/timeseries.py::customer_spend``: a DECIMAL(27,6)
+    sum is a plain additive aggregate ⇒ streamed complete-mode state
+    after any micro-batch split is BIT-identical to the batch
+    aggregate), and the per-segment Pareto concentration readout
+    finishes from the |customers|-row sink at read time via
+    ``pareto_from_spend`` joined to the customer dimension — the
+    streaming_rfm_stats pattern (r15 verdict #5): one spend state,
+    continuous whale-concentration monitoring."""
+    from ..operators.timeseries import customer_spend
+    return customer_spend(stream, cust_col, price_col)
