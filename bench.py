@@ -345,6 +345,20 @@ HEADLINE = [
     "orders_fulfillment_lag",
     # r14: Wilson lower-bound return-rate ranking (one brand agg)
     "part_brand_return_rates",
+    # r15: HHI supplier concentration (suppkey agg + share squares)
+    "nation_supplier_hhi",
+    # r15: tie-aware exact Spearman (three histograms + rank maps)
+    "lineitem_qty_price_spearman",
+    # r15: lag-1 daily-revenue autocorrelation (day agg + tiny join)
+    "orders_daily_autocorr",
+    # r15: Sorted-Neighborhood blocking (chunked ranks + 5 rank joins
+    # + Levenshtein verify)
+    "customer_sorted_neighborhood_pairs",
+    # r15: open-order backlog sweep line (boundary deltas + calendar-
+    # sized running sum)
+    "orders_open_backlog_days",
+    # r15: hour-of-day seasonality chi-square (one (type,hour) agg)
+    "events_hourly_seasonality",
 ]
 
 

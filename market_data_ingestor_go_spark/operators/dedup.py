@@ -1247,3 +1247,68 @@ def scrub_duplicate_spans(docs: DataFrame, w: int = 8,
     return scrub_spans(docs, duplicate_span_table(docs, w, text_col,
                                                   id_col),
                        text_col, id_col)
+
+
+def sorted_neighborhood_pairs(df: DataFrame, key_col: str, id_col: str,
+                              window: int = 5,
+                              chunk_expr=None) -> DataFrame:
+    """Sorted-Neighborhood Method blocking (Hernández & Stolfo 1995;
+    the third entity-resolution candidate-bounding strategy next to
+    key blocking — fuzzy_name_block_join — and LSH banding): sort
+    rows by ``key_col``, number them, and emit every pair whose rank
+    distance is ≤ ``window``. Catches near-duplicates that share no
+    block key but sort adjacently (typos past a block boundary, id
+    runs), with candidate count ≤ window·n — LINEAR, never O(n²).
+    → (a_id, a_key, a_rank, b_id, b_key, b_rank) with
+    a_rank < b_rank ≤ a_rank + window; the caller applies the verify
+    predicate (edit distance, exact compare, …).
+
+    Ranks are the CHUNKED global row_number (r15 — the weighted-
+    sampler carry composition, no single-task corpus sort):
+    ``chunk_expr`` must be PREFIX-MONOTONE along the (key, id) order
+    — non-decreasing with the key, equal keys share a chunk — e.g. a
+    fixed-length key prefix; default first character. Per-chunk
+    row_number windows sort in parallel, the |chunks|-row carry
+    ledger (exclusive prefix of chunk counts) broadcasts back, and
+    rank = carry + intra-chunk row_number — identical to the global
+    window by counting associativity (pinned by
+    tests/test_operators.py::test_sorted_neighborhood_rank_equals_global).
+    Candidates come from ``window`` integer equi-joins (offset
+    explode + rank join) — shuffle keys are 8-byte ranks, no theta
+    join anywhere.
+
+    Determinism contract: (key, id) is a total order and ranks are
+    exact BIGINTs ⇒ the pair set is bit-stable and SQL-expressible
+    (oracle: row_number + rank-offset join)."""
+    if chunk_expr is None:
+        chunk_expr = F.substring(F.col(key_col), 1, 1)
+    from pyspark.sql.window import Window as W
+    # chunk_expr is evaluated against the CALLER's columns (it usually
+    # references key_col), so it must ride the same select that
+    # renames them.
+    base = (df.select(F.col(id_col).alias("snm_id"),
+                      F.col(key_col).alias("snm_key"),
+                      chunk_expr.alias("chunk"))
+            .filter(F.col("snm_key").isNotNull()))
+    w_carry = (W.orderBy("chunk")
+               .rowsBetween(W.unboundedPreceding, -1))
+    ledger = (base.groupBy("chunk").agg(F.count("*").alias("cn"))
+              .withColumn("carry",
+                          F.coalesce(F.sum("cn").over(w_carry), F.lit(0)))
+              .select("chunk", "carry"))
+    w_ord = W.partitionBy("chunk").orderBy("snm_key", "snm_id")
+    ranked = (base.join(F.broadcast(ledger), "chunk")
+              .withColumn("rank",
+                          F.col("carry") + F.row_number().over(w_ord))
+              .select("snm_id", "snm_key", "rank"))
+    a = ranked.select(F.col("snm_id").alias("a_id"),
+                      F.col("snm_key").alias("a_key"),
+                      F.col("rank").alias("a_rank"))
+    b = (ranked
+         .withColumn("k", F.explode(F.expr(
+             f"sequence(1, {int(window)})")))
+         .select(F.col("snm_id").alias("b_id"),
+                 F.col("snm_key").alias("b_key"),
+                 F.col("rank").alias("b_rank"),
+                 (F.col("rank") - F.col("k")).alias("probe")))
+    return a.join(b, a["a_rank"] == b["probe"]).drop("probe")

@@ -1484,3 +1484,72 @@ def skew_kurtosis_from_moments(g: DataFrame) -> DataFrame:
         (m2 / F.lit(10000.0)).alias("m2_variance"),
         F.when(ok, g1).alias("skewness"),
         F.when(ok, g2).alias("kurtosis_excess"))
+
+
+def spearman_from_pairs(df: DataFrame, x_col: str, y_col: str
+                        ) -> DataFrame:
+    """Tie-aware EXACT Spearman rank correlation (Spearman 1904 with
+    average ranks — the standard tie treatment): rho = Pearson over
+    the per-row average ranks of x and y. The log-free, distribution-
+    free monotone-association readout next to the Pearson family —
+    rank transforms make it robust to outliers and nonlinearity.
+    → ONE row (n_rows, spearman_rho).
+
+    Exactness device: average ranks live on the .5 grid, so DOUBLED
+    ranks are exact BIGINTs — R2(v) = 2·(count of rows before v) +
+    n_v + 1 from the value histogram — and Pearson is invariant to
+    the affine 2r scaling, so rho over doubled ranks IS rho over
+    average ranks. Every moment is then an exact DECIMAL(38,0)
+    integer sum; the finisher replicates _pearson_from_moments' fixed
+    IEEE op order (the bit-exactness contract with the oracle).
+    Widths: R2 ≤ 2n+1, R2x·R2y·n < 10^38 holds to n ≈ 10^9 rows per
+    computation (chunk the corpus and merge histogram moments past
+    that — sums are additive).
+
+    Scale shape: moments decompose over the (x, y) PAIR histogram —
+    Σ n_xy·R2x(x)·R2y(y) — so the corpus is touched by THREE
+    map-side-combined aggregates (x histogram, y histogram, pair
+    histogram); the rank maps are value-DOMAIN-sized broadcasts and
+    their cum windows run over |distinct values| rows (the
+    Mann-Whitney histogram spine; the weighted-sampler chunked carry
+    applies verbatim at extreme value cardinality)."""
+    from pyspark.sql.window import Window as W
+    base = (df.filter(F.col(x_col).isNotNull()
+                      & F.col(y_col).isNotNull())
+            .select(F.col(x_col).alias("xv"), F.col(y_col).alias("yv")))
+
+    def rank_map(col):
+        h = base.groupBy(col).agg(F.count("*").alias("nv"))
+        w_cum = (W.orderBy(col)
+                 .rowsBetween(W.unboundedPreceding, -1))
+        return (h.withColumn(
+            "r2", 2 * F.coalesce(F.sum("nv").over(w_cum), F.lit(0))
+            + F.col("nv") + 1)
+            .select(col, F.col("r2").cast("decimal(38,0)")
+                    .alias(col[0] + "r2")))
+
+    pair = base.groupBy("xv", "yv").agg(F.count("*").alias("n_xy"))
+    j = (pair.join(F.broadcast(rank_map("xv")), "xv")
+         .join(F.broadcast(rank_map("yv")), "yv"))
+    n_xy = F.col("n_xy").cast("decimal(38,0)")
+    m = j.agg(
+        F.sum("n_xy").alias("n"),
+        F.sum(n_xy * F.col("xr2")).alias("sx"),
+        F.sum(n_xy * F.col("yr2")).alias("sy"),
+        F.sum(n_xy * F.col("xr2") * F.col("xr2")).alias("sxx"),
+        F.sum(n_xy * F.col("yr2") * F.col("yr2")).alias("syy"),
+        F.sum(n_xy * F.col("xr2") * F.col("yr2")).alias("sxy"))
+    # _pearson_from_moments' exact op order (plans/common.py) — the
+    # shared-copy contract: cov/var trees must match the oracle's.
+    nD = F.col("n").cast("double")
+    cov = (_dstr(F.col("sxy")) / nD
+           - (_dstr(F.col("sx")) / nD) * (_dstr(F.col("sy")) / nD))
+    vx = (_dstr(F.col("sxx")) / nD
+          - (_dstr(F.col("sx")) / nD) * (_dstr(F.col("sx")) / nD))
+    vy = (_dstr(F.col("syy")) / nD
+          - (_dstr(F.col("sy")) / nD) * (_dstr(F.col("sy")) / nD))
+    rho = cov / F.sqrt(vx * vy)
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.when((F.col("n") > 1) & (vx > 0) & (vy > 0), rho)
+        .alias("spearman_rho"))

@@ -892,3 +892,33 @@ SELECT CAST(p.d AS BIGINT) AS day_num,
 FROM per_day p
 LEFT JOIN per_day q ON q.d = p.d - 1
 """
+
+
+# Hour-of-day seasonality: exact bucket counts, chi-square against
+# uniform via the 24*sum(o^2)/n - n identity (empty cells absorbed),
+# peak tie broken to the smallest hour.
+SQL["events_hourly_seasonality"] = """
+WITH e AS (
+  SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour
+  FROM events
+), h AS (
+  SELECT event_type, hour, COUNT(*) AS n_h FROM e GROUP BY 1, 2
+), a AS (
+  SELECT event_type, SUM(n_h) AS n,
+         SUM(CAST(n_h AS DECIMAL(19,0))
+             * CAST(n_h AS DECIMAL(19,0))) AS ssq,
+         MAX(n_h) AS pc
+  FROM h GROUP BY event_type
+), pk AS (
+  SELECT h.event_type, MIN(h.hour) AS peak_hour
+  FROM h JOIN a ON h.event_type = a.event_type AND h.n_h = a.pc
+  GROUP BY h.event_type
+)
+SELECT a.event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(peak_hour AS BIGINT) AS peak_hour,
+       CAST(pc AS DOUBLE) / CAST(n AS DOUBLE) AS peak_share,
+       24.0 * CAST(CAST(ssq AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+         - CAST(n AS DOUBLE) AS chi2_uniform
+FROM a JOIN pk USING (event_type)
+"""

@@ -862,3 +862,206 @@ FROM f
 ORDER BY wilson_lower DESC, p_brand
 LIMIT 10
 """
+
+
+# HHI supplier concentration: exact DECIMAL(27,6) per-supplier sums;
+# SHARE-SPACE squares (share = srev/R via the VARCHAR hop, one IEEE
+# division; share^2 <= 1 summed through DECIMAL(27,12) — scaled
+# < 1e12, well inside the r14 safe double->decimal boundary), HHI = the
+# sum itself, no post-sum division.
+SQL["nation_supplier_hhi"] = """
+WITH ps AS (
+  SELECT s_nationkey, l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(27,6))) AS srev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, l_suppkey
+), t AS (
+  SELECT s_nationkey,
+         COUNT(*) AS n_suppliers,
+         SUM(srev) AS total_rev
+  FROM ps GROUP BY s_nationkey
+), sh AS (
+  SELECT ps.s_nationkey, t.n_suppliers, t.total_rev,
+         CAST(CAST(ps.srev AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(t.total_rev AS VARCHAR) AS DOUBLE) AS share
+  FROM ps JOIN t USING (s_nationkey)
+), a AS (
+  SELECT s_nationkey, n_suppliers, total_rev,
+         SUM(CAST(share * share AS DECIMAL(27,12))) AS hhi_sum
+  FROM sh GROUP BY s_nationkey, n_suppliers, total_rev
+)
+SELECT n_name AS nation,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_revenue,
+       CASE WHEN total_rev > 0
+            THEN CAST(CAST(hhi_sum AS VARCHAR) AS DOUBLE) END AS hhi,
+       CASE WHEN total_rev > 0 AND hhi_sum > 0
+            THEN 1.0 / CAST(CAST(hhi_sum AS VARCHAR) AS DOUBLE) END
+         AS effective_suppliers
+FROM a JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+# Tie-aware exact Spearman: doubled average ranks from the value
+# histograms are exact integers (2*cum_before + n_v + 1); moments
+# decompose over the (x, y) pair histogram with DECIMAL products
+# factor-width-bounded to stay inside 38 (values < 1e12 each per the
+# operator's documented n <= 1e9 budget); shared Pearson op order.
+SQL["lineitem_qty_price_spearman"] = """
+WITH b AS (
+  SELECT l_quantity AS xv, l_extendedprice AS yv FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), hx AS (
+  SELECT xv, COUNT(*) AS nv FROM b GROUP BY xv
+), rx AS (
+  SELECT xv,
+         CAST(2 * COALESCE(SUM(nv) OVER (ORDER BY xv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + nv + 1 AS DECIMAL(18,0)) AS xr2
+  FROM hx
+), hy AS (
+  SELECT yv, COUNT(*) AS nv FROM b GROUP BY yv
+), ry AS (
+  SELECT yv,
+         CAST(2 * COALESCE(SUM(nv) OVER (ORDER BY yv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + nv + 1 AS DECIMAL(18,0)) AS yr2
+  FROM hy
+), p AS (
+  SELECT xv, yv, COUNT(*) AS n_xy FROM b GROUP BY xv, yv
+), j AS (
+  SELECT CAST(p.n_xy AS DECIMAL(13,0)) AS nn, rx.xr2, ry.yr2
+  FROM p JOIN rx USING (xv) JOIN ry USING (yv)
+), m AS (
+  SELECT SUM(nn) AS n,
+         SUM(CAST(xr2 AS DECIMAL(25,0)) * nn) AS sx,
+         SUM(CAST(yr2 AS DECIMAL(25,0)) * nn) AS sy,
+         SUM(CAST(xr2 * xr2 AS DECIMAL(25,0)) * nn) AS sxx,
+         SUM(CAST(yr2 * yr2 AS DECIMAL(25,0)) * nn) AS syy,
+         SUM(CAST(xr2 * yr2 AS DECIMAL(25,0)) * nn) AS sxy
+  FROM j
+), f AS (
+  SELECT n,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           AS cov,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           AS vx,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           AS vy
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN n > 1 AND vx > 0 AND vy > 0
+            THEN cov / sqrt(vx * vy) END AS spearman_rho
+FROM f
+"""
+
+
+# Lag-1 autocorrelation of daily revenue: day-grain exact decimal
+# sums, integer-day self-join for consecutive pairs; moment terms on
+# the NORMALIZED double x = str(rev)/1e9 (correlation is invariant to
+# the common scaling), each term through DECIMAL(27,6) — scaled
+# < 1e15, inside the r14 safe boundary; shared Pearson IEEE tree.
+SQL["orders_daily_autocorr"] = """
+WITH pd AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev
+  FROM orders GROUP BY 1
+), pr AS (
+  SELECT CAST(CAST(a.rev AS VARCHAR) AS DOUBLE) / 1.0e9 AS x,
+         CAST(CAST(b.rev AS VARCHAR) AS DOUBLE) / 1.0e9 AS y
+  FROM pd a JOIN pd b ON b.d = a.d + 1
+), m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(27,6))) AS sx,
+         SUM(CAST(y AS DECIMAL(27,6))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(27,6))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(27,6))) AS syy,
+         SUM(CAST(x * y AS DECIMAL(27,6))) AS sxy
+  FROM pr
+), f AS (
+  SELECT n,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           AS cov,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           AS vx,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           AS vy
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n > 1 AND vx > 0 AND vy > 0
+            THEN cov / sqrt(vx * vy) END AS lag1_autocorr
+FROM f
+"""
+
+
+# Sorted-Neighborhood blocking: global row_number over the
+# (c_name, c_custkey) total order, rank-window candidate pairs,
+# classic-DP Levenshtein verify (integer on both engines).
+SQL["customer_sorted_neighborhood_pairs"] = """
+WITH r AS (
+  SELECT c_custkey, c_name,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
+  FROM customer WHERE c_name IS NOT NULL
+), p AS (
+  SELECT levenshtein(a.c_name, b.c_name) AS dist
+  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
+), m AS (
+  SELECT COUNT(*) AS nc,
+         SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS nm,
+         SUM(CASE WHEN dist <= 2 THEN dist ELSE 0 END) AS ds
+  FROM p
+)
+SELECT CAST(nc AS BIGINT) AS n_candidates,
+       CAST(nm AS BIGINT) AS n_matches,
+       CASE WHEN nm > 0 THEN CAST(ds AS DOUBLE) / CAST(nm AS DOUBLE) END
+         AS mean_match_distance
+FROM m
+"""
+
+
+# Open-order backlog sweep line: +-1 boundary deltas on epoch-day
+# integers, exact BIGINT running sum at change-point days.
+SQL["orders_open_backlog_days"] = """
+WITH li AS (
+  SELECT l_orderkey,
+         MAX(date_diff('day', DATE '1970-01-01',
+                       CAST(l_shipdate AS DATE))) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+), o AS (
+  SELECT o_orderkey,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS order_day
+  FROM orders
+), j AS (
+  SELECT order_day, last_ship
+  FROM o JOIN li ON o_orderkey = l_orderkey
+), d AS (
+  SELECT day_num, SUM(delta) AS dd FROM (
+    SELECT order_day AS day_num, 1 AS delta FROM j
+    UNION ALL
+    SELECT last_ship + 1 AS day_num, -1 AS delta FROM j
+  ) u
+  GROUP BY day_num HAVING SUM(delta) <> 0
+)
+SELECT CAST(day_num AS BIGINT) AS day_num,
+       CAST(SUM(dd) OVER (ORDER BY day_num
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_open
+FROM d
+"""

@@ -32,8 +32,11 @@ from .common import (  # noqa: F401
 from .queries_warehouse import (  # noqa: F401
     agg_cube_year_status, agg_orders_stats, agg_rollup,
     approx_distinct_sketch, bloom_semi_join_agg, customer_revenue_pareto,
-    customer_revenue_pareto_approx, distinct_count_exact,
+    customer_revenue_pareto_approx, customer_sorted_neighborhood_pairs,
+    distinct_count_exact,
     distinct_rollup_hll, fk_orphan_audit, fuzzy_name_block_join,
+    lineitem_qty_price_spearman, nation_supplier_hhi,
+    orders_daily_autocorr, orders_open_backlog_days,
     interval_overlap_shipments, lineitem_price_qty_corr, order_limit_topk,
     orders_benford_test, orders_by_year, orders_cohort_matrix,
     orders_dq_profile, orders_dq_profile_approx, orders_fulfillment_lag,
@@ -60,7 +63,8 @@ from .queries_events import (  # noqa: F401
     events_conversion_latency, events_conversion_latency_approx,
     events_cusum_bucketed, events_cusum_changepoint, events_drawdown,
     events_ewma_chunked, events_ewma_smooth, events_funnel_conversion,
-    events_gapfill_interpolate, events_gapfill_locf, events_mad_outliers,
+    events_gapfill_interpolate, events_gapfill_locf,
+    events_hourly_seasonality, events_mad_outliers,
     events_mannwhitney_value_test, events_markov_transitions,
     events_motif_search, events_moving_stats, events_ohlc_bars,
     events_pair_correlation, events_rfm_segments,
@@ -453,6 +457,14 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_functions": string_functions,              # string expr surface ⊂ doc_quality_signals (in window; token/string signal exprs) + docs_source_lang_diversity (rotated in; lang-grain string aggregation)
     "order_limit_topk": order_limit_topk,              # global/keyed top-k ⊂ customer_revenue_pareto (rotated in; global ordered rank window) + events_session_funnel_paths (in window; per-key ordered window)
     "q11_important_stock": q11_important_stock,        # share-of-global-total threshold ⊂ customer_revenue_pareto (rotated in; cumulative share vs total) + q16_supplier_part_counts (kept multi-join agg)
+    # round-15 additions: oracle-backed, queued in
+    # ROTATION_CANDIDATES_R15 for their first external row next round.
+    "nation_supplier_hhi": nation_supplier_hhi,
+    "lineitem_qty_price_spearman": lineitem_qty_price_spearman,
+    "orders_daily_autocorr": orders_daily_autocorr,
+    "customer_sorted_neighborhood_pairs": customer_sorted_neighborhood_pairs,
+    "orders_open_backlog_days": orders_open_backlog_days,
+    "events_hourly_seasonality": events_hourly_seasonality,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -727,7 +739,14 @@ ROTATED_IN_R15: list[str] = list(ROTATION_CANDIDATES_R14)
 # added during round 15 must be listed here in the SAME commit that
 # adds its oracle (the r9 policy, enforced by the never-verified scan
 # in tests/test_parity.py).
-ROTATION_CANDIDATES_R15: list[str] = []
+ROTATION_CANDIDATES_R15: list[str] = [
+    "nation_supplier_hhi",            # added r15, oracle added same commit
+    "lineitem_qty_price_spearman",    # added r15, oracle added same commit
+    "orders_daily_autocorr",          # added r15, oracle added same commit
+    "customer_sorted_neighborhood_pairs",  # added r15, oracle same commit
+    "orders_open_backlog_days",       # added r15, oracle added same commit
+    "events_hourly_seasonality",      # added r15, oracle added same commit
+]
 
 
 # Frozen at the close of round 7: every oracle-backed query name that

@@ -932,3 +932,45 @@ def events_conversion_latency_approx(spark, sf_dir):
          .cast("double") / F.count("*").cast("double"))
         .alias("mean_latency_ms"))
         .filter(F.col("n_converted") > 0))
+
+
+def events_hourly_seasonality(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type with a χ²
+    uniformity test: 24 hour buckets from pure epoch arithmetic
+    (timezone-free by construction), the peak hour with its traffic
+    share, and χ² against the uniform 1/24 expectation — the
+    within-day periodicity readout next to the rolling/CUSUM drift
+    family (those watch BETWEEN-day change; this measures the
+    daily cycle itself). → (event_type, n_events, peak_hour,
+    peak_share, chi2_uniform).
+
+    Determinism: bucket counts are exact BIGINTs; χ² over all 24
+    cells collapses to 24·Σo² / n − n (empty cells contribute zero
+    to Σo² and their expectation is absorbed by the identity), with
+    Σo² an exact DECIMAL(38,0) sum and one string-routed fixed IEEE
+    tree; the peak is max(struct(count, −hour)) — ties break to the
+    SMALLEST hour, a total order ⇒ bit-exact.
+
+    Scale: ONE (type, hour) aggregate with map-side partials —
+    |types|·24 rows of state; counts are additive ⇒ the streaming
+    complete-mode twin is the benford_from_counts factoring
+    verbatim."""
+    e = _events(spark, sf_dir)
+    hour = F.expr("(ts_ms div 3600000) % 24")
+    h = (e.groupBy("event_type", hour.alias("hour"))
+         .agg(F.count("*").alias("n_h")))
+    nh38 = F.col("n_h").cast("decimal(38,0)")
+    agg = (h.groupBy("event_type")
+           .agg(F.sum("n_h").alias("n"),
+                F.sum(nh38 * nh38).alias("ssq"),
+                F.max(F.struct(F.col("n_h").alias("c"),
+                               (-F.col("hour")).alias("nh")))
+                .alias("pk")))
+    nD = F.col("n").cast("double")
+    chi2 = F.lit(24.0) * _dstr("ssq") / nD - nD
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        (-F.col("pk.nh")).cast("bigint").alias("peak_hour"),
+        (F.col("pk.c").cast("double") / nD).alias("peak_share"),
+        chi2.alias("chi2_uniform"))

@@ -1208,3 +1208,232 @@ def customer_revenue_pareto(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return pareto_from_spend(customer_spend(o), c)
+
+
+# ---------------------------------------------------------------- r15 additions
+
+def nation_supplier_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman supplier-concentration index per nation
+    (Herfindahl 1950; the antitrust-standard concentration readout):
+    HHI = Σᵢ(revᵢ/R)² over each nation's supplier revenue shares,
+    plus the effective supplier number 1/HHI — the squared-share
+    counterpart of the Gini/Pareto family (Gini ranks items, Pareto
+    counts whales, HHI measures market power; all three are log-free
+    by design). → (nation, n_suppliers, total_revenue, hhi,
+    effective_suppliers).
+
+    Determinism (the SHARE-SPACE device): per-supplier revenue is the
+    exact DECIMAL(27,6) sum of the bit-identical double expression.
+    Raw decimal squares would overflow int128 at this fixture's
+    magnitudes (rev² ~ 10^27 · 10^6 scale), so the squares run in
+    SHARE space instead — share = revᵢ/R is one IEEE division over
+    string-routed decimals, share² ≤ 1, and Σshare² is the
+    order-independent SUM over CAST(share² AS DECIMAL(27,12)):
+    the scaled value stays < 10^12, WELL inside the r14 safe boundary
+    where Spark's string-routed and DuckDB's binary double→decimal
+    roundings agree — the _dsum device at its documented safe scale.
+    HHI ≡ Σshare² by definition (no division after the sum), and
+    the 10^-12 term rounding is the DEFINED semantic on both
+    engines (HHI error ≤ |suppliers|·10^-12 — ≤10^-5 even at 10^7
+    suppliers per nation). ⇒ bit-exact at ANY revenue magnitude.
+
+    Scale: ONE suppkey aggregate over lineitem (map-side partials),
+    the supplier→nation attach broadcasts, |suppliers|-row share
+    arithmetic against a |nations|-row broadcast total, |nations|-row
+    output. Per-supplier sums are additive ⇒ the streaming
+    complete-mode twin is the customer_spend pattern verbatim."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        .alias("rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_supp = (li.join(F.broadcast(s),
+                        li["l_suppkey"] == s["s_suppkey"])
+                .groupBy("s_nationkey", "s_suppkey")
+                .agg(F.sum(F.col("rev").cast("decimal(27,6)"))
+                     .alias("srev")))
+    totals = (per_supp.groupBy("s_nationkey")
+              .agg(F.count("*").alias("n_suppliers"),
+                   F.sum("srev").alias("total_rev")))
+    share = _dstr("srev") / _dstr("total_rev")
+    agg = (per_supp.join(F.broadcast(totals), "s_nationkey")
+           .withColumn("sq", (share * share).cast("decimal(27,12)"))
+           .groupBy("s_nationkey", "n_suppliers", "total_rev")
+           .agg(F.sum("sq").alias("hhi_sum")))
+    hhi = _dstr("hhi_sum")
+    out = agg.join(F.broadcast(n),
+                   agg["s_nationkey"] == n["n_nationkey"])
+    return out.select(
+        F.col("n_name").alias("nation"),
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        _dstr("total_rev").alias("total_revenue"),
+        F.when(F.col("total_rev") > 0, hhi).alias("hhi"),
+        F.when((F.col("total_rev") > 0) & (F.col("hhi_sum") > 0),
+               F.lit(1.0) / hhi).alias("effective_suppliers"))
+
+
+def lineitem_qty_price_spearman(spark, sf_dir):
+    """Tie-aware exact Spearman rank correlation between quantity and
+    extended price (operators/lm_quality.py::spearman_from_pairs —
+    average ranks on the doubled-rank integer grid, Pearson over the
+    (x, y) pair histogram). The monotone-association counterpart of
+    the exact-moments Pearson family: rank transforms are outlier-
+    robust and capture nonlinear monotone dependence. → ONE row
+    (n_rows, spearman_rho).
+
+    Determinism: doubled average ranks are exact BIGINTs from the
+    value histograms; every moment is an exact DECIMAL(38,0) integer
+    sum; the finisher replicates the shared Pearson op order ⇒
+    bit-exact. Scale: three map-side-combined histograms (x, y,
+    pair); rank maps are value-DOMAIN-sized broadcasts (quantity has
+    ~50 values, price ~cents domain), never row-scale windows."""
+    from ..operators.lm_quality import spearman_from_pairs
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice")
+    return spearman_from_pairs(li, "l_quantity", "l_extendedprice")
+
+
+def orders_daily_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of daily order revenue — the
+    memory-of-yesterday readout over the day-grain revenue series
+    (is demand momentum real, or is each day independent?), the
+    time-series completion of the exact-moments correlation family.
+    Pairs are consecutive calendar days both present in the series.
+    → ONE row (n_pairs, lag1_autocorr).
+
+    Determinism (the NORMALIZED-DOUBLE device): day revenue is an
+    exact DECIMAL(27,6) sum keyed on epoch-day integers; lagged
+    pairs come from an integer self-join (day = day+1). Raw decimal
+    squares would overflow at this fixture's magnitudes (day revenue
+    ~10^12 ⇒ Σx² ~10^28 past the (38,12) sum capacity), so the
+    moment terms run on x = str(rev)/10^9 — one correctly-rounded
+    string parse plus one IEEE division, bit-identical on both
+    engines, and correlation is invariant to the common scaling.
+    Each term (x², y², x·y ~ 10^6) enters the order-independent sum
+    through CAST(term AS DECIMAL(27,6)) — scaled < 10^15, inside
+    the r14 safe double→decimal boundary — and the finisher is the
+    shared Pearson fixed IEEE tree ⇒ bit-exact at any magnitude.
+
+    Scale: ONE day-grain aggregate over orders (map-side partials —
+    |days| rows out), then a |days|-row self-join and a 1-row
+    moment aggregate: everything after the first shuffle is
+    calendar-sized, never data-sized."""
+    day0 = F.lit("1970-01-01").cast("date")
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate").cast("date"), day0).alias("d"),
+        "o_totalprice")
+    per_day = (o.groupBy("d")
+               .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+                    .alias("rev")))
+    nxt = per_day.select((F.col("d") - 1).alias("d"),
+                         F.col("rev").alias("rev_next"))
+    pairs = (per_day.join(nxt, "d")
+             .select((_dstr("rev") / F.lit(1.0e9)).alias("x"),
+                     (_dstr("rev_next") / F.lit(1.0e9)).alias("y")))
+    d27 = "decimal(27,6)"
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(d27)).alias("sx"),
+        F.sum(F.col("y").cast(d27)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d27)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d27)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d27)).alias("sxy"))
+    nD = F.col("n").cast("double")
+    cov = (_dstr("sxy") / nD
+           - (_dstr("sx") / nD) * (_dstr("sy") / nD))
+    vx = (_dstr("sxx") / nD
+          - (_dstr("sx") / nD) * (_dstr("sx") / nD))
+    vy = (_dstr("syy") / nD
+          - (_dstr("sy") / nD) * (_dstr("sy") / nD))
+    return m.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.when((F.col("n") > 1) & (vx > 0) & (vy > 0),
+               cov / F.sqrt(vx * vy)).alias("lag1_autocorr"))
+
+
+def customer_sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-Neighborhood entity resolution over customer names
+    (operators/dedup.py::sorted_neighborhood_pairs — the THIRD
+    candidate-bounding strategy next to key blocking and LSH
+    banding): rank-adjacent name pairs within a 5-row window of the
+    (c_name, c_custkey) sort order, verified at Levenshtein ≤ 2.
+    Catches near-duplicates that share no block key but sort
+    together. → ONE row (n_candidates, n_matches,
+    mean_match_distance).
+
+    Determinism: ranks are exact BIGINTs over a total order, the
+    candidate set is rank arithmetic, Levenshtein is the classic DP
+    (integer, identical in both engines), and the mean is one
+    integer-sum division ⇒ bit-exact.
+
+    Scale: ranks come from the CHUNKED row_number (carry-ledger
+    composition — chunk on the name's digit prefix, prefix-monotone
+    along the sort order; no single-task corpus sort) and candidates
+    from 5 integer rank equi-joins — candidate count is 5n, never
+    O(n²); the banded Levenshtein (threshold arg) bounds verify cost
+    per pair."""
+    from ..operators.dedup import sorted_neighborhood_pairs
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = sorted_neighborhood_pairs(
+        c, "c_name", "c_custkey", window=5,
+        chunk_expr=F.substring(F.col("c_name"), 10, 3))
+    d = F.levenshtein(F.col("a_key"), F.col("b_key"))
+    scored = pairs.select(
+        d.alias("dist"))
+    hit = (F.col("dist") <= 2).cast("int")
+    agg = scored.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(hit).alias("n_matches"),
+        F.sum(F.col("dist") * hit).alias("dsum"))
+    return agg.select(
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("n_matches").cast("bigint").alias("n_matches"),
+        F.when(F.col("n_matches") > 0,
+               F.col("dsum").cast("double")
+               / F.col("n_matches").cast("double"))
+        .alias("mean_match_distance"))
+
+
+def orders_open_backlog_days(spark, sf_dir):
+    """Open-order backlog over time — the sweep-line interval-count
+    operator: each order is open from its order date to its LAST
+    lineitem ship date; emit the number of concurrently-open orders
+    at every day the count changes. The classic "concurrent
+    intervals" readout (capacity planning, WIP monitoring) and a NEW
+    plan family: ±1 boundary events + a running sum, not a join.
+    → (day_num, n_open) at change-point days.
+
+    Determinism: dates reduce to epoch-day integers; deltas and the
+    running count are exact BIGINT sums over the (day) total order ⇒
+    bit-exact. Scale: ONE orderkey aggregate over lineitem (map-side
+    max), an orders key join, then ALL arithmetic runs on the
+    |calendar days|-row delta table (two rows per order collapse
+    map-side into per-day deltas): the cumulative window is
+    calendar-sized (~2.5k rows), never data-sized — the
+    weighted-sampler chunked carry applies verbatim if a calendar
+    ever outgrows one task."""
+    day0 = F.lit("1970-01-01").cast("date")
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey",
+                  F.datediff(F.col("l_shipdate").cast("date"), day0)
+                  .alias("ship_day"))
+          .groupBy("l_orderkey")
+          .agg(F.max("ship_day").alias("last_ship")))
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey",
+                 F.datediff(F.col("o_orderdate").cast("date"), day0)
+                 .alias("order_day")))
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    starts = j.select(F.col("order_day").alias("day_num"),
+                      F.lit(1).alias("delta"))
+    ends = j.select((F.col("last_ship") + 1).alias("day_num"),
+                    F.lit(-1).alias("delta"))
+    deltas = (starts.unionAll(ends)
+              .groupBy("day_num").agg(F.sum("delta").alias("d"))
+              .filter(F.col("d") != 0))
+    w = (Window.orderBy("day_num")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (deltas.withColumn("n_open", F.sum("d").over(w))
+            .select(F.col("day_num").cast("bigint").alias("day_num"),
+                    F.col("n_open").cast("bigint").alias("n_open")))

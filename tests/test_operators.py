@@ -4358,3 +4358,84 @@ def test_weighted_sample_chunked_equals_global_window(spark):
         if "Sort [h" in line and "chunk" not in line:
             raise AssertionError(
                 f"global (unchunked) corpus sort survives: {line}")
+
+
+def test_sorted_neighborhood_rank_equals_global(spark):
+    """r15: the SNM operator's chunked ranks must be IDENTICAL to the
+    global row_number over the same (key, id) total order (counting
+    is associative; the chunk expr is prefix-monotone), and the pair
+    set must be exactly the rank-window pairs."""
+    from market_data_ingestor_go_spark.operators.dedup import (
+        sorted_neighborhood_pairs)
+
+    c = load_table(spark, "/root/testdata/sf0.001", "customer") \
+        .select("c_custkey", "c_name")
+    pairs = sorted_neighborhood_pairs(
+        c, "c_name", "c_custkey", window=3,
+        chunk_expr=F.substring(F.col("c_name"), 10, 2))
+    got = sorted((r.a_id, r.b_id) for r in pairs.collect())
+
+    w = Window.orderBy("c_name", "c_custkey")
+    r = c.withColumn("rn", F.row_number().over(w))
+    a = r.select(F.col("c_custkey").alias("a_id"),
+                 F.col("rn").alias("ra"))
+    b = r.select(F.col("c_custkey").alias("b_id"),
+                 F.col("rn").alias("rb"))
+    want = sorted((x.a_id, x.b_id) for x in
+                  a.join(b, (b["rb"] > a["ra"])
+                         & (b["rb"] <= a["ra"] + 3)).collect())
+    assert got == want and len(got) > 0
+
+    # rank equality itself (not just the pair set)
+    ranked = sorted((r2.a_id, r2.a_rank) for r2 in
+                    pairs.select("a_id", "a_rank").distinct().collect())
+    want_rk = {x.a_id: x.ra for x in a.collect()}
+    for cid, rk in ranked:
+        assert want_rk[cid] == rk
+
+
+def test_spearman_matches_python_reference(spark):
+    """r15: spearman_from_pairs must agree with a direct exact-
+    Fraction tie-aware Spearman (average ranks) on a crafted
+    tie-heavy fixture, to float precision."""
+    from fractions import Fraction
+    import math
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        spearman_from_pairs)
+
+    data = [(1, 10.0), (1, 12.0), (2, 12.0), (2, 15.0), (3, 15.0),
+            (3, 15.0), (4, 9.0), (5, 20.0), (5, 20.0), (2, 10.0)]
+    df = spark.createDataFrame(data, ["x", "y"])
+    got = spearman_from_pairs(df, "x", "y").collect()[0]
+    assert got.n_rows == len(data)
+
+    def avg_ranks(vals):
+        s = sorted(vals)
+        pos = {}
+        for i, v in enumerate(s, start=1):
+            pos.setdefault(v, []).append(i)
+        return {v: Fraction(sum(ps), len(ps)) for v, ps in pos.items()}
+
+    rx = avg_ranks([x for x, _ in data])
+    ry = avg_ranks([y for _, y in data])
+    xs = [rx[x] for x, _ in data]
+    ys = [ry[y] for _, y in data]
+    n = len(data)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / n
+    vx = sum((a - mx) ** 2 for a in xs) / n
+    vy = sum((b - my) ** 2 for b in ys) / n
+    ref = float(cov) / math.sqrt(float(vx) * float(vy))
+    assert abs(got.spearman_rho - ref) < 1e-12, (got.spearman_rho, ref)
+
+
+def test_open_backlog_invariants(spark):
+    """r15: the sweep-line backlog must start from zero deltas, never
+    go negative, and drain to exactly zero after the last end
+    boundary (every +1 is matched by a −1)."""
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+
+    rows = ALL_QUERIES["orders_open_backlog_days"](
+        spark, "/root/testdata/sf0.001").orderBy("day_num").collect()
+    assert rows and all(r.n_open >= 0 for r in rows)
+    assert rows[-1].n_open == 0
