@@ -1553,3 +1553,44 @@ def spearman_from_pairs(df: DataFrame, x_col: str, y_col: str
         F.col("n").cast("bigint").alias("n_rows"),
         F.when((F.col("n") > 1) & (vx > 0) & (vy > 0), rho)
         .alias("spearman_rho"))
+
+
+def hour_counts(df: DataFrame, type_col: str = "event_type",
+                ts_ms_col: str = "ts_ms") -> DataFrame:
+    """(type, hour-of-day, count) histogram — the sufficient
+    statistics behind the hourly-seasonality χ² readout (r15).
+    Hour from pure epoch arithmetic (timezone-free); plain additive
+    BIGINT counts ⇒ streams complete-mode with |types|·24 rows of
+    state (the benford_digit_counts factoring): streamed state after
+    any micro-batch split is BIT-identical to this batch aggregate,
+    and ``seasonality_from_hour_counts`` finishes from either."""
+    hour = F.expr(f"({ts_ms_col} div 3600000) % 24")
+    return (df.groupBy(F.col(type_col).alias("event_type"),
+                       hour.alias("hour"))
+            .agg(F.count("*").alias("n_h")))
+
+
+def seasonality_from_hour_counts(h: DataFrame) -> DataFrame:
+    """Finisher: per-type (n_events, peak_hour, peak_share,
+    chi2_uniform) from the additive (event_type, hour, n_h) counts —
+    SHARED by the batch events_hourly_seasonality query and the
+    streaming counts twin. χ² against uniform via the
+    24·Σo²/n − n identity (empty cells absorbed); Σo² is an exact
+    DECIMAL(38,0) sum with one string-routed fixed IEEE tree; the
+    peak is max(struct(count, −hour)) — ties break to the SMALLEST
+    hour, a total order ⇒ bit-exact."""
+    nh38 = F.col("n_h").cast("decimal(38,0)")
+    agg = (h.groupBy("event_type")
+           .agg(F.sum("n_h").alias("n"),
+                F.sum(nh38 * nh38).alias("ssq"),
+                F.max(F.struct(F.col("n_h").alias("c"),
+                               (-F.col("hour")).alias("nh")))
+                .alias("pk")))
+    nD = F.col("n").cast("double")
+    chi2 = F.lit(24.0) * _dstr(F.col("ssq")) / nD - nD
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        (-F.col("pk.nh")).cast("bigint").alias("peak_hour"),
+        (F.col("pk.c").cast("double") / nD).alias("peak_share"),
+        chi2.alias("chi2_uniform"))

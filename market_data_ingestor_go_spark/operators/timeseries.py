@@ -1260,3 +1260,57 @@ def pareto_from_spend(spend: DataFrame,
         F.col("n_customers").cast("bigint").alias("n_customers"),
         F.col("k_top10").cast("bigint").alias("k_top10"),
         F.when(F.col("total_spend") > 0, share).alias("top10_share"))
+
+
+def supplier_revenue(df: DataFrame, nation_col: str = "s_nationkey",
+                     supp_col: str = "l_suppkey",
+                     rev_col: str = "rev") -> DataFrame:
+    """Per-(nation, supplier) exact-decimal revenue — the sufficient
+    statistic behind the HHI concentration readout (r15; the
+    customer_spend pattern on a two-level key). Additive DECIMAL
+    sums ⇒ streams complete-mode with |suppliers|-row state:
+    streamed state after any micro-batch split is BIT-identical to
+    this batch aggregate, and ``hhi_from_supplier_revenue`` finishes
+    from either."""
+    return (df.groupBy(F.col(nation_col).alias("s_nationkey"),
+                       F.col(supp_col).alias("l_suppkey"))
+            .agg(F.sum(F.col(rev_col).cast("decimal(27,6)"))
+                 .alias("srev")))
+
+
+def hhi_from_supplier_revenue(per_supp: DataFrame,
+                              nation_dim: DataFrame) -> DataFrame:
+    """Finisher: per-nation (n_suppliers, total_revenue, hhi,
+    effective_suppliers) from the additive (nation, supplier, srev)
+    state plus the (n_nationkey, n_name) dimension — SHARED by the
+    batch nation_supplier_hhi query and the streaming revenue twin.
+    The share-space device: share = srevᵢ/R one IEEE division over
+    string-routed decimals, share² summed through DECIMAL(27,12)
+    (scaled < 10^12, inside the r14 safe boundary), HHI ≡ the sum
+    itself ⇒ bit-exact at any revenue magnitude. The totals side is
+    RE-KEYED under fresh attribute names before the self-join — the
+    retention_from_user_days device, required when the state arrives
+    through a streaming memory-sink view (conflicting-references
+    resolution failure otherwise)."""
+    totals = (per_supp.select(F.col("s_nationkey").alias("nk"),
+                              F.col("srev").alias("srev_t"))
+              .groupBy("nk")
+              .agg(F.count("*").alias("n_suppliers"),
+                   F.sum("srev_t").alias("total_rev")))
+    share = (F.col("srev").cast("string").cast("double")
+             / F.col("total_rev").cast("string").cast("double"))
+    agg = (per_supp.join(F.broadcast(totals),
+                         per_supp["s_nationkey"] == totals["nk"])
+           .withColumn("sq", (share * share).cast("decimal(27,12)"))
+           .groupBy("s_nationkey", "n_suppliers", "total_rev")
+           .agg(F.sum("sq").alias("hhi_sum")))
+    hhi = _dstr_col("hhi_sum")
+    out = agg.join(F.broadcast(nation_dim),
+                   agg["s_nationkey"] == nation_dim["n_nationkey"])
+    return out.select(
+        F.col("n_name").alias("nation"),
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        _dstr_col("total_rev").alias("total_revenue"),
+        F.when(F.col("total_rev") > 0, hhi).alias("hhi"),
+        F.when((F.col("total_rev") > 0) & (F.col("hhi_sum") > 0),
+               F.lit(1.0) / hhi).alias("effective_suppliers"))

@@ -952,25 +952,12 @@ def events_hourly_seasonality(spark, sf_dir):
     SMALLEST hour, a total order ⇒ bit-exact.
 
     Scale: ONE (type, hour) aggregate with map-side partials —
-    |types|·24 rows of state; counts are additive ⇒ the streaming
-    complete-mode twin is the benford_from_counts factoring
-    verbatim."""
+    |types|·24 rows of state; counts are additive and SHARED with
+    the streaming twin (streaming/sketches.py::streaming_hour_counts
+    — the benford_from_counts factoring); the readout finishes from
+    either state via
+    operators/lm_quality.py::seasonality_from_hour_counts."""
+    from ..operators.lm_quality import (hour_counts,
+                                        seasonality_from_hour_counts)
     e = _events(spark, sf_dir)
-    hour = F.expr("(ts_ms div 3600000) % 24")
-    h = (e.groupBy("event_type", hour.alias("hour"))
-         .agg(F.count("*").alias("n_h")))
-    nh38 = F.col("n_h").cast("decimal(38,0)")
-    agg = (h.groupBy("event_type")
-           .agg(F.sum("n_h").alias("n"),
-                F.sum(nh38 * nh38).alias("ssq"),
-                F.max(F.struct(F.col("n_h").alias("c"),
-                               (-F.col("hour")).alias("nh")))
-                .alias("pk")))
-    nD = F.col("n").cast("double")
-    chi2 = F.lit(24.0) * _dstr("ssq") / nD - nD
-    return agg.select(
-        "event_type",
-        F.col("n").cast("bigint").alias("n_events"),
-        (-F.col("pk.nh")).cast("bigint").alias("peak_hour"),
-        (F.col("pk.c").cast("double") / nD).alias("peak_share"),
-        chi2.alias("chi2_uniform"))
+    return seasonality_from_hour_counts(hour_counts(e))

@@ -1242,35 +1242,17 @@ def nation_supplier_hhi(spark, sf_dir):
     arithmetic against a |nations|-row broadcast total, |nations|-row
     output. Per-supplier sums are additive ⇒ the streaming
     complete-mode twin is the customer_spend pattern verbatim."""
+    from ..operators.timeseries import (hhi_from_supplier_revenue,
+                                        supplier_revenue)
     li = _t(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
         .alias("rev"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    per_supp = (li.join(F.broadcast(s),
-                        li["l_suppkey"] == s["s_suppkey"])
-                .groupBy("s_nationkey", "s_suppkey")
-                .agg(F.sum(F.col("rev").cast("decimal(27,6)"))
-                     .alias("srev")))
-    totals = (per_supp.groupBy("s_nationkey")
-              .agg(F.count("*").alias("n_suppliers"),
-                   F.sum("srev").alias("total_rev")))
-    share = _dstr("srev") / _dstr("total_rev")
-    agg = (per_supp.join(F.broadcast(totals), "s_nationkey")
-           .withColumn("sq", (share * share).cast("decimal(27,12)"))
-           .groupBy("s_nationkey", "n_suppliers", "total_rev")
-           .agg(F.sum("sq").alias("hhi_sum")))
-    hhi = _dstr("hhi_sum")
-    out = agg.join(F.broadcast(n),
-                   agg["s_nationkey"] == n["n_nationkey"])
-    return out.select(
-        F.col("n_name").alias("nation"),
-        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
-        _dstr("total_rev").alias("total_revenue"),
-        F.when(F.col("total_rev") > 0, hhi).alias("hhi"),
-        F.when((F.col("total_rev") > 0) & (F.col("hhi_sum") > 0),
-               F.lit(1.0) / hhi).alias("effective_suppliers"))
+    j = li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+    return hhi_from_supplier_revenue(
+        supplier_revenue(j, "s_nationkey", "l_suppkey", "rev"), n)
 
 
 def lineitem_qty_price_spearman(spark, sf_dir):

@@ -355,3 +355,37 @@ def streaming_customer_spend(stream: DataFrame,
     continuous whale-concentration monitoring."""
     from ..operators.timeseries import customer_spend
     return customer_spend(stream, cust_col, price_col)
+
+
+def streaming_supplier_revenue(stream: DataFrame,
+                               supp_col: str = "s_nationkey",
+                               key_col: str = "l_suppkey",
+                               rev_col: str = "rev") -> DataFrame:
+    """Per-(nation, supplier) exact-decimal revenue maintained FROM A
+    STREAM of pre-joined (nation, supplier, revenue) rows — the
+    sufficient statistic behind the HHI concentration readout (r15:
+    the customer_spend pattern on a two-level key). A DECIMAL(27,6)
+    sum is a plain additive aggregate ⇒ streamed complete-mode state
+    after any micro-batch split is BIT-identical to the batch
+    per-supplier aggregate, and ``hhi_from_supplier_revenue``
+    finishes from either — continuous market-power monitoring with
+    |suppliers|-row state."""
+    return (stream.groupBy(F.col(supp_col).alias("s_nationkey"),
+                           F.col(key_col).alias("l_suppkey"))
+            .agg(F.sum(F.col(rev_col).cast("decimal(27,6)"))
+                 .alias("srev")))
+
+
+def streaming_hour_counts(stream: DataFrame,
+                          type_col: str = "event_type",
+                          ts_ms_col: str = "ts_ms") -> DataFrame:
+    """(type, hour-of-day) counts maintained FROM AN EVENT STREAM —
+    the sufficient statistics behind the hourly-seasonality χ²
+    readout (r15: the benford_from_counts factoring). Plain additive
+    BIGINT counts over |types|·24 rows of state ⇒ streamed
+    complete-mode state after any micro-batch split is BIT-identical
+    to the batch (type, hour) aggregate, and
+    ``seasonality_from_hour_counts`` finishes from either —
+    continuous daily-cycle monitoring."""
+    from ..operators.lm_quality import hour_counts
+    return hour_counts(stream, type_col, ts_ms_col)

@@ -3844,3 +3844,105 @@ def test_streaming_customer_spend_equals_batch(spark, tmp_path):
         spark, sf).collect()))
     assert got == want and len(got) > 0
     spark.sql("DROP TABLE IF EXISTS spend_state")
+
+
+def test_streaming_supplier_revenue_equals_batch(spark, tmp_path):
+    """Streaming HHI twin (r15): per-(nation, supplier) decimal
+    revenue sums are plain additive aggregates ⇒ the complete-mode
+    state after a 3-way micro-batch split is BIT-identical to the
+    batch supplier_revenue table, and hhi_from_supplier_revenue over
+    the sink (joined to the nation dim) reproduces the batch
+    nation_supplier_hhi rows."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        hhi_from_supplier_revenue, supplier_revenue)
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_supplier_revenue)
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        .alias("rev"))
+    s = load_table(spark, sf, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    joined = (li.join(s, li["l_suppkey"] == s["s_suppkey"])
+              .select("s_nationkey", "l_suppkey", "rev"))
+    rows = joined.collect()
+    src = str(tmp_path / "hhisrc")
+    os.makedirs(src)
+    for i, chunk in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps({"s_nationkey": r.s_nationkey,
+                                     "l_suppkey": r.l_suppkey,
+                                     "rev": float(r.rev)}) + "\n")
+    stream = (spark.readStream
+              .schema("s_nationkey BIGINT, l_suppkey BIGINT, rev DOUBLE")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(streaming_supplier_revenue(stream),
+                          "hhi_state", str(tmp_path / "c"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.table("hhi_state")
+    want_state = supplier_revenue(joined)
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, want_state.collect()))
+
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    got = sorted(map(tuple,
+                     hhi_from_supplier_revenue(state, n).collect()))
+    want = sorted(map(tuple, ALL_QUERIES["nation_supplier_hhi"](
+        spark, sf).collect()))
+    assert got == want and len(got) > 0
+    spark.sql("DROP TABLE IF EXISTS hhi_state")
+
+
+def test_streaming_hour_counts_equals_batch(spark, tmp_path):
+    """Streaming seasonality twin (r15): (type, hour) counts are
+    plain additive aggregates ⇒ the complete-mode state after a
+    3-way micro-batch split is BIT-identical to the batch
+    hour_counts table, and seasonality_from_hour_counts over the
+    sink reproduces the batch events_hourly_seasonality rows."""
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        hour_counts, seasonality_from_hour_counts)
+    from market_data_ingestor_go_spark.plans.queries import (
+        ALL_QUERIES, _events)
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_hour_counts)
+
+    sf = "/root/testdata/sf0.001"
+    e = _events(spark, sf).select("event_type", "ts_ms")
+    rows = e.collect()
+    src = str(tmp_path / "hoursrc")
+    os.makedirs(src)
+    for i, chunk in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps({"event_type": r.event_type,
+                                     "ts_ms": r.ts_ms}) + "\n")
+    stream = (spark.readStream
+              .schema("event_type STRING, ts_ms BIGINT")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(streaming_hour_counts(stream),
+                          "hour_state", str(tmp_path / "c"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.table("hour_state")
+    want_state = hour_counts(e)
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, want_state.collect()))
+
+    got = sorted(map(tuple,
+                     seasonality_from_hour_counts(state).collect()))
+    want = sorted(map(tuple, ALL_QUERIES["events_hourly_seasonality"](
+        spark, sf).collect()))
+    assert got == want and len(got) > 0
+    spark.sql("DROP TABLE IF EXISTS hour_state")
