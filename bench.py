@@ -359,6 +359,8 @@ HEADLINE = [
     "orders_open_backlog_days",
     # r15: hour-of-day seasonality chi-square (one (type,hour) agg)
     "events_hourly_seasonality",
+    # r15: Kruskal-Wallis k-group rank test (one value histogram)
+    "events_kruskal_value_test",
 ]
 
 

@@ -1594,3 +1594,72 @@ def seasonality_from_hour_counts(h: DataFrame) -> DataFrame:
         (-F.col("pk.nh")).cast("bigint").alias("peak_hour"),
         (F.col("pk.c").cast("double") / nD).alias("peak_share"),
         chi2.alias("chi2_uniform"))
+
+
+def kruskal_from_value_histogram(state: DataFrame) -> DataFrame:
+    """Kruskal–Wallis H test over the additive (g, x, c) value-grain
+    histogram (Kruskal & Wallis 1952): the k-group completion of the
+    two-group Mann–Whitney — rank-based one-way ANOVA, the fourth
+    readout sharing the ONE histogram state (KS drift, Mann–Whitney,
+    χ², now KW). → ONE row (n_total, k_groups, h_statistic,
+    h_tie_corrected).
+
+    Exactness devices (all established): doubled average ranks
+    R2(v) = 2·cum_before + n_v + 1 over the POOLED histogram are
+    exact integers; per-group doubled rank sums R2_g = Σ c_gv·R2(v)
+    are exact DECIMAL sums; the identity
+    H = (N+1)·(12·S − 3) with S = Σ_g w_g·mm_g²,
+    w_g = n_g/N, mm_g = (R2_g/(2n_g))/(N+1) puts every summed term
+    in (0, 1] — summed through DECIMAL(27,12), the HHI share-space
+    device (scaled < 10^12, inside the r14 safe boundary) ⇒
+    magnitude-safe at any N. The tie correction reuses Mann–Whitney's
+    exact Σ(t³−t) integer term: H_c = H / (1 − Σ(t³−t)/(N³−N)).
+
+    Scale: one |values|-row cum window over the pooled histogram
+    (value-domain-sized — the MW spine), one broadcast rank-map
+    join, |groups|-row arithmetic. The rank map derives from the
+    state and joins BACK to it, so it is RE-KEYED under fresh
+    attribute names (the retention_from_user_days device) — required
+    when the state arrives through a streaming memory-sink view."""
+    from pyspark.sql.window import Window as W
+    d38 = "decimal(38,0)"
+    hist = (state.select(F.col("x").alias("xv"), F.col("c").alias("cv"))
+            .groupBy("xv").agg(F.sum("cv").alias("n_v")))
+    w_cum = (W.orderBy("xv")
+             .rowsBetween(W.unboundedPreceding, -1))
+    r2map = (hist.withColumn(
+        "r2", (2 * F.coalesce(F.sum("n_v").over(w_cum), F.lit(0))
+               + F.col("n_v") + 1).cast(d38))
+        .select("xv", "r2"))
+    nv = F.col("n_v").cast(d38)
+    ties = hist.agg(
+        F.sum(nv * nv * nv - nv).alias("tie_term"),
+        F.sum("n_v").alias("n_total"))
+    per_g = (state.join(F.broadcast(r2map),
+                        state["x"] == r2map["xv"])
+             .groupBy("g")
+             .agg(F.sum("c").alias("n_g"),
+                  F.sum(F.col("c").cast(d38) * F.col("r2"))
+                  .alias("r2g")))
+    t = per_g.crossJoin(F.broadcast(ties))
+    n_d = F.col("n_total").cast("double")
+    ng_d = F.col("n_g").cast("double")
+    w_g = ng_d / n_d
+    mm_g = (_dstr(F.col("r2g")) / (F.lit(2.0) * ng_d)) / (n_d + F.lit(1.0))
+    s_agg = (t.withColumn("sq", (w_g * mm_g * mm_g)
+                          .cast("decimal(27,12)"))
+             .groupBy("n_total", "tie_term")
+             .agg(F.count("*").alias("k_groups"),
+                  F.sum("sq").alias("s_sum")))
+    n_d2 = F.col("n_total").cast("double")
+    h = ((n_d2 + F.lit(1.0))
+         * (F.lit(12.0) * _dstr(F.col("s_sum")) - F.lit(3.0)))
+    nt38 = F.col("n_total").cast(d38)
+    nn3 = nt38 * nt38 * nt38 - nt38
+    c_corr = F.lit(1.0) - _dstr(F.col("tie_term")) / _dstr(nn3)
+    ok = (F.col("n_total") > 0) & (F.col("k_groups") > 1)
+    return s_agg.select(
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("k_groups").cast("bigint").alias("k_groups"),
+        F.when(ok, h).alias("h_statistic"),
+        F.when(ok & (c_corr > 0), h / c_corr).alias("h_tie_corrected"))

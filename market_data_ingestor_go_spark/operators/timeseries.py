@@ -1314,3 +1314,38 @@ def hhi_from_supplier_revenue(per_supp: DataFrame,
         F.when(F.col("total_rev") > 0, hhi).alias("hhi"),
         F.when((F.col("total_rev") > 0) & (F.col("hhi_sum") > 0),
                F.lit(1.0) / hhi).alias("effective_suppliers"))
+
+
+def backlog_deltas(intervals: DataFrame,
+                   start_col: str = "order_day",
+                   end_col: str = "last_ship") -> DataFrame:
+    """±1 sweep-line boundary deltas per day from an interval table —
+    the sufficient statistics behind the open-backlog readout (r15).
+    Each interval contributes +1 at its start day and −1 at
+    end day + 1; per-day delta sums are plain additive BIGINTs ⇒
+    streams complete-mode with |calendar days|-row state: streamed
+    state after any micro-batch split is BIT-identical to this batch
+    aggregate, and ``backlog_from_deltas`` finishes from either.
+    Zero-sum days are kept IN the state (a later batch can move them
+    off zero); the finisher drops them."""
+    starts = intervals.select(F.col(start_col).alias("day_num"),
+                              F.lit(1).alias("delta"))
+    ends = intervals.select((F.col(end_col) + 1).alias("day_num"),
+                            F.lit(-1).alias("delta"))
+    return (starts.unionAll(ends)
+            .groupBy("day_num").agg(F.sum("delta").alias("d")))
+
+
+def backlog_from_deltas(deltas: DataFrame) -> DataFrame:
+    """Finisher: (day_num, n_open) at change-point days from the
+    additive per-day delta state — SHARED by the batch
+    orders_open_backlog_days query and the streaming deltas twin.
+    Exact BIGINT running sum over the (day) total order; the window
+    is calendar-sized by construction (the weighted-sampler chunked
+    carry applies verbatim if a calendar ever outgrows one task)."""
+    w = (Window.orderBy("day_num")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (deltas.filter(F.col("d") != 0)
+            .withColumn("n_open", F.sum("d").over(w))
+            .select(F.col("day_num").cast("bigint").alias("day_num"),
+                    F.col("n_open").cast("bigint").alias("n_open")))

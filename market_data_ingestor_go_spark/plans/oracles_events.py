@@ -922,3 +922,70 @@ SELECT a.event_type,
          - CAST(n AS DOUBLE) AS chi2_uniform
 FROM a JOIN pk USING (event_type)
 """
+
+
+# Kruskal-Wallis H over the (g, x, c) value histogram: doubled
+# average ranks exact, per-group rank sums exact decimal, the
+# (N+1)(12S-3) identity keeps summed terms in (0,1] through
+# DECIMAL(27,12) (the HHI share-space device), Mann-Whitney's exact
+# tie term, mirrored op order and guards.
+SQL["events_kruskal_value_test"] = """
+WITH b AS (
+  SELECT event_type AS g, value AS x FROM events
+  WHERE value IS NOT NULL
+), st AS (
+  SELECT g, x, COUNT(*) AS c FROM b GROUP BY g, x
+), hist AS (
+  SELECT x, SUM(c) AS n_v FROM st GROUP BY x
+), r2map AS (
+  SELECT x,
+         CAST(2 * COALESCE(SUM(n_v) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + n_v + 1 AS DECIMAL(18,0)) AS r2
+  FROM hist
+), ties AS (
+  SELECT SUM(CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0))
+             * CAST(n_v AS DECIMAL(12,0))
+             - CAST(n_v AS DECIMAL(12,0))) AS tie_term,
+         SUM(n_v) AS n_total
+  FROM hist
+), per_g AS (
+  SELECT g, SUM(c) AS n_g,
+         SUM(CAST(c AS DECIMAL(13,0)) * r2) AS r2g
+  FROM st JOIN r2map USING (x) GROUP BY g
+), t AS (
+  SELECT per_g.g, per_g.n_g, per_g.r2g, ties.tie_term, ties.n_total
+  FROM per_g CROSS JOIN ties
+), s2 AS (
+  SELECT n_total, tie_term, COUNT(*) AS k_groups,
+         SUM(CAST(
+           CAST(n_g AS DOUBLE) / CAST(n_total AS DOUBLE)
+           * ((CAST(CAST(r2g AS VARCHAR) AS DOUBLE)
+               / (2.0 * CAST(n_g AS DOUBLE)))
+              / (CAST(n_total AS DOUBLE) + 1.0))
+           * ((CAST(CAST(r2g AS VARCHAR) AS DOUBLE)
+               / (2.0 * CAST(n_g AS DOUBLE)))
+              / (CAST(n_total AS DOUBLE) + 1.0))
+           AS DECIMAL(27,12))) AS s_sum
+  FROM t GROUP BY n_total, tie_term
+), f AS (
+  SELECT n_total, tie_term, k_groups,
+         (CAST(n_total AS DOUBLE) + 1.0)
+           * (12.0 * CAST(CAST(s_sum AS VARCHAR) AS DOUBLE) - 3.0)
+           AS h,
+         1.0 - CAST(CAST(tie_term AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n_total AS DECIMAL(12,0))
+                          * CAST(n_total AS DECIMAL(12,0))
+                          * CAST(n_total AS DECIMAL(12,0))
+                          - CAST(n_total AS DECIMAL(36,0))
+                          AS VARCHAR) AS DOUBLE) AS c_corr
+  FROM s2
+)
+SELECT CAST(n_total AS BIGINT) AS n_total,
+       CAST(k_groups AS BIGINT) AS k_groups,
+       CASE WHEN n_total > 0 AND k_groups > 1 THEN h END
+         AS h_statistic,
+       CASE WHEN n_total > 0 AND k_groups > 1 AND c_corr > 0
+            THEN h / c_corr END AS h_tie_corrected
+FROM f
+"""

@@ -64,7 +64,8 @@ from .queries_events import (  # noqa: F401
     events_cusum_bucketed, events_cusum_changepoint, events_drawdown,
     events_ewma_chunked, events_ewma_smooth, events_funnel_conversion,
     events_gapfill_interpolate, events_gapfill_locf,
-    events_hourly_seasonality, events_mad_outliers,
+    events_hourly_seasonality, events_kruskal_value_test,
+    events_mad_outliers,
     events_mannwhitney_value_test, events_markov_transitions,
     events_motif_search, events_moving_stats, events_ohlc_bars,
     events_pair_correlation, events_rfm_segments,
@@ -465,6 +466,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_sorted_neighborhood_pairs": customer_sorted_neighborhood_pairs,
     "orders_open_backlog_days": orders_open_backlog_days,
     "events_hourly_seasonality": events_hourly_seasonality,
+    "events_kruskal_value_test": events_kruskal_value_test,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -746,6 +748,7 @@ ROTATION_CANDIDATES_R15: list[str] = [
     "customer_sorted_neighborhood_pairs",  # added r15, oracle same commit
     "orders_open_backlog_days",       # added r15, oracle added same commit
     "events_hourly_seasonality",      # added r15, oracle added same commit
+    "events_kruskal_value_test",      # added r15, oracle added same commit
 ]
 
 

@@ -961,3 +961,30 @@ def events_hourly_seasonality(spark, sf_dir):
                                         seasonality_from_hour_counts)
     e = _events(spark, sf_dir)
     return seasonality_from_hour_counts(hour_counts(e))
+
+
+def events_kruskal_value_test(spark, sf_dir):
+    """Kruskal–Wallis H across ALL event types' value distributions
+    (operators/lm_quality.py::kruskal_from_value_histogram, Kruskal &
+    Wallis 1952): the k-group completion of the two-group
+    Mann–Whitney — "do the event types draw their values from the
+    same distribution?" as a rank test, robust to the value scale.
+    → ONE row (n_total, k_groups, h_statistic, h_tie_corrected).
+
+    Determinism: everything runs on the (type, value, count)
+    histogram — doubled average ranks are exact integers, per-group
+    rank sums exact decimal, the (N+1)(12S−3) identity keeps every
+    summed term in (0,1] through DECIMAL(27,12) (the HHI share-space
+    device), the tie term is Mann–Whitney's exact Σ(t³−t) ⇒
+    bit-exact. Scale: ONE histogram shuffle with map-side partials;
+    the cum window is value-domain-sized (the MW spine). The (g, x,
+    c) state is the SAME additive table streaming_value_histogram
+    maintains — one state, FOUR continuous readouts (KS, MW, χ²,
+    KW), readout shared via kruskal_from_value_histogram."""
+    from ..operators.lm_quality import kruskal_from_value_histogram
+    e = (_events(spark, sf_dir)
+         .filter(F.col("value").isNotNull()))
+    state = (e.groupBy(F.col("event_type").alias("g"),
+                       F.col("value").alias("x"))
+             .agg(F.count("*").alias("c")))
+    return kruskal_from_value_histogram(state)

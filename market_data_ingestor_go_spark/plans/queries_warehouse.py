@@ -1406,16 +1406,8 @@ def orders_open_backlog_days(spark, sf_dir):
          .select("o_orderkey",
                  F.datediff(F.col("o_orderdate").cast("date"), day0)
                  .alias("order_day")))
+    from ..operators.timeseries import (backlog_deltas,
+                                        backlog_from_deltas)
     j = o.join(li, o["o_orderkey"] == li["l_orderkey"])
-    starts = j.select(F.col("order_day").alias("day_num"),
-                      F.lit(1).alias("delta"))
-    ends = j.select((F.col("last_ship") + 1).alias("day_num"),
-                    F.lit(-1).alias("delta"))
-    deltas = (starts.unionAll(ends)
-              .groupBy("day_num").agg(F.sum("delta").alias("d"))
-              .filter(F.col("d") != 0))
-    w = (Window.orderBy("day_num")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (deltas.withColumn("n_open", F.sum("d").over(w))
-            .select(F.col("day_num").cast("bigint").alias("day_num"),
-                    F.col("n_open").cast("bigint").alias("n_open")))
+    return backlog_from_deltas(
+        backlog_deltas(j, "order_day", "last_ship"))

@@ -389,3 +389,19 @@ def streaming_hour_counts(stream: DataFrame,
     continuous daily-cycle monitoring."""
     from ..operators.lm_quality import hour_counts
     return hour_counts(stream, type_col, ts_ms_col)
+
+
+def streaming_backlog_deltas(stream: DataFrame,
+                             start_col: str = "order_day",
+                             end_col: str = "last_ship") -> DataFrame:
+    """Sweep-line boundary deltas maintained FROM A STREAM of
+    interval rows — the transform is SHARED with the batch form
+    (``operators/timeseries.py::backlog_deltas``: ±1 per-day delta
+    sums are plain additive aggregates ⇒ streamed complete-mode
+    state after any micro-batch split is BIT-identical to the batch
+    aggregate), and the open-backlog readout finishes from the
+    |calendar days|-row sink at read time via
+    ``backlog_from_deltas`` (r15) — continuous WIP/backlog
+    monitoring with calendar-sized state."""
+    from ..operators.timeseries import backlog_deltas
+    return backlog_deltas(stream, start_col, end_col)

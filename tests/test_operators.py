@@ -4439,3 +4439,36 @@ def test_open_backlog_invariants(spark):
         spark, "/root/testdata/sf0.001").orderBy("day_num").collect()
     assert rows and all(r.n_open >= 0 for r in rows)
     assert rows[-1].n_open == 0
+
+
+def test_kruskal_matches_python_reference(spark):
+    """r15: kruskal_from_value_histogram must agree with a direct
+    exact-Fraction Kruskal-Wallis (average ranks, tie correction) on
+    a crafted tie-heavy 3-group fixture, to float precision."""
+    from fractions import Fraction
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        kruskal_from_value_histogram)
+
+    data = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0),
+            ("b", 5.0), ("c", 5.0), ("c", 5.0), ("c", 7.0), ("a", 7.0)]
+    df = spark.createDataFrame(data, ["g", "x"])
+    state = df.groupBy("g", "x").agg(F.count("*").alias("c"))
+    got = kruskal_from_value_histogram(state).collect()[0]
+    assert got.n_total == len(data) and got.k_groups == 3
+
+    vals = sorted(v for _, v in data)
+    pos = {}
+    for i, v in enumerate(vals, start=1):
+        pos.setdefault(v, []).append(i)
+    rk = {v: Fraction(sum(ps), len(ps)) for v, ps in pos.items()}
+    n = len(data)
+    groups = {}
+    for g, v in data:
+        groups.setdefault(g, []).append(rk[v])
+    h = (Fraction(12, n * (n + 1))
+         * sum(sum(rs) ** 2 / Fraction(len(rs)) for rs in groups.values())
+         - 3 * (n + 1))
+    ties = sum(len(ps) ** 3 - len(ps) for ps in pos.values())
+    c = 1 - Fraction(ties, n ** 3 - n)
+    assert abs(got.h_statistic - float(h)) < 1e-9
+    assert abs(got.h_tie_corrected - float(h / c)) < 1e-9

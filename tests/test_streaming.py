@@ -3946,3 +3946,102 @@ def test_streaming_hour_counts_equals_batch(spark, tmp_path):
         spark, sf).collect()))
     assert got == want and len(got) > 0
     spark.sql("DROP TABLE IF EXISTS hour_state")
+
+
+def test_streaming_kruskal_readout_equals_batch(spark, tmp_path):
+    """r15: the Kruskal-Wallis readout over the streamed (g, x, c)
+    value-histogram state must equal the batch
+    events_kruskal_value_test row — the FOURTH readout from the one
+    histogram state (KS, Mann-Whitney, chi-square, now KW)."""
+    from market_data_ingestor_go_spark.operators.lm_quality import (
+        kruskal_from_value_histogram)
+    from market_data_ingestor_go_spark.plans.queries import (
+        ALL_QUERIES, _events)
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_value_histogram)
+
+    sf = "/root/testdata/sf0.001"
+    e = (_events(spark, sf).filter(F.col("value").isNotNull())
+         .select("event_type", "value"))
+    rows = e.collect()
+    src = str(tmp_path / "kwsrc")
+    os.makedirs(src)
+    for i, chunk in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps({"event_type": r.event_type,
+                                     "value": r.value}) + "\n")
+    stream = (spark.readStream
+              .schema("event_type STRING, value DOUBLE")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(
+        streaming_value_histogram(stream, "event_type", "value"),
+        "kw_hist", str(tmp_path / "c"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [tuple(r) for r in kruskal_from_value_histogram(
+        spark.table("kw_hist")).collect()]
+    want = [tuple(r) for r in ALL_QUERIES["events_kruskal_value_test"](
+        spark, sf).collect()]
+    assert got == want and len(got) == 1
+    spark.sql("DROP TABLE IF EXISTS kw_hist")
+
+
+def test_streaming_backlog_deltas_equals_batch(spark, tmp_path):
+    """r15: per-day sweep-line delta sums are plain additive
+    aggregates ⇒ the complete-mode state after a 3-way micro-batch
+    split is BIT-identical to the batch backlog_deltas table, and
+    backlog_from_deltas over the sink reproduces the batch
+    orders_open_backlog_days rows."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        backlog_deltas, backlog_from_deltas)
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_backlog_deltas)
+
+    sf = "/root/testdata/sf0.001"
+    day0 = F.lit("1970-01-01").cast("date")
+    li = (load_table(spark, sf, "lineitem")
+          .select("l_orderkey",
+                  F.datediff(F.col("l_shipdate").cast("date"), day0)
+                  .alias("ship_day"))
+          .groupBy("l_orderkey")
+          .agg(F.max("ship_day").alias("last_ship")))
+    o = (load_table(spark, sf, "orders")
+         .select("o_orderkey",
+                 F.datediff(F.col("o_orderdate").cast("date"), day0)
+                 .alias("order_day")))
+    j = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+         .select("order_day", "last_ship"))
+    rows = j.collect()
+    src = str(tmp_path / "blsrc")
+    os.makedirs(src)
+    for i, chunk in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps({"order_day": r.order_day,
+                                     "last_ship": r.last_ship}) + "\n")
+    stream = (spark.readStream
+              .schema("order_day BIGINT, last_ship BIGINT")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(streaming_backlog_deltas(stream),
+                          "bl_state", str(tmp_path / "c"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.table("bl_state")
+    want_state = backlog_deltas(j)
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, want_state.collect()))
+
+    got = sorted(map(tuple, backlog_from_deltas(state).collect()))
+    want = sorted(map(tuple, ALL_QUERIES["orders_open_backlog_days"](
+        spark, sf).collect()))
+    assert got == want and len(got) > 0
+    spark.sql("DROP TABLE IF EXISTS bl_state")
