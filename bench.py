@@ -361,6 +361,10 @@ HEADLINE = [
     "events_hourly_seasonality",
     # r15: Kruskal-Wallis k-group rank test (one value histogram)
     "events_kruskal_value_test",
+    # r15: Theil-Sen robust trend (calendar^2 pair median)
+    "orders_theilsen_trend",
+    # r15: Wald-Wolfowitz runs test (calendar-sized windows)
+    "orders_revenue_runs_test",
 ]
 
 

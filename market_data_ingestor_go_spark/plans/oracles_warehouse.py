@@ -1065,3 +1065,94 @@ SELECT CAST(day_num AS BIGINT) AS day_num,
             AS BIGINT) AS n_open
 FROM d
 """
+
+
+# Theil-Sen robust trend: exact day-grain decimal sums; each pairwise
+# slope is one string-routed decimal-difference parse + one IEEE
+# division; the median is the exact lower-median ELEMENT over the
+# (slope, da, db) total order.
+SQL["orders_theilsen_trend"] = """
+WITH pd AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev
+  FROM orders GROUP BY 1
+), pr AS (
+  SELECT a.d AS da, b.d AS db,
+         CAST(CAST(b.rev - a.rev AS VARCHAR) AS DOUBLE)
+           / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM pd a JOIN pd b ON a.d < b.d
+), r AS (
+  SELECT slope,
+         row_number() OVER (ORDER BY slope, da, db) AS rk,
+         COUNT(*) OVER () AS np
+  FROM pr
+), nd AS (SELECT COUNT(*) AS n_days FROM pd)
+SELECT CAST(nd.n_days AS BIGINT) AS n_days,
+       CAST(MAX(np) AS BIGINT) AS n_pairs,
+       MAX(CASE WHEN rk = (np + 1) // 2 THEN slope END)
+         AS theilsen_slope
+FROM r CROSS JOIN nd
+GROUP BY nd.n_days
+"""
+
+
+# Wald-Wolfowitz runs test: exact lower-median element, exact tie
+# exclusion on decimal equality, integer runs count, exact DECIMAL
+# products + string hops into one fixed IEEE z tree.
+SQL["orders_revenue_runs_test"] = """
+WITH pd AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev
+  FROM orders GROUP BY 1
+), rkd AS (
+  SELECT d, rev,
+         row_number() OVER (ORDER BY rev, d) AS rk,
+         COUNT(*) OVER () AS n
+  FROM pd
+), med AS (
+  SELECT rev AS m FROM rkd WHERE rk = (n + 1) // 2
+), s AS (
+  SELECT d, pd.rev > med.m AS up
+  FROM pd CROSS JOIN med
+  WHERE pd.rev != med.m
+), b AS (
+  SELECT up,
+         CASE WHEN lag(up) OVER (ORDER BY d) IS NULL
+                OR up != lag(up) OVER (ORDER BY d)
+              THEN 1 ELSE 0 END AS brk
+  FROM s
+), a AS (
+  SELECT COUNT(*) AS n_used,
+         SUM(CASE WHEN up THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN up THEN 0 ELSE 1 END) AS n2,
+         SUM(brk) AS n_runs
+  FROM b
+), f AS (
+  SELECT n_used, n1, n2, n_runs,
+         CAST(2 AS DECIMAL(2,0)) * CAST(n1 AS DECIMAL(6,0))
+           * CAST(n2 AS DECIMAL(6,0)) AS two_n1n2,
+         CAST(n_used AS DECIMAL(7,0)) AS n38
+  FROM a
+)
+SELECT CAST(n_used AS BIGINT) AS n_days_used,
+       CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below,
+       CAST(n_runs AS BIGINT) AS n_runs,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n_used > 1
+             AND CAST(CAST(two_n1n2 * (two_n1n2 - n38) AS VARCHAR)
+                      AS DOUBLE)
+               / CAST(CAST(n38 * n38 * (n38 - CAST(1 AS DECIMAL(2,0)))
+                           AS VARCHAR) AS DOUBLE) > 0
+       THEN (CAST(n_runs AS DOUBLE)
+             - (1.0 + CAST(CAST(two_n1n2 AS VARCHAR) AS DOUBLE)
+                      / CAST(n_used AS DOUBLE)))
+            / sqrt(CAST(CAST(two_n1n2 * (two_n1n2 - n38) AS VARCHAR)
+                        AS DOUBLE)
+                   / CAST(CAST(n38 * n38
+                               * (n38 - CAST(1 AS DECIMAL(2,0)))
+                               AS VARCHAR) AS DOUBLE))
+       END AS z_score
+FROM f
+"""

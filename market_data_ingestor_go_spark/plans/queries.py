@@ -37,6 +37,7 @@ from .queries_warehouse import (  # noqa: F401
     distinct_rollup_hll, fk_orphan_audit, fuzzy_name_block_join,
     lineitem_qty_price_spearman, nation_supplier_hhi,
     orders_daily_autocorr, orders_open_backlog_days,
+    orders_revenue_runs_test, orders_theilsen_trend,
     interval_overlap_shipments, lineitem_price_qty_corr, order_limit_topk,
     orders_benford_test, orders_by_year, orders_cohort_matrix,
     orders_dq_profile, orders_dq_profile_approx, orders_fulfillment_lag,
@@ -467,6 +468,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_open_backlog_days": orders_open_backlog_days,
     "events_hourly_seasonality": events_hourly_seasonality,
     "events_kruskal_value_test": events_kruskal_value_test,
+    "orders_theilsen_trend": orders_theilsen_trend,
+    "orders_revenue_runs_test": orders_revenue_runs_test,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -749,6 +752,8 @@ ROTATION_CANDIDATES_R15: list[str] = [
     "orders_open_backlog_days",       # added r15, oracle added same commit
     "events_hourly_seasonality",      # added r15, oracle added same commit
     "events_kruskal_value_test",      # added r15, oracle added same commit
+    "orders_theilsen_trend",          # added r15, oracle added same commit
+    "orders_revenue_runs_test",       # added r15, oracle added same commit
 ]
 
 

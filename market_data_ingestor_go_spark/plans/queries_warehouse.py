@@ -1411,3 +1411,115 @@ def orders_open_backlog_days(spark, sf_dir):
     j = o.join(li, o["o_orderkey"] == li["l_orderkey"])
     return backlog_from_deltas(
         backlog_deltas(j, "order_day", "last_ship"))
+
+
+def orders_theilsen_trend(spark, sf_dir):
+    """Theil–Sen robust trend of daily revenue (Theil 1950, Sen
+    1968): the MEDIAN of all pairwise slopes over the day-grain
+    revenue series — the outlier-robust counterpart of the OLS slope
+    (events_trend_slope family): a handful of blowout days cannot
+    move it. → ONE row (n_days, n_pairs, theilsen_slope).
+
+    Determinism: day revenue is an exact DECIMAL(27,6) sum; each
+    pairwise slope is ONE string-routed subtraction parse + one IEEE
+    division (identical trees both engines); the median is the exact
+    lower-median ELEMENT at rank (n+1) div 2 over the (slope, da,
+    db) total order — an element, not an average ⇒ bit-exact.
+
+    Scale: ONE day-grain aggregate touches orders; the pair join and
+    the rank window are CALENDAR²-sized (~3M pairs for 7 years) —
+    data-independent, the deliberate trade of the robust estimator
+    (at 100 TB the pair count is unchanged; the documented
+    sampled-pairs variant applies only past decade-scale calendars)."""
+    day0 = F.lit("1970-01-01").cast("date")
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate").cast("date"), day0).alias("d"),
+        "o_totalprice")
+    per_day = (o.groupBy("d")
+               .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+                    .alias("rev")))
+    a = per_day.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = per_day.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    pairs = (a.join(b, F.col("da") < F.col("db"))
+             .select("da", "db",
+                     ((F.col("rb") - F.col("ra")).cast("string")
+                      .cast("double")
+                      / (F.col("db") - F.col("da")).cast("double"))
+                     .alias("slope")))
+    w = Window.orderBy("slope", "da", "db")
+    r = (pairs.withColumn("rk", F.row_number().over(w))
+         .withColumn("np", F.count("*").over(Window.partitionBy())))
+    med = F.max(F.when(F.col("rk") == F.expr("(np + 1) div 2"),
+                       F.col("slope")))
+    # n_days as a LAZY 1-row broadcast scalar (the r13
+    # cooccurrence-lift lesson: no eager .count() at plan-build time)
+    nd = per_day.agg(F.count("*").alias("n_days"))
+    return (r.groupBy("np")
+            .agg(med.alias("slope_med"))
+            .crossJoin(F.broadcast(nd))
+            .select(F.col("n_days").cast("bigint").alias("n_days"),
+                    F.col("np").cast("bigint").alias("n_pairs"),
+                    F.col("slope_med").alias("theilsen_slope")))
+
+
+def orders_revenue_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test for randomness of the daily revenue
+    series (Wald & Wolfowitz 1940): is the above/below-median sign
+    sequence random, or does revenue trend/cluster? Days equal to
+    the median are EXCLUDED (the standard treatment). → ONE row
+    (n_days_used, n_above, n_below, n_runs, z_score).
+
+    Determinism: the median is the exact lower-median ELEMENT over
+    the (rev, d) total order (decimal equality is exact, so the tie
+    exclusion is deterministic); the runs count is an exact integer
+    window sum over the day order; μ = 1 + 2·n₁n₂/n and
+    σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) run through exact DECIMAL
+    integer products + string hops into one fixed IEEE z tree
+    (sqrt correctly rounded) ⇒ bit-exact.
+
+    Scale: ONE day-grain aggregate touches orders; every window
+    after is calendar-sized (the backlog-sweep posture)."""
+    day0 = F.lit("1970-01-01").cast("date")
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate").cast("date"), day0).alias("d"),
+        "o_totalprice")
+    per_day = (o.groupBy("d")
+               .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+                    .alias("rev")))
+    w_med = Window.orderBy("rev", "d")
+    ranked = (per_day.withColumn("rk", F.row_number().over(w_med))
+              .withColumn("n", F.count("*").over(Window.partitionBy())))
+    med_row = (ranked.filter(F.col("rk") == F.expr("(n + 1) div 2"))
+               .select(F.col("rev").alias("med")))
+    signed = (per_day.crossJoin(F.broadcast(med_row))
+              .filter(F.col("rev") != F.col("med"))
+              .select("d", (F.col("rev") > F.col("med")).alias("up")))
+    w_ord = Window.orderBy("d")
+    runs = (signed
+            .withColumn("brk", F.when(
+                F.lag("up").over(w_ord).isNull()
+                | (F.col("up") != F.lag("up").over(w_ord)), 1)
+                .otherwise(0)))
+    d38 = "decimal(38,0)"
+    agg = runs.agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.col("up").cast("int")).alias("n1"),
+        F.sum((~F.col("up")).cast("int")).alias("n2"),
+        F.sum("brk").alias("n_runs"))
+    two_n1n2 = (F.lit(2).cast(d38) * F.col("n1").cast(d38)
+                * F.col("n2").cast(d38))
+    n38 = F.col("n_used").cast(d38)
+    var_num = two_n1n2 * (two_n1n2 - n38)
+    var_den = n38 * n38 * (n38 - F.lit(1).cast(d38))
+    nD = F.col("n_used").cast("double")
+    mu = F.lit(1.0) + two_n1n2.cast("string").cast("double") / nD
+    var = (var_num.cast("string").cast("double")
+           / var_den.cast("string").cast("double"))
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n_used") > 1)
+    return agg.select(
+        F.col("n_used").cast("bigint").alias("n_days_used"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        F.col("n_runs").cast("bigint").alias("n_runs"),
+        F.when(ok & (var > 0), z).alias("z_score"))

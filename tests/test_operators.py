@@ -4472,3 +4472,45 @@ def test_kruskal_matches_python_reference(spark):
     c = 1 - Fraction(ties, n ** 3 - n)
     assert abs(got.h_statistic - float(h)) < 1e-9
     assert abs(got.h_tie_corrected - float(h / c)) < 1e-9
+
+
+def test_theilsen_and_runs_match_python_reference(spark, tmp_path):
+    """r15: the Theil-Sen median slope and the runs-test statistics
+    must agree with direct Python computations over the same
+    day-grain series (crafted 12-day fixture with a blowout day and
+    median ties)."""
+    import math
+    import statistics
+
+    days = [(0, 10.0), (1, 12.0), (2, 11.0), (3, 500.0), (4, 13.0),
+            (5, 14.0), (6, 12.5), (7, 15.0), (8, 14.5), (9, 16.0),
+            (10, 13.25), (11, 17.0)]
+    # one order per day with o_totalprice = the day's revenue
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "o_orderdate": [pd.Timestamp("1970-01-01")
+                        + pd.Timedelta(days=d) for d, _ in days],
+        "o_totalprice": [v for _, v in days],
+    })
+    out = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(out + "/orders.parquet")
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+
+    ts = ALL_QUERIES["orders_theilsen_trend"](spark, out).collect()[0]
+    slopes = sorted((v2 - v1) / (d2 - d1)
+                    for i, (d1, v1) in enumerate(days)
+                    for d2, v2 in days[i + 1:])
+    assert ts.n_days == 12 and ts.n_pairs == len(slopes)
+    # exact lower-median element
+    assert ts.theilsen_slope == slopes[(len(slopes) + 1) // 2 - 1]
+
+    rt = ALL_QUERIES["orders_revenue_runs_test"](spark, out).collect()[0]
+    med = sorted(v for _, v in days)[(len(days) + 1) // 2 - 1]
+    signs = [v > med for _, v in days if v != med]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1 = sum(signs); n2 = len(signs) - n1; n = len(signs)
+    mu = 1.0 + 2.0 * n1 * n2 / n
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (n * n * (n - 1.0))
+    assert (rt.n_days_used, rt.n_above, rt.n_below, rt.n_runs) == \
+        (n, n1, n2, runs)
+    assert abs(rt.z_score - (runs - mu) / math.sqrt(var)) < 1e-12
