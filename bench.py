@@ -365,6 +365,8 @@ HEADLINE = [
     "orders_theilsen_trend",
     # r15: Wald-Wolfowitz runs test (calendar-sized windows)
     "orders_revenue_runs_test",
+    # r15: GK fulfillment-lag twin (mergeable aggregate, no window)
+    "orders_fulfillment_lag_approx",
 ]
 
 

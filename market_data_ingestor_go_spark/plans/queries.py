@@ -36,7 +36,8 @@ from .queries_warehouse import (  # noqa: F401
     distinct_count_exact,
     distinct_rollup_hll, fk_orphan_audit, fuzzy_name_block_join,
     lineitem_qty_price_spearman, nation_supplier_hhi,
-    orders_daily_autocorr, orders_open_backlog_days,
+    orders_daily_autocorr, orders_fulfillment_lag_approx,
+    orders_open_backlog_days,
     orders_revenue_runs_test, orders_theilsen_trend,
     interval_overlap_shipments, lineitem_price_qty_corr, order_limit_topk,
     orders_benford_test, orders_by_year, orders_cohort_matrix,
@@ -470,6 +471,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_kruskal_value_test": events_kruskal_value_test,
     "orders_theilsen_trend": orders_theilsen_trend,
     "orders_revenue_runs_test": orders_revenue_runs_test,
+    # r15: GK scale twin of the per-priority rank-window exact form —
+    # rows-only by design (engine-internal sketch; the exact
+    # orders_fulfillment_lag is the oracle-checkable ground truth),
+    # accuracy-contract-tested
+    "orders_fulfillment_lag_approx": orders_fulfillment_lag_approx,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

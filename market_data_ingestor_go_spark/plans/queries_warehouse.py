@@ -1523,3 +1523,41 @@ def orders_revenue_runs_test(spark, sf_dir):
         F.col("n2").cast("bigint").alias("n_below"),
         F.col("n_runs").cast("bigint").alias("n_runs"),
         F.when(ok & (var > 0), z).alias("z_score"))
+
+
+def orders_fulfillment_lag_approx(spark, sf_dir):
+    """GK-sketch twin of orders_fulfillment_lag — the scale swap its
+    exact form documents: per-priority median/p90 via
+    percentile_approx (mergeable GK aggregate with map-side
+    partials) instead of the exact per-priority rank window, so the
+    readout is ONE plain aggregate over the lag rows — no keyed sort
+    serializing a priority through one task. Rows-only BY DESIGN
+    (the sketch is engine-internal; the exact in-rotation
+    orders_fulfillment_lag is the oracle-checkable ground truth);
+    n_orders and the exact-decimal mean MATCH the exact form
+    bit-for-bit, quantile accuracy pinned by
+    tests/test_operators.py::test_fulfillment_lag_approx_accuracy."""
+    day0 = F.lit("1970-01-01").cast("date")
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey",
+                  F.datediff(F.col("l_shipdate").cast("date"), day0)
+                  .alias("ship_day"))
+          .groupBy("l_orderkey")
+          .agg(F.max("ship_day").alias("last_ship")))
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_orderpriority",
+                 F.datediff(F.col("o_orderdate").cast("date"), day0)
+                 .alias("order_day")))
+    j = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+         .select("o_orderpriority",
+                 (F.col("last_ship") - F.col("order_day")).alias("lag")))
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.percentile_approx("lag", 0.5, 10000).cast("bigint")
+                 .alias("median_lag_days"),
+                 F.percentile_approx("lag", 0.9, 10000).cast("bigint")
+                 .alias("p90_lag_days"),
+                 (F.sum(F.col("lag").cast("decimal(27,6)"))
+                  .cast("string").cast("double")
+                  / F.count("*").cast("double"))
+                 .alias("mean_lag_days")))

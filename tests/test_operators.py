@@ -4514,3 +4514,47 @@ def test_theilsen_and_runs_match_python_reference(spark, tmp_path):
     assert (rt.n_days_used, rt.n_above, rt.n_below, rt.n_runs) == \
         (n, n1, n2, runs)
     assert abs(rt.z_score - (runs - mu) / math.sqrt(var)) < 1e-12
+
+
+def test_fulfillment_lag_approx_accuracy(spark):
+    """r15: the GK fulfillment-lag twin's accuracy contract (the
+    conversion-latency pattern): per priority, n and the exact mean
+    must MATCH the exact query bit-for-bit (plain aggregates, not
+    sketched), and each sketched quantile must be a lag value whose
+    exact rank sits within the GK bound of the target rank."""
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+    sf = "/root/testdata/sf0.01"
+    exact = {r.o_orderpriority: r for r in
+             ALL_QUERIES["orders_fulfillment_lag"](spark, sf).collect()}
+    approx = {r.o_orderpriority: r for r in
+              ALL_QUERIES["orders_fulfillment_lag_approx"](
+                  spark, sf).collect()}
+    assert set(exact) == set(approx)
+    day0 = F.lit("1970-01-01").cast("date")
+    li = (load_table(spark, sf, "lineitem")
+          .select("l_orderkey",
+                  F.datediff(F.col("l_shipdate").cast("date"), day0)
+                  .alias("sd"))
+          .groupBy("l_orderkey").agg(F.max("sd").alias("ls")))
+    o = (load_table(spark, sf, "orders")
+         .select("o_orderkey", "o_orderpriority",
+                 F.datediff(F.col("o_orderdate").cast("date"), day0)
+                 .alias("od")))
+    lags = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select("o_orderpriority", (F.col("ls") - F.col("od"))
+                    .alias("lag")))
+    by_p = {}
+    for r in lags.collect():
+        by_p.setdefault(r.o_orderpriority, []).append(r.lag)
+    for p, e in exact.items():
+        a = approx[p]
+        assert a.n_orders == e.n_orders
+        assert a.mean_lag_days == e.mean_lag_days
+        vals = sorted(by_p[p])
+        n = len(vals)
+        eps = n / 10000 + 1
+        for q, got in ((0.5, a.median_lag_days), (0.9, a.p90_lag_days)):
+            lo = sum(1 for v in vals if v < got)
+            hi = sum(1 for v in vals if v <= got)
+            target = q * n
+            assert lo - eps <= target <= hi + eps, (p, q, got)
