@@ -998,3 +998,49 @@ def test_conversion_latency_approx_has_no_window(spark):
     plan = _plan(df)
     assert "Window" not in plan, plan
     assert "percentile_approx" in plan, plan
+
+
+def test_r15_analytics_plans_have_no_cartesian(spark):
+    """The r15 analytics additions: pair/rank machinery must never
+    degrade to a cartesian; the only nested-loop joins are the tiny
+    scalar/calendar-bounded devices (1-row tie/count frames, the
+    Theil-Sen calendar² pair join over a broadcast day series).
+    Pinned per query with the worst acceptable nested-loop count."""
+    budget = {
+        "nation_supplier_hhi": 0,
+        "lineitem_qty_price_spearman": 0,
+        "customer_sorted_neighborhood_pairs": 0,
+        "events_hourly_seasonality": 0,
+        "orders_open_backlog_days": 0,
+        "orders_daily_autocorr": 0,
+        "events_kruskal_value_test": 1,   # 1-row ties scalar frame
+        "orders_revenue_runs_test": 1,    # 1-row median broadcast
+        "orders_theilsen_trend": 2,       # calendar² day-pair join
+                                          # + 1-row n_days scalar
+    }
+    for name, max_bnlj in budget.items():
+        plan = _plan(ALL_QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, (name, plan)
+        n = plan.count("BroadcastNestedLoopJoin")
+        assert n <= max_bnlj, (name, n, plan)
+
+
+def test_fulfillment_lag_approx_has_no_window(spark):
+    """orders_fulfillment_lag_approx: no per-priority rank window —
+    the quantiles come from one mergeable GK aggregate."""
+    df = ALL_QUERIES["orders_fulfillment_lag_approx"](spark, SF)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "percentile_approx" in plan, plan
+
+
+def test_snm_chunked_rank_is_partitioned(spark):
+    """customer_sorted_neighborhood_pairs: the corpus-scale
+    row_number window must partition by the chunk (no global
+    unchunked sort of the name order feeds a window)."""
+    df = ALL_QUERIES["customer_sorted_neighborhood_pairs"](spark, SF)
+    plan = _plan(df)
+    assert "chunk" in plan
+    for line in plan.splitlines():
+        if "Sort [snm_key" in line and "chunk" not in line:
+            raise AssertionError(f"unchunked global sort: {line}")
