@@ -4558,3 +4558,29 @@ def test_fulfillment_lag_approx_accuracy(spark):
             hi = sum(1 for v in vals if v <= got)
             target = q * n
             assert lo - eps <= target <= hi + eps, (p, q, got)
+
+
+def test_sorted_neighborhood_duplicate_keys_and_boundaries(spark):
+    """r15: SNM must behave exactly like the global rank join when
+    keys DUPLICATE (ties ordered by id) and when the window CROSSES
+    chunk boundaries (the carry ledger must make rank-adjacent rows
+    in different chunks pair up)."""
+    from market_data_ingestor_go_spark.operators.dedup import (
+        sorted_neighborhood_pairs)
+
+    rows = [(i, k) for i, k in enumerate(
+        ["aa", "aa", "ab", "ba", "ba", "ba", "bb", "ca", "cb", "cb"])]
+    df = spark.createDataFrame(rows, ["rid", "key"])
+    pairs = sorted_neighborhood_pairs(
+        df, "key", "rid", window=2,
+        chunk_expr=F.substring(F.col("key"), 1, 1))  # chunks a/b/c
+    got = sorted((r.a_id, r.b_id) for r in pairs.collect())
+
+    ordered = sorted(rows, key=lambda t: (t[1], t[0]))
+    want = sorted((ordered[i][0], ordered[j][0])
+                  for i in range(len(ordered))
+                  for j in range(i + 1, min(i + 3, len(ordered))))
+    assert got == want
+    # boundary crossings exist: 'ab'(chunk a) pairs with 'ba'(chunk b)
+    ids = {r[0]: r[1] for r in rows}
+    assert any(ids[a][0] != ids[b][0] for a, b in got)
