@@ -367,6 +367,10 @@ HEADLINE = [
     "orders_revenue_runs_test",
     # r15: GK fulfillment-lag twin (mergeable aggregate, no window)
     "orders_fulfillment_lag_approx",
+    # r15: stratified k-fold summary (one aggregate + tiny broadcast)
+    "docs_stratified_kfold",
+    # r15: reorder-rate per segment (customer lag + segment median)
+    "customer_reorder_rate",
 ]
 
 

@@ -554,3 +554,40 @@ def weighted_systematic_sample(df: DataFrame, weight_col: str,
                     F.col("w").cast("bigint").alias("w"),
                     F.col("cum").cast("bigint").alias("cum_w"),
                     F.col("n_picks").cast("bigint").alias("n_picks")))
+
+
+def kfold_summary(df: DataFrame, strat_col: str = "source",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 5) -> DataFrame:
+    """Stratified k-fold assignment summary — the cross-validation
+    counterpart of the train/val/test split (same deterministic
+    md5-bucket coin, so any engine reproduces the assignment
+    bit-for-bit and a fold never leaks across reruns): fold =
+    md5-bucket(id) mod k, reported per (stratum, fold) with each
+    fold's share of its stratum. → (stratum, fold, n_docs, n_tokens,
+    fold_share).
+
+    Exactness: counts and token sums are exact BIGINTs; the share is
+    one integer division in double ⇒ bit-exact. Scale: ONE
+    (stratum, fold) aggregate with map-side partials (|strata|·k
+    rows out) + a |strata|-row broadcast for the totals; counts are
+    additive ⇒ the streaming complete-mode twin is the
+    benford_from_counts factoring."""
+    from ..functions.text import token_count
+    fold = hash_bucket(F.col(id_col), k)
+    per = (df.groupBy(F.col(strat_col).alias("stratum"),
+                      fold.alias("fold"))
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(token_count(text_col)).alias("n_tokens")))
+    totals = (per.select(F.col("stratum").alias("st"),
+                         F.col("n_docs").alias("nd"))
+              .groupBy("st").agg(F.sum("nd").alias("n_total")))
+    return (per.join(F.broadcast(totals),
+                     per["stratum"] == totals["st"])
+            .select("stratum",
+                    F.col("fold").cast("bigint").alias("fold"),
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    (F.col("n_docs").cast("double")
+                     / F.col("n_total").cast("double"))
+                    .alias("fold_share")))

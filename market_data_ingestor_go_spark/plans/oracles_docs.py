@@ -1782,3 +1782,25 @@ SELECT doc_id, w, CAST(cum AS BIGINT) AS cum_w,
 FROM g
 WHERE (cum * 100) // total - ((cum - w) * 100) // total >= 1
 """
+
+
+# Stratified k-fold: the md5-bucket coin (the _BUCKET device) mod 5,
+# exact BIGINT counts/token sums, one integer division in double.
+SQL["docs_stratified_kfold"] = f"""
+WITH a AS (
+  SELECT source AS stratum,
+         ({_BUCKET.format(n=100)}) % 5 AS fold,
+         {_NTOK} AS ntok
+  FROM documents
+), per AS (
+  SELECT stratum, fold, COUNT(*) AS n_docs, SUM(ntok) AS n_tokens
+  FROM a GROUP BY stratum, fold
+), t AS (
+  SELECT stratum AS st, SUM(n_docs) AS n_total FROM per GROUP BY stratum
+)
+SELECT stratum, CAST(fold AS BIGINT) AS fold,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS fold_share
+FROM per JOIN t ON per.stratum = t.st
+"""

@@ -1156,3 +1156,39 @@ SELECT CAST(n_used AS BIGINT) AS n_days_used,
        END AS z_score
 FROM f
 """
+
+
+# Customer reorder rate: per-customer lag gaps over the (day, key)
+# total order, exact rank-median per segment, one integer division.
+SQL["customer_reorder_rate"] = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS od
+  FROM orders
+), g AS (
+  SELECT o_custkey, o_orderkey,
+         od - lag(od) OVER (PARTITION BY o_custkey
+                            ORDER BY od, o_orderkey) AS gap
+  FROM o
+), j AS (
+  SELECT c_mktsegment, g.o_custkey, g.o_orderkey, gap
+  FROM g JOIN customer ON g.o_custkey = c_custkey
+  WHERE gap IS NOT NULL
+), r AS (
+  SELECT c_mktsegment, gap,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY gap, o_custkey, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM j
+)
+SELECT c_mktsegment,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN gap <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within_30d,
+       CAST(SUM(CASE WHEN gap <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(MAX(n) AS DOUBLE) AS reorder_rate_30d,
+       CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN gap END) AS BIGINT)
+         AS median_gap_days
+FROM r GROUP BY c_mktsegment
+"""

@@ -32,6 +32,7 @@ from .common import (  # noqa: F401
 from .queries_warehouse import (  # noqa: F401
     agg_cube_year_status, agg_orders_stats, agg_rollup,
     approx_distinct_sketch, bloom_semi_join_agg, customer_revenue_pareto,
+    customer_reorder_rate,
     customer_revenue_pareto_approx, customer_sorted_neighborhood_pairs,
     distinct_count_exact,
     distinct_rollup_hll, fk_orphan_audit, fuzzy_name_block_join,
@@ -88,6 +89,7 @@ from .queries_docs import (  # noqa: F401
     doc_quality_signals, doc_repetition_signals, doc_rolling_fingerprint,
     doc_sparse_cosine_neardup, doc_top_terms,
     docs_lang_source_independence, docs_source_lang_diversity,
+    docs_stratified_kfold,
     docs_weighted_sample, dsir_importance_weights, dup_span_extents,
     dup_span_scrub, eval_leak_scrub, eval_leak_spans, hybrid_rrf_ann,
     hybrid_rrf_retrieval, lm_quality_bands, minhash_neardup,
@@ -471,6 +473,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_kruskal_value_test": events_kruskal_value_test,
     "orders_theilsen_trend": orders_theilsen_trend,
     "orders_revenue_runs_test": orders_revenue_runs_test,
+    "docs_stratified_kfold": docs_stratified_kfold,
+    "customer_reorder_rate": customer_reorder_rate,
     # r15: GK scale twin of the per-priority rank-window exact form —
     # rows-only by design (engine-internal sketch; the exact
     # orders_fulfillment_lag is the oracle-checkable ground truth),
@@ -760,6 +764,8 @@ ROTATION_CANDIDATES_R15: list[str] = [
     "events_kruskal_value_test",      # added r15, oracle added same commit
     "orders_theilsen_trend",          # added r15, oracle added same commit
     "orders_revenue_runs_test",       # added r15, oracle added same commit
+    "docs_stratified_kfold",          # added r15, oracle added same commit
+    "customer_reorder_rate",          # added r15, oracle added same commit
 ]
 
 

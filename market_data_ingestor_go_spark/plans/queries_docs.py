@@ -1149,3 +1149,22 @@ def docs_source_lang_diversity(spark, sf_dir):
                 F.col("n_categories").alias("n_langs"),
                 "simpson_lambda",
                 F.col("effective_categories").alias("effective_langs")))
+
+
+def docs_stratified_kfold(spark, sf_dir):
+    """Stratified 5-fold cross-validation assignment over the corpus
+    (operators/training.py::kfold_summary): deterministic md5-bucket
+    folds per source stratum with per-fold doc/token counts and
+    stratum shares — the CV counterpart of the train/val/test split
+    (train_test_split_hash family; the same engine-reproducible coin
+    means folds are stable across reruns and engines). → (stratum,
+    fold, n_docs, n_tokens, fold_share), |sources|·5 rows.
+
+    Determinism: the md5 coin and the counts are exact; one integer
+    division in double ⇒ bit-exact oracle. Scale: ONE aggregate with
+    map-side partials + a |strata|-row broadcast; additive counts ⇒
+    streaming complete-mode twin is the benford_from_counts
+    factoring."""
+    from ..operators.training import kfold_summary
+    d = _t(spark, sf_dir, "documents")
+    return kfold_summary(d, "source", "doc_id", "text", k=5)

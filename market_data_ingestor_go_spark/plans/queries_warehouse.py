@@ -1561,3 +1561,54 @@ def orders_fulfillment_lag_approx(spark, sf_dir):
                   .cast("string").cast("double")
                   / F.count("*").cast("double"))
                  .alias("mean_lag_days")))
+
+
+def customer_reorder_rate(spark, sf_dir):
+    """Customer reorder behavior per market segment: consecutive
+    order pairs per customer (ordered by date with the orderkey
+    tiebreak), the share that reorder within 30 days, and the exact
+    median gap — the repeat-purchase readout next to RFM (stock) and
+    conversion latency (event-grain): does this segment come back,
+    and how fast? → (c_mktsegment, n_pairs, n_within_30d,
+    reorder_rate_30d, median_gap_days).
+
+    Determinism: dates reduce to epoch-day integers; consecutive
+    pairs come from a per-customer lag window over the (day,
+    orderkey) total order; the median is the exact rank-⌈n/2⌉
+    element per segment; the rate is one integer division ⇒
+    bit-exact. Scale: the lag window partitions by CUSTOMER
+    (|customers|-way parallel, never global); the per-segment median
+    rank window runs over |pairs| rows (the quality_floor shape —
+    the GK percentile_approx swap applies verbatim); the segment dim
+    broadcasts."""
+    day0 = F.lit("1970-01-01").cast("date")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), day0)
+        .alias("od"))
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = (o.withColumn("gap", F.col("od") - F.lag("od").over(w))
+            .filter(F.col("gap").isNotNull()))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    g = (gaps.join(F.broadcast(c),
+                   gaps["o_custkey"] == c["c_custkey"])
+         .select("c_mktsegment", "o_custkey", "o_orderkey", "gap"))
+    wseg = Window.partitionBy("c_mktsegment").orderBy(
+        "gap", "o_custkey", "o_orderkey")
+    wn = Window.partitionBy("c_mktsegment")
+    r = (g.withColumn("rk", F.row_number().over(wseg))
+         .withColumn("n", F.count("*").over(wn)))
+    med = F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"),
+                       F.col("gap")))
+    agg = (r.groupBy("c_mktsegment")
+           .agg(F.max("n").alias("n_pairs"),
+                F.sum(F.when(F.col("gap") <= 30, 1).otherwise(0))
+                .alias("n30"),
+                med.alias("med")))
+    return agg.select(
+        "c_mktsegment",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("n30").cast("bigint").alias("n_within_30d"),
+        (F.col("n30").cast("double")
+         / F.col("n_pairs").cast("double")).alias("reorder_rate_30d"),
+        F.col("med").cast("bigint").alias("median_gap_days"))
