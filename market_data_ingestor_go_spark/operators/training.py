@@ -573,12 +573,33 @@ def kfold_summary(df: DataFrame, strat_col: str = "source",
     rows out) + a |strata|-row broadcast for the totals; counts are
     additive ⇒ the streaming complete-mode twin is the
     benford_from_counts factoring."""
+    return kfold_from_counts(
+        kfold_counts(df, strat_col, id_col, text_col, k))
+
+
+def kfold_counts(df: DataFrame, strat_col: str = "source",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 5) -> DataFrame:
+    """Per-(stratum, fold) doc/token counts — the sufficient
+    statistics behind the k-fold summary. Plain additive BIGINTs
+    over the deterministic md5 fold coin ⇒ streams complete-mode
+    with |strata|·k rows of state (the benford_from_counts
+    factoring): streamed state after any micro-batch split is
+    BIT-identical to this batch aggregate, and ``kfold_from_counts``
+    finishes from either."""
     from ..functions.text import token_count
     fold = hash_bucket(F.col(id_col), k)
-    per = (df.groupBy(F.col(strat_col).alias("stratum"),
-                      fold.alias("fold"))
-           .agg(F.count("*").alias("n_docs"),
-                F.sum(token_count(text_col)).alias("n_tokens")))
+    return (df.groupBy(F.col(strat_col).alias("stratum"),
+                       fold.alias("fold"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(token_count(text_col)).alias("n_tokens")))
+
+
+def kfold_from_counts(per: DataFrame) -> DataFrame:
+    """Finisher: attach each fold's share of its stratum — SHARED by
+    the batch docs_stratified_kfold query and the streaming counts
+    twin. The totals side is re-keyed under fresh attribute names
+    before the self-join (the memory-sink re-key rule)."""
     totals = (per.select(F.col("stratum").alias("st"),
                          F.col("n_docs").alias("nd"))
               .groupBy("st").agg(F.sum("nd").alias("n_total")))

@@ -405,3 +405,21 @@ def streaming_backlog_deltas(stream: DataFrame,
     monitoring with calendar-sized state."""
     from ..operators.timeseries import backlog_deltas
     return backlog_deltas(stream, start_col, end_col)
+
+
+def streaming_kfold_counts(stream: DataFrame,
+                           strat_col: str = "source",
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           k: int = 5) -> DataFrame:
+    """Per-(stratum, fold) counts maintained FROM A DOCUMENT STREAM —
+    the transform is SHARED with the batch form
+    (``operators/training.py::kfold_counts``: additive BIGINT counts
+    over the deterministic md5 fold coin ⇒ streamed complete-mode
+    state after any micro-batch split is BIT-identical to the batch
+    aggregate), and the fold-share summary finishes from the
+    |strata|·k-row sink at read time via ``kfold_from_counts``
+    (r15) — continuous CV-assignment monitoring as the corpus
+    grows."""
+    from ..operators.training import kfold_counts
+    return kfold_counts(stream, strat_col, id_col, text_col, k)

@@ -4045,3 +4045,50 @@ def test_streaming_backlog_deltas_equals_batch(spark, tmp_path):
         spark, sf).collect()))
     assert got == want and len(got) > 0
     spark.sql("DROP TABLE IF EXISTS bl_state")
+
+
+def test_streaming_kfold_counts_equals_batch(spark, tmp_path):
+    """r15: per-(stratum, fold) counts are plain additive aggregates
+    ⇒ the complete-mode state after a 3-way micro-batch split is
+    BIT-identical to the batch kfold_counts table, and
+    kfold_from_counts over the sink reproduces the batch
+    docs_stratified_kfold rows."""
+    from market_data_ingestor_go_spark.operators.training import (
+        kfold_counts, kfold_from_counts)
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_kfold_counts)
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents") \
+        .select("doc_id", "source", "text")
+    rows = d.collect()
+    src = str(tmp_path / "kfsrc")
+    os.makedirs(src)
+    for i, chunk in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps({"doc_id": r.doc_id,
+                                     "source": r.source,
+                                     "text": r.text}) + "\n")
+    stream = (spark.readStream
+              .schema("doc_id BIGINT, source STRING, text STRING")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(streaming_kfold_counts(stream),
+                          "kf_state", str(tmp_path / "c"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.table("kf_state")
+    want_state = kfold_counts(d)
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, want_state.collect()))
+
+    got = sorted(map(tuple, kfold_from_counts(state).collect()))
+    want = sorted(map(tuple, ALL_QUERIES["docs_stratified_kfold"](
+        spark, sf).collect()))
+    assert got == want and len(got) > 0
+    spark.sql("DROP TABLE IF EXISTS kf_state")
