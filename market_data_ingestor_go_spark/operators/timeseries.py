@@ -1349,3 +1349,86 @@ def backlog_from_deltas(deltas: DataFrame) -> DataFrame:
             .withColumn("n_open", F.sum("d").over(w))
             .select(F.col("day_num").cast("bigint").alias("day_num"),
                     F.col("n_open").cast("bigint").alias("n_open")))
+
+
+def user_funnel_flags(df: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      type_a: str = "click",
+                      type_b: str = "purchase") -> DataFrame:
+    """Per-user (has_a, has_b) incidence flags — the sufficient
+    statistics behind the two-proportion z-test (r15). MAX over 0/1
+    flags is IDEMPOTENT ⇒ streams complete-mode with |users|-row
+    state (replay lands on identical state): streamed state after
+    any micro-batch split is BIT-identical to this batch aggregate,
+    and ``ztest_from_flags`` finishes from either."""
+    return (df.groupBy(F.col(user_col).alias("user_id"))
+            .agg(F.max((F.col(type_col) == type_a).cast("int"))
+                 .alias("hc"),
+                 F.max((F.col(type_col) == type_b).cast("int"))
+                 .alias("hp")))
+
+
+def ztest_from_flags(flags: DataFrame) -> DataFrame:
+    """Finisher: the pooled-variance two-proportion z over the
+    per-user (hc, hp) incidence state — SHARED by the batch
+    events_purchase_rate_ztest query and the streaming flags twin.
+    Exact BIGINT counts, one fixed IEEE tree, mirrored degenerate
+    guards (an empty arm NULLs its rate and the z)."""
+    agg = flags.agg(
+        F.sum("hc").alias("n1"),
+        F.sum(F.col("hc") * F.col("hp")).alias("x1"),
+        F.sum(F.lit(1) - F.col("hc")).alias("n2"),
+        F.sum((F.lit(1) - F.col("hc")) * F.col("hp")).alias("x2"))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    x1d, x2d = F.col("x1").cast("double"), F.col("x2").cast("double")
+    p1 = x1d / n1d
+    p2 = x2d / n2d
+    pp = (x1d + x2d) / (n1d + n2d)
+    se = F.sqrt(pp * (F.lit(1.0) - pp)
+                * (F.lit(1.0) / n1d + F.lit(1.0) / n2d))
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_clickers"),
+        F.col("n2").cast("bigint").alias("n_nonclickers"),
+        F.when(F.col("n1") > 0, p1).alias("rate_clickers"),
+        F.when(F.col("n2") > 0, p2).alias("rate_nonclickers"),
+        F.when(ok & (pp > 0) & (pp < 1), (p1 - p2) / se)
+        .alias("z_score"))
+
+
+def yoy_counts(df: DataFrame, key_col: str = "o_custkey",
+               year_col: str = "yr", year_a: int = 1996,
+               year_b: int = 1997) -> DataFrame:
+    """Per-key (n_a, n_b) year counts — the sufficient statistics
+    behind the paired sign test (r15). Conditional counts are plain
+    additive aggregates ⇒ streams complete-mode with |keys|-row
+    state: streamed state after any micro-batch split is
+    BIT-identical to this batch aggregate, and
+    ``sign_test_from_counts`` finishes from either."""
+    return (df.groupBy(F.col(key_col).alias("k"))
+            .agg(F.sum((F.col(year_col) == year_a).cast("int"))
+                 .alias("n_a"),
+                 F.sum((F.col(year_col) == year_b).cast("int"))
+                 .alias("n_b")))
+
+
+def sign_test_from_counts(per: DataFrame) -> DataFrame:
+    """Finisher: the paired sign-test z over the per-key (n_a, n_b)
+    count state — SHARED by the batch customer_yoy_sign_test query
+    and the streaming counts twin. Exact tie exclusion on integer
+    equality, z = (2·n_up − n)/√n, one fixed IEEE tree."""
+    cls = per.select(
+        (F.col("n_b") > F.col("n_a")).cast("int").alias("up"),
+        (F.col("n_b") < F.col("n_a")).cast("int").alias("down"))
+    agg = (cls.filter((F.col("up") + F.col("down")) > 0)
+           .agg(F.count("*").alias("n"),
+                F.sum("up").alias("n_up"),
+                F.sum("down").alias("n_down")))
+    nD = F.col("n").cast("double")
+    z = ((F.lit(2.0) * F.col("n_up").cast("double") - nD)
+         / F.sqrt(nD))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers_used"),
+        F.col("n_up").cast("bigint").alias("n_up"),
+        F.col("n_down").cast("bigint").alias("n_down"),
+        F.when(F.col("n") > 0, z).alias("z_score"))

@@ -999,43 +999,19 @@ def events_purchase_rate_ztest(spark, sf_dir):
     → ONE row (n_clickers, n_nonclickers, rate_clickers,
     rate_nonclickers, z_score).
 
-    Determinism: user-grain incidence flags come from ONE distinct
-    (user, type ∈ {click, purchase}) aggregate; all counts are exact
-    BIGINTs; p̂-pooled and the z denominator are one fixed IEEE tree
-    (sqrt correctly rounded) ⇒ bit-exact. Scale: one user-keyed
-    aggregate with map-side partials; the finisher is a 1-row
-    readout (mirrored degenerate-case guards)."""
+    Determinism: user-grain incidence flags come from ONE idempotent
+    MAX aggregate over all events; all counts are exact BIGINTs;
+    p̂-pooled and the z denominator are one fixed IEEE tree (sqrt
+    correctly rounded) ⇒ bit-exact. Scale: one user-keyed aggregate
+    with map-side partials; the finisher is a 1-row readout
+    (mirrored degenerate-case guards). The flags are IDEMPOTENT
+    maxes and SHARED with the streaming twin (streaming/sketches.py::
+    streaming_funnel_flags); the readout finishes from either state
+    via operators/timeseries.py::ztest_from_flags."""
+    from ..operators.timeseries import user_funnel_flags, ztest_from_flags
     e = _events(spark, sf_dir)
-    per_user = (e.filter(F.col("event_type").isin("click", "purchase"))
-                .groupBy("user_id")
-                .agg(F.max((F.col("event_type") == "click").cast("int"))
-                     .alias("has_click"),
-                     F.max((F.col("event_type") == "purchase")
-                           .cast("int")).alias("has_purchase")))
-    # users with neither click nor purchase never enter per_user —
-    # include them via the full user universe so "non-clickers" means
-    # every user observed in the stream without a click.
-    users = e.select("user_id").distinct()
-    j = (users.join(per_user, "user_id", "left")
-         .select(F.coalesce("has_click", F.lit(0)).alias("hc"),
-                 F.coalesce("has_purchase", F.lit(0)).alias("hp")))
-    agg = j.agg(
-        F.sum("hc").alias("n1"),
-        F.sum(F.col("hc") * F.col("hp")).alias("x1"),
-        F.sum(F.lit(1) - F.col("hc")).alias("n2"),
-        F.sum((F.lit(1) - F.col("hc")) * F.col("hp")).alias("x2"))
-    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
-    x1d, x2d = F.col("x1").cast("double"), F.col("x2").cast("double")
-    p1 = x1d / n1d
-    p2 = x2d / n2d
-    pp = (x1d + x2d) / (n1d + n2d)
-    se = F.sqrt(pp * (F.lit(1.0) - pp)
-                * (F.lit(1.0) / n1d + F.lit(1.0) / n2d))
-    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
-    return agg.select(
-        F.col("n1").cast("bigint").alias("n_clickers"),
-        F.col("n2").cast("bigint").alias("n_nonclickers"),
-        F.when(F.col("n1") > 0, p1).alias("rate_clickers"),
-        F.when(F.col("n2") > 0, p2).alias("rate_nonclickers"),
-        F.when(ok & (pp > 0) & (pp < 1), (p1 - p2) / se)
-        .alias("z_score"))
+    # MAX over all events directly (a non-click/purchase event
+    # contributes 0 to both flags) — every observed user enters the
+    # state with the correct incidence, no universe join needed, and
+    # the |users|-row state is the streaming twin's state verbatim.
+    return ztest_from_flags(user_funnel_flags(e))

@@ -1627,25 +1627,13 @@ def customer_yoy_sign_test(spark, sf_dir):
     Determinism: per-(customer, year) counts are exact BIGINTs from
     ONE aggregate; the up/down classification is integer comparison;
     z is one fixed IEEE tree ⇒ bit-exact. Scale: one custkey-keyed
-    aggregate with map-side partials, 1-row finisher."""
+    aggregate with map-side partials, 1-row finisher. The per-key
+    year counts are additive and SHARED with the streaming twin
+    (streaming/sketches.py::streaming_yoy_counts); the readout
+    finishes from either state via
+    operators/timeseries.py::sign_test_from_counts."""
+    from ..operators.timeseries import sign_test_from_counts, yoy_counts
     o = (_t(spark, sf_dir, "orders")
          .select("o_custkey", F.year("o_orderdate").alias("yr"))
          .filter(F.col("yr").isin(1996, 1997)))
-    per = (o.groupBy("o_custkey")
-           .agg(F.sum((F.col("yr") == 1996).cast("int")).alias("n96"),
-                F.sum((F.col("yr") == 1997).cast("int")).alias("n97")))
-    cls = per.select(
-        (F.col("n97") > F.col("n96")).cast("int").alias("up"),
-        (F.col("n97") < F.col("n96")).cast("int").alias("down"))
-    agg = (cls.filter((F.col("up") + F.col("down")) > 0)
-           .agg(F.count("*").alias("n"),
-                F.sum("up").alias("n_up"),
-                F.sum("down").alias("n_down")))
-    nD = F.col("n").cast("double")
-    z = ((F.lit(2.0) * F.col("n_up").cast("double") - nD)
-         / F.sqrt(nD))
-    return agg.select(
-        F.col("n").cast("bigint").alias("n_customers_used"),
-        F.col("n_up").cast("bigint").alias("n_up"),
-        F.col("n_down").cast("bigint").alias("n_down"),
-        F.when(F.col("n") > 0, z).alias("z_score"))
+    return sign_test_from_counts(yoy_counts(o, "o_custkey", "yr"))

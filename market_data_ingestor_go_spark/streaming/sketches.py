@@ -423,3 +423,37 @@ def streaming_kfold_counts(stream: DataFrame,
     grows."""
     from ..operators.training import kfold_counts
     return kfold_counts(stream, strat_col, id_col, text_col, k)
+
+
+def streaming_funnel_flags(stream: DataFrame,
+                           user_col: str = "user_id",
+                           type_col: str = "event_type",
+                           type_a: str = "click",
+                           type_b: str = "purchase") -> DataFrame:
+    """Per-user funnel incidence flags maintained FROM AN EVENT
+    STREAM — the transform is SHARED with the batch form
+    (``operators/timeseries.py::user_funnel_flags``: MAX over 0/1
+    flags is idempotent ⇒ streamed complete-mode state after any
+    micro-batch split is BIT-identical to the batch aggregate, and
+    replay is harmless), and the two-proportion z readout finishes
+    from the |users|-row sink at read time via ``ztest_from_flags``
+    (r15) — the continuous A/B monitor."""
+    from ..operators.timeseries import user_funnel_flags
+    return user_funnel_flags(stream, user_col, type_col, type_a, type_b)
+
+
+def streaming_yoy_counts(stream: DataFrame,
+                         key_col: str = "o_custkey",
+                         year_col: str = "yr",
+                         year_a: int = 1996,
+                         year_b: int = 1997) -> DataFrame:
+    """Per-key paired year counts maintained FROM A STREAM — the
+    transform is SHARED with the batch form
+    (``operators/timeseries.py::yoy_counts``: conditional counts are
+    plain additive aggregates ⇒ streamed complete-mode state after
+    any micro-batch split is BIT-identical to the batch aggregate),
+    and the sign-test readout finishes from the |keys|-row sink at
+    read time via ``sign_test_from_counts`` (r15) — continuous
+    matched-pairs shift monitoring."""
+    from ..operators.timeseries import yoy_counts
+    return yoy_counts(stream, key_col, year_col, year_a, year_b)

@@ -4092,3 +4092,93 @@ def test_streaming_kfold_counts_equals_batch(spark, tmp_path):
         spark, sf).collect()))
     assert got == want and len(got) > 0
     spark.sql("DROP TABLE IF EXISTS kf_state")
+
+
+def test_streaming_funnel_flags_equals_batch(spark, tmp_path):
+    """r15: per-user (hc, hp) incidence flags are idempotent maxes ⇒
+    the complete-mode state after a 3-way micro-batch split is
+    BIT-identical to the batch user_funnel_flags table, and
+    ztest_from_flags over the sink reproduces the batch
+    events_purchase_rate_ztest row."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        user_funnel_flags, ztest_from_flags)
+    from market_data_ingestor_go_spark.plans.queries import (
+        ALL_QUERIES, _events)
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_funnel_flags)
+
+    sf = "/root/testdata/sf0.001"
+    e = _events(spark, sf).select("user_id", "event_type")
+    rows = e.collect()
+    src = str(tmp_path / "ffsrc")
+    os.makedirs(src)
+    for i, chunk in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps({"user_id": r.user_id,
+                                     "event_type": r.event_type}) + "\n")
+    stream = (spark.readStream
+              .schema("user_id BIGINT, event_type STRING")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(streaming_funnel_flags(stream),
+                          "ff_state", str(tmp_path / "c"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.table("ff_state")
+    want_state = user_funnel_flags(e)
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, want_state.collect()))
+    got = [tuple(r) for r in ztest_from_flags(state).collect()]
+    want = [tuple(r) for r in ALL_QUERIES["events_purchase_rate_ztest"](
+        spark, sf).collect()]
+    assert got == want and len(got) == 1
+    spark.sql("DROP TABLE IF EXISTS ff_state")
+
+
+def test_streaming_yoy_counts_equals_batch(spark, tmp_path):
+    """r15: per-customer paired year counts are plain additive
+    aggregates ⇒ the complete-mode state after a 3-way micro-batch
+    split is BIT-identical to the batch yoy_counts table, and
+    sign_test_from_counts over the sink reproduces the batch
+    customer_yoy_sign_test row."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        sign_test_from_counts, yoy_counts)
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_yoy_counts)
+
+    sf = "/root/testdata/sf0.001"
+    o = (load_table(spark, sf, "orders")
+         .select("o_custkey", F.year("o_orderdate").alias("yr"))
+         .filter(F.col("yr").isin(1996, 1997)))
+    rows = o.collect()
+    src = str(tmp_path / "yoysrc")
+    os.makedirs(src)
+    for i, chunk in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps({"o_custkey": r.o_custkey,
+                                     "yr": r.yr}) + "\n")
+    stream = (spark.readStream
+              .schema("o_custkey BIGINT, yr INT")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(streaming_yoy_counts(stream),
+                          "yoy_state", str(tmp_path / "c"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.table("yoy_state")
+    want_state = yoy_counts(o, "o_custkey", "yr")
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, want_state.collect()))
+    got = [tuple(r) for r in sign_test_from_counts(state).collect()]
+    want = [tuple(r) for r in ALL_QUERIES["customer_yoy_sign_test"](
+        spark, sf).collect()]
+    assert got == want and len(got) == 1
+    spark.sql("DROP TABLE IF EXISTS yoy_state")
