@@ -375,6 +375,9 @@ HEADLINE = [
     "events_purchase_rate_ztest",
     # r15: paired YoY sign test (one custkey aggregate)
     "customer_yoy_sign_test",
+    # r15: Markov removal-effect attribution (one user window pass +
+    # driver-side solve over the bounded count artifact)
+    "events_markov_attribution",
 ]
 
 

@@ -1432,3 +1432,111 @@ def sign_test_from_counts(per: DataFrame) -> DataFrame:
         F.col("n_up").cast("bigint").alias("n_up"),
         F.col("n_down").cast("bigint").alias("n_down"),
         F.when(F.col("n") > 0, z).alias("z_score"))
+
+
+def markov_removal_attribution(events: DataFrame,
+                               conv_type: str = "purchase",
+                               ts_ms_col: str = "ts_ms",
+                               user_col: str = "user_id",
+                               type_col: str = "event_type",
+                               id_col: str = "event_id") -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016 — the
+    data-driven multi-touch attribution standard): model user
+    journeys as a first-order Markov chain over channel states with
+    START / CONV / NULL absorption, compute the baseline conversion
+    probability by absorbing-chain solve, then each channel's
+    REMOVAL EFFECT — the relative drop in conversion probability
+    when that channel's visits are redirected to NULL — and its
+    normalized attribution share. → (channel, base_conv_prob,
+    removal_conv_prob, removal_effect, attribution_share), one row
+    per non-conversion channel.
+
+    Journey model (deterministic over the (ts, id) total order): a
+    user's journey runs from START through their event types and
+    ABSORBS at the first ``conv_type`` (CONV); later events are out
+    of scope. Non-converters transition from their last event to
+    NULL. Transitions INTO the conversion type map to CONV.
+
+    Scale shape: journey truncation + transitions are ONE user-keyed
+    window pass (the event_transitions machinery); counts collapse
+    map-side to ≤ (|channels|+1)² rows. The absorbing-chain solve
+    runs DRIVER-SIDE over that tiny bounded artifact (numpy
+    linear solve — the PCA-spectrum precedent), so the operator is
+    rows-only by design: correctness is pinned by an independent
+    pure-Python reference implementation on both the fixture and a
+    hand-computable journey set
+    (tests/test_operators.py::test_markov_attribution_reference)."""
+    w = Window.partitionBy(user_col).orderBy(ts_ms_col, id_col)
+    e = (events.select(user_col, ts_ms_col, id_col,
+                       F.col(type_col).alias("t"))
+         .withColumn("rn", F.row_number().over(w)))
+    conv_rn = (e.filter(F.col("t") == conv_type)
+               .groupBy(user_col).agg(F.min("rn").alias("crn")))
+    kept = (e.join(conv_rn, user_col, "left")
+            .filter(F.col("crn").isNull() | (F.col("rn") <= F.col("crn"))))
+    wk = Window.partitionBy(user_col).orderBy("rn")
+    lab = (kept.withColumn(
+        "src", F.coalesce(F.lag("t").over(wk), F.lit("START")))
+        .withColumn("dst", F.when(F.col("t") == conv_type,
+                                  F.lit("CONV")).otherwise(F.col("t"))))
+    # terminal NULL rows for non-converters (their LAST kept event)
+    last = (kept.filter(F.col("crn").isNull())
+            .groupBy(user_col).agg(F.max("rn").alias("lrn")))
+    nulls = (kept.join(last, user_col)
+             .filter(F.col("rn") == F.col("lrn"))
+             .select(F.col("t").alias("src"),
+                     F.lit("NULL").alias("dst")))
+    # src of a row whose own type is the conversion must not emit
+    # onward transitions (it has none — absorbed); pairs already stop
+    # at crn by construction.
+    trans = (lab.select("src", "dst").unionAll(nulls)
+             .groupBy("src", "dst").agg(F.count("*").alias("n")))
+    rows = trans.collect()   # bounded: ≤ (|channels|+2)^2 rows
+
+    import numpy as np
+    counts = {}
+    for r in rows:
+        counts[(r.src, r.dst)] = counts.get((r.src, r.dst), 0) + r.n
+    channels = sorted({s for s, _ in counts if s != "START"}
+                      | {d for _, d in counts if d not in ("CONV", "NULL")})
+
+    def conv_prob(removed=None):
+        states = ["START"] + [c for c in channels if c != removed]
+        idx = {s: i for i, s in enumerate(states)}
+        n = len(states)
+        Q = np.zeros((n, n))
+        r_conv = np.zeros(n)
+        for (s, d), c in counts.items():
+            if s == removed or s not in idx:
+                continue
+            tot = sum(v for (s2, _), v in counts.items() if s2 == s)
+            p = c / tot
+            if d == "CONV":
+                r_conv[idx[s]] += p
+            elif d == removed or d == "NULL":
+                pass                      # redirected / absorbed at NULL
+            elif d in idx:
+                Q[idx[s], idx[d]] += p
+        b = np.linalg.solve(np.eye(n) - Q, r_conv)
+        return float(b[idx["START"]])
+
+    base = conv_prob()
+    out = []
+    for c in channels:
+        rc = conv_prob(removed=c)
+        re = 1.0 - (rc / base) if base > 0 else None
+        out.append((c, base, rc, re))
+    tot_re = sum(r[3] for r in out if r[3] is not None)
+    spark = events.sparkSession
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("channel", T.StringType()),
+        T.StructField("base_conv_prob", T.DoubleType()),
+        T.StructField("removal_conv_prob", T.DoubleType()),
+        T.StructField("removal_effect", T.DoubleType()),
+        T.StructField("attribution_share", T.DoubleType()),
+    ])
+    data = [(c, b, rc, re,
+             (re / tot_re) if (re is not None and tot_re > 0) else None)
+            for c, b, rc, re in out]
+    return spark.createDataFrame(data, schema)

@@ -68,7 +68,8 @@ from .queries_events import (  # noqa: F401
     events_ewma_chunked, events_ewma_smooth, events_funnel_conversion,
     events_gapfill_interpolate, events_gapfill_locf,
     events_hourly_seasonality, events_kruskal_value_test,
-    events_mad_outliers, events_purchase_rate_ztest,
+    events_mad_outliers, events_markov_attribution,
+    events_purchase_rate_ztest,
     events_mannwhitney_value_test, events_markov_transitions,
     events_motif_search, events_moving_stats, events_ohlc_bars,
     events_pair_correlation, events_rfm_segments,
@@ -482,6 +483,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # orders_fulfillment_lag is the oracle-checkable ground truth),
     # accuracy-contract-tested
     "orders_fulfillment_lag_approx": orders_fulfillment_lag_approx,
+    # r15: Markov removal-effect attribution — rows-only by design
+    # (driver-side absorbing-chain solve over the bounded count
+    # artifact; the PCA-spectrum precedent), reference-tested
+    "events_markov_attribution": events_markov_attribution,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

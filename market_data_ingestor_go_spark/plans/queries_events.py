@@ -1015,3 +1015,20 @@ def events_purchase_rate_ztest(spark, sf_dir):
     # state with the correct incidence, no universe join needed, and
     # the |users|-row state is the streaming twin's state verbatim.
     return ztest_from_flags(user_funnel_flags(e))
+
+
+def events_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution over user journeys
+    (operators/timeseries.py::markov_removal_attribution, Anderl et
+    al. 2016): absorbing-chain conversion probability + each
+    channel's removal effect and normalized attribution share — the
+    data-driven multi-touch attribution readout completing the
+    funnel family (first-touch counts WHO converts; transitions show
+    HOW journeys move; this prices each channel's causal
+    contribution under the chain model). Rows-only BY DESIGN (the
+    absorbing-chain solve is a driver-side linear system over the
+    ≤(|channels|+2)² bounded count artifact — the PCA-spectrum
+    precedent); correctness pinned by an independent pure-Python
+    reference on the fixture and a hand-computable journey set."""
+    from ..operators.timeseries import markov_removal_attribution
+    return markov_removal_attribution(_events(spark, sf_dir))

@@ -4654,3 +4654,92 @@ def test_ztest_and_sign_test_match_python_reference(spark):
     n = up + down
     assert (st.n_customers_used, st.n_up, st.n_down) == (n, up, down)
     assert abs(st.z_score - (2.0 * up - n) / math.sqrt(n)) < 1e-12
+
+
+def test_markov_attribution_reference(spark):
+    """r15: the removal-effect attribution must agree with an
+    independent pure-Python implementation of the same journey model
+    (truncate at first conversion, START/CONV/NULL absorption,
+    removal = redirect to NULL) — on a crafted hand-checkable
+    journey set AND on the sf0.001 fixture."""
+    import numpy as np
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        markov_removal_attribution)
+
+    def py_ref(journeys, conv="purchase"):
+        counts = {}
+        channels = set()
+        for j in journeys:
+            cut = j.index(conv) + 1 if conv in j else len(j)
+            kept = j[:cut]
+            prev = "START"
+            for t in kept:
+                dst = "CONV" if t == conv else t
+                counts[(prev, dst)] = counts.get((prev, dst), 0) + 1
+                if t != conv:
+                    channels.add(t)
+                prev = t
+            if conv not in j:
+                counts[(kept[-1], "NULL")] = \
+                    counts.get((kept[-1], "NULL"), 0) + 1
+        channels = sorted(channels)
+
+        def conv_prob(removed=None):
+            states = ["START"] + [c for c in channels if c != removed]
+            idx = {s: i for i, s in enumerate(states)}
+            n = len(states)
+            Q = np.zeros((n, n)); r = np.zeros(n)
+            for (s, d), c in counts.items():
+                if s == removed or s not in idx:
+                    continue
+                tot = sum(v for (s2, _), v in counts.items() if s2 == s)
+                p = c / tot
+                if d == "CONV":
+                    r[idx[s]] += p
+                elif d in idx:
+                    Q[idx[s], idx[d]] += p
+            return float(np.linalg.solve(np.eye(n) - Q, r)[idx["START"]])
+
+        base = conv_prob()
+        return {c: 1.0 - conv_prob(c) / base for c in channels}, base
+
+    # crafted journeys: email only converts via display assist
+    journeys = [
+        ["email", "display", "purchase"],
+        ["email", "view"],
+        ["display", "purchase"],
+        ["view", "email", "display", "purchase"],
+        ["view"],
+        ["email", "display", "view"],
+    ]
+    rows = []
+    eid = 0
+    for u, j in enumerate(journeys):
+        for k, t in enumerate(j):
+            rows.append((u, 1000 * (k + 1), str(eid), t))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts_ms", "event_id", "event_type"])
+    got = {r.channel: r for r in
+           markov_removal_attribution(df).collect()}
+    want, base = py_ref(journeys)
+    assert set(got) == set(want)
+    for c, re in want.items():
+        assert abs(got[c].removal_effect - re) < 1e-12, (c,)
+        assert abs(got[c].base_conv_prob - base) < 1e-12
+
+    # fixture-scale agreement (independent journey extraction)
+    from market_data_ingestor_go_spark.plans.queries import _events
+    e = _events(spark, "/root/testdata/sf0.001") \
+        .select("user_id", "ts_ms", "event_id", "event_type").collect()
+    by_u = {}
+    # native event_id order — the operator's window orders by the
+    # column's own type, so the reference must too (tie contract)
+    for r in sorted(e, key=lambda r: (r.ts_ms, r.event_id)):
+        by_u.setdefault(r.user_id, []).append(r.event_type)
+    want2, base2 = py_ref(list(by_u.values()))
+    got2 = {r.channel: r for r in markov_removal_attribution(
+        _events(spark, "/root/testdata/sf0.001")).collect()}
+    assert set(got2) == set(want2)
+    for c, re in want2.items():
+        assert abs(got2[c].removal_effect - re) < 1e-9, (c,)
