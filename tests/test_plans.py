@@ -1017,6 +1017,10 @@ def test_r15_analytics_plans_have_no_cartesian(spark):
         "orders_revenue_runs_test": 1,    # 1-row median broadcast
         "orders_theilsen_trend": 2,       # calendar² day-pair join
                                           # + 1-row n_days scalar
+        "events_purchase_rate_ztest": 0,
+        "customer_yoy_sign_test": 0,
+        "docs_stratified_kfold": 0,
+        "customer_reorder_rate": 0,
     }
     for name, max_bnlj in budget.items():
         plan = _plan(ALL_QUERIES[name](spark, SF))
