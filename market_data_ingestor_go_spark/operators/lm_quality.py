@@ -1519,14 +1519,34 @@ def spearman_from_pairs(df: DataFrame, x_col: str, y_col: str
             .select(F.col(x_col).alias("xv"), F.col(y_col).alias("yv")))
 
     def rank_map(col):
-        h = base.groupBy(col).agg(F.count("*").alias("nv"))
-        w_cum = (W.orderBy(col)
+        # CHUNKED cumulative counts (r15 — the weighted-sampler carry
+        # composition applied to the rank spine): chunk on
+        # floor(value/1024) — IEEE division and floor are monotone, so
+        # chunks tile the value order — per-chunk windows sort in
+        # parallel and the chunk-grain carry ledger (exclusive prefix
+        # of chunk totals) joins back broadcast. Identical ranks by
+        # counting associativity; no value-domain-sized single-task
+        # window remains.
+        h = (base.groupBy(col).agg(F.count("*").alias("nv"))
+             .withColumn("__ck", F.floor(F.col(col) / F.lit(1024.0))))
+        w_carry = (W.orderBy("__ck")
+                   .rowsBetween(W.unboundedPreceding, -1))
+        ledger = (h.groupBy("__ck").agg(F.sum("nv").alias("cn"))
+                  .withColumn("carry",
+                              F.coalesce(F.sum("cn").over(w_carry),
+                                         F.lit(0)))
+                  .select(F.col("__ck").alias("__ck_l"), "carry"))
+        w_cum = (W.partitionBy("__ck").orderBy(col)
                  .rowsBetween(W.unboundedPreceding, -1))
-        return (h.withColumn(
-            "r2", 2 * F.coalesce(F.sum("nv").over(w_cum), F.lit(0))
-            + F.col("nv") + 1)
-            .select(col, F.col("r2").cast("decimal(38,0)")
-                    .alias(col[0] + "r2")))
+        return (h.join(F.broadcast(ledger),
+                       h["__ck"] == ledger["__ck_l"])
+                .withColumn(
+                    "r2", 2 * (F.col("carry")
+                               + F.coalesce(F.sum("nv").over(w_cum),
+                                            F.lit(0)))
+                    + F.col("nv") + 1)
+                .select(col, F.col("r2").cast("decimal(38,0)")
+                        .alias(col[0] + "r2")))
 
     pair = base.groupBy("xv", "yv").agg(F.count("*").alias("n_xy"))
     j = (pair.join(F.broadcast(rank_map("xv")), "xv")
@@ -1615,22 +1635,39 @@ def kruskal_from_value_histogram(state: DataFrame) -> DataFrame:
     magnitude-safe at any N. The tie correction reuses Mann–Whitney's
     exact Σ(t³−t) integer term: H_c = H / (1 − Σ(t³−t)/(N³−N)).
 
-    Scale: one |values|-row cum window over the pooled histogram
-    (value-domain-sized — the MW spine), one broadcast rank-map
-    join, |groups|-row arithmetic. The rank map derives from the
+    Scale: the pooled-histogram cumulative counts run CHUNKED (r15 —
+    floor(value/1024) chunks + the carry ledger, identical ranks by
+    associativity; no value-domain single-task window), one broadcast
+    rank-map join, |groups|-row arithmetic. The rank map derives from the
     state and joins BACK to it, so it is RE-KEYED under fresh
     attribute names (the retention_from_user_days device) — required
     when the state arrives through a streaming memory-sink view."""
     from pyspark.sql.window import Window as W
     d38 = "decimal(38,0)"
     hist = (state.select(F.col("x").alias("xv"), F.col("c").alias("cv"))
-            .groupBy("xv").agg(F.sum("cv").alias("n_v")))
-    w_cum = (W.orderBy("xv")
+            .groupBy("xv").agg(F.sum("cv").alias("n_v"))
+            .withColumn("__ck", F.floor(F.col("xv") / F.lit(1024.0))))
+    # CHUNKED cumulative counts (r15 — the weighted-sampler carry
+    # composition on the rank spine): floor(value/1024) chunks tile
+    # the value order (IEEE division and floor are monotone); the
+    # chunk-grain carry ledger joins back broadcast. Identical ranks
+    # by counting associativity — no value-domain single-task window.
+    w_carry = (W.orderBy("__ck")
+               .rowsBetween(W.unboundedPreceding, -1))
+    ledger = (hist.groupBy("__ck").agg(F.sum("n_v").alias("cn"))
+              .withColumn("carry",
+                          F.coalesce(F.sum("cn").over(w_carry), F.lit(0)))
+              .select(F.col("__ck").alias("__ck_l"), "carry"))
+    w_cum = (W.partitionBy("__ck").orderBy("xv")
              .rowsBetween(W.unboundedPreceding, -1))
-    r2map = (hist.withColumn(
-        "r2", (2 * F.coalesce(F.sum("n_v").over(w_cum), F.lit(0))
-               + F.col("n_v") + 1).cast(d38))
-        .select("xv", "r2"))
+    r2map = (hist.join(F.broadcast(ledger),
+                       hist["__ck"] == ledger["__ck_l"])
+             .withColumn(
+                 "r2", (2 * (F.col("carry")
+                             + F.coalesce(F.sum("n_v").over(w_cum),
+                                          F.lit(0)))
+                        + F.col("n_v") + 1).cast(d38))
+             .select("xv", "r2"))
     nv = F.col("n_v").cast(d38)
     ties = hist.agg(
         F.sum(nv * nv * nv - nv).alias("tie_term"),
