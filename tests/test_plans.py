@@ -1048,3 +1048,20 @@ def test_snm_chunked_rank_is_partitioned(spark):
     for line in plan.splitlines():
         if "Sort [snm_key" in line and "chunk" not in line:
             raise AssertionError(f"unchunked global sort: {line}")
+
+
+def test_rank_spine_windows_are_chunked(spark):
+    """r15: the Spearman/KW value-histogram rank spines must sort
+    WITHIN floor(value/1024) chunks — the only SinglePartition
+    windows left are the chunk-grain carry ledgers (bounded by the
+    value range / 1024, never by the value domain)."""
+    for name in ("lineitem_qty_price_spearman",
+                 "events_kruskal_value_test"):
+        plan = _plan(ALL_QUERIES[name](spark, SF))
+        assert "__ck" in plan, name
+        for line in plan.splitlines():
+            if ("Sort [xv" in line or "Sort [l_quantity" in line
+                    or "Sort [l_extendedprice" in line) \
+                    and "__ck" not in line:
+                raise AssertionError(f"{name}: unchunked value sort: "
+                                     f"{line}")
