@@ -1540,3 +1540,131 @@ def markov_removal_attribution(events: DataFrame,
              (re / tot_re) if (re is not None and tot_re > 0) else None)
             for c, b, rc, re in out]
     return spark.createDataFrame(data, schema)
+
+
+def daily_revenue(df: DataFrame, date_col: str = "o_orderdate",
+                  price_col: str = "o_totalprice") -> DataFrame:
+    """Day-grain exact-decimal revenue — the sufficient statistic
+    behind THREE time-series readouts (r15): lag-1 autocorrelation,
+    the Theil–Sen robust trend, and the Wald–Wolfowitz runs test. A
+    DECIMAL(27,6) sum keyed on epoch-day integers is a plain
+    additive aggregate ⇒ streams complete-mode with |calendar
+    days|-row state: streamed state after any micro-batch split is
+    BIT-identical to this batch aggregate, and the three finishers
+    (``autocorr_from_daily`` / ``theilsen_from_daily`` /
+    ``runs_test_from_daily``) read from either — one state table,
+    three continuous monitors (the streaming_user_days /
+    value-histogram pattern)."""
+    day0 = F.lit("1970-01-01").cast("date")
+    return (df.select(
+        F.datediff(F.col(date_col).cast("date"), day0).alias("d"),
+        F.col(price_col).alias("p"))
+        .groupBy("d")
+        .agg(F.sum(F.col("p").cast("decimal(27,6)")).alias("rev")))
+
+
+def autocorr_from_daily(per_day: DataFrame) -> DataFrame:
+    """Finisher: lag-1 autocorrelation from the (d, rev) state —
+    SHARED by the batch orders_daily_autocorr query and the
+    streaming daily-revenue twin. The normalized-double device
+    (terms on str(rev)/1e9, DECIMAL(27,6) sums, shared Pearson
+    tree); the lagged side is RE-KEYED under fresh names (the
+    memory-sink rule)."""
+    nxt = per_day.select((F.col("d") - 1).alias("dn"),
+                         F.col("rev").alias("rev_next"))
+    pairs = (per_day.join(nxt, per_day["d"] == nxt["dn"])
+             .select((F.col("rev").cast("string").cast("double")
+                      / F.lit(1.0e9)).alias("x"),
+                     (F.col("rev_next").cast("string").cast("double")
+                      / F.lit(1.0e9)).alias("y")))
+    d27 = "decimal(27,6)"
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(d27)).alias("sx"),
+        F.sum(F.col("y").cast(d27)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d27)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d27)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d27)).alias("sxy"))
+    nD = F.col("n").cast("double")
+    ds = _dstr_col
+    cov = ds("sxy") / nD - (ds("sx") / nD) * (ds("sy") / nD)
+    vx = ds("sxx") / nD - (ds("sx") / nD) * (ds("sx") / nD)
+    vy = ds("syy") / nD - (ds("sy") / nD) * (ds("sy") / nD)
+    return m.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.when((F.col("n") > 1) & (vx > 0) & (vy > 0),
+               cov / F.sqrt(vx * vy)).alias("lag1_autocorr"))
+
+
+def theilsen_from_daily(per_day: DataFrame) -> DataFrame:
+    """Finisher: the Theil–Sen median pairwise slope from the
+    (d, rev) state — SHARED by the batch orders_theilsen_trend query
+    and the streaming twin. Exact lower-median element over the
+    (slope, da, db) total order; both pair sides re-keyed; n_days as
+    a lazy 1-row broadcast scalar."""
+    a = per_day.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = per_day.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    pairs = (a.join(b, F.col("da") < F.col("db"))
+             .select("da", "db",
+                     ((F.col("rb") - F.col("ra")).cast("string")
+                      .cast("double")
+                      / (F.col("db") - F.col("da")).cast("double"))
+                     .alias("slope")))
+    w = Window.orderBy("slope", "da", "db")
+    r = (pairs.withColumn("rk", F.row_number().over(w))
+         .withColumn("np", F.count("*").over(Window.partitionBy())))
+    med = F.max(F.when(F.col("rk") == F.expr("(np + 1) div 2"),
+                       F.col("slope")))
+    nd = per_day.agg(F.count("*").alias("n_days"))
+    return (r.groupBy("np")
+            .agg(med.alias("slope_med"))
+            .crossJoin(F.broadcast(nd))
+            .select(F.col("n_days").cast("bigint").alias("n_days"),
+                    F.col("np").cast("bigint").alias("n_pairs"),
+                    F.col("slope_med").alias("theilsen_slope")))
+
+
+def runs_test_from_daily(per_day: DataFrame) -> DataFrame:
+    """Finisher: the Wald–Wolfowitz runs test from the (d, rev)
+    state — SHARED by the batch orders_revenue_runs_test query and
+    the streaming twin. Exact lower-median element, deterministic
+    tie exclusion, integer runs count, exact decimal μ/σ² products
+    into one fixed IEEE z tree; the median row is re-keyed (fresh
+    column name) before the broadcast join."""
+    w_med = Window.orderBy("rev", "d")
+    ranked = (per_day.withColumn("rk", F.row_number().over(w_med))
+              .withColumn("n", F.count("*").over(Window.partitionBy())))
+    med_row = (ranked.filter(F.col("rk") == F.expr("(n + 1) div 2"))
+               .select(F.col("rev").alias("med")))
+    signed = (per_day.crossJoin(F.broadcast(med_row))
+              .filter(F.col("rev") != F.col("med"))
+              .select("d", (F.col("rev") > F.col("med")).alias("up")))
+    w_ord = Window.orderBy("d")
+    runs = (signed
+            .withColumn("brk", F.when(
+                F.lag("up").over(w_ord).isNull()
+                | (F.col("up") != F.lag("up").over(w_ord)), 1)
+                .otherwise(0)))
+    d38 = "decimal(38,0)"
+    agg = runs.agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.col("up").cast("int")).alias("n1"),
+        F.sum((~F.col("up")).cast("int")).alias("n2"),
+        F.sum("brk").alias("n_runs"))
+    two_n1n2 = (F.lit(2).cast(d38) * F.col("n1").cast(d38)
+                * F.col("n2").cast(d38))
+    n38 = F.col("n_used").cast(d38)
+    var_num = two_n1n2 * (two_n1n2 - n38)
+    var_den = n38 * n38 * (n38 - F.lit(1).cast(d38))
+    nD = F.col("n_used").cast("double")
+    mu = F.lit(1.0) + two_n1n2.cast("string").cast("double") / nD
+    var = (var_num.cast("string").cast("double")
+           / var_den.cast("string").cast("double"))
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n_used") > 1)
+    return agg.select(
+        F.col("n_used").cast("bigint").alias("n_days_used"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        F.col("n_runs").cast("bigint").alias("n_runs"),
+        F.when(ok & (var > 0), z).alias("z_score"))

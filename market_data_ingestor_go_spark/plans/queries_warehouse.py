@@ -1300,38 +1300,15 @@ def orders_daily_autocorr(spark, sf_dir):
     Scale: ONE day-grain aggregate over orders (map-side partials —
     |days| rows out), then a |days|-row self-join and a 1-row
     moment aggregate: everything after the first shuffle is
-    calendar-sized, never data-sized."""
-    day0 = F.lit("1970-01-01").cast("date")
-    o = _t(spark, sf_dir, "orders").select(
-        F.datediff(F.col("o_orderdate").cast("date"), day0).alias("d"),
-        "o_totalprice")
-    per_day = (o.groupBy("d")
-               .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
-                    .alias("rev")))
-    nxt = per_day.select((F.col("d") - 1).alias("d"),
-                         F.col("rev").alias("rev_next"))
-    pairs = (per_day.join(nxt, "d")
-             .select((_dstr("rev") / F.lit(1.0e9)).alias("x"),
-                     (_dstr("rev_next") / F.lit(1.0e9)).alias("y")))
-    d27 = "decimal(27,6)"
-    m = pairs.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("x").cast(d27)).alias("sx"),
-        F.sum(F.col("y").cast(d27)).alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(d27)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(d27)).alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast(d27)).alias("sxy"))
-    nD = F.col("n").cast("double")
-    cov = (_dstr("sxy") / nD
-           - (_dstr("sx") / nD) * (_dstr("sy") / nD))
-    vx = (_dstr("sxx") / nD
-          - (_dstr("sx") / nD) * (_dstr("sx") / nD))
-    vy = (_dstr("syy") / nD
-          - (_dstr("sy") / nD) * (_dstr("sy") / nD))
-    return m.select(
-        F.col("n").cast("bigint").alias("n_pairs"),
-        F.when((F.col("n") > 1) & (vx > 0) & (vy > 0),
-               cov / F.sqrt(vx * vy)).alias("lag1_autocorr"))
+    calendar-sized, never data-sized. The day sums are additive and
+    SHARED with the streaming twin (streaming/sketches.py::
+    streaming_daily_revenue — ONE state, THREE time-series readouts:
+    autocorrelation, Theil–Sen, runs test); this readout finishes
+    from either state via
+    operators/timeseries.py::autocorr_from_daily."""
+    from ..operators.timeseries import autocorr_from_daily, daily_revenue
+    o = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    return autocorr_from_daily(daily_revenue(o))
 
 
 def customer_sorted_neighborhood_pairs(spark, sf_dir):
@@ -1431,35 +1408,9 @@ def orders_theilsen_trend(spark, sf_dir):
     data-independent, the deliberate trade of the robust estimator
     (at 100 TB the pair count is unchanged; the documented
     sampled-pairs variant applies only past decade-scale calendars)."""
-    day0 = F.lit("1970-01-01").cast("date")
-    o = _t(spark, sf_dir, "orders").select(
-        F.datediff(F.col("o_orderdate").cast("date"), day0).alias("d"),
-        "o_totalprice")
-    per_day = (o.groupBy("d")
-               .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
-                    .alias("rev")))
-    a = per_day.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
-    b = per_day.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
-    pairs = (a.join(b, F.col("da") < F.col("db"))
-             .select("da", "db",
-                     ((F.col("rb") - F.col("ra")).cast("string")
-                      .cast("double")
-                      / (F.col("db") - F.col("da")).cast("double"))
-                     .alias("slope")))
-    w = Window.orderBy("slope", "da", "db")
-    r = (pairs.withColumn("rk", F.row_number().over(w))
-         .withColumn("np", F.count("*").over(Window.partitionBy())))
-    med = F.max(F.when(F.col("rk") == F.expr("(np + 1) div 2"),
-                       F.col("slope")))
-    # n_days as a LAZY 1-row broadcast scalar (the r13
-    # cooccurrence-lift lesson: no eager .count() at plan-build time)
-    nd = per_day.agg(F.count("*").alias("n_days"))
-    return (r.groupBy("np")
-            .agg(med.alias("slope_med"))
-            .crossJoin(F.broadcast(nd))
-            .select(F.col("n_days").cast("bigint").alias("n_days"),
-                    F.col("np").cast("bigint").alias("n_pairs"),
-                    F.col("slope_med").alias("theilsen_slope")))
+    from ..operators.timeseries import daily_revenue, theilsen_from_daily
+    o = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    return theilsen_from_daily(daily_revenue(o))
 
 
 def orders_revenue_runs_test(spark, sf_dir):
@@ -1479,50 +1430,9 @@ def orders_revenue_runs_test(spark, sf_dir):
 
     Scale: ONE day-grain aggregate touches orders; every window
     after is calendar-sized (the backlog-sweep posture)."""
-    day0 = F.lit("1970-01-01").cast("date")
-    o = _t(spark, sf_dir, "orders").select(
-        F.datediff(F.col("o_orderdate").cast("date"), day0).alias("d"),
-        "o_totalprice")
-    per_day = (o.groupBy("d")
-               .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
-                    .alias("rev")))
-    w_med = Window.orderBy("rev", "d")
-    ranked = (per_day.withColumn("rk", F.row_number().over(w_med))
-              .withColumn("n", F.count("*").over(Window.partitionBy())))
-    med_row = (ranked.filter(F.col("rk") == F.expr("(n + 1) div 2"))
-               .select(F.col("rev").alias("med")))
-    signed = (per_day.crossJoin(F.broadcast(med_row))
-              .filter(F.col("rev") != F.col("med"))
-              .select("d", (F.col("rev") > F.col("med")).alias("up")))
-    w_ord = Window.orderBy("d")
-    runs = (signed
-            .withColumn("brk", F.when(
-                F.lag("up").over(w_ord).isNull()
-                | (F.col("up") != F.lag("up").over(w_ord)), 1)
-                .otherwise(0)))
-    d38 = "decimal(38,0)"
-    agg = runs.agg(
-        F.count("*").alias("n_used"),
-        F.sum(F.col("up").cast("int")).alias("n1"),
-        F.sum((~F.col("up")).cast("int")).alias("n2"),
-        F.sum("brk").alias("n_runs"))
-    two_n1n2 = (F.lit(2).cast(d38) * F.col("n1").cast(d38)
-                * F.col("n2").cast(d38))
-    n38 = F.col("n_used").cast(d38)
-    var_num = two_n1n2 * (two_n1n2 - n38)
-    var_den = n38 * n38 * (n38 - F.lit(1).cast(d38))
-    nD = F.col("n_used").cast("double")
-    mu = F.lit(1.0) + two_n1n2.cast("string").cast("double") / nD
-    var = (var_num.cast("string").cast("double")
-           / var_den.cast("string").cast("double"))
-    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
-    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n_used") > 1)
-    return agg.select(
-        F.col("n_used").cast("bigint").alias("n_days_used"),
-        F.col("n1").cast("bigint").alias("n_above"),
-        F.col("n2").cast("bigint").alias("n_below"),
-        F.col("n_runs").cast("bigint").alias("n_runs"),
-        F.when(ok & (var > 0), z).alias("z_score"))
+    from ..operators.timeseries import daily_revenue, runs_test_from_daily
+    o = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    return runs_test_from_daily(daily_revenue(o))
 
 
 def orders_fulfillment_lag_approx(spark, sf_dir):

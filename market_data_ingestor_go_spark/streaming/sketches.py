@@ -457,3 +457,22 @@ def streaming_yoy_counts(stream: DataFrame,
     matched-pairs shift monitoring."""
     from ..operators.timeseries import yoy_counts
     return yoy_counts(stream, key_col, year_col, year_a, year_b)
+
+
+def streaming_daily_revenue(stream: DataFrame,
+                            date_col: str = "o_orderdate",
+                            price_col: str = "o_totalprice"
+                            ) -> DataFrame:
+    """Day-grain exact-decimal revenue maintained FROM A STREAM —
+    the transform is SHARED with the batch form
+    (``operators/timeseries.py::daily_revenue``: a DECIMAL(27,6) sum
+    on epoch-day integer keys is a plain additive aggregate ⇒
+    streamed complete-mode state after any micro-batch split is
+    BIT-identical to the batch aggregate), and THREE time-series
+    readouts finish from the |calendar days|-row sink at read time:
+    ``autocorr_from_daily`` (momentum), ``theilsen_from_daily``
+    (robust trend), and ``runs_test_from_daily`` (serial randomness)
+    — one state table, three continuous monitors (r15; the
+    streaming_user_days / value-histogram pattern)."""
+    from ..operators.timeseries import daily_revenue
+    return daily_revenue(stream, date_col, price_col)

@@ -4182,3 +4182,55 @@ def test_streaming_yoy_counts_equals_batch(spark, tmp_path):
         spark, sf).collect()]
     assert got == want and len(got) == 1
     spark.sql("DROP TABLE IF EXISTS yoy_state")
+
+
+def test_streaming_daily_revenue_three_readouts(spark, tmp_path):
+    """r15: day-grain revenue sums are plain additive aggregates ⇒
+    the complete-mode state after a 3-way micro-batch split is
+    BIT-identical to the batch daily_revenue table, and ALL THREE
+    finishers over the sink (autocorrelation, Theil-Sen, runs test)
+    reproduce their batch query rows — one state, three monitors."""
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        autocorr_from_daily, daily_revenue, runs_test_from_daily,
+        theilsen_from_daily)
+    from market_data_ingestor_go_spark.plans.queries import ALL_QUERIES
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    from market_data_ingestor_go_spark.streaming.sketches import (
+        run_sketch_stream, streaming_daily_revenue)
+
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders") \
+        .select("o_orderdate", "o_totalprice")
+    rows = o.collect()
+    src = str(tmp_path / "drsrc")
+    os.makedirs(src)
+    for i, chunk in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        with open(os.path.join(src, f"b{i}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(
+                    {"o_orderdate": str(r.o_orderdate),
+                     "o_totalprice": float(r.o_totalprice)}) + "\n")
+    stream = (spark.readStream
+              .schema("o_orderdate TIMESTAMP, o_totalprice DOUBLE")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = run_sketch_stream(streaming_daily_revenue(stream),
+                          "dr_state", str(tmp_path / "c"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.table("dr_state")
+    want_state = daily_revenue(o)
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, want_state.collect()))
+
+    for fin, qname in ((autocorr_from_daily, "orders_daily_autocorr"),
+                       (theilsen_from_daily, "orders_theilsen_trend"),
+                       (runs_test_from_daily,
+                        "orders_revenue_runs_test")):
+        got = sorted(map(tuple, fin(state).collect()))
+        want = sorted(map(tuple, ALL_QUERIES[qname](spark, sf)
+                          .collect()))
+        assert got == want and len(got) == 1, qname
+    spark.sql("DROP TABLE IF EXISTS dr_state")
