@@ -1601,7 +1601,30 @@ def theilsen_from_daily(per_day: DataFrame) -> DataFrame:
     (d, rev) state — SHARED by the batch orders_theilsen_trend query
     and the streaming twin. Exact lower-median element over the
     (slope, da, db) total order; both pair sides re-keyed; n_days as
-    a lazy 1-row broadcast scalar."""
+    a lazy 1-row broadcast scalar.
+
+    r15 optimization round (guide §2.4/§2.5): the former single
+    global row_number window serialized every |days|²/2 pair row
+    through ONE task's sort, and a second global count window
+    re-exchanged the same rows just to learn n_pairs. Now a
+    median-of-slopes SELECTION over floor(slope/1024) chunks —
+    division by a power of two is exact IEEE scaling and floor is
+    monotone, so chunks tile the slope order:
+
+    - the pinned pair table aggregates once into a chunk-grain
+      ledger (per-chunk count, exclusive prefix carry, grand total
+      np — windows over the chunk-count-sized frame, never over
+      pair rows); n_pairs = np rides the ledger;
+    - the ledger locates the ONE chunk whose rank range contains
+      k = (np+1) div 2 (carry < k ≤ carry+cn) — a 1-row broadcast;
+    - only THAT chunk's pair rows are ranked (row_number within the
+      chunk over the same (slope, da, db) total order; global rank
+      = carry + local rank by counting associativity), so the sort
+      touches ~np/|chunks| rows instead of np. Worst case (every
+      slope in one chunk) degrades to the old single sort, never
+      worse. The selected element, n_pairs and n_days are IDENTICAL
+      to the global form (pinned by the exact-Python-reference test
+      and the DuckDB oracle)."""
     a = per_day.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
     b = per_day.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
     pairs = (a.join(b, F.col("da") < F.col("db"))
@@ -1610,15 +1633,38 @@ def theilsen_from_daily(per_day: DataFrame) -> DataFrame:
                       .cast("double")
                       / (F.col("db") - F.col("da")).cast("double"))
                      .alias("slope")))
-    w = Window.orderBy("slope", "da", "db")
-    r = (pairs.withColumn("rk", F.row_number().over(w))
-         .withColumn("np", F.count("*").over(Window.partitionBy())))
-    med = F.max(F.when(F.col("rk") == F.expr("(np + 1) div 2"),
-                       F.col("slope")))
+    # pinned: the ledger aggregate and the target-chunk rank both
+    # read the pair table — one BNLJ execution, not two
+    pairs = pin(pairs.withColumn(
+        "__ck", F.floor(F.col("slope") / F.lit(1024.0))))
+    w_carry = (Window.orderBy("__ck")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.orderBy("__ck")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    ledger = (pairs.groupBy("__ck").agg(F.count("*").alias("cn"))
+              .withColumn("carry",
+                          F.coalesce(F.sum("cn").over(w_carry),
+                                     F.lit(0)))
+              .withColumn("np", F.sum("cn").over(w_all)))
+    k = F.expr("(np + 1) div 2")
+    target = (ledger.filter((F.col("carry") < k)
+                            & (k <= F.col("carry") + F.col("cn")))
+              .select(F.col("__ck").alias("__ck_l"), "carry", "np"))
+    w_cum = Window.partitionBy("__ck").orderBy("slope", "da", "db")
+    # NULL-SAFE equality on purpose: a plain == infers an
+    # isnotnull(floor(slope/1024)) predicate that Catalyst pushes into
+    # the day-pair BNLJ's join condition AHEAD of da < db — evaluating
+    # the slope division on da == db combos (ANSI divide-by-zero).
+    # __ck is never null, so <=> is semantically identical and keeps
+    # the hash join.
+    r = (pairs.join(F.broadcast(target),
+                    pairs["__ck"].eqNullSafe(target["__ck_l"]))
+         .withColumn("rk", F.col("carry") + F.row_number().over(w_cum)))
+    med = (r.filter(F.col("rk") == F.expr("(np + 1) div 2"))
+           .select("np", F.col("slope").alias("slope_med")))
     nd = per_day.agg(F.count("*").alias("n_days"))
-    return (r.groupBy("np")
-            .agg(med.alias("slope_med"))
-            .crossJoin(F.broadcast(nd))
+    return (med.crossJoin(F.broadcast(nd))
             .select(F.col("n_days").cast("bigint").alias("n_days"),
                     F.col("np").cast("bigint").alias("n_pairs"),
                     F.col("slope_med").alias("theilsen_slope")))

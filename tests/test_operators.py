@@ -171,6 +171,27 @@ def test_lsh_pairs_recall_and_precision(spark):
     assert recall >= 0.9, f"banded LSH recall too low: {recall}"
 
 
+def test_lsh_verify_kernel_equals_expr(spark):
+    """r15 optimization: lsh_cosine_pairs' candidate verification runs
+    an Arrow-batched numpy kernel by default (guide §4.2 — the
+    interpreted zip_with+aggregate HOF cosine was ~60% of the query).
+    The kernel preserves the left fold across dimensions and the
+    sqrt(qsd·nsd) association, so pairs AND cosines must be
+    BIT-IDENTICAL to the Column-expression path (kept as ``engine=
+    'expr'``, the in-repo equality oracle — the cosine_pairs_blocked /
+    pq_encode convention)."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        lsh_cosine_pairs)
+    emb = load_table(spark, SF, "embeddings")
+    kern = sorted((r["a_id"], r["b_id"], r["cos"]) for r in
+                  lsh_cosine_pairs(emb, threshold=0.4).collect())
+    expr = sorted((r["a_id"], r["b_id"], r["cos"]) for r in
+                  lsh_cosine_pairs(emb, threshold=0.4,
+                                   engine="expr").collect())
+    assert kern == expr
+    assert len(kern) > 0
+
+
 def test_compact_history(spark, tmp_path):
     from market_data_ingestor_go_spark.streaming.pipeline import (
         compact_history, read_history)

@@ -1015,7 +1015,11 @@ def test_r15_analytics_plans_have_no_cartesian(spark):
         "orders_daily_autocorr": 0,
         "events_kruskal_value_test": 1,   # 1-row ties scalar frame
         "orders_revenue_runs_test": 1,    # 1-row median broadcast
-        "orders_theilsen_trend": 2,       # calendar² day-pair join
+        "orders_theilsen_trend": 3,       # calendar² day-pair join —
+                                          # PINNED, so its BNLJ prints
+                                          # at both InMemoryRelation
+                                          # scan sites (ledger + target
+                                          # chunk) but executes ONCE —
                                           # + 1-row n_days scalar
         "events_purchase_rate_ztest": 0,
         "customer_yoy_sign_test": 0,
@@ -1065,3 +1069,18 @@ def test_rank_spine_windows_are_chunked(spark):
                     and "__ck" not in line:
                 raise AssertionError(f"{name}: unchunked value sort: "
                                      f"{line}")
+
+
+def test_theilsen_rank_spine_is_chunked(spark):
+    """r15 optimization round: the Theil-Sen median-slope selection
+    must sort pair rows WITHIN floor(slope/1024) chunks — the former
+    global row_number window serialized all |days|²/2 pair rows
+    through ONE task (and a second global count window re-exchanged
+    them). The only SinglePartition window left is the chunk-grain
+    carry ledger (bounded by slope range / 1024, never by the pair
+    count)."""
+    plan = _plan(ALL_QUERIES["orders_theilsen_trend"](spark, SF))
+    assert "__ck" in plan, plan
+    for line in plan.splitlines():
+        if "Sort [slope" in line:
+            raise AssertionError(f"unchunked global slope sort: {line}")
