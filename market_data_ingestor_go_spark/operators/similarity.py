@@ -385,6 +385,86 @@ def verify_pairs_cos_arrow(joined: DataFrame,
                  .mapInPandas(score, schema)
 
 
+def verify_pairs_cos_blocked(cand: DataFrame, base: DataFrame,
+                             threshold: float,
+                             n_blocks: int = 8) -> DataFrame:
+    """Blocked exact-cosine verification of a candidate pair list —
+    the guide-§8 shape: decide with SMALL rows, move the heavy rows
+    ONCE. Joining vectors onto every candidate ships
+    2·dim·8 bytes·|pairs| into the verify stage (measured 1.6 GB at
+    1.5M candidates ×64 dims — the verify cost is the transfer, not
+    the cosine). Here the pair list shuffles as (a_id, b_id) METADATA
+    grouped by (block(a), block(b)), each side's vectors replicate
+    once per partner block (the n·B all-pairs replication bound that
+    ``cosine_pairs_blocked`` already uses), and one applyInPandas
+    task per block pair indexes vectors by id and scores its pairs —
+    vectors cross the shuffle ~B times total instead of once per
+    candidate.
+
+    Bit-identity: same fold-order-preserving kernel as
+    ``verify_pairs_cos_arrow`` (sequential accumulation across
+    dimensions, sqrt(sa·sb) association, identical threshold
+    compare) — pinned by test_lsh_verify_kernel_equals_expr.
+
+    ``cand``: (a_id, b_id) distinct pairs; ``base``: (id, v, sd)
+    with self-dots precomputed (pinned by the caller)."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    nb = int(n_blocks)
+    id_t = base.schema["id"].dataType.simpleString()
+    schema = f"a_id {id_t}, b_id {id_t}, cos DOUBLE"
+    blk = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(nb))  # noqa: E731
+    rep = F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
+    nullv = F.lit(None).cast("array<double>")
+    nulld = F.lit(None).cast("double")
+    null_id = F.lit(None).cast(id_t)
+    a_rows = (base.withColumn("gb", rep)
+              .select((blk("id") * nb + F.col("gb")).alias("g"),
+                      F.lit(0).alias("kind"),
+                      F.col("id").alias("ida"), null_id.alias("idb"),
+                      "v", "sd"))
+    b_rows = (base.withColumn("ga", rep)
+              .select((F.col("ga") * nb + blk("id")).alias("g"),
+                      F.lit(1).alias("kind"),
+                      F.col("id").alias("ida"), null_id.alias("idb"),
+                      "v", "sd"))
+    p_rows = cand.select(
+        (blk("a_id") * nb + blk("b_id")).alias("g"),
+        F.lit(2).alias("kind"),
+        F.col("a_id").alias("ida"), F.col("b_id").alias("idb"),
+        nullv.alias("v"), nulld.alias("sd"))
+    rep_all = a_rows.unionByName(b_rows).unionByName(p_rows)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": pd.Series([], dtype=object),
+                              "b_id": pd.Series([], dtype=object),
+                              "cos": pd.Series([], dtype="float64")})
+        p = pdf[pdf["kind"] == 2]
+        if not len(p):
+            return empty
+        a = pdf[pdf["kind"] == 0]
+        b = pdf[pdf["kind"] == 1]
+        ia = pd.Index(a["ida"])
+        ib = pd.Index(b["ida"])
+        pa = ia.get_indexer(p["ida"])
+        pb = ib.get_indexer(p["idb"])
+        X = np.stack(a["v"].to_numpy())[pa]
+        Y = np.stack(b["v"].to_numpy())[pb]
+        acc = np.zeros(len(p))
+        for i in range(X.shape[1]):
+            acc = acc + X[:, i] * Y[:, i]
+        cos = acc / np.sqrt(a["sd"].to_numpy()[pa]
+                            * b["sd"].to_numpy()[pb])
+        m = cos >= thr
+        return pd.DataFrame({"a_id": p["ida"][m].to_numpy(),
+                             "b_id": p["idb"][m].to_numpy(),
+                             "cos": cos[m]})
+
+    return rep_all.groupBy("g").applyInPandas(score, schema)
+
+
 def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding", threshold: float = 0.4,
                      dim: int = 64, n_bands: int = 4,
@@ -448,11 +528,23 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                      F.col("sd").alias("qsd"))
     vb = base.select(F.col("id").alias("b_id"), F.col("v").alias("nv"),
                      F.col("sd").alias("nsd"))
+    # verification engines (r15 optimization): "kernel" (default)
+    # replaces the interpreted HOF cosine with the pair-list Arrow
+    # kernel — measured fastest locally because the per-pair vector
+    # attach is a BROADCAST join (no shuffle) and only the
+    # JVM->Python transfer remains; "blocked" is the 100 TB shape
+    # (guide §8: pairs shuffle as metadata, vectors cross ~B times
+    # instead of once per candidate — wins when the vector side no
+    # longer broadcasts), measured SLOWER at fixture scale (5.8 s vs
+    # 3.5 s: its real exchange of pair rows costs more than the
+    # transfer it saves); "expr" keeps the Column-expression path as
+    # the in-repo equality oracle (the pq_encode convention). All
+    # three emit bit-identical pairs and cosines.
+    if engine == "blocked":
+        return verify_pairs_cos_blocked(
+            cand, base.select(F.col("id"), F.col("v"), F.col("sd")),
+            threshold)
     joined = cand.join(va, "a_id").join(vb, "b_id")
-    # verification: Arrow kernel by default (r15 optimization — the
-    # interpreted HOF cosine was ~60% of the query at 1.5M
-    # candidates); engine="expr" keeps the Column-expression path as
-    # the in-repo equality oracle (the pq_encode convention).
     if engine == "kernel":
         return verify_pairs_cos_arrow(joined, threshold)
     return (

@@ -450,7 +450,14 @@ def ewma_chunked(df: DataFrame, key_col: str, order_cols: list[str],
                          F.when(hop, F.col("A") * F.col("B2")
                                 + F.col("B"))
                          .otherwise(F.col("B")).alias("B"))
-                 .localCheckpoint())
+                 # LAZY checkpoint (r15 optimization): the round count
+                 # is known up front and nothing needs a per-round
+                 # metric, so plan truncation happens per round (the
+                 # exponential-lineage guard) while materialization
+                 # collapses into the convergence guard's single job —
+                 # log2(segments) fewer driver round-trips (measured
+                 # ~13% on events_ewma_chunked; values identical)
+                 .localCheckpoint(eager=False))
     # fail-loud convergence guard (raise, not assert: asserts strip
     # under python -O and the failure mode is silently wrong carries)
     if rounds and nodes.filter(F.col("t") > 1).head(1):

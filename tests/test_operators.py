@@ -173,23 +173,27 @@ def test_lsh_pairs_recall_and_precision(spark):
 
 def test_lsh_verify_kernel_equals_expr(spark):
     """r15 optimization: lsh_cosine_pairs' candidate verification runs
-    an Arrow-batched numpy kernel by default (guide §4.2 — the
-    interpreted zip_with+aggregate HOF cosine was ~60% of the query).
-    The kernel preserves the left fold across dimensions and the
+    the pair-list Arrow kernel by default (guide §4.2 — replaces the
+    interpreted zip_with+aggregate HOF cosine), with the
+    vectors-move-once blocked engine kept as the measured-and-
+    documented 100 TB shape (``engine='blocked'``, guide §8) and the
+    Column-expression path as ``engine='expr'`` (the in-repo equality
+    oracle — the cosine_pairs_blocked / pq_encode convention). All
+    kernels preserve the left fold across dimensions and the
     sqrt(qsd·nsd) association, so pairs AND cosines must be
-    BIT-IDENTICAL to the Column-expression path (kept as ``engine=
-    'expr'``, the in-repo equality oracle — the cosine_pairs_blocked /
-    pq_encode convention)."""
+    BIT-IDENTICAL across all three engines."""
     from market_data_ingestor_go_spark.operators.similarity import (
         lsh_cosine_pairs)
     emb = load_table(spark, SF, "embeddings")
-    kern = sorted((r["a_id"], r["b_id"], r["cos"]) for r in
-                  lsh_cosine_pairs(emb, threshold=0.4).collect())
     expr = sorted((r["a_id"], r["b_id"], r["cos"]) for r in
                   lsh_cosine_pairs(emb, threshold=0.4,
                                    engine="expr").collect())
-    assert kern == expr
-    assert len(kern) > 0
+    for eng in ("blocked", "kernel"):
+        got = sorted((r["a_id"], r["b_id"], r["cos"]) for r in
+                     lsh_cosine_pairs(emb, threshold=0.4,
+                                      engine=eng).collect())
+        assert got == expr, eng
+    assert len(expr) > 0
 
 
 def test_compact_history(spark, tmp_path):
