@@ -87,7 +87,12 @@ def pagerank_fixed_point(edges: DataFrame, src: str = "src",
                      + F.expr(f"({damping_num} * coalesce(s, 0)) "
                               f"div {damping_den}"))
                     .cast("long").alias("pr_scaled"))
-            .localCheckpoint())
+            # LAZY checkpoint (r15 optimization, the ewma_chunked
+            # pattern): the iteration count is fixed and no per-round
+            # metric exists, so plan truncation happens per round (the
+            # lineage guard) while materialization collapses into the
+            # consumer's single job — n_iters fewer driver round-trips
+            .localCheckpoint(eager=False))
     return ranks
 
 
