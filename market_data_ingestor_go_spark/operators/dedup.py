@@ -442,10 +442,12 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "doc_a",
     labels, its label's label}. The neighbor step moves information
     one hop; the pointer-jump step halves chain depth, so rounds are
     O(log diameter) instead of O(diameter) — the standard large-scale
-    CC recipe (two equi-joins + a partial-min aggregate per round,
-    shuffle linear in edges, no driver-side graph state). Labels
-    persist between rounds and the convergence check is one scalar
-    count per round.
+    CC recipe. r16: the jump is FUSED into the neighbor join by
+    adding each node's (id → label) pointer to the edge list, so a
+    round is ONE equi-join + partial-min aggregate + the label
+    attach (shuffle linear in edges + nodes, no driver-side graph
+    state, no second self-join). Labels persist between rounds and
+    the convergence check is one scalar count per round.
 
     Iterative lineage MUST be truncated each round: a persisted
     DataFrame still carries its full logical plan, and a loop that
@@ -479,23 +481,32 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "doc_a",
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("lbl", F.col("id")).localCheckpoint(eager=True))
     for _ in range(max_iters):
+        # FUSED round (r16 optimization, guide §2.4): the pointer-jump
+        # step used to be a SECOND self-join after the neighbor step
+        # (two more stages + a broadcast build per round — pure fixed
+        # latency on a latency-bound loop). Folding each node's
+        # pointer (id → lbl) into the edge list makes one join+agg
+        # compute min(neighbor labels, label's label) together:
+        # lbl_i ← min(lbl_i, min_{j∈N(i)} lbl_j, lbl_{lbl_i}).
+        # The jump now reads the round-START labels instead of the
+        # post-neighbor-step ones — still monotone toward, and
+        # terminating at, exactly the same fixpoint (at convergence no
+        # neighbor offers a smaller label, which alone forces the
+        # component-min labeling; equality pinned by the engine-
+        # equality test), with the same O(log) chain-halving. Every
+        # node has a pointer edge, so nbr_min covers every id and the
+        # attach join is INNER (no null branch).
+        ptr_edges = labels.select(F.col("id").alias("src"),
+                                  F.col("lbl").alias("dst"))
         nbr_min = (
-            sym.join(labels, sym.dst == labels.id)
+            sym.unionByName(ptr_edges)
+            .join(labels, F.col("dst") == labels.id)
             .groupBy("src").agg(F.min("lbl").alias("nl")))
-        stepped = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src)
             .select(labels.id.alias("id"),
                     F.col("lbl").alias("prev"),
-                    F.least(F.col("lbl"), F.coalesce(F.col("nl"),
-                                                     F.col("lbl"))).alias("lbl")))
-        # pointer jump: my new label ← my label's label (halves chains)
-        ptr = stepped.select(F.col("id").alias("jid"),
-                             F.col("lbl").alias("jlbl"))
-        new_labels = (
-            stepped.join(ptr, stepped.lbl == ptr.jid, "left")
-            .select(stepped.id.alias("id"), F.col("prev"),
-                    F.least(F.col("lbl"), F.coalesce(F.col("jlbl"),
-                                                     F.col("lbl"))).alias("lbl"))
+                    F.least(F.col("lbl"), F.col("nl")).alias("lbl"))
             # LAZY checkpoint (r15 optimization): the logical plan is
             # truncated immediately (the exponential-lineage guard the
             # eager form existed for), but materialization rides the

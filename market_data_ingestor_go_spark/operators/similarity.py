@@ -450,6 +450,14 @@ def verify_pairs_cos_blocked(cand: DataFrame, base: DataFrame,
         ib = pd.Index(b["ida"])
         pa = ia.get_indexer(p["ida"])
         pb = ib.get_indexer(p["idb"])
+        # fail loud (r16 ADVICE): get_indexer returns -1 for an id with
+        # no replicated vector in this block — negative-index wraparound
+        # would silently score against the LAST vector instead
+        if (pa < 0).any() or (pb < 0).any():
+            missing = (set(p["ida"][pa < 0]) | set(p["idb"][pb < 0]))
+            raise ValueError(
+                "verify_pairs_cos_blocked: candidate ids without a "
+                f"replicated vector in their block: {sorted(missing)[:10]}")
         X = np.stack(a["v"].to_numpy())[pa]
         Y = np.stack(b["v"].to_numpy())[pb]
         acc = np.zeros(len(p))
@@ -493,6 +501,11 @@ def lsh_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     Candidate generation stays an equi-join on (band, bucket) either
     way — never a cross product.
     """
+    if engine not in ("kernel", "blocked", "expr"):
+        # validate BEFORE any work (r16 ADVICE): a typo'd engine name
+        # must not silently fall through to the slow expr path
+        raise ValueError(f"unknown LSH verify engine {engine!r}; "
+                         "expected 'kernel', 'blocked' or 'expr'")
     bandplanes = _banded_hyperplanes(dim, n_bands, planes_per_band)
     base = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
     base = base.withColumn("sd", dot(F.col("v"), F.col("v")))

@@ -1244,29 +1244,65 @@ def pareto_from_spend(spend: DataFrame,
     dimension — SHARED by the batch customer_revenue_pareto query and
     the streaming spend twin. Ranks are row_number over (spend DESC,
     c_custkey) — a total order; k = ⌈n/10⌉ in integer arithmetic; the
-    share is one string-routed decimal division ⇒ bit-exact. One
-    per-segment rank window over |customers| rows (the GK threshold
-    swap applies at 100 TB — customer_revenue_pareto_approx)."""
+    share is one string-routed decimal division ⇒ bit-exact.
+
+    r16 optimization round (guide §2.4/§2.5 — the Theil-Sen chunk-
+    ledger selection in per-group top-k form): the former per-segment
+    rank window serialized every segment's |customers| rows through
+    ONE task's sort. Now the pinned (segment, custkey, spend) table
+    aggregates once into a floor(spend/1024) chunk ledger (per-chunk
+    count and exact-decimal sum; descending-chunk exclusive carries;
+    n and total ride the same chunk-grain windows — floor of a
+    monotone double cast is monotone, so chunks tile the spend
+    order); the ledger locates the ONE chunk per segment whose
+    descending rank range contains k = (n+9) div 10; only THAT
+    chunk's rows are ranked (global rank = carry + local rank by
+    counting associativity). top_spend = (whole chunks above the
+    target, from the ledger) + (the target chunk's rank-qualified
+    rows) — exact decimal sums are order-independent, so the split
+    is bit-identical to the windowed form. Worst case (every spend
+    in one chunk) degrades to the old per-segment sort, never
+    worse."""
     s = (spend.join(customer_dim,
                     spend["o_custkey"] == customer_dim["c_custkey"])
          .select("c_mktsegment", "c_custkey", "spend"))
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("spend").desc(), "c_custkey")
-    wn = Window.partitionBy("c_mktsegment")
-    r = (s.withColumn("rk", F.row_number().over(w))
-         .withColumn("n", F.count("*").over(wn)))
-    in_top = F.col("rk") <= F.expr("(n + 9) div 10")
-    agg = (r.groupBy("c_mktsegment")
-           .agg(F.count("*").alias("n_customers"),
-                F.max(F.expr("(n + 9) div 10")).alias("k_top10"),
-                F.sum("spend").alias("total_spend"),
-                F.sum(F.when(in_top, F.col("spend"))).alias("top_spend")))
-    share = _dstr_col("top_spend") / _dstr_col("total_spend")
+    s = pin(s.withColumn("__ck",
+                         F.floor(F.col("spend") / F.lit(1024.0))))
+    w_carry = (Window.partitionBy("c_mktsegment")
+               .orderBy(F.col("__ck").desc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.partitionBy("c_mktsegment")
+    led = (s.groupBy("c_mktsegment", "__ck")
+           .agg(F.count("*").alias("cn"), F.sum("spend").alias("cs"))
+           .withColumn("carry",
+                       F.coalesce(F.sum("cn").over(w_carry), F.lit(0)))
+           .withColumn("carry_s",
+                       F.coalesce(F.sum("cs").over(w_carry), F.lit(0)))
+           .withColumn("n", F.sum("cn").over(w_all))
+           .withColumn("total", F.sum("cs").over(w_all)))
+    k = F.expr("(n + 9) div 10")
+    target = (led.filter((F.col("carry") < k)
+                         & (k <= F.col("carry") + F.col("cn")))
+              .select(F.col("c_mktsegment").alias("seg_l"),
+                      F.col("__ck").alias("__ck_l"),
+                      "carry", "carry_s", "n", "total"))
+    w_rk = (Window.partitionBy("c_mktsegment", "__ck")
+            .orderBy(F.col("spend").desc(), "c_custkey"))
+    r = (s.join(F.broadcast(target),
+                (F.col("c_mktsegment") == F.col("seg_l"))
+                & F.col("__ck").eqNullSafe(F.col("__ck_l")))
+         .withColumn("rk", F.col("carry") + F.row_number().over(w_rk)))
+    agg = (r.groupBy("c_mktsegment", "n", "total", "carry_s")
+           .agg(F.sum(F.when(F.col("rk") <= F.expr("(n + 9) div 10"),
+                             F.col("spend"))).alias("part_s")))
+    top = F.col("carry_s") + F.col("part_s")
+    share = (top.cast("string").cast("double")
+             / _dstr_col("total"))
     return agg.select(
         "c_mktsegment",
-        F.col("n_customers").cast("bigint").alias("n_customers"),
-        F.col("k_top10").cast("bigint").alias("k_top10"),
-        F.when(F.col("total_spend") > 0, share).alias("top10_share"))
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.expr("(n + 9) div 10").cast("bigint").alias("k_top10"),
+        F.when(F.col("total") > 0, share).alias("top10_share"))
 
 
 def supplier_revenue(df: DataFrame, nation_col: str = "s_nationkey",
@@ -1603,7 +1639,8 @@ def autocorr_from_daily(per_day: DataFrame) -> DataFrame:
                cov / F.sqrt(vx * vy)).alias("lag1_autocorr"))
 
 
-def theilsen_from_daily(per_day: DataFrame) -> DataFrame:
+def theilsen_from_daily(per_day: DataFrame,
+                        chunk_width: float = 1024.0) -> DataFrame:
     """Finisher: the Theil–Sen median pairwise slope from the
     (d, rev) state — SHARED by the batch orders_theilsen_trend query
     and the streaming twin. Exact lower-median element over the
@@ -1631,7 +1668,14 @@ def theilsen_from_daily(per_day: DataFrame) -> DataFrame:
       slope in one chunk) degrades to the old single sort, never
       worse. The selected element, n_pairs and n_days are IDENTICAL
       to the global form (pinned by the exact-Python-reference test
-      and the DuckDB oracle)."""
+      and the DuckDB oracle).
+
+    ``chunk_width`` (r16 ADVICE) sets the slope units per chunk: any
+    positive width yields identical results (floor of an exact
+    power-of-two-scaled division stays monotone for every width;
+    selection is width-independent), but a width wider than the
+    data's slope RANGE degrades to the old single-task sort — size
+    it so range/width lands in the tens-to-thousands of chunks."""
     a = per_day.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
     b = per_day.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
     pairs = (a.join(b, F.col("da") < F.col("db"))
@@ -1642,8 +1686,10 @@ def theilsen_from_daily(per_day: DataFrame) -> DataFrame:
                      .alias("slope")))
     # pinned: the ledger aggregate and the target-chunk rank both
     # read the pair table — one BNLJ execution, not two
+    if not chunk_width > 0:
+        raise ValueError(f"chunk_width must be > 0 (got {chunk_width})")
     pairs = pin(pairs.withColumn(
-        "__ck", F.floor(F.col("slope") / F.lit(1024.0))))
+        "__ck", F.floor(F.col("slope") / F.lit(float(chunk_width)))))
     w_carry = (Window.orderBy("__ck")
                .rowsBetween(Window.unboundedPreceding, -1))
     w_all = (Window.orderBy("__ck")

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import token_count
+from .cache import pin
 
 
 def hash_bucket(key, n_buckets: int = 100):
@@ -422,34 +423,74 @@ def quality_floor_summary(df: DataFrame, group_col: str,
     Exactness: the rank is a total order over (metric, id) but the
     value AT a rank is tie-independent, so the threshold — and every
     count — is deterministic and identical cross-engine; all integer
-    arithmetic ⇒ bit-exact oracle. Shapes: one keyed window pass
-    (rank + count), the |groups|-row threshold table broadcasts back,
-    one aggregate — the group-window family's scale posture (a
-    monster group serializes its own rank; chunk by range if needed).
+    arithmetic ⇒ bit-exact oracle (the metric is assumed exact —
+    integral or decimal — as the bigint output contract already
+    required).
+
+    r16 optimization round (guide §2.3/§2.4 — the Mann-Whitney /
+    Spearman histogram-spine device): because the value at a rank is
+    tie-independent, EVERYTHING this summary reports is derivable
+    from the per-group VALUE HISTOGRAM — no per-row rank window, no
+    join back onto the rows, no group ever serializing its own rows
+    through one task:
+
+    - one (group, metric) aggregate with map-side partials is the
+      only corpus exchange (it shuffles |groups × distinct values|
+      histogram rows, not docs);
+    - cumulative counts over the histogram run CHUNKED on
+      floor(m/1024) (the weighted-sampler carry composition: within-
+      chunk windows sort in parallel, the chunk-grain carry ledger
+      joins back broadcast), so even an extreme value domain never
+      feeds a single-task sort;
+    - the threshold is the value whose cumulative range covers rank
+      ⌈(q_num/q_den)·n⌉; n_kept = n − (count below it) and
+      kept_sum = (total metric sum) − (sum below it) — all additive
+      histogram arithmetic, bit-identical to the per-row form.
+
+    ``id_col`` is retained for API compatibility; tie-independence
+    means the tiebreak column never affects the output.
     """
     from pyspark.sql.window import Window
     if not (0 < q_num < q_den):
         raise ValueError(f"need 0 < q_num < q_den (got {q_num}/{q_den})")
+    _ = id_col  # tie-independent: the tiebreak never affects the output
     g, m = F.col(group_col).alias("g"), F.col(metric_col).alias("m")
-    t = df.select(g, F.col(id_col).alias("id"), m)
-    w = Window.partitionBy("g").orderBy("m", "id")
-    wc = Window.partitionBy("g")
-    r = (t.withColumn("rn", F.row_number().over(w))
-         .withColumn("n", F.count("*").over(wc)))
+    h = pin(df.select(g, m)
+            .groupBy("g", "m")
+            .agg(F.count("*").alias("cn"), F.sum("m").alias("ms"))
+            .withColumn("__ck", F.floor(F.col("m") / F.lit(1024.0))))
+    w_carry = (Window.partitionBy("g").orderBy("__ck")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.partitionBy("g")
+    led = (h.groupBy("g", "__ck")
+           .agg(F.sum("cn").alias("ccn"), F.sum("ms").alias("cms"))
+           .withColumn("carry",
+                       F.coalesce(F.sum("ccn").over(w_carry), F.lit(0)))
+           .withColumn("carry_ms",
+                       F.coalesce(F.sum("cms").over(w_carry), F.lit(0)))
+           .withColumn("n", F.sum("ccn").over(w_all))
+           .withColumn("tot_ms", F.sum("cms").over(w_all))
+           .select(F.col("g").alias("g_l"), F.col("__ck").alias("__ck_l"),
+                   "carry", "carry_ms", "n", "tot_ms"))
+    w_cum = (Window.partitionBy("g", "__ck").orderBy("m")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    r = (h.join(F.broadcast(led),
+                (F.col("g") == F.col("g_l"))
+                & F.col("__ck").eqNullSafe(F.col("__ck_l")))
+         .withColumn("cum", F.col("carry")
+                     + F.coalesce(F.sum("cn").over(w_cum), F.lit(0)))
+         .withColumn("cum_ms", F.col("carry_ms")
+                     + F.coalesce(F.sum("ms").over(w_cum), F.lit(0))))
     kth = F.expr(f"(n * {q_num} + {q_den} - 1) div {q_den}")
-    th = (r.filter(F.col("rn") == kth)
-          .select(F.col("g").alias("g_t"), F.col("n").alias("n_t"),
-                  F.col("m").alias("threshold")))
-    keep = (F.col("m") >= F.col("threshold")).cast("int")
-    return (r.join(F.broadcast(th), F.col("g") == F.col("g_t"))
-            .groupBy("g", "n_t", "threshold")
-            .agg(F.sum(keep).alias("n_kept"),
-                 F.sum(F.col("m") * keep).alias("kept_sum"))
+    return (r.filter((F.col("cum") < kth)
+                     & (kth <= F.col("cum") + F.col("cn")))
             .select(F.col("g").alias(group_col),
-                    F.col("n_t").cast("bigint").alias("n_docs"),
-                    F.col("threshold").cast("bigint").alias("threshold"),
-                    F.col("n_kept").cast("bigint").alias("n_kept"),
-                    F.col("kept_sum").cast("bigint").alias("kept_sum")))
+                    F.col("n").cast("bigint").alias("n_docs"),
+                    F.col("m").cast("bigint").alias("threshold"),
+                    (F.col("n") - F.col("cum")).cast("bigint")
+                    .alias("n_kept"),
+                    (F.col("tot_ms") - F.col("cum_ms")).cast("bigint")
+                    .alias("kept_sum")))
 
 
 def quality_floor_summary_approx(df: DataFrame, group_col: str,

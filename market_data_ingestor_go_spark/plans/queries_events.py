@@ -864,13 +864,30 @@ def events_conversion_latency(spark, sf_dir):
     arithmetic; the mean is an exact decimal sum with one
     string-routed division ⇒ bit-exact. Scale: two user-keyed
     aggregates (first view, first qualifying purchase — map-side
-    partials) and ONE rank window over |converted users| rows; at
-    100 TB the documented GK-percentile swap replaces the exact rank
-    (the source_quality_floor_approx precedent). Empty-conversion
-    contract (r15 ADVICE): when NO user converts, all three forms —
-    this groupBy('n'), the oracle (HAVING COUNT(*) > 0), and the
-    approx twin (n_converted > 0 filter) — agree on ZERO rows (a
-    distribution over an empty set is empty, not a NULL row)."""
+    partials); the GK-percentile swap (the
+    source_quality_floor_approx precedent) remains the documented
+    sketch twin. Empty-conversion contract (r15 ADVICE): when NO
+    user converts, all three forms — this groupBy over the (empty)
+    ledger, the oracle (HAVING COUNT(*) > 0), and the approx twin
+    (n_converted > 0 filter) — agree on ZERO rows (a distribution
+    over an empty set is empty, not a NULL row).
+
+    r16 optimization round (guide §2.4/§2.5 — the Theil-Sen chunk-
+    ledger selection, two ranks at once): the former global
+    row_number window serialized every converted user through ONE
+    task's sort, plus a global count window over the same rows. Now
+    the pinned latency table aggregates once into a
+    floor(lat/2^20) chunk ledger (per-chunk count + exact decimal
+    sum; exclusive prefix carry; np and the grand latency sum ride
+    chunk-grain windows); the ledger locates the chunk(s) whose rank
+    ranges contain k_med = (np+1) div 2 and k_p90 = (9np+9) div 10
+    (≤ 2 broadcast rows); only THOSE chunks' rows are ranked (global
+    rank = carry + local rank by counting associativity). Selected
+    elements, np and the decimal sum are IDENTICAL to the global
+    form (decimal addition is order-independent). Worst case (all
+    latencies in one chunk) degrades to the old single sort, never
+    worse."""
+    from ..operators.cache import pin
     e = _events(spark, sf_dir)
     fv = (e.filter(F.col("event_type") == "view")
           .groupBy("user_id").agg(F.min("ts_ms").alias("v_ts")))
@@ -880,21 +897,40 @@ def events_conversion_latency(spark, sf_dir):
             .filter(F.col("ts_ms") >= F.col("v_ts"))
             .groupBy("user_id")
             .agg((F.min("ts_ms") - F.min("v_ts")).alias("lat")))
-    w = Window.partitionBy().orderBy("lat", "user_id")
-    r = (conv.withColumn("rk", F.row_number().over(w))
-         .withColumn("n", F.count("*").over(Window.partitionBy())))
-    med_idx = F.expr("(n + 1) div 2")
-    p90_idx = F.expr("(9 * n + 9) div 10")
-    return (r.groupBy("n")
-            .agg(F.max(F.when(F.col("rk") == med_idx, F.col("lat")))
-                 .alias("med"),
-                 F.max(F.when(F.col("rk") == p90_idx, F.col("lat")))
-                 .alias("p90"),
-                 F.sum(F.col("lat").cast("decimal(27,6)")).alias("s"))
-            .select(F.col("n").cast("bigint").alias("n_converted"),
+    conv = pin(conv.withColumn(
+        "__ck", F.floor(F.col("lat") / F.lit(1048576.0))))
+    w_carry = (Window.orderBy("__ck")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.partitionBy()
+    led = (conv.groupBy("__ck")
+           .agg(F.count("*").alias("cn"),
+                F.sum(F.col("lat").cast("decimal(27,6)")).alias("ls"))
+           .withColumn("carry",
+                       F.coalesce(F.sum("cn").over(w_carry), F.lit(0)))
+           .withColumn("np", F.sum("cn").over(w_all))
+           .withColumn("s_all", F.sum("ls").over(w_all)))
+    k_med = F.expr("(np + 1) div 2")
+    k_p90 = F.expr("(9 * np + 9) div 10")
+
+    def hit(k):
+        return (F.col("carry") < k) & (k <= F.col("carry") + F.col("cn"))
+
+    target = (led.filter(hit(k_med) | hit(k_p90))
+              .select(F.col("__ck").alias("__ck_l"),
+                      "carry", "np", "s_all"))
+    w_rk = Window.partitionBy("__ck").orderBy("lat", "user_id")
+    r = (conv.join(F.broadcast(target),
+                   F.col("__ck").eqNullSafe(F.col("__ck_l")))
+         .withColumn("rk", F.col("carry") + F.row_number().over(w_rk)))
+    return (r.groupBy("np", "s_all")
+            .agg(F.max(F.when(F.col("rk") == F.expr("(np + 1) div 2"),
+                              F.col("lat"))).alias("med"),
+                 F.max(F.when(F.col("rk") == F.expr("(9 * np + 9) div 10"),
+                              F.col("lat"))).alias("p90"))
+            .select(F.col("np").cast("bigint").alias("n_converted"),
                     F.col("med").cast("bigint").alias("median_latency_ms"),
                     F.col("p90").cast("bigint").alias("p90_latency_ms"),
-                    (_dstr("s") / F.col("n").cast("double"))
+                    (_dstr("s_all") / F.col("np").cast("double"))
                     .alias("mean_latency_ms")))
 
 

@@ -4091,6 +4091,111 @@ def test_quality_floor_hand_cases(spark):
                    "c": (1, 42, 1, 42)}
 
 
+def test_quality_floor_histogram_spine_multichunk(spark):
+    """r16: the histogram-spine rewrite must stay exact when the
+    value domain spans several floor(m/1024) chunks and ties sit
+    exactly ON a chunk boundary — checked against a brute-force
+    Python reference (the pre-r16 per-row rank semantics)."""
+    import math
+
+    from market_data_ingestor_go_spark.operators.training import (
+        quality_floor_summary)
+
+    vals = ([100, 1024, 1024, 1024, 2048, 2049, 3000, 5000, 5000,
+             9000, 9001]
+            + [1023, 1025, 4096])
+    rows = [("g1", i, v) for i, v in enumerate(vals)]
+    rows += [("g2", i, v) for i, v in enumerate([7, 70, 7000])]
+    df = spark.createDataFrame(rows, ["g", "doc_id", "m"])
+    got = {r["g"]: (r["n_docs"], r["threshold"], r["n_kept"],
+                    r["kept_sum"])
+           for r in quality_floor_summary(df, "g", "m").collect()}
+
+    def ref(ms):
+        s = sorted(ms)
+        th = s[math.ceil(len(s) / 4) - 1]
+        kept = [v for v in ms if v >= th]
+        return (len(ms), th, len(kept), sum(kept))
+
+    assert got == {"g1": ref(vals), "g2": ref([7, 70, 7000])}
+
+
+def test_pareto_chunked_equals_window_reference(spark):
+    """r16: the chunk-ledger top-k selection in pareto_from_spend
+    must match the pre-r16 per-segment rank-window semantics —
+    brute-force Python reference over synthetic spends with ties
+    that STRADDLE the ⌈n/10⌉ boundary and values spanning several
+    floor(spend/1024) chunks."""
+    from decimal import Decimal
+
+    from market_data_ingestor_go_spark.operators.timeseries import (
+        pareto_from_spend)
+
+    # segment A: 23 customers, the k=3 boundary falls INSIDE a tie
+    # run of spend=50000 (custkey decides membership); segment B: 4
+    # customers in one chunk (degenerate worst case)
+    spends_a = ([900000, 51200, 50000, 50000, 50000, 50000] +
+                [40000 + 7 * i for i in range(17)])
+    rows = [(i + 1, Decimal(s)) for i, s in enumerate(spends_a)]
+    rows += [(100 + i, Decimal(777)) for i in range(4)]
+    spend = spark.createDataFrame(
+        rows, "o_custkey bigint, spend decimal(37,6)")
+    cust = spark.createDataFrame(
+        [(i + 1, "A") for i in range(len(spends_a))]
+        + [(100 + i, "B") for i in range(4)],
+        "c_custkey bigint, c_mktsegment string")
+    got = {r.c_mktsegment: r for r in
+           pareto_from_spend(spend, cust).collect()}
+
+    def ref(pairs):  # [(custkey, spend)] -> (n, k, share)
+        order = sorted(pairs, key=lambda p: (-p[1], p[0]))
+        n = len(order)
+        k = (n + 9) // 10
+        top = sum(s for _, s in order[:k])
+        tot = sum(s for _, s in order)
+        return n, k, float(top) / float(tot)
+
+    for seg, pairs in (("A", [(i + 1, s)
+                              for i, s in enumerate(spends_a)]),
+                       ("B", [(100 + i, 777) for i in range(4)])):
+        n, k, share = ref(pairs)
+        r = got[seg]
+        assert (r.n_customers, r.k_top10) == (n, k), (seg, r)
+        assert abs(r.top10_share - share) < 1e-12, (seg, r, share)
+
+
+def test_conversion_latency_matches_python_reference(spark):
+    """r16: the chunk-ledger two-rank selection in
+    events_conversion_latency must reproduce the pre-r16 global
+    rank-window semantics exactly — Python reference over the
+    sf0.001 fixture (exact lower-quantile elements at (n+1) div 2
+    and (9n+9) div 10, exact mean)."""
+    from market_data_ingestor_go_spark.plans.queries import (
+        ALL_QUERIES, _events)
+
+    sf = "/root/testdata/sf0.001"
+    e = _events(spark, sf)
+    fv = (e.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts_ms").alias("v_ts")))
+    lats = sorted(r.lat for r in
+                  (e.filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts_ms").join(fv, "user_id")
+                   .filter(F.col("ts_ms") >= F.col("v_ts"))
+                   .groupBy("user_id")
+                   .agg((F.min("ts_ms") - F.min("v_ts")).alias("lat"))
+                   ).collect())
+    n = len(lats)
+    assert n > 0
+    got = ALL_QUERIES["events_conversion_latency"](
+        spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_converted == n
+    assert r.median_latency_ms == lats[(n + 1) // 2 - 1]
+    assert r.p90_latency_ms == lats[(9 * n + 9) // 10 - 1]
+    assert r.mean_latency_ms == float(sum(lats)) / n
+
+
 def test_fk_orphan_audit_detects_injected_orphans(spark, tmp_path):
     """fk_orphan_audit (r14): the production testdata is clean, so
     prove detection on a synthetic warehouse with KNOWN violations —

@@ -1071,6 +1071,38 @@ def test_rank_spine_windows_are_chunked(spark):
                                      f"{line}")
 
 
+def test_exact_rank_selections_are_chunked(spark):
+    """r16: the three remaining exact global-rank paths now run the
+    Theil-Sen chunk-ledger selection — no value-ordered sort of a
+    row-count-sized frame feeds a rank window without a __ck chunk
+    key ahead of it in the sort order. The only SinglePartition /
+    per-group-serial windows left are the chunk-grain carry ledgers
+    (bounded by value range / width, never by row count)."""
+    checks = {
+        # query -> value-sort prefixes that must only appear chunked
+        "events_conversion_latency": ("Sort [lat",),
+        "customer_revenue_pareto": ("Sort [c_mktsegment", "Sort [spend"),
+        "source_quality_floor": ("Sort [g", "Sort [m", "Sort [n_tok"),
+    }
+    for name, prefixes in checks.items():
+        plan = _plan(ALL_QUERIES[name](spark, SF))
+        assert "__ck" in plan, name
+        for line in plan.splitlines():
+            for p in prefixes:
+                if p in line and "__ck" not in line:
+                    raise AssertionError(
+                        f"{name}: unchunked value-rank sort: {line}")
+
+
+def test_quality_floor_is_histogram_grain(spark):
+    """r16: source_quality_floor derives everything from the
+    (source, n_tok) histogram — exactly ONE corpus-grain exchange
+    (the histogram aggregate); every other exchange and window runs
+    at histogram/ledger grain, and no row_number remains."""
+    plan = _plan(ALL_QUERIES["source_quality_floor"](spark, SF))
+    assert "row_number" not in plan, plan
+
+
 def test_theilsen_rank_spine_is_chunked(spark):
     """r15 optimization round: the Theil-Sen median-slope selection
     must sort pair rows WITHIN floor(slope/1024) chunks — the former
