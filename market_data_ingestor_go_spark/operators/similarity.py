@@ -1774,32 +1774,253 @@ def embedding_centroid_drift(vectors: DataFrame,
 
 
 def embedding_covariance(vectors: DataFrame,
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         engine: str = "kernel") -> DataFrame:
     """Upper-triangle covariance matrix of the embedding distribution
     → (dim_i, dim_j, n, cov) with dim_i ≤ dim_j — the second-moment
     QA aggregate behind whitening/PCA decisions (anisotropy, dead or
     collinear dimensions) and the model-sized input an offline eigen
     step consumes.
 
-    Exactness: per-row products x_i·x_j are double multiplies of
-    exactly-widened floats, quantized to DECIMAL(27,6) and summed
-    EXACTLY (order-free — the DSIR single-rounding device), same for
-    the per-dim sums; the final
+    Exactness (both engines): per-row products x_i·x_j are double
+    multiplies of exactly-widened floats, quantized to DECIMAL(27,6)
+    and summed EXACTLY (order-free — the DSIR single-rounding
+    device), same for the per-dim sums; the final
     cov = (Sxy − Sx·Sy/n)/(n−1) evaluates the identical IEEE
     expression on both engines (string-routed decimal→double hops).
     Bit-identical in Spark and DuckDB.
 
-    Shapes at 100 TB: the d(d+1)/2 pair products are formed IN-ROW
-    (nested transform over the array and its tail slice — the corpus
-    never shuffles to be paired) and collapse map-side to d(d+1)/2
-    rows per partition; the only exchanges are that partial-combined
-    aggregate and a d-row broadcast of the per-dim sums. Per-row cost
-    is O(d²) — that is the covariance's arithmetic lower bound, not a
-    plan artifact (an Arrow Gram-matrix kernel would shave the
-    interpreted-HOF constant at the price of leaving the all-JVM
-    plan, the knn_ann_pq trade)."""
+    ``engine``:
+    - "kernel" (default): one Arrow pass computes the SAME quantized
+      micro-integer sums vectorized in numpy
+      (``cov_sums_exact_kernel`` — r16, guide §4.2: the expr path's
+      nested-transform lambda is INTERPRETED at ~d²·struct cost per
+      row and dominated the query wall); bit-identical by
+      construction, pinned by the equality + crafted-ties tests.
+    - "expr": the all-JVM column-expression path — the oracle-twin
+      form the streaming covariance mirrors.
+
+    Shapes at 100 TB (both engines): pair products form IN-ROW (the
+    corpus never shuffles to be paired) and collapse map-side to
+    d(d+1)/2 rows per partition; the only exchange is that
+    partial-combined aggregate (expr additionally broadcasts a d-row
+    dim-sum table). Per-row cost is O(d²) — the covariance's
+    arithmetic lower bound, not a plan artifact."""
+    if engine not in ("kernel", "expr"):
+        raise ValueError(f"unknown engine {engine!r}: "
+                         "expected 'kernel' or 'expr'")
+    if engine == "kernel":
+        # one corpus pass: pair cells ride (i, j ≥ 0), per-dim sums
+        # ride (i, -1) sentinel rows; the d²-row aggregate is pinned
+        # so the two readout branches below share it, then the final
+        # arithmetic is covariance_from_sums VERBATIM — identical
+        # expression tree to the expr path from this point down
+        agg = pin(cov_sums_exact_kernel(vectors, vec_col)
+                  .groupBy("i", "j")
+                  .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+        pairs = (agg.filter(F.col("j") >= 0)
+                 .select("i", "j", F.col("s").alias("sxy"), "n"))
+        dims = agg.filter(F.col("j") == -1).select(
+            "i", F.col("s").alias("sx"))
+        return covariance_from_sums(pairs, dims)
     return covariance_from_sums(cov_pair_sums(vectors, vec_col),
                                 cov_dim_sums(vectors, vec_col))
+
+
+def cov_sums_exact_kernel(vectors: DataFrame,
+                          vec_col: str = "embedding") -> DataFrame:
+    """Per-batch EXACT covariance sufficient statistics — the
+    quantized-decimal sums of ``cov_pair_sums``/``cov_dim_sums``
+    computed in ONE vectorized Arrow pass instead of the interpreted
+    nested-transform lambda. Output rows: pair cells (i, j≥0,
+    s=Σ quantized x_i·x_j, n=cell count) plus per-dim sentinel rows
+    (i, j=-1, s=Σ quantized x_i, n=dim count), so a single groupBy
+    aggregate yields both sufficient-statistic tables.
+
+    Bit-identity contract (pinned by
+    test_cov_kernel_equals_expr / test_cov_kernel_ties_and_edges):
+    every per-row product is the IDENTICAL IEEE double multiply
+    (numpy float64 == JVM), and its DECIMAL(27,6) quantization is
+    reproduced exactly — round-half-up on the double's decimal
+    value, computed as integer micro-units via an exact two-product
+    residual (1e6 is 20-bit exact, so a Dekker split yields the
+    product's full 106-bit value); elements that land inside one ulp
+    of a .5 boundary — where binary-exact and shortest-repr rounding
+    could diverge — fall back to Python ``Decimal(repr(x))``
+    HALF_UP, the same shortest-repr route Spark's
+    BigDecimal.valueOf takes. Micro-unit sums accumulate in
+    overflow-checked int64 chunks into Python ints (order-free, like
+    decimal SUM), and surface as DECIMAL(38,6) partials whose Spark
+    SUM is again exact.
+
+    Null/ragged semantics mirror the expr path: NULL arrays
+    contribute nothing (explode-skip); rows with NULL elements or
+    non-uniform lengths take a per-row Decimal slow path that emits
+    null-skipping sums and slice-bounded cell counts. Non-finite
+    elements raise — the expr path's ANSI cast would too.
+
+    At 100 TB: same plan shape as the expr path (scan → narrow
+    project → per-partition partials → one d²-row exchange)."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        # self-contained closure (bare-worker contract): stdlib +
+        # numpy/pyarrow only, no module-level names
+        import numpy as np
+        from decimal import Decimal, ROUND_HALF_UP
+
+        MICRO = Decimal("0.000001")
+        out_schema = pa.schema([
+            ("i", pa.int32()), ("j", pa.int32()),
+            ("s", pa.decimal128(38, 6)), ("n", pa.int64())])
+
+        def q1(x):
+            """cast(double AS decimal(27,6)) in integer micros —
+            Spark's shortest-repr HALF_UP route, one value."""
+            if x is None:
+                return None
+            if not np.isfinite(x):
+                raise ValueError(
+                    f"cov_sums_exact_kernel: non-finite element {x!r} "
+                    "(the expr path's ANSI decimal cast errors here too)")
+            return int(Decimal(repr(float(x)))
+                       .quantize(MICRO, ROUND_HALF_UP).scaleb(6))
+
+        def q_micro(A):
+            """Vectorized q1 over a float64 ndarray (no NaN/Inf).
+            Returns int64 micros; boundary cases re-done via q1."""
+            hi = A * 1e6
+            # exact two-product residual: split A (2^27+1 trick);
+            # 1e6 has a 20-bit mantissa so each half-product is exact
+            t = A * 134217729.0
+            ah = t - (t - A)
+            al = A - ah
+            err = (ah * 1e6 - hi) + al * 1e6
+            n0 = np.rint(hi)                       # half-even candidate
+            delta = (hi - n0) + err                # exact offset from n0
+            micro = n0 + (delta > 0.5) - (delta < -0.5)
+            # within an ulp of the .5 boundary the binary value and the
+            # shortest repr can round apart — resolve those exactly
+            band = (np.abs(np.abs(delta) - 0.5)
+                    <= 4.0 * np.spacing(np.abs(hi)) + 1e-12)
+            band |= np.abs(hi) >= 2.0 ** 53        # rint unreliable
+            if band.any():
+                flat = micro.ravel()
+                src = A.ravel()
+                for k in np.flatnonzero(band.ravel()):
+                    flat[k] = q1(src[k])
+            return micro.astype(np.int64)
+
+        def col_sums(M):
+            """Exact per-column sums of int64 micros → Python ints
+            (chunked so no int64 overflow is possible)."""
+            if not M.size:
+                return [0] * M.shape[1]
+            cap = int(np.abs(M).max()) + 1
+            step = max(1, (2 ** 62) // cap)
+            tot = [0] * M.shape[1]
+            for s in range(0, len(M), step):
+                part = M[s:s + step].sum(axis=0)
+                tot = [a + int(b) for a, b in zip(tot, part)]
+            return tot
+
+        for batch in batches:
+            col = batch.column(0)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n_rows = len(col)
+            if n_rows == 0:
+                continue
+            pair_sum: dict = {}    # (i, j) -> micro int
+            pair_n: dict = {}
+            dim_sum: dict = {}     # i -> micro int
+            dim_n: dict = {}
+            lengths = np.asarray(col.value_lengths())
+            valid = np.asarray(col.is_valid())
+            flat = col.flatten()   # drops null-row slots, keeps elements
+            elem_nulls = flat.null_count > 0
+            lens_v = lengths[valid]
+            uniform = len(lens_v) > 0 and lens_v.min() == lens_v.max()
+
+            def slow_row(vals):
+                m = [q1(v) for v in vals]
+                L = len(m)
+                for i in range(L):
+                    dim_n[i] = dim_n.get(i, 0) + 1
+                    if m[i] is not None:
+                        dim_sum[i] = dim_sum.get(i, 0) + m[i]
+                    else:
+                        dim_sum.setdefault(i, 0)
+                    for j in range(i, L):
+                        key = (i, j)
+                        pair_n[key] = pair_n.get(key, 0) + 1
+                        if m[i] is not None and m[j] is not None:
+                            p = q1(vals[i] * vals[j])
+                            pair_sum[key] = pair_sum.get(key, 0) + p
+                        else:
+                            pair_sum.setdefault(key, 0)
+
+            huge = False
+            if uniform and not elem_nulls and valid.all():
+                L = int(lens_v[0])
+                X = flat.to_numpy(zero_copy_only=False).reshape(n_rows, L)
+                if not np.isfinite(X).all():
+                    bad = X[~np.isfinite(X)][0]
+                    q1(float(bad))          # raises with the message
+                # micros past 2^53 don't fit the fast path's float64
+                # staging — whole batch takes the exact Decimal path
+                huge = bool(L) and (np.abs(X).max() ** 2 * 1e6 >= 2.0 ** 53)
+            if uniform and not elem_nulls and valid.all() and not huge:
+                iu, ju = np.triu_indices(L)
+                npairs = len(iu)
+                psums = [0] * npairs
+                dsums = [0] * L
+                # row chunks bound the O(rows·d²) staging temporaries
+                step = max(1, (1 << 21) // max(npairs, 1))
+                for s in range(0, n_rows, step):
+                    Xc = X[s:s + step]
+                    for acc, M in ((psums, q_micro(Xc[:, iu] * Xc[:, ju])),
+                                   (dsums, q_micro(Xc))):
+                        for k, v in enumerate(col_sums(M)):
+                            acc[k] += v
+                for k in range(npairs):
+                    key = (int(iu[k]), int(ju[k]))
+                    pair_sum[key] = pair_sum.get(key, 0) + psums[k]
+                    pair_n[key] = pair_n.get(key, 0) + n_rows
+                for i in range(L):
+                    dim_sum[i] = dim_sum.get(i, 0) + dsums[i]
+                    dim_n[i] = dim_n.get(i, 0) + n_rows
+            else:
+                for r in range(n_rows):
+                    if not valid[r]:
+                        continue          # explode skips NULL arrays
+                    slow_row(col[r].as_py())
+
+            if not pair_n:
+                continue
+            keys = ([(i, -1) for i in sorted(dim_sum)]
+                    + sorted(pair_n))
+            to_dec = (lambda v: Decimal(v).scaleb(-6))
+
+            def cell(i, j):
+                return (dim_sum[i], dim_n[i]) if j < 0 else \
+                    (pair_sum[(i, j)], pair_n[(i, j)])
+
+            yield pa.RecordBatch.from_arrays([
+                pa.array([k[0] for k in keys], pa.int32()),
+                pa.array([k[1] for k in keys], pa.int32()),
+                pa.array([to_dec(cell(*k)[0]) for k in keys],
+                         pa.decimal128(38, 6)),
+                pa.array([cell(*k)[1] for k in keys], pa.int64()),
+            ], schema=out_schema)
+
+    # the kernel inherits the INPUT's partitioning (r12 lesson): a
+    # single-file fixture scan would run it on 1 core; spread()
+    # no-ops once the scan itself is parallel, so at scale this adds
+    # no exchange
+    return (spread(vectors.selectExpr(
+        f"transform({vec_col}, x -> cast(x AS double)) AS v"))
+        .mapInArrow(kernel, "i int, j int, s decimal(38,6), n long"))
 
 
 def cov_pair_sums(vectors: DataFrame,

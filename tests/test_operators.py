@@ -3384,6 +3384,67 @@ def test_embedding_covariance_arrow_drops_null_rows_like_exact(spark):
         assert abs(fast[k]["cov"] - r["cov"]) <= 1e-5, k
 
 
+def _cov_canon(rows):
+    return sorted((r["dim_i"], r["dim_j"], r["n"], repr(r["cov"]))
+                  for r in rows)
+
+
+def test_cov_kernel_equals_expr(spark):
+    """r16: the vectorized exact-quantization kernel (default engine)
+    is BIT-identical to the all-JVM expr path on the fixture corpus —
+    same cells, same n, covariance doubles equal to the last bit
+    (repr-compared). This is the lsh verify-kernel convention: the
+    fast path must not be approximately right."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        embedding_covariance)
+    from market_data_ingestor_go_spark.sources.tables import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    kern = _cov_canon(embedding_covariance(emb, engine="kernel").collect())
+    expr = _cov_canon(embedding_covariance(emb, engine="expr").collect())
+    assert len(kern) == 64 * 65 // 2
+    assert kern == expr
+
+
+def test_cov_kernel_ties_and_edges(spark):
+    """Adversarial bit-identity: dyadic values whose products land
+    EXACTLY on .5 micro boundaries (fixture data has no exact ties, so
+    without this corpus the kernel's HALF_UP branch is untested — the
+    r8 exact-ties lesson), plus NULL rows (explode-skip), NULL
+    elements (null product, counted row), ragged lengths
+    (slice-bounded cells), and an empty array."""
+    from market_data_ingestor_go_spark.operators.similarity import (
+        embedding_covariance)
+    rows = [
+        (0, [0.0078125, -0.0078125, 1.0]),          # 2^-7: ±7812.5 ties
+        (1, [2.0 ** -21, 3 * 2.0 ** -21, 0.5]),     # sub-micro ties
+        (2, None),                                  # NULL array
+        (3, [1.5, None, -2.25]),                    # NULL element
+        (4, [0.125, 0.0625]),                       # ragged (len 2)
+        (5, []),                                    # empty array
+        (6, [123.4567895, -0.0000005, 0.0000015]),  # repr-tie cases
+        (7, [1.0, 2.0, 3.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, v ARRAY<DOUBLE>")
+    kern = _cov_canon(
+        embedding_covariance(emb, "v", engine="kernel").collect())
+    expr = _cov_canon(
+        embedding_covariance(emb, "v", engine="expr").collect())
+    assert kern == expr
+    # the crafted corpus must actually cover the interesting cells
+    assert {(i, j) for i, j, _, _ in kern} == \
+        {(i, j) for i in range(3) for j in range(i, 3)}
+
+
+def test_cov_kernel_engine_validated():
+    """A typo'd engine name fails loud before any work."""
+    import pytest as _pytest
+
+    from market_data_ingestor_go_spark.operators.similarity import (
+        embedding_covariance)
+    with _pytest.raises(ValueError, match="unknown engine"):
+        embedding_covariance(None, engine="Kernel")
+
+
 def test_one_pass_covariance_family(spark):
     """r12 one-pass family: correlation and PCA accept a PRECOMPUTED
     covariance table and produce BIT-identical output to their

@@ -579,15 +579,23 @@ def test_embedding_covariance_shapes(spark):
     of the per-dim sums); scan pruned to the vector column; no
     window. Pinned on the OPERATOR: the fixture query serves the
     one-pass family's memoized localCheckpoint (r12), whose truncated
-    plan is by design a bounded-RDD scan, not the corpus pass."""
+    plan is by design a bounded-RDD scan, not the corpus pass.
+
+    r16: the default engine is the exact-quantization Arrow kernel —
+    same constraints, plus the corpus pass must be a MapInArrow node
+    (no interpreted nested-transform lambda, no BatchEvalPython)."""
     from market_data_ingestor_go_spark.operators.similarity import (
         embedding_covariance)
     from market_data_ingestor_go_spark.sources.tables import load_table
-    plan = _plan(embedding_covariance(load_table(spark, SF, "embeddings")))
-    assert "SortMergeJoin" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 2, plan
-    assert _scan_columns(plan, "embeddings") == {"embedding"}, plan
-    assert "windowspecdefinition" not in plan, plan
+    for engine in ("expr", "kernel"):
+        plan = _plan(embedding_covariance(
+            load_table(spark, SF, "embeddings"), engine=engine))
+        assert "SortMergeJoin" not in plan, plan
+        assert plan.count("BroadcastHashJoin") == 2, plan
+        assert _scan_columns(plan, "embeddings") == {"embedding"}, plan
+        assert "windowspecdefinition" not in plan, plan
+        assert ("MapInArrow" in plan) == (engine == "kernel"), plan
+        assert "BatchEvalPython" not in plan, plan
 
 
 def test_quality_signals_map_only(spark):
