@@ -49,19 +49,46 @@ def _rows_to_multiset(cols, rows):
 
 @pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_parity(spark, name):
+    """Value parity AND Arrow-type parity in ONE test (r16 suite
+    budget, verdict #3): the former separate type-scan sweep rebuilt
+    every Spark query — for the CC-backed queries that means
+    re-running the whole label-propagation loop (~20 s each) just to
+    read a schema. One Spark query build and ONE oracle execution
+    (`.arrow()`) now serve both checks: the schema check reads the
+    Arrow schema (ground truth, same canonicalization as before) and
+    the value multiset reads the same table's columns — which is the
+    layer the driver's hash actually compares at anyway."""
     assert name in ALL_QUERIES, f"oracle {name} has no Spark query"
     sdf = ALL_QUERIES[name](spark, SF_DIR)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
     con = _duck(SF_DIR)
-    res = con.execute(ALL_ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    tbl = con.execute(ALL_ORACLES[name]).arrow()
     con.close()
+    duck_cols = list(tbl.schema.names)
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}")
+
+    # Arrow-level type parity FIRST (the r7 events_vwap failure class
+    # — see the comment block above oracle_type_mismatches): the value
+    # comparison below reads the oracle rows through this very Arrow
+    # conversion, so a type divergence must fail loudly as a TYPE
+    # error before it can masquerade as a value diff.
+    spark_types = {f.name: _canon_spark_type(f.dataType)
+                   for f in sdf.schema.fields}
+    duck_types = {f.name: _canon_arrow_type(f.type) for f in tbl.schema}
+    mism = {col: {"spark": spark_types.get(col), "duck": duck_types.get(col)}
+            for col in set(spark_types) | set(duck_types)
+            if spark_types.get(col) != duck_types.get(col)}
+    assert not mism, (
+        f"{name}: final-projection type divergence (driver hash is "
+        f"type-sensitive at the Arrow layer): {mism}")
+
+    cols_data = tbl.to_pydict()
+    duck_rows = list(zip(*(cols_data[c] for c in duck_cols))) \
+        if duck_cols else []
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}")
     ms_spark = _rows_to_multiset(spark_cols, spark_rows)
@@ -72,8 +99,14 @@ def test_parity(spark, name):
 
 
 def test_all_queries_have_schema_and_run(spark):
-    """Queries without oracles still must run and return a stable schema."""
+    """Queries without oracles still must run and return a stable
+    schema. Oracle-backed queries are excluded (r16 suite budget):
+    test_parity collects their FULL result in this same file — a
+    strictly stronger check than limit(1) — so sweeping them here
+    doubled ~130 s of work for zero coverage."""
     for name, fn in ALL_QUERIES.items():
+        if name in ALL_ORACLES:
+            continue
         df = fn(spark, SF_DIR)
         assert df.columns, name
         df.limit(1).collect()
@@ -302,9 +335,6 @@ def oracle_type_mismatches(spark, name, sf_dir=None):
     return mismatches
 
 
-@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
-def test_oracle_arrow_types_match(spark, name):
-    mism = oracle_type_mismatches(spark, name)
-    assert not mism, (
-        f"{name}: final-projection type divergence (driver hash is "
-        f"type-sensitive at the Arrow layer): {mism}")
+# (The separate parametrized Arrow-type sweep was folded INTO
+# test_parity in r16 — same two comparisons, one Spark query build.
+# oracle_type_mismatches stays as the verify skill's per-query probe.)
