@@ -1,4 +1,7 @@
-"""Minimal from-scratch WAV (RIFF/PCM) decoder — stdlib ``struct`` only.
+"""Minimal from-scratch WAV (RIFF/PCM) decoder — stdlib ``struct``
+plus numpy for the bulk 16/24-bit sample paths (r16: the per-sample
+pack/unpack loops dominated the audio fingerprint queries; the
+vectorized forms are byte-identical, pinned by the round-trip tests).
 
 Same motivation as ``png_minimal``: the container has no audio
 libraries, but canonical WAV is a public, codec-free format (RIFF
@@ -65,9 +68,26 @@ def wav_encode(sample_rate: int, n_channels: int, bits: int,
     if bits == 8:
         pcm = bytes((s + 128) & 0xFF for s in samples)  # 8-bit is unsigned
     elif bits == 16:
-        pcm = b"".join(struct.pack("<h", s) for s in samples)
+        # vectorized (r16, guide §4.2): byte-identical to the former
+        # per-sample struct.pack("<h", s) join, including its loud
+        # failure on out-of-range samples (numpy would wrap silently)
+        import numpy as np
+        a = np.asarray(samples, dtype=np.int64)
+        if a.size and (a.min() < -0x8000 or a.max() > 0x7FFF):
+            raise struct.error("short format requires -32768 <= "
+                               "number <= 32767")
+        pcm = a.astype("<i2").tobytes()
     elif bits == 24:
-        pcm = b"".join(struct.pack("<i", s << 8)[1:4] for s in samples)
+        # byte-identical to struct.pack("<i", s << 8)[1:4] per sample:
+        # the low 3 LE bytes of the 32-bit value s << 8
+        import numpy as np
+        a = np.asarray(samples, dtype=np.int64)
+        if a.size and ((a.min() << 8) < -0x80000000
+                       or (a.max() << 8) > 0x7FFFFFFF):
+            raise struct.error("int format requires -2147483648 <= "
+                               "number <= 2147483647")
+        b4 = (a << 8).astype("<i4").view(np.uint8).reshape(-1, 4)
+        pcm = b4[:, 1:4].tobytes()
     elif bits == 32:
         pcm = b"".join(struct.pack("<i", s) for s in samples)
     else:
@@ -88,15 +108,20 @@ def pcm_samples(pcm: bytes, bits: int) -> list[float]:
     if bits == 8:
         return [(b - 128) / 128.0 for b in pcm]
     if bits == 16:
+        # vectorized (r16): same IEEE divisions as the former
+        # struct.unpack loop, returned as the same list of floats
+        import numpy as np
         n = len(pcm) // 2
-        return [s / 32768.0
-                for s in struct.unpack(f"<{n}h", pcm[:n * 2])]
+        return (np.frombuffer(pcm[:n * 2], dtype="<i2")
+                .astype(np.float64) / 32768.0).tolist()
     if bits == 24:
-        out = []
-        for i in range(0, len(pcm) - 2, 3):
-            v = int.from_bytes(pcm[i:i + 3], "little", signed=True)
-            out.append(v / 8388608.0)
-        return out
+        import numpy as np
+        n = len(pcm) // 3
+        b = (np.frombuffer(pcm[:n * 3], dtype=np.uint8)
+             .reshape(-1, 3).astype(np.int64))
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v >= 1 << 23) * (1 << 24)      # sign-extend int24
+        return (v.astype(np.float64) / 8388608.0).tolist()
     if bits == 32:
         n = len(pcm) // 4
         return [s / 2147483648.0

@@ -552,15 +552,21 @@ def synthetic_doc_audio(df: DataFrame, id_col: str = "doc_id",
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 sig = synth(str(text).encode("utf-8"))
                 doc_id = int(doc_id)
-                s16 = [int(s * 32767) for s in sig]
+                # vectorized quantization (r16, guide §4.2):
+                # np.trunc(x).astype(int64) over the SAME float
+                # products is value-identical to the former
+                # per-sample int(s * 32767) loop (int() truncates
+                # toward zero; the multiplies are the same IEEE ops)
+                s16 = np.trunc(sig * 32767).astype(np.int64)
                 rows.append((f"{doc_id}:orig",
                              wav_encode(rate, 1, 16, s16)))
                 if doc_id % 3 == 0:
                     rows.append((f"{doc_id}:vol", wav_encode(
-                        rate, 1, 16, [int(s * 0.5 * 32767) for s in sig])))
+                        rate, 1, 16,
+                        np.trunc((sig * 0.5) * 32767).astype(np.int64))))
                 if doc_id % 5 == 0:
                     rows.append((f"{doc_id}:b24", wav_encode(
-                        rate, 1, 24, [s << 8 for s in s16])))
+                        rate, 1, 24, s16 << 8)))
             yield pd.DataFrame(rows, columns=["audio_id", "content"])
 
     # spread BEFORE the kernel: the (id, text) projection of a small
