@@ -656,9 +656,26 @@ def _make_session_paths(gap_ms: int):
                 elif cur[1] == 3:
                     cur[4] = etype
         if cur is not None:
-            state.update(tuple(cur))
-            # fire once the watermark passes the open session's close
-            state.setTimeoutTimestamp(int(cur[0]) + gap_ms)
+            close_at = int(cur[0]) + gap_ms
+            if close_at < state.getCurrentWatermarkMs():
+                # the watermark has ALREADY passed the open session's
+                # close (this user's events lag the global max event
+                # time, so a big micro-batch can advance the watermark
+                # past them in one step — load/batching dependent).
+                # Spark rejects a timeout below the watermark
+                # (INVALID_TIMEOUT_TIMESTAMP, seen live under a loaded
+                # host); the timeout would have fired immediately
+                # anyway, so close the session NOW — same rows, same
+                # "watermark passed last_ts + gap" rule, just without
+                # the illegal deferred timer.
+                emit(*cur)
+                if state.exists:
+                    state.remove()
+            else:
+                state.update(tuple(cur))
+                # fire once the watermark passes the open session's
+                # close
+                state.setTimeoutTimestamp(close_at)
         if out:
             yield _pd.DataFrame(
                 out, columns=["user_id", "path", "session_last_ts"])
